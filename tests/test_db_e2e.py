@@ -1,0 +1,139 @@
+"""Randomized model-based e2e test — the TestDB_e2e pattern
+(db_test.go:639-795): fixed label sets × random samples; an in-memory
+oracle; selectors × random [mint, maxt] ranges checked for exact
+equality of returned sample sets."""
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from tsdb_spark import labels as L
+from tsdb_spark.db import DB
+
+random.seed(42)
+
+LABEL_SETS = [  # db_test.go:648-657 shape
+    {"a": "b"},
+    {"a": "b", "c": "d"},
+    {"a": "c"},
+    {"a": "b", "e": "f"},
+    {"c": "d"},
+    {"c": "d", "e": "f"},
+    {"e": "f"},
+    {"a": "c", "c": "d"},
+]
+
+N_PER_SERIES = 120
+
+
+def canon(labels):
+    return "{" + ",".join(f'{k}="{v}"' for k, v in sorted(labels.items())) + "}"
+
+
+@pytest.fixture(scope="module")
+def dataset():
+    rows = []
+    oracle = {}  # labels_str -> [(t, v)]
+    for ls in LABEL_SETS:
+        t = 0
+        sams = []
+        for _ in range(N_PER_SERIES):
+            t += random.randint(1, 60_000)
+            v = round(random.uniform(-100, 100), 3)
+            sams.append((t, v))
+        oracle[canon(ls)] = sams
+        rows += [(ls, t, v) for (t, v) in sams]
+    return rows, oracle
+
+
+@pytest.fixture(scope="module")
+def db(spark, dataset, tmp_path_factory):
+    rows, _ = dataset
+    path = str(tmp_path_factory.mktemp("e2edb"))
+    db = DB.create(spark, path, block_width_ms=3_600_000)
+    df = spark.createDataFrame(rows, "labels MAP<STRING,STRING>, t LONG, v DOUBLE")
+    rep = db.append(df)
+    assert rep.appended == len(rows)
+    assert rep.new_series == len(LABEL_SETS)
+    return db
+
+
+SELECTORS = [  # db_test.go:687-691
+    [L.eq("a", "b")],
+    [L.re_match("a", "b|c")],
+    [L.eq("a", "b"), L.eq("c", "d")],
+    [L.neq("e", "")],
+    [L.eq("c", "d"), L.eq("e", "")],
+]
+
+
+def expected_for(oracle, matchers, mint, maxt):
+    import re
+
+    def m_ok(ls_map, m):
+        val = ls_map.get(m.name, "")
+        if m.type == "=":
+            return val == m.value
+        if m.type == "!=":
+            return val != m.value
+        hit = re.match(f"^(?:{m.value})$", val) is not None
+        return hit if m.type == "=~" else not hit
+
+    out = set()
+    for ls in LABEL_SETS:
+        if all(m_ok(ls, m) for m in matchers):
+            for t, v in oracle[canon(ls)]:
+                if mint <= t <= maxt:
+                    out.add((canon(ls), t, v))
+    return out
+
+
+def test_db_e2e_random_ranges(db, dataset):
+    _, oracle = dataset
+    max_t = max(t for sams in oracle.values() for t, _ in sams)
+    for matchers in SELECTORS:
+        for _ in range(40):  # reference uses 1000; 40×5 selectors is plenty at CI scale
+            mint = random.randint(0, max_t)
+            maxt = mint + random.randint(0, max_t - mint)
+            got = {
+                (r["labels_str"], r["t"], r["v"])
+                for r in db.querier(mint, maxt).select(matchers).collect()
+            }
+            want = expected_for(oracle, matchers, mint, maxt)
+            assert got == want, f"matchers={matchers} range=[{mint},{maxt}]"
+
+
+def test_label_enumeration(db):
+    names = [r["name"] for r in db.label_names().collect()]
+    assert names == ["a", "c", "e"]
+    vals = [r["value"] for r in db.label_values("a").collect()]
+    assert vals == ["b", "c"]
+
+
+def test_select_sorted_order(db, dataset):
+    _, oracle = dataset
+    rows = db.querier(0, 10**15).select_sorted([L.eq("a", "b")]).collect()
+    keys = [(r["labels_str"], r["t"]) for r in rows]
+    assert keys == sorted(keys)
+
+
+def test_block_stats(db, dataset):
+    rows, _ = dataset
+    stats = db.block_stats().collect()
+    assert sum(r["num_samples"] for r in stats) == len(rows)
+    for r in stats:
+        assert r["t_bucket"] <= r["min_t"] <= r["max_t"] < r["t_bucket"] + 3_600_000
+
+
+def test_nan_values_roundtrip(spark, tmp_path):
+    # duplicate NaNs are valid samples (db_test.go:366); NaN must survive
+    db = DB.create(spark, str(tmp_path / "nan"), block_width_ms=1000)
+    df = spark.createDataFrame(
+        [({"x": "1"}, 5, math.nan), ({"x": "1"}, 6, 1.0)],
+        "labels MAP<STRING,STRING>, t LONG, v DOUBLE",
+    )
+    db.append(df)
+    got = {r["t"]: r["v"] for r in db.querier(0, 100).select([L.eq("x", "1")]).collect()}
+    assert math.isnan(got[5]) and got[6] == 1.0

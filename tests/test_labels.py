@@ -1,0 +1,111 @@
+"""Matcher semantics suite — transcribes the load-bearing cases of the
+reference's TestPostingsForMatchers (querier_test.go:1830-2083) and
+selector tests onto the Column compiler."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tsdb_spark import labels as L
+
+# the reference's test universe (querier_test.go:1838-1845):
+SERIES = [
+    {"n": "1"},
+    {"n": "1", "i": "a"},
+    {"n": "1", "i": "b"},
+    {"n": "2"},
+    {"n": "2.5"},
+]
+
+
+@pytest.fixture(scope="module")
+def series_df(spark):
+    return spark.createDataFrame(
+        [(i, s) for i, s in enumerate(SERIES)], "id INT, labels MAP<STRING,STRING>"
+    )
+
+
+def ids(series_df, matchers):
+    rows = series_df.filter(L.compile_matchers(matchers)).select("id").collect()
+    return sorted(r["id"] for r in rows)
+
+
+# each case: (matchers, expected ids) — mirrors querier_test.go:1846-2023
+CASES = [
+    # simple equals
+    ([L.eq("n", "1")], [0, 1, 2]),
+    ([L.eq("n", "1"), L.eq("i", "a")], [1]),
+    ([L.eq("n", "1"), L.eq("i", "missing")], []),
+    ([L.eq("missing", "")], [0, 1, 2, 3, 4]),  # missing label == ""
+    # not equals
+    ([L.neq("n", "1")], [3, 4]),
+    ([L.eq("n", "1"), L.neq("i", "a")], [0, 2]),
+    ([L.eq("n", "1"), L.neq("i", "")], [1, 2]),  # i!="" → series WITH i
+    ([L.eq("n", "1"), L.eq("i", "")], [0]),      # i=""  → series WITHOUT i
+    # regex
+    ([L.re_match("n", "^1$")], [0, 1, 2]),
+    ([L.eq("n", "1"), L.re_match("i", "^a$")], [1]),
+    ([L.eq("n", "1"), L.re_match("i", "^a?$")], [0, 1]),
+    ([L.re_match("n", "^$")], []),
+    ([L.eq("n", "1"), L.re_match("i", "^$")], [0]),
+    ([L.eq("n", "1"), L.re_match("i", "^.*$")], [0, 1, 2]),
+    ([L.eq("n", "1"), L.re_match("i", "^.+$")], [1, 2]),
+    # not regex
+    ([L.re_not_match("n", "^1$")], [3, 4]),
+    ([L.eq("n", "1"), L.re_not_match("i", "^a$")], [0, 2]),
+    ([L.eq("n", "1"), L.re_not_match("i", "^a?$")], [2]),
+    ([L.eq("n", "1"), L.re_not_match("i", "^$")], [1, 2]),
+    ([L.eq("n", "1"), L.re_not_match("i", "^.*$")], []),
+    ([L.eq("n", "1"), L.re_not_match("i", "^.+$")], [0]),
+    # combinations
+    ([L.eq("n", "1"), L.neq("i", ""), L.eq("i", "a")], [1]),
+    ([L.eq("n", "1"), L.neq("i", "b"), L.re_match("i", "^(b|a).*$")], [1]),
+    # set matches (alternations)
+    ([L.re_match("n", "1|2")], [0, 1, 2, 3]),
+    ([L.re_match("i", "a|b")], [1, 2]),
+    ([L.re_match("n", "x2|2")], [3]),
+    ([L.re_match("n", "2|2\\.5")], [3, 4]),
+    # empty alternative matches missing label (querier_test.go:2012-2017)
+    ([L.re_match("i", "a|")], [0, 1, 3, 4]),
+]
+
+
+@pytest.mark.parametrize("matchers,expected", CASES, ids=lambda x: str(x))
+def test_matcher_cases(series_df, matchers, expected):
+    if isinstance(matchers, list):
+        assert ids(series_df, matchers) == expected
+
+
+def test_find_set_matches():
+    # querier_test.go:1775-1828 TestFindSetMatches (semantics, unanchored form)
+    assert L.find_set_matches("foo") == ["foo"]
+    assert L.find_set_matches("foo|bar|baz") == ["foo", "bar", "baz"]
+    assert L.find_set_matches("foo|bar|") == ["foo", "bar", ""]
+    assert L.find_set_matches("fo\\.o|bar?|^baz") is None
+    assert L.find_set_matches("foo.+") is None
+    assert L.find_set_matches(".*foo") is None
+    assert L.find_set_matches("fo\\|o|bar") == ["fo|o", "bar"]
+    assert L.find_set_matches("\\d|x") is None  # regex class, not literal
+
+
+def test_matches_empty_classification():
+    assert L.eq("l", "").matches_empty()
+    assert not L.eq("l", "x").matches_empty()
+    assert L.neq("l", "x").matches_empty()
+    assert not L.neq("l", "").matches_empty()
+    assert L.re_match("l", ".*").matches_empty()
+    assert not L.re_match("l", ".+").matches_empty()
+    assert L.re_not_match("l", ".+").matches_empty()
+
+
+def test_labels_str_canonical(spark):
+    df = spark.createDataFrame(
+        [({"b": "2", "a": "1", "_z": "0"},)], "labels MAP<STRING,STRING>"
+    )
+    out = df.select(L.labels_str_expr("labels").alias("s")).collect()[0]["s"]
+    assert out == '{_z="0",a="1",b="2"}'
+
+
+def test_strip_empty_labels(spark):
+    df = spark.createDataFrame([({"a": "1", "b": ""},)], "labels MAP<STRING,STRING>")
+    out = df.select(L.strip_empty_labels("labels").alias("l")).collect()[0]["l"]
+    assert out == {"a": "1"}

@@ -1,0 +1,472 @@
+"""The DB: a time-partitioned Parquet store + query surface.
+
+Layout (SURVEY.md §1.4) under a root directory:
+
+    root/_meta.json                      # geometry + flags (BlockMeta analog, block.go:152-200)
+    root/samples/t_bucket=<lo>/*.parquet # clustered (series_id, t) within files
+    root/series/*.parquet                # label index (series dim)
+    root/tombstones/*.parquet            # optional
+
+Capabilities mirror the reference's public surface (db.go:93-112 Appender,
+querier.go:32-48 Querier, db.go:1150-1196 block-pruned querier,
+head.go:1261-1290 label enumeration, db.go:1226-1259 CleanTombstones,
+compact.go LeveledCompactor, db.go:839-906 retention).
+
+Scale notes (100TB design):
+- samples are only ever scanned with partition pruning on t_bucket and,
+  via Parquet min/max stats on the (series_id, t)-sorted files, row-group
+  pruning on both series and time.
+- the series dim and tombstones broadcast; a select never shuffles the
+  samples side unless vertical dedup is required (tracked by the
+  `overlapping` flag; compaction clears it).
+- filesystem ops here use local os/shutil — on a real cluster the same
+  protocol (write temp dir, atomic swap) runs against an object store via
+  a manifest; the reference uses the identical trick (compact.go:634-638
+  temp dir + rename).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tsdb_spark import labels as L
+from tsdb_spark.operators.intervals import coalesce_intervals, subtract_intervals
+from tsdb_spark.operators.merge import dedup_vertical
+from tsdb_spark.schema import (
+    DEFAULT_BLOCK_WIDTH_MS,
+    SAMPLES_SCHEMA,
+    SERIES_SCHEMA,
+    TOMBSTONES_SCHEMA,
+)
+from tsdb_spark.session import configure
+
+
+@dataclass
+class AppendReport:
+    """Batch-mode rendering of the reference's per-Add errors
+    (ErrOutOfBounds/ErrOutOfOrderSample/ErrAmendSample head.go:43-53,
+    appendable head.go:1681-1699)."""
+
+    appended: int = 0
+    new_series: int = 0
+    duplicates_dropped: int = 0   # same (series, t, v) — accepted no-op (head.go:1694-1696)
+    amends_rejected: int = 0      # same (series, t), different v (head.go:1697-1698)
+    out_of_order_rejected: int = 0  # t <= existing max t of series (head.go:1690-1692)
+    out_of_bounds_rejected: int = 0  # t < min valid time (head.go:773-783)
+
+
+@dataclass
+class DB:
+    spark: SparkSession
+    path: str
+    meta: dict = field(default_factory=dict)
+
+    # ---------------- lifecycle ----------------
+
+    @classmethod
+    def create(
+        cls, spark: SparkSession, path: str, block_width_ms: int = DEFAULT_BLOCK_WIDTH_MS
+    ) -> "DB":
+        configure(spark)
+        os.makedirs(path, exist_ok=True)
+        db = cls(
+            spark,
+            path,
+            {
+                "version": 1,
+                "block_width_ms": block_width_ms,
+                "next_ingest_seq": 1,
+                "overlapping": False,
+            },
+        )
+        db._write_meta()
+        # empty frames so readers always succeed
+        spark.createDataFrame([], SAMPLES_SCHEMA).withColumn(
+            "t_bucket", F.lit(0).cast("long")
+        ).limit(0).write.mode("overwrite").partitionBy("t_bucket").parquet(db._samples_path)
+        spark.createDataFrame([], SERIES_SCHEMA).write.mode("overwrite").parquet(db._series_path)
+        spark.createDataFrame([], TOMBSTONES_SCHEMA).write.mode("overwrite").parquet(
+            db._tombstones_path
+        )
+        return db
+
+    @classmethod
+    def open(cls, spark: SparkSession, path: str) -> "DB":
+        configure(spark)
+        with open(os.path.join(path, "_meta.json")) as f:
+            meta = json.load(f)
+        return cls(spark, path, meta)
+
+    def _write_meta(self) -> None:
+        tmp = os.path.join(self.path, f"_meta.json.tmp.{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            json.dump(self.meta, f)
+        os.replace(tmp, os.path.join(self.path, "_meta.json"))
+
+    @property
+    def block_width_ms(self) -> int:
+        return self.meta["block_width_ms"]
+
+    @property
+    def _samples_path(self) -> str:
+        return os.path.join(self.path, "samples")
+
+    @property
+    def _series_path(self) -> str:
+        return os.path.join(self.path, "series")
+
+    @property
+    def _tombstones_path(self) -> str:
+        return os.path.join(self.path, "tombstones")
+
+    # ---------------- frames ----------------
+
+    def samples(self) -> DataFrame:
+        return self.spark.read.schema(
+            "series_id LONG, t LONG, v DOUBLE, ingest_seq LONG, t_bucket LONG"
+        ).parquet(self._samples_path)
+
+    def series(self) -> DataFrame:
+        return self.spark.read.schema(SERIES_SCHEMA).parquet(self._series_path)
+
+    def tombstones(self) -> DataFrame:
+        return self.spark.read.schema(TOMBSTONES_SCHEMA).parquet(self._tombstones_path)
+
+    # ---------------- ingest (S7/J12/T2 as batch rules) ----------------
+
+    def append(
+        self,
+        rows: DataFrame,
+        min_valid_time: int | None = None,
+        strict_order: bool = False,
+    ) -> AppendReport:
+        """Transactional batch ingest of rows(labels MAP<STRING,STRING>, t LONG, v DOUBLE).
+
+        Appender.Add/Commit (head.go:818-952) as one job:
+        1. strip empty labels (head.go:832-833), derive labels_str/series_id
+        2. upsert new series into the dim (getOrCreate head.go:1371-1415)
+        3. validate: bounds (T1), in-batch duplicate/amend policy (T2);
+           optional strict out-of-order check vs stored per-series max t
+        4. append to t_bucket partitions, sorted (series_id, t) in-file
+
+        Commit is atomic per Spark's job commit protocol; a failed job
+        leaves the store unchanged (Rollback analog).
+        """
+        rep = AppendReport()
+        seq = self.meta["next_ingest_seq"]
+        width = self.block_width_ms
+
+        rows = rows.select(
+            L.strip_empty_labels("labels").alias("labels"),
+            F.col("t").cast("long").alias("t"),
+            F.col("v").cast("double").alias("v"),
+        )
+        if min_valid_time is not None:
+            total = rows.count()
+            rows = rows.filter(F.col("t") >= F.lit(min_valid_time))
+            kept = rows.count()
+            rep.out_of_bounds_rejected = total - kept
+        rows = rows.withColumn("labels_str", L.labels_str_expr("labels")).withColumn(
+            "series_id", L.series_id_expr(F.col("labels_str"))
+        )
+
+        # in-batch duplicate/amend policy: same (series,t): identical v →
+        # keep one (duplicate NaN included: bit-pattern equality == NaN-safe
+        # equality here, head.go:1695 Float64bits); differing v → amend →
+        # reject the later ones deterministically (keep min by v's bits).
+        rows = rows.cache()
+        try:
+            n_raw = rows.count()
+            deduped = rows.dropDuplicates(["series_id", "t", "v"])
+            resolved = (
+                deduped.groupBy("series_id", "t")
+                .agg(
+                    F.min_by(F.struct("v", "labels", "labels_str"), F.col("v")).alias("_w"),
+                    F.count("*").alias("_n"),
+                )
+                .select(
+                    "series_id",
+                    "t",
+                    F.col("_w.v").alias("v"),
+                    F.col("_w.labels").alias("labels"),
+                    F.col("_w.labels_str").alias("labels_str"),
+                    "_n",
+                )
+            ).cache()
+            n_resolved = resolved.count()
+            n_dedup = deduped.count()
+            rep.duplicates_dropped = n_raw - n_dedup
+            rep.amends_rejected = n_dedup - n_resolved
+            clean = resolved.drop("_n")
+
+            if strict_order:
+                maxt = self.samples().groupBy("series_id").agg(F.max("t").alias("_maxt"))
+                before = n_resolved
+                clean = clean.join(F.broadcast(maxt), "series_id", "left").filter(
+                    F.col("_maxt").isNull() | (F.col("t") > F.col("_maxt"))
+                ).drop("_maxt")
+                clean = clean.cache()
+                rep.out_of_order_rejected = before - clean.count()
+
+            # series upsert (J12): only label sets not in the dim
+            existing = self.series().select("series_id")
+            new_series = (
+                clean.select("series_id", "labels", "labels_str")
+                .dropDuplicates(["series_id"])
+                .join(F.broadcast(existing), "series_id", "left_anti")
+            )
+            rep.new_series = new_series.count()
+            if rep.new_series:
+                new_series.coalesce(1).write.mode("append").parquet(self._series_path)
+
+            out = (
+                clean.withColumn("ingest_seq", F.lit(seq).cast("long"))
+                .withColumn(
+                    "t_bucket", (F.floor(F.col("t") / F.lit(width)) * F.lit(width)).cast("long")
+                )
+                .select("series_id", "t", "v", "ingest_seq", "t_bucket")
+            )
+            existing_buckets = self._bucket_dirs()
+            rep.appended = out.count()
+            (
+                out.repartition("t_bucket")
+                .sortWithinPartitions("series_id", "t")
+                .write.mode("append")
+                .partitionBy("t_bucket")
+                .parquet(self._samples_path)
+            )
+            new_buckets = self._bucket_dirs()
+            if not strict_order and (existing_buckets & new_buckets) and seq > 1:
+                # appended into buckets that already had data → reads must
+                # dedup (vertical mode) until the next compaction
+                self.meta["overlapping"] = True
+        finally:
+            rows.unpersist()
+        self.meta["next_ingest_seq"] = seq + 1
+        self._write_meta()
+        return rep
+
+    def _bucket_dirs(self) -> set:
+        if not os.path.isdir(self._samples_path):
+            return set()
+        return {d for d in os.listdir(self._samples_path) if d.startswith("t_bucket=")}
+
+    # ---------------- query surface ----------------
+
+    def querier(self, mint: int, maxt: int) -> "Querier":
+        """Closed query interval [mint, maxt] over pruned t_bucket partitions
+        (DB.Querier db.go:1150-1196; per-sample clamp querier.go:1101-1160)."""
+        return Querier(self, mint, maxt)
+
+    def label_names(self, matchers: list[L.Matcher] | None = None) -> DataFrame:
+        """Distinct sorted label names (querier.go:69-89, head.go:1277-1290)."""
+        s = self.series()
+        if matchers:
+            s = s.filter(L.compile_matchers(matchers))
+        return (
+            s.select(F.explode(F.map_keys("labels")).alias("name"))
+            .distinct()
+            .orderBy("name")
+        )
+
+    def label_values(self, name: str, matchers: list[L.Matcher] | None = None) -> DataFrame:
+        """Distinct sorted values of one label (querier.go:232-247,
+        head.go:1261-1275; cross-block merge J10 is free via distinct)."""
+        s = self.series()
+        if matchers:
+            s = s.filter(L.compile_matchers(matchers))
+        return (
+            s.select(F.col("labels").getItem(name).alias("value"))
+            .filter(F.col("value").isNotNull())
+            .distinct()
+            .orderBy("value")
+        )
+
+    # ---------------- deletes (tombstones) ----------------
+
+    def delete(self, mint: int, maxt: int, matchers: list[L.Matcher]) -> int:
+        """Record delete intervals for matching series (head.Delete analog,
+        head.go:954-1002): append (series_id, mint, maxt) tombstones,
+        coalesced to canonical form (tombstones.go:259-304). Data is
+        dropped lazily at read (subtract_intervals) until clean_tombstones.
+        Returns number of series tombstoned."""
+        ids = self.series().filter(L.compile_matchers(matchers)).select("series_id")
+        new = ids.withColumn("mint", F.lit(mint).cast("long")).withColumn(
+            "maxt", F.lit(maxt).cast("long")
+        )
+        merged = coalesce_intervals(self.tombstones().unionByName(new))
+        self._atomic_overwrite(merged.coalesce(1), self._tombstones_path)
+        return new.count()
+
+    def clean_tombstones(self) -> None:
+        """Rewrite affected partitions dropping tombstoned samples, then
+        clear tombstones (db.go:1226-1259 CleanTombstones). Only buckets
+        overlapping some tombstone interval are rewritten."""
+        tombs = self.tombstones()
+        if tombs.limit(1).count() == 0:
+            return
+        width = self.block_width_ms
+        affected = {
+            r["b"]
+            for r in tombs.select(
+                F.explode(
+                    F.sequence(
+                        (F.floor(F.col("mint") / width) * width).cast("long"),
+                        (F.floor(F.col("maxt") / width) * width).cast("long"),
+                        F.lit(width).cast("long"),
+                    )
+                ).alias("b")
+            )
+            .distinct()
+            .collect()
+        }
+        existing = {int(d.split("=")[1]) for d in self._bucket_dirs()}
+        for b in sorted(affected & existing):
+            part = os.path.join(self._samples_path, f"t_bucket={b}")
+            df = self.spark.read.schema(
+                "series_id LONG, t LONG, v DOUBLE, ingest_seq LONG"
+            ).parquet(part)
+            cleaned = subtract_intervals(df, tombs).sortWithinPartitions("series_id", "t")
+            self._atomic_overwrite(cleaned, part)
+        self.spark.createDataFrame([], TOMBSTONES_SCHEMA).write.mode("overwrite").parquet(
+            self._tombstones_path
+        )
+
+    # ---------------- compaction & retention ----------------
+
+    def compact(self, target_width_ms: int | None = None) -> None:
+        """Rewrite the store at a coarser block width: union partitions,
+        apply tombstones, resolve vertical duplicates, re-partition sorted
+        (LeveledCompactor.Write compact.go:466-640 + populateBlock
+        :645-873 as one declarative job; atomic swap compact.go:634-638).
+        """
+        width = target_width_ms or self.block_width_ms
+        s = self.samples()
+        tombs = self.tombstones()
+        if tombs.limit(1).count() > 0:
+            s = subtract_intervals(s, tombs)
+        if self.meta.get("overlapping"):
+            s = dedup_vertical(s.drop("t_bucket"))
+        else:
+            s = s.drop("t_bucket")
+        out = s.withColumn(
+            "t_bucket", (F.floor(F.col("t") / F.lit(width)) * F.lit(width)).cast("long")
+        ).select("series_id", "t", "v", "ingest_seq", "t_bucket")
+        tmp = self._samples_path + f".tmp.{uuid.uuid4().hex}"
+        (
+            out.repartition("t_bucket")
+            .sortWithinPartitions("series_id", "t")
+            .write.mode("overwrite")
+            .partitionBy("t_bucket")
+            .parquet(tmp)
+        )
+        shutil.rmtree(self._samples_path)
+        os.replace(tmp, self._samples_path)
+        self.spark.createDataFrame([], TOMBSTONES_SCHEMA).write.mode("overwrite").parquet(
+            self._tombstones_path
+        )
+        self.meta.update(
+            {"block_width_ms": width, "overlapping": False, "last_compaction_ms": int(time.time() * 1000)}
+        )
+        self._write_meta()
+
+    def retain_after(self, cutoff_ms: int) -> int:
+        """Drop whole partitions entirely below the cutoff —
+        beyondTimeRetention (db.go:865-884) as partition deletes. A bucket
+        is deletable iff its half-open range [lo, lo+width) ends at or
+        before the cutoff. Returns number of dropped partitions."""
+        width = self.block_width_ms
+        dropped = 0
+        for d in sorted(self._bucket_dirs()):
+            lo = int(d.split("=")[1])
+            if lo + width <= cutoff_ms:
+                shutil.rmtree(os.path.join(self._samples_path, d))
+                dropped += 1
+        return dropped
+
+    def block_stats(self) -> DataFrame:
+        """Per-block stats: NumSamples/NumSeries + time span (BlockMeta
+        stats block.go:171-177, head min/max head.go:301-320)."""
+        return (
+            self.samples()
+            .groupBy("t_bucket")
+            .agg(
+                F.count("*").alias("num_samples"),
+                F.countDistinct("series_id").alias("num_series"),
+                F.min("t").alias("min_t"),
+                F.max("t").alias("max_t"),
+            )
+            .orderBy("t_bucket")
+        )
+
+    def _atomic_overwrite(self, df: DataFrame, path: str) -> None:
+        """Write-then-swap, the reference's crash-safe publish protocol
+        (compact.go:634-638, block.go:224-264)."""
+        tmp = path + f".tmp.{uuid.uuid4().hex}"
+        df.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        os.replace(tmp, path)
+
+
+@dataclass
+class Querier:
+    """One query window [mint, maxt] (closed, per-sample clamp
+    querier.go:1101-1160; block pruning db.go:1156-1169)."""
+
+    db: DB
+    mint: int
+    maxt: int
+
+    def _pruned_samples(self) -> DataFrame:
+        width = self.db.block_width_ms
+        lo_bucket = (self.mint // width) * width
+        s = self.db.samples()
+        return s.filter(
+            (F.col("t_bucket") >= F.lit(lo_bucket))
+            & (F.col("t_bucket") <= F.lit(self.maxt))
+            & (F.col("t") >= F.lit(self.mint))
+            & (F.col("t") <= F.lit(self.maxt))
+        )
+
+    def select(
+        self,
+        matchers: list[L.Matcher],
+        with_labels: bool = True,
+        apply_tombstones: bool = True,
+    ) -> DataFrame:
+        """Series selection: the whole read lifecycle (SURVEY.md §3.1) as
+        one declarative plan:
+
+        partition-pruned scan → matcher semi-join (postings analog) →
+        vertical dedup (if overlapping blocks) → tombstone anti-join →
+        labels attach. Returns (labels_str, series_id, t, v)[, labels].
+
+        The series dim filter broadcasts: the 100TB samples side is never
+        shuffled unless dedup is needed.
+        """
+        matched = self.db.series().filter(L.compile_matchers(matchers))
+        s = self._pruned_samples().join(
+            F.broadcast(matched.select("series_id")), "series_id", "left_semi"
+        )
+        if self.db.meta.get("overlapping"):
+            s = dedup_vertical(s.drop("t_bucket"))
+        if apply_tombstones:
+            tombs = self.db.tombstones()
+            s = subtract_intervals(s, tombs)
+        cols = ["labels_str", "series_id", "t", "v"] + (["labels"] if with_labels else [])
+        return s.join(F.broadcast(matched), "series_id", "inner").select(*cols)
+
+    def select_sorted(self, matchers: list[L.Matcher]) -> DataFrame:
+        """select() ordered by (labels, t) — the reference's output order
+        (series label-sorted querier.go:214-230/SortedPostings, samples
+        time-ordered within series)."""
+        return self.select(matchers).orderBy("labels_str", "t")

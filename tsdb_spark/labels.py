@@ -1,0 +1,208 @@
+"""Label model + matcher→Column compiler.
+
+This is the semantic heart of the engine (SURVEY.md §4.3 item 1): the
+reference's matcher planning (`querier.go:326-489 PostingsForMatchers`)
+reduced to native Spark Column expressions over a
+``labels MAP<STRING,STRING>`` column.
+
+Load-bearing semantics replicated here:
+
+- **missing label == empty string**: matchers evaluate against ``Get(name)``
+  which returns ``""`` for absent labels (labels/labels.go:73-82,
+  labels/selector.go:25-32). Every compiled condition wraps the lookup in
+  ``coalesce(labels[name], '')``.
+- **fully anchored regexes**: callers anchor patterns as ``^(?:p)$``
+  (querier.go:402, labels/selector.go:72 via NewRegexpMatcher callers).
+- **set-regex rewrite**: anchored literal alternations ``a|b|c`` decompose
+  to an IN-list (querier.go:270-324 findSetMatches) — regains Parquet
+  dictionary/stats pushdown that a generic rlike would forfeit.
+- **empty-value labels are stripped at ingest** (head.go:832-833,
+  labels/labels.go:106-121 WithoutEmpty) so ``l=""`` selects series
+  *without* the label (querier.go:353-363).
+
+No Python UDFs anywhere: everything compiles to Catalyst expressions that
+stay inside whole-stage codegen and push down to Parquet scans.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+MatchType = str  # one of '=', '!=', '=~', '!~'
+
+_VALID_TYPES = ("=", "!=", "=~", "!~")
+
+# characters that make a regex alternative non-literal (conservative superset
+# of the reference's scan in querier.go:270-324)
+_REGEX_META = set(r".+*?()[]{}^$|\\")
+
+
+@dataclass(frozen=True)
+class Matcher:
+    """One label matcher, e.g. ``job="api"`` or ``instance=~"web-.*"``.
+
+    Mirrors labels.Matcher (labels/selector.go:34-42) + NotMatcher
+    (labels/selector.go:98-109): types '=', '!=', '=~', '!~'.
+    """
+
+    type: MatchType
+    name: str
+    value: str
+
+    def __post_init__(self) -> None:
+        if self.type not in _VALID_TYPES:
+            raise ValueError(f"bad matcher type {self.type!r}; want one of {_VALID_TYPES}")
+
+    def __str__(self) -> str:  # promql-ish rendering for debugging
+        return f'{self.name}{self.type}"{self.value}"'
+
+    def matches_empty(self) -> bool:
+        """Whether this matcher accepts a missing label (value "").
+
+        The reference classifies matchers by Matches("") to decide
+        intersect-vs-subtract planning (querier.go:344-353). We reuse it to
+        decide whether a matcher can be served by a postings semi-join or
+        needs the complement (operators/postings.py).
+        """
+        import re as _re
+
+        if self.type == "=":
+            return self.value == ""
+        if self.type == "!=":
+            return self.value != ""
+        anchored = _re.compile(f"^(?:{self.value})$")
+        hit = anchored.match("") is not None
+        return hit if self.type == "=~" else not hit
+
+
+def eq(name: str, value: str) -> Matcher:
+    return Matcher("=", name, value)
+
+
+def neq(name: str, value: str) -> Matcher:
+    return Matcher("!=", name, value)
+
+
+def re_match(name: str, value: str) -> Matcher:
+    return Matcher("=~", name, value)
+
+
+def re_not_match(name: str, value: str) -> Matcher:
+    return Matcher("!~", name, value)
+
+
+def find_set_matches(pattern: str) -> list[str] | None:
+    """Decompose a literal alternation pattern into its literals.
+
+    Port of the *semantics* of querier.go:270-324 findSetMatches: returns
+    ``['a','b','c']`` for ``a|b|c`` (possibly with backslash-escaped
+    literal chars), or None if any alternative contains regex syntax.
+    Empty alternatives are allowed — ``a|`` matches ``""`` i.e. a missing
+    label — matching RE2/Java alternation semantics.
+    """
+    literals: list[str] = []
+    cur: list[str] = []
+    i, n = 0, len(pattern)
+    while i < n:
+        c = pattern[i]
+        if c == "\\":
+            if i + 1 >= n:
+                return None
+            nxt = pattern[i + 1]
+            # escaped metachar is a literal char; escaped alnum is a regex
+            # class (\d, \w, ...) → not a literal set
+            if nxt.isalnum():
+                return None
+            cur.append(nxt)
+            i += 2
+            continue
+        if c == "|":
+            literals.append("".join(cur))
+            cur = []
+            i += 1
+            continue
+        if c in _REGEX_META:
+            return None
+        cur.append(c)
+        i += 1
+    literals.append("".join(cur))
+    return literals
+
+
+def label_value(name: str, labels_col: str | Column = "labels") -> Column:
+    """``labels[name]`` with the missing→"" rule applied."""
+    col = F.col(labels_col) if isinstance(labels_col, str) else labels_col
+    return F.coalesce(col.getItem(name), F.lit(""))
+
+
+def matcher_condition(m: Matcher, labels_col: str | Column = "labels") -> Column:
+    """Compile one matcher to a boolean Column.
+
+    '=' / '!=' → (in)equality on the coalesced lookup (labels/selector.go:44-64).
+    '=~' / '!~' → anchored rlike, with the set-regex fast path rewritten to
+    isin (querier.go:398-489). Note rlike is Java regex, the reference is
+    RE2 — semantics agree on the anchored POSIX-ish subset we document.
+    """
+    v = label_value(m.name, labels_col)
+    if m.type == "=":
+        return v == F.lit(m.value)
+    if m.type == "!=":
+        return v != F.lit(m.value)
+    lits = find_set_matches(m.value)
+    if lits is not None:
+        cond = v.isin(*lits) if len(lits) > 1 else (v == F.lit(lits[0]))
+    else:
+        cond = v.rlike(f"^(?:{m.value})$")
+    return cond if m.type == "=~" else ~cond
+
+
+def compile_matchers(matchers: list[Matcher], labels_col: str | Column = "labels") -> Column:
+    """AND of all matcher conditions (labels/selector.go:21-32 Selector).
+
+    The reference's intersect/subtract postings planning
+    (querier.go:326-396) is an index-access strategy; over a labels map the
+    same semantics are exactly this conjunction, which Catalyst then
+    simplifies (BooleanSimplification) and pushes down.
+    """
+    if not matchers:
+        return F.lit(True)
+    cond = matcher_condition(matchers[0], labels_col)
+    for m in matchers[1:]:
+        cond = cond & matcher_condition(m, labels_col)
+    return cond
+
+
+def strip_empty_labels(labels_col: str | Column = "labels") -> Column:
+    """Drop labels with empty values at ingest (head.go:832-833)."""
+    col = F.col(labels_col) if isinstance(labels_col, str) else labels_col
+    return F.map_filter(col, lambda k, v: v != F.lit(""))
+
+
+def labels_str_expr(labels_col: str | Column = "labels") -> Column:
+    """Canonical label-set string ``{a="b",c="d"}``, keys byte-sorted.
+
+    The analog of labels.Labels.String (labels/labels.go:43-58) — the
+    stable sort key for label-ordered output (labels are stored sorted,
+    labels/labels.go:125-162) and the input to series identity hashing.
+    """
+    col = F.col(labels_col) if isinstance(labels_col, str) else labels_col
+    entries = F.array_sort(F.map_entries(col))  # struct sort = by key then value
+    rendered = F.transform(
+        entries, lambda e: F.concat(e.getField("key"), F.lit('="'), e.getField("value"), F.lit('"'))
+    )
+    return F.concat(F.lit("{"), F.array_join(rendered, ","), F.lit("}"))
+
+
+def series_id_expr(labels_str_col: Column) -> Column:
+    """Stable series identity = xxhash64 of the canonical label string.
+
+    The reference hashes the label set (labels/labels.go:60-71, xxhash64
+    over a name\\xffvalue\\xff stream) for the head hashmap and assigns a
+    monotonic u64 ref (head.go:1380-1383). We only need internal
+    consistency, so Spark's built-in xxhash64 over the canonical string is
+    the distributed-friendly choice (no driver-side counter).
+    """
+    return F.xxhash64(labels_str_col)

@@ -1,0 +1,57 @@
+"""SparkSession construction / configuration for the engine.
+
+The engine is pure-DataFrame: any session works, but these settings make
+plans correct (UTC, nanos timestamps) and fast (AQE, broadcast).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: session-level (runtime-settable) confs the engine relies on.
+RUNTIME_CONFS = {
+    # driver testdata stores TIMESTAMP(NANOS) which vanilla Spark rejects;
+    # read as raw int64 nanos — the engine core works on int64 time anyway
+    # (reference keeps t as int64 ms end-to-end, db.go:14).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.session.timeZone": "UTC",
+    # adaptive execution: runtime shuffle-partition coalescing + skew-join
+    # handling — the scale path for 100TB joins/aggs.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+}
+
+
+def configure(spark: SparkSession) -> SparkSession:
+    """Apply the engine's runtime confs to an existing session.
+
+    Called defensively from every public entry point so the engine works
+    inside a session we did not build (e.g. the verification driver's).
+    """
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # immutable in this session; plans still work, maybe slower
+    return spark
+
+
+def get_spark(app_name: str = "tsdb_spark", shuffle_partitions: int | None = None) -> SparkSession:
+    """Build (or fetch) a local session sized from $SPARK_GRAFT_CPUS."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    master = os.environ.get("SPARK_MASTER", f"local[{cpus}]")
+    if shuffle_partitions is None:
+        shuffle_partitions = 32 if cpus in ("*", "") else max(int(cpus), 4)
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    return configure(builder.getOrCreate())

@@ -1,0 +1,73 @@
+"""Adapter: the driver's `events` table → the engine's samples/series model.
+
+events(event_id, ts TIMESTAMP(NANOS)→long, user_id, event_type, value,
+props JSON-string) becomes float64 samples with a label set — exactly the
+reference's scrape model (labels + (t ms, v float64), db.go:14):
+
+    labels = { __name__: event_type,
+               user:     str(user_id),
+               k_bucket: "high"  iff json props.k >= 50 }   # conditional →
+                                                            # exercises the
+                                                            # missing-label
+                                                            # semantics
+    t = ts nanos // 1e6  (int64 ms, head.go:152-163)
+    v = value
+
+The conditional `k_bucket` label gives a label that exists on only part of
+the series space, which is what the reference's matcher tests exercise
+hard (querier_test.go:1830-2083: l="", l!="", negative matchers selecting
+label-less series).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tsdb_spark import labels as L
+from tsdb_spark.session import configure
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    configure(spark)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def event_labels() -> F.Column:
+    """The label-set Column for one events row (empty values stripped,
+    mirroring ingest semantics head.go:832-833)."""
+    k = F.regexp_extract(F.col("props"), r'"k": ([0-9]+)', 1).cast("int")
+    raw = F.create_map(
+        F.lit("__name__"), F.col("event_type"),
+        F.lit("user"), F.col("user_id").cast("string"),
+        F.lit("k_bucket"), F.when(k >= 50, F.lit("high")).otherwise(F.lit("")),
+    )
+    return L.strip_empty_labels(raw)
+
+
+def events_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → (labels, labels_str, series_id, t, v, ingest_seq=1)."""
+    ev = load_table(spark, sf_dir, "events")
+    out = ev.select(
+        event_labels().alias("labels"),
+        (F.col("ts") / F.lit(1_000_000)).cast("long").alias("t"),  # ns → ms
+        F.col("value").alias("v"),
+    )
+    out = out.withColumn("labels_str", L.labels_str_expr("labels"))
+    return (
+        out.withColumn("series_id", L.series_id_expr(F.col("labels_str")))
+        .withColumn("ingest_seq", F.lit(1).cast("long"))
+    )
+
+
+def events_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The series dim implied by the events mapping."""
+    return (
+        events_samples(spark, sf_dir)
+        .select("series_id", "labels", "labels_str")
+        .dropDuplicates(["series_id"])
+    )
