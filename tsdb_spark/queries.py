@@ -1,0 +1,398 @@
+"""Driver-facing query registry: every operator from SURVEY.md §2 as a
+(PySpark builder, DuckDB oracle SQL) pair over the driver's parquet
+tables.
+
+Float determinism rules (both engines must hash identically):
+- raw double passthrough: exact (same parquet bytes).
+- big aggregations: sum over DECIMAL-cast inputs (exact, order-free),
+  result cast back to double.
+- small per-series window sums: double sum + round(2) (inputs are
+  2-decimal; error << rounding step).
+- ratios of integers, cosine: round(4-6).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tsdb_spark import labels as L
+from tsdb_spark.operators.intervals import coalesce_intervals, subtract_intervals
+from tsdb_spark.operators.merge import dedup_vertical
+from tsdb_spark.operators.windows import seek_first_at_or_after, series_window
+from tsdb_spark.sources.events import events_samples, events_series, load_table
+from tsdb_spark.view import select_samples
+
+# ---- time constants (events span Jan 2024 at every sf) ----
+DAY = 86_400_000
+T0 = 1_704_067_200_000  # 2024-01-01T00:00:00Z
+T_MID = T0 + 14 * DAY
+T_END = T0 + 31 * DAY
+
+# ---- shared DuckDB prelude: events → samples view (sources/events.py) ----
+SAMPLES_CTE = """
+samples AS (
+  SELECT
+    '{{__name__="' || event_type || '"'
+      || CASE WHEN CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INT) >= 50
+              THEN ',k_bucket="high"' ELSE '' END
+      || ',user="' || CAST(user_id AS VARCHAR) || '"}}' AS labels_str,
+    event_type,
+    CAST(user_id AS VARCHAR) AS user_lbl,
+    CASE WHEN CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INT) >= 50
+         THEN 'high' ELSE '' END AS k_bucket,
+    epoch_ms(ts) AS t,
+    value AS v
+  FROM events
+)
+""".strip()
+
+
+def _with_prelude(body: str) -> str:
+    return f"WITH {SAMPLES_CTE}\n{body}".format(T0=T0, T_MID=T_MID, T_END=T_END, DAY=DAY)
+
+
+@dataclass
+class Query:
+    spark_fn: Callable[[SparkSession, str], DataFrame]
+    oracle: Optional[str]  # None → non-SQL-expressible, rows-only check
+    doc: str = ""
+
+
+QUERIES: dict[str, Query] = {}
+
+
+def register(name: str, oracle: Optional[str], doc: str = ""):
+    def deco(fn):
+        QUERIES[name] = Query(fn, oracle, doc)
+        return fn
+
+    return deco
+
+
+# =====================================================================
+# tsdb core: series selection (S1, F1-F11, O1)
+# =====================================================================
+
+@register(
+    "tsdb_select_eq",
+    _with_prelude("""
+SELECT labels_str, t, v FROM samples
+WHERE event_type = 'click' AND user_lbl = '7'
+  AND t BETWEEN {T0} AND {T_MID}"""),
+    "equality matchers + closed time range (F1/F4/F11)",
+)
+def tsdb_select_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = events_samples(spark, sf_dir)
+    return select_samples(
+        s, [L.eq("__name__", "click"), L.eq("user", "7")], T0, T_MID
+    ).select("labels_str", "t", "v")
+
+
+@register(
+    "tsdb_select_regex_set",
+    _with_prelude("""
+SELECT labels_str, t, v FROM samples
+WHERE event_type IN ('click', 'view') AND user_lbl IN ('1', '2', '3')
+  AND t BETWEEN {T0} AND {T_MID}"""),
+    "set-regex rewrite to IN (F8/F9, querier.go:270-324)",
+)
+def tsdb_select_regex_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = events_samples(spark, sf_dir)
+    return select_samples(
+        s, [L.re_match("__name__", "click|view"), L.re_match("user", "1|2|3")], T0, T_MID
+    ).select("labels_str", "t", "v")
+
+
+@register(
+    "tsdb_select_regex_general",
+    _with_prelude("""
+SELECT labels_str, t, v FROM samples
+WHERE regexp_matches(event_type, '^(?:c.*k|s.+p)$')
+  AND NOT regexp_matches(user_lbl, '^(?:1.*)$')
+  AND t BETWEEN {T0} AND {T_END}"""),
+    "general regex + negative regex matchers (F2/F3)",
+)
+def tsdb_select_regex_general(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = events_samples(spark, sf_dir)
+    return select_samples(
+        s, [L.re_match("__name__", "c.*k|s.+p"), L.re_not_match("user", "1.*")], T0, T_END
+    ).select("labels_str", "t", "v")
+
+
+@register(
+    "tsdb_select_missing_label",
+    _with_prelude("""
+SELECT labels_str, t, v FROM samples
+WHERE event_type = 'purchase' AND k_bucket = ''
+  AND t BETWEEN {T0} AND {T_END}"""),
+    'l="" selects series WITHOUT the label (F5/F7, querier.go:353-363)',
+)
+def tsdb_select_missing_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = events_samples(spark, sf_dir)
+    return select_samples(
+        s, [L.eq("__name__", "purchase"), L.eq("k_bucket", "")], T0, T_END
+    ).select("labels_str", "t", "v")
+
+
+@register(
+    "tsdb_select_neq",
+    _with_prelude("""
+SELECT labels_str, t, v FROM samples
+WHERE k_bucket != '' AND user_lbl != '3'
+  AND t BETWEEN {T0} AND {T_MID}"""),
+    'l!="" selects series WITH the label; != negation (F3/F5)',
+)
+def tsdb_select_neq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = events_samples(spark, sf_dir)
+    return select_samples(
+        s, [L.neq("k_bucket", ""), L.neq("user", "3")], T0, T_MID
+    ).select("labels_str", "t", "v")
+
+
+# =====================================================================
+# label enumeration (A1/A2, J10)
+# =====================================================================
+
+@register(
+    "tsdb_label_values",
+    _with_prelude("""
+SELECT DISTINCT event_type AS value FROM samples ORDER BY value"""),
+    "LabelValues: distinct sorted values of __name__ (A1)",
+)
+def tsdb_label_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    series = events_series(spark, sf_dir)
+    return (
+        series.select(F.col("labels").getItem("__name__").alias("value"))
+        .filter(F.col("value").isNotNull())
+        .distinct()
+        .orderBy("value")
+    )
+
+
+@register(
+    "tsdb_label_names",
+    _with_prelude("""
+SELECT name FROM (
+  SELECT '__name__' AS name
+  UNION ALL SELECT 'user'
+  UNION ALL SELECT 'k_bucket' FROM (SELECT 1) WHERE EXISTS (SELECT 1 FROM samples WHERE k_bucket = 'high')
+) ORDER BY name"""),
+    "LabelNames: distinct sorted label names (A2)",
+)
+def tsdb_label_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    series = events_series(spark, sf_dir)
+    return (
+        series.select(F.explode(F.map_keys("labels")).alias("name")).distinct().orderBy("name")
+    )
+
+
+# =====================================================================
+# vertical merge / dedup (J5/J6/J9) + tombstones (J7/F12)
+# =====================================================================
+
+@register(
+    "tsdb_vertical_dedup",
+    _with_prelude("""
+, a AS (SELECT labels_str, t, v, 1 AS seq FROM samples),
+b AS (SELECT labels_str, t, v + 1000.0 AS v, 2 AS seq FROM samples
+      WHERE t >= {T0} + 7*{DAY} AND t < {T0} + 21*{DAY}),
+u AS (SELECT * FROM a UNION ALL SELECT * FROM b)
+SELECT labels_str, t, arg_max(v, seq) AS v FROM u GROUP BY labels_str, t"""),
+    "overlapping blocks, later-ingest-wins dedup (J6, querier.go:1039-1043)",
+)
+def tsdb_vertical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = events_samples(spark, sf_dir).select("labels_str", "t", "v")
+    a = s.withColumn("ingest_seq", F.lit(1).cast("long"))
+    b = (
+        s.filter((F.col("t") >= T0 + 7 * DAY) & (F.col("t") < T0 + 21 * DAY))
+        .withColumn("v", F.col("v") + 1000.0)
+        .withColumn("ingest_seq", F.lit(2).cast("long"))
+    )
+    merged = dedup_vertical(
+        a.unionByName(b), key_cols=("labels_str", "t")
+    )
+    return merged.select("labels_str", "t", "v")
+
+
+@register(
+    "tsdb_tombstone_delete",
+    _with_prelude("""
+SELECT labels_str, t, v FROM samples
+WHERE NOT (event_type = 'error' AND t BETWEEN {T0} + 3*{DAY} AND {T0} + 10*{DAY})
+  AND NOT (user_lbl = '3' AND t BETWEEN {T0} AND {T0} + 5*{DAY})"""),
+    "interval tombstones as broadcast anti-join (J7/F12, querier.go:1166-1204)",
+)
+def tsdb_tombstone_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = events_samples(spark, sf_dir)
+    # tombstones built the way DB.delete does: matcher → series ids → intervals
+    series = events_series(spark, sf_dir)
+    t1 = (
+        series.filter(L.compile_matchers([L.eq("__name__", "error")]))
+        .select("series_id")
+        .withColumn("mint", F.lit(T0 + 3 * DAY).cast("long"))
+        .withColumn("maxt", F.lit(T0 + 10 * DAY).cast("long"))
+    )
+    t2 = (
+        series.filter(L.compile_matchers([L.eq("user", "3")]))
+        .select("series_id")
+        .withColumn("mint", F.lit(T0).cast("long"))
+        .withColumn("maxt", F.lit(T0 + 5 * DAY).cast("long"))
+    )
+    tombs = coalesce_intervals(t1.unionByName(t2))
+    return subtract_intervals(s, tombs).select("labels_str", "t", "v")
+
+
+# =====================================================================
+# ordered iteration: lookback buffer (W3), seek (W6)
+# =====================================================================
+
+@register(
+    "tsdb_lookback_buffer",
+    _with_prelude("""
+SELECT labels_str, t, v,
+  lag(v) OVER (PARTITION BY labels_str ORDER BY t) AS prev_v,
+  count(v) OVER w AS buf_count,
+  round(sum(v) OVER w, 2) AS buf_sum,
+  min(v) OVER w AS buf_min,
+  max(v) OVER w AS buf_max
+FROM samples
+WINDOW w AS (PARTITION BY labels_str ORDER BY t
+             RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)"""),
+    "BufferedSeriesIterator: trailing delta window + PeekBack (W3, tsdbutil/buffer.go)",
+)
+def tsdb_lookback_buffer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = events_samples(spark, sf_dir).select("labels_str", "t", "v")
+    ring = Window.partitionBy("labels_str").orderBy("t").rangeBetween(-3_600_000, 0)
+    seq = Window.partitionBy("labels_str").orderBy("t")
+    return s.select(
+        "labels_str",
+        "t",
+        "v",
+        F.lag("v").over(seq).alias("prev_v"),
+        F.count("v").over(ring).alias("buf_count"),
+        F.round(F.sum("v").over(ring), 2).alias("buf_sum"),
+        F.min("v").over(ring).alias("buf_min"),
+        F.max("v").over(ring).alias("buf_max"),
+    )
+
+
+@register(
+    "tsdb_seek",
+    _with_prelude("""
+SELECT labels_str, min(t) AS t, arg_min(v, t) AS v
+FROM samples WHERE t >= {T_MID} GROUP BY labels_str"""),
+    "Seek: first sample with t >= X per series (W6, querier.go:880-884)",
+)
+def tsdb_seek(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = events_samples(spark, sf_dir).select("labels_str", F.col("labels_str").alias("series_key"), "t", "v")
+    out = (
+        s.filter(F.col("t") >= F.lit(T_MID))
+        .groupBy("labels_str")
+        .agg(F.min("t").alias("t"), F.min_by("v", "t").alias("v"))
+    )
+    return out
+
+
+# =====================================================================
+# block metadata / stats / cardinality (A3/A4/A5, O5)
+# =====================================================================
+
+@register(
+    "tsdb_block_stats",
+    _with_prelude("""
+SELECT (t // 21600000) * 21600000 AS t_bucket,
+  CAST(count(*) AS BIGINT) AS num_samples,
+  CAST(count(DISTINCT labels_str) AS BIGINT) AS num_series,
+  min(t) AS min_t, max(t) AS max_t
+FROM samples GROUP BY 1 ORDER BY t_bucket"""),
+    "per-block stats: samples/series/min/max (A3/A4, block.go:171-177)",
+)
+def tsdb_block_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    width = 21_600_000  # 6h blocks
+    s = events_samples(spark, sf_dir)
+    return (
+        s.groupBy(F.expr(f"t div {width} * {width}").alias("t_bucket"))
+        .agg(
+            F.count("*").alias("num_samples"),
+            F.countDistinct("labels_str").alias("num_series"),
+            F.min("t").alias("min_t"),
+            F.max("t").alias("max_t"),
+        )
+        .orderBy("t_bucket")
+    )
+
+
+@register(
+    "tsdb_cardinality_topk",
+    _with_prelude("""
+, pairs AS (
+  SELECT '__name__' AS name, event_type AS value, labels_str FROM samples
+  UNION ALL SELECT 'user', user_lbl, labels_str FROM samples
+  UNION ALL SELECT 'k_bucket', 'high', labels_str FROM samples WHERE k_bucket = 'high'
+)
+SELECT name, value, CAST(count(DISTINCT labels_str) AS BIGINT) AS n_series
+FROM pairs GROUP BY name, value
+ORDER BY n_series DESC, name, value LIMIT 10"""),
+    "analyze: top-k (label,value) pairs by series count (A5, cmd/tsdb/main.go:464-616)",
+)
+def tsdb_cardinality_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    series = events_series(spark, sf_dir)
+    pairs = series.select(
+        F.explode("labels").alias("name", "value"), F.col("labels_str")
+    )
+    return (
+        pairs.groupBy("name", "value")
+        .agg(F.countDistinct("labels_str").alias("n_series"))
+        .orderBy(F.desc("n_series"), "name", "value")
+        .limit(10)
+    )
+
+
+@register(
+    "tsdb_intervals_coalesce",
+    _with_prelude("""
+, iv AS (SELECT labels_str, t AS mint, t + 1800000 AS maxt FROM samples WHERE event_type = 'error'),
+o AS (SELECT labels_str, mint, maxt,
+        max(maxt) OVER (PARTITION BY labels_str ORDER BY mint, maxt
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+      FROM iv),
+fl AS (SELECT *, CASE WHEN prev_max IS NULL OR mint > prev_max + 1 THEN 1 ELSE 0 END AS newi FROM o),
+isl AS (SELECT *, sum(newi) OVER (PARTITION BY labels_str ORDER BY mint, maxt
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM fl)
+SELECT labels_str, min(mint) AS mint, max(maxt) AS maxt
+FROM isl GROUP BY labels_str, island"""),
+    "Intervals.add: fold overlapping intervals to canonical set (A7, tombstones.go:259-304)",
+)
+def tsdb_intervals_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = events_samples(spark, sf_dir)
+    iv = (
+        s.filter(F.col("labels").getItem("__name__") == "error")
+        .select(
+            F.col("labels_str"),
+            F.col("t").alias("mint"),
+            (F.col("t") + 1_800_000).alias("maxt"),
+        )
+    )
+    return coalesce_intervals(iv, key_cols=("labels_str",)).select("labels_str", "mint", "maxt")
+
+
+@register(
+    "tsdb_retention",
+    _with_prelude("""
+SELECT (t // 21600000) * 21600000 AS t_bucket, CAST(count(*) AS BIGINT) AS num_samples
+FROM samples WHERE (t // 21600000) * 21600000 + 21600000 > {T0} + 20*{DAY}
+GROUP BY 1 ORDER BY t_bucket"""),
+    "time retention: drop whole blocks ending before cutoff (T6, db.go:865-884)",
+)
+def tsdb_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    width = 21_600_000
+    cutoff = T0 + 20 * DAY
+    s = events_samples(spark, sf_dir).withColumn(
+        "t_bucket", F.expr(f"t div {width} * {width}")
+    )
+    kept = s.filter(F.col("t_bucket") + width > cutoff)  # bucket survives iff it ends after cutoff
+    return kept.groupBy("t_bucket").agg(F.count("*").alias("num_samples")).orderBy("t_bucket")

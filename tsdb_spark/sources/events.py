@@ -54,7 +54,9 @@ def events_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     out = ev.select(
         event_labels().alias("labels"),
-        (F.col("ts") / F.lit(1_000_000)).cast("long").alias("t"),  # ns → ms
+        # ns → ms via integer division: double division would lose precision
+        # (1e18 ns exceeds a double's 53-bit mantissa)
+        F.expr("ts div 1000000").alias("t"),
         F.col("value").alias("v"),
     )
     out = out.withColumn("labels_str", L.labels_str_expr("labels"))
