@@ -88,14 +88,8 @@ class DB:
             },
         )
         db._write_meta()
-        # empty frames so readers always succeed
-        spark.createDataFrame([], SAMPLES_SCHEMA).withColumn(
-            "t_bucket", F.lit(0).cast("long")
-        ).limit(0).write.mode("overwrite").partitionBy("t_bucket").parquet(db._samples_path)
-        spark.createDataFrame([], SERIES_SCHEMA).write.mode("overwrite").parquet(db._series_path)
-        spark.createDataFrame([], TOMBSTONES_SCHEMA).write.mode("overwrite").parquet(
-            db._tombstones_path
-        )
+        # no empty-frame writes: readers synthesize empty DataFrames for
+        # missing dirs (saves 3 Spark jobs per create)
         return db
 
     @classmethod
@@ -129,16 +123,23 @@ class DB:
 
     # ---------------- frames ----------------
 
+    def _read_or_empty(self, path: str, schema, partitioned: bool = False) -> DataFrame:
+        if os.path.isdir(path) and any(
+            not e.startswith(("_", ".")) for e in os.listdir(path)
+        ):
+            return self.spark.read.schema(schema).parquet(path)
+        df = self.spark.createDataFrame([], schema)
+        return df
+
     def samples(self) -> DataFrame:
-        return self.spark.read.schema(
-            "series_id LONG, t LONG, v DOUBLE, ingest_seq LONG, t_bucket LONG"
-        ).parquet(self._samples_path)
+        schema = "series_id LONG, t LONG, v DOUBLE, ingest_seq LONG, t_bucket LONG"
+        return self._read_or_empty(self._samples_path, schema, partitioned=True)
 
     def series(self) -> DataFrame:
-        return self.spark.read.schema(SERIES_SCHEMA).parquet(self._series_path)
+        return self._read_or_empty(self._series_path, SERIES_SCHEMA)
 
     def tombstones(self) -> DataFrame:
-        return self.spark.read.schema(TOMBSTONES_SCHEMA).parquet(self._tombstones_path)
+        return self._read_or_empty(self._tombstones_path, TOMBSTONES_SCHEMA)
 
     # ---------------- ingest (S7/J12/T2 as batch rules) ----------------
 
@@ -147,6 +148,8 @@ class DB:
         rows: DataFrame,
         min_valid_time: int | None = None,
         strict_order: bool = False,
+        validate: bool = True,
+        report: bool = True,
     ) -> AppendReport:
         """Transactional batch ingest of rows(labels MAP<STRING,STRING>, t LONG, v DOUBLE).
 
@@ -159,8 +162,13 @@ class DB:
 
         Commit is atomic per Spark's job commit protocol; a failed job
         leaves the store unchanged (Rollback analog).
+
+        Scale notes: the samples side shuffles only bare (series_id, t, v)
+        triples — label maps ride the (small) series-dim path. `report=False`
+        skips the counting jobs; `validate=False` skips the dedup/amend
+        shuffle entirely for bulk loads known to be clean.
         """
-        rep = AppendReport()
+        rep = AppendReport(new_series=-1, appended=-1)
         seq = self.meta["next_ingest_seq"]
         width = self.block_width_ms
 
@@ -170,75 +178,74 @@ class DB:
             F.col("v").cast("double").alias("v"),
         )
         if min_valid_time is not None:
-            total = rows.count()
+            if report:
+                total = rows.count()
             rows = rows.filter(F.col("t") >= F.lit(min_valid_time))
-            kept = rows.count()
-            rep.out_of_bounds_rejected = total - kept
+            if report:
+                kept = rows.count()
+                rep.out_of_bounds_rejected = total - kept
         rows = rows.withColumn("labels_str", L.labels_str_expr("labels")).withColumn(
             "series_id", L.series_id_expr(F.col("labels_str"))
         )
-
-        # in-batch duplicate/amend policy: same (series,t): identical v →
-        # keep one (duplicate NaN included: bit-pattern equality == NaN-safe
-        # equality here, head.go:1695 Float64bits); differing v → amend →
-        # reject the later ones deterministically (keep min by v's bits).
         rows = rows.cache()
         try:
-            n_raw = rows.count()
-            deduped = rows.dropDuplicates(["series_id", "t", "v"])
-            resolved = (
-                deduped.groupBy("series_id", "t")
-                .agg(
-                    F.min_by(F.struct("v", "labels", "labels_str"), F.col("v")).alias("_w"),
-                    F.count("*").alias("_n"),
-                )
-                .select(
-                    "series_id",
-                    "t",
-                    F.col("_w.v").alias("v"),
-                    F.col("_w.labels").alias("labels"),
-                    F.col("_w.labels_str").alias("labels_str"),
-                    "_n",
-                )
-            ).cache()
-            n_resolved = resolved.count()
-            n_dedup = deduped.count()
-            rep.duplicates_dropped = n_raw - n_dedup
-            rep.amends_rejected = n_dedup - n_resolved
-            clean = resolved.drop("_n")
+            samples = rows.select("series_id", "t", "v")
+            if validate:
+                # in-batch duplicate/amend policy: same (series,t): identical
+                # v → keep one (duplicate NaN ok: NaN==NaN here, matching the
+                # bit-pattern rule head.go:1695); differing v → amend → keep
+                # the deterministic min (Spark sorts NaN greatest).
+                deduped = samples.dropDuplicates(["series_id", "t", "v"])
+                clean = deduped.groupBy("series_id", "t").agg(F.min("v").alias("v"))
+                if report:
+                    n_raw = samples.count()
+                    n_dedup = deduped.count()
+                    n_clean = clean.count()
+                    rep.duplicates_dropped = n_raw - n_dedup
+                    rep.amends_rejected = n_dedup - n_clean
+            else:
+                clean = samples
 
             if strict_order:
                 maxt = self.samples().groupBy("series_id").agg(F.max("t").alias("_maxt"))
-                before = n_resolved
+                if report:
+                    before = clean.count()
                 clean = clean.join(F.broadcast(maxt), "series_id", "left").filter(
                     F.col("_maxt").isNull() | (F.col("t") > F.col("_maxt"))
                 ).drop("_maxt")
-                clean = clean.cache()
-                rep.out_of_order_rejected = before - clean.count()
+                if report:
+                    clean = clean.cache()
+                    rep.out_of_order_rejected = before - clean.count()
 
             # series upsert (J12): only label sets not in the dim
             existing = self.series().select("series_id")
             new_series = (
-                clean.select("series_id", "labels", "labels_str")
+                rows.select("series_id", "labels", "labels_str")
                 .dropDuplicates(["series_id"])
                 .join(F.broadcast(existing), "series_id", "left_anti")
             )
-            rep.new_series = new_series.count()
-            if rep.new_series:
+            if report:
+                rep.new_series = new_series.count()
+                if rep.new_series:
+                    new_series.coalesce(1).write.mode("append").parquet(self._series_path)
+            else:
                 new_series.coalesce(1).write.mode("append").parquet(self._series_path)
 
             out = (
                 clean.withColumn("ingest_seq", F.lit(seq).cast("long"))
-                .withColumn(
-                    "t_bucket", (F.floor(F.col("t") / F.lit(width)) * F.lit(width)).cast("long")
-                )
+                .withColumn("t_bucket", F.expr(f"t div {width} * {width}"))
                 .select("series_id", "t", "v", "ingest_seq", "t_bucket")
             )
             existing_buckets = self._bucket_dirs()
-            rep.appended = out.count()
+            if report:
+                rep.appended = out.count()
             (
-                out.repartition("t_bucket")
-                .sortWithinPartitions("series_id", "t")
+                # range partition: respects t_bucket grouping while splitting
+                # hot buckets across tasks by series range → bounded task/file
+                # sizes at 100TB; in-file (series_id, t) order gives Parquet
+                # min/max row-group pruning on both dimensions
+                out.repartitionByRange("t_bucket", "series_id")
+                .sortWithinPartitions("t_bucket", "series_id", "t")
                 .write.mode("append")
                 .partitionBy("t_bucket")
                 .parquet(self._samples_path)
@@ -336,9 +343,8 @@ class DB:
             ).parquet(part)
             cleaned = subtract_intervals(df, tombs).sortWithinPartitions("series_id", "t")
             self._atomic_overwrite(cleaned, part)
-        self.spark.createDataFrame([], TOMBSTONES_SCHEMA).write.mode("overwrite").parquet(
-            self._tombstones_path
-        )
+        if os.path.isdir(self._tombstones_path):
+            shutil.rmtree(self._tombstones_path)
 
     # ---------------- compaction & retention ----------------
 
@@ -370,9 +376,8 @@ class DB:
         )
         shutil.rmtree(self._samples_path)
         os.replace(tmp, self._samples_path)
-        self.spark.createDataFrame([], TOMBSTONES_SCHEMA).write.mode("overwrite").parquet(
-            self._tombstones_path
-        )
+        if os.path.isdir(self._tombstones_path):
+            shutil.rmtree(self._tombstones_path)
         self.meta.update(
             {"block_width_ms": width, "overlapping": False, "last_compaction_ms": int(time.time() * 1000)}
         )
