@@ -16,6 +16,3 @@ def spark():
     )
     yield s
     s.stop()
-
-
-SF_DIR = "/root/testdata/sf0.001"

@@ -54,7 +54,7 @@ def db(spark, dataset, tmp_path_factory):
     path = str(tmp_path_factory.mktemp("e2edb"))
     db = DB.create(spark, path, block_width_ms=3_600_000)
     df = spark.createDataFrame(rows, "labels MAP<STRING,STRING>, t LONG, v DOUBLE")
-    rep = db.append(df)
+    rep = db.append(df, report=True)
     assert rep.appended == len(rows)
     assert rep.new_series == len(LABEL_SETS)
     return db

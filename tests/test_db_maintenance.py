@@ -1,0 +1,117 @@
+"""Warehouse maintenance semantics: floored bucketing (negative t),
+per-bucket overlap tracking, clean_tombstones whole-bucket deletes,
+compaction, and size/time retention."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from tsdb_spark import labels as L
+from tsdb_spark.db import DB
+
+
+def _mkdb(spark, tmp_path, name, width=1000):
+    return DB.create(spark, str(tmp_path / name), block_width_ms=width)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "labels MAP<STRING,STRING>, t LONG, v DOUBLE")
+
+
+def test_negative_timestamp_bucketing(spark, tmp_path):
+    # the reference allows negative t (minValidTime is MinInt64); a t=-1
+    # sample must land in bucket -width (floor), not bucket 0 (truncate) —
+    # otherwise a query with maxt < 0 prunes it away.
+    db = _mkdb(spark, tmp_path, "neg", width=1000)
+    db.append(_df(spark, [({"x": "1"}, -1, 1.0), ({"x": "1"}, -1500, 2.0), ({"x": "1"}, 500, 3.0)]))
+    buckets = sorted(int(d.split("=")[1]) for d in db._bucket_dirs())
+    assert buckets == [-2000, -1000, 0]
+    got = {r["t"]: r["v"] for r in db.querier(-2000, -1).select([L.eq("x", "1")]).collect()}
+    assert got == {-1: 1.0, -1500: 2.0}
+
+
+def test_overlap_tracking_is_per_bucket(spark, tmp_path):
+    db = _mkdb(spark, tmp_path, "ovl", width=1000)
+    # batch 1: buckets 0 and 1000
+    db.append(_df(spark, [({"x": "1"}, 100, 1.0), ({"x": "1"}, 1100, 2.0)]))
+    assert db.overlapping_buckets == []
+    # batch 2: bucket 2000 only — brand-new bucket, NO overlap
+    db.append(_df(spark, [({"x": "1"}, 2100, 3.0)]))
+    assert db.overlapping_buckets == []
+    # batch 3: rewrites t=100 in bucket 0 → only bucket 0 overlaps
+    db.append(_df(spark, [({"x": "1"}, 100, 9.0)]))
+    assert db.overlapping_buckets == [0]
+    # read resolves the duplicate later-ingest-wins, other buckets untouched
+    got = {r["t"]: r["v"] for r in db.querier(0, 9999).select([L.eq("x", "1")]).collect()}
+    assert got == {100: 9.0, 1100: 2.0, 2100: 3.0}
+    # compaction clears the tracking
+    db.compact()
+    assert db.overlapping_buckets == []
+    got = {r["t"]: r["v"] for r in db.querier(0, 9999).select([L.eq("x", "1")]).collect()}
+    assert got == {100: 9.0, 1100: 2.0, 2100: 3.0}
+
+
+def test_select_plan_no_shuffle_when_clean(spark, tmp_path):
+    # with no overlapping buckets, the select plan must not contain an
+    # aggregate (dedup) over the samples scan
+    db = _mkdb(spark, tmp_path, "plan", width=1000)
+    db.append(_df(spark, [({"x": "1"}, 100, 1.0), ({"x": "1"}, 1100, 2.0)]))
+    plan = db.querier(0, 9999).select([L.eq("x", "1")])._jdf.queryExecution().executedPlan().toString()
+    assert "HashAggregate" not in plan
+
+
+def test_clean_tombstones_removes_emptied_bucket(spark, tmp_path):
+    db = _mkdb(spark, tmp_path, "cln", width=1000)
+    db.append(_df(spark, [({"x": "1"}, 100, 1.0), ({"x": "1"}, 1100, 2.0)]))
+    db.delete(0, 999, [L.eq("x", "1")])  # wipes all of bucket 0
+    db.clean_tombstones()
+    buckets = sorted(int(d.split("=")[1]) for d in db._bucket_dirs())
+    assert buckets == [1000]  # bucket 0 is gone, not stale
+    got = {r["t"]: r["v"] for r in db.querier(0, 9999).select([L.eq("x", "1")]).collect()}
+    assert got == {1100: 2.0}
+    assert db.tombstones().count() == 0
+
+
+def test_clean_tombstones_partial_bucket(spark, tmp_path):
+    db = _mkdb(spark, tmp_path, "cln2", width=1000)
+    db.append(_df(spark, [({"x": "1"}, 100, 1.0), ({"x": "1"}, 200, 2.0), ({"x": "2"}, 150, 3.0)]))
+    db.delete(150, 250, [L.eq("x", "1")])
+    db.clean_tombstones()
+    got = {
+        (r["labels_str"], r["t"]) for r in db.querier(0, 9999).select([]).collect()
+    }
+    assert got == {('{x="1"}', 100), ('{x="2"}', 150)}
+
+
+def test_size_retention(spark, tmp_path):
+    db = _mkdb(spark, tmp_path, "size", width=1000)
+    rows = [({"x": "1"}, b * 1000 + i, float(i)) for b in range(5) for i in range(50)]
+    db.append(_df(spark, rows))
+    sizes = {}
+    for d in db._bucket_dirs():
+        p = os.path.join(db._samples_path, d)
+        sizes[d] = sum(
+            os.path.getsize(os.path.join(p, f))
+            for f in os.listdir(p)
+            if not f.startswith(("_", "."))
+        )
+    total = sum(sizes.values())
+    # budget for roughly the newest 2 of 5 buckets → 3 dropped (newest-first
+    # accumulation: the first bucket to exceed the budget and all older go)
+    newest = sorted(sizes.items(), key=lambda kv: -int(kv[0].split("=")[1]))
+    budget = newest[0][1] + newest[1][1]
+    dropped = db.retain_max_bytes(budget)
+    kept = sorted(int(d.split("=")[1]) for d in db._bucket_dirs())
+    assert dropped == 3
+    assert kept == [3000, 4000]
+    assert total > budget
+
+
+def test_time_retention_forgets_overlap_tracking(spark, tmp_path):
+    db = _mkdb(spark, tmp_path, "ret", width=1000)
+    db.append(_df(spark, [({"x": "1"}, 100, 1.0), ({"x": "1"}, 5100, 2.0)]))
+    db.append(_df(spark, [({"x": "1"}, 100, 9.0)]))
+    assert db.overlapping_buckets == [0]
+    assert db.retain_after(5000) == 1
+    assert db.overlapping_buckets == []

@@ -105,6 +105,29 @@ def test_labels_str_canonical(spark):
     assert out == '{_z="0",a="1",b="2"}'
 
 
+def test_labels_str_injective_no_series_id_collision(spark):
+    # the VERDICT.md round-1 defect: {a: 'b",c="d'} vs {a: 'b', c: 'd'}
+    # rendered identically without escaping → series_id collision. The
+    # reference prevents this with strconv.Quote + \xff-separated hashing
+    # (labels/labels.go:43-71).
+    tricky = [
+        {"a": 'b",c="d'},
+        {"a": "b", "c": "d"},
+        {"a": "b\\", "c": "d"},
+        {"a": 'b\\",c=\\"d'},
+        {'a="x': "1", "b": "y"},
+    ]
+    df = spark.createDataFrame([(l,) for l in tricky], "labels MAP<STRING,STRING>")
+    out = df.select(
+        L.labels_str_expr("labels").alias("s"),
+        L.series_id_expr(L.labels_str_expr("labels")).alias("sid"),
+    ).collect()
+    strs = [r["s"] for r in out]
+    sids = [r["sid"] for r in out]
+    assert len(set(strs)) == len(tricky), strs
+    assert len(set(sids)) == len(tricky), sids
+
+
 def test_strip_empty_labels(spark):
     df = spark.createDataFrame([({"a": "1", "b": ""},)], "labels MAP<STRING,STRING>")
     out = df.select(L.strip_empty_labels("labels").alias("l")).collect()[0]["l"]

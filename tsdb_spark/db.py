@@ -81,10 +81,13 @@ class DB:
             spark,
             path,
             {
-                "version": 1,
+                "version": 2,
                 "block_width_ms": block_width_ms,
                 "next_ingest_seq": 1,
-                "overlapping": False,
+                # buckets with vertically-overlapping appends, needing
+                # read-time dedup until compacted (OverlappingBlocks analog,
+                # db.go:977-1042 — per-range, never a global flag)
+                "overlapping_buckets": [],
             },
         )
         db._write_meta()
@@ -121,9 +124,13 @@ class DB:
     def _tombstones_path(self) -> str:
         return os.path.join(self.path, "tombstones")
 
+    @property
+    def overlapping_buckets(self) -> list[int]:
+        return self.meta.get("overlapping_buckets", [])
+
     # ---------------- frames ----------------
 
-    def _read_or_empty(self, path: str, schema, partitioned: bool = False) -> DataFrame:
+    def _read_or_empty(self, path: str, schema) -> DataFrame:
         if os.path.isdir(path) and any(
             not e.startswith(("_", ".")) for e in os.listdir(path)
         ):
@@ -133,7 +140,7 @@ class DB:
 
     def samples(self) -> DataFrame:
         schema = "series_id LONG, t LONG, v DOUBLE, ingest_seq LONG, t_bucket LONG"
-        return self._read_or_empty(self._samples_path, schema, partitioned=True)
+        return self._read_or_empty(self._samples_path, schema)
 
     def series(self) -> DataFrame:
         return self._read_or_empty(self._series_path, SERIES_SCHEMA)
@@ -149,7 +156,7 @@ class DB:
         min_valid_time: int | None = None,
         strict_order: bool = False,
         validate: bool = True,
-        report: bool = True,
+        report: bool = False,
     ) -> AppendReport:
         """Transactional batch ingest of rows(labels MAP<STRING,STRING>, t LONG, v DOUBLE).
 
@@ -164,9 +171,14 @@ class DB:
         leaves the store unchanged (Rollback analog).
 
         Scale notes: the samples side shuffles only bare (series_id, t, v)
-        triples — label maps ride the (small) series-dim path. `report=False`
-        skips the counting jobs; `validate=False` skips the dedup/amend
-        shuffle entirely for bulk loads known to be clean.
+        triples — label maps ride the (small) series-dim path. `report=True`
+        adds counting jobs (off by default); `validate=False` skips the
+        dedup/amend shuffle entirely for bulk loads known to be clean.
+
+        Ordering note: samples commit first, the series dim last — a failed
+        job can leave committed samples without dim entries for at most one
+        batch (invisible to selects, which semi-join the dim), never
+        phantom dim entries with no samples.
         """
         rep = AppendReport(new_series=-1, appended=-1)
         seq = self.meta["next_ingest_seq"]
@@ -217,26 +229,16 @@ class DB:
                     clean = clean.cache()
                     rep.out_of_order_rejected = before - clean.count()
 
-            # series upsert (J12): only label sets not in the dim
-            existing = self.series().select("series_id")
-            new_series = (
-                rows.select("series_id", "labels", "labels_str")
-                .dropDuplicates(["series_id"])
-                .join(F.broadcast(existing), "series_id", "left_anti")
-            )
-            if report:
-                rep.new_series = new_series.count()
-                if rep.new_series:
-                    new_series.coalesce(1).write.mode("append").parquet(self._series_path)
-            else:
-                new_series.coalesce(1).write.mode("append").parquet(self._series_path)
-
             out = (
                 clean.withColumn("ingest_seq", F.lit(seq).cast("long"))
-                .withColumn("t_bucket", F.expr(f"t div {width} * {width}"))
+                # floored bucketing via pure int64 math (t - pmod floors for
+                # negative t too; `div` truncates toward zero — a t=-1 sample
+                # must land in bucket -width, not 0). One rule everywhere:
+                # matches bucket_of / compact / pruning.
+                .withColumn("t_bucket", F.col("t") - F.pmod(F.col("t"), F.lit(width)))
                 .select("series_id", "t", "v", "ingest_seq", "t_bucket")
             )
-            existing_buckets = self._bucket_dirs()
+            existing_buckets = {int(d.split("=")[1]) for d in self._bucket_dirs()}
             if report:
                 rep.appended = out.count()
             (
@@ -250,11 +252,34 @@ class DB:
                 .partitionBy("t_bucket")
                 .parquet(self._samples_path)
             )
-            new_buckets = self._bucket_dirs()
-            if not strict_order and (existing_buckets & new_buckets) and seq > 1:
-                # appended into buckets that already had data → reads must
-                # dedup (vertical mode) until the next compaction
-                self.meta["overlapping"] = True
+            if not strict_order and existing_buckets:
+                # which buckets did THIS batch actually touch that already
+                # held data? Only those need read-time vertical dedup
+                # (per-range overlap tracking, OverlappingBlocks analog
+                # db.go:977-1042). Metadata-sized collect over the cached
+                # batch — never a comparison of dir listings (a dir set
+                # intersected with its own superset is always "everything").
+                batch_buckets = {
+                    r["t_bucket"] for r in out.select("t_bucket").distinct().collect()
+                }
+                newly_overlapping = batch_buckets & existing_buckets
+                if newly_overlapping:
+                    self.meta["overlapping_buckets"] = sorted(
+                        set(self.overlapping_buckets) | newly_overlapping
+                    )
+
+            # series upsert (J12) last: a failed samples job must not leave
+            # phantom dim entries (commit-ordering note in the docstring)
+            existing = self.series().select("series_id")
+            new_series = (
+                rows.select("series_id", "labels", "labels_str")
+                .dropDuplicates(["series_id"])
+                .join(F.broadcast(existing), "series_id", "left_anti")
+            )
+            if report:
+                new_series = new_series.cache()
+                rep.new_series = new_series.count()
+            new_series.coalesce(1).write.mode("append").parquet(self._series_path)
         finally:
             rows.unpersist()
         self.meta["next_ingest_seq"] = seq + 1
@@ -316,7 +341,10 @@ class DB:
     def clean_tombstones(self) -> None:
         """Rewrite affected partitions dropping tombstoned samples, then
         clear tombstones (db.go:1226-1259 CleanTombstones). Only buckets
-        overlapping some tombstone interval are rewritten."""
+        overlapping some tombstone interval are rewritten — as ONE Spark
+        job over all affected buckets (a serial per-bucket loop would
+        serialize the cluster at 1000s of affected buckets); the driver
+        then just swaps directories."""
         tombs = self.tombstones()
         if tombs.limit(1).count() == 0:
             return
@@ -326,8 +354,8 @@ class DB:
             for r in tombs.select(
                 F.explode(
                     F.sequence(
-                        (F.floor(F.col("mint") / width) * width).cast("long"),
-                        (F.floor(F.col("maxt") / width) * width).cast("long"),
+                        F.col("mint") - F.pmod(F.col("mint"), F.lit(width)),
+                        F.col("maxt") - F.pmod(F.col("maxt"), F.lit(width)),
                         F.lit(width).cast("long"),
                     )
                 ).alias("b")
@@ -336,13 +364,27 @@ class DB:
             .collect()
         }
         existing = {int(d.split("=")[1]) for d in self._bucket_dirs()}
-        for b in sorted(affected & existing):
-            part = os.path.join(self._samples_path, f"t_bucket={b}")
-            df = self.spark.read.schema(
-                "series_id LONG, t LONG, v DOUBLE, ingest_seq LONG"
-            ).parquet(part)
-            cleaned = subtract_intervals(df, tombs).sortWithinPartitions("series_id", "t")
-            self._atomic_overwrite(cleaned, part)
+        targets = sorted(affected & existing)
+        if not targets:
+            if os.path.isdir(self._tombstones_path):
+                shutil.rmtree(self._tombstones_path)
+            return
+        df = self.samples().filter(F.col("t_bucket").isin(targets))
+        cleaned = (
+            subtract_intervals(df, tombs)
+            .repartitionByRange("t_bucket", "series_id")
+            .sortWithinPartitions("t_bucket", "series_id", "t")
+        )
+        tmp = self._samples_path + f".clean.{uuid.uuid4().hex}"
+        cleaned.write.mode("overwrite").partitionBy("t_bucket").parquet(tmp)
+        # swap each affected bucket: rewritten dir replaces it; a bucket
+        # absent from the rewrite lost ALL its samples → remove it (dynamic
+        # partition overwrite alone would silently leave it stale)
+        for b in targets:
+            src = os.path.join(tmp, f"t_bucket={b}")
+            dst = os.path.join(self._samples_path, f"t_bucket={b}")
+            self._swap_dir(src if os.path.isdir(src) else None, dst)
+        shutil.rmtree(tmp, ignore_errors=True)
         if os.path.isdir(self._tombstones_path):
             shutil.rmtree(self._tombstones_path)
 
@@ -359,27 +401,39 @@ class DB:
         tombs = self.tombstones()
         if tombs.limit(1).count() > 0:
             s = subtract_intervals(s, tombs)
-        if self.meta.get("overlapping"):
-            s = dedup_vertical(s.drop("t_bucket"))
+        dirty = self.overlapping_buckets
+        if dirty:
+            # dedup only the overlapping buckets; clean buckets rewrite
+            # without the groupBy shuffle (db.go:1185-1191 scoping)
+            is_dirty = F.col("t_bucket").isin(dirty)
+            s = s.filter(~is_dirty).drop("t_bucket").unionByName(
+                dedup_vertical(s.filter(is_dirty).drop("t_bucket"))
+            )
         else:
             s = s.drop("t_bucket")
         out = s.withColumn(
-            "t_bucket", (F.floor(F.col("t") / F.lit(width)) * F.lit(width)).cast("long")
+            "t_bucket", F.col("t") - F.pmod(F.col("t"), F.lit(width))
         ).select("series_id", "t", "v", "ingest_seq", "t_bucket")
         tmp = self._samples_path + f".tmp.{uuid.uuid4().hex}"
         (
-            out.repartition("t_bucket")
-            .sortWithinPartitions("series_id", "t")
+            # range partition on (t_bucket, series_id): a hot bucket splits
+            # across tasks by series range instead of becoming one
+            # straggler task (plain repartition("t_bucket") = 1 task/bucket)
+            out.repartitionByRange("t_bucket", "series_id")
+            .sortWithinPartitions("t_bucket", "series_id", "t")
             .write.mode("overwrite")
             .partitionBy("t_bucket")
             .parquet(tmp)
         )
-        shutil.rmtree(self._samples_path)
-        os.replace(tmp, self._samples_path)
+        self._swap_dir(tmp, self._samples_path)
         if os.path.isdir(self._tombstones_path):
             shutil.rmtree(self._tombstones_path)
         self.meta.update(
-            {"block_width_ms": width, "overlapping": False, "last_compaction_ms": int(time.time() * 1000)}
+            {
+                "block_width_ms": width,
+                "overlapping_buckets": [],
+                "last_compaction_ms": int(time.time() * 1000),
+            }
         )
         self._write_meta()
 
@@ -395,7 +449,39 @@ class DB:
             if lo + width <= cutoff_ms:
                 shutil.rmtree(os.path.join(self._samples_path, d))
                 dropped += 1
+        self._forget_dropped_buckets()
         return dropped
+
+    def retain_max_bytes(self, max_bytes: int) -> int:
+        """Size-based retention — beyondSizeRetention (db.go:886-906):
+        walk blocks newest-first accumulating on-disk size; once the
+        budget is exceeded, that block and everything older is deletable.
+        Returns number of dropped partitions."""
+        buckets = sorted(
+            (int(d.split("=")[1]) for d in self._bucket_dirs()), reverse=True
+        )
+        acc, dropped = 0, 0
+        for lo in buckets:
+            part = os.path.join(self._samples_path, f"t_bucket={lo}")
+            size = sum(
+                os.path.getsize(os.path.join(part, f))
+                for f in os.listdir(part)
+                if not f.startswith(("_", "."))
+            )
+            acc += size
+            if acc > max_bytes:
+                shutil.rmtree(part)
+                dropped += 1
+        self._forget_dropped_buckets()
+        return dropped
+
+    def _forget_dropped_buckets(self) -> None:
+        """Prune overlap tracking for partitions that no longer exist."""
+        live = {int(d.split("=")[1]) for d in self._bucket_dirs()}
+        kept = [b for b in self.overlapping_buckets if b in live]
+        if kept != self.overlapping_buckets:
+            self.meta["overlapping_buckets"] = kept
+            self._write_meta()
 
     def block_stats(self) -> DataFrame:
         """Per-block stats: NumSamples/NumSeries + time span (BlockMeta
@@ -417,9 +503,21 @@ class DB:
         (compact.go:634-638, block.go:224-264)."""
         tmp = path + f".tmp.{uuid.uuid4().hex}"
         df.write.mode("overwrite").parquet(tmp)
-        if os.path.exists(path):
-            shutil.rmtree(path)
-        os.replace(tmp, path)
+        self._swap_dir(tmp, path)
+
+    @staticmethod
+    def _swap_dir(src: str | None, dst: str) -> None:
+        """Publish src at dst (or just remove dst when src is None) with
+        write-new-then-delete-old ordering: the old dir is renamed aside
+        before deletion, so no crash window leaves the store with neither
+        version on disk (the reference's rename protocol,
+        compact.go:634-638 / block.go:224-264)."""
+        old = dst + f".old.{uuid.uuid4().hex}"
+        if os.path.isdir(dst):
+            os.replace(dst, old)
+        if src is not None:
+            os.replace(src, dst)
+        shutil.rmtree(old, ignore_errors=True)
 
 
 @dataclass
@@ -452,18 +550,30 @@ class Querier:
         one declarative plan:
 
         partition-pruned scan → matcher semi-join (postings analog) →
-        vertical dedup (if overlapping blocks) → tombstone anti-join →
-        labels attach. Returns (labels_str, series_id, t, v)[, labels].
+        vertical dedup (only the overlapping buckets) → tombstone
+        anti-join → labels attach. Returns
+        (labels_str, series_id, t, v)[, labels].
 
         The series dim filter broadcasts: the 100TB samples side is never
-        shuffled unless dedup is needed.
+        shuffled unless dedup is needed — and dedup is scoped to the
+        buckets that actually saw overlapping appends (the reference
+        likewise runs the vertical querier only over the overlapping
+        blocks, db.go:1185-1191); clean buckets union in untouched.
         """
         matched = self.db.series().filter(L.compile_matchers(matchers))
         s = self._pruned_samples().join(
             F.broadcast(matched.select("series_id")), "series_id", "left_semi"
         )
-        if self.db.meta.get("overlapping"):
-            s = dedup_vertical(s.drop("t_bucket"))
+        dirty = [
+            b
+            for b in self.db.overlapping_buckets
+            if b + self.db.block_width_ms > self.mint and b <= self.maxt
+        ]
+        if dirty:
+            is_dirty = F.col("t_bucket").isin(dirty)
+            clean_part = s.filter(~is_dirty).drop("t_bucket")
+            dirty_part = dedup_vertical(s.filter(is_dirty).drop("t_bucket"))
+            s = clean_part.unionByName(dirty_part)
         if apply_tombstones:
             tombs = self.db.tombstones()
             s = subtract_intervals(s, tombs)

@@ -181,8 +181,21 @@ def strip_empty_labels(labels_col: str | Column = "labels") -> Column:
     return F.map_filter(col, lambda k, v: v != F.lit(""))
 
 
+def _escaped(c: Column) -> Column:
+    """Backslash-escape ``\\`` and ``"`` — the injectivity guard.
+
+    The reference renders values with strconv.Quote (labels/labels.go:43-58)
+    and hashes name/value with \\xff separators (labels/labels.go:60-71)
+    precisely so distinct label sets can never collide. Without escaping,
+    {a='b",c="d'} and {a='b', c='d'} render identically and their
+    xxhash64-derived series_ids collide, silently merging series.
+    """
+    return F.regexp_replace(F.regexp_replace(c, r"\\", r"\\\\"), '"', '\\\\"')
+
+
 def labels_str_expr(labels_col: str | Column = "labels") -> Column:
-    """Canonical label-set string ``{a="b",c="d"}``, keys byte-sorted.
+    """Canonical label-set string ``{a="b",c="d"}``, keys byte-sorted,
+    quote/backslash-escaped (so the rendering is injective).
 
     The analog of labels.Labels.String (labels/labels.go:43-58) — the
     stable sort key for label-ordered output (labels are stored sorted,
@@ -191,7 +204,10 @@ def labels_str_expr(labels_col: str | Column = "labels") -> Column:
     col = F.col(labels_col) if isinstance(labels_col, str) else labels_col
     entries = F.array_sort(F.map_entries(col))  # struct sort = by key then value
     rendered = F.transform(
-        entries, lambda e: F.concat(e.getField("key"), F.lit('="'), e.getField("value"), F.lit('"'))
+        entries,
+        lambda e: F.concat(
+            _escaped(e.getField("key")), F.lit('="'), _escaped(e.getField("value")), F.lit('"')
+        ),
     )
     return F.concat(F.lit("{"), F.array_join(rendered, ","), F.lit("}"))
 

@@ -176,10 +176,10 @@ def tsdb_label_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tsdb_label_names",
     _with_prelude("""
-SELECT name FROM (
-  SELECT '__name__' AS name
-  UNION ALL SELECT 'user'
-  UNION ALL SELECT 'k_bucket' FROM (SELECT 1) WHERE EXISTS (SELECT 1 FROM samples WHERE k_bucket = 'high')
+SELECT DISTINCT name FROM (
+  SELECT '__name__' AS name FROM samples WHERE event_type != ''
+  UNION ALL SELECT 'user' FROM samples WHERE user_lbl != ''
+  UNION ALL SELECT 'k_bucket' FROM samples WHERE k_bucket != ''
 ) ORDER BY name"""),
     "LabelNames: distinct sorted label names (A2)",
 )
@@ -288,7 +288,7 @@ FROM samples WHERE t >= {T_MID} GROUP BY labels_str"""),
     "Seek: first sample with t >= X per series (W6, querier.go:880-884)",
 )
 def tsdb_seek(spark: SparkSession, sf_dir: str) -> DataFrame:
-    s = events_samples(spark, sf_dir).select("labels_str", F.col("labels_str").alias("series_key"), "t", "v")
+    s = events_samples(spark, sf_dir).select("labels_str", "t", "v")
     out = (
         s.filter(F.col("t") >= F.lit(T_MID))
         .groupBy("labels_str")
