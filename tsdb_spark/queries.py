@@ -13,6 +13,7 @@ Float determinism rules (both engines must hash identically):
 
 from __future__ import annotations
 
+import tempfile
 from dataclasses import dataclass
 from typing import Callable, Optional
 
@@ -20,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tsdb_spark import labels as L
+from tsdb_spark.db import DB
 from tsdb_spark.operators.intervals import coalesce_intervals, subtract_intervals
 from tsdb_spark.operators.merge import dedup_vertical
 from tsdb_spark.operators.windows import seek_first_at_or_after, series_window
@@ -378,6 +380,111 @@ def tsdb_intervals_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return coalesce_intervals(iv, key_cols=("labels_str",)).select("labels_str", "mint", "maxt")
+
+
+# =====================================================================
+# store-backed lifecycle: the queries above run storage-free over the
+# events mapping; these run THROUGH the warehouse (DB.create → append →
+# querier/compact/clean/retain), so the write path (S5/S7/J12/O2), block
+# pruning (F10), compaction (J8/T7), tombstone rewrite and retention are
+# driver-verified against the same oracles — the TestDB_e2e pattern
+# (db_test.go:639-795) with DuckDB as the in-memory model.
+# =====================================================================
+
+STORE_WIDTH_MS = 21_600_000  # 6h blocks, matching the block_stats oracle
+_STORES: dict[tuple[str, str], DB] = {}
+
+
+def _store(spark: SparkSession, sf_dir: str, scenario: str) -> DB:
+    """Build (once per process per sf_dir) a scenario store from the
+    events table. Stores live in a temp dir; queries read them back
+    through the normal partition-pruned path."""
+    key = (scenario, sf_dir)
+    if key in _STORES:
+        return _STORES[key]
+    root = tempfile.mkdtemp(prefix=f"tsdb_q_{scenario}_")
+    db = DB.create(spark, f"{root}/db", block_width_ms=STORE_WIDTH_MS)
+    base = events_samples(spark, sf_dir).select("labels", "t", "v")
+    db.append(base)
+    if scenario == "vertical":
+        # second batch rewrites the middle two weeks with v+1000 →
+        # overlapping buckets → compaction resolves later-ingest-wins
+        shifted = base.filter(
+            (F.col("t") >= T0 + 7 * DAY) & (F.col("t") < T0 + 21 * DAY)
+        ).withColumn("v", F.col("v") + 1000.0)
+        db.append(shifted)
+        db.compact()
+    elif scenario == "delete":
+        db.delete(T0 + 3 * DAY, T0 + 10 * DAY, [L.eq("__name__", "error")])
+        db.delete(T0, T0 + 5 * DAY, [L.eq("user", "3")])
+        db.clean_tombstones()
+    elif scenario == "retention":
+        db.retain_after(T0 + 20 * DAY)
+    _STORES[key] = db
+    return db
+
+
+@register(
+    "store_select_pruned",
+    _with_prelude("""
+SELECT labels_str, t, v FROM samples
+WHERE event_type IN ('click', 'view') AND user_lbl IN ('1', '2', '3')
+  AND t BETWEEN {T0} AND {T_MID}"""),
+    "warehouse lifecycle: append → block-pruned matcher select (S5/S7/J12/F10/O2)",
+)
+def store_select_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    db = _store(spark, sf_dir, "base")
+    return (
+        db.querier(T0, T_MID)
+        .select([L.re_match("__name__", "click|view"), L.re_match("user", "1|2|3")])
+        .select("labels_str", "t", "v")
+    )
+
+
+@register(
+    "store_compact_vertical",
+    _with_prelude("""
+, a AS (SELECT labels_str, t, v, 1 AS seq FROM samples),
+b AS (SELECT labels_str, t, v + 1000.0 AS v, 2 AS seq FROM samples
+      WHERE t >= {T0} + 7*{DAY} AND t < {T0} + 21*{DAY}),
+u AS (SELECT * FROM a UNION ALL SELECT * FROM b)
+SELECT labels_str, t, arg_max(v, seq) AS v FROM u GROUP BY labels_str, t"""),
+    "warehouse lifecycle: overlapping appends → compact → select (J8/J9/T7)",
+)
+def store_compact_vertical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    db = _store(spark, sf_dir, "vertical")
+    return (
+        db.querier(T0, T_END).select([]).select("labels_str", "t", "v")
+    )
+
+
+@register(
+    "store_delete_clean",
+    _with_prelude("""
+SELECT labels_str, t, v FROM samples
+WHERE NOT (event_type = 'error' AND t BETWEEN {T0} + 3*{DAY} AND {T0} + 10*{DAY})
+  AND NOT (user_lbl = '3' AND t BETWEEN {T0} AND {T0} + 5*{DAY})"""),
+    "warehouse lifecycle: delete → clean_tombstones physical rewrite → select (J7/S10-analog)",
+)
+def store_delete_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    db = _store(spark, sf_dir, "delete")
+    return db.querier(T0, T_END).select([]).select("labels_str", "t", "v")
+
+
+@register(
+    "store_retention_stats",
+    _with_prelude("""
+SELECT (t // 21600000) * 21600000 AS t_bucket,
+  CAST(count(*) AS BIGINT) AS num_samples,
+  CAST(count(DISTINCT labels_str) AS BIGINT) AS num_series,
+  min(t) AS min_t, max(t) AS max_t
+FROM samples WHERE (t // 21600000) * 21600000 + 21600000 > {T0} + 20*{DAY}
+GROUP BY 1 ORDER BY t_bucket"""),
+    "warehouse lifecycle: time retention drops whole partitions → block stats (T6/A3/A4)",
+)
+def store_retention_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    db = _store(spark, sf_dir, "retention")
+    return db.block_stats()
 
 
 @register(
