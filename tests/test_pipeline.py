@@ -1,0 +1,151 @@
+"""Unit tests for the training-data pipeline operators on tiny literal
+frames (the oracle-paired corpus tests live in pipeline/queries.py and
+run through selfcheck/the driver)."""
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from tsdb_spark.pipeline import dedup as D
+from tsdb_spark.pipeline import embed as E
+from tsdb_spark.pipeline import multimodal as M
+from tsdb_spark.pipeline import text as T
+from tsdb_spark.pipeline.common import hash64
+
+
+def docs_df(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id LONG, text STRING"
+    )
+
+
+def test_hash64_matches_md5_prefix(spark):
+    out = spark.range(1).select(hash64(F.lit("hello"), 7).alias("h")).collect()[0]["h"]
+    expect = int(hashlib.md5(b"7:hello").hexdigest()[:15], 16)
+    assert out == expect
+
+
+def test_shingles(spark):
+    df = docs_df(spark, ["a b c d", "a b"])
+    out = df.select(D.shingles_expr("text").alias("s")).collect()
+    assert out[0]["s"] == ["a b c", "b c d"]
+    assert out[1]["s"] == []  # fewer tokens than k
+
+
+def test_exact_dedup(spark):
+    df = docs_df(spark, ["same text", "other", "same text"])
+    rows = {r["doc_id"]: r for r in D.exact_dedup(df).collect()}
+    assert rows[0]["canonical_id"] == 0 and not rows[0]["is_dup"]
+    assert rows[2]["canonical_id"] == 0 and rows[2]["is_dup"]
+    assert rows[2]["group_size"] == 2
+    assert rows[1]["group_size"] == 1 and not rows[1]["is_dup"]
+
+
+def test_minhash_identical_docs_identical_sigs(spark):
+    df = docs_df(spark, ["w1 w2 w3 w4 w5", "w1 w2 w3 w4 w5", "x1 x2 x3 x4 x5"])
+    sigs = {r["id"]: r["sig"] for r in D.minhash_signatures(df).collect()}
+    assert sigs[0] == sigs[1]
+    assert sigs[0] != sigs[2]
+
+
+def test_lsh_pipeline_finds_near_dup(spark):
+    base = " ".join(f"tok{i}" for i in range(40))
+    near = " ".join(f"tok{i}" for i in range(38))  # drop last 2 tokens
+    far = " ".join(f"other{i}" for i in range(40))
+    df = docs_df(spark, [base, near, far])
+    sigs = D.minhash_signatures(df)
+    pairs = D.jaccard_pairs(D.lsh_candidate_pairs(sigs), sigs).collect()
+    assert [(p["id_a"], p["id_b"]) for p in pairs] == [(0, 1)]
+    # jaccard = 36/38 shared 3-shingles
+    assert pairs[0]["jaccard_bp"] == (10000 * 36) // 38
+
+
+def test_simhash_properties(spark):
+    base = " ".join(f"tok{i}" for i in range(40))
+    df = docs_df(spark, [base, base, "completely different words entirely here now"])
+    out = df.select(D.simhash_expr("text").alias("s")).collect()
+    assert out[0]["s"] == out[1]["s"]
+    assert out[0]["s"] != out[2]["s"]
+    assert 0 <= out[0]["s"] < (1 << D.SIMHASH_BITS)
+    pairs = D.simhash_near_pairs(docs_df(spark, [base, base])).collect()
+    assert len(pairs) == 1 and pairs[0]["hamming"] == 0
+
+
+def test_winnowing_shared_run_shares_fingerprint(spark):
+    shared = " ".join(f"s{i}" for i in range(10))
+    df = docs_df(spark, [f"a1 a2 a3 {shared}", f"b1 b2 b3 b4 {shared}"])
+    fps = T.winnow_fingerprints(df).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+    # winnowing guarantee: any shared run of k+window-1=6 tokens shares a print
+    assert by_doc[0] & by_doc[1]
+
+
+def test_text_stats(spark):
+    df = docs_df(spark, ["the cat sat on the mat"])
+    r = T.text_stats(df).collect()[0]
+    assert r["n_tokens"] == 6
+    assert r["n_distinct_tokens"] == 5
+    assert r["n_chars"] == 22
+    assert r["stopword_bp"] == (10000 * 2) // 6  # 'the' twice
+    assert not r["keep"]  # < 10 tokens
+
+
+def test_language_id_prefers_profile_hits(spark):
+    df = docs_df(spark, ["der hund ist nicht da", "le chat est la", "just some words"])
+    out = {r["doc_id"]: r["pred_lang"] for r in T.language_id(df).collect()}
+    assert out[0] == "de"
+    assert out[1] == "fr"
+    assert out[2] == "en"  # zero scores everywhere -> first in preference order
+
+
+def test_cosine_expr_known_values(spark):
+    df = spark.createDataFrame(
+        [([1.0, 0.0], [1.0, 0.0]), ([1.0, 0.0], [0.0, 1.0]), ([1.0, 1.0], [1.0, 1.0])],
+        "a ARRAY<DOUBLE>, b ARRAY<DOUBLE>",
+    )
+    out = [r["c"] for r in df.select(E.cosine_expr("a", "b").alias("c")).collect()]
+    assert out[0] == pytest.approx(1.0)
+    assert out[1] == pytest.approx(0.0)
+    assert out[2] == pytest.approx(1.0)
+
+
+def test_cosine_topk_ranks(spark):
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 1.0]), (3, [-1.0, 0.0])],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    probes = emb.filter(F.col("vec_id") == 0)
+    out = E.cosine_topk(emb, probes, k=2).orderBy("rank").collect()
+    assert [r["neighbor_id"] for r in out] == [1, 2]
+
+
+def test_ann_lsh_buckets_are_deterministic(spark):
+    emb = spark.createDataFrame(
+        [(i, [float(i), float(-i), 1.0, 0.5]) for i in range(6)],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    codes1 = {r["vec_id"]: r["b"] for r in emb.select("vec_id", E.lsh_bucket_expr("embedding").alias("b")).collect()}
+    codes2 = {r["vec_id"]: r["b"] for r in emb.select("vec_id", E.lsh_bucket_expr("embedding").alias("b")).collect()}
+    assert codes1 == codes2
+    assert all(0 <= c < 64 for c in codes1.values())
+
+
+def test_payload_features_roundtrip(spark):
+    df = docs_df(spark, ["hello world", "αβγ"])
+    out = {r["doc_id"]: r for r in M.payload_features(M.with_payload(df)).collect()}
+    assert out[0]["n_bytes"] == 11
+    assert out[0]["digest"] == hashlib.md5(b"hello world").hexdigest()
+    assert out[1]["n_bytes"] == len("αβγ".encode())
+    assert out[1]["digest"] == hashlib.md5("αβγ".encode()).hexdigest()
+
+
+def test_multimodal_stubs_raise(spark):
+    df = M.with_payload(docs_df(spark, ["x"]))
+    with pytest.raises(NotImplementedError):
+        M.decode_image(df, 8, 8)
+    with pytest.raises(NotImplementedError):
+        M.sample_frames(df, 1000)

@@ -1,0 +1,53 @@
+"""Large-scale training-data pipeline operators.
+
+The second half of the engine (beyond the prometheus/tsdb surface): the
+operations a 100TB training-data pipeline runs over document/embedding
+corpora — deduplication (exact, MinHash-LSH, SimHash, n-gram Jaccard),
+similarity search over embeddings (brute-force + LSH-bucketed ANN), text
+analysis (tokenization, stats, language-ID, quality, fingerprinting) and
+multimodal binary-column plumbing.
+
+Design rules (same as the tsdb core):
+- native `pyspark.sql.functions` expressions only on the hot paths —
+  higher-order array functions (transform/aggregate/zip_with) keep
+  MinHash/SimHash/cosine inside whole-stage codegen, no Python UDFs;
+- candidate generation is always banded/bucketed (groupBy on a band or
+  bucket key), never an all-pairs cross join;
+- the only pandas path is multimodal payload decoding (mapInPandas over
+  Arrow batches), where per-element binary decoding is genuinely outside
+  relational algebra.
+"""
+
+from tsdb_spark.pipeline.common import hash64
+from tsdb_spark.pipeline.text import (
+    tokens_expr,
+    wordpieces_expr,
+    text_stats,
+    language_id,
+    winnow_fingerprints,
+)
+from tsdb_spark.pipeline.dedup import (
+    exact_dedup,
+    minhash_signatures,
+    lsh_candidate_pairs,
+    jaccard_pairs,
+    simhash_expr,
+)
+from tsdb_spark.pipeline.embed import cosine_expr, cosine_topk, ann_lsh_topk
+
+__all__ = [
+    "hash64",
+    "tokens_expr",
+    "wordpieces_expr",
+    "text_stats",
+    "language_id",
+    "winnow_fingerprints",
+    "exact_dedup",
+    "minhash_signatures",
+    "lsh_candidate_pairs",
+    "jaccard_pairs",
+    "simhash_expr",
+    "cosine_expr",
+    "cosine_topk",
+    "ann_lsh_topk",
+]

@@ -1,0 +1,36 @@
+"""Shared deterministic hashing for the pipeline operators.
+
+Every sketch here (MinHash, SimHash, LSH buckets, winnowing) needs a
+keyed 64-bit hash that (a) runs JVM-side as a native expression and
+(b) can be reproduced bit-for-bit by the DuckDB oracle. md5 is the one
+cryptographic hash both engines expose with identical output; we take
+the first 15 hex digits (60 bits, always non-negative in an int64).
+
+DuckDB equivalent of ``hash64(col, seed)``:
+
+    CAST(concat('0x', substr(md5(concat('seed:', col)), 1, 15)) AS BIGINT)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def hash64(col: Column | str, seed: int | str = 0) -> Column:
+    """Keyed 60-bit hash of a string column, seed-prefixed.
+
+    `conv(hex, 16, 10)` parses the 15-digit hex prefix of the md5 as an
+    unsigned integer — 60 bits, so the long cast never overflows and the
+    value is identical to DuckDB's '0x…'::BIGINT parse.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    keyed = F.concat(F.lit(f"{seed}:"), c)
+    return F.conv(F.substring(F.md5(keyed), 1, 15), 16, 10).cast("long")
+
+
+def hash64_sql(expr: str, seed: int | str = 0) -> str:
+    """The DuckDB rendering of hash64 — used to build oracle SQL."""
+    return (
+        f"CAST(concat('0x', substr(md5(concat('{seed}:', {expr})), 1, 15)) AS BIGINT)"
+    )

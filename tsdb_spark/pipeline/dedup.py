@@ -1,0 +1,232 @@
+"""Deduplication operators: exact, MinHash-LSH near-dup, SimHash,
+n-gram Jaccard.
+
+Scale design (the part that matters at 100TB):
+- exact dedup is a single groupBy on the content hash — map-side
+  combinable, shuffle ∝ distinct contents;
+- MinHash-LSH candidate generation is a groupBy/self-join on
+  (band_id, band_key) — pairs are only formed inside a band bucket,
+  never an all-pairs cross join (expected bucket size is corpus/2^60
+  per key, i.e. only true near-dup collisions survive);
+- exact-Jaccard verification joins the candidate pair list (tiny) back
+  to the shingle sets — the wide corpus scan happens exactly twice
+  (signature pass, verify pass), both embarrassingly parallel;
+- SimHash banding splits the 48-bit fingerprint into 4 12-bit blocks:
+  any pair within Hamming distance 3 shares at least one block
+  (pigeonhole), so candidates again come from a bucketed groupBy.
+
+All sketches are higher-order-function expressions over the token
+array — JVM-side, no Python. Hashes are md5-derived (common.hash64) so
+a SQL oracle reproduces every bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from tsdb_spark.pipeline.common import hash64
+from tsdb_spark.pipeline.text import tokens_expr
+
+# MinHash geometry: 32 hashes in 8 bands of 4 rows — the classic
+# S-curve puts the detection threshold near (1/8)^(1/4) ≈ 0.6 Jaccard.
+N_HASHES = 32
+N_BANDS = 8
+ROWS_PER_BAND = N_HASHES // N_BANDS
+
+SIMHASH_BITS = 48
+SIMHASH_BLOCKS = 4
+BLOCK_BITS = SIMHASH_BITS // SIMHASH_BLOCKS
+
+
+def shingles_expr(text_col: Column | str = "text", k: int = 3) -> Column:
+    """Distinct k-token shingles (the near-dup unit of comparison)."""
+    toks = tokens_expr(text_col)
+    n = F.size(toks)
+    # guard: sequence(1, x) with x < 1 would generate a DESCENDING range
+    shingles = F.transform(
+        F.sequence(F.lit(1), n - (k - 1)),
+        lambda i: F.array_join(F.slice(toks, i, k), " "),
+    )
+    return F.array_distinct(
+        F.when(n >= k, shingles).otherwise(F.array().cast("array<string>"))
+    )
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact deduplication by content hash: every doc is assigned the
+    minimal id of its content group as `canonical_id` (is_dup marks the
+    non-canonical copies). One map-side-combinable shuffle on the hash."""
+    w = Window.partitionBy("content_hash")
+    return (
+        docs.withColumn("content_hash", F.md5(F.col(text_col)))
+        .withColumn("canonical_id", F.min(id_col).over(w))
+        .withColumn("group_size", F.count("*").over(w))
+        .select(
+            F.col(id_col),
+            "content_hash",
+            "canonical_id",
+            "group_size",
+            (F.col(id_col) != F.col("canonical_id")).alias("is_dup"),
+        )
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    n_hashes: int = N_HASHES,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, shingles, sig): MinHash signature = per-seed minimum of the
+    keyed shingle hashes. n_hashes × |shingles| md5s per doc, all inside
+    whole-stage codegen."""
+    d = docs.withColumn("_sh", shingles_expr(text_col, k)).filter(F.size("_sh") > 0)
+    sig = F.array(
+        *[
+            F.array_min(F.transform("_sh", lambda s, i=i: hash64(s, i)))
+            for i in range(n_hashes)
+        ]
+    )
+    return d.select(F.col(id_col).alias("id"), F.col("_sh").alias("shingles"), sig.alias("sig"))
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    n_bands: int = N_BANDS,
+    rows_per_band: int = ROWS_PER_BAND,
+) -> DataFrame:
+    """Banded LSH: hash each band of the signature to a bucket key;
+    docs sharing any (band_id, band_key) become a candidate pair.
+
+    The self-join is equi on the band key — Spark shuffles both sides by
+    (band_id, band_key) and pairs form only within buckets. distinct()
+    collapses pairs that collide in several bands."""
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                hash64(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.element_at("sig", b * rows_per_band + r + 1)
+                            for r in range(rows_per_band)
+                        ],
+                    ),
+                    f"band{b}",
+                ).alias("band_key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    banded = signatures.select("id", F.explode(bands).alias("band")).select(
+        "id", "band.band_id", "band.band_key"
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    pairs: DataFrame, signatures: DataFrame, min_jaccard_bp: int = 6000
+) -> DataFrame:
+    """Verify candidate pairs with exact shingle-set Jaccard, keeping
+    pairs at or above the threshold (basis points, integer-exact).
+
+    The pair list is tiny relative to the corpus — both signature joins
+    broadcast the pairs side in practice (AQE picks it up)."""
+    sh = signatures.select("id", "shingles")
+    j = (
+        pairs.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("shingles", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("shingles", "sh_b"), "id_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        j.select(
+            "id_a",
+            "id_b",
+            F.floor(F.lit(10000) * inter / union).cast("long").alias("jaccard_bp"),
+        )
+        .filter(F.col("jaccard_bp") >= min_jaccard_bp)
+    )
+
+
+def simhash_expr(text_col: Column | str = "text", bits: int = SIMHASH_BITS) -> Column:
+    """SimHash fingerprint of the token multiset: bit b of the output is
+    set iff the sum over tokens of ±1 (sign of bit b of the token hash)
+    is positive. The bit loop unrolls at expression-build time (shift
+    amounts must be literals); everything stays a codegen'd expression,
+    no explode."""
+    toks = tokens_expr(text_col)
+    hs = F.transform(toks, lambda t: hash64(t, "simhash"))
+
+    def bitsum(b: int) -> Column:
+        return F.aggregate(
+            hs,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc + (F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1),
+        )
+
+    total = F.lit(0).cast("long")
+    for b in range(bits):
+        total = total + F.when(
+            bitsum(b) > 0, F.lit(1 << b).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return total
+
+
+def simhash_near_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup pairs by SimHash: candidates share one of the 4 12-bit
+    blocks (pigeonhole guarantees completeness for Hamming ≤ 3), then
+    the exact Hamming distance filters. Returns (id_a, id_b, hamming)."""
+    d = docs.select(
+        F.col(id_col).alias("id"), simhash_expr(text_col).alias("simhash")
+    )
+    blocks = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("block_id"),
+                F.shiftright("simhash", i * BLOCK_BITS)
+                .bitwiseAND(F.lit((1 << BLOCK_BITS) - 1))
+                .alias("block_val"),
+            )
+            for i in range(SIMHASH_BLOCKS)
+        ]
+    )
+    banded = d.select("id", "simhash", F.explode(blocks).alias("b")).select(
+        "id", "simhash", "b.block_id", "b.block_val"
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.block_id") == F.col("b.block_id"))
+            & (F.col("a.block_val") == F.col("b.block_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

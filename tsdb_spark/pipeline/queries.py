@@ -1,0 +1,332 @@
+"""Driver-facing pipeline queries over documents/embeddings, each paired
+with a DuckDB oracle that reproduces the sketch bit-for-bit (shared
+md5-derived hashing, integer basis-point ratios, double-precision
+sequential folds — see pipeline/common.py).
+
+The dedup queries run over a constructed corpus = documents ∪ exact
+copies (doc_id%10==0, +100000) ∪ near copies (doc_id%7==0, +200000,
+last 3 tokens dropped) — the driver's corpus has no natural duplicates,
+so the workload synthesizes them identically on both sides (the same
+pattern the tsdb vertical-dedup query uses).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tsdb_spark.pipeline import dedup as D
+from tsdb_spark.pipeline import embed as E
+from tsdb_spark.pipeline import multimodal as M
+from tsdb_spark.pipeline import text as T
+from tsdb_spark.queries import register
+from tsdb_spark.sources.events import load_table
+
+# ---------------------------------------------------------------- SQL lego
+
+#: whitespace tokens, empties dropped (== text.tokens_expr)
+SQL_TOKS = "list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')"
+
+
+def sql_h(seed_expr: str, val_expr: str) -> str:
+    """DuckDB rendering of common.hash64 (seed_expr/val_expr are SQL)."""
+    return (
+        "CAST(concat('0x', substr(md5(concat("
+        f"{seed_expr}, ':', {val_expr})), 1, 15)) AS BIGINT)"
+    )
+
+
+#: corpus with synthesized duplicates (matches _corpus below)
+SQL_CORPUS = f"""
+base AS (SELECT doc_id, text FROM documents),
+tok0 AS (SELECT doc_id, {SQL_TOKS} AS toks FROM base),
+exact_c AS (SELECT doc_id + 100000 AS doc_id, text FROM base WHERE doc_id % 10 = 0),
+near_c AS (SELECT doc_id + 200000 AS doc_id,
+                  array_to_string(toks[1:len(toks)-3], ' ') AS text
+           FROM tok0 WHERE doc_id % 7 = 0),
+corpus AS (SELECT * FROM base UNION ALL SELECT * FROM exact_c UNION ALL SELECT * FROM near_c)
+""".strip()
+
+#: distinct 3-token shingle sets of the corpus (== dedup.shingles_expr)
+SQL_SHINGLES = """
+ctoks AS (SELECT doc_id, {toks} AS toks FROM corpus),
+sh AS (SELECT doc_id,
+              list_distinct(list_transform(range(1, len(toks) - 1),
+                                           i -> array_to_string(toks[i:i+2], ' '))) AS sh
+       FROM ctoks WHERE len(toks) >= 3)
+""".strip().format(toks=SQL_TOKS)
+
+
+def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    exact = docs.filter(F.col("doc_id") % 10 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 100000
+    )
+    toks = T.tokens_expr("text")
+    near = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.array_join(F.slice(toks, 1, F.greatest(F.size(toks) - 3, F.lit(0))), " ").alias(
+            "text"
+        ),
+    )
+    return docs.unionByName(exact).unionByName(near)
+
+
+# ================================================================ text
+
+@register(
+    "docs_text_stats",
+    f"""
+WITH t AS (SELECT doc_id, text, {SQL_TOKS} AS toks FROM documents)
+SELECT doc_id,
+  length(text) AS n_chars,
+  len(toks) AS n_tokens,
+  len(list_distinct(toks)) AS n_distinct_tokens,
+  (10000 * list_sum(list_transform(toks, x -> length(x)))) // len(toks) AS avg_token_len_bp,
+  (10000 * len(list_filter(toks, x -> x IN {T.EN_STOPWORDS!r}))) // len(toks) AS stopword_bp,
+  (10000 * length(regexp_replace(text, '[^a-z]', '', 'g'))) // length(text) AS alpha_bp,
+  (len(toks) BETWEEN 10 AND 100000)
+    AND ((10000 * len(list_filter(toks, x -> x IN {T.EN_STOPWORDS!r}))) // len(toks) >= 100) AS keep
+FROM t""",
+    "per-document text statistics + C4-style quality gate (map-only pass)",
+)
+def docs_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.text_stats(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "docs_lang_id",
+    f"""
+WITH t AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
+s AS (SELECT doc_id,
+  {", ".join(f"len(list_filter(toks, x -> x IN {words!r})) AS score_{lang}" for lang, words in T.LANG_PROFILES.items())}
+  FROM t),
+g AS (SELECT *, greatest({", ".join(f"score_{lang}" for lang in T.LANG_ORDER)}) AS best FROM s)
+SELECT doc_id, {", ".join(f"score_{lang}" for lang in T.LANG_ORDER)},
+  CASE {" ".join(f"WHEN score_{lang} = best THEN '{lang}'" for lang in T.LANG_ORDER)} END AS pred_lang
+FROM g""",
+    "stopword-profile language identification (first-match argmax)",
+)
+def docs_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.language_id(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "docs_token_histogram",
+    f"""
+WITH t AS (SELECT unnest({SQL_TOKS}) AS token FROM documents)
+SELECT token, count(*) AS n FROM t GROUP BY token ORDER BY n DESC, token LIMIT 20""",
+    "corpus token frequencies, top-20 (map-side-combined groupBy)",
+)
+def docs_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.token_histogram(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "docs_fingerprints",
+    f"""
+WITH t AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
+h AS (SELECT doc_id,
+        list_transform(range(1, len(toks) - 1),
+                       i -> {sql_h("'shingle'", "array_to_string(toks[i:i+2], ' ')")}) AS h
+      FROM t WHERE len(toks) >= 6),
+fp AS (SELECT doc_id,
+         list_distinct(list_transform(range(1, len(h) - 2),
+                                      i -> list_min(h[i:i+3]))) AS fps
+       FROM h)
+SELECT doc_id, unnest(fps) AS fingerprint FROM fp""",
+    "winnowing fingerprints (k=3 shingles, window=4; Schleimer SIGMOD'03)",
+)
+def docs_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.winnow_fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+# ================================================================ dedup
+
+@register(
+    "docs_dedup_exact",
+    f"""
+WITH {SQL_CORPUS}
+SELECT doc_id, md5(text) AS content_hash,
+  min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
+  count(*) OVER (PARTITION BY md5(text)) AS group_size,
+  doc_id != min(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
+FROM corpus""",
+    "exact dedup by content hash over corpus-with-copies (hash groupBy)",
+)
+def docs_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_dedup(_corpus(spark, sf_dir))
+
+
+@register(
+    "docs_dedup_minhash",
+    f"""
+WITH {SQL_CORPUS},
+{SQL_SHINGLES},
+sig AS (SELECT doc_id,
+          list_transform(range(0, {D.N_HASHES}),
+                         s -> list_min(list_transform(sh, x -> {sql_h("s::VARCHAR", "x")}))) AS sig
+        FROM sh),
+banded AS (SELECT doc_id, b AS band_id,
+             {sql_h("'band' || b::VARCHAR", f"array_to_string(sig[b*{D.ROWS_PER_BAND}+1:b*{D.ROWS_PER_BAND}+{D.ROWS_PER_BAND}], ',')")} AS band_key
+           FROM sig CROSS JOIN range(0, {D.N_BANDS}) t(b)),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM banded a JOIN banded b
+           ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+pairs AS (SELECT c.id_a, c.id_b,
+            (10000 * len(list_intersect(sa.sh, sb.sh)))
+              // (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jaccard_bp
+          FROM cand c
+          JOIN sh sa ON sa.doc_id = c.id_a
+          JOIN sh sb ON sb.doc_id = c.id_b)
+SELECT id_a, id_b, jaccard_bp FROM pairs WHERE jaccard_bp >= 6000""",
+    "MinHash-LSH near-dup: 32 hashes, 8 bands — banded bucket join, never all-pairs; exact-Jaccard verified",
+)
+def docs_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = D.minhash_signatures(_corpus(spark, sf_dir))
+    cand = D.lsh_candidate_pairs(sigs)
+    return D.jaccard_pairs(cand, sigs)
+
+
+@register(
+    "docs_dedup_simhash",
+    f"""
+WITH {SQL_CORPUS},
+hs AS (SELECT doc_id, list_transform({SQL_TOKS}, t -> {sql_h("'simhash'", "t")}) AS hs FROM corpus),
+sim AS (SELECT doc_id,
+          list_sum(list_transform(range(0, {D.SIMHASH_BITS}), b ->
+            CASE WHEN list_sum(list_transform(hs, h -> ((h >> b) & 1) * 2 - 1)) > 0
+                 THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)) AS simhash
+        FROM hs),
+blocks AS (SELECT doc_id, simhash, i AS block_id,
+             (simhash >> (i * {D.BLOCK_BITS})) & {(1 << D.BLOCK_BITS) - 1} AS block_val
+           FROM sim CROSS JOIN range(0, {D.SIMHASH_BLOCKS}) t(i)),
+pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+            bit_count(xor(a.simhash, b.simhash)) AS hamming
+          FROM blocks a JOIN blocks b
+            ON a.block_id = b.block_id AND a.block_val = b.block_val AND a.doc_id < b.doc_id)
+SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3""",
+    "SimHash near-dup: 48-bit fingerprint, 4-block pigeonhole banding, Hamming <= 3",
+)
+def docs_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash_near_pairs(_corpus(spark, sf_dir))
+
+
+@register(
+    "docs_jaccard_knn",
+    f"""
+WITH {SQL_CORPUS},
+{SQL_SHINGLES},
+probes AS (SELECT doc_id AS probe_id, sh AS psh FROM sh WHERE doc_id < 10),
+scored AS (SELECT probe_id, s.doc_id AS neighbor_id,
+             (10000 * len(list_intersect(psh, s.sh)))
+               // (len(psh) + len(s.sh) - len(list_intersect(psh, s.sh))) AS jaccard_bp
+           FROM probes CROSS JOIN sh s WHERE s.doc_id != probe_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+                                   ORDER BY jaccard_bp DESC, neighbor_id) AS rnk
+      FROM scored)
+SELECT probe_id, neighbor_id, jaccard_bp FROM r WHERE rnk = 1""",
+    "exact n-gram-Jaccard nearest neighbor for a broadcast probe set",
+)
+def docs_jaccard_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = D.minhash_signatures(_corpus(spark, sf_dir)).select("id", "shingles")
+    probes = sigs.filter(F.col("id") < 10).select(
+        F.col("id").alias("probe_id"), F.col("shingles").alias("psh")
+    )
+    inter = F.size(F.array_intersect("psh", "shingles"))
+    union = F.size("psh") + F.size("shingles") - inter
+    scored = (
+        sigs.join(F.broadcast(probes), F.col("id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            F.col("id").alias("neighbor_id"),
+            F.floor(F.lit(10000) * inter / union).cast("long").alias("jaccard_bp"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("jaccard_bp"), "neighbor_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select("probe_id", "neighbor_id", "jaccard_bp")
+    )
+
+
+# ================================================================ embeddings
+
+SQL_EMB = "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"
+
+
+@register(
+    "emb_cosine_topk",
+    f"""
+WITH {SQL_EMB},
+p AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < 8),
+scored AS (SELECT probe_id, e.vec_id AS neighbor_id, list_cosine_similarity(pv, e.v) AS cos
+           FROM e CROSS JOIN p WHERE e.vec_id != probe_id),
+r AS (SELECT probe_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored)
+SELECT probe_id, neighbor_id, rank, CAST(floor(100000 * cos) AS BIGINT) AS cos_bp
+FROM r WHERE rank <= 5""",
+    "brute-force exact top-k cosine for a broadcast probe set (the ANN baseline)",
+)
+def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return E.cosine_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
+
+
+def _sql_lsh_code(vexpr: str) -> str:
+    """DuckDB rendering of embed.lsh_bucket_expr for a DOUBLE[] column:
+    per plane, the ±1 sign vector comes from hash64('plane<p>', dim) and
+    the projection is the same sequential fold as the Spark side."""
+    terms = []
+    for p in range(E.N_PLANES):
+        sign = f"CAST((({sql_h(repr(f'plane{p}'), '(i - 1)::VARCHAR')} & 1) * 2 - 1) AS DOUBLE)"
+        proj = (
+            "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+            f"list_transform(range(1, 1 + len({vexpr})), "
+            f"i -> {vexpr}[i] * {sign})), (a, b) -> a + b)"
+        )
+        terms.append(
+            f"CASE WHEN {proj} > 0 THEN CAST({1 << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+_ANN_LSH_SQL = f"""
+WITH {SQL_EMB},
+coded AS (SELECT vec_id, v, {_sql_lsh_code('v')} AS bucket FROM e),
+p AS (SELECT vec_id AS probe_id, v AS pv, bucket FROM coded WHERE vec_id < 8),
+scored AS (SELECT probe_id, c.vec_id AS neighbor_id, list_cosine_similarity(pv, c.v) AS cos
+           FROM coded c JOIN p USING (bucket) WHERE c.vec_id != probe_id),
+r AS (SELECT probe_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored)
+SELECT probe_id, neighbor_id, rank, CAST(floor(100000 * cos) AS BIGINT) AS cos_bp
+FROM r WHERE rank <= 3"""
+
+
+@register(
+    "emb_ann_lsh",
+    _ANN_LSH_SQL,
+    "LSH-bucketed approximate top-k: 6 sign hyperplanes, probes scan only their bucket",
+)
+def emb_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return E.ann_lsh_topk(emb, emb.filter(F.col("vec_id") < 8), k=3)
+
+
+# ================================================================ multimodal
+
+@register(
+    "mm_payload_features",
+    """
+SELECT doc_id,
+  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+  md5(text) AS digest
+FROM documents""",
+    "binary payload plumbing: Arrow-batched mapInPandas feature extraction (decode stub)",
+)
+def mm_payload_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return M.payload_features(M.with_payload(docs))

@@ -1,0 +1,180 @@
+"""Text analysis operators: tokenization, per-document statistics,
+language identification, quality signals, and winnowing fingerprints.
+
+All pure Column expressions (higher-order array functions) — one
+narrow projection per document, no shuffle, no Python. At 100TB this is
+a map-only pass that scales linearly with executors; the only wide
+operation in this module is the token histogram's groupBy.
+
+Ratios are emitted as ``floor(10000 * num / den)`` basis points computed
+in *integer* arithmetic so Spark and any SQL oracle agree bit-for-bit
+(double division + round() differs across engines on .5 boundaries).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from tsdb_spark.pipeline.common import hash64
+
+# BPE-ish lexer: runs of word chars (incl. apostrophe) or single
+# non-space symbols — the classic pre-tokenizer shape.
+WORDPIECE_RE = r"[a-z0-9']+|[^a-z0-9\s]"
+
+# tiny per-language stopword profiles for the n-gram/stopword heuristic
+# language classifier. Deterministic score = number of token hits per
+# profile; predicted language = argmax with a fixed preference order.
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "it"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
+    "fr": ("le", "la", "et", "les", "des", "un", "une", "est"),
+    "es": ("el", "la", "de", "los", "las", "es", "un", "una"),
+    "zh": ("的", "是", "在", "了", "和", "有", "我", "不"),
+}
+LANG_ORDER = tuple(LANG_PROFILES)  # fixed tiebreak preference
+
+EN_STOPWORDS = LANG_PROFILES["en"]
+
+
+def tokens_expr(text_col: Column | str = "text") -> Column:
+    """Whitespace tokenization (empty tokens dropped)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.filter(F.split(c, r"\s+"), lambda t: t != F.lit(""))
+
+
+def wordpieces_expr(text_col: Column | str = "text") -> Column:
+    """BPE-ish regex tokenization of the lowercased text."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.regexp_extract_all(F.lower(c), F.lit(WORDPIECE_RE), 0)
+
+
+def _bp(num: Column, den: Column) -> Column:
+    """Basis points = floor(10000*num / den) — integer-exact for the
+    magnitudes here (numerators ≤ ~1e10, so the correctly-rounded double
+    quotient floors identically in every engine; double round() half-up
+    vs half-even differences can never appear). Caller guarantees den>0;
+    DuckDB oracle renders it as (10000*num) // den."""
+    return F.floor(F.lit(10000) * num / den).cast("long")
+
+
+def text_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document statistics + quality signals.
+
+    Columns: n_chars, n_tokens, n_distinct_tokens, avg_token_len_bp,
+    stopword_bp, alpha_bp, keep (the quality gate: length in range and
+    stopword ratio over a floor — the standard C4-style heuristic pair).
+    """
+    toks = tokens_expr(text_col)
+    d = docs.withColumn("_toks", toks)
+    n_tokens = F.size("_toks")
+    n_chars = F.length(text_col)
+    total_tok_len = F.aggregate(
+        "_toks", F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    stop_hits = F.size(
+        F.filter("_toks", lambda t: t.isin(*EN_STOPWORDS))
+    )
+    alpha_chars = F.length(F.regexp_replace(F.col(text_col), r"[^a-z]", ""))
+    out = d.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        F.size(F.array_distinct("_toks")).alias("n_distinct_tokens"),
+        _bp(total_tok_len, n_tokens).alias("avg_token_len_bp"),
+        _bp(stop_hits, n_tokens).alias("stopword_bp"),
+        _bp(alpha_chars, n_chars).alias("alpha_bp"),
+    )
+    return out.withColumn(
+        "keep",
+        (F.col("n_tokens") >= 10)
+        & (F.col("n_tokens") <= 100_000)
+        & (F.col("stopword_bp") >= 100),
+    )
+
+
+def language_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-profile language classifier.
+
+    Scores each language by token hits against its profile; predicts the
+    argmax with LANG_ORDER as the deterministic tiebreak (first language
+    with the maximal score wins). Returns (id, score_<lang>..., pred_lang).
+    """
+    d = docs.withColumn("_toks", tokens_expr(text_col))
+
+    def _hits(words: tuple[str, ...]):
+        # single-param lambda: higher-order functions pass one Column per
+        # declared parameter (a default param would receive a Column too)
+        return lambda t: t.isin(*words)
+
+    scores = {
+        lang: F.size(F.filter("_toks", _hits(words)))
+        for lang, words in LANG_PROFILES.items()
+    }
+    cols = [F.col(id_col)] + [scores[lang].alias(f"score_{lang}") for lang in LANG_ORDER]
+    out = d.select(*cols)
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in LANG_ORDER])
+    pred = None
+    for lang in reversed(LANG_ORDER):
+        cond = F.col(f"score_{lang}") == best
+        pred = F.when(cond, F.lit(lang)) if pred is None else F.when(cond, F.lit(lang)).otherwise(pred)
+    return out.withColumn("pred_lang", pred)
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = 3,
+    window: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD'03).
+
+    Positional k-token shingle hashes; within every window of `window`
+    consecutive hashes keep the minimum; the distinct kept hashes are the
+    document's fingerprint set. Guarantees any shared run of
+    k+window-1 tokens between two documents shares a fingerprint.
+
+    Returns one row per (id, fingerprint) — exploded for joinability
+    (fingerprint inverted indexes are built by a groupBy on fingerprint).
+    """
+    toks = tokens_expr(text_col)
+    # the filter runs BEFORE the positional-hash projection so the
+    # sequence() bounds below are always ascending
+    d = docs.withColumn("_toks", toks).filter(F.size("_toks") >= k + window - 1)
+    n = F.size("_toks")
+    # positional k-shingle hashes (1-based element_at; duplicates kept —
+    # winnowing is positional, unlike the set-of-shingles MinHash path)
+    d = d.withColumn(
+        "_h",
+        F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: hash64(F.array_join(F.slice("_toks", i, k), " "), "shingle"),
+        ),
+    )
+    nh = F.size("_h")
+    fps = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), nh - (window - 1)),
+            lambda i: F.array_min(F.slice("_h", i, window)),
+        )
+    )
+    return d.select(F.col(id_col), F.explode(fps).alias("fingerprint"))
+
+
+def token_histogram(docs: DataFrame, text_col: str = "text", top: int = 20) -> DataFrame:
+    """Corpus token frequencies, top-N by count (count desc, token asc).
+
+    The one wide op in this module: a partial-aggregated groupBy on the
+    token — map-side combine keeps the shuffle proportional to the
+    vocabulary, not the corpus.
+    """
+    return (
+        docs.select(F.explode(tokens_expr(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "token")
+        .limit(top)
+    )

@@ -503,3 +503,9 @@ def tsdb_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     kept = s.filter(F.col("t_bucket") + width > cutoff)  # bucket survives iff it ends after cutoff
     return kept.groupBy("t_bucket").agg(F.count("*").alias("num_samples")).orderBy("t_bucket")
+
+
+# registers the documents/embeddings pipeline queries into the same
+# registry (import at the bottom: pipeline.queries imports `register`
+# from this module)
+from tsdb_spark.pipeline import queries as _pipeline_queries  # noqa: E402,F401
