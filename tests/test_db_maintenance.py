@@ -115,3 +115,71 @@ def test_time_retention_forgets_overlap_tracking(spark, tmp_path):
     assert db.overlapping_buckets == [0]
     assert db.retain_after(5000) == 1
     assert db.overlapping_buckets == []
+
+
+def test_leveled_plan_merges_filled_parent(spark, tmp_path):
+    # base width 100 → ranges [100, 300, 900]; buckets 0,100,200 fill the
+    # [0,300) parent and bucket 300 is the fresh one → plan = merge first
+    # three at width 300 (compact_test.go:201-209 "Block to fill the
+    # entire parent range appeared")
+    db = _mkdb(spark, tmp_path, "lvl", width=100)
+    assert db.block_ranges == [100, 300, 900]
+    rows = [({"m": "a"}, t, float(t)) for t in (10, 110, 210, 310)]
+    db.append(_df(spark, rows))
+    los, target = db.compact_plan()
+    assert (los, target) == ([0, 100, 200], 300)
+    before = sorted(
+        (r["t"], r["v"]) for r in db.querier(0, 400).select([L.eq("m", "a")]).collect()
+    )
+    assert db.auto_compact() == [[0, 100, 200]]
+    buckets = sorted(int(d.split("=")[1]) for d in db._bucket_dirs())
+    assert buckets == [0, 300]
+    assert db.width_of(0) == 300 and db.width_of(300) == 100
+    after = sorted(
+        (r["t"], r["v"]) for r in db.querier(0, 400).select([L.eq("m", "a")]).collect()
+    )
+    assert before == after
+    # pruning must still see the coarse bucket: a window entirely inside
+    # its upper half starts below lo=0 only via max_bucket_width
+    got = {r["t"] for r in db.querier(200, 250).select([L.eq("m", "a")]).collect()}
+    assert got == {210}
+
+
+def test_leveled_plan_vertical_dirty_first(spark, tmp_path):
+    db = _mkdb(spark, tmp_path, "lvldirty", width=100)
+    db.append(_df(spark, [({"m": "a"}, 10, 1.0), ({"m": "a"}, 110, 2.0), ({"m": "a"}, 310, 9.0)]))
+    db.append(_df(spark, [({"m": "a"}, 10, 3.0)]))  # bucket 0 now dirty
+    assert db.overlapping_buckets == [0]
+    los, target = db.compact_plan()
+    assert (los, target) == ([0], None)  # vertical rewrite in place
+    db.compact_selected(los, target)
+    assert db.overlapping_buckets == []
+    # later-ingest-wins survived the rewrite; no read-time dedup needed now
+    got = {r["t"]: r["v"] for r in db.querier(0, 400).select([L.eq("m", "a")]).collect()}
+    assert got == {10: 3.0, 110: 2.0, 310: 9.0}
+
+
+def test_append_into_coarse_bucket_tracks_overlap(spark, tmp_path):
+    db = _mkdb(spark, tmp_path, "lvlovl", width=100)
+    db.append(_df(spark, [({"m": "a"}, t, float(t)) for t in (10, 110, 210, 310)]))
+    db.auto_compact()  # bucket 0 now width 300
+    # a base-width append at t=150 lands in NEW dir 100 but time-overlaps
+    # the coarse bucket — both must dedup at read
+    db.append(_df(spark, [({"m": "a"}, 110, 42.0)]))
+    assert set(db.overlapping_buckets) == {0, 100}
+    got = {r["t"]: r["v"] for r in db.querier(0, 400).select([L.eq("m", "a")]).collect()}
+    assert got == {10: 10.0, 110: 42.0, 210: 210.0, 310: 310.0}
+
+
+def test_tombstone_heavy_block_rewritten_once(spark, tmp_path):
+    db = _mkdb(spark, tmp_path, "lvlts", width=100)
+    db.append(_df(spark, [({"m": "a"}, t, float(t)) for t in (10, 110, 210, 310)]))
+    db.auto_compact()  # [0,300) merged, width 300 >= ranges[1]
+    db.delete(0, 120, [L.eq("m", "a")])
+    los, target = db.compact_plan()
+    assert (los, target) == ([0], None)  # >5% tombstoned large block
+    db.compact_selected(los, target)
+    got = {r["t"] for r in db.querier(0, 400).select([L.eq("m", "a")]).collect()}
+    assert got == {210, 310}
+    # planner is satisfied: the rewritten bucket is marked tombstone-clean
+    assert db.compact_plan() == ([], None)

@@ -37,6 +37,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from tsdb_spark import compaction
 from tsdb_spark import labels as L
 from tsdb_spark.operators.intervals import coalesce_intervals, subtract_intervals
 from tsdb_spark.operators.merge import dedup_vertical
@@ -88,6 +89,13 @@ class DB:
                 # read-time dedup until compacted (OverlappingBlocks analog,
                 # db.go:977-1042 — per-range, never a global flag)
                 "overlapping_buckets": [],
+                # leveled-compaction geometry (ExponentialBlockRanges,
+                # compact.go:41-50): appends land at block_width_ms; the
+                # planner merges filled parent ranges up these levels
+                "block_ranges": compaction.exponential_ranges(block_width_ms),
+                # buckets promoted to a coarser level: {lo: width_ms}; a
+                # bucket absent here has base width
+                "bucket_widths": {},
             },
         )
         db._write_meta()
@@ -127,6 +135,25 @@ class DB:
     @property
     def overlapping_buckets(self) -> list[int]:
         return self.meta.get("overlapping_buckets", [])
+
+    @property
+    def block_ranges(self) -> list[int]:
+        return self.meta.get(
+            "block_ranges", compaction.exponential_ranges(self.block_width_ms)
+        )
+
+    @property
+    def bucket_widths(self) -> dict[int, int]:
+        """Widths of level-promoted buckets (JSON keys are strings)."""
+        return {int(k): v for k, v in self.meta.get("bucket_widths", {}).items()}
+
+    def width_of(self, lo: int) -> int:
+        return self.bucket_widths.get(lo, self.block_width_ms)
+
+    @property
+    def max_bucket_width(self) -> int:
+        """Upper bound on any partition's span — the safe pruning width."""
+        return max([self.block_width_ms, *self.bucket_widths.values()])
 
     # ---------------- frames ----------------
 
@@ -259,13 +286,32 @@ class DB:
                 # db.go:977-1042). Metadata-sized collect over the cached
                 # batch — never a comparison of dir listings (a dir set
                 # intersected with its own superset is always "everything").
+                # Overlap is checked by RANGE, not dir name: a base-width
+                # batch bucket landing inside a level-promoted coarse
+                # bucket creates a new dir but still time-overlaps it —
+                # both sides must dedup at read until compacted.
                 batch_buckets = {
                     r["t_bucket"] for r in out.select("t_bucket").distinct().collect()
                 }
-                newly_overlapping = batch_buckets & existing_buckets
+                widths = self.bucket_widths
+                newly_overlapping: set[int] = set()
+                for b in batch_buckets:
+                    if b in existing_buckets:
+                        newly_overlapping.add(b)
+                    for lo, w in widths.items():
+                        if lo != b and lo < b + width and b < lo + w:
+                            newly_overlapping.update((b, lo))
                 if newly_overlapping:
                     self.meta["overlapping_buckets"] = sorted(
                         set(self.overlapping_buckets) | newly_overlapping
+                    )
+                if self.meta.get("ts_clean_buckets"):
+                    # new data in a tombstone-clean bucket: still clean
+                    # (tombstones only cover series selected at delete
+                    # time, but intervals are time-based — a re-touched
+                    # bucket must be re-checked by the planner)
+                    self.meta["ts_clean_buckets"] = sorted(
+                        set(self.meta["ts_clean_buckets"]) - batch_buckets
                     )
 
             # series upsert (J12) last: a failed samples job must not leave
@@ -336,6 +382,9 @@ class DB:
         )
         merged = coalesce_intervals(self.tombstones().unionByName(new))
         self._atomic_overwrite(merged.coalesce(1), self._tombstones_path)
+        # fresh intervals may hit previously tombstone-rewritten buckets
+        if self.meta.pop("ts_clean_buckets", None) is not None:
+            self._write_meta()
         return new.count()
 
     def clean_tombstones(self) -> None:
@@ -387,6 +436,8 @@ class DB:
         shutil.rmtree(tmp, ignore_errors=True)
         if os.path.isdir(self._tombstones_path):
             shutil.rmtree(self._tombstones_path)
+        self.meta.pop("ts_clean_buckets", None)
+        self._write_meta()
 
     # ---------------- compaction & retention ----------------
 
@@ -432,21 +483,178 @@ class DB:
             {
                 "block_width_ms": width,
                 "overlapping_buckets": [],
+                "bucket_widths": {},
+                "ts_clean_buckets": [],
+                "block_ranges": compaction.exponential_ranges(width),
                 "last_compaction_ms": int(time.time() * 1000),
             }
         )
         self._write_meta()
+
+    # ---------------- leveled (incremental) compaction ----------------
+
+    def _block_metas(self, with_stats: bool = False) -> list[compaction.BlockMeta]:
+        """Planner's view of the store: one BlockMeta per t_bucket dir
+        (the reference reads per-block meta.json files, compact.go:176-188)."""
+        dirty = set(self.overlapping_buckets)
+        metas = []
+        ts_counts: dict[int, int] = {}
+        n_series: dict[int, int] = {}
+        if with_stats and os.path.isdir(self._tombstones_path):
+            # tombstones are metadata-sized (they broadcast at read);
+            # count intervals intersecting each bucket driver-side
+            intervals = [
+                (r["mint"], r["maxt"])
+                for r in self.tombstones().select("mint", "maxt").collect()
+            ]
+            if intervals:
+                # buckets already tombstone-rewritten count as clean even
+                # though the (global) tombstone file persists — prevents
+                # the planner re-selecting the same bucket every round
+                ts_clean = set(self.meta.get("ts_clean_buckets", []))
+                los = sorted(int(d.split("=")[1]) for d in self._bucket_dirs())
+                for lo in los:
+                    if lo in ts_clean:
+                        continue
+                    hi = lo + self.width_of(lo)
+                    ts_counts[lo] = sum(1 for m, x in intervals if m < hi and x >= lo)
+                # series counts only for buckets the tombstone rule could
+                # select (large + tombstoned) — bounds the scan
+                big = [
+                    lo
+                    for lo in los
+                    if ts_counts.get(lo)
+                    and self.width_of(lo) >= self.block_ranges[len(self.block_ranges) // 2]
+                ]
+                if big:
+                    rows = (
+                        self.samples()
+                        .filter(F.col("t_bucket").isin(big))
+                        .groupBy("t_bucket")
+                        .agg(F.countDistinct("series_id").alias("n"))
+                        .collect()
+                    )
+                    n_series = {r["t_bucket"]: r["n"] for r in rows}
+        for d in sorted(self._bucket_dirs()):
+            lo = int(d.split("=")[1])
+            metas.append(
+                compaction.BlockMeta(
+                    mint=lo,
+                    maxt=lo + self.width_of(lo),
+                    dir=str(lo),
+                    num_series=n_series.get(lo, 0),
+                    num_tombstones=ts_counts.get(lo, 0),
+                    dirty=lo in dirty,
+                )
+            )
+        return metas
+
+    def compact_plan(self) -> tuple[list[int], int | None]:
+        """Next compaction step: (bucket los, target width) — ([], None)
+        when nothing qualifies (Plan, compact.go:166-223). Target width is
+        the smallest level whose aligned window holds the whole group;
+        None means rewrite in place at current widths (vertical dedup /
+        tombstone rewrite)."""
+        group = compaction.plan(self._block_metas(with_stats=True), self.block_ranges)
+        if not group:
+            return [], None
+        los = [int(b.dir) for b in group]
+        if any(b.dirty for b in group) or len(group) == 1:
+            return los, None
+        mint, maxt = group[0].mint, group[-1].maxt
+        for r in self.block_ranges:
+            t0 = (mint // r) * r
+            if maxt <= t0 + r and r > max(b.maxt - b.mint for b in group):
+                return los, r
+        return los, None
+
+    def compact_selected(self, buckets: list[int], target_width_ms: int | None = None) -> None:
+        """Rewrite ONLY the given t_bucket partitions: apply tombstones,
+        vertical-dedup the dirty ones, optionally merge to a coarser level
+        (LeveledCompactor.Compact scoped to Plan's selection,
+        compact.go:440-520). At 100 TB this touches a handful of adjacent
+        partitions — never the store.
+
+        The global tombstone file is retained (other buckets may still
+        need it); re-subtracting on already-clean data is a no-op."""
+        if not buckets:
+            return
+        los = sorted(buckets)
+        s = self.samples().filter(F.col("t_bucket").isin(los))
+        tombs = self.tombstones()
+        if tombs.limit(1).count() > 0:
+            s = subtract_intervals(s, tombs)
+        dirty = sorted(set(self.overlapping_buckets) & set(los))
+        if dirty:
+            is_dirty = F.col("t_bucket").isin(dirty)
+            s = s.filter(~is_dirty).unionByName(dedup_vertical(s.filter(is_dirty)))
+        if target_width_ms is not None:
+            s = s.withColumn(
+                "t_bucket", F.col("t") - F.pmod(F.col("t"), F.lit(target_width_ms))
+            )
+        out = s.select("series_id", "t", "v", "ingest_seq", "t_bucket")
+        tmp = self._samples_path + f".lvl.{uuid.uuid4().hex}"
+        (
+            out.repartitionByRange("t_bucket", "series_id")
+            .sortWithinPartitions("t_bucket", "series_id", "t")
+            .write.mode("overwrite")
+            .partitionBy("t_bucket")
+            .parquet(tmp)
+        )
+        new_dirs = {
+            int(d.split("=")[1])
+            for d in os.listdir(tmp)
+            if d.startswith("t_bucket=")
+        }
+        for lo in new_dirs - set(los):
+            # disjoint-range invariant: a rewrite can only produce lo
+            # values inside the group's aligned window
+            if os.path.isdir(os.path.join(self._samples_path, f"t_bucket={lo}")):
+                raise RuntimeError(f"compact_selected would clobber live bucket {lo}")
+        for lo in sorted(set(los) | new_dirs):
+            src = os.path.join(tmp, f"t_bucket={lo}")
+            dst = os.path.join(self._samples_path, f"t_bucket={lo}")
+            self._swap_dir(src if os.path.isdir(src) else None, dst)
+        shutil.rmtree(tmp, ignore_errors=True)
+        widths = {int(k): v for k, v in self.meta.get("bucket_widths", {}).items()}
+        for lo in los:
+            widths.pop(lo, None)
+        if target_width_ms is not None and target_width_ms != self.block_width_ms:
+            for lo in new_dirs:
+                widths[lo] = target_width_ms
+        self.meta["bucket_widths"] = {str(k): v for k, v in widths.items()}
+        self.meta["overlapping_buckets"] = [
+            b for b in self.overlapping_buckets if b not in set(los)
+        ]
+        # every rewritten bucket had tombstones applied — mark clean
+        self.meta["ts_clean_buckets"] = sorted(
+            (set(self.meta.get("ts_clean_buckets", [])) - set(los)) | new_dirs
+        )
+        self.meta["last_compaction_ms"] = int(time.time() * 1000)
+        self._write_meta()
+
+    def auto_compact(self, max_rounds: int = 32) -> list[list[int]]:
+        """Run planning rounds until the planner is satisfied (the
+        reference's db.compact loop, db.go:701-759). Returns the executed
+        groups."""
+        done = []
+        for _ in range(max_rounds):
+            los, target = self.compact_plan()
+            if not los:
+                break
+            self.compact_selected(los, target)
+            done.append(los)
+        return done
 
     def retain_after(self, cutoff_ms: int) -> int:
         """Drop whole partitions entirely below the cutoff —
         beyondTimeRetention (db.go:865-884) as partition deletes. A bucket
         is deletable iff its half-open range [lo, lo+width) ends at or
         before the cutoff. Returns number of dropped partitions."""
-        width = self.block_width_ms
         dropped = 0
         for d in sorted(self._bucket_dirs()):
             lo = int(d.split("=")[1])
-            if lo + width <= cutoff_ms:
+            if lo + self.width_of(lo) <= cutoff_ms:
                 shutil.rmtree(os.path.join(self._samples_path, d))
                 dropped += 1
         self._forget_dropped_buckets()
@@ -476,11 +684,13 @@ class DB:
         return dropped
 
     def _forget_dropped_buckets(self) -> None:
-        """Prune overlap tracking for partitions that no longer exist."""
+        """Prune overlap/width tracking for partitions that no longer exist."""
         live = {int(d.split("=")[1]) for d in self._bucket_dirs()}
         kept = [b for b in self.overlapping_buckets if b in live]
-        if kept != self.overlapping_buckets:
+        widths = {k: v for k, v in self.meta.get("bucket_widths", {}).items() if int(k) in live}
+        if kept != self.overlapping_buckets or widths != self.meta.get("bucket_widths", {}):
             self.meta["overlapping_buckets"] = kept
+            self.meta["bucket_widths"] = widths
             self._write_meta()
 
     def block_stats(self) -> DataFrame:
@@ -530,7 +740,10 @@ class Querier:
     maxt: int
 
     def _pruned_samples(self) -> DataFrame:
-        width = self.db.block_width_ms
+        # prune with the widest live bucket span: a level-promoted bucket's
+        # lo may sit up to max_bucket_width below mint and still hold
+        # in-range samples (conservative by at most one coarse bucket)
+        width = self.db.max_bucket_width
         lo_bucket = (self.mint // width) * width
         s = self.db.samples()
         return s.filter(
@@ -567,7 +780,7 @@ class Querier:
         dirty = [
             b
             for b in self.db.overlapping_buckets
-            if b + self.db.block_width_ms > self.mint and b <= self.maxt
+            if b + self.db.width_of(b) > self.mint and b <= self.maxt
         ]
         if dirty:
             is_dirty = F.col("t_bucket").isin(dirty)
