@@ -186,6 +186,43 @@ def simhash_expr(text_col: Column | str = "text", bits: int = SIMHASH_BITS) -> C
     return total
 
 
+def simhash_frame(
+    docs: DataFrame,
+    bits: int = SIMHASH_BITS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, simhash) for a whole corpus — the FAST formulation.
+
+    `simhash_expr` folds the token-hash array with per-bit `aggregate`
+    calls; higher-order array functions are interpreted per element
+    (never whole-stage-codegen'd), which makes it the slow path for bulk
+    scoring. Here the tokens explode to rows and the 48 per-bit ±1 sums
+    run as plain SUM aggregates inside one codegen'd, map-side-combinable
+    HashAggregate — the md5 per token happens exactly once, and the only
+    shuffle is the groupBy on the doc id. Bit math is identical, so both
+    formulations (and the SQL oracle) agree bit-for-bit."""
+    toks = tokens_expr(text_col)
+    h = docs.select(
+        F.col(id_col).alias("id"),
+        # outer: a zero-token doc must keep a row (simhash 0), matching
+        # the fold formulation and the oracle's NULL-sum semantics
+        F.explode_outer(F.transform(toks, lambda t: hash64(t, "simhash"))).alias("h"),
+    )
+    sums = h.groupBy("id").agg(
+        *[
+            F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"_b{b}")
+            for b in range(bits)
+        ]
+    )
+    total = F.lit(0).cast("long")
+    for b in range(bits):
+        total = total + F.when(
+            F.col(f"_b{b}") > 0, F.lit(1 << b).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return sums.select("id", total.alias("simhash"))
+
+
 def simhash_near_pairs(
     docs: DataFrame,
     max_hamming: int = 3,
@@ -195,9 +232,10 @@ def simhash_near_pairs(
     """Near-dup pairs by SimHash: candidates share one of the 4 12-bit
     blocks (pigeonhole guarantees completeness for Hamming ≤ 3), then
     the exact Hamming distance filters. Returns (id_a, id_b, hamming)."""
-    d = docs.select(
-        F.col(id_col).alias("id"), simhash_expr(text_col).alias("simhash")
-    )
+    # materialize the fingerprints once: the banded self-join reads this
+    # frame on BOTH sides — uncached, each side would recompute the full
+    # simhash aggregation over the corpus
+    d = simhash_frame(docs, text_col=text_col, id_col=id_col).persist()
     blocks = F.array(
         *[
             F.struct(

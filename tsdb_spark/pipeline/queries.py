@@ -58,7 +58,15 @@ sh AS (SELECT doc_id,
 
 
 def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # spread the (few, large) input files across the cluster before the
+    # heavy sketch expressions — at sf0.01 the parquet arrives as ~3
+    # splits, which would cap every downstream md5/minhash stage at 3
+    # tasks no matter how wide the cluster is
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     exact = docs.filter(F.col("doc_id") % 10 == 0).withColumn(
         "doc_id", F.col("doc_id") + 100000
     )
@@ -183,7 +191,10 @@ SELECT id_a, id_b, jaccard_bp FROM pairs WHERE jaccard_bp >= 6000""",
     "MinHash-LSH near-dup: 32 hashes, 8 bands — banded bucket join, never all-pairs; exact-Jaccard verified",
 )
 def docs_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sigs = D.minhash_signatures(_corpus(spark, sf_dir))
+    # persist: the signature frame feeds the banded self-join (2 scans)
+    # and the Jaccard verification (2 more) — uncached, the 32-way
+    # md5-minhash expression would run 4x over the corpus
+    sigs = D.minhash_signatures(_corpus(spark, sf_dir)).persist()
     cand = D.lsh_candidate_pairs(sigs)
     return D.jaccard_pairs(cand, sigs)
 
