@@ -1,0 +1,112 @@
+"""Streaming ingest: checkpointed file-source stream → foreachBatch →
+DB.append. Covers T1 (bounded lateness), T3 (auto-flush via the leveled
+planner), T5 (restart/replay semantics — the WAL analog)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from tsdb_spark import labels as L
+from tsdb_spark.db import DB
+from tsdb_spark.streaming import StreamIngestor
+
+ROWS_SCHEMA = "labels MAP<STRING,STRING>, t LONG, v DOUBLE"
+
+
+def _write_chunk(spark, src_dir, rows, name):
+    df = spark.createDataFrame(rows, ROWS_SCHEMA)
+    df.coalesce(1).write.mode("overwrite").parquet(os.path.join(src_dir, name))
+
+
+def _drain(spark, src_dir, ingestor, ckpt):
+    stream = spark.readStream.schema(ROWS_SCHEMA).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src_dir + "/*")
+    q = ingestor.start(stream, ckpt, trigger={"availableNow": True})
+    q.awaitTermination(120)
+    assert not q.isActive
+
+
+def _store_ts(db):
+    return {
+        r["t"]: r["v"]
+        for r in db.querier(-(10**15), 10**15).select([L.eq("m", "a")]).collect()
+    }
+
+
+def test_stream_ingest_and_restart_resumes(spark, tmp_path):
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    db = DB.create(spark, str(tmp_path / "store"), block_width_ms=1000)
+    ing = StreamIngestor(db)
+
+    _write_chunk(spark, src, [({"m": "a"}, 100, 1.0), ({"m": "a"}, 1100, 2.0)], "c0")
+    _drain(spark, src, ing, ckpt)
+    assert _store_ts(db) == {100: 1.0, 1100: 2.0}
+    epoch_after_first = db.meta["last_stream_epoch"]
+
+    # restart with the same checkpoint: old file NOT reprocessed, new
+    # file picked up where the offsets left off (T5)
+    _write_chunk(spark, src, [({"m": "a"}, 2100, 3.0)], "c1")
+    ing2 = StreamIngestor(db)
+    _drain(spark, src, ing2, ckpt)
+    assert _store_ts(db) == {100: 1.0, 1100: 2.0, 2100: 3.0}
+    assert db.meta["last_stream_epoch"] > epoch_after_first
+
+    # drain with no new data: a no-op, nothing duplicated
+    seq = db.meta["next_ingest_seq"]
+    _drain(spark, src, StreamIngestor(db), ckpt)
+    assert _store_ts(db) == {100: 1.0, 1100: 2.0, 2100: 3.0}
+    assert db.meta["next_ingest_seq"] == seq
+
+
+def test_replayed_epoch_skipped_and_reappend_invisible(spark, tmp_path):
+    db = DB.create(spark, str(tmp_path / "store"), block_width_ms=1000)
+    ing = StreamIngestor(db)
+    batch = spark.createDataFrame([({"m": "a"}, 100, 1.0)], ROWS_SCHEMA)
+    ing.process_batch(batch, 0)
+    assert _store_ts(db) == {100: 1.0}
+    # exact replay of a committed epoch: skipped outright
+    ing.process_batch(batch, 0)
+    assert db.meta["next_ingest_seq"] == 2
+    # crash-window replay (samples committed, epoch lost): the second
+    # append lands, but vertical dedup hides the identical copies
+    db.meta["last_stream_epoch"] = -1
+    ing.process_batch(batch, 0)
+    assert db.meta["next_ingest_seq"] == 3
+    assert _store_ts(db) == {100: 1.0}
+
+
+def test_bounded_lateness_rejects_old_samples(spark, tmp_path):
+    db = DB.create(spark, str(tmp_path / "store"), block_width_ms=1000)
+    ing = StreamIngestor(db, lateness_ms=500)
+    ing.process_batch(
+        spark.createDataFrame([({"m": "a"}, 1000, 1.0)], ROWS_SCHEMA), 0
+    )
+    # hwm=1000 → min_valid=500: t=400 dropped, t=600 and t=1200 kept
+    ing.process_batch(
+        spark.createDataFrame(
+            [({"m": "a"}, 400, 9.0), ({"m": "a"}, 600, 2.0), ({"m": "a"}, 1200, 3.0)],
+            ROWS_SCHEMA,
+        ),
+        1,
+    )
+    assert _store_ts(db) == {1000: 1.0, 600: 2.0, 1200: 3.0}
+    assert db.meta["stream_high_water_ms"] == 1200
+
+
+def test_auto_flush_promotes_filled_ranges(spark, tmp_path):
+    # width 100 → ranges [100, 300, 900]; streaming past t=300 leaves
+    # buckets 0,100,200 behind the frontier → the planner merges them
+    db = DB.create(spark, str(tmp_path / "store"), block_width_ms=100)
+    ing = StreamIngestor(db, compact_every=1)
+    for epoch, t in enumerate((10, 110, 210, 310)):
+        ing.process_batch(
+            spark.createDataFrame([({"m": "a"}, t, float(t))], ROWS_SCHEMA), epoch
+        )
+    buckets = sorted(int(d.split("=")[1]) for d in db._bucket_dirs())
+    assert buckets == [0, 300]
+    assert db.width_of(0) == 300
+    assert _store_ts(db) == {10: 10.0, 110: 110.0, 210: 210.0, 310: 310.0}

@@ -1,0 +1,107 @@
+"""Streaming ingest: the reference's Head + WAL re-expressed as
+Structured Streaming `foreachBatch` over the partitioned store.
+
+Mapping (SURVEY.md §2.9):
+
+- **WAL + replay (S8/S9/T5)**: the reference logs every append to a WAL
+  (wal/wal.go:549-652) and replays it after a crash (head.go:61-85). In
+  Spark the source offsets + streaming checkpoint ARE the WAL: a
+  restarted query re-delivers every batch not yet committed to the
+  sink. Idempotence is ours to provide — the store records the last
+  committed epoch id in `_meta.json`, and a replayed batch (epoch ≤
+  recorded) is skipped, the same exactly-once contract the reference
+  gets from WAL segment truncation after checkpoint
+  (checkpoint.go:102-261).
+- **bounded lateness (T1)**: the head rejects samples older than
+  `minValidTime = maxTime - chunkRange/2` (head.go:773-783). Here the
+  high-water mark of ingested event time is tracked in meta and each
+  batch is appended with `min_valid_time = hwm - lateness_ms`.
+- **head→block auto-flush (T3)**: the reference compacts the head into a
+  block once it spans 1.5× the chunk range (db.go:701-759). Here every
+  `compact_every` batches the leveled planner (`DB.auto_compact`)
+  promotes filled parent ranges — the streaming analog of cutting a
+  block behind the ingest frontier.
+- **out-of-order / amend policy (T2)**: enforced by `DB.append`
+  unchanged — batch rules apply per micro-batch.
+
+The wrapped store stays a plain `DB`: batch appends, selects, deletes,
+retention and compaction work concurrently with the stream.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from tsdb_spark.db import DB
+
+
+@dataclass
+class StreamIngestor:
+    """Drives a streaming DataFrame of (labels MAP<STRING,STRING>,
+    t LONG, v DOUBLE) into a DB via foreachBatch.
+
+    lateness_ms: samples older than (high-water-mark - lateness_ms) are
+        rejected, mirroring head.go:773-783. None disables the bound.
+    compact_every: run `DB.auto_compact()` after every N committed
+        batches (0 disables auto-flush).
+    """
+
+    db: DB
+    lateness_ms: int | None = None
+    compact_every: int = 0
+    _batches_done: int = 0
+
+    # -- foreachBatch body (public so tests can drive it directly) --
+
+    def process_batch(self, batch: DataFrame, epoch_id: int) -> None:
+        last = self.db.meta.get("last_stream_epoch", -1)
+        if epoch_id <= last:
+            # replayed batch after restart — already committed (T5)
+            return
+        min_valid = None
+        hwm = self.db.meta.get("stream_high_water_ms")
+        if self.lateness_ms is not None and hwm is not None:
+            min_valid = hwm - self.lateness_ms
+        # one metadata-sized job for the batch's event-time frontier
+        mx = batch.agg(F.max("t").alias("m")).collect()[0]["m"]
+        self.db.append(batch, min_valid_time=min_valid)
+        if mx is not None:
+            self.db.meta["stream_high_water_ms"] = max(hwm or mx, mx)
+        # epoch id commits with the same atomic meta write as the
+        # ingest-seq bump. Crash window (samples committed, epoch not):
+        # the batch replays and appends AGAIN — but the re-touched
+        # buckets are flagged overlapping, and vertical dedup collapses
+        # the identical (series, t, v) copies at read, so replays stay
+        # invisible to queries (the reference gets the same effect from
+        # WAL replay into the dedup'ing head, head.go:1694-1696)
+        self.db.meta["last_stream_epoch"] = epoch_id
+        self.db._write_meta()
+        self._batches_done += 1
+        if self.compact_every and self._batches_done % self.compact_every == 0:
+            self.db.auto_compact()
+
+    def start(
+        self,
+        stream: DataFrame,
+        checkpoint_dir: str,
+        trigger: dict | None = None,
+        query_name: str = "tsdb-ingest",
+    ):
+        """Attach to a streaming DataFrame and start the query.
+
+        trigger: kwargs for DataStreamWriter.trigger, e.g.
+        {"availableNow": True} (drain-and-stop, the test/backfill mode)
+        or {"processingTime": "10 seconds"}.
+        """
+        w = (
+            stream.writeStream.queryName(query_name)
+            .foreachBatch(self.process_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("update")
+        )
+        if trigger:
+            w = w.trigger(**trigger)
+        return w.start()
