@@ -155,6 +155,34 @@ def tsdb_select_neq(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("labels_str", "t", "v")
 
 
+@register(
+    "tsdb_postings_matchers",
+    _with_prelude("""
+, series AS (SELECT DISTINCT labels_str, event_type, user_lbl, k_bucket FROM samples)
+SELECT labels_str FROM series
+WHERE event_type = 'click' AND k_bucket != 'high'
+  AND regexp_matches(user_lbl, '^(?:[0-9]*[02468])$')"""),
+    "materialized inverted-index path: intersect/subtract postings set "
+    "algebra (S6/F5, PostingsForMatchers querier.go:326-396) — the "
+    "ultra-high-cardinality escape hatch next to the default dim filter",
+)
+def tsdb_postings_matchers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tsdb_spark.operators.postings import build_postings, postings_for_matchers
+
+    series = events_series(spark, sf_dir)
+    post = build_postings(series)
+    ids = postings_for_matchers(
+        post,
+        series,
+        [
+            L.eq("__name__", "click"),          # intersect (direct lookup)
+            L.neq("k_bucket", "high"),          # accepts-missing → subtract
+            L.re_match("user", "[0-9]*[02468]"),  # general-regex intersect
+        ],
+    )
+    return ids.join(series, "series_id").select("labels_str")
+
+
 # =====================================================================
 # label enumeration (A1/A2, J10)
 # =====================================================================
