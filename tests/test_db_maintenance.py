@@ -183,3 +183,38 @@ def test_tombstone_heavy_block_rewritten_once(spark, tmp_path):
     assert got == {210, 310}
     # planner is satisfied: the rewritten bucket is marked tombstone-clean
     assert db.compact_plan() == ([], None)
+
+
+def test_snapshot_hardlink_store(spark, tmp_path):
+    db = _mkdb(spark, tmp_path, "snap", width=1000)
+    db.append(_df(spark, [({"m": "a"}, 100, 1.0), ({"m": "b"}, 1100, 2.0)]))
+    db.delete(0, 50, [L.eq("m", "a")])
+    dest = str(tmp_path / "snap_copy")
+    db.snapshot(dest)
+    snap = DB.open(spark, dest)
+    want = {r["t"]: r["v"] for r in db.querier(0, 9999).select([L.neq("m", "")]).collect()}
+    got = {r["t"]: r["v"] for r in snap.querier(0, 9999).select([L.neq("m", "")]).collect()}
+    assert got == want
+    # snapshot is isolated from later writes to the origin
+    db.append(_df(spark, [({"m": "a"}, 2100, 9.0)]))
+    got2 = {r["t"]: r["v"] for r in snap.querier(0, 9999).select([L.neq("m", "")]).collect()}
+    assert got2 == want
+    with pytest.raises(ValueError):
+        db.snapshot(db.path)
+
+
+def test_checkpoint_drops_gc_and_trims(spark, tmp_path):
+    db = _mkdb(spark, tmp_path, "ckpt", width=1000)
+    db.append(_df(spark, [({"m": "old"}, 100, 1.0), ({"m": "keep"}, 2100, 2.0)]))
+    db.delete(0, 2050, [L.eq("m", "keep")])  # spans the cutoff
+    rep = db.checkpoint(2000)
+    assert rep["partitions_dropped"] == 1 and rep["series_removed"] == 1
+    # orphan series gone from enumeration
+    vals = [r["value"] for r in db.label_values("m").collect()]
+    assert vals == ["keep"]
+    # the tombstone interval was clipped to [2000, 2050]; t=2100 is
+    # outside it and survives
+    got = {r["t"] for r in db.querier(0, 9999).select([L.eq("m", "keep")]).collect()}
+    assert got == {2100}
+    tomb = db.tombstones().collect()
+    assert len(tomb) == 1 and tomb[0]["mint"] == 2000 and tomb[0]["maxt"] == 2050

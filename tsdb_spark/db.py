@@ -646,6 +646,72 @@ class DB:
             done.append(los)
         return done
 
+    # ---------------- snapshot & checkpoint ----------------
+
+    def snapshot(self, dest: str) -> None:
+        """Full-store snapshot into `dest` by hardlink (Snapshot
+        db.go:1108-1146; per-block hardlink copy block.go:224-264):
+        O(#files) metadata ops, zero data copied, and the result opens as
+        a normal DB. On an object store the same protocol is a manifest
+        copy."""
+        if os.path.abspath(dest) == os.path.abspath(self.path):
+            raise ValueError("cannot snapshot into base directory")
+        os.makedirs(dest, exist_ok=False)
+        for sub in ("samples", "series", "tombstones"):
+            root = os.path.join(self.path, sub)
+            if not os.path.isdir(root):
+                continue
+            for dirpath, _, files in os.walk(root):
+                tgt = os.path.join(dest, os.path.relpath(dirpath, self.path))
+                os.makedirs(tgt, exist_ok=True)
+                for fn in files:
+                    os.link(os.path.join(dirpath, fn), os.path.join(tgt, fn))
+        with open(os.path.join(dest, "_meta.json"), "w") as f:
+            json.dump(self.meta, f)
+
+    def gc_series(self) -> int:
+        """Drop series-dim entries with no remaining samples — the keep
+        function of the reference's checkpoint/head-GC (checkpoint.go:
+        188-191 keeps only series still in the head; head.go gc()).
+        Retention deletes sample partitions wholesale, so without this
+        the dim accumulates label sets that LabelValues/LabelNames still
+        report. Returns the number of series removed."""
+        live = self.samples().select("series_id").distinct()
+        s = self.series()
+        total = s.count()
+        kept = s.join(live, "series_id", "left_semi")
+        n_kept = kept.count()
+        if n_kept < total:
+            self._atomic_overwrite(kept.coalesce(1), self._series_path)
+        return total - n_kept
+
+    def checkpoint(self, mint: int) -> dict:
+        """Filtered rewrite of everything behind `mint` (Checkpoint,
+        checkpoint.go:102-261: drops samples before mint, series no
+        longer referenced, and spent delete records):
+        whole partitions below mint are deleted, orphan series GC'd, and
+        tombstone intervals clipped to [mint, ∞)."""
+        dropped = self.retain_after(mint)
+        removed = self.gc_series()
+        tombs_trimmed = 0
+        if os.path.isdir(self._tombstones_path):
+            tombs = self.tombstones()
+            kept = tombs.filter(F.col("maxt") >= F.lit(mint)).withColumn(
+                "mint", F.greatest(F.col("mint"), F.lit(mint).cast("long"))
+            )
+            # a rewrite is due if any interval is dropped OR clipped
+            touched = tombs.filter(F.col("mint") < F.lit(mint)).count()
+            tombs_trimmed = tombs.count() - kept.count()
+            if kept.limit(1).count() == 0:
+                shutil.rmtree(self._tombstones_path)
+            elif touched:
+                self._atomic_overwrite(kept.coalesce(1), self._tombstones_path)
+        return {
+            "partitions_dropped": dropped,
+            "series_removed": removed,
+            "tombstones_dropped": tombs_trimmed,
+        }
+
     def retain_after(self, cutoff_ms: int) -> int:
         """Drop whole partitions entirely below the cutoff —
         beyondTimeRetention (db.go:865-884) as partition deletes. A bucket

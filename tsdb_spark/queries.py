@@ -383,6 +383,48 @@ def tsdb_cardinality_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tsdb_analyze_labels",
+    _with_prelude("""
+, ps AS (SELECT labels_str, any_value(event_type) AS et, any_value(user_lbl) AS ul,
+                any_value(k_bucket) AS kb, max(t) - min(t) AS cover
+         FROM samples GROUP BY labels_str),
+rng AS (SELECT max(t) - min(t) AS r FROM samples),
+expl AS (SELECT labels_str, '__name__' AS name, et AS value, cover FROM ps
+         UNION ALL SELECT labels_str, 'user', ul, cover FROM ps
+         UNION ALL SELECT labels_str, 'k_bucket', kb, cover FROM ps WHERE kb != ''),
+dv AS (SELECT DISTINCT name, value FROM expl),
+va AS (SELECT name, CAST(count(*) AS BIGINT) AS n_values,
+              CAST(sum(length(value)) AS BIGINT) AS cum_value_len
+       FROM dv GROUP BY name),
+sa AS (SELECT name, CAST(count(*) AS BIGINT) AS n_series,
+              CAST(floor(sum((SELECT r FROM rng) - cover) / (SELECT r FROM rng)) AS BIGINT) AS churn
+       FROM expl GROUP BY name)
+SELECT name, n_values, cum_value_len, n_series, churn
+FROM va JOIN sa USING (name) ORDER BY name"""),
+    "analyze, full label report: value cardinality, cumulative value "
+    "length, series counts, churn (A5, cmd/tsdb/main.go:512-601)",
+)
+def tsdb_analyze_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tsdb_spark.analyze import analyze_labels
+
+    return analyze_labels(events_series(spark, sf_dir), events_samples(spark, sf_dir))
+
+
+@register(
+    "tsdb_analyze_metrics",
+    _with_prelude("""
+SELECT event_type AS metric, CAST(count(DISTINCT labels_str) AS BIGINT) AS n_series,
+       CAST(count(*) AS BIGINT) AS n_samples
+FROM samples GROUP BY event_type ORDER BY metric"""),
+    "analyze: per-metric series/sample cardinality (A5, cmd/tsdb/main.go:588-615)",
+)
+def tsdb_analyze_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tsdb_spark.analyze import analyze_metrics
+
+    return analyze_metrics(events_samples(spark, sf_dir))
+
+
+@register(
     "tsdb_intervals_coalesce",
     _with_prelude("""
 , iv AS (SELECT labels_str, t AS mint, t + 1800000 AS maxt FROM samples WHERE event_type = 'error'),
