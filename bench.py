@@ -95,9 +95,58 @@ def main() -> None:
                 F.count("*"), F.sum("buf_sum")
             ).collect()
 
+        # high-cardinality matcher algebra over the materialized postings
+        # relation (head_bench_test.go:52-120 BenchmarkHeadPostingForMatchers:
+        # 1e6 synthetic series, the matcher matrix it exercises)
+        with timed("postings"):
+            from tsdb_spark.operators.postings import build_postings, postings_for_matchers
+
+            ser = spark.range(1_000_000).select(
+                F.col("id").alias("series_id"),
+                F.create_map(
+                    F.lit("n"), (F.col("id") % 10).cast("string"),
+                    F.lit("i"), F.col("id").cast("string"),
+                    F.lit("j"),
+                    F.when(F.col("id") % 2 == 0, F.lit("foo")).otherwise(F.lit("bar")),
+                ).alias("labels"),
+            )
+            post = build_postings(ser).persist()
+            try:
+                for ms in (
+                    [eq("n", "1")],
+                    [eq("n", "1"), eq("j", "foo")],
+                    [eq("n", "1"), neq("j", "foo")],
+                    [re_match("n", "1|3|5"), eq("j", "foo")],
+                ):
+                    postings_for_matchers(post, ser, ms).agg(F.count("*")).collect()
+            finally:
+                post.unpersist()
+
+        # MinHash-LSH near-dup over documents (pipeline headline)
+        with timed("minhash"):
+            import tsdb_spark.pipeline.queries  # noqa: F401 — registers pipeline entries
+            from tsdb_spark.queries import QUERIES
+
+            QUERIES["docs_dedup_minhash"].spark_fn(spark, SF_DIR).agg(
+                F.count("*")
+            ).collect()
+
         # compaction rewrite (compact_test.go:788 BenchmarkCompaction)
+        # — runs on the pristine store so the number stays comparable
+        # across rounds
         with timed("compact"):
             db.compact(24 * 3600 * 1000)
+
+        # incremental (planned) compaction: dirty one day of buckets,
+        # one planning round rewrites exactly those — the 100TB
+        # maintenance path (a full rewrite would touch the whole store)
+        with timed("lvl_compact"):
+            db.append(
+                events_samples(spark, SF_DIR)
+                .select("labels", "t", "v")
+                .filter(F.col("t") < T0 + 1 * DAY)
+            )
+            db.auto_compact(max_rounds=1)
 
         total = round(sum(timings.values()), 3)
         print(

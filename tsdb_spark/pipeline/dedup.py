@@ -72,6 +72,37 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
+MASK30 = (1 << 30) - 1
+MASK60 = (1 << 60) - 1
+
+
+def _mh_consts(n: int) -> list[tuple[int, int, int]]:
+    """Deterministic 28-bit multiplier/offset triples for the derived
+    MinHash family — reproducible in SQL as plain integer literals."""
+    import hashlib
+
+    out = []
+    for i in range(n):
+        d = hashlib.md5(f"mh:{i}".encode()).hexdigest()
+        out.append((int(d[:7], 16) | 1, int(d[7:14], 16) | 1, int(d[14:21], 16)))
+    return out
+
+
+MH_CONSTS = _mh_consts(N_HASHES)
+
+
+def shingle_sets(
+    docs: DataFrame, k: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, shingles): the distinct k-shingle set per doc — the shared
+    input of MinHash signatures and exact-Jaccard scoring."""
+    return (
+        docs.withColumn("_sh", shingles_expr(text_col, k))
+        .filter(F.size("_sh") > 0)
+        .select(F.col(id_col).alias("id"), F.col("_sh").alias("shingles"))
+    )
+
+
 def minhash_signatures(
     docs: DataFrame,
     n_hashes: int = N_HASHES,
@@ -79,17 +110,30 @@ def minhash_signatures(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """(id, shingles, sig): MinHash signature = per-seed minimum of the
-    keyed shingle hashes. n_hashes × |shingles| md5s per doc, all inside
-    whole-stage codegen."""
-    d = docs.withColumn("_sh", shingles_expr(text_col, k)).filter(F.size("_sh") > 0)
-    sig = F.array(
+    """(id, shingles, sig): MinHash signature over the shingle set.
+
+    Scale shape: ONE md5 per shingle (exploded to rows, whole-stage
+    codegen), then the n_hashes family derives by 30-bit-split
+    multiply-add — (h>>30)*a + (h&MASK30)*b + c, masked to 60 bits, all
+    products < 2^58 so the arithmetic is overflow-free and bit-identical
+    in any BIGINT engine (the SQL oracle reproduces it with integer
+    literals). The per-seed minima run as plain MIN aggregates in one
+    map-side-combinable HashAggregate — never an interpreted higher-order
+    fold, never n_hashes md5 passes."""
+    d = shingle_sets(docs, k=k, text_col=text_col, id_col=id_col).persist()
+    ex = d.select("id", F.explode("shingles").alias("s")).withColumn(
+        "h", hash64(F.col("s"), "mh")
+    )
+    h1 = F.shiftright(F.col("h"), 30)
+    h2 = F.col("h").bitwiseAND(F.lit(MASK30))
+    mins = ex.groupBy("id").agg(
         *[
-            F.array_min(F.transform("_sh", lambda s, i=i: hash64(s, i)))
-            for i in range(n_hashes)
+            F.min((h1 * a + h2 * b + c).bitwiseAND(F.lit(MASK60))).alias(f"_m{i}")
+            for i, (a, b, c) in enumerate(MH_CONSTS[:n_hashes])
         ]
     )
-    return d.select(F.col(id_col).alias("id"), F.col("_sh").alias("shingles"), sig.alias("sig"))
+    sig = F.array(*[F.col(f"_m{i}") for i in range(n_hashes)])
+    return d.join(mins, "id").select("id", "shingles", sig.alias("sig"))
 
 
 def lsh_candidate_pairs(

@@ -166,15 +166,24 @@ def docs_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.exact_dedup(_corpus(spark, sf_dir))
 
 
+_MH_A = "[" + ", ".join(str(a) for a, _, _ in D.MH_CONSTS) + "]"
+_MH_B = "[" + ", ".join(str(b) for _, b, _ in D.MH_CONSTS) + "]"
+_MH_C = "[" + ", ".join(str(c) for _, _, c in D.MH_CONSTS) + "]"
+
+
 @register(
     "docs_dedup_minhash",
     f"""
 WITH {SQL_CORPUS},
 {SQL_SHINGLES},
+bh AS (SELECT doc_id, sh, list_transform(sh, x -> {sql_h("'mh'", "x")}) AS bh FROM sh),
 sig AS (SELECT doc_id,
           list_transform(range(0, {D.N_HASHES}),
-                         s -> list_min(list_transform(sh, x -> {sql_h("s::VARCHAR", "x")}))) AS sig
-        FROM sh),
+                         s -> list_min(list_transform(bh, h ->
+                           ((h >> 30) * ({_MH_A})[s+1]
+                            + (h & {D.MASK30}) * ({_MH_B})[s+1]
+                            + ({_MH_C})[s+1]) & {D.MASK60}))) AS sig
+        FROM bh),
 banded AS (SELECT doc_id, b AS band_id,
              {sql_h("'band' || b::VARCHAR", f"array_to_string(sig[b*{D.ROWS_PER_BAND}+1:b*{D.ROWS_PER_BAND}+{D.ROWS_PER_BAND}], ',')")} AS band_key
            FROM sig CROSS JOIN range(0, {D.N_BANDS}) t(b)),
@@ -240,7 +249,7 @@ SELECT probe_id, neighbor_id, jaccard_bp FROM r WHERE rnk = 1""",
     "exact n-gram-Jaccard nearest neighbor for a broadcast probe set",
 )
 def docs_jaccard_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sigs = D.minhash_signatures(_corpus(spark, sf_dir)).select("id", "shingles")
+    sigs = D.shingle_sets(_corpus(spark, sf_dir))
     probes = sigs.filter(F.col("id") < 10).select(
         F.col("id").alias("probe_id"), F.col("shingles").alias("psh")
     )

@@ -468,14 +468,28 @@ _STORES: dict[tuple[str, str], DB] = {}
 def _store(spark: SparkSession, sf_dir: str, scenario: str) -> DB:
     """Build (once per process per sf_dir) a scenario store from the
     events table. Stores live in a temp dir; queries read them back
-    through the normal partition-pruned path."""
+    through the normal partition-pruned path.
+
+    The base store ingests once; every other scenario hardlink-snapshots
+    it (DB.snapshot) and mutates the copy — parquet files are immutable
+    (appends add files, compaction swaps directories), so the fork is
+    isolated while skipping three redundant ingests per correctness run.
+    """
     key = (scenario, sf_dir)
     if key in _STORES:
         return _STORES[key]
+    base_key = ("base", sf_dir)
+    if base_key not in _STORES:
+        root = tempfile.mkdtemp(prefix="tsdb_q_base_")
+        bdb = DB.create(spark, f"{root}/db", block_width_ms=STORE_WIDTH_MS)
+        bdb.append(events_samples(spark, sf_dir).select("labels", "t", "v"))
+        _STORES[base_key] = bdb
+    if scenario == "base":
+        return _STORES[base_key]
     root = tempfile.mkdtemp(prefix=f"tsdb_q_{scenario}_")
-    db = DB.create(spark, f"{root}/db", block_width_ms=STORE_WIDTH_MS)
+    _STORES[base_key].snapshot(f"{root}/db")
+    db = DB.open(spark, f"{root}/db")
     base = events_samples(spark, sf_dir).select("labels", "t", "v")
-    db.append(base)
     if scenario == "vertical":
         # second batch rewrites the middle two weeks with v+1000 →
         # overlapping buckets → compaction resolves later-ingest-wins
@@ -555,6 +569,49 @@ GROUP BY 1 ORDER BY t_bucket"""),
 def store_retention_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     db = _store(spark, sf_dir, "retention")
     return db.block_stats()
+
+
+@register(
+    "stream_ingest_restart",
+    _with_prelude("""
+SELECT labels_str, t, v FROM samples WHERE t < {T0} + 2*{DAY}"""),
+    "streaming lifecycle (T1/T5): two days of events staged as file-source "
+    "chunks, streamed through checkpointed foreachBatch in two runs with a "
+    "restart between — the store must equal a plain batch load",
+)
+def stream_ingest_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tsdb_spark.streaming import StreamIngestor
+
+    key = ("stream", sf_dir)
+    if key not in _STORES:
+        root = tempfile.mkdtemp(prefix="tsdb_q_stream_")
+        src, ckpt = f"{root}/src", f"{root}/ckpt"
+        ev = events_samples(spark, sf_dir).select("labels", "t", "v")
+        schema = "labels MAP<STRING,STRING>, t LONG, v DOUBLE"
+        db = DB.create(spark, f"{root}/db", block_width_ms=STORE_WIDTH_MS)
+
+        def drain():
+            stream = spark.readStream.schema(schema).parquet(src + "/*")
+            q = StreamIngestor(db).start(
+                stream, ckpt, trigger={"availableNow": True}
+            )
+            q.awaitTermination(300)
+
+        ev.filter(F.col("t") < T0 + DAY).write.parquet(f"{src}/day1")
+        drain()
+        # "restart": a fresh ingestor + a new chunk; the checkpoint must
+        # skip day1 and pick up exactly day2
+        ev.filter((F.col("t") >= T0 + DAY) & (F.col("t") < T0 + 2 * DAY)).write.parquet(
+            f"{src}/day2"
+        )
+        drain()
+        _STORES[key] = db
+    return (
+        _STORES[key]
+        .querier(T0, T0 + 2 * DAY)
+        .select([])
+        .select("labels_str", "t", "v")
+    )
 
 
 @register(
