@@ -34,3 +34,18 @@ def hash64_sql(expr: str, seed: int | str = 0) -> str:
     return (
         f"CAST(concat('0x', substr(md5(concat('{seed}:', {expr})), 1, 15)) AS BIGINT)"
     )
+
+
+def materialize(df):
+    """Persist AND eagerly compute a frame that downstream plans scan
+    more than once (LSH self-joins, verify joins).
+
+    A lazy ``persist()`` is not enough: the scans arrive as sibling
+    stages of ONE job, the scheduler runs them concurrently, and every
+    one misses the still-empty cache — the expensive sketch expression
+    then runs once per scan. One eager pass populates the cache before
+    the fan-out; at cluster scale this is the same pattern as
+    checkpointing a shared intermediate."""
+    df = df.persist()
+    df.count()
+    return df

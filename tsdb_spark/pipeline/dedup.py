@@ -120,7 +120,12 @@ def minhash_signatures(
     literals). The per-seed minima run as plain MIN aggregates in one
     map-side-combinable HashAggregate — never an interpreted higher-order
     fold, never n_hashes md5 passes."""
-    d = shingle_sets(docs, k=k, text_col=text_col, id_col=id_col).persist()
+    # eager: the shingle frame feeds both the exploded hash aggregation
+    # and the final signature join — sibling scans of one job would each
+    # recompute the tokenize+shingle expression on a lazy persist
+    from tsdb_spark.pipeline.common import materialize
+
+    d = materialize(shingle_sets(docs, k=k, text_col=text_col, id_col=id_col))
     ex = d.select("id", F.explode("shingles").alias("s")).withColumn(
         "h", hash64(F.col("s"), "mh")
     )
@@ -277,9 +282,11 @@ def simhash_near_pairs(
     blocks (pigeonhole guarantees completeness for Hamming ≤ 3), then
     the exact Hamming distance filters. Returns (id_a, id_b, hamming)."""
     # materialize the fingerprints once: the banded self-join reads this
-    # frame on BOTH sides — uncached, each side would recompute the full
-    # simhash aggregation over the corpus
-    d = simhash_frame(docs, text_col=text_col, id_col=id_col).persist()
+    # frame on BOTH sides as sibling stages — lazily persisted, each side
+    # would recompute the full simhash aggregation over the corpus
+    from tsdb_spark.pipeline.common import materialize
+
+    d = materialize(simhash_frame(docs, text_col=text_col, id_col=id_col))
     blocks = F.array(
         *[
             F.struct(

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tsdb_spark.pipeline import dedup as D
+from tsdb_spark.pipeline.common import materialize
 from tsdb_spark.pipeline import embed as E
 from tsdb_spark.pipeline import multimodal as M
 from tsdb_spark.pipeline import text as T
@@ -200,10 +201,11 @@ SELECT id_a, id_b, jaccard_bp FROM pairs WHERE jaccard_bp >= 6000""",
     "MinHash-LSH near-dup: 32 hashes, 8 bands — banded bucket join, never all-pairs; exact-Jaccard verified",
 )
 def docs_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # persist: the signature frame feeds the banded self-join (2 scans)
-    # and the Jaccard verification (2 more) — uncached, the 32-way
-    # md5-minhash expression would run 4x over the corpus
-    sigs = D.minhash_signatures(_corpus(spark, sf_dir)).persist()
+    # eager materialize: the signature frame feeds the banded self-join
+    # (2 scans) and the Jaccard verification (2 more) — lazily persisted,
+    # the sibling scan stages all miss the empty cache and the 32-way
+    # minhash expression runs 4x over the corpus
+    sigs = materialize(D.minhash_signatures(_corpus(spark, sf_dir)))
     cand = D.lsh_candidate_pairs(sigs)
     return D.jaccard_pairs(cand, sigs)
 
@@ -249,7 +251,8 @@ SELECT probe_id, neighbor_id, jaccard_bp FROM r WHERE rnk = 1""",
     "exact n-gram-Jaccard nearest neighbor for a broadcast probe set",
 )
 def docs_jaccard_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sigs = D.shingle_sets(_corpus(spark, sf_dir))
+    # shared by the probe extraction (broadcast side) and the corpus scan
+    sigs = materialize(D.shingle_sets(_corpus(spark, sf_dir)))
     probes = sigs.filter(F.col("id") < 10).select(
         F.col("id").alias("probe_id"), F.col("shingles").alias("psh")
     )
