@@ -1,14 +1,25 @@
 """Similarity search over embedding columns.
 
-Two paths:
+Three search paths plus a near-dup detector:
 - `cosine_topk` — brute-force exact top-k for a (small, broadcast)
   probe set against the full corpus: probes × corpus is a broadcast
   nested-loop join whose cost is linear in the corpus, the correctness
   baseline at any scale;
-- `ann_lsh_topk` — the scale path: random-hyperplane LSH (sign-bit
-  bucket codes) buckets the corpus once, probes only scan their own
-  bucket. Bucket assignment is a map-only expression; the probe-bucket
-  join is an equi-join on the code.
+- `ann_lsh_topk` — random-hyperplane LSH (sign-bit bucket codes)
+  buckets the corpus once, probes only scan their own bucket. Bucket
+  assignment is a map-only expression; the probe-bucket join is an
+  equi-join on the code.
+- `ann_ivf_topk` — IVF-Flat: a coarse quantizer assigns every corpus
+  vector to its nearest centroid (the inverted lists); a probe scores
+  only the lists of its `nprobe` nearest centroids. The centroid set
+  here is deterministic (the lowest-id corpus vectors) so a SQL oracle
+  reproduces the structure bit-for-bit; swap in k-means-trained
+  centroids (pyspark.ml) for recall in production — the plan shape
+  (broadcast centroids → argmin assign → equi-join on list id) is
+  identical.
+- `cosine_near_dup_pairs` — embedding-space near-duplicate pairs:
+  same-bucket LSH self-join + cosine threshold, the vector-side
+  complement of the MinHash/SimHash text dedup.
 
 All arithmetic is double-precision sequential folds (zip_with +
 aggregate), which is bit-identical to DuckDB's DOUBLE[] list functions —
@@ -145,4 +156,122 @@ def ann_lsh_topk(
             "rank",
             F.floor(F.lit(100000) * F.col("cos")).cast("long").alias("cos_bp"),
         )
+    )
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, vec, centroid_id): assign every vector to its nearest
+    centroid — the IVF inverted-list build.
+
+    Centroids = the `n_centroids` lowest-id vectors (deterministic, no
+    training step; see module docstring). The centroid table broadcasts;
+    assignment is one map-side windowed argmax per vector — the corpus
+    is scanned exactly once and never shuffled except by the top-1
+    window on (id), which AQE keeps local."""
+    cent = embeddings.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("_cent")
+    )
+    scored = (
+        embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+        .crossJoin(F.broadcast(cent))
+        .withColumn("cos", cosine_expr("vec", "_cent"))
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("cos"), "centroid_id")
+    return (
+        scored.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .select("id", "vec", "centroid_id")
+    )
+
+
+def ann_ivf_topk(
+    embeddings: DataFrame,
+    probes: DataFrame,
+    k: int = 3,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-Flat approximate top-k: each probe scores only the inverted
+    lists of its `nprobe` nearest centroids.
+
+    Scale shape: the corpus is partitioned by centroid_id once (the
+    index build); a query is a broadcast of (probe × nprobe list ids)
+    against that partitioning — an equi-join touching nprobe/n_centroids
+    of the data, never a full scan, never a corpus self-join."""
+    lists = ivf_assign(embeddings, n_centroids, id_col, vec_col)
+    cent = embeddings.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("_cent")
+    )
+    p = probes.select(F.col(id_col).alias("probe_id"), F.col(vec_col).alias("_pv"))
+    pw = Window.partitionBy("probe_id").orderBy(F.desc("pcos"), "centroid_id")
+    probe_lists = (
+        p.crossJoin(F.broadcast(cent))
+        .withColumn("pcos", cosine_expr("_pv", "_cent"))
+        .withColumn("_r", F.row_number().over(pw))
+        .filter(F.col("_r") <= nprobe)
+        .select("probe_id", "_pv", "centroid_id")
+    )
+    scored = (
+        lists.join(F.broadcast(probe_lists), "centroid_id")
+        .filter(F.col("probe_id") != F.col("id"))
+        .withColumn("cos", cosine_expr("_pv", "vec"))
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos"), "id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "probe_id",
+            F.col("id").alias("neighbor_id"),
+            "rank",
+            F.floor(F.lit(100000) * F.col("cos")).cast("long").alias("cos_bp"),
+        )
+    )
+
+
+def cosine_near_dup_pairs(
+    embeddings: DataFrame,
+    min_cos_bp: int = 99000,
+    n_planes: int = N_PLANES,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, cos_bp) for
+    same-LSH-bucket pairs at or above the threshold (basis points of
+    1e5).
+
+    Near-identical vectors project to the same side of every hyperplane
+    with high probability, so true near-dups share a bucket; the
+    self-join is an equi-join on the code — never all-pairs. Exact
+    cosine then filters false bucket-mates."""
+    from tsdb_spark.pipeline.common import materialize
+
+    bucket = lsh_bucket_expr(vec_col, n_planes)
+    # eager: both sides of the bucket self-join scan this frame — the
+    # n_planes projection folds must not run twice over the corpus
+    d = materialize(
+        embeddings.select(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), bucket.alias("bucket")
+        )
+    )
+    a = d.select(F.col("id").alias("id_a"), F.col("vec").alias("_va"), "bucket")
+    b = d.select(F.col("id").alias("id_b"), F.col("vec").alias("_vb"), "bucket")
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cos_bp",
+            F.floor(F.lit(100000) * cosine_expr("_va", "_vb")).cast("long"),
+        )
+        .filter(F.col("cos_bp") >= min_cos_bp)
+        # one bucket code per vector (not banded) → a pair appears at
+        # most once; no distinct needed
+        .select("id_a", "id_b", "cos_bp")
     )

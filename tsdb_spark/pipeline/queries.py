@@ -339,6 +339,84 @@ def emb_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return E.ann_lsh_topk(emb, emb.filter(F.col("vec_id") < 8), k=3)
 
 
+@register(
+    "emb_ann_ivf",
+    f"""
+WITH {SQL_EMB},
+cent AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 16),
+asg0 AS (SELECT e.vec_id AS id, e.v, centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY list_cosine_similarity(e.v, cv) DESC, centroid_id) AS r
+         FROM e CROSS JOIN cent),
+lists AS (SELECT id, v, centroid_id FROM asg0 WHERE r = 1),
+p AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < 8),
+pl0 AS (SELECT probe_id, pv, centroid_id,
+          row_number() OVER (PARTITION BY probe_id
+                             ORDER BY list_cosine_similarity(pv, cv) DESC, centroid_id) AS r
+        FROM p CROSS JOIN cent),
+pl AS (SELECT probe_id, pv, centroid_id FROM pl0 WHERE r <= 4),
+scored AS (SELECT probe_id, l.id AS neighbor_id, list_cosine_similarity(pv, l.v) AS cos
+           FROM lists l JOIN pl USING (centroid_id) WHERE l.id != probe_id),
+rk AS (SELECT probe_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rank
+       FROM scored)
+SELECT probe_id, neighbor_id, rank, CAST(floor(100000 * cos) AS BIGINT) AS cos_bp
+FROM rk WHERE rank <= 3""",
+    "IVF-Flat approximate top-k: 16 deterministic centroids, nprobe=4 inverted-list probe",
+)
+def emb_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return E.ann_ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 8), k=3, n_centroids=16, nprobe=4
+    )
+
+
+#: embedding corpus with synthesized duplicates: exact copies (+100000,
+#: vec_id%10==0) and near copies (+200000, vec_id%7==0, first component
+#: scaled 1.2x — cosine stays near 1 but not exactly 1)
+SQL_EMB_DUP = f"""
+{SQL_EMB},
+exact_e AS (SELECT vec_id + 100000 AS vec_id, v FROM e WHERE vec_id % 10 = 0),
+near_e AS (SELECT vec_id + 200000 AS vec_id,
+             list_transform(range(1, len(v) + 1),
+                            i -> CASE WHEN i = 1 THEN v[1] * 1.2 ELSE v[i] END) AS v
+           FROM e WHERE vec_id % 7 = 0),
+corp AS (SELECT * FROM e UNION ALL SELECT * FROM exact_e UNION ALL SELECT * FROM near_e)
+""".strip()
+
+
+def _emb_dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    exact = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    near = emb.filter(F.col("vec_id") % 7 == 0).select(
+        (F.col("vec_id") + 200000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x, i: F.when(i == 0, x * 1.2).otherwise(x)
+        ).alias("embedding"),
+    )
+    return emb.unionByName(exact).unionByName(near)
+
+
+@register(
+    "emb_near_dup",
+    f"""
+WITH {SQL_EMB_DUP},
+coded AS (SELECT vec_id, v, {_sql_lsh_code('v')} AS bucket FROM corp),
+pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+            CAST(floor(100000 * list_cosine_similarity(a.v, b.v)) AS BIGINT) AS cos_bp
+          FROM coded a JOIN coded b
+            ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+SELECT id_a, id_b, cos_bp FROM pairs WHERE cos_bp >= 99000""",
+    "embedding-cosine near-dup pairs: same-LSH-bucket equi-join + exact cosine threshold",
+)
+def emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return E.cosine_near_dup_pairs(_emb_dup_corpus(spark, sf_dir), min_cos_bp=99000)
+
+
 # ================================================================ multimodal
 
 @register(
