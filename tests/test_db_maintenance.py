@@ -218,3 +218,64 @@ def test_checkpoint_drops_gc_and_trims(spark, tmp_path):
     assert got == {2100}
     tomb = db.tombstones().collect()
     assert len(tomb) == 1 and tomb[0]["mint"] == 2000 and tomb[0]["maxt"] == 2050
+
+
+def test_first_wins_amend_policy(spark, tmp_path):
+    # order_col gives the reference's first-wins (head.go:1697-1698):
+    # the earliest arrival at (series, t) defines v, later amends reject
+    db = _mkdb(spark, tmp_path, "firstwins", width=1000)
+    rows = spark.createDataFrame(
+        [
+            ({"x": "1"}, 100, 5.0, 0),
+            ({"x": "1"}, 100, 1.0, 1),  # amend: arrives later, rejected
+            ({"x": "1"}, 200, 9.0, 2),
+            ({"x": "1"}, 200, 9.0, 3),  # exact duplicate, dropped
+        ],
+        "labels MAP<STRING,STRING>, t LONG, v DOUBLE, seq LONG",
+    )
+    rep = db.append(rows, order_col="seq", report=True)
+    got = {r["t"]: r["v"] for r in db.querier(0, 1000).select([L.eq("x", "1")]).collect()}
+    assert got == {100: 5.0, 200: 9.0}
+    assert rep.duplicates_dropped == 1
+    assert rep.amends_rejected == 1
+
+
+def test_tombstones_total(spark, tmp_path):
+    db = _mkdb(spark, tmp_path, "tstotal", width=1000)
+    db.append(_df(spark, [({"x": "1"}, 100, 1.0), ({"x": "2"}, 2100, 2.0)]))
+    assert db.tombstones_total() == 0
+    db.delete(0, 500, [L.eq("x", "1")])
+    db.delete(2000, 2500, [L.eq("x", "2")])
+    assert db.tombstones_total() == 2
+
+
+def test_overlapping_block_report(spark, tmp_path):
+    # a base-width bucket appended inside a level-promoted coarse bucket
+    # must show up as an inter-block overlap in the sweep-line report
+    db = _mkdb(spark, tmp_path, "ovreport", width=1000)
+    db.append(_df(spark, [({"x": "1"}, 100, 1.0), ({"x": "1"}, 1100, 2.0)]))
+    db.compact_selected([0, 1000], target_width_ms=2000)  # one [0,2000) block
+    assert db.overlapping_block_report() == {}
+    db.append(_df(spark, [({"x": "2"}, 1200, 3.0)]))  # new dir t_bucket=1000
+    rep = db.overlapping_block_report()
+    assert (1000, 2000) in rep
+    assert sorted(rep[(1000, 2000)]) == ["0", "1000"]
+
+
+def test_overlapping_blocks_sweepline():
+    from tsdb_spark.compaction import BlockMeta, overlapping_blocks
+
+    b = lambda lo, hi, d: BlockMeta(mint=lo, maxt=hi, dir=d)
+    # disjoint
+    assert overlapping_blocks([b(0, 10, "a"), b(10, 20, "b")]) == {}
+    # simple pair overlap
+    got = overlapping_blocks([b(0, 10, "a"), b(5, 20, "b")])
+    assert {k: [m.dir for m in v] for k, v in got.items()} == {(5, 10): ["a", "b"]}
+    # three blocks, overlap depth changes mid-range: [5,8) covered by
+    # a+b, [8,10) by a+b+c, [10,12) by b+c
+    got = overlapping_blocks([b(0, 10, "a"), b(5, 12, "b"), b(8, 14, "c")])
+    assert {k: [m.dir for m in v] for k, v in got.items()} == {
+        (5, 8): ["a", "b"],
+        (8, 10): ["a", "b", "c"],
+        (10, 12): ["b", "c"],
+    }

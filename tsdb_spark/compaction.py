@@ -94,6 +94,40 @@ def select_overlapping(blocks: list[BlockMeta]) -> list[BlockMeta]:
     return out
 
 
+def overlapping_blocks(blocks: list[BlockMeta]) -> dict[tuple[int, int], list[BlockMeta]]:
+    """Sweep-line overlap detection (OverlappingBlocks, db.go:977-1042):
+    returns {(mint, maxt): [blocks]} — every maximal time range where two
+    or more blocks overlap, with the blocks covering it.
+
+    Pure metadata (one event per block boundary); at 100 TB this runs on
+    the driver over the partition listing, never touching data."""
+    if len(blocks) < 2:
+        return {}
+    bounds = sorted({b.mint for b in blocks} | {b.maxt for b in blocks})
+    # elementary intervals between consecutive boundaries: the active set
+    # is constant inside each; emit those covered by >= 2 blocks, merging
+    # adjacent intervals whose active sets are identical
+    out: dict[tuple[int, int], list[BlockMeta]] = {}
+    prev_key: tuple[int, int] | None = None
+    prev_set: list[BlockMeta] = []
+    for t0, t1 in zip(bounds, bounds[1:]):
+        active = sorted(
+            (b for b in blocks if b.mint <= t0 and b.maxt >= t1),
+            key=lambda m: (m.mint, m.maxt, m.dir),
+        )
+        if len(active) < 2:
+            prev_key = None
+            continue
+        if prev_key is not None and prev_key[1] == t0 and active == prev_set:
+            out.pop(prev_key)
+            prev_key = (prev_key[0], t1)
+        else:
+            prev_key = (t0, t1)
+        out[prev_key] = active
+        prev_set = active
+    return out
+
+
 def select_dirs(blocks: list[BlockMeta], ranges: list[int]) -> list[BlockMeta]:
     """First parent-range group eligible for merge (selectDirs,
     compact.go:227-262). `blocks` sorted by mint, fresh block removed."""

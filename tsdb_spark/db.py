@@ -184,6 +184,7 @@ class DB:
         strict_order: bool = False,
         validate: bool = True,
         report: bool = False,
+        order_col: str | None = None,
     ) -> AppendReport:
         """Transactional batch ingest of rows(labels MAP<STRING,STRING>, t LONG, v DOUBLE).
 
@@ -202,6 +203,14 @@ class DB:
         adds counting jobs (off by default); `validate=False` skips the
         dedup/amend shuffle entirely for bulk loads known to be clean.
 
+        Amend policy: with `order_col` naming a column of `rows` that
+        carries the batch's arrival order, a (series, t) conflict keeps
+        the FIRST sample and rejects later amends — exact parity with the
+        reference, which errors the new sample against the stored one
+        (head.go:1697-1698; WAL order = arrival order). A Spark batch has
+        no inherent row order, so without `order_col` the engine keeps
+        the deterministic minimum v instead (documented deviation).
+
         Ordering note: samples commit first, the series dim last — a failed
         job can leave committed samples without dim entries for at most one
         batch (invisible to selects, which semi-join the dim), never
@@ -215,6 +224,7 @@ class DB:
             L.strip_empty_labels("labels").alias("labels"),
             F.col("t").cast("long").alias("t"),
             F.col("v").cast("double").alias("v"),
+            *([F.col(order_col)] if order_col is not None else []),
         )
         if min_valid_time is not None:
             if report:
@@ -229,7 +239,22 @@ class DB:
         rows = rows.cache()
         try:
             samples = rows.select("series_id", "t", "v")
-            if validate:
+            if validate and order_col is not None:
+                # first-wins (head.go:1697-1698): the earliest row by
+                # arrival order defines v; later duplicates AND amends at
+                # the same (series, t) are rejected. One map-side-
+                # combinable min_by aggregate.
+                ordered = rows.select("series_id", "t", "v", order_col)
+                clean = ordered.groupBy("series_id", "t").agg(
+                    F.min_by("v", order_col).alias("v")
+                )
+                if report:
+                    n_raw = ordered.count()
+                    n_dedup = ordered.dropDuplicates(["series_id", "t", "v"]).count()
+                    n_clean = clean.count()
+                    rep.duplicates_dropped = n_raw - n_dedup
+                    rep.amends_rejected = n_dedup - n_clean
+            elif validate:
                 # in-batch duplicate/amend policy: same (series,t): identical
                 # v → keep one (duplicate NaN ok: NaN==NaN here, matching the
                 # bit-pattern rule head.go:1695); differing v → amend → keep
@@ -758,6 +783,36 @@ class DB:
             self.meta["overlapping_buckets"] = kept
             self.meta["bucket_widths"] = widths
             self._write_meta()
+
+    def tombstones_total(self) -> int:
+        """Number of pending tombstone intervals (TombstoneReader.Total,
+        tombstones.go:213-222)."""
+        from tsdb_spark.operators.intervals import total_intervals
+
+        return total_intervals(self.tombstones())
+
+    def overlapping_block_report(self) -> dict[tuple[int, int], list[str]]:
+        """Time ranges covered by two or more blocks, with the block dirs
+        covering each (OverlappingBlocks, db.go:977-1042) — the sweep-line
+        report over the partition listing plus our single-dir rendering of
+        vertical overlap (a bucket that took a second append into a
+        populated range lists as overlapping with itself).
+
+        Metadata-only: never reads sample data."""
+        metas = self._block_metas()
+        out = {
+            rng: [b.dir for b in grp]
+            for rng, grp in compaction.overlapping_blocks(metas).items()
+        }
+        seen = {d for grp in out.values() for d in grp}
+        for m in metas:
+            # a dirty bucket whose overlap is purely internal (two appends
+            # into one dir) is invisible to the dir-level sweep — render it
+            # as overlapping with itself unless an inter-block group
+            # already reports it
+            if m.dirty and m.dir not in seen:
+                out.setdefault((m.mint, m.maxt), []).extend([m.dir, m.dir])
+        return out
 
     def block_stats(self) -> DataFrame:
         """Per-block stats: NumSamples/NumSeries + time span (BlockMeta
