@@ -615,6 +615,64 @@ def stream_ingest_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_windowed_rollup",
+    _with_prelude("""
+SELECT (t // 3600000) * 3600000 AS w_start, event_type AS name,
+       COUNT(*) AS n, SUM(v) AS sum_v
+FROM samples WHERE t < {T0} + 2*{DAY}
+GROUP BY 1, 2"""),
+    "watermarked tumbling-window rollup (T1 as a true streaming watermark): "
+    "hourly count/sum per metric over three checkpointed availableNow runs — "
+    "run 2 includes rows far behind the watermark, which the engine must "
+    "DROP; run 3's sentinel advances the watermark so every real window "
+    "finalizes into the append-mode sink",
+)
+def stream_windowed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tsdb_spark.streaming import windowed_rollup
+
+    key = ("rollup", sf_dir)
+    if key not in _ROLLUPS:
+        root = tempfile.mkdtemp(prefix="tsdb_q_rollup_")
+        src, out, ckpt = f"{root}/src", f"{root}/out", f"{root}/ckpt"
+        ev = events_samples(spark, sf_dir).select("labels", "t", "v")
+        schema = "labels MAP<STRING,STRING>, t LONG, v DOUBLE"
+
+        def drain():
+            stream = spark.readStream.schema(schema).parquet(src + "/*")
+            windowed_rollup(stream, out, ckpt).awaitTermination(300)
+
+        ev.filter(F.col("t") < T0 + DAY).write.parquet(f"{src}/day1")
+        drain()
+        # run 2: day2 + rows ~22h behind the new watermark (wm after run 1
+        # is max(day1) - 2h) — the aggregation must drop them, so the
+        # 'late' name never reaches the sink
+        late = spark.createDataFrame(
+            [({"__name__": "late"}, T0 + i * 1000, 1.0) for i in range(5)],
+            schema,
+        )
+        ev.filter((F.col("t") >= T0 + DAY) & (F.col("t") < T0 + 2 * DAY)).unionByName(
+            late
+        ).write.parquet(f"{src}/day2")
+        drain()
+        # run 3: sentinel far in the future; watermark passes every real
+        # window and the remaining day2 state flushes to the sink. The
+        # sentinel's own window stays pending forever (never emitted).
+        spark.createDataFrame(
+            [({"__name__": "sentinel"}, T0 + 3 * DAY, 0.0)], schema
+        ).write.parquet(f"{src}/day3")
+        drain()
+        _ROLLUPS[key] = out
+    return (
+        spark.read.parquet(_ROLLUPS[key])
+        .filter(F.col("w_start") < T0 + 2 * DAY)
+        .select("w_start", "name", "n", "sum_v")
+    )
+
+
+_ROLLUPS: dict[tuple[str, str], str] = {}
+
+
+@register(
     "tsdb_retention",
     _with_prelude("""
 SELECT (t // 21600000) * 21600000 AS t_bucket, CAST(count(*) AS BIGINT) AS num_samples

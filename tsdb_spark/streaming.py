@@ -38,6 +38,57 @@ from pyspark.sql import functions as F
 from tsdb_spark.db import DB
 
 
+def windowed_rollup(
+    stream: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    window_ms: int = 3600_000,
+    delay_ms: int = 7200_000,
+):
+    """Watermarked tumbling-window rollup of a (labels, t, v) stream into
+    an append-mode parquet sink — the reference's 'range query over a
+    live head' shape as a first-class streaming aggregation.
+
+    - event time = t (ms) cast to timestamp; watermark = `delay_ms`
+      behind the observed maximum (T1's bounded lateness as a true
+      Structured Streaming watermark rather than a batch filter);
+    - tumbling `window_ms` windows × metric name, count + sum state kept
+      in the checkpoint (crash/restart-safe: S8/S9's WAL+replay);
+    - append output: a window row is written exactly once, when the
+      watermark passes its end — rows later than the watermark are
+      DROPPED by the engine, never aggregated.
+
+    Returns the started StreamingQuery; drain with availableNow and read
+    `out_dir` back as a plain parquet table of
+    (w_start LONG ms, name STRING, n LONG, sum_v DOUBLE)."""
+    sec = lambda ms: f"{ms // 1000} seconds"
+    agg = (
+        stream.select(
+            F.timestamp_millis(F.col("t")).alias("ts"),
+            F.col("labels")["__name__"].alias("name"),
+            "v",
+        )
+        .withWatermark("ts", sec(delay_ms))
+        .groupBy(F.window("ts", sec(window_ms)), "name")
+        .agg(F.count("*").alias("n"), F.sum("v").alias("sum_v"))
+        .select(
+            (F.unix_timestamp(F.col("window.start")) * 1000).alias("w_start"),
+            "name",
+            "n",
+            "sum_v",
+        )
+    )
+    return (
+        agg.writeStream.queryName("tsdb-rollup")
+        .outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 @dataclass
 class StreamIngestor:
     """Drives a streaming DataFrame of (labels MAP<STRING,STRING>,
