@@ -62,23 +62,88 @@ def payload_features(table: DataFrame) -> DataFrame:
     return table.select("doc_id", "payload").mapInPandas(extract, FEATURES_SCHEMA)
 
 
-def decode_image(table: DataFrame, width: int, height: int) -> DataFrame:
-    """STUB — image decode + resize to (width, height).
+def _fake_pixels(payload: bytes, width: int, height: int) -> list[float]:
+    """Deterministic stand-in for decode+resize: the pixel array derives
+    from the payload digest in 256-pixel blocks (block b's value =
+    hash64('img:'+digest, b) % 256, scaled to [0,1]) — reproducible in
+    SQL with one md5 per block, while the pandas side still builds and
+    ships the full float array through Arrow like a real decoder."""
+    import numpy as np
 
-    The real implementation decodes `payload` with an image codec in
-    the same mapInPandas shape as `payload_features` and returns
-    (doc_id, pixels array<float>, meta). No codec ships in this
-    container."""
-    raise NotImplementedError(
-        "image codecs not available in this environment; "
-        "use payload_features for the plumbing contract"
+    digest = hashlib.md5(payload).hexdigest()
+    n_px = width * height * 3
+    n_blocks = (n_px + 255) // 256
+    vals = np.array(
+        [
+            int(hashlib.md5(f"img:{digest}:{b}".encode()).hexdigest()[:15], 16) % 256
+            for b in range(n_blocks)
+        ],
+        dtype="float64",
     )
+    return (np.repeat(vals, 256)[:n_px] / 255.0).tolist()
 
 
-def sample_frames(table: DataFrame, every_ms: int) -> DataFrame:
-    """STUB — video frame sampling every `every_ms` milliseconds; same
-    contract as decode_image."""
-    raise NotImplementedError(
-        "video codecs not available in this environment; "
-        "use payload_features for the plumbing contract"
-    )
+DECODE_SCHEMA = "doc_id long, width int, height int, pixels array<double>"
+
+
+def decode_image(table: DataFrame, width: int, height: int, decoder=None) -> DataFrame:
+    """Image decode + resize to (width, height) as an Arrow-batched
+    mapInPandas stage: (doc_id, width, height, pixels array<double>).
+
+    `decoder(payload, width, height) -> list[float]` plugs a real codec
+    in; the default is the DETERMINISTIC FAKE `_fake_pixels` (no image
+    codec ships in this container). The plumbing — batch iteration,
+    Arrow transfer of wide float arrays, schema contract — is exactly
+    what a real decoder runs through."""
+    decode = decoder or _fake_pixels
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": width,
+                    "height": height,
+                    "pixels": pdf["payload"].map(
+                        lambda b: decode(bytes(b), width, height)
+                    ),
+                }
+            )
+
+    return table.select("doc_id", "payload").mapInPandas(run, DECODE_SCHEMA)
+
+
+FRAMES_SCHEMA = "doc_id long, frame_idx long, ts_ms long, frame_digest string"
+
+
+def sample_frames(table: DataFrame, every_ms: int = 1000, decoder=None) -> DataFrame:
+    """Video frame sampling every `every_ms` ms as a one-to-many
+    mapInPandas stage: (doc_id, frame_idx, ts_ms, frame_digest).
+
+    The DETERMINISTIC FAKE container treats the payload as a clip of
+    `n_bytes` milliseconds whose frame at index i has digest
+    md5('frm:<payload digest>:<i>') — a real extractor returns frame
+    bytes/features in the same exploded shape. The interesting plumbing
+    (input row fan-out to a variable number of output rows inside one
+    Arrow batch) is real either way."""
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            ids, idxs, tss, digs = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload)
+                digest = hashlib.md5(raw).hexdigest()
+                for i in range(len(raw) // every_ms + 1):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    tss.append(i * every_ms)
+                    digs.append(hashlib.md5(f"frm:{digest}:{i}".encode()).hexdigest())
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "ts_ms": tss, "frame_digest": digs}
+            )
+
+    return table.select("doc_id", "payload").mapInPandas(run, FRAMES_SCHEMA)

@@ -431,3 +431,54 @@ FROM documents""",
 def mm_payload_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return M.payload_features(M.with_payload(docs))
+
+
+@register(
+    "mm_image_decode",
+    """
+WITH d AS (SELECT doc_id, md5(text) AS digest FROM documents),
+b AS (SELECT doc_id, digest, unnest(range(0, 3)) AS blk FROM d),
+v AS (SELECT doc_id,
+        CAST(concat('0x', substr(md5(concat('img:', digest, ':', blk::VARCHAR)), 1, 15))
+             AS BIGINT) % 256 AS val
+      FROM b)
+SELECT doc_id, 16 AS width, 16 AS height, CAST(768 AS BIGINT) AS n_px,
+       CAST(SUM(val * 256) AS BIGINT) AS px_checksum
+FROM v GROUP BY doc_id""",
+    "image decode+resize plumbing: mapInPandas ships the full 16x16x3 pixel "
+    "array through Arrow (deterministic fake decoder); the checksum folds "
+    "every pixel back to an integer the oracle reproduces per 256-px block",
+)
+def mm_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    decoded = M.decode_image(M.with_payload(docs), 16, 16)
+    return decoded.select(
+        "doc_id",
+        "width",
+        "height",
+        F.size("pixels").cast("long").alias("n_px"),
+        F.aggregate(
+            "pixels",
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + F.round(x * 255).cast("long"),
+        ).alias("px_checksum"),
+    )
+
+
+@register(
+    "mm_frame_sample",
+    """
+WITH d AS (SELECT doc_id, md5(text) AS digest,
+                  octet_length(CAST(text AS BLOB)) AS n_bytes
+           FROM documents)
+SELECT doc_id, unnest(range(0, n_bytes // 100 + 1)) AS frame_idx,
+       unnest(range(0, n_bytes // 100 + 1)) * 100 AS ts_ms,
+       md5('frm:' || digest || ':' || unnest(range(0, n_bytes // 100 + 1))::VARCHAR)
+         AS frame_digest
+FROM d""",
+    "video frame-sample plumbing: one-to-many mapInPandas fan-out, ten frames "
+    "per second of (fake) clip, per-frame digest chained from the payload",
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return M.sample_frames(M.with_payload(docs), every_ms=100)
