@@ -143,9 +143,29 @@ def test_payload_features_roundtrip(spark):
     assert out[1]["digest"] == hashlib.md5("αβγ".encode()).hexdigest()
 
 
-def test_multimodal_stubs_raise(spark):
-    df = M.with_payload(docs_df(spark, ["x"]))
-    with pytest.raises(NotImplementedError):
-        M.decode_image(df, 8, 8)
-    with pytest.raises(NotImplementedError):
-        M.sample_frames(df, 1000)
+def test_multimodal_decode_plumbing(spark):
+    import hashlib
+
+    df = M.with_payload(docs_df(spark, ["hello world", "x"]))
+    # decode: full pixel array crosses Arrow; fake decoder is
+    # digest-derived per 256-px block, values in [0,1]
+    rows = {r["doc_id"]: r for r in M.decode_image(df, 8, 8).collect()}
+    assert rows[0]["width"] == 8 and len(rows[0]["pixels"]) == 8 * 8 * 3
+    assert all(0.0 <= p <= 1.0 for p in rows[0]["pixels"])
+    assert rows[0]["pixels"] != rows[1]["pixels"]
+    # custom decoder plugs into the same plumbing
+    custom = M.decode_image(df, 2, 2, decoder=lambda b, w, h: [0.5] * (w * h * 3))
+    assert custom.collect()[0]["pixels"] == [0.5] * 12
+
+    # frame sampling: one row per every_ms of fake clip, digest chain
+    frames = M.sample_frames(df, every_ms=4).collect()
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert len(by_doc[0]) == len(b"hello world") // 4 + 1
+    assert len(by_doc[1]) == 1
+    d0 = hashlib.md5(b"hello world").hexdigest()
+    assert by_doc[0][0]["frame_digest"] == hashlib.md5(f"frm:{d0}:0".encode()).hexdigest()
+    assert [r["ts_ms"] for r in sorted(by_doc[0], key=lambda r: r["frame_idx"])] == [
+        0, 4, 8
+    ]
