@@ -169,3 +169,26 @@ def test_multimodal_decode_plumbing(spark):
     assert [r["ts_ms"] for r in sorted(by_doc[0], key=lambda r: r["frame_idx"])] == [
         0, 4, 8
     ]
+
+
+def test_pipeline_plans_stay_jvm_side(spark):
+    # the sketch paths must never fall back to row-at-a-time Python:
+    # no BatchEvalPython/ArrowEvalPython in minhash, simhash, or the
+    # embedding LSH plans (mapInPandas appears only in multimodal,
+    # where it is the sanctioned path)
+    docs = docs_df(spark, ["a b c d e f", "a b c d e g", "x y z w v u"])
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0, 2.0]) for i in range(8)], "vec_id LONG, embedding ARRAY<DOUBLE>"
+    )
+    from tsdb_spark.pipeline import dedup as D
+    from tsdb_spark.pipeline import embed as E
+
+    for df in (
+        D.minhash_signatures(docs),
+        D.simhash_frame(docs),
+        E.ann_lsh_topk(emb, emb.filter("vec_id < 2")),
+        E.ann_ivf_topk(emb, emb.filter("vec_id < 2"), n_centroids=4, nprobe=2),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
