@@ -1,0 +1,147 @@
+"""Stateful model-based lifecycle test: a fixed-seed random interleaving
+of append / delete / compact / clean_tombstones / retention steps, each
+checked against a pure-python model of the store's documented semantics
+(the db_test.go:639-795 oracle pattern extended over the write path).
+
+Model semantics under test (all matching the reference):
+- in-batch amend keeps min(v) (default policy), duplicates collapse;
+- cross-batch duplicates at (series, t) resolve later-ingest-wins
+  (vertical dedup on ingest_seq);
+- delete(mint, maxt, matchers) records tombstones for series existing
+  at delete time; tombstones mask at read EVERY sample in the interval,
+  including ones appended after the delete, until clean_tombstones
+  physically drops the masked samples and clears the tombstones;
+- retain_after drops whole buckets with lo + width <= cutoff — samples
+  above the cutoff inside a surviving bucket stay;
+- compaction/planning never changes query results, only layout.
+"""
+
+import random
+
+import pytest
+
+from tsdb_spark import labels as L
+from tsdb_spark.db import DB
+
+WIDTH = 1000
+
+
+def canon(ls):
+    return "{" + ",".join(f'{k}="{v}"' for k, v in sorted(ls.items())) + "}"
+
+
+LABEL_SETS = [
+    {"m": "cpu", "host": "a"},
+    {"m": "cpu", "host": "b"},
+    {"m": "mem", "host": "a"},
+    {"m": "mem", "host": "b", "dc": "x"},
+    {"m": "net", "dc": "x"},
+]
+
+
+class Model:
+    def __init__(self):
+        self.data = {}  # labels_str -> {t: v}
+        self.tombs = {}  # labels_str -> [(mint, maxt)]
+
+    def append(self, batch):
+        # batch: list of (labels_str, t, v); in-batch: min(v) per (s, t);
+        # cross-batch: the new batch overwrites (later-ingest-wins)
+        agg = {}
+        for s, t, v in batch:
+            k = (s, t)
+            agg[k] = min(agg[k], v) if k in agg else v
+        for (s, t), v in agg.items():
+            self.data.setdefault(s, {})[t] = v
+
+    def delete(self, mint, maxt, pred):
+        # tombstones bind to series existing at delete time
+        for s in self.data:
+            if pred(s):
+                self.tombs.setdefault(s, []).append((mint, maxt))
+
+    def clean_tombstones(self):
+        for s, ivs in self.tombs.items():
+            sams = self.data.get(s, {})
+            for lo, hi in ivs:
+                for t in [t for t in sams if lo <= t <= hi]:
+                    del sams[t]
+        self.tombs = {}
+
+    def retain_after(self, cutoff):
+        for sams in self.data.values():
+            for t in [t for t in sams if (t - t % WIDTH) + WIDTH <= cutoff]:
+                del sams[t]
+
+    def _masked(self, s, t):
+        return any(lo <= t <= hi for lo, hi in self.tombs.get(s, []))
+
+    def select_all(self):
+        return {
+            (s, t, v)
+            for s, sams in self.data.items()
+            for t, v in sams.items()
+            if not self._masked(s, t)
+        }
+
+
+def series_pred(matchers):
+    name_of = {canon(ls): ls for ls in LABEL_SETS}
+
+    def pred(s):
+        ls = name_of[s]
+        return all(ls.get(m.name, "") == m.value for m in matchers)
+
+    return pred
+
+
+@pytest.mark.parametrize("seed", [7, 23])
+def test_lifecycle_matches_model(spark, tmp_path, seed):
+    rng = random.Random(seed)
+    db = DB.create(spark, str(tmp_path / f"life{seed}"), block_width_ms=WIDTH)
+    model = Model()
+
+    def spark_select_all():
+        return {
+            (r["labels_str"], r["t"], r["v"])
+            for r in db.querier(-(10**12), 10**12).select([]).collect()
+        }
+
+    def do_append():
+        batch = []
+        for _ in range(rng.randint(20, 60)):
+            ls = rng.choice(LABEL_SETS)
+            t = rng.randint(0, 20_000)
+            v = float(rng.randint(-50, 50))
+            batch.append((ls, t, v))
+        df = spark.createDataFrame(
+            [(ls, t, v) for ls, t, v in batch],
+            "labels MAP<STRING,STRING>, t LONG, v DOUBLE",
+        )
+        db.append(df)
+        model.append([(canon(ls), t, v) for ls, t, v in batch])
+
+    def do_delete():
+        mint = rng.randint(0, 15_000)
+        maxt = mint + rng.randint(0, 8_000)
+        ms = [L.eq("m", rng.choice(["cpu", "mem", "net"]))]
+        db.delete(mint, maxt, ms)
+        model.delete(mint, maxt, series_pred(ms))
+
+    def do_compact():
+        db.auto_compact(max_rounds=2)
+
+    def do_clean():
+        db.clean_tombstones()
+        model.clean_tombstones()
+
+    def do_retain():
+        cutoff = rng.randint(0, 8_000)
+        db.retain_after(cutoff)
+        model.retain_after(cutoff)
+
+    do_append()  # non-empty start
+    steps = [do_append, do_delete, do_compact, do_clean, do_retain]
+    for i in range(10):
+        rng.choice(steps)()
+        assert spark_select_all() == model.select_all(), f"seed={seed} step={i}"
