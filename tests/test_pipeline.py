@@ -192,3 +192,19 @@ def test_pipeline_plans_stay_jvm_side(spark):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan
         assert "ArrowEvalPython" not in plan
+
+
+def test_lsh_hot_bucket_cap(spark):
+    # 30 identical docs share every band key (a degenerate bucket that
+    # would emit 30*29/2 pairs per band at scale); the cap drops those
+    # buckets while a small near-dup pair elsewhere still surfaces
+    hot = ["z1 z2 z3 z4 z5 z6"] * 30
+    base = " ".join(f"tok{i}" for i in range(40))
+    near = " ".join(f"tok{i}" for i in range(38))
+    df = docs_df(spark, hot + [base, near])
+    sigs = D.minhash_signatures(df)
+    uncapped = D.lsh_candidate_pairs(sigs).count()
+    capped = D.lsh_candidate_pairs(sigs, max_bucket=10)
+    pairs = [(r["id_a"], r["id_b"]) for r in capped.collect()]
+    assert uncapped == 30 * 29 // 2 + 1
+    assert pairs == [(30, 31)]

@@ -145,13 +145,22 @@ def lsh_candidate_pairs(
     signatures: DataFrame,
     n_bands: int = N_BANDS,
     rows_per_band: int = ROWS_PER_BAND,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Banded LSH: hash each band of the signature to a bucket key;
     docs sharing any (band_id, band_key) become a candidate pair.
 
     The self-join is equi on the band key — Spark shuffles both sides by
     (band_id, band_key) and pairs form only within buckets. distinct()
-    collapses pairs that collide in several bands."""
+    collapses pairs that collide in several bands.
+
+    `max_bucket` is the skew guard for corpus scale: a degenerate bucket
+    (e.g. millions of boilerplate documents sharing a band key) turns
+    the self-join quadratic — one hot key produces size² pairs on one
+    executor. Buckets larger than the cap are dropped BEFORE the join
+    (a documented recall tradeoff: members of a dropped bucket can still
+    pair through their other n_bands-1 bands; a true all-ways-degenerate
+    group is better handled by exact dedup first)."""
     bands = F.array(
         *[
             F.struct(
@@ -173,6 +182,13 @@ def lsh_candidate_pairs(
     banded = signatures.select("id", F.explode(bands).alias("band")).select(
         "id", "band.band_id", "band.band_key"
     )
+    if max_bucket is not None:
+        w = Window.partitionBy("band_id", "band_key")
+        banded = (
+            banded.withColumn("_c", F.count("*").over(w))
+            .filter(F.col("_c") <= max_bucket)
+            .drop("_c")
+        )
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
@@ -277,10 +293,13 @@ def simhash_near_pairs(
     max_hamming: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: candidates share one of the 4 12-bit
     blocks (pigeonhole guarantees completeness for Hamming ≤ 3), then
-    the exact Hamming distance filters. Returns (id_a, id_b, hamming)."""
+    the exact Hamming distance filters. Returns (id_a, id_b, hamming).
+    `max_bucket` drops degenerate blocks before the self-join (skew
+    guard, see lsh_candidate_pairs)."""
     # materialize the fingerprints once: the banded self-join reads this
     # frame on BOTH sides as sibling stages — lazily persisted, each side
     # would recompute the full simhash aggregation over the corpus
@@ -301,6 +320,13 @@ def simhash_near_pairs(
     banded = d.select("id", "simhash", F.explode(blocks).alias("b")).select(
         "id", "simhash", "b.block_id", "b.block_val"
     )
+    if max_bucket is not None:
+        w = Window.partitionBy("block_id", "block_val")
+        banded = (
+            banded.withColumn("_c", F.count("*").over(w))
+            .filter(F.col("_c") <= max_bucket)
+            .drop("_c")
+        )
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(

@@ -242,6 +242,7 @@ def cosine_near_dup_pairs(
     n_planes: int = N_PLANES,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a, id_b, cos_bp) for
     same-LSH-bucket pairs at or above the threshold (basis points of
@@ -250,7 +251,10 @@ def cosine_near_dup_pairs(
     Near-identical vectors project to the same side of every hyperplane
     with high probability, so true near-dups share a bucket; the
     self-join is an equi-join on the code — never all-pairs. Exact
-    cosine then filters false bucket-mates."""
+    cosine then filters false bucket-mates. `max_bucket` drops buckets
+    above the cap before the join (skew guard: one degenerate code —
+    e.g. a mass of zero-ish vectors — makes the self-join quadratic on
+    one executor; see dedup.lsh_candidate_pairs)."""
     from tsdb_spark.pipeline.common import materialize
 
     bucket = lsh_bucket_expr(vec_col, n_planes)
@@ -261,6 +265,13 @@ def cosine_near_dup_pairs(
             F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), bucket.alias("bucket")
         )
     )
+    if max_bucket is not None:
+        w = Window.partitionBy("bucket")
+        d = (
+            d.withColumn("_c", F.count("*").over(w))
+            .filter(F.col("_c") <= max_bucket)
+            .drop("_c")
+        )
     a = d.select(F.col("id").alias("id_a"), F.col("vec").alias("_va"), "bucket")
     b = d.select(F.col("id").alias("id_b"), F.col("vec").alias("_vb"), "bucket")
     return (

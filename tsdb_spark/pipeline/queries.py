@@ -206,7 +206,10 @@ def docs_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the sibling scan stages all miss the empty cache and the 32-way
     # minhash expression runs 4x over the corpus
     sigs = materialize(D.minhash_signatures(_corpus(spark, sf_dir)))
-    cand = D.lsh_candidate_pairs(sigs)
+    # max_bucket: the 100TB skew guard (drop degenerate band buckets
+    # before the self-join); far above any bucket size at test scale, so
+    # oracle results are unaffected
+    cand = D.lsh_candidate_pairs(sigs, max_bucket=100_000)
     return D.jaccard_pairs(cand, sigs)
 
 
@@ -231,7 +234,7 @@ SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3""",
     "SimHash near-dup: 48-bit fingerprint, 4-block pigeonhole banding, Hamming <= 3",
 )
 def docs_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return D.simhash_near_pairs(_corpus(spark, sf_dir))
+    return D.simhash_near_pairs(_corpus(spark, sf_dir), max_bucket=100_000)
 
 
 @register(
@@ -414,7 +417,9 @@ SELECT id_a, id_b, cos_bp FROM pairs WHERE cos_bp >= 99000""",
     "embedding-cosine near-dup pairs: same-LSH-bucket equi-join + exact cosine threshold",
 )
 def emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return E.cosine_near_dup_pairs(_emb_dup_corpus(spark, sf_dir), min_cos_bp=99000)
+    return E.cosine_near_dup_pairs(
+        _emb_dup_corpus(spark, sf_dir), min_cos_bp=99000, max_bucket=100_000
+    )
 
 
 # ================================================================ multimodal
