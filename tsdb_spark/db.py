@@ -350,7 +350,12 @@ class DB:
             if report:
                 new_series = new_series.cache()
                 rep.new_series = new_series.count()
-            new_series.coalesce(1).write.mode("append").parquet(self._series_path)
+            (
+                # repartition, not coalesce: coalesce(1) would collapse the
+                # dedup+anti-join into one task; this keeps the compute
+                # parallel and only the (small) result lands on one writer
+                new_series.repartition(1).write.mode("append").parquet(self._series_path)
+            )
         finally:
             rows.unpersist()
         self.meta["next_ingest_seq"] = seq + 1
@@ -707,7 +712,7 @@ class DB:
         kept = s.join(live, "series_id", "left_semi")
         n_kept = kept.count()
         if n_kept < total:
-            self._atomic_overwrite(kept.coalesce(1), self._series_path)
+            self._atomic_overwrite(kept.repartition(1), self._series_path)
         return total - n_kept
 
     def checkpoint(self, mint: int) -> dict:
@@ -730,7 +735,7 @@ class DB:
             if kept.limit(1).count() == 0:
                 shutil.rmtree(self._tombstones_path)
             elif touched:
-                self._atomic_overwrite(kept.coalesce(1), self._tombstones_path)
+                self._atomic_overwrite(kept.repartition(1), self._tombstones_path)
         return {
             "partitions_dropped": dropped,
             "series_removed": removed,
