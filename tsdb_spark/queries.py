@@ -673,6 +673,54 @@ _ROLLUPS: dict[tuple[str, str], str] = {}
 
 
 @register(
+    "stream_series_rate",
+    _with_prelude("""
+, d AS (SELECT labels_str, t, min(v) AS v FROM samples
+        WHERE t < {T0} + 2*{DAY} GROUP BY 1, 2),
+l AS (SELECT labels_str, t, v,
+        lag(t) OVER w AS pt, lag(v) OVER w AS pv
+      FROM d WINDOW w AS (PARTITION BY labels_str ORDER BY t))
+SELECT labels_str, t, v,
+  CASE WHEN pt IS NULL THEN NULL
+       ELSE CAST(floor((CASE WHEN v < pv THEN v ELSE v - pv END)
+                       * 10000000 / (t - pt)) AS BIGINT)
+  END AS rate_bp
+FROM l"""),
+    "custom stateful streaming operator (applyInPandasWithState): per-series "
+    "instantaneous rate with counter-reset handling; per-key (last_t, last_v) "
+    "state survives the checkpointed restart between the two runs, so the "
+    "first day-2 rate chains off day-1 state — the oracle is the batch LAG",
+)
+def stream_series_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tsdb_spark.streaming import series_rate
+
+    key = ("rate", sf_dir)
+    if key not in _ROLLUPS:
+        root = tempfile.mkdtemp(prefix="tsdb_q_rate_")
+        src, out, ckpt = f"{root}/src", f"{root}/out", f"{root}/ckpt"
+        ev = (
+            events_samples(spark, sf_dir)
+            .select("labels_str", "t", "v")
+            .groupBy("labels_str", "t")
+            .agg(F.min("v").alias("v"))
+        )
+        schema = "labels_str STRING, t LONG, v DOUBLE"
+
+        def drain():
+            stream = spark.readStream.schema(schema).parquet(src + "/*")
+            series_rate(stream, out, ckpt).awaitTermination(300)
+
+        ev.filter(F.col("t") < T0 + DAY).write.parquet(f"{src}/day1")
+        drain()
+        ev.filter((F.col("t") >= T0 + DAY) & (F.col("t") < T0 + 2 * DAY)).write.parquet(
+            f"{src}/day2"
+        )
+        drain()
+        _ROLLUPS[key] = out
+    return spark.read.parquet(_ROLLUPS[key]).select("labels_str", "t", "v", "rate_bp")
+
+
+@register(
     "tsdb_retention",
     _with_prelude("""
 SELECT (t // 21600000) * 21600000 AS t_bucket, CAST(count(*) AS BIGINT) AS num_samples

@@ -38,6 +38,62 @@ from pyspark.sql import functions as F
 from tsdb_spark.db import DB
 
 
+RATE_OUT_SCHEMA = "labels_str STRING, t LONG, v DOUBLE, rate_bp LONG"
+RATE_STATE_SCHEMA = "last_t LONG, last_v DOUBLE"
+
+
+def series_rate(stream: DataFrame, out_dir: str, checkpoint_dir: str):
+    """Per-series instantaneous rate as a CUSTOM STATEFUL streaming
+    operator (applyInPandasWithState): for each (labels_str, t, v) emit
+    rate = increase / (t - t_prev) in basis points per second, carrying
+    (last_t, last_v) per series in checkpointed state across
+    micro-batches AND restarts.
+
+    Counter-reset rule (the Prometheus rate() convention): v < v_prev
+    means the counter restarted, so the increase is v, not v - v_prev.
+    The first sample of a series has no predecessor → rate_bp NULL.
+
+    This is the operator shape batch window functions cannot give a
+    stream: a LAG needs the whole partition, while this keeps O(1)
+    state per key over unbounded input — the reference's memSeries
+    incremental append state (head.go:1669-1720) re-expressed. On a
+    finite, time-ordered input the output equals the batch LAG, which
+    is exactly what the oracle checks."""
+    import pandas as pd
+
+    def fn(key, pdfs, state):
+        last_t, last_v = state.get if state.exists else (None, None)
+        frames = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("t")
+            rates = []
+            for t, v in zip(pdf["t"], pdf["v"]):
+                if last_t is None or t == last_t:
+                    rates.append(None)
+                else:
+                    inc = v if v < last_v else v - last_v
+                    rates.append(int(inc * 10000 * 1000 // (t - last_t)))
+                last_t, last_v = int(t), float(v)
+            pdf = pdf.assign(rate_bp=pd.array(rates, dtype="Int64"))
+            frames.append(pdf[["labels_str", "t", "v", "rate_bp"]])
+        if last_t is not None:
+            state.update((last_t, last_v))
+        yield from frames
+
+    out = stream.groupBy("labels_str").applyInPandasWithState(
+        fn, RATE_OUT_SCHEMA, RATE_STATE_SCHEMA, "append", "NoTimeout"
+    )
+    return (
+        out.writeStream.queryName("tsdb-rate")
+        .outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def windowed_rollup(
     stream: DataFrame,
     out_dir: str,
