@@ -121,6 +121,29 @@ def docs_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "docs_wordpiece_count",
+    f"""
+WITH t AS (SELECT doc_id, {SQL_TOKS} AS ws,
+             regexp_extract_all(lower(text), '[a-z0-9'']+|[^a-z0-9\\s]') AS wp
+           FROM documents)
+SELECT doc_id, len(ws) AS n_ws_tokens, len(wp) AS n_wordpieces,
+       len(list_distinct(wp)) AS n_distinct_wordpieces
+FROM t""",
+    "token counting, both tokenizers: whitespace + BPE-ish regex "
+    "(words-or-single-punct over lowercased text); map-only pass",
+)
+def docs_wordpiece_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    wp = T.wordpieces_expr("text")
+    return docs.select(
+        "doc_id",
+        F.size(T.tokens_expr("text")).alias("n_ws_tokens"),
+        F.size(wp).alias("n_wordpieces"),
+        F.size(F.array_distinct(wp)).alias("n_distinct_wordpieces"),
+    )
+
+
+@register(
     "docs_token_histogram",
     f"""
 WITH t AS (SELECT unnest({SQL_TOKS}) AS token FROM documents)
