@@ -52,3 +52,48 @@ def test_postings_path_matches_compiled_path(spark, series, postings, name):
     assert via_postings == via_filter
     if name in ("eq", "eq+eq", "set-regex"):
         assert via_postings, f"{name} selected nothing — fixture too weak"
+
+
+def test_store_materialized_postings_roundtrip(spark, tmp_path):
+    from tsdb_spark.db import DB
+    from tsdb_spark import labels as L
+    import os
+
+    db = DB.create(spark, str(tmp_path / "pdb"), block_width_ms=1000)
+    df = spark.createDataFrame(
+        [({"m": "cpu", "h": "a"}, 100, 1.0), ({"m": "cpu", "h": "b"}, 200, 2.0),
+         ({"m": "mem", "h": "a"}, 300, 3.0)],
+        "labels MAP<STRING,STRING>, t LONG, v DOUBLE",
+    )
+    db.append(df)
+    db.materialize_postings()
+    # partitioned by label name on disk
+    assert sorted(d for d in os.listdir(db._postings_path) if d.startswith("name=")) == [
+        "name=h", "name=m"
+    ]
+    want = {(100, 1.0), (200, 2.0)}
+    got = {
+        (r["t"], r["v"])
+        for r in db.querier(0, 1000).select([L.eq("m", "cpu")], via_postings=True).collect()
+    }
+    assert got == want
+    # subtract path (accepts-empty matcher) through the index
+    got2 = {
+        (r["t"], r["v"])
+        for r in db.querier(0, 1000)
+        .select([L.eq("m", "cpu"), L.neq("h", "b")], via_postings=True)
+        .collect()
+    }
+    assert got2 == {(100, 1.0)}
+    # staleness: a new append invalidates the materialized table; the
+    # reader must fall back to the dim-derived postings and still see
+    # the new series
+    db.append(spark.createDataFrame(
+        [({"m": "cpu", "h": "c"}, 400, 4.0)],
+        "labels MAP<STRING,STRING>, t LONG, v DOUBLE",
+    ))
+    got3 = {
+        (r["t"], r["v"])
+        for r in db.querier(0, 1000).select([L.eq("m", "cpu")], via_postings=True).collect()
+    }
+    assert got3 == want | {(400, 4.0)}

@@ -713,6 +713,10 @@ class DB:
         n_kept = kept.count()
         if n_kept < total:
             self._atomic_overwrite(kept.repartition(1), self._series_path)
+            # the materialized postings index still lists the removed
+            # series — stale until the next materialize
+            if self.meta.pop("postings_ingest_seq", None) is not None:
+                self._write_meta()
         return total - n_kept
 
     def checkpoint(self, mint: int) -> dict:
@@ -788,6 +792,52 @@ class DB:
             self.meta["overlapping_buckets"] = kept
             self.meta["bucket_widths"] = widths
             self._write_meta()
+
+    # ---------------- materialized postings index (S6/F5) ----------------
+
+    @property
+    def _postings_path(self) -> str:
+        return os.path.join(self.path, "postings")
+
+    def materialize_postings(self) -> None:
+        """Write the inverted index as a (name, value, series_id) table
+        partitioned by label name — the index.Writer postings stage
+        (index/index.go:506-557) as a derived Parquet table.
+
+        Partitioning by `name` makes every equality/set matcher a
+        partition-pruned scan; files are value-sorted for row-group
+        pruning on the value predicate. Freshness is recorded against
+        the ingest seq — after new appends (or series GC) the reader
+        falls back to deriving postings from the dim on the fly until
+        the next materialize (the reference likewise rebuilds the index
+        at compaction time, not per-append)."""
+        from tsdb_spark.operators.postings import build_postings
+
+        p = build_postings(self.series())
+        tmp = self._postings_path + f".tmp.{uuid.uuid4().hex}"
+        (
+            p.repartition("name")
+            .sortWithinPartitions("name", "value", "series_id")
+            .write.mode("overwrite")
+            .partitionBy("name")
+            .parquet(tmp)
+        )
+        self._swap_dir(tmp, self._postings_path)
+        self.meta["postings_ingest_seq"] = self.meta["next_ingest_seq"]
+        self._write_meta()
+
+    def postings(self) -> DataFrame:
+        """(name, value, series_id): the materialized index when fresh,
+        else derived from the series dim (one explode, no shuffle)."""
+        from tsdb_spark.operators.postings import build_postings
+
+        if self.meta.get("postings_ingest_seq") == self.meta[
+            "next_ingest_seq"
+        ] and os.path.isdir(self._postings_path):
+            return self.spark.read.schema(
+                "value STRING, series_id LONG, name STRING"
+            ).parquet(self._postings_path).select("name", "value", "series_id")
+        return build_postings(self.series())
 
     def tombstones_total(self) -> int:
         """Number of pending tombstone intervals (TombstoneReader.Total,
@@ -884,6 +934,7 @@ class Querier:
         matchers: list[L.Matcher],
         with_labels: bool = True,
         apply_tombstones: bool = True,
+        via_postings: bool = False,
     ) -> DataFrame:
         """Series selection: the whole read lifecycle (SURVEY.md §3.1) as
         one declarative plan:
@@ -898,8 +949,22 @@ class Querier:
         buckets that actually saw overlapping appends (the reference
         likewise runs the vertical querier only over the overlapping
         blocks, db.go:1185-1191); clean buckets union in untouched.
+
+        via_postings routes matcher planning through the (materialized,
+        name-partitioned) inverted index instead of the dim filter — the
+        ultra-high-cardinality path where equality matchers become
+        partition-pruned scans (PostingsForMatchers set algebra,
+        querier.go:326-396).
         """
-        matched = self.db.series().filter(L.compile_matchers(matchers))
+        if via_postings:
+            from tsdb_spark.operators.postings import postings_for_matchers
+
+            ids = postings_for_matchers(
+                self.db.postings(), self.db.series(), matchers
+            )
+            matched = self.db.series().join(ids, "series_id", "left_semi")
+        else:
+            matched = self.db.series().filter(L.compile_matchers(matchers))
         s = self._pruned_samples().join(
             F.broadcast(matched.select("series_id")), "series_id", "left_semi"
         )

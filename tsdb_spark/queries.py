@@ -526,6 +526,30 @@ def store_select_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "store_select_postings",
+    _with_prelude("""
+SELECT labels_str, t, v FROM samples
+WHERE event_type = 'click' AND k_bucket = 'high' AND user_lbl != '3'
+  AND t BETWEEN {T0} AND {T_MID}"""),
+    "warehouse inverted index (S6/F5): materialize_postings writes the "
+    "name-partitioned postings table; the select plans its matchers as "
+    "intersect/subtract joins over it instead of the dim filter",
+)
+def store_select_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    db = _store(spark, sf_dir, "base")
+    if db.meta.get("postings_ingest_seq") != db.meta["next_ingest_seq"]:
+        db.materialize_postings()
+    return (
+        db.querier(T0, T_MID)
+        .select(
+            [L.eq("__name__", "click"), L.eq("k_bucket", "high"), L.neq("user", "3")],
+            via_postings=True,
+        )
+        .select("labels_str", "t", "v")
+    )
+
+
+@register(
     "store_compact_vertical",
     _with_prelude("""
 , a AS (SELECT labels_str, t, v, 1 AS seq FROM samples),
