@@ -258,15 +258,24 @@ class DB:
                 # in-batch duplicate/amend policy: same (series,t): identical
                 # v → keep one (duplicate NaN ok: NaN==NaN here, matching the
                 # bit-pattern rule head.go:1695); differing v → amend → keep
-                # the deterministic min (Spark sorts NaN greatest).
-                deduped = samples.dropDuplicates(["series_id", "t", "v"])
-                clean = deduped.groupBy("series_id", "t").agg(F.min("v").alias("v"))
+                # the deterministic min (Spark sorts NaN greatest). The
+                # common path is ONE map-side-combinable shuffle; the
+                # intermediate distinct-(s,t,v) pass exists only to split
+                # the duplicate/amend counts in report mode.
                 if report:
+                    deduped = samples.dropDuplicates(["series_id", "t", "v"])
+                    clean = deduped.groupBy("series_id", "t").agg(
+                        F.min("v").alias("v")
+                    )
                     n_raw = samples.count()
                     n_dedup = deduped.count()
                     n_clean = clean.count()
                     rep.duplicates_dropped = n_raw - n_dedup
                     rep.amends_rejected = n_dedup - n_clean
+                else:
+                    clean = samples.groupBy("series_id", "t").agg(
+                        F.min("v").alias("v")
+                    )
             else:
                 clean = samples
 

@@ -22,6 +22,10 @@ RUNTIME_CONFS = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # zstd over default snappy: meaningfully smaller files at comparable
+    # decode speed — at 100TB the scan is IO-bound and the ratio wins
+    # (the reference similarly trades CPU for bytes with XOR chunks)
+    "spark.sql.parquet.compression.codec": "zstd",
 }
 
 
@@ -50,6 +54,7 @@ def get_spark(app_name: str = "tsdb_spark", shuffle_partitions: int | None = Non
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )
     for k, v in RUNTIME_CONFS.items():
