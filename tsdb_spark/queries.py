@@ -550,6 +550,29 @@ def store_select_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "store_snapshot_select",
+    _with_prelude("""
+SELECT labels_str, t, v FROM samples
+WHERE event_type = 'view' AND t BETWEEN {T0} + 3*{DAY} AND {T0} + 10*{DAY}"""),
+    "snapshot lifecycle (S11/S12): hardlink-snapshot the live store, open "
+    "the copy read-only, select from it — zero data copied, same results",
+)
+def store_snapshot_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _store(spark, sf_dir, "base")
+    key = ("snapshot_ro", sf_dir)
+    if key not in _STORES:
+        root = tempfile.mkdtemp(prefix="tsdb_q_snap_")
+        base.snapshot(f"{root}/db")
+        _STORES[key] = DB.open(spark, f"{root}/db")
+    return (
+        _STORES[key]
+        .querier(T0 + 3 * DAY, T0 + 10 * DAY)
+        .select([L.eq("__name__", "view")])
+        .select("labels_str", "t", "v")
+    )
+
+
+@register(
     "store_compact_vertical",
     _with_prelude("""
 , a AS (SELECT labels_str, t, v, 1 AS seq FROM samples),
