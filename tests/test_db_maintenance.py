@@ -279,3 +279,22 @@ def test_overlapping_blocks_sweepline():
         (8, 10): ["a", "b", "c"],
         (10, 12): ["b", "c"],
     }
+
+
+def test_dump_and_ls(spark, tmp_path):
+    db = _mkdb(spark, tmp_path, "dumpls", width=1000)
+    db.append(_df(spark, [({"x": "1"}, 100, 1.0), ({"x": "2"}, 1100, 2.0)]))
+    rows = db.dump().collect()
+    assert [(r["labels_str"], r["t"], r["v"]) for r in rows] == [
+        ('{x="1"}', 100, 1.0),
+        ('{x="2"}', 1100, 2.0),
+    ]
+    ls = {r["t_bucket"]: r for r in db.ls().collect()}
+    assert set(ls) == {0, 1000}
+    assert ls[0]["num_samples"] == 1 and ls[0]["width_ms"] == 1000
+    assert not ls[0]["overlapping"]
+    # promote to a coarse bucket, then overlap it: ls must show both
+    db.compact_selected([0, 1000], target_width_ms=2000)
+    db.append(_df(spark, [({"x": "3"}, 1200, 3.0)]))
+    ls2 = {r["t_bucket"]: r for r in db.ls().collect()}
+    assert ls2[0]["width_ms"] == 2000 and ls2[0]["overlapping"]

@@ -848,6 +848,45 @@ class DB:
             ).parquet(self._postings_path).select("name", "value", "series_id")
         return build_postings(self.series())
 
+    def dump(self, mint: int = -(2**62), maxt: int = 2**62) -> DataFrame:
+        """Full-store sample dump with labels, (labels_str, t)-ordered —
+        the `tsdb dump` CLI (dumpSamples, cmd/tsdb/main.go:618-653)."""
+        return self.querier(mint, maxt).select_sorted([])
+
+    def ls(self) -> DataFrame:
+        """Block listing: per-partition stats + geometry — the `tsdb ls`
+        CLI (printBlocks, cmd/tsdb/main.go:437-455)."""
+        widths = self.bucket_widths
+        dirty = set(self.overlapping_buckets)
+        stats = self.block_stats()
+        width_expr = F.coalesce(
+            *(
+                [
+                    F.create_map(
+                        *[
+                            x
+                            for lo, w in widths.items()
+                            for x in (F.lit(lo), F.lit(w))
+                        ]
+                    )[F.col("t_bucket")]
+                ]
+                if widths
+                else []
+            ),
+            F.lit(self.block_width_ms),
+        )
+        return stats.select(
+            "t_bucket",
+            width_expr.alias("width_ms"),
+            "num_samples",
+            "num_series",
+            "min_t",
+            "max_t",
+            F.col("t_bucket").isin(sorted(dirty)).alias("overlapping")
+            if dirty
+            else F.lit(False).alias("overlapping"),
+        )
+
     def tombstones_total(self) -> int:
         """Number of pending tombstone intervals (TombstoneReader.Total,
         tombstones.go:213-222)."""
