@@ -208,3 +208,28 @@ def test_lsh_hot_bucket_cap(spark):
     pairs = [(r["id_a"], r["id_b"]) for r in capped.collect()]
     assert uncapped == 30 * 29 // 2 + 1
     assert pairs == [(30, 31)]
+
+
+def test_connected_components_chain_and_triangle(spark):
+    # triangle {0,1,2}, a 9-node chain 10..18 (deep enough that plain
+    # min-propagation needs several rounds — exercises pointer jumping),
+    # and an isolated pair {100, 101}
+    edges = [(0, 1), (1, 2), (0, 2)]
+    edges += [(i, i + 1) for i in range(10, 18)]
+    edges += [(100, 101)]
+    df = spark.createDataFrame(edges, "id_a LONG, id_b LONG")
+    got = {r["id"]: r["label"] for r in D.connected_components(df).collect()}
+    assert {got[i] for i in (0, 1, 2)} == {0}
+    assert {got[i] for i in range(10, 19)} == {10}
+    assert got[100] == got[101] == 100
+
+
+def test_dedup_clusters_canonical_and_size(spark):
+    df = spark.createDataFrame(
+        [(5, 3), (3, 7), (20, 21)], "id_a LONG, id_b LONG"
+    )
+    rows = {r["id"]: r for r in D.dedup_clusters(df).collect()}
+    assert rows[3]["is_canonical"] and rows[3]["cluster_size"] == 3
+    assert rows[5]["cluster_id"] == 3 and not rows[5]["is_canonical"]
+    assert rows[7]["cluster_id"] == 3
+    assert rows[20]["cluster_id"] == 20 and rows[21]["cluster_size"] == 2

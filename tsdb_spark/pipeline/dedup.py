@@ -227,6 +227,84 @@ def jaccard_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_rounds: int = 50,
+) -> DataFrame:
+    """(id, label): connected components of the near-dup pair graph;
+    label = the minimum node id reachable from each node.
+
+    Scale shape: min-label propagation with pointer jumping. Each round
+    runs (1) a propagate step — every node takes the min of its own and
+    its neighbors' labels, one shuffle bounded by the edge list — and
+    (2) a shortcut step — every node re-reads the label OF its label
+    (path halving), one more join on the (node, label) frame. With the
+    shortcut, convergence is O(log diameter) rounds instead of
+    O(diameter), so a 1M-node chain needs ~20 rounds, not 1M.
+
+    State is only the dup-graph nodes (docs that appear in some pair),
+    never the corpus; each round localCheckpoints the label frame so the
+    plan doesn't grow with the iteration count, and the only value that
+    reaches the driver is the 0/1 converged flag.
+    """
+    e = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+    sym = (
+        e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        sym.select(F.col("u").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_rounds):
+        nbr_min = (
+            sym.join(labels.select(F.col("id").alias("u"), "label"), "u")
+            .groupBy(F.col("v").alias("id"))
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        stepped = labels.join(nbr_min, "id", "left").select(
+            "id", F.least("label", F.coalesce("nbr_min", "label")).alias("label")
+        )
+        parent = stepped.select(
+            F.col("id").alias("label"), F.col("label").alias("p_label")
+        )
+        new = (
+            stepped.join(parent, "label", "left")
+            .select("id", F.coalesce("p_label", "label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_clusters(pairs: DataFrame) -> DataFrame:
+    """(id, cluster_id, cluster_size, is_canonical): group near-dup
+    pairs into clusters and pick the minimum doc id as the canonical
+    representative — the form a dedup pipeline actually consumes (keep
+    one doc per cluster, drop the rest)."""
+    cc = connected_components(pairs)
+    w = Window.partitionBy("cluster_id")
+    return (
+        cc.select("id", F.col("label").alias("cluster_id"))
+        .withColumn("cluster_size", F.count("*").over(w).cast("long"))
+        .withColumn("is_canonical", F.col("id") == F.col("cluster_id"))
+    )
+
+
 def simhash_expr(text_col: Column | str = "text", bits: int = SIMHASH_BITS) -> Column:
     """SimHash fingerprint of the token multiset: bit b of the output is
     set iff the sum over tokens of ±1 (sign of bit b of the token hash)

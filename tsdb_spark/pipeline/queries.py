@@ -237,6 +237,55 @@ def docs_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "docs_dedup_clusters",
+    f"""
+WITH RECURSIVE {SQL_CORPUS},
+{SQL_SHINGLES},
+bh AS (SELECT doc_id, sh, list_transform(sh, x -> {sql_h("'mh'", "x")}) AS bh FROM sh),
+sig AS (SELECT doc_id,
+          list_transform(range(0, {D.N_HASHES}),
+                         s -> list_min(list_transform(bh, h ->
+                           ((h >> 30) * ({_MH_A})[s+1]
+                            + (h & {D.MASK30}) * ({_MH_B})[s+1]
+                            + ({_MH_C})[s+1]) & {D.MASK60}))) AS sig
+        FROM bh),
+banded AS (SELECT doc_id, b AS band_id,
+             {sql_h("'band' || b::VARCHAR", f"array_to_string(sig[b*{D.ROWS_PER_BAND}+1:b*{D.ROWS_PER_BAND}+{D.ROWS_PER_BAND}], ',')")} AS band_key
+           FROM sig CROSS JOIN range(0, {D.N_BANDS}) t(b)),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM banded a JOIN banded b
+           ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+verified AS (SELECT c.id_a, c.id_b
+             FROM cand c
+             JOIN sh sa ON sa.doc_id = c.id_a
+             JOIN sh sb ON sb.doc_id = c.id_b
+             WHERE (10000 * len(list_intersect(sa.sh, sb.sh)))
+                     // (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
+                   >= 6000),
+sym AS (SELECT id_a AS u, id_b AS v FROM verified
+        UNION ALL SELECT id_b, id_a FROM verified),
+walk AS (
+  SELECT DISTINCT u AS id, u AS label FROM sym
+  UNION
+  SELECT s.v AS id, w.label FROM walk w JOIN sym s ON s.u = w.id
+),
+cc AS (SELECT id, min(label) AS cluster_id FROM walk GROUP BY id)
+SELECT id, cluster_id,
+       count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+       id = cluster_id AS is_canonical
+FROM cc""",
+    "near-dup clusters: connected components over the verified MinHash "
+    "pair graph (min-label propagation + pointer jumping, O(log d) "
+    "rounds), canonical doc = min id per cluster",
+)
+def docs_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = materialize(D.minhash_signatures(_corpus(spark, sf_dir)))
+    cand = D.lsh_candidate_pairs(sigs, max_bucket=100_000)
+    pairs = D.jaccard_pairs(cand, sigs)
+    return D.dedup_clusters(pairs)
+
+
+@register(
     "docs_dedup_simhash",
     f"""
 WITH {SQL_CORPUS},
