@@ -236,11 +236,9 @@ def docs_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.jaccard_pairs(cand, sigs)
 
 
-@register(
-    "docs_dedup_clusters",
-    f"""
-WITH RECURSIVE {SQL_CORPUS},
-{SQL_SHINGLES},
+#: MinHash pipeline as reusable CTEs (needs SQL_CORPUS + SQL_SHINGLES in
+#: scope): signatures → banded candidates → exact-Jaccard `verified` pairs
+SQL_MINHASH_PAIRS = f"""
 bh AS (SELECT doc_id, sh, list_transform(sh, x -> {sql_h("'mh'", "x")}) AS bh FROM sh),
 sig AS (SELECT doc_id,
           list_transform(range(0, {D.N_HASHES}),
@@ -261,28 +259,118 @@ verified AS (SELECT c.id_a, c.id_b
              JOIN sh sb ON sb.doc_id = c.id_b
              WHERE (10000 * len(list_intersect(sa.sh, sb.sh)))
                      // (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
-                   >= 6000),
-sym AS (SELECT id_a AS u, id_b AS v FROM verified
-        UNION ALL SELECT id_b, id_a FROM verified),
+                   >= 6000)
+""".strip()
+
+
+def sql_cc(edges: str) -> str:
+    """DuckDB connected components (recursive-CTE reachability) over an
+    edge CTE with columns (id_a, id_b); yields `clusters(id, cluster_id,
+    cluster_size, is_canonical)`. Use inside a WITH RECURSIVE."""
+    return f"""sym AS (SELECT id_a AS u, id_b AS v FROM {edges}
+        UNION ALL SELECT id_b, id_a FROM {edges}),
 walk AS (
   SELECT DISTINCT u AS id, u AS label FROM sym
   UNION
   SELECT s.v AS id, w.label FROM walk w JOIN sym s ON s.u = w.id
 ),
-cc AS (SELECT id, min(label) AS cluster_id FROM walk GROUP BY id)
-SELECT id, cluster_id,
+cc AS (SELECT id, min(label) AS cluster_id FROM walk GROUP BY id),
+clusters AS (SELECT id, cluster_id,
        count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
        id = cluster_id AS is_canonical
-FROM cc""",
+FROM cc)"""
+
+
+#: cluster frame memo — docs_dedup_clusters and docs_curated_corpus share
+#: the (iterative, multi-job) CC computation within one driver run
+_CLUSTER_CACHE: dict[str, DataFrame] = {}
+
+
+def _minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    if sf_dir not in _CLUSTER_CACHE:
+        sigs = materialize(D.minhash_signatures(_corpus(spark, sf_dir)))
+        cand = D.lsh_candidate_pairs(sigs, max_bucket=100_000)
+        pairs = D.jaccard_pairs(cand, sigs)
+        _CLUSTER_CACHE[sf_dir] = materialize(D.dedup_clusters(pairs))
+    return _CLUSTER_CACHE[sf_dir]
+
+
+@register(
+    "docs_dedup_clusters",
+    f"""
+WITH RECURSIVE {SQL_CORPUS},
+{SQL_SHINGLES},
+{SQL_MINHASH_PAIRS},
+{sql_cc("verified")}
+SELECT id, cluster_id, cluster_size, is_canonical FROM clusters""",
     "near-dup clusters: connected components over the verified MinHash "
     "pair graph (min-label propagation + pointer jumping, O(log d) "
     "rounds), canonical doc = min id per cluster",
 )
 def docs_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sigs = materialize(D.minhash_signatures(_corpus(spark, sf_dir)))
-    cand = D.lsh_candidate_pairs(sigs, max_bucket=100_000)
-    pairs = D.jaccard_pairs(cand, sigs)
-    return D.dedup_clusters(pairs)
+    return _minhash_clusters(spark, sf_dir)
+
+
+@register(
+    "docs_curated_corpus",
+    f"""
+WITH RECURSIVE {SQL_CORPUS},
+{SQL_SHINGLES},
+{SQL_MINHASH_PAIRS},
+{sql_cc("verified")},
+st0 AS (SELECT doc_id, len(toks) AS n_tokens,
+          (10000 * len(list_filter(toks, x -> x IN {T.EN_STOPWORDS!r}))) // len(toks) AS stopword_bp
+        FROM ctoks),
+st AS (SELECT *,
+         (n_tokens BETWEEN 10 AND 100000) AND stopword_bp >= 100 AS keep_quality
+       FROM st0),
+ex AS (SELECT doc_id,
+         doc_id != min(doc_id) OVER (PARTITION BY md5(text)) AS is_exact_dup
+       FROM corpus)
+SELECT st.doc_id, st.n_tokens, st.stopword_bp, st.keep_quality,
+       ex.is_exact_dup,
+       coalesce(c.cluster_id, st.doc_id) AS cluster_id,
+       coalesce(c.cluster_size, 1) AS cluster_size,
+       coalesce(c.is_canonical, TRUE) AS is_canonical,
+       st.keep_quality AND NOT ex.is_exact_dup AND coalesce(c.is_canonical, TRUE) AS selected
+FROM st JOIN ex USING (doc_id) LEFT JOIN clusters c ON c.id = st.doc_id""",
+    "end-to-end curation verdict per doc: C4-style quality gate + exact "
+    "dedup + near-dup cluster canonicality composed into one `selected` "
+    "flag — the decision a training-data pipeline materializes",
+)
+def docs_curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # corpus-sized frames join on doc_id; the cluster frame is dup-graph-
+    # sized (≪ corpus) and broadcast, so curation adds no extra shuffle
+    # beyond the exact-dedup hash window
+    corpus = _corpus(spark, sf_dir)
+    stats = T.text_stats(corpus).select(
+        "doc_id", "n_tokens", "stopword_bp", F.col("keep").alias("keep_quality")
+    )
+    ex = D.exact_dedup(corpus).select(
+        "doc_id", F.col("is_dup").alias("is_exact_dup")
+    )
+    cl = _minhash_clusters(spark, sf_dir).select(
+        F.col("id").alias("doc_id"), "cluster_id", "cluster_size", "is_canonical"
+    )
+    return (
+        stats.join(ex, "doc_id")
+        .join(F.broadcast(cl), "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "stopword_bp",
+            "keep_quality",
+            "is_exact_dup",
+            F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+            F.coalesce("cluster_size", F.lit(1).cast("long")).alias("cluster_size"),
+            F.coalesce("is_canonical", F.lit(True)).alias("is_canonical"),
+            (
+                F.col("keep_quality")
+                & ~F.col("is_exact_dup")
+                & F.coalesce("is_canonical", F.lit(True))
+            ).alias("selected"),
+        )
+    )
 
 
 @register(
@@ -492,6 +580,29 @@ def emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return E.cosine_near_dup_pairs(
         _emb_dup_corpus(spark, sf_dir), min_cos_bp=99000, max_bucket=100_000
     )
+
+
+@register(
+    "emb_dedup_clusters",
+    f"""
+WITH RECURSIVE {SQL_EMB_DUP},
+coded AS (SELECT vec_id, v, {_sql_lsh_code('v')} AS bucket FROM corp),
+pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+            CAST(floor(100000 * list_cosine_similarity(a.v, b.v)) AS BIGINT) AS cos_bp
+          FROM coded a JOIN coded b
+            ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+verified AS (SELECT id_a, id_b FROM pairs WHERE cos_bp >= 99000),
+{sql_cc("verified")}
+SELECT id, cluster_id, cluster_size, is_canonical FROM clusters""",
+    "embedding near-dup clusters: the same connected-components operator "
+    "over the cosine pair graph — one dedup_clusters consumer for text "
+    "sketches and embeddings alike",
+)
+def emb_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = E.cosine_near_dup_pairs(
+        _emb_dup_corpus(spark, sf_dir), min_cos_bp=99000, max_bucket=100_000
+    )
+    return D.dedup_clusters(pairs.select("id_a", "id_b"))
 
 
 # ================================================================ multimodal
