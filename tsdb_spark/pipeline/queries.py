@@ -253,7 +253,7 @@ banded AS (SELECT doc_id, b AS band_id,
 cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
          FROM banded a JOIN banded b
            ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
-verified AS (SELECT c.id_a, c.id_b
+verified AS MATERIALIZED (SELECT c.id_a, c.id_b
              FROM cand c
              JOIN sh sa ON sa.doc_id = c.id_a
              JOIN sh sb ON sb.doc_id = c.id_b
@@ -267,7 +267,7 @@ def sql_cc(edges: str) -> str:
     """DuckDB connected components (recursive-CTE reachability) over an
     edge CTE with columns (id_a, id_b); yields `clusters(id, cluster_id,
     cluster_size, is_canonical)`. Use inside a WITH RECURSIVE."""
-    return f"""sym AS (SELECT id_a AS u, id_b AS v FROM {edges}
+    return f"""sym AS MATERIALIZED (SELECT id_a AS u, id_b AS v FROM {edges}
         UNION ALL SELECT id_b, id_a FROM {edges}),
 walk AS (
   SELECT DISTINCT u AS id, u AS label FROM sym
@@ -591,7 +591,7 @@ pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
             CAST(floor(100000 * list_cosine_similarity(a.v, b.v)) AS BIGINT) AS cos_bp
           FROM coded a JOIN coded b
             ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
-verified AS (SELECT id_a, id_b FROM pairs WHERE cos_bp >= 99000),
+verified AS MATERIALIZED (SELECT id_a, id_b FROM pairs WHERE cos_bp >= 99000),
 {sql_cc("verified")}
 SELECT id, cluster_id, cluster_size, is_canonical FROM clusters""",
     "embedding near-dup clusters: the same connected-components operator "
