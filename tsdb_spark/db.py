@@ -769,25 +769,33 @@ class DB:
         self._forget_dropped_buckets()
         return dropped
 
+    def block_bytes(self) -> dict[int, int]:
+        """On-disk bytes per partition (block) — the size column of the
+        reference's block meta (BlockStats.NumBytes) and the unit
+        beyondSizeRetention accumulates. Metadata-scale: one listing per
+        partition dir, never touches sample data."""
+        out: dict[int, int] = {}
+        for d in self._bucket_dirs():
+            lo = int(d.split("=")[1])
+            part = os.path.join(self._samples_path, d)
+            out[lo] = sum(
+                os.path.getsize(os.path.join(part, f))
+                for f in os.listdir(part)
+                if not f.startswith(("_", "."))
+            )
+        return out
+
     def retain_max_bytes(self, max_bytes: int) -> int:
         """Size-based retention — beyondSizeRetention (db.go:886-906):
         walk blocks newest-first accumulating on-disk size; once the
         budget is exceeded, that block and everything older is deletable.
         Returns number of dropped partitions."""
-        buckets = sorted(
-            (int(d.split("=")[1]) for d in self._bucket_dirs()), reverse=True
-        )
+        sizes = self.block_bytes()
         acc, dropped = 0, 0
-        for lo in buckets:
-            part = os.path.join(self._samples_path, f"t_bucket={lo}")
-            size = sum(
-                os.path.getsize(os.path.join(part, f))
-                for f in os.listdir(part)
-                if not f.startswith(("_", "."))
-            )
-            acc += size
+        for lo in sorted(sizes, reverse=True):
+            acc += sizes[lo]
             if acc > max_bytes:
-                shutil.rmtree(part)
+                shutil.rmtree(os.path.join(self._samples_path, f"t_bucket={lo}"))
                 dropped += 1
         self._forget_dropped_buckets()
         return dropped

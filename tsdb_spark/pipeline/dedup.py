@@ -268,25 +268,27 @@ def connected_components(
             .agg(F.min("label").alias("nbr_min"))
         )
         stepped = labels.join(nbr_min, "id", "left").select(
-            "id", F.least("label", F.coalesce("nbr_min", "label")).alias("label")
+            "id",
+            F.col("label").alias("old"),
+            F.least("label", F.coalesce("nbr_min", "label")).alias("label"),
         )
         parent = stepped.select(
             F.col("id").alias("label"), F.col("label").alias("p_label")
         )
+        # the per-node changed flag rides the checkpointed frame, so
+        # convergence detection is a scan of cached partitions — no extra
+        # old-vs-new join round-trip
         new = (
             stepped.join(parent, "label", "left")
-            .select("id", F.coalesce("p_label", "label").alias("label"))
+            .select(
+                "id",
+                F.coalesce("p_label", "label").alias("label"),
+                (F.coalesce("p_label", "label") != F.col("old")).alias("chg"),
+            )
             .localCheckpoint()
         )
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new
-        if changed == 0:
+        labels = new.select("id", "label")
+        if new.filter("chg").limit(1).count() == 0:
             break
     return labels
 

@@ -504,6 +504,14 @@ def _store(spark: SparkSession, sf_dir: str, scenario: str) -> DB:
         db.clean_tombstones()
     elif scenario == "retention":
         db.retain_after(T0 + 20 * DAY)
+    elif scenario == "size_ret":
+        # budget = exact bytes of the blocks at/after the cutoff → the
+        # newest-first byte accumulation must reproduce the time cut,
+        # which the SQL oracle can express (sizes are physical, but the
+        # resulting retained set is not)
+        cutoff = T0 + 20 * DAY
+        budget = sum(b for lo, b in db.block_bytes().items() if lo >= cutoff)
+        db.retain_max_bytes(budget)
     _STORES[key] = db
     return db
 
@@ -615,6 +623,25 @@ GROUP BY 1 ORDER BY t_bucket"""),
 )
 def store_retention_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     db = _store(spark, sf_dir, "retention")
+    return db.block_stats()
+
+
+@register(
+    "store_size_retention",
+    _with_prelude("""
+SELECT (t // 21600000) * 21600000 AS t_bucket,
+  CAST(count(*) AS BIGINT) AS num_samples,
+  CAST(count(DISTINCT labels_str) AS BIGINT) AS num_series,
+  min(t) AS min_t, max(t) AS max_t
+FROM samples WHERE (t // 21600000) * 21600000 >= {T0} + 20*{DAY}
+GROUP BY 1 ORDER BY t_bucket"""),
+    "size-based retention (beyondSizeRetention db.go:886-906): newest-first "
+    "on-disk byte accumulation drops every block past the budget; the "
+    "budget is set to the exact bytes of blocks at/after a fixed cutoff, "
+    "so the byte walk must land on the time cut the oracle expresses",
+)
+def store_size_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    db = _store(spark, sf_dir, "size_ret")
     return db.block_stats()
 
 
