@@ -233,3 +233,13 @@ def test_dedup_clusters_canonical_and_size(spark):
     assert rows[5]["cluster_id"] == 3 and not rows[5]["is_canonical"]
     assert rows[7]["cluster_id"] == 3
     assert rows[20]["cluster_id"] == 20 and rows[21]["cluster_size"] == 2
+
+
+def test_repetition_stats_known_values(spark):
+    # "a b a b a": tokens a×3 b×2 (top 3/5); bigrams "a b"×2 "b a"×2
+    # (top 2/4, distinct 2 of 4 occurrences → dup 50%)
+    df = spark.createDataFrame([(1, "a b a b a")], "doc_id LONG, text STRING")
+    r = T.repetition_stats(df).collect()[0]
+    assert r["n_tokens"] == 5 and r["top_token_bp"] == 6000
+    assert r["n_bigrams"] == 4 and r["top_bigram_bp"] == 5000
+    assert r["dup_bigram_bp"] == 5000

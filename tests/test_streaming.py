@@ -110,3 +110,28 @@ def test_auto_flush_promotes_filled_ranges(spark, tmp_path):
     assert buckets == [0, 300]
     assert db.width_of(0) == 300
     assert _store_ts(db) == {10: 10.0, 110: 110.0, 210: 210.0, 310: 310.0}
+
+
+def test_exact_dedup_stream_survives_restart(spark, tmp_path):
+    from tsdb_spark.streaming import exact_dedup_stream
+
+    schema = "labels_str STRING, t LONG, v DOUBLE"
+    src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+    os.makedirs(src)
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(src + "/*")
+        exact_dedup_stream(stream, out, ckpt, delay_ms=3600_000).awaitTermination(120)
+
+    c0 = [("a", 100, 1.0), ("a", 200, 2.0), ("b", 100, 3.0), ("a", 200, 2.0)]
+    spark.createDataFrame(c0, schema).coalesce(1).write.parquet(src + "/c0")
+    drain()
+    # restart: chunk 1 re-delivers two rows of chunk 0 plus one new row —
+    # the dedup-key state must survive the checkpointed restart
+    c1 = [("a", 200, 2.0), ("b", 100, 3.0), ("b", 300, 4.0)]
+    spark.createDataFrame(c1, schema).coalesce(1).write.parquet(src + "/c1")
+    drain()
+
+    got = {(r["labels_str"], r["t"], r["v"]) for r in spark.read.parquet(out).collect()}
+    assert got == {("a", 100, 1.0), ("a", 200, 2.0), ("b", 100, 3.0), ("b", 300, 4.0)}
+    assert spark.read.parquet(out).count() == 4  # no duplicate rows either

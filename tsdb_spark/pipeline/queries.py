@@ -173,6 +173,38 @@ def docs_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.winnow_fingerprints(load_table(spark, sf_dir, "documents"))
 
 
+@register(
+    "docs_repetition",
+    f"""
+WITH t AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
+t2 AS (SELECT * FROM t WHERE len(toks) >= 2),
+g AS (SELECT doc_id, 1 AS n, unnest(toks) AS g FROM t2
+      UNION ALL
+      SELECT doc_id, 2 AS n,
+             unnest(list_transform(range(1, len(toks)),
+                                   i -> array_to_string(toks[i:i+1], ' '))) AS g
+      FROM t2),
+c AS (SELECT doc_id, n, g, count(*) AS c FROM g GROUP BY ALL),
+p AS (SELECT doc_id, n, sum(c) AS total, max(c) AS top, count(*) AS dist
+      FROM c GROUP BY doc_id, n)
+SELECT doc_id,
+  max(CASE WHEN n=1 THEN total END) AS n_tokens,
+  (10000 * max(CASE WHEN n=1 THEN top END))
+    // max(CASE WHEN n=1 THEN total END) AS top_token_bp,
+  max(CASE WHEN n=2 THEN total END) AS n_bigrams,
+  (10000 * max(CASE WHEN n=2 THEN top END))
+    // max(CASE WHEN n=2 THEN total END) AS top_bigram_bp,
+  (10000 * (max(CASE WHEN n=2 THEN total END) - max(CASE WHEN n=2 THEN dist END)))
+    // max(CASE WHEN n=2 THEN total END) AS dup_bigram_bp
+FROM p GROUP BY doc_id""",
+    "Gopher-style repetition signals (top-token / top-bigram share, "
+    "duplicate-bigram fraction) — boilerplate detection; doc-local keys, "
+    "no corpus-wide hot key",
+)
+def docs_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.repetition_stats(load_table(spark, sf_dir, "documents"))
+
+
 # ================================================================ dedup
 
 @register(

@@ -123,6 +123,47 @@ def language_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     return out.withColumn("pred_lang", pred)
 
 
+def repetition_stats(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1) on token
+    n-grams: a document dominated by a few repeated n-grams is
+    boilerplate. Per doc:
+
+    - top_token_bp / top_bigram_bp — share of occurrences held by the
+      single most frequent token / 2-gram,
+    - dup_bigram_bp — share of 2-gram occurrences that repeat an earlier
+      occurrence (1 - distinct/total).
+
+    Scale shape: one explode over (token ∪ bigram) occurrences, one
+    map-side-combinable count per (doc, n, gram), one per-doc rollup —
+    all keys are doc-local so both shuffles partition by doc_id and
+    never concentrate (no corpus-wide hot key)."""
+    toks = tokens_expr(text_col)
+    d = docs.select(F.col(id_col), toks.alias("_toks")).filter(F.size("_toks") >= 2)
+    unis = F.transform("_toks", lambda t: F.struct(F.lit(1).alias("n"), t.alias("g")))
+    bis = F.expr(
+        "transform(sequence(1, size(_toks) - 1), "
+        "i -> struct(2 AS n, concat(_toks[i-1], ' ', _toks[i]) AS g))"
+    )
+    grams = d.select(id_col, F.explode(F.concat(unis, bis)).alias("gr")).select(
+        id_col, F.col("gr.n").alias("n"), F.col("gr.g").alias("g")
+    )
+    counts = grams.groupBy(id_col, "n", "g").agg(F.count("*").alias("c"))
+    per_n = counts.groupBy(id_col, "n").agg(
+        F.sum("c").alias("total"), F.max("c").alias("top"), F.count("*").alias("dist")
+    )
+    one = lambda col: F.max(F.when(F.col("n") == 1, F.col(col)))
+    two = lambda col: F.max(F.when(F.col("n") == 2, F.col(col)))
+    return per_n.groupBy(id_col).agg(
+        one("total").alias("n_tokens"),
+        _bp(one("top"), one("total")).alias("top_token_bp"),
+        two("total").alias("n_bigrams"),
+        _bp(two("top"), two("total")).alias("top_bigram_bp"),
+        _bp(two("total") - two("dist"), two("total")).alias("dup_bigram_bp"),
+    )
+
+
 def winnow_fingerprints(
     docs: DataFrame,
     k: int = 3,

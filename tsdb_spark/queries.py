@@ -795,6 +795,47 @@ def stream_series_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_dedup",
+    _with_prelude("""
+SELECT labels_str, t, min(v) AS v FROM samples
+WHERE t < {T0} + 2*{DAY} GROUP BY 1, 2"""),
+    "streaming exact dedup (dropDuplicatesWithinWatermark): chunk 2 "
+    "re-delivers the last 6h of chunk 1 (at-least-once source), with a "
+    "checkpointed restart between the runs — the dedup-key state must "
+    "survive the restart for the sink to equal the batch distinct",
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tsdb_spark.streaming import exact_dedup_stream
+
+    key = ("dedup", sf_dir)
+    if key not in _ROLLUPS:
+        root = tempfile.mkdtemp(prefix="tsdb_q_sdedup_")
+        src, out, ckpt = f"{root}/src", f"{root}/out", f"{root}/ckpt"
+        ev = (
+            events_samples(spark, sf_dir)
+            .select("labels_str", "t", "v")
+            .groupBy("labels_str", "t")
+            .agg(F.min("v").alias("v"))
+        )
+        schema = "labels_str STRING, t LONG, v DOUBLE"
+
+        def drain():
+            stream = spark.readStream.schema(schema).parquet(src + "/*")
+            exact_dedup_stream(stream, out, ckpt).awaitTermination(300)
+
+        ev.filter(F.col("t") < T0 + DAY).write.parquet(f"{src}/day1")
+        drain()
+        # at-least-once redelivery: chunk 2 = the last 6h of day 1 again
+        # plus all of day 2
+        ev.filter((F.col("t") >= T0 + DAY - 6 * 3600 * 1000) & (F.col("t") < T0 + 2 * DAY)).write.parquet(
+            f"{src}/day2"
+        )
+        drain()
+        _ROLLUPS[key] = out
+    return spark.read.parquet(_ROLLUPS[key]).select("labels_str", "t", "v")
+
+
+@register(
     "tsdb_retention",
     _with_prelude("""
 SELECT (t // 21600000) * 21600000 AS t_bucket, CAST(count(*) AS BIGINT) AS num_samples

@@ -145,6 +145,48 @@ def windowed_rollup(
     )
 
 
+def exact_dedup_stream(
+    stream: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    delay_ms: int = 2 * 86_400_000,
+):
+    """Streaming exact deduplication over an at-least-once source:
+    `dropDuplicatesWithinWatermark` on (labels_str, t, v) with the
+    dedup-key state bounded by an event-time watermark.
+
+    The state problem plain `dropDuplicates` has on an unbounded stream
+    (one key kept forever per distinct row) is exactly the reference's
+    WAL-replay dedup problem: after a crash, the source re-delivers
+    records the sink already committed. Bounding the key state to the
+    watermark window is the streaming analog of truncating the WAL
+    behind the checkpoint (checkpoint.go:102-261) — a duplicate can only
+    arrive within the redelivery horizon, so only that horizon's keys
+    are kept. Re-delivered rows older than the watermark are dropped as
+    late by the engine — also correct, since a re-delivery is by
+    definition a duplicate.
+
+    Returns the started StreamingQuery; `out_dir` reads back as parquet
+    (labels_str STRING, t LONG, v DOUBLE) with exactly one row per
+    distinct input row, across micro-batches AND restarts."""
+    sec = delay_ms // 1000
+    deduped = (
+        stream.withColumn("ts", F.timestamp_millis(F.col("t")))
+        .withWatermark("ts", f"{sec} seconds")
+        .dropDuplicatesWithinWatermark(["labels_str", "t", "v"])
+        .select("labels_str", "t", "v")
+    )
+    return (
+        deduped.writeStream.queryName("tsdb-stream-dedup")
+        .outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 @dataclass
 class StreamIngestor:
     """Drives a streaming DataFrame of (labels MAP<STRING,STRING>,
