@@ -131,6 +131,26 @@ def main() -> None:
                 F.count("*")
             ).collect()
 
+        # near-dup clustering: MinHash pair graph → connected components
+        # (iterative pointer-jumping rounds; includes its own signature
+        # pass — the full dedup-pipeline cost end to end)
+        with timed("dedup_clusters"):
+            QUERIES["docs_dedup_clusters"].spark_fn(spark, SF_DIR).agg(
+                F.count("*")
+            ).collect()
+
+        # text-quality signals over the full corpus (map + doc-local keys)
+        with timed("repetition"):
+            QUERIES["docs_repetition"].spark_fn(spark, SF_DIR).agg(
+                F.count("*")
+            ).collect()
+
+        # ANN probe path (LSH sign-bit buckets)
+        with timed("ann"):
+            QUERIES["emb_ann_lsh"].spark_fn(spark, SF_DIR).agg(
+                F.count("*")
+            ).collect()
+
         # compaction rewrite (compact_test.go:788 BenchmarkCompaction)
         # — runs on the pristine store so the number stays comparable
         # across rounds

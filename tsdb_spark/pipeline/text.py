@@ -123,6 +123,37 @@ def language_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     return out.withColumn("pred_lang", pred)
 
 
+def _run_stats(arr: Column) -> Column:
+    """(top, dist) of an n-gram array: max occurrence count of any single
+    value and the number of distinct values — computed as a sort + one
+    linear run-length fold INSIDE the row (F.aggregate), so the whole
+    repetition pass is map-only. The alternative (explode + groupBy)
+    shuffles every token occurrence in the corpus; this shuffles
+    nothing."""
+    zero = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("top"),
+        F.lit(0).cast("long").alias("dist"),
+    )
+
+    def step(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long"))
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["top"], run).alias("top"),
+            (acc["dist"] + F.when(x == acc["prev"], 0).otherwise(1)).alias("dist"),
+        )
+
+    return F.aggregate(
+        F.array_sort(arr),
+        zero,
+        step,
+        lambda acc: F.struct(acc["top"].alias("top"), acc["dist"].alias("dist")),
+    )
+
+
 def repetition_stats(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -135,32 +166,29 @@ def repetition_stats(
     - dup_bigram_bp — share of 2-gram occurrences that repeat an earlier
       occurrence (1 - distinct/total).
 
-    Scale shape: one explode over (token ∪ bigram) occurrences, one
-    map-side-combinable count per (doc, n, gram), one per-doc rollup —
-    all keys are doc-local so both shuffles partition by doc_id and
-    never concentrate (no corpus-wide hot key)."""
+    Scale shape: MAP-ONLY — per-row array sort + linear run-length fold
+    (`_run_stats`); no explode, no shuffle, no corpus-wide key anywhere."""
     toks = tokens_expr(text_col)
     d = docs.select(F.col(id_col), toks.alias("_toks")).filter(F.size("_toks") >= 2)
-    unis = F.transform("_toks", lambda t: F.struct(F.lit(1).alias("n"), t.alias("g")))
-    bis = F.expr(
-        "transform(sequence(1, size(_toks) - 1), "
-        "i -> struct(2 AS n, concat(_toks[i-1], ' ', _toks[i]) AS g))"
+    bigrams = F.expr(
+        "transform(sequence(1, size(_toks) - 1), i -> concat(_toks[i-1], ' ', _toks[i]))"
     )
-    grams = d.select(id_col, F.explode(F.concat(unis, bis)).alias("gr")).select(
-        id_col, F.col("gr.n").alias("n"), F.col("gr.g").alias("g")
+    d = d.select(
+        id_col,
+        F.size("_toks").cast("long").alias("n_tokens"),
+        _run_stats(F.col("_toks")).alias("u"),
+        (F.size("_toks") - 1).cast("long").alias("n_bigrams"),
+        _run_stats(bigrams).alias("b"),
     )
-    counts = grams.groupBy(id_col, "n", "g").agg(F.count("*").alias("c"))
-    per_n = counts.groupBy(id_col, "n").agg(
-        F.sum("c").alias("total"), F.max("c").alias("top"), F.count("*").alias("dist")
-    )
-    one = lambda col: F.max(F.when(F.col("n") == 1, F.col(col)))
-    two = lambda col: F.max(F.when(F.col("n") == 2, F.col(col)))
-    return per_n.groupBy(id_col).agg(
-        one("total").alias("n_tokens"),
-        _bp(one("top"), one("total")).alias("top_token_bp"),
-        two("total").alias("n_bigrams"),
-        _bp(two("top"), two("total")).alias("top_bigram_bp"),
-        _bp(two("total") - two("dist"), two("total")).alias("dup_bigram_bp"),
+    return d.select(
+        id_col,
+        "n_tokens",
+        _bp(F.col("u.top"), F.col("n_tokens")).alias("top_token_bp"),
+        "n_bigrams",
+        _bp(F.col("b.top"), F.col("n_bigrams")).alias("top_bigram_bp"),
+        _bp(F.col("n_bigrams") - F.col("b.dist"), F.col("n_bigrams")).alias(
+            "dup_bigram_bp"
+        ),
     )
 
 

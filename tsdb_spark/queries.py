@@ -853,6 +853,34 @@ def tsdb_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.groupBy("t_bucket").agg(F.count("*").alias("num_samples")).orderBy("t_bucket")
 
 
+@register(
+    "tsdb_downsample",
+    _with_prelude("""
+SELECT labels_str, (t // 3600000) * 3600000 AS w_start,
+  CAST(count(*) AS BIGINT) AS n, min(v) AS min_v, max(v) AS max_v,
+  round(sum(v), 2) AS sum_v,
+  round(round(sum(v), 2) / count(*), 6) AS avg_v
+FROM samples WHERE t >= {T0} AND t < {T0} + 7*{DAY}
+GROUP BY 1, 2"""),
+    "recording-rule downsampling: per-series tumbling 1h n/min/max/sum/avg "
+    "(the rollup a TSDB materializes to serve long ranges cheaply) — one "
+    "map-side-combinable shuffle on (series, window); per-series-hour sums "
+    "are tiny, so round(2) per the float rules",
+)
+def tsdb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = events_samples(spark, sf_dir).filter(
+        (F.col("t") >= T0) & (F.col("t") < T0 + 7 * DAY)
+    )
+    w = (F.col("t") - F.pmod(F.col("t"), F.lit(3_600_000))).alias("w_start")
+    return s.groupBy("labels_str", w).agg(
+        F.count("*").alias("n"),
+        F.min("v").alias("min_v"),
+        F.max("v").alias("max_v"),
+        F.round(F.sum("v"), 2).alias("sum_v"),
+        F.round(F.round(F.sum("v"), 2) / F.count("*"), 6).alias("avg_v"),
+    )
+
+
 # registers the documents/embeddings pipeline queries into the same
 # registry (import at the bottom: pipeline.queries imports `register`
 # from this module)
