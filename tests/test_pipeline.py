@@ -243,3 +243,21 @@ def test_repetition_stats_known_values(spark):
     assert r["n_tokens"] == 5 and r["top_token_bp"] == 6000
     assert r["n_bigrams"] == 4 and r["top_bigram_bp"] == 5000
     assert r["dup_bigram_bp"] == 5000
+
+
+def test_kmeans_centroids_lloyd_update(spark):
+    # two clean cosine clusters; init = ids 0,1; all values picked so the
+    # micro-unit grid and the means are exact in binary floating point
+    rows = [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [0.75, 0.25]), (3, [0.25, 0.75])]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    got = {
+        r["centroid_id"]: r["_cent"]
+        for r in E.kmeans_centroids(df, n_centroids=2, iters=1).collect()
+    }
+    assert got[0] == [0.875, 0.125] and got[1] == [0.125, 0.875]
+    # fixed point: the second Lloyd iteration reassigns identically
+    got2 = {
+        r["centroid_id"]: r["_cent"]
+        for r in E.kmeans_centroids(df, n_centroids=2, iters=2).collect()
+    }
+    assert got2 == got

@@ -12,11 +12,12 @@ Three search paths plus a near-dup detector:
 - `ann_ivf_topk` — IVF-Flat: a coarse quantizer assigns every corpus
   vector to its nearest centroid (the inverted lists); a probe scores
   only the lists of its `nprobe` nearest centroids. The centroid set
-  here is deterministic (the lowest-id corpus vectors) so a SQL oracle
-  reproduces the structure bit-for-bit; swap in k-means-trained
-  centroids (pyspark.ml) for recall in production — the plan shape
-  (broadcast centroids → argmin assign → equi-join on list id) is
-  identical.
+  is either deterministic lowest-id corpus vectors or k-means-trained
+  via `kmeans_centroids` (Lloyd iterations on an integer micro-unit
+  grid — order-free exact arithmetic, so even the TRAINED index is
+  reproduced bit-for-bit by a SQL oracle). The plan shape (broadcast
+  centroids → argmin assign → equi-join on list id) is identical
+  either way.
 - `cosine_near_dup_pairs` — embedding-space near-duplicate pairs:
   same-bucket LSH self-join + cosine threshold, the vector-side
   complement of the MinHash/SimHash text dedup.
@@ -159,23 +160,97 @@ def ann_lsh_topk(
     )
 
 
+KMEANS_SCALE = 1_000_000
+
+
+def kmeans_centroids(
+    embeddings: DataFrame,
+    n_centroids: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(centroid_id, _cent): k-means-trained IVF centroids — Lloyd
+    iterations in pure DataFrame algebra, fully deterministic so a SQL
+    oracle reproduces the trained index bit-for-bit.
+
+    Determinism: components are quantized to an integer micro-unit grid
+    (floor(x·1e6)) and each update step is an integer mean
+    (floor(sum/count)) — order-free exact arithmetic, so the result does
+    not depend on partitioning or aggregation order, in ANY engine.
+    Init = the `n_centroids` lowest-id vectors; cosine ties break to the
+    lowest centroid id.
+
+    Scale shape per iteration: the centroid set packs into ONE broadcast
+    row, so assignment is a map-only fold over the corpus (no join
+    shuffle, no window); the update is a posexplode to (centroid, dim)
+    with a map-side-combinable sum — shuffle rows = n_centroids × dims
+    after combining, regardless of corpus size."""
+    base = embeddings.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("v"))
+    q = base.withColumn(
+        "qv", F.transform("v", lambda x: F.floor(x * KMEANS_SCALE).cast("long"))
+    )
+    cent = q.filter(F.col("id") < n_centroids).select(
+        F.col("id").alias("centroid_id"), F.col("qv").alias("cq")
+    )
+    init = F.struct(
+        F.lit(None).cast("double").alias("cos"), F.lit(None).cast("long").alias("cid")
+    )
+
+    def merge(acc, c):
+        cos = cosine_expr(
+            F.col("v"), F.transform(c["cq"], lambda x: x / KMEANS_SCALE)
+        )
+        better = acc["cid"].isNull() | (cos > acc["cos"])
+        return F.struct(
+            F.when(better, cos).otherwise(acc["cos"]).alias("cos"),
+            F.when(better, c["centroid_id"]).otherwise(acc["cid"]).alias("cid"),
+        )
+
+    for _ in range(iters):
+        packed = cent.agg(
+            F.array_sort(F.collect_list(F.struct("centroid_id", "cq"))).alias("cs")
+        )
+        assigned = q.crossJoin(F.broadcast(packed)).select(
+            "qv", F.aggregate("cs", init, merge)["cid"].alias("centroid_id")
+        )
+        comp = (
+            assigned.select("centroid_id", F.posexplode("qv").alias("pos", "x"))
+            .groupBy("centroid_id", "pos")
+            .agg(F.floor(F.sum("x") / F.count("*")).cast("long").alias("comp"))
+        )
+        cent = comp.groupBy("centroid_id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "comp"))),
+                lambda s: s["comp"],
+            ).alias("cq")
+        )
+    return cent.select(
+        "centroid_id",
+        F.transform("cq", lambda x: x / KMEANS_SCALE).alias("_cent"),
+    )
+
+
 def ivf_assign(
     embeddings: DataFrame,
     n_centroids: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """(id, vec, centroid_id): assign every vector to its nearest
     centroid — the IVF inverted-list build.
 
-    Centroids = the `n_centroids` lowest-id vectors (deterministic, no
-    training step; see module docstring). The centroid table broadcasts;
-    assignment is one map-side windowed argmax per vector — the corpus
-    is scanned exactly once and never shuffled except by the top-1
-    window on (id), which AQE keeps local."""
-    cent = embeddings.filter(F.col(id_col) < n_centroids).select(
-        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("_cent")
-    )
+    Centroids = `centroids` (a (centroid_id, _cent) frame, e.g. from
+    `kmeans_centroids`) or, by default, the `n_centroids` lowest-id
+    vectors (deterministic, no training step; see module docstring). The
+    centroid table broadcasts; assignment is one map-side windowed
+    argmax per vector — the corpus is scanned exactly once and never
+    shuffled except by the top-1 window on (id), which AQE keeps
+    local."""
+    cent = centroids if centroids is not None else embeddings.filter(
+        F.col(id_col) < n_centroids
+    ).select(F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("_cent"))
     scored = (
         embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
         .crossJoin(F.broadcast(cent))
@@ -197,18 +272,20 @@ def ann_ivf_topk(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-Flat approximate top-k: each probe scores only the inverted
-    lists of its `nprobe` nearest centroids.
+    lists of its `nprobe` nearest centroids (pass `centroids` for a
+    k-means-trained quantizer, default = lowest-id vectors).
 
     Scale shape: the corpus is partitioned by centroid_id once (the
     index build); a query is a broadcast of (probe × nprobe list ids)
     against that partitioning — an equi-join touching nprobe/n_centroids
     of the data, never a full scan, never a corpus self-join."""
-    lists = ivf_assign(embeddings, n_centroids, id_col, vec_col)
-    cent = embeddings.filter(F.col(id_col) < n_centroids).select(
-        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("_cent")
-    )
+    lists = ivf_assign(embeddings, n_centroids, id_col, vec_col, centroids)
+    cent = centroids if centroids is not None else embeddings.filter(
+        F.col(id_col) < n_centroids
+    ).select(F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("_cent"))
     p = probes.select(F.col(id_col).alias("probe_id"), F.col(vec_col).alias("_pv"))
     pw = Window.partitionBy("probe_id").orderBy(F.desc("pcos"), "centroid_id")
     probe_lists = (

@@ -566,6 +566,68 @@ def emb_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_lloyd(i: int) -> str:
+    """One Lloyd iteration c{i} → c{i+1} (assign by cosine, integer-mean
+    update on the micro-unit grid — matches embed.kmeans_centroids)."""
+    o = i + 1
+    return f"""
+s{o} AS (SELECT q.vec_id, q.qv, c.centroid_id,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY list_cosine_similarity(q.v, list_transform(c.cq, x -> x / 1000000.0)) DESC,
+                                       c.centroid_id) AS r
+         FROM q CROSS JOIN c{i} c),
+a{o} AS (SELECT vec_id, qv, centroid_id FROM s{o} WHERE r = 1),
+u{o} AS (SELECT centroid_id, generate_subscripts(qv, 1) AS i, unnest(qv) AS x FROM a{o}),
+m{o} AS (SELECT centroid_id, i, CAST(floor(1.0 * sum(x) / count(*)) AS BIGINT) AS comp
+         FROM u{o} GROUP BY centroid_id, i),
+c{o} AS (SELECT centroid_id, list(comp ORDER BY i) AS cq FROM m{o} GROUP BY centroid_id)""".strip()
+
+
+@register(
+    "emb_kmeans_ivf",
+    f"""
+WITH {SQL_EMB},
+q AS (SELECT vec_id, v, list_transform(v, x -> CAST(floor(x * 1000000) AS BIGINT)) AS qv FROM e),
+c0 AS (SELECT vec_id AS centroid_id, qv AS cq FROM q WHERE vec_id < 8),
+{_sql_lloyd(0)},
+{_sql_lloyd(1)},
+cent AS (SELECT centroid_id, list_transform(cq, x -> x / 1000000.0) AS cv FROM c2),
+asg AS (SELECT e.vec_id AS id, e.v, centroid_id,
+          row_number() OVER (PARTITION BY e.vec_id
+                             ORDER BY list_cosine_similarity(e.v, cv) DESC, centroid_id) AS r
+        FROM e CROSS JOIN cent),
+lists AS (SELECT id, v, centroid_id FROM asg WHERE r = 1),
+p AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < 8),
+pl0 AS (SELECT probe_id, pv, centroid_id,
+          row_number() OVER (PARTITION BY probe_id
+                             ORDER BY list_cosine_similarity(pv, cv) DESC, centroid_id) AS r
+        FROM p CROSS JOIN cent),
+pl AS (SELECT probe_id, pv, centroid_id FROM pl0 WHERE r <= 2),
+scored AS (SELECT probe_id, l.id AS neighbor_id, list_cosine_similarity(pv, l.v) AS cos
+           FROM lists l JOIN pl USING (centroid_id) WHERE l.id != probe_id),
+rk AS (SELECT probe_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rank
+       FROM scored)
+SELECT probe_id, neighbor_id, rank, CAST(floor(100000 * cos) AS BIGINT) AS cos_bp
+FROM rk WHERE rank <= 3""",
+    "IVF-Flat with a k-means-TRAINED quantizer: 2 Lloyd iterations in "
+    "pure DataFrame algebra (integer micro-unit grid → order-free exact "
+    "means, map-only assignment via one broadcast centroid row), then "
+    "the nprobe=2 inverted-list probe over the trained index",
+)
+def emb_kmeans_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = E.kmeans_centroids(emb, n_centroids=8, iters=2)
+    return E.ann_ivf_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 8),
+        k=3,
+        n_centroids=8,
+        nprobe=2,
+        centroids=cents,
+    )
+
+
 #: embedding corpus with synthesized duplicates: exact copies (+100000,
 #: vec_id%10==0) and near copies (+200000, vec_id%7==0, first component
 #: scaled 1.2x — cosine stays near 1 but not exactly 1)
