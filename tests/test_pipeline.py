@@ -261,3 +261,23 @@ def test_kmeans_centroids_lloyd_update(spark):
         for r in E.kmeans_centroids(df, n_centroids=2, iters=2).collect()
     }
     assert got2 == got
+
+
+def test_lsh_self_joins_are_equi_not_nlj(spark):
+    # the banded/bucketed self-joins must compile to hash/sort-merge
+    # equi-joins — a BroadcastNestedLoopJoin here is the all-pairs
+    # cartesian the LSH design exists to avoid
+    docs = docs_df(spark, ["a b c d e f", "a b c d e g", "x y z w v u"] * 4)
+    emb = spark.createDataFrame(
+        [(i, [float(i % 3), 1.0, 2.0]) for i in range(12)],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    sigs = D.minhash_signatures(docs)
+    for df in (
+        D.lsh_candidate_pairs(sigs),
+        D.simhash_near_pairs(docs),
+        E.cosine_near_dup_pairs(emb, min_cos_bp=90000),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "NestedLoopJoin" not in plan, plan[:2000]
+        assert "CartesianProduct" not in plan, plan[:2000]

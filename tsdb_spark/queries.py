@@ -478,6 +478,24 @@ def _store(spark: SparkSession, sf_dir: str, scenario: str) -> DB:
     key = (scenario, sf_dir)
     if key in _STORES:
         return _STORES[key]
+    if scenario == "amend":
+        # fresh store (no fork): one batch carrying an arrival-order
+        # column, where every sample arrives twice — first the true v,
+        # then an amend at v+500. First-wins must reject every amend.
+        root = tempfile.mkdtemp(prefix="tsdb_q_amend_")
+        db = DB.create(spark, f"{root}/db", block_width_ms=STORE_WIDTH_MS)
+        d1 = (
+            events_samples(spark, sf_dir)
+            .filter(F.col("t") < T0 + DAY)
+            .groupBy("labels_str", "t")
+            .agg(F.min("v").alias("v"), F.first("labels").alias("labels"))
+        )
+        batch = d1.withColumn("ord", F.lit(1)).unionByName(
+            d1.withColumn("v", F.col("v") + 500.0).withColumn("ord", F.lit(2))
+        )
+        db.append(batch.select("labels", "t", "v", "ord"), order_col="ord")
+        _STORES[key] = db
+        return db
     base_key = ("base", sf_dir)
     if base_key not in _STORES:
         root = tempfile.mkdtemp(prefix="tsdb_q_base_")
@@ -624,6 +642,24 @@ GROUP BY 1 ORDER BY t_bucket"""),
 def store_retention_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     db = _store(spark, sf_dir, "retention")
     return db.block_stats()
+
+
+@register(
+    "store_first_wins_amend",
+    _with_prelude("""
+SELECT labels_str, t, min(v) AS v FROM samples
+WHERE t < {T0} + {DAY} GROUP BY 1, 2"""),
+    "first-wins amend policy (T2, head.go:1697-1698): every sample arrives "
+    "twice in one batch — true v then an amend at v+500, with an arrival-"
+    "order column; min_by(v, ord) must keep only the first arrival",
+)
+def store_first_wins_amend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    db = _store(spark, sf_dir, "amend")
+    return (
+        db.querier(T0, T0 + DAY)
+        .select([])
+        .select("labels_str", "t", "v")
+    )
 
 
 @register(
