@@ -298,3 +298,37 @@ def test_dump_and_ls(spark, tmp_path):
     db.append(_df(spark, [({"x": "3"}, 1200, 3.0)]))
     ls2 = {r["t_bucket"]: r for r in db.ls().collect()}
     assert ls2[0]["width_ms"] == 2000 and ls2[0]["overlapping"]
+
+
+def test_rollup_artifact_freshness(spark, tmp_path):
+    db = _mkdb(spark, tmp_path, "roll", width=1000)
+    db.append(_df(spark, [({"x": "1"}, 100, 1.0), ({"x": "1"}, 600, 2.0),
+                          ({"x": "1"}, 1100, 4.0), ({"x": "2"}, 150, 8.0)]))
+    db.materialize_rollup(1000)
+
+    def rows():
+        return {
+            (r["series_id"], r["w_start"]): (r["n"], r["min_v"], r["max_v"], r["sum_v"])
+            for r in db.rollup(0, 1999, 1000).collect()
+        }
+
+    fresh = rows()
+    assert {k[1] for k in fresh} == {0, 1000}
+    assert sorted(v for k, v in fresh.items() if k[1] == 0) == [
+        (1, 8.0, 8.0, 8.0), (2, 1.0, 2.0, 3.0)]
+    # fresh ⇒ the plan scans the artifact (its physical columns appear in
+    # the scan schema), with no aggregate over raw samples
+    plan = db.rollup(0, 1999, 1000)._jdf.queryExecution().executedPlan().toString()
+    assert "w_start:bigint" in plan and "HashAggregate" not in plan
+
+    # a delete makes the artifact stale: rollup must recompute on the fly
+    db.delete(0, 999, [L.eq("x", "2")])
+    stale = rows()
+    assert sorted(v for k, v in stale.items() if k[1] == 0) == [(2, 1.0, 2.0, 3.0)]
+    plan = db.rollup(0, 1999, 1000)._jdf.queryExecution().executedPlan().toString()
+    assert "HashAggregate" in plan
+    # re-materialize folds the tombstone in and is served again
+    db.materialize_rollup(1000)
+    assert rows() == stale
+    # partial windows are excluded: maxt mid-window drops window 1000
+    assert {r["w_start"] for r in db.rollup(0, 1500, 1000).collect()} == {0}

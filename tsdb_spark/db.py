@@ -422,8 +422,8 @@ class DB:
         merged = coalesce_intervals(self.tombstones().unionByName(new))
         self._atomic_overwrite(merged.coalesce(1), self._tombstones_path)
         # fresh intervals may hit previously tombstone-rewritten buckets
-        if self.meta.pop("ts_clean_buckets", None) is not None:
-            self._write_meta()
+        self.meta.pop("ts_clean_buckets", None)
+        self._bump_data_seq()  # rollup artifacts built pre-delete are stale
         return new.count()
 
     def clean_tombstones(self) -> None:
@@ -696,7 +696,9 @@ class DB:
         if os.path.abspath(dest) == os.path.abspath(self.path):
             raise ValueError("cannot snapshot into base directory")
         os.makedirs(dest, exist_ok=False)
-        for sub in ("samples", "series", "tombstones"):
+        # derived artifacts (postings, rollups) ride along — hardlinks
+        # are free and their freshness meta stays valid in the copy
+        for sub in ("samples", "series", "tombstones", "postings", "rollups"):
             root = os.path.join(self.path, sub)
             if not os.path.isdir(root):
                 continue
@@ -767,6 +769,8 @@ class DB:
                 shutil.rmtree(os.path.join(self._samples_path, d))
                 dropped += 1
         self._forget_dropped_buckets()
+        if dropped:
+            self._bump_data_seq()
         return dropped
 
     def block_bytes(self) -> dict[int, int]:
@@ -798,6 +802,8 @@ class DB:
                 shutil.rmtree(os.path.join(self._samples_path, f"t_bucket={lo}"))
                 dropped += 1
         self._forget_dropped_buckets()
+        if dropped:
+            self._bump_data_seq()
         return dropped
 
     def _forget_dropped_buckets(self) -> None:
@@ -855,6 +861,87 @@ class DB:
                 "value STRING, series_id LONG, name STRING"
             ).parquet(self._postings_path).select("name", "value", "series_id")
         return build_postings(self.series())
+
+    # ---------------- materialized rollups (recording rules) ----------------
+
+    @property
+    def _rollups_path(self) -> str:
+        return os.path.join(self.path, "rollups")
+
+    def _rollup_dir(self, width_ms: int) -> str:
+        return os.path.join(self._rollups_path, f"w={width_ms}")
+
+    def _data_version(self) -> list:
+        return [self.meta["next_ingest_seq"], self.meta.get("data_seq", 0)]
+
+    def _bump_data_seq(self) -> None:
+        """Mark a semantic data change that is invisible to the ingest
+        seq (delete / retention) so derived artifacts go stale."""
+        self.meta["data_seq"] = self.meta.get("data_seq", 0) + 1
+        self._write_meta()
+
+    def _rollup_frame(self, width_ms: int) -> DataFrame:
+        base = self.querier(-(2**62), 2**62).select([], with_labels=False)
+        w = (F.col("t") - F.pmod(F.col("t"), F.lit(width_ms))).alias("w_start")
+        grid = max(self.block_width_ms, width_ms)
+        return (
+            base.groupBy("series_id", w)
+            .agg(
+                F.count("*").alias("n"),
+                F.min("v").alias("min_v"),
+                F.max("v").alias("max_v"),
+                F.sum("v").alias("sum_v"),
+            )
+            .withColumn(
+                "t_bucket", F.col("w_start") - F.pmod(F.col("w_start"), F.lit(grid))
+            )
+        )
+
+    def materialize_rollup(self, width_ms: int = 3_600_000) -> None:
+        """Write the per-series tumbling rollup (n, min/max/sum) at
+        `width_ms` as a derived partitioned Parquet table — the
+        recording-rule / downsampling artifact a TSDB materializes so
+        long ranges read aggregate rows instead of raw samples (a 1-year
+        query over 1h rollups of 15s scrapes scans ~240x fewer rows).
+        Beyond the reference surface (Prometheus defers downsampling to
+        remote systems); first-class here per the north star.
+
+        The build reads through the querier path, so tombstones and
+        vertical overlaps are folded in: a fresh rollup equals
+        aggregating a clean select. Freshness tracks (ingest seq,
+        data seq) like the postings artifact; after an append, delete,
+        or retention the reader recomputes on the fly until the next
+        materialize."""
+        dest = self._rollup_dir(width_ms)
+        tmp = dest + f".tmp.{uuid.uuid4().hex}"
+        (
+            self._rollup_frame(width_ms)
+            .repartitionByRange("t_bucket", "series_id")
+            .sortWithinPartitions("t_bucket", "series_id", "w_start")
+            .write.mode("overwrite")
+            .partitionBy("t_bucket")
+            .parquet(tmp)
+        )
+        os.makedirs(self._rollups_path, exist_ok=True)
+        self._swap_dir(tmp, dest)
+        self.meta.setdefault("rollups", {})[str(width_ms)] = self._data_version()
+        self._write_meta()
+
+    def rollup(self, mint: int, maxt: int, width_ms: int = 3_600_000) -> DataFrame:
+        """(series_id, w_start, n, min_v, max_v, sum_v) for rollup
+        windows fully inside the closed [mint, maxt]: served from the
+        materialized artifact when fresh (a partition-pruned scan of
+        aggregate rows), else computed on the fly from the same
+        expression — transparent, like `postings()`."""
+        ver = self.meta.get("rollups", {}).get(str(width_ms))
+        if ver == self._data_version() and os.path.isdir(self._rollup_dir(width_ms)):
+            r = self.spark.read.parquet(self._rollup_dir(width_ms))
+        else:
+            r = self._rollup_frame(width_ms)
+        return r.filter(
+            (F.col("w_start") >= F.lit(mint))
+            & (F.col("w_start") + width_ms - 1 <= F.lit(maxt))
+        ).select("series_id", "w_start", "n", "min_v", "max_v", "sum_v")
 
     def dump(self, mint: int = -(2**62), maxt: int = 2**62) -> DataFrame:
         """Full-store sample dump with labels, (labels_str, t)-ordered —

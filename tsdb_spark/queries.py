@@ -522,6 +522,8 @@ def _store(spark: SparkSession, sf_dir: str, scenario: str) -> DB:
         db.clean_tombstones()
     elif scenario == "retention":
         db.retain_after(T0 + 20 * DAY)
+    elif scenario == "rollup":
+        db.materialize_rollup(3_600_000)
     elif scenario == "size_ret":
         # budget = exact bytes of the blocks at/after the cutoff → the
         # newest-first byte accumulation must reproduce the time cut,
@@ -642,6 +644,36 @@ GROUP BY 1 ORDER BY t_bucket"""),
 def store_retention_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     db = _store(spark, sf_dir, "retention")
     return db.block_stats()
+
+
+@register(
+    "store_rollup_serve",
+    _with_prelude("""
+SELECT labels_str, (t // 3600000) * 3600000 AS w_start,
+  CAST(count(*) AS BIGINT) AS n, min(v) AS min_v, max(v) AS max_v,
+  round(sum(v), 2) AS sum_v
+FROM samples
+WHERE (t // 3600000) * 3600000 BETWEEN {T0} + 7*{DAY} AND {T0} + 21*{DAY} - 3600000
+GROUP BY 1, 2"""),
+    "materialized recording-rule rollup: build the per-series 1h artifact "
+    "once, then serve a two-week range from partition-pruned aggregate "
+    "rows (at 100TB: ~240x fewer rows than the raw scan) — must equal "
+    "aggregating the raw samples",
+)
+def store_rollup_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    db = _store(spark, sf_dir, "rollup")
+    r = db.rollup(T0 + 7 * DAY, T0 + 21 * DAY, 3_600_000)
+    return (
+        r.join(F.broadcast(db.series().select("series_id", "labels_str")), "series_id")
+        .select(
+            "labels_str",
+            "w_start",
+            "n",
+            "min_v",
+            "max_v",
+            F.round("sum_v", 2).alias("sum_v"),
+        )
+    )
 
 
 @register(
