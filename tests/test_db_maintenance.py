@@ -332,3 +332,27 @@ def test_rollup_artifact_freshness(spark, tmp_path):
     assert rows() == stale
     # partial windows are excluded: maxt mid-window drops window 1000
     assert {r["w_start"] for r in db.rollup(0, 1500, 1000).collect()} == {0}
+
+
+def test_vacuum_defragments_without_changing_data(spark, tmp_path):
+    db = _mkdb(spark, tmp_path, "vac", width=1000)
+    # 10 tiny appends into the same bucket = 10+ files (streaming shape);
+    # one of them creates a genuine vertical overlap that must survive
+    for i in range(10):
+        db.append(_df(spark, [({"x": "1"}, 100 + (i % 9), float(i))]))
+    assert db.overlapping_buckets == [0]
+
+    def n_files(lo):
+        part = os.path.join(db._samples_path, f"t_bucket={lo}")
+        return sum(1 for f in os.listdir(part) if not f.startswith(("_", ".")))
+
+    before = {r["t"]: r["v"] for r in db.querier(0, 999).select([L.eq("x", "1")]).collect()}
+    assert n_files(0) >= 10
+    assert db.vacuum(max_files_per_bucket=8) == [0]
+    assert n_files(0) <= 8
+    # second pass: nothing left to do
+    assert db.vacuum(max_files_per_bucket=8) == []
+    # rows (incl. the overlap resolution at read) identical; flag intact
+    after = {r["t"]: r["v"] for r in db.querier(0, 999).select([L.eq("x", "1")]).collect()}
+    assert after == before
+    assert db.overlapping_buckets == [0]

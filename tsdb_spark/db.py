@@ -672,6 +672,53 @@ class DB:
         self.meta["last_compaction_ms"] = int(time.time() * 1000)
         self._write_meta()
 
+    def vacuum(self, max_files_per_bucket: int = 8) -> list[int]:
+        """Rewrite partitions fragmented into more than
+        `max_files_per_bucket` data files — the small-file maintenance
+        pass a streaming warehouse needs (every micro-batch append adds
+        files; thousands of tiny files per partition destroy scan
+        throughput long before data size does).
+
+        Rows are rewritten verbatim — no dedup, no tombstone apply — so
+        vertical-overlap tracking and pending tombstones are untouched;
+        this is purely physical layout (the reference's segment rewrite
+        concern, chunks/chunks.go:106-108 — fixed-size segments exist
+        for exactly this reason). All selected partitions rewrite in ONE
+        Spark job; the driver only swaps directories. Returns the
+        rewritten bucket los."""
+        frag = [
+            lo
+            for lo in sorted(
+                int(d.split("=")[1]) for d in self._bucket_dirs()
+            )
+            if sum(
+                1
+                for f in os.listdir(
+                    os.path.join(self._samples_path, f"t_bucket={lo}")
+                )
+                if not f.startswith(("_", "."))
+            )
+            > max_files_per_bucket
+        ]
+        if not frag:
+            return []
+        s = self.samples().filter(F.col("t_bucket").isin(frag))
+        tmp = self._samples_path + f".vac.{uuid.uuid4().hex}"
+        (
+            s.select("series_id", "t", "v", "ingest_seq", "t_bucket")
+            .repartitionByRange("t_bucket", "series_id")
+            .sortWithinPartitions("t_bucket", "series_id", "t")
+            .write.mode("overwrite")
+            .partitionBy("t_bucket")
+            .parquet(tmp)
+        )
+        for lo in frag:
+            src = os.path.join(tmp, f"t_bucket={lo}")
+            dst = os.path.join(self._samples_path, f"t_bucket={lo}")
+            self._swap_dir(src if os.path.isdir(src) else None, dst)
+        shutil.rmtree(tmp, ignore_errors=True)
+        return frag
+
     def auto_compact(self, max_rounds: int = 32) -> list[list[int]]:
         """Run planning rounds until the planner is satisfied (the
         reference's db.compact loop, db.go:701-759). Returns the executed
