@@ -132,3 +132,61 @@ def test_strip_empty_labels(spark):
     df = spark.createDataFrame([({"a": "1", "b": ""},)], "labels MAP<STRING,STRING>")
     out = df.select(L.strip_empty_labels("labels").alias("l")).collect()[0]["l"]
     assert out == {"a": "1"}
+
+
+def test_matcher_compiler_equivalence_exhaustive(spark):
+    """Property check: the Column compiler agrees with a direct Python
+    evaluation of Prometheus matcher semantics (missing label == "",
+    fully-anchored regex) over an exhaustive label-set universe x ~140
+    matcher combinations — all evaluated in ONE Spark job."""
+    import itertools
+    import re as pyre
+
+    rows = []
+    for n_v, i_v in itertools.product([None, "a", "ab", "b"], [None, "a", "b"]):
+        lbl = {}
+        if n_v is not None:
+            lbl["n"] = n_v
+        if i_v is not None:
+            lbl["i"] = i_v
+        rows.append(lbl)
+    df = spark.createDataFrame(
+        [(i, r) for i, r in enumerate(rows)], "id INT, labels MAP<STRING,STRING>"
+    )
+
+    eq_vals = ["", "a", "ab", "c"]
+    re_pats = ["", "a", "a.*", "a|b", "[ab]", ".*", "a.*b", "(a)(b)?"]
+    singles = []
+    for nm in ("n", "i", "j"):
+        singles += [L.eq(nm, v) for v in eq_vals]
+        singles += [L.neq(nm, v) for v in eq_vals]
+        singles += [L.re_match(nm, p) for p in re_pats]
+        singles += [L.re_not_match(nm, p) for p in re_pats]
+    core = [
+        L.eq("n", "a"),
+        L.eq("i", ""),
+        L.neq("n", ""),
+        L.re_match("i", "a|b"),
+        L.re_not_match("i", "a.*"),
+        L.re_match("n", ".*"),
+    ]
+    cases = [[m] for m in singles] + [list(c) for c in itertools.combinations(core, 2)]
+
+    conds = [L.compile_matchers(ms).alias(f"c{k}") for k, ms in enumerate(cases)]
+    got = {r["id"]: r for r in df.select("id", *conds).collect()}
+
+    def ref_one(m, lbl):
+        v = lbl.get(m.name, "")
+        if m.type == "=":
+            return v == m.value
+        if m.type == "!=":
+            return v != m.value
+        if m.type == "=~":
+            return pyre.fullmatch(m.value, v) is not None
+        return pyre.fullmatch(m.value, v) is None
+
+    for rid, lbl in enumerate(rows):
+        for k, ms in enumerate(cases):
+            want = all(ref_one(m, lbl) for m in ms)
+            have = bool(got[rid][f"c{k}"])
+            assert have == want, (lbl, [str(m) for m in ms], have, want)
