@@ -135,3 +135,24 @@ def test_exact_dedup_stream_survives_restart(spark, tmp_path):
     got = {(r["labels_str"], r["t"], r["v"]) for r in spark.read.parquet(out).collect()}
     assert got == {("a", 100, 1.0), ("a", 200, 2.0), ("b", 100, 3.0), ("b", 300, 4.0)}
     assert spark.read.parquet(out).count() == 4  # no duplicate rows either
+
+
+def test_stream_vacuum_every(spark, tmp_path):
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    db = DB.create(spark, str(tmp_path / "store"), block_width_ms=1000)
+    ing = StreamIngestor(db, vacuum_every=10)
+    # 10 micro-batches into one bucket = 10 files; the 10th commit
+    # triggers the vacuum pass, which defragments past the threshold
+    for i in range(10):
+        _write_chunk(spark, src, [({"m": "a"}, 100 + i, float(i))], f"c{i}")
+    stream = spark.readStream.schema(ROWS_SCHEMA).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src + "/*")
+    q = ing.start(stream, ckpt, trigger={"availableNow": True})
+    q.awaitTermination(180)
+    part = os.path.join(db._samples_path, "t_bucket=0")
+    n_files = sum(1 for f in os.listdir(part) if not f.startswith(("_", ".")))
+    assert n_files <= 8  # defragmented (was 10 pre-vacuum)
+    assert _store_ts(db) == {100 + i: float(i) for i in range(10)}

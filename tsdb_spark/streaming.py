@@ -196,11 +196,16 @@ class StreamIngestor:
         rejected, mirroring head.go:773-783. None disables the bound.
     compact_every: run `DB.auto_compact()` after every N committed
         batches (0 disables auto-flush).
+    vacuum_every: run `DB.vacuum()` after every N committed batches
+        (0 disables) — every micro-batch adds a file per touched
+        bucket, so a long-running stream needs periodic small-file
+        defragmentation even when no compaction is due.
     """
 
     db: DB
     lateness_ms: int | None = None
     compact_every: int = 0
+    vacuum_every: int = 0
     _batches_done: int = 0
 
     # -- foreachBatch body (public so tests can drive it directly) --
@@ -231,6 +236,8 @@ class StreamIngestor:
         self._batches_done += 1
         if self.compact_every and self._batches_done % self.compact_every == 0:
             self.db.auto_compact()
+        if self.vacuum_every and self._batches_done % self.vacuum_every == 0:
+            self.db.vacuum()
 
     def start(
         self,
