@@ -121,6 +121,34 @@ def docs_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "docs_lang_confusion",
+    f"""
+WITH t AS (SELECT doc_id, lang, {SQL_TOKS} AS toks FROM documents),
+s AS (SELECT doc_id, lang,
+  {", ".join(f"len(list_filter(toks, x -> x IN {words!r})) AS score_{lang}" for lang, words in T.LANG_PROFILES.items())}
+  FROM t),
+g AS (SELECT *, greatest({", ".join(f"score_{lang}" for lang in T.LANG_ORDER)}) AS best FROM s),
+p AS (SELECT doc_id, lang,
+  CASE {" ".join(f"WHEN score_{lang} = best THEN '{lang}'" for lang in T.LANG_ORDER)} END AS pred_lang
+FROM g)
+SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+FROM p GROUP BY 1, 2""",
+    "classifier evaluation: language-ID confusion matrix against the "
+    "corpus's labeled lang column (tiny groupBy rollup of a map-only "
+    "prediction pass)",
+)
+def docs_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pred = T.language_id(docs).select("doc_id", "pred_lang")
+    return (
+        docs.select("doc_id", "lang")
+        .join(pred, "doc_id")
+        .groupBy("lang", "pred_lang")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
     "docs_wordpiece_count",
     f"""
 WITH t AS (SELECT doc_id, {SQL_TOKS} AS ws,
@@ -343,10 +371,11 @@ def docs_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _minhash_clusters(spark, sf_dir)
 
 
-@register(
-    "docs_curated_corpus",
-    f"""
-WITH RECURSIVE {SQL_CORPUS},
+#: full curation verdict as a CTE chain ending in
+#: curated(doc_id, n_tokens, stopword_bp, keep_quality, is_exact_dup,
+#: cluster_id, cluster_size, is_canonical, selected);
+#: requires WITH RECURSIVE
+SQL_CURATED = f"""{SQL_CORPUS},
 {SQL_SHINGLES},
 {SQL_MINHASH_PAIRS},
 {sql_cc("verified")},
@@ -358,19 +387,67 @@ st AS (SELECT *,
        FROM st0),
 ex AS (SELECT doc_id,
          doc_id != min(doc_id) OVER (PARTITION BY md5(text)) AS is_exact_dup
-       FROM corpus)
-SELECT st.doc_id, st.n_tokens, st.stopword_bp, st.keep_quality,
-       ex.is_exact_dup,
-       coalesce(c.cluster_id, st.doc_id) AS cluster_id,
-       coalesce(c.cluster_size, 1) AS cluster_size,
-       coalesce(c.is_canonical, TRUE) AS is_canonical,
-       st.keep_quality AND NOT ex.is_exact_dup AND coalesce(c.is_canonical, TRUE) AS selected
-FROM st JOIN ex USING (doc_id) LEFT JOIN clusters c ON c.id = st.doc_id""",
+       FROM corpus),
+curated AS (
+  SELECT st.doc_id, st.n_tokens, st.stopword_bp, st.keep_quality,
+         ex.is_exact_dup,
+         coalesce(c.cluster_id, st.doc_id) AS cluster_id,
+         coalesce(c.cluster_size, 1) AS cluster_size,
+         coalesce(c.is_canonical, TRUE) AS is_canonical,
+         st.keep_quality AND NOT ex.is_exact_dup AND coalesce(c.is_canonical, TRUE) AS selected
+  FROM st JOIN ex USING (doc_id) LEFT JOIN clusters c ON c.id = st.doc_id)"""
+
+
+@register(
+    "docs_curated_corpus",
+    f"""
+WITH RECURSIVE {SQL_CURATED}
+SELECT * FROM curated""",
     "end-to-end curation verdict per doc: C4-style quality gate + exact "
     "dedup + near-dup cluster canonicality composed into one `selected` "
     "flag — the decision a training-data pipeline materializes",
 )
 def docs_curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _curated(spark, sf_dir)
+
+
+@register(
+    "docs_source_report",
+    f"""
+WITH RECURSIVE {SQL_CURATED}
+SELECT d.source,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(CASE WHEN c.keep_quality THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+  CAST(sum(CASE WHEN c.is_exact_dup OR NOT c.is_canonical THEN 1 ELSE 0 END) AS BIGINT) AS n_dups,
+  CAST(sum(CASE WHEN c.selected THEN 1 ELSE 0 END) AS BIGINT) AS n_selected,
+  (10000 * sum(c.n_tokens)) // count(*) AS avg_tokens_bp
+FROM curated c JOIN documents d ON d.doc_id = c.doc_id
+GROUP BY d.source""",
+    "per-source curation rollup over the base documents (quality pass / "
+    "dup / selected counts, mean tokens) — the dataset-card summary a "
+    "curation pipeline reports; reuses the memoized cluster frame",
+)
+def docs_source_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    c = _curated(spark, sf_dir)
+    return (
+        c.join(docs, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("keep_quality").cast("long")).alias("n_quality"),
+            F.sum(
+                (F.col("is_exact_dup") | ~F.col("is_canonical")).cast("long")
+            ).alias("n_dups"),
+            F.sum(F.col("selected").cast("long")).alias("n_selected"),
+            F.floor(F.lit(10000) * F.sum("n_tokens") / F.count("*")).alias(
+                "avg_tokens_bp"
+            ),
+        )
+    )
+
+
+def _curated(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus-sized frames join on doc_id; the cluster frame is dup-graph-
     # sized (≪ corpus) and broadcast, so curation adds no extra shuffle
     # beyond the exact-dedup hash window
