@@ -922,6 +922,46 @@ def tsdb_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tsdb_increase_hourly",
+    _with_prelude("""
+, d AS (SELECT labels_str, t, min(v) AS v FROM samples
+        WHERE t >= {T0} AND t < {T0} + 7*{DAY} GROUP BY 1, 2),
+l AS (SELECT labels_str, t, v, lag(v) OVER w AS pv
+      FROM d WINDOW w AS (PARTITION BY labels_str ORDER BY t)),
+x AS (SELECT labels_str, (t // 3600000) * 3600000 AS w_start,
+        CASE WHEN v >= pv THEN v - pv ELSE v END AS delta
+      FROM l WHERE pv IS NOT NULL)
+SELECT labels_str, w_start, CAST(count(*) AS BIGINT) AS n_deltas,
+       round(sum(delta), 2) AS increase
+FROM x GROUP BY 1, 2"""),
+    "counter increase per series per hour (the rate()/increase() family "
+    "as a batch op): LAG over (series, t), counter-reset rule v<prev => "
+    "delta=v, deltas attributed to the later sample's window; one "
+    "(series)-partitioned window + one combinable rollup",
+)
+def tsdb_increase_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        events_samples(spark, sf_dir)
+        .filter((F.col("t") >= T0) & (F.col("t") < T0 + 7 * DAY))
+        .groupBy("labels_str", "t")
+        .agg(F.min("v").alias("v"))
+    )
+    w = Window.partitionBy("labels_str").orderBy("t")
+    l = d.withColumn("pv", F.lag("v").over(w)).filter(F.col("pv").isNotNull())
+    x = l.select(
+        "labels_str",
+        (F.col("t") - F.pmod(F.col("t"), F.lit(3_600_000))).alias("w_start"),
+        F.when(F.col("v") >= F.col("pv"), F.col("v") - F.col("pv"))
+        .otherwise(F.col("v"))
+        .alias("delta"),
+    )
+    return x.groupBy("labels_str", "w_start").agg(
+        F.count("*").alias("n_deltas"),
+        F.round(F.sum("delta"), 2).alias("increase"),
+    )
+
+
+@register(
     "tsdb_downsample",
     _with_prelude("""
 SELECT labels_str, (t // 3600000) * 3600000 AS w_start,
