@@ -356,3 +356,18 @@ def test_vacuum_defragments_without_changing_data(spark, tmp_path):
     after = {r["t"]: r["v"] for r in db.querier(0, 999).select([L.eq("x", "1")]).collect()}
     assert after == before
     assert db.overlapping_buckets == [0]
+
+
+def test_open_tolerates_crash_orphans(spark, tmp_path):
+    # a crash between the rewrite and the swap leaves *.tmp/*.old/*.lvl
+    # siblings in the store root — opening and querying must ignore them
+    db = _mkdb(spark, tmp_path, "orph", width=1000)
+    db.append(_df(spark, [({"x": "1"}, 100, 1.0), ({"x": "1"}, 1100, 2.0)]))
+    root = db.path
+    for d in ("samples.lvl.deadbeef", "samples.tmp.deadbeef",
+              "samples.old.deadbeef", "postings.tmp.deadbeef"):
+        os.makedirs(os.path.join(root, d, "t_bucket=0"), exist_ok=True)
+    db2 = DB.open(spark, root)
+    got = {r["t"]: r["v"] for r in db2.querier(0, 9999).select([L.eq("x", "1")]).collect()}
+    assert got == {100: 1.0, 1100: 2.0}
+    assert sorted(int(d.split("=")[1]) for d in db2._bucket_dirs()) == [0, 1000]
