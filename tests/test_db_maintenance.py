@@ -371,3 +371,21 @@ def test_open_tolerates_crash_orphans(spark, tmp_path):
     got = {r["t"]: r["v"] for r in db2.querier(0, 9999).select([L.eq("x", "1")]).collect()}
     assert got == {100: 1.0, 1100: 2.0}
     assert sorted(int(d.split("=")[1]) for d in db2._bucket_dirs()) == [0, 1000]
+
+
+def test_delete_masks_reappended_samples_until_clean(spark, tmp_path):
+    # reference head tombstones apply at READ time to any sample in the
+    # interval — including samples appended after the Delete call — until
+    # a rewrite drops the tombstone (head.go Delete + tombstone read path)
+    db = _mkdb(spark, tmp_path, "remask", width=1000)
+    db.append(_df(spark, [({"x": "1"}, 100, 1.0), ({"x": "1"}, 900, 2.0)]))
+    db.delete(0, 500, [L.eq("x", "1")])
+    db.append(_df(spark, [({"x": "1"}, 200, 9.0)]))  # lands inside the interval
+    got = {r["t"]: r["v"] for r in db.querier(0, 999).select([L.eq("x", "1")]).collect()}
+    assert got == {900: 2.0}  # masked, like the original
+    db.clean_tombstones()
+    got = {r["t"]: r["v"] for r in db.querier(0, 999).select([L.eq("x", "1")]).collect()}
+    assert got == {900: 2.0}  # the rewrite dropped the masked rows for good
+    db.append(_df(spark, [({"x": "1"}, 300, 7.0)]))  # tombstone gone → visible
+    got = {r["t"]: r["v"] for r in db.querier(0, 999).select([L.eq("x", "1")]).collect()}
+    assert got == {300: 7.0, 900: 2.0}
