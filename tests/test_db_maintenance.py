@@ -389,3 +389,85 @@ def test_delete_masks_reappended_samples_until_clean(spark, tmp_path):
     db.append(_df(spark, [({"x": "1"}, 300, 7.0)]))  # tombstone gone → visible
     got = {r["t"]: r["v"] for r in db.querier(0, 999).select([L.eq("x", "1")]).collect()}
     assert got == {300: 7.0, 900: 2.0}
+
+
+def test_inplace_rewrite_keeps_promoted_width(spark, tmp_path):
+    # a level-promoted bucket rewritten IN PLACE (tombstone/vertical
+    # rewrite, target_width=None) must keep its coarse width: dropping
+    # the bucket_widths entry makes pruning skip the bucket's upper half
+    # and lets retention delete live data
+    db = _mkdb(spark, tmp_path, "lvlwidth", width=100)
+    db.append(_df(spark, [({"m": "a"}, t, float(t)) for t in (10, 110, 210, 310)]))
+    db.auto_compact()  # buckets 0 (width 300) + 310's home
+    assert db.width_of(0) == 300
+    db.delete(0, 20, [L.eq("m", "a")])
+    los, target = db.compact_plan()
+    assert 0 in los and target is None
+    db.compact_selected(los, target)
+    assert db.width_of(0) == 300  # was dropped before the fix
+    got = {r["t"] for r in db.querier(150, 400).select([L.eq("m", "a")]).collect()}
+    assert got == {210, 310}
+    assert db.retain_after(150) == 0  # bucket 0 still spans past 150
+    got = {r["t"] for r in db.querier(0, 400).select([L.eq("m", "a")]).collect()}
+    assert got == {110, 210, 310}
+
+
+def test_open_migrates_v1_global_overlap_flag(spark, tmp_path):
+    import json
+
+    db = _mkdb(spark, tmp_path, "v1mig", width=1000)
+    db.append(_df(spark, [({"x": "1"}, 100, 1.0), ({"x": "1"}, 1100, 2.0)]))
+    db.append(_df(spark, [({"x": "1"}, 100, 9.0)]))  # bucket 0 dirty
+    meta_path = str(tmp_path / "v1mig" / "_meta.json")
+    with open(meta_path) as f:
+        meta = json.load(f)
+    # rewrite the meta as a round-1 store would have written it
+    meta.pop("overlapping_buckets", None)
+    meta["overlapping"] = True
+    meta["version"] = 1
+    with open(meta_path, "w") as f:
+        json.dump(meta, f)
+    db2 = DB.open(spark, str(tmp_path / "v1mig"))
+    # conservative migration: every live bucket marked overlapping, so
+    # vertical dedup still runs (later-wins visible)
+    assert db2.meta["version"] == 2
+    assert set(db2.overlapping_buckets) == {0, 1000}
+    got = {r["t"]: r["v"] for r in db2.querier(0, 2000).select([L.eq("x", "1")]).collect()}
+    assert got == {100: 9.0, 1100: 2.0}
+    meta["version"] = 3
+    with open(meta_path, "w") as f:
+        json.dump(meta, f)
+    with pytest.raises(ValueError):
+        DB.open(spark, str(tmp_path / "v1mig"))
+
+
+def test_strict_order_append_clears_ts_clean_mark(spark, tmp_path):
+    # ts_clean marks tell the planner "tombstones already applied here";
+    # ANY append into the bucket (including the strict-order path) must
+    # clear the mark so the planner re-checks it
+    db = _mkdb(spark, tmp_path, "tsclean", width=1000)
+    db.append(
+        _df(spark, [({"x": "1"}, 100, 1.0), ({"x": "1"}, 800, 1.5), ({"x": "1"}, 1100, 2.0)])
+    )
+    db.delete(0, 500, [L.eq("x", "1")])
+    db.compact_selected([0], None)
+    assert 0 in db.meta.get("ts_clean_buckets", [])
+    db.append(_df(spark, [({"x": "2"}, 900, 3.0)]), strict_order=True)
+    assert 0 not in db.meta.get("ts_clean_buckets", [])
+
+
+def test_clean_tombstones_covers_promoted_bucket(spark, tmp_path):
+    # affected-bucket selection must intersect tombstone intervals with
+    # each dir's TRUE span: a delete inside the upper half of a coarse
+    # (level-promoted) bucket has no base-grid dir of its own; missing it
+    # would drop the tombstone file without the rewrite and resurrect
+    # the masked samples
+    db = _mkdb(spark, tmp_path, "cleanlvl", width=100)
+    db.append(_df(spark, [({"m": "a"}, t, float(t)) for t in (10, 110, 210, 310)]))
+    db.auto_compact()  # bucket 0 promoted to width 300
+    assert db.width_of(0) == 300
+    db.delete(150, 250, [L.eq("m", "a")])  # upper half of the coarse bucket
+    db.clean_tombstones()
+    assert not os.path.isdir(db._tombstones_path)
+    got = {r["t"] for r in db.querier(0, 400).select([L.eq("m", "a")]).collect()}
+    assert got == {10, 110, 310}  # 210 gone for good, not resurrected

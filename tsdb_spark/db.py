@@ -108,7 +108,24 @@ class DB:
         configure(spark)
         with open(os.path.join(path, "_meta.json")) as f:
             meta = json.load(f)
-        return cls(spark, path, meta)
+        ver = meta.get("version", 1)
+        if ver > 2:
+            raise ValueError(
+                f"store at {path} has meta version {ver}; this build reads <= 2"
+            )
+        db = cls(spark, path, meta)
+        if ver < 2:
+            # v1 metas carried one global `overlapping` bool; silently
+            # reading it as "no overlapping buckets" would skip vertical
+            # dedup on reads. Migrate: the conservative per-bucket form
+            # marks every live bucket (exactly what the global flag meant).
+            if meta.pop("overlapping", False):
+                meta["overlapping_buckets"] = sorted(
+                    int(d.split("=")[1]) for d in db._bucket_dirs()
+                )
+            meta["version"] = 2
+            db._write_meta()
+        return db
 
     def _write_meta(self) -> None:
         tmp = os.path.join(self.path, f"_meta.json.tmp.{uuid.uuid4().hex}")
@@ -313,20 +330,24 @@ class DB:
                 .partitionBy("t_bucket")
                 .parquet(self._samples_path)
             )
-            if not strict_order and existing_buckets:
-                # which buckets did THIS batch actually touch that already
-                # held data? Only those need read-time vertical dedup
-                # (per-range overlap tracking, OverlappingBlocks analog
-                # db.go:977-1042). Metadata-sized collect over the cached
-                # batch — never a comparison of dir listings (a dir set
-                # intersected with its own superset is always "everything").
+            need_overlap = not strict_order and bool(existing_buckets)
+            need_ts_clean = bool(self.meta.get("ts_clean_buckets"))
+            if need_overlap or need_ts_clean:
+                # which buckets did THIS batch actually touch? Metadata-
+                # sized collect over the cached batch — never a comparison
+                # of dir listings (a dir set intersected with its own
+                # superset is always "everything").
+                batch_buckets = {
+                    r["t_bucket"] for r in out.select("t_bucket").distinct().collect()
+                }
+            if need_overlap:
+                # which touched buckets already held data? Only those need
+                # read-time vertical dedup (per-range overlap tracking,
+                # OverlappingBlocks analog db.go:977-1042).
                 # Overlap is checked by RANGE, not dir name: a base-width
                 # batch bucket landing inside a level-promoted coarse
                 # bucket creates a new dir but still time-overlaps it —
                 # both sides must dedup at read until compacted.
-                batch_buckets = {
-                    r["t_bucket"] for r in out.select("t_bucket").distinct().collect()
-                }
                 widths = self.bucket_widths
                 newly_overlapping: set[int] = set()
                 for b in batch_buckets:
@@ -339,14 +360,14 @@ class DB:
                     self.meta["overlapping_buckets"] = sorted(
                         set(self.overlapping_buckets) | newly_overlapping
                     )
-                if self.meta.get("ts_clean_buckets"):
-                    # new data in a tombstone-clean bucket: still clean
-                    # (tombstones only cover series selected at delete
-                    # time, but intervals are time-based — a re-touched
-                    # bucket must be re-checked by the planner)
-                    self.meta["ts_clean_buckets"] = sorted(
-                        set(self.meta["ts_clean_buckets"]) - batch_buckets
-                    )
+            if need_ts_clean:
+                # new data in a tombstone-clean bucket: no longer known
+                # clean — a re-touched bucket must be re-checked by the
+                # planner. Applies on EVERY append path (strict-order
+                # appends touch buckets too).
+                self.meta["ts_clean_buckets"] = sorted(
+                    set(self.meta["ts_clean_buckets"]) - batch_buckets
+                )
 
             # series upsert (J12) last: a failed samples job must not leave
             # phantom dim entries (commit-ordering note in the docstring)
@@ -434,49 +455,58 @@ class DB:
         serialize the cluster at 1000s of affected buckets); the driver
         then just swaps directories."""
         tombs = self.tombstones()
-        if tombs.limit(1).count() == 0:
+        intervals = [(r["mint"], r["maxt"]) for r in tombs.select("mint", "maxt").collect()]
+        if not intervals:
             return
-        width = self.block_width_ms
-        affected = {
-            r["b"]
-            for r in tombs.select(
-                F.explode(
-                    F.sequence(
-                        F.col("mint") - F.pmod(F.col("mint"), F.lit(width)),
-                        F.col("maxt") - F.pmod(F.col("maxt"), F.lit(width)),
-                        F.lit(width).cast("long"),
-                    )
-                ).alias("b")
-            )
-            .distinct()
-            .collect()
-        }
-        existing = {int(d.split("=")[1]) for d in self._bucket_dirs()}
-        targets = sorted(affected & existing)
-        if not targets:
-            if os.path.isdir(self._tombstones_path):
-                shutil.rmtree(self._tombstones_path)
-            return
-        df = self.samples().filter(F.col("t_bucket").isin(targets))
-        cleaned = (
-            subtract_intervals(df, tombs)
-            .repartitionByRange("t_bucket", "series_id")
-            .sortWithinPartitions("t_bucket", "series_id", "t")
+        # affected buckets by RANGE intersection against each live dir's
+        # true span — never a base-width grid walk: a level-promoted
+        # coarse bucket's upper half lives at t values whose base-grid
+        # bucket doesn't exist as a dir, and missing it here would delete
+        # the tombstones below without rewriting, resurrecting masked rows
+        widths, base = self.bucket_widths, self.block_width_ms
+        targets = sorted(
+            lo
+            for lo in (int(d.split("=")[1]) for d in self._bucket_dirs())
+            if any(m < lo + widths.get(lo, base) and x >= lo for m, x in intervals)
         )
-        tmp = self._samples_path + f".clean.{uuid.uuid4().hex}"
-        cleaned.write.mode("overwrite").partitionBy("t_bucket").parquet(tmp)
-        # swap each affected bucket: rewritten dir replaces it; a bucket
-        # absent from the rewrite lost ALL its samples → remove it (dynamic
-        # partition overwrite alone would silently leave it stale)
-        for b in targets:
-            src = os.path.join(tmp, f"t_bucket={b}")
-            dst = os.path.join(self._samples_path, f"t_bucket={b}")
-            self._swap_dir(src if os.path.isdir(src) else None, dst)
-        shutil.rmtree(tmp, ignore_errors=True)
+        if targets:
+            df = self.samples().filter(F.col("t_bucket").isin(targets))
+            self._rewrite_buckets(subtract_intervals(df, tombs), targets, "clean")
         if os.path.isdir(self._tombstones_path):
             shutil.rmtree(self._tombstones_path)
         self.meta.pop("ts_clean_buckets", None)
         self._write_meta()
+
+    def _rewrite_buckets(self, frame: DataFrame, targets: list[int], tag: str) -> set[int]:
+        """Shared write-then-swap choreography for every partition
+        rewrite (clean_tombstones / compact_selected / vacuum): ONE Spark
+        job writes the rewritten partitions to a tmp dir; the driver then
+        swaps each target dir (absent from the rewrite → all rows gone →
+        removed). Refuses to clobber a live dir outside `targets` (the
+        disjoint-range invariant) and never leaves the tmp dir behind.
+        Returns the bucket los present in the rewrite."""
+        tmp = self._samples_path + f".{tag}.{uuid.uuid4().hex}"
+        (
+            frame.select("series_id", "t", "v", "ingest_seq", "t_bucket")
+            .repartitionByRange("t_bucket", "series_id")
+            .sortWithinPartitions("t_bucket", "series_id", "t")
+            .write.mode("overwrite")
+            .partitionBy("t_bucket")
+            .parquet(tmp)
+        )
+        new_dirs = {
+            int(d.split("=")[1]) for d in os.listdir(tmp) if d.startswith("t_bucket=")
+        }
+        for lo in new_dirs - set(targets):
+            if os.path.isdir(os.path.join(self._samples_path, f"t_bucket={lo}")):
+                shutil.rmtree(tmp, ignore_errors=True)
+                raise RuntimeError(f"bucket rewrite would clobber live bucket {lo}")
+        for lo in sorted(set(targets) | new_dirs):
+            src = os.path.join(tmp, f"t_bucket={lo}")
+            dst = os.path.join(self._samples_path, f"t_bucket={lo}")
+            self._swap_dir(src if os.path.isdir(src) else None, dst)
+        shutil.rmtree(tmp, ignore_errors=True)
+        return new_dirs
 
     # ---------------- compaction & retention ----------------
 
@@ -539,6 +569,9 @@ class DB:
         metas = []
         ts_counts: dict[int, int] = {}
         n_series: dict[int, int] = {}
+        # parse the widths map once — width_of() re-parses meta per call
+        widths = self.bucket_widths
+        base = self.block_width_ms
         if with_stats and os.path.isdir(self._tombstones_path):
             # tombstones are metadata-sized (they broadcast at read);
             # count intervals intersecting each bucket driver-side
@@ -555,7 +588,7 @@ class DB:
                 for lo in los:
                     if lo in ts_clean:
                         continue
-                    hi = lo + self.width_of(lo)
+                    hi = lo + widths.get(lo, base)
                     ts_counts[lo] = sum(1 for m, x in intervals if m < hi and x >= lo)
                 # series counts only for buckets the tombstone rule could
                 # select (large + tombstoned) — bounds the scan
@@ -563,7 +596,7 @@ class DB:
                     lo
                     for lo in los
                     if ts_counts.get(lo)
-                    and self.width_of(lo) >= self.block_ranges[len(self.block_ranges) // 2]
+                    and widths.get(lo, base) >= self.block_ranges[len(self.block_ranges) // 2]
                 ]
                 if big:
                     rows = (
@@ -579,7 +612,7 @@ class DB:
             metas.append(
                 compaction.BlockMeta(
                     mint=lo,
-                    maxt=lo + self.width_of(lo),
+                    maxt=lo + widths.get(lo, base),
                     dir=str(lo),
                     num_series=n_series.get(lo, 0),
                     num_tombstones=ts_counts.get(lo, 0),
@@ -631,36 +664,22 @@ class DB:
             s = s.withColumn(
                 "t_bucket", F.col("t") - F.pmod(F.col("t"), F.lit(target_width_ms))
             )
-        out = s.select("series_id", "t", "v", "ingest_seq", "t_bucket")
-        tmp = self._samples_path + f".lvl.{uuid.uuid4().hex}"
-        (
-            out.repartitionByRange("t_bucket", "series_id")
-            .sortWithinPartitions("t_bucket", "series_id", "t")
-            .write.mode("overwrite")
-            .partitionBy("t_bucket")
-            .parquet(tmp)
-        )
-        new_dirs = {
-            int(d.split("=")[1])
-            for d in os.listdir(tmp)
-            if d.startswith("t_bucket=")
-        }
-        for lo in new_dirs - set(los):
-            # disjoint-range invariant: a rewrite can only produce lo
-            # values inside the group's aligned window
-            if os.path.isdir(os.path.join(self._samples_path, f"t_bucket={lo}")):
-                raise RuntimeError(f"compact_selected would clobber live bucket {lo}")
-        for lo in sorted(set(los) | new_dirs):
-            src = os.path.join(tmp, f"t_bucket={lo}")
-            dst = os.path.join(self._samples_path, f"t_bucket={lo}")
-            self._swap_dir(src if os.path.isdir(src) else None, dst)
-        shutil.rmtree(tmp, ignore_errors=True)
+        new_dirs = self._rewrite_buckets(s, los, "lvl")
         widths = {int(k): v for k, v in self.meta.get("bucket_widths", {}).items()}
-        for lo in los:
-            widths.pop(lo, None)
-        if target_width_ms is not None and target_width_ms != self.block_width_ms:
-            for lo in new_dirs:
-                widths[lo] = target_width_ms
+        if target_width_ms is not None:
+            # the group's dirs were replaced by coarse ones: re-key widths
+            for lo in los:
+                widths.pop(lo, None)
+            if target_width_ms != self.block_width_ms:
+                for lo in new_dirs:
+                    widths[lo] = target_width_ms
+        else:
+            # in-place rewrite keeps each bucket's span — a previously
+            # level-promoted bucket MUST keep its coarse width (dropping it
+            # would mis-prune queries and let retention delete live data);
+            # only buckets the rewrite emptied entirely lose their entry
+            for lo in set(los) - new_dirs:
+                widths.pop(lo, None)
         self.meta["bucket_widths"] = {str(k): v for k, v in widths.items()}
         self.meta["overlapping_buckets"] = [
             b for b in self.overlapping_buckets if b not in set(los)
@@ -703,20 +722,7 @@ class DB:
         if not frag:
             return []
         s = self.samples().filter(F.col("t_bucket").isin(frag))
-        tmp = self._samples_path + f".vac.{uuid.uuid4().hex}"
-        (
-            s.select("series_id", "t", "v", "ingest_seq", "t_bucket")
-            .repartitionByRange("t_bucket", "series_id")
-            .sortWithinPartitions("t_bucket", "series_id", "t")
-            .write.mode("overwrite")
-            .partitionBy("t_bucket")
-            .parquet(tmp)
-        )
-        for lo in frag:
-            src = os.path.join(tmp, f"t_bucket={lo}")
-            dst = os.path.join(self._samples_path, f"t_bucket={lo}")
-            self._swap_dir(src if os.path.isdir(src) else None, dst)
-        shutil.rmtree(tmp, ignore_errors=True)
+        self._rewrite_buckets(s, frag, "vac")
         return frag
 
     def auto_compact(self, max_rounds: int = 32) -> list[list[int]]:
@@ -810,9 +816,10 @@ class DB:
         is deletable iff its half-open range [lo, lo+width) ends at or
         before the cutoff. Returns number of dropped partitions."""
         dropped = 0
+        widths, base = self.bucket_widths, self.block_width_ms
         for d in sorted(self._bucket_dirs()):
             lo = int(d.split("=")[1])
-            if lo + self.width_of(lo) <= cutoff_ms:
+            if lo + widths.get(lo, base) <= cutoff_ms:
                 shutil.rmtree(os.path.join(self._samples_path, d))
                 dropped += 1
         self._forget_dropped_buckets()
@@ -858,9 +865,16 @@ class DB:
         live = {int(d.split("=")[1]) for d in self._bucket_dirs()}
         kept = [b for b in self.overlapping_buckets if b in live]
         widths = {k: v for k, v in self.meta.get("bucket_widths", {}).items() if int(k) in live}
-        if kept != self.overlapping_buckets or widths != self.meta.get("bucket_widths", {}):
+        ts_clean = [b for b in self.meta.get("ts_clean_buckets", []) if b in live]
+        if (
+            kept != self.overlapping_buckets
+            or widths != self.meta.get("bucket_widths", {})
+            or ts_clean != self.meta.get("ts_clean_buckets", [])
+        ):
             self.meta["overlapping_buckets"] = kept
             self.meta["bucket_widths"] = widths
+            if "ts_clean_buckets" in self.meta:
+                self.meta["ts_clean_buckets"] = ts_clean
             self._write_meta()
 
     # ---------------- materialized postings index (S6/F5) ----------------
@@ -1158,10 +1172,11 @@ class Querier:
         s = self._pruned_samples().join(
             F.broadcast(matched.select("series_id")), "series_id", "left_semi"
         )
+        widths, base = self.db.bucket_widths, self.db.block_width_ms
         dirty = [
             b
             for b in self.db.overlapping_buckets
-            if b + self.db.width_of(b) > self.mint and b <= self.maxt
+            if b + widths.get(b, base) > self.mint and b <= self.maxt
         ]
         if dirty:
             is_dirty = F.col("t_bucket").isin(dirty)

@@ -760,7 +760,7 @@ def stream_ingest_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_windowed_rollup",
     _with_prelude("""
 SELECT (t // 3600000) * 3600000 AS w_start, event_type AS name,
-       COUNT(*) AS n, SUM(v) AS sum_v
+       COUNT(*) AS n, ROUND(SUM(v), 2) AS sum_v
 FROM samples WHERE t < {T0} + 2*{DAY}
 GROUP BY 1, 2"""),
     "watermarked tumbling-window rollup (T1 as a true streaming watermark): "
@@ -807,7 +807,10 @@ def stream_windowed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         spark.read.parquet(_ROLLUPS[key])
         .filter(F.col("w_start") < T0 + 2 * DAY)
-        .select("w_start", "name", "n", "sum_v")
+        # module float rule: small window sums of 2-decimal inputs are
+        # exact after round(2); the raw double is accumulation-order-
+        # dependent in the last bit (streaming state vs oracle order)
+        .select("w_start", "name", "n", F.round("sum_v", 2).alias("sum_v"))
     )
 
 

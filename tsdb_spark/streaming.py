@@ -63,22 +63,24 @@ def series_rate(stream: DataFrame, out_dir: str, checkpoint_dir: str):
 
     def fn(key, pdfs, state):
         last_t, last_v = state.get if state.exists else (None, None)
-        frames = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values("t")
-            rates = []
-            for t, v in zip(pdf["t"], pdf["v"]):
-                if last_t is None or t == last_t:
-                    rates.append(None)
-                else:
-                    inc = v if v < last_v else v - last_v
-                    rates.append(int(inc * 10000 * 1000 // (t - last_t)))
-                last_t, last_v = int(t), float(v)
-            pdf = pdf.assign(rate_bp=pd.array(rates, dtype="Int64"))
-            frames.append(pdf[["labels_str", "t", "v", "rate_bp"]])
+        # a key's batch arrives as multiple Arrow chunks in arbitrary
+        # order (arrow.maxRecordsPerBatch splits big groups); the fold
+        # needs ONE global time order, so concat before sorting — never
+        # sort chunks independently
+        pdf = pd.concat(list(pdfs), ignore_index=True).sort_values("t")
+        rates = []
+        for t, v in zip(pdf["t"], pdf["v"]):
+            if last_t is None or t == last_t:
+                rates.append(None)
+            else:
+                inc = v if v < last_v else v - last_v
+                rates.append(int(inc * 10000 * 1000 // (t - last_t)))
+            last_t, last_v = int(t), float(v)
         if last_t is not None:
             state.update((last_t, last_v))
-        yield from frames
+        yield pdf.assign(rate_bp=pd.array(rates, dtype="Int64"))[
+            ["labels_str", "t", "v", "rate_bp"]
+        ]
 
     out = stream.groupBy("labels_str").applyInPandasWithState(
         fn, RATE_OUT_SCHEMA, RATE_STATE_SCHEMA, "append", "NoTimeout"
