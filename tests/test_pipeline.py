@@ -281,3 +281,19 @@ def test_lsh_self_joins_are_equi_not_nlj(spark):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "NestedLoopJoin" not in plan, plan[:2000]
         assert "CartesianProduct" not in plan, plan[:2000]
+
+
+def test_minhash_signatures_wide_family(spark):
+    # n_hashes above the default family size must extend the hash family
+    # (the constants are generated per index), not silently cap the
+    # min-aggregates at 32 while the signature array asks for more
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "a b c d e f g"), (3, "x y z w q r s")],
+        "doc_id LONG, text STRING",
+    )
+    sigs = {r["id"]: r["sig"] for r in D.minhash_signatures(df, n_hashes=48).collect()}
+    assert all(len(s) == 48 for s in sigs.values())
+    assert sigs[1] == sigs[2] and sigs[1] != sigs[3]
+    # the wide family's prefix IS the default family (same per-index seeds)
+    narrow = {r["id"]: r["sig"] for r in D.minhash_signatures(df).collect()}
+    assert sigs[1][: D.N_HASHES] == narrow[1]

@@ -134,7 +134,7 @@ def minhash_signatures(
     mins = ex.groupBy("id").agg(
         *[
             F.min((h1 * a + h2 * b + c).bitwiseAND(F.lit(MASK60))).alias(f"_m{i}")
-            for i, (a, b, c) in enumerate(MH_CONSTS[:n_hashes])
+            for i, (a, b, c) in enumerate(_mh_consts(n_hashes))
         ]
     )
     sig = F.array(*[F.col(f"_m{i}") for i in range(n_hashes)])

@@ -231,6 +231,17 @@ def kmeans_centroids(
     )
 
 
+def _default_centroids(
+    embeddings: DataFrame, n_centroids: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """Training-free default quantizer: the n lowest-id vectors
+    (deterministic, oracle-reproducible). Defined once so list build and
+    probe side can never disagree on the quantizer."""
+    return embeddings.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("_cent")
+    )
+
+
 def ivf_assign(
     embeddings: DataFrame,
     n_centroids: int = 16,
@@ -248,9 +259,9 @@ def ivf_assign(
     argmax per vector — the corpus is scanned exactly once and never
     shuffled except by the top-1 window on (id), which AQE keeps
     local."""
-    cent = centroids if centroids is not None else embeddings.filter(
-        F.col(id_col) < n_centroids
-    ).select(F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("_cent"))
+    cent = centroids if centroids is not None else _default_centroids(
+        embeddings, n_centroids, id_col, vec_col
+    )
     scored = (
         embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
         .crossJoin(F.broadcast(cent))
@@ -282,10 +293,12 @@ def ann_ivf_topk(
     index build); a query is a broadcast of (probe × nprobe list ids)
     against that partitioning — an equi-join touching nprobe/n_centroids
     of the data, never a full scan, never a corpus self-join."""
-    lists = ivf_assign(embeddings, n_centroids, id_col, vec_col, centroids)
-    cent = centroids if centroids is not None else embeddings.filter(
-        F.col(id_col) < n_centroids
-    ).select(F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("_cent"))
+    # ONE centroid frame for both sides: the probe-side quantizer must be
+    # the exact quantizer the lists were built with
+    cent = centroids if centroids is not None else _default_centroids(
+        embeddings, n_centroids, id_col, vec_col
+    )
+    lists = ivf_assign(embeddings, n_centroids, id_col, vec_col, cent)
     p = probes.select(F.col(id_col).alias("probe_id"), F.col(vec_col).alias("_pv"))
     pw = Window.partitionBy("probe_id").orderBy(F.desc("pcos"), "centroid_id")
     probe_lists = (

@@ -43,7 +43,12 @@ base AS (SELECT doc_id, text FROM documents),
 tok0 AS (SELECT doc_id, {SQL_TOKS} AS toks FROM base),
 exact_c AS (SELECT doc_id + 100000 AS doc_id, text FROM base WHERE doc_id % 10 = 0),
 near_c AS (SELECT doc_id + 200000 AS doc_id,
-                  array_to_string(toks[1:len(toks)-3], ' ') AS text
+                  -- guard short docs: DuckDB slice bounds <= 0 wrap or
+                  -- go NULL, while the Spark side's slice(toks, 1,
+                  -- greatest(size-3, 0)) yields '' — mirror that exactly
+                  CASE WHEN len(toks) > 3
+                       THEN array_to_string(toks[1:len(toks)-3], ' ')
+                       ELSE '' END AS text
            FROM tok0 WHERE doc_id % 7 = 0),
 corpus AS (SELECT * FROM base UNION ALL SELECT * FROM exact_c UNION ALL SELECT * FROM near_c)
 """.strip()
@@ -255,49 +260,11 @@ _MH_B = "[" + ", ".join(str(b) for _, b, _ in D.MH_CONSTS) + "]"
 _MH_C = "[" + ", ".join(str(c) for _, _, c in D.MH_CONSTS) + "]"
 
 
-@register(
-    "docs_dedup_minhash",
-    f"""
-WITH {SQL_CORPUS},
-{SQL_SHINGLES},
-bh AS (SELECT doc_id, sh, list_transform(sh, x -> {sql_h("'mh'", "x")}) AS bh FROM sh),
-sig AS (SELECT doc_id,
-          list_transform(range(0, {D.N_HASHES}),
-                         s -> list_min(list_transform(bh, h ->
-                           ((h >> 30) * ({_MH_A})[s+1]
-                            + (h & {D.MASK30}) * ({_MH_B})[s+1]
-                            + ({_MH_C})[s+1]) & {D.MASK60}))) AS sig
-        FROM bh),
-banded AS (SELECT doc_id, b AS band_id,
-             {sql_h("'band' || b::VARCHAR", f"array_to_string(sig[b*{D.ROWS_PER_BAND}+1:b*{D.ROWS_PER_BAND}+{D.ROWS_PER_BAND}], ',')")} AS band_key
-           FROM sig CROSS JOIN range(0, {D.N_BANDS}) t(b)),
-cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         FROM banded a JOIN banded b
-           ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
-pairs AS (SELECT c.id_a, c.id_b,
-            (10000 * len(list_intersect(sa.sh, sb.sh)))
-              // (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jaccard_bp
-          FROM cand c
-          JOIN sh sa ON sa.doc_id = c.id_a
-          JOIN sh sb ON sb.doc_id = c.id_b)
-SELECT id_a, id_b, jaccard_bp FROM pairs WHERE jaccard_bp >= 6000""",
-    "MinHash-LSH near-dup: 32 hashes, 8 bands — banded bucket join, never all-pairs; exact-Jaccard verified",
-)
-def docs_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # eager materialize: the signature frame feeds the banded self-join
-    # (2 scans) and the Jaccard verification (2 more) — lazily persisted,
-    # the sibling scan stages all miss the empty cache and the 32-way
-    # minhash expression runs 4x over the corpus
-    sigs = materialize(D.minhash_signatures(_corpus(spark, sf_dir)))
-    # max_bucket: the 100TB skew guard (drop degenerate band buckets
-    # before the self-join); far above any bucket size at test scale, so
-    # oracle results are unaffected
-    cand = D.lsh_candidate_pairs(sigs, max_bucket=100_000)
-    return D.jaccard_pairs(cand, sigs)
-
-
 #: MinHash pipeline as reusable CTEs (needs SQL_CORPUS + SQL_SHINGLES in
-#: scope): signatures → banded candidates → exact-Jaccard `verified` pairs
+#: scope): signatures → banded candidates → exact-Jaccard `verified`
+#: pairs with their jaccard_bp. ONE copy — the pairs query and the
+#: cluster queries compose from it, so the band-key arithmetic can never
+#: desynchronize between them.
 SQL_MINHASH_PAIRS = f"""
 bh AS (SELECT doc_id, sh, list_transform(sh, x -> {sql_h("'mh'", "x")}) AS bh FROM sh),
 sig AS (SELECT doc_id,
@@ -313,14 +280,52 @@ banded AS (SELECT doc_id, b AS band_id,
 cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
          FROM banded a JOIN banded b
            ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
-verified AS MATERIALIZED (SELECT c.id_a, c.id_b
+verified AS MATERIALIZED (SELECT id_a, id_b, jaccard_bp FROM (
+             SELECT c.id_a, c.id_b,
+               (10000 * len(list_intersect(sa.sh, sb.sh)))
+                 // (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jaccard_bp
              FROM cand c
              JOIN sh sa ON sa.doc_id = c.id_a
-             JOIN sh sb ON sb.doc_id = c.id_b
-             WHERE (10000 * len(list_intersect(sa.sh, sb.sh)))
-                     // (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
-                   >= 6000)
+             JOIN sh sb ON sb.doc_id = c.id_b)
+             WHERE jaccard_bp >= 6000)
 """.strip()
+
+
+@register(
+    "docs_dedup_minhash",
+    f"""
+WITH {SQL_CORPUS},
+{SQL_SHINGLES},
+{SQL_MINHASH_PAIRS}
+SELECT id_a, id_b, jaccard_bp FROM verified""",
+    "MinHash-LSH near-dup: 32 hashes, 8 bands — banded bucket join, never all-pairs; exact-Jaccard verified",
+)
+def docs_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _minhash_pairs(spark, sf_dir)
+
+
+_PAIRS_CACHE: dict[str, DataFrame] = {}
+
+
+def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized verified MinHash pairs — the pairs query and the cluster
+    queries share ONE sketch pass per sf_dir instead of re-running the
+    32-way MinHash over the corpus each."""
+    if sf_dir not in _PAIRS_CACHE:
+        # eager materialize: the signature frame feeds the banded
+        # self-join (2 scans) and the Jaccard verification (2 more) —
+        # lazily persisted, the sibling scan stages all miss the empty
+        # cache and the 32-way minhash expression runs 4x over the corpus
+        sigs = materialize(D.minhash_signatures(_corpus(spark, sf_dir)))
+        # max_bucket: the 100TB skew guard (drop degenerate band buckets
+        # before the self-join); far above any bucket size at test scale,
+        # so oracle results are unaffected
+        cand = D.lsh_candidate_pairs(sigs, max_bucket=100_000)
+        _PAIRS_CACHE[sf_dir] = materialize(D.jaccard_pairs(cand, sigs))
+        # pairs are materialized: the signature/shingle frame is no
+        # longer scanned — release its executor storage
+        sigs.unpersist()
+    return _PAIRS_CACHE[sf_dir]
 
 
 def sql_cc(edges: str) -> str:
@@ -348,10 +353,9 @@ _CLUSTER_CACHE: dict[str, DataFrame] = {}
 
 def _minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     if sf_dir not in _CLUSTER_CACHE:
-        sigs = materialize(D.minhash_signatures(_corpus(spark, sf_dir)))
-        cand = D.lsh_candidate_pairs(sigs, max_bucket=100_000)
-        pairs = D.jaccard_pairs(cand, sigs)
-        _CLUSTER_CACHE[sf_dir] = materialize(D.dedup_clusters(pairs))
+        _CLUSTER_CACHE[sf_dir] = materialize(
+            D.dedup_clusters(_minhash_pairs(spark, sf_dir))
+        )
     return _CLUSTER_CACHE[sf_dir]
 
 
