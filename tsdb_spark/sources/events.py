@@ -49,14 +49,29 @@ def event_labels() -> F.Column:
     return L.strip_empty_labels(raw)
 
 
+def event_time_ms(ev: DataFrame) -> F.Column:
+    """`ts` → int64 epoch-ms, whatever the driver's parquet layout.
+
+    The testdata has shipped `ts` both as TIMESTAMP(NANOS) (read as raw
+    int64 nanos under legacy nanosAsLong) and as TIMESTAMP(MICROS)
+    (read as timestamp_ntz). Normalize both to the engine's int64 ms
+    (reference keeps t as int64 ms end-to-end, db.go:14). Session tz is
+    UTC (session.py), so NTZ→epoch matches DuckDB's epoch_ms(ts).
+    """
+    dt = dict(ev.dtypes).get("ts", "")
+    if dt.startswith("timestamp"):
+        return F.expr("unix_micros(cast(ts as timestamp)) div 1000")
+    # raw int64 nanos → ms via integer division: double division would
+    # lose precision (1e18 ns exceeds a double's 53-bit mantissa)
+    return F.expr("ts div 1000000")
+
+
 def events_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events → (labels, labels_str, series_id, t, v, ingest_seq=1)."""
     ev = load_table(spark, sf_dir, "events")
     out = ev.select(
         event_labels().alias("labels"),
-        # ns → ms via integer division: double division would lose precision
-        # (1e18 ns exceeds a double's 53-bit mantissa)
-        F.expr("ts div 1000000").alias("t"),
+        event_time_ms(ev).alias("t"),
         F.col("value").alias("v"),
     )
     out = out.withColumn("labels_str", L.labels_str_expr("labels"))
