@@ -39,9 +39,14 @@ SIMHASH_BLOCKS = 4
 BLOCK_BITS = SIMHASH_BITS // SIMHASH_BLOCKS
 
 
-def shingles_expr(text_col: Column | str = "text", k: int = 3) -> Column:
-    """Distinct k-token shingles (the near-dup unit of comparison)."""
-    toks = tokens_expr(text_col)
+def shingles_of_tokens(toks: Column, k: int = 3) -> Column:
+    """Distinct k-token shingles from a *bound* token-array column.
+
+    `toks` must be a plain column reference, not an expression tree: the
+    transform lambda embeds whatever expression it's given, and Catalyst
+    re-evaluates an embedded subtree once per sequence element — an
+    inlined tokenizer turns this O(n) projection into O(n²) regex work
+    per document (measured 7× slower at sf0.1)."""
     n = F.size(toks)
     # guard: sequence(1, x) with x < 1 would generate a DESCENDING range
     shingles = F.transform(
@@ -51,6 +56,14 @@ def shingles_expr(text_col: Column | str = "text", k: int = 3) -> Column:
     return F.array_distinct(
         F.when(n >= k, shingles).otherwise(F.array().cast("array<string>"))
     )
+
+
+def shingles_expr(text_col: Column | str = "text", k: int = 3) -> Column:
+    """Distinct k-token shingles (the near-dup unit of comparison).
+
+    Single-expression form for tests/one-off use; hot paths go through
+    shingle_sets, which binds the token array to a column first."""
+    return shingles_of_tokens(tokens_expr(text_col), k)
 
 
 def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -96,9 +109,15 @@ def shingle_sets(
 ) -> DataFrame:
     """(id, shingles): the distinct k-shingle set per doc — the shared
     input of MinHash signatures and exact-Jaccard scoring."""
+    # the emptiness filter is expressed on the token count, not on the
+    # shingle array: Catalyst pushes filters below projections BY
+    # SUBSTITUTION, so `size(_sh) > 0` would re-inline the whole O(n²)
+    # shingle expression into a pre-projection Filter over every raw row
+    # (shingles is non-empty exactly when the doc has >= k tokens)
     return (
-        docs.withColumn("_sh", shingles_expr(text_col, k))
-        .filter(F.size("_sh") > 0)
+        docs.withColumn("_toks", tokens_expr(text_col))
+        .filter(F.size("_toks") >= k)
+        .withColumn("_sh", shingles_of_tokens(F.col("_toks"), k))
         .select(F.col(id_col).alias("id"), F.col("_sh").alias("shingles"))
     )
 

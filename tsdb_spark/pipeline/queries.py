@@ -55,8 +55,8 @@ corpus AS (SELECT * FROM base UNION ALL SELECT * FROM exact_c UNION ALL SELECT *
 
 #: distinct 3-token shingle sets of the corpus (== dedup.shingles_expr)
 SQL_SHINGLES = """
-ctoks AS (SELECT doc_id, {toks} AS toks FROM corpus),
-sh AS (SELECT doc_id,
+ctoks AS MATERIALIZED (SELECT doc_id, {toks} AS toks FROM corpus),
+sh AS MATERIALIZED (SELECT doc_id,
               list_distinct(list_transform(range(1, len(toks) - 1),
                                            i -> array_to_string(toks[i:i+2], ' '))) AS sh
        FROM ctoks WHERE len(toks) >= 3)
@@ -266,18 +266,18 @@ _MH_C = "[" + ", ".join(str(c) for _, _, c in D.MH_CONSTS) + "]"
 #: cluster queries compose from it, so the band-key arithmetic can never
 #: desynchronize between them.
 SQL_MINHASH_PAIRS = f"""
-bh AS (SELECT doc_id, sh, list_transform(sh, x -> {sql_h("'mh'", "x")}) AS bh FROM sh),
-sig AS (SELECT doc_id,
+bh AS MATERIALIZED (SELECT doc_id, sh, list_transform(sh, x -> {sql_h("'mh'", "x")}) AS bh FROM sh),
+sig AS MATERIALIZED (SELECT doc_id,
           list_transform(range(0, {D.N_HASHES}),
                          s -> list_min(list_transform(bh, h ->
                            ((h >> 30) * ({_MH_A})[s+1]
                             + (h & {D.MASK30}) * ({_MH_B})[s+1]
                             + ({_MH_C})[s+1]) & {D.MASK60}))) AS sig
         FROM bh),
-banded AS (SELECT doc_id, b AS band_id,
+banded AS MATERIALIZED (SELECT doc_id, b AS band_id,
              {sql_h("'band' || b::VARCHAR", f"array_to_string(sig[b*{D.ROWS_PER_BAND}+1:b*{D.ROWS_PER_BAND}+{D.ROWS_PER_BAND}], ',')")} AS band_key
            FROM sig CROSS JOIN range(0, {D.N_BANDS}) t(b)),
-cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+cand AS MATERIALIZED (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
          FROM banded a JOIN banded b
            ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
 verified AS MATERIALIZED (SELECT id_a, id_b, jaccard_bp FROM (
