@@ -253,7 +253,13 @@ class DB:
         rows = rows.withColumn("labels_str", L.labels_str_expr("labels")).withColumn(
             "series_id", L.series_id_expr(F.col("labels_str"))
         )
-        rows = rows.cache()
+        # NOT cached: the samples write and the series upsert each re-scan
+        # the batch source through a narrow projection. Columnar-caching
+        # the MAP-typed frame costs ~10x the recompute (map serialization
+        # dominates); two source scans of one batch is the cheaper shape
+        # at every scale.
+        if report:
+            rows = rows.cache()
         try:
             samples = rows.select("series_id", "t", "v")
             if validate and order_col is not None:
@@ -387,7 +393,8 @@ class DB:
                 new_series.repartition(1).write.mode("append").parquet(self._series_path)
             )
         finally:
-            rows.unpersist()
+            if report:
+                rows.unpersist()
         self.meta["next_ingest_seq"] = seq + 1
         self._write_meta()
         return rep

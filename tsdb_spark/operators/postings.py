@@ -54,7 +54,11 @@ def _postings_ids(postings: DataFrame, m: Matcher, invert: bool = False) -> Data
         cond = ~cond
     if invert:
         cond = ~cond
-    return vals.filter(cond).select("series_id").distinct()
+    # no distinct: the postings relation is exploded from a MAP, so one
+    # series contributes exactly one row per label name — within a single
+    # name the series_ids are unique by construction (MemPostings has the
+    # same invariant: one ref per (name,value) list, index/postings.go:82)
+    return vals.filter(cond).select("series_id")
 
 
 def postings_for_matchers(
