@@ -297,3 +297,69 @@ def test_minhash_signatures_wide_family(spark):
     # the wide family's prefix IS the default family (same per-index seeds)
     narrow = {r["id"]: r["sig"] for r in D.minhash_signatures(df).collect()}
     assert sigs[1][: D.N_HASHES] == narrow[1]
+
+
+# ---------------------------------------------------------------- selection
+
+
+def test_stratified_sample_deterministic_and_bounded(spark):
+    from tsdb_spark.pipeline import sampling as S
+
+    df = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("src"), (F.col("id") % 4).cast("string")).alias("source"),
+    )
+    rate = F.when(F.col("source") == "src0", 0).otherwise(5000)
+    out = S.stratified_sample(df, rate, id_col="doc_id")
+    rows = out.collect()
+    # rate 0 strata contribute nothing
+    assert all(r["source"] != "src0" for r in rows)
+    # every kept key is under its rate
+    assert all(r["samp_key"] < r["rate_bp"] for r in rows)
+    # deterministic: the same call selects the same ids
+    again = {r["doc_id"] for r in S.stratified_sample(df, rate).collect()}
+    assert {r["doc_id"] for r in rows} == again
+    # roughly half of the eligible 1500 docs survive a 50% rate
+    assert 600 <= len(rows) <= 900
+
+
+def test_stratified_sample_is_subset_stable(spark):
+    # hash sampling must pick the same doc regardless of which other
+    # rows are present (the property rand() sampling lacks)
+    from tsdb_spark.pipeline import sampling as S
+
+    df = spark.range(100).select(F.col("id").alias("doc_id"), F.lit("srcX").alias("source"))
+    full = {r["doc_id"] for r in S.stratified_sample(df, F.lit(5000)).collect()}
+    half = {r["doc_id"] for r in S.stratified_sample(df.filter("doc_id < 50"), F.lit(5000)).collect()}
+    assert half == {d for d in full if d < 50}
+
+
+def test_doc_keywords_ranking(spark):
+    # doc0: 'b' most frequent; 'a' appears in both docs (df=2) while 'c'
+    # is unique to doc0 — at equal tf the rarer token ranks first
+    df = docs_df(spark, ["b b a c", "a x y"])
+    rows = T.doc_keywords(df, top=2).collect()
+    d0 = sorted([r for r in rows if r["doc_id"] == 0], key=lambda r: r["rank"])
+    assert [r["token"] for r in d0] == ["b", "c"]
+    assert d0[0]["tf"] == 2 and d0[0]["df"] == 1
+    d1 = sorted([r for r in rows if r["doc_id"] == 1], key=lambda r: r["rank"])
+    # tf all 1: df asc then token asc → x,y (df=1) before a (df=2)
+    assert [r["token"] for r in d1] == ["x", "y"]
+
+
+def test_decontaminate_flags_planted_overlap(spark):
+    from tsdb_spark.pipeline import sampling as S
+
+    probes = docs_df(spark, ["one two three four five six"])
+    corpus = spark.createDataFrame(
+        [
+            (10, "zz one two three four five yy"),   # shares 5-grams
+            (11, "totally different words here indeed ok"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    rows = S.decontaminate(corpus, probes, k=5).collect()
+    assert [r["doc_id"] for r in rows] == [10]
+    # 'one two three four five' and 'two three four five six'? only the
+    # first survives inside doc 10 (yy breaks the second) → 1 shared
+    assert rows[0]["n_shared"] == 1 and rows[0]["n_probe_docs"] == 1

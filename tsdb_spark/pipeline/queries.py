@@ -845,3 +845,93 @@ FROM d""",
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return M.sample_frames(M.with_payload(docs), every_ms=100)
+
+
+# =========================================================== selection
+
+# deterministic per-source sampling rates: src<i> keeps 500 + (i*450)%9000
+# basis points — the same closed-form expression on both sides, so no
+# rate table needs shipping
+_RATE_SQL = "500 + (CAST(substr(source, 4) AS BIGINT) * 450) % 9000"
+
+
+@register(
+    "docs_sample_stratified",
+    f"""
+SELECT doc_id, source,
+       {sql_h("'strat'", "CAST(doc_id AS VARCHAR)")} % 10000 AS samp_key,
+       {_RATE_SQL} AS rate_bp
+FROM documents
+WHERE {sql_h("'strat'", "CAST(doc_id AS VARCHAR)")} % 10000 < {_RATE_SQL}""",
+    "deterministic stratified sampling: per-source keep rates decided by "
+    "a keyed hash of the doc id — map-only, rerun-stable, no rand()",
+)
+def docs_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tsdb_spark.pipeline import sampling as S
+
+    docs = load_table(spark, sf_dir, "documents")
+    rate = F.lit(500) + (F.substring("source", 4, 8).cast("long") * 450) % 9000
+    return S.stratified_sample(docs, rate).select(
+        "doc_id", "source", "samp_key", "rate_bp"
+    )
+
+
+@register(
+    "docs_keywords",
+    f"""
+WITH t AS MATERIALIZED (
+  SELECT doc_id, unnest({SQL_TOKS}) AS token FROM documents),
+tf AS MATERIALIZED (
+  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+  FROM t GROUP BY doc_id, token),
+df AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token),
+r AS (SELECT tf.doc_id, tf.token, tf.tf, df.df,
+        CAST(row_number() OVER (PARTITION BY tf.doc_id
+               ORDER BY tf.tf DESC, df.df ASC, tf.token ASC) AS BIGINT) AS rank
+      FROM tf JOIN df USING (token))
+SELECT doc_id, token, tf, df, rank FROM r WHERE rank <= 3""",
+    "per-document keyword extraction: top tokens by (tf desc, df asc) — "
+    "integer-exact tf-idf ranking; shuffle bounded by distinct (doc,token)",
+)
+def docs_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.doc_keywords(load_table(spark, sf_dir, "documents"), top=3)
+
+
+# decontamination runs over the synthesized dup-corpus (SQL_CORPUS):
+# the probe set is the base docs with doc_id % 14 == 0, whose exact
+# (+100000) and near (+200000) copies in the corpus are contaminated by
+# construction — a driver corpus with planted leakage on both sides
+SQL_DECON = f"""
+dtoks AS MATERIALIZED (SELECT doc_id, {SQL_TOKS} AS toks FROM corpus),
+dsh AS MATERIALIZED (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(1, len(toks) - 3),
+                  i -> {sql_h("'decon'", "array_to_string(toks[i:i+4], ' ')")}))) AS sh
+  FROM dtoks WHERE len(toks) >= 5)
+""".strip()
+
+
+@register(
+    "docs_decontaminate",
+    f"""
+WITH {SQL_CORPUS},
+{SQL_DECON},
+probe AS (SELECT DISTINCT doc_id AS probe_id, sh FROM dsh
+          WHERE doc_id < 100000 AND doc_id % 14 = 0),
+rest AS (SELECT doc_id, sh FROM dsh
+         WHERE doc_id >= 100000 OR doc_id % 14 <> 0)
+SELECT r.doc_id,
+       CAST(count(DISTINCT r.sh) AS BIGINT) AS n_shared,
+       CAST(count(DISTINCT p.probe_id) AS BIGINT) AS n_probe_docs
+FROM rest r JOIN probe p ON r.sh = p.sh
+GROUP BY r.doc_id""",
+    "benchmark decontamination: corpus docs sharing a 5-token shingle "
+    "with the probe set — broadcast probe join, never quadratic",
+)
+def docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tsdb_spark.pipeline import sampling as S
+
+    corpus = _corpus(spark, sf_dir)
+    probes = corpus.filter((F.col("doc_id") < 100000) & (F.col("doc_id") % 14 == 0))
+    rest = corpus.filter((F.col("doc_id") >= 100000) | (F.col("doc_id") % 14 != 0))
+    return S.decontaminate(rest, probes, k=5)

@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from tsdb_spark.pipeline.common import hash64
@@ -231,6 +231,36 @@ def winnow_fingerprints(
         )
     )
     return d.select(F.col(id_col), F.explode(fps).alias("fingerprint"))
+
+
+def doc_keywords(
+    docs: DataFrame, top: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document keyword extraction: the `top` tokens ranked by
+    (tf desc, df asc, token asc) — the integer-exact core of tf-idf
+    (a term matters when it's frequent here and rare elsewhere) without
+    the transcendental idf, so any SQL engine reproduces the ranking
+    bit-for-bit.
+
+    Scale shape: one explode → (doc, token) count (map-side combinable),
+    document frequency as a second aggregate over the SAME frame
+    (shuffle ∝ distinct (doc, token) pairs, never raw token occurrences),
+    df joined back on the token key, and a per-document top-k window.
+    Returns (doc_id, token, tf, df, rank).
+    """
+    tf = (
+        docs.select(F.col(id_col), F.explode(tokens_expr(text_col)).alias("token"))
+        .groupBy(id_col, "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("token").agg(F.count("*").alias("df"))
+    w = Window.partitionBy(id_col).orderBy(F.desc("tf"), F.asc("df"), F.asc("token"))
+    return (
+        tf.join(df_, "token")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top)
+        .select(id_col, "token", "tf", "df", "rank")
+    )
 
 
 def token_histogram(docs: DataFrame, text_col: str = "text", top: int = 20) -> DataFrame:
