@@ -37,12 +37,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-def event_labels() -> F.Column:
+def event_labels(ev: DataFrame | None = None) -> F.Column:
     """The label-set Column for one events row (empty values stripped,
-    mirroring ingest semantics head.go:832-833)."""
-    k = F.regexp_extract(F.col("props"), r'"k": ([0-9]+)', 1).cast("int")
+    mirroring ingest semantics head.go:832-833).
+
+    Schema-drift guard (the testdata layout has changed between driver
+    rounds): `props` is JSON-as-string today, but a MAP or STRUCT
+    variant decodes through the same expression shape.
+    """
+    props_dt = dict(ev.dtypes).get("props", "string") if ev is not None else "string"
+    if props_dt.startswith("map"):
+        k = F.element_at(F.col("props"), "k").cast("int")
+    elif props_dt.startswith("struct"):
+        k = F.col("props").getField("k").cast("int")
+    else:
+        k = F.regexp_extract(F.col("props").cast("string"), r'"k": ([0-9]+)', 1).cast("int")
     raw = F.create_map(
-        F.lit("__name__"), F.col("event_type"),
+        F.lit("__name__"), F.col("event_type").cast("string"),
         F.lit("user"), F.col("user_id").cast("string"),
         F.lit("k_bucket"), F.when(k >= 50, F.lit("high")).otherwise(F.lit("")),
     )
@@ -70,9 +81,9 @@ def events_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events → (labels, labels_str, series_id, t, v, ingest_seq=1)."""
     ev = load_table(spark, sf_dir, "events")
     out = ev.select(
-        event_labels().alias("labels"),
+        event_labels(ev).alias("labels"),
         event_time_ms(ev).alias("t"),
-        F.col("value").alias("v"),
+        F.col("value").cast("double").alias("v"),
     )
     out = out.withColumn("labels_str", L.labels_str_expr("labels"))
     return (
