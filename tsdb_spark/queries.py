@@ -733,11 +733,14 @@ def stream_ingest_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
         db = DB.create(spark, f"{root}/db", block_width_ms=STORE_WIDTH_MS)
 
         def drain():
-            stream = spark.readStream.schema(schema).parquet(src + "/*")
-            q = StreamIngestor(db).start(
-                stream, ckpt, trigger={"availableNow": True}
-            )
-            q.awaitTermination(300)
+            from tsdb_spark.streaming import stream_shuffle_partitions
+
+            with stream_shuffle_partitions(spark):
+                stream = spark.readStream.schema(schema).parquet(src + "/*")
+                q = StreamIngestor(db).start(
+                    stream, ckpt, trigger={"availableNow": True}
+                )
+                q.awaitTermination(300)
 
         ev.filter(F.col("t") < T0 + DAY).write.parquet(f"{src}/day1")
         drain()
@@ -780,8 +783,11 @@ def stream_windowed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema = "labels MAP<STRING,STRING>, t LONG, v DOUBLE"
 
         def drain():
-            stream = spark.readStream.schema(schema).parquet(src + "/*")
-            windowed_rollup(stream, out, ckpt).awaitTermination(300)
+            from tsdb_spark.streaming import stream_shuffle_partitions
+
+            with stream_shuffle_partitions(spark):
+                stream = spark.readStream.schema(schema).parquet(src + "/*")
+                windowed_rollup(stream, out, ckpt).awaitTermination(300)
 
         ev.filter(F.col("t") < T0 + DAY).write.parquet(f"{src}/day1")
         drain()
@@ -852,8 +858,11 @@ def stream_series_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema = "labels_str STRING, t LONG, v DOUBLE"
 
         def drain():
-            stream = spark.readStream.schema(schema).parquet(src + "/*")
-            series_rate(stream, out, ckpt).awaitTermination(300)
+            from tsdb_spark.streaming import stream_shuffle_partitions
+
+            with stream_shuffle_partitions(spark):
+                stream = spark.readStream.schema(schema).parquet(src + "/*")
+                series_rate(stream, out, ckpt).awaitTermination(300)
 
         ev.filter(F.col("t") < T0 + DAY).write.parquet(f"{src}/day1")
         drain()
@@ -891,8 +900,11 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema = "labels_str STRING, t LONG, v DOUBLE"
 
         def drain():
-            stream = spark.readStream.schema(schema).parquet(src + "/*")
-            exact_dedup_stream(stream, out, ckpt).awaitTermination(300)
+            from tsdb_spark.streaming import stream_shuffle_partitions
+
+            with stream_shuffle_partitions(spark):
+                stream = spark.readStream.schema(schema).parquet(src + "/*")
+                exact_dedup_stream(stream, out, ckpt).awaitTermination(300)
 
         ev.filter(F.col("t") < T0 + DAY).write.parquet(f"{src}/day1")
         drain()

@@ -263,3 +263,26 @@ class StreamIngestor:
         if trigger:
             w = w.trigger(**trigger)
         return w.start()
+
+from contextlib import contextmanager
+
+
+@contextmanager
+def stream_shuffle_partitions(spark, n: int = 8):
+    """Scope a smaller shuffle-partition count over a streaming query's
+    start+drain.
+
+    A stateful streaming query materializes one state store (files,
+    snapshots, maintenance threads) PER shuffle partition PER micro-
+    batch; the batch session's 32 partitions are pure fixed cost at
+    gate scale. The value is captured into the query's checkpoint at
+    first start, so it must wrap the whole start→awaitTermination span
+    (the conf is read asynchronously at first-batch planning). At
+    cluster scale, size it to the key cardinality instead."""
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    spark.conf.set(key, str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)
