@@ -151,6 +151,16 @@ def main() -> None:
                 F.count("*")
             ).collect()
 
+        # corpus-selection pass: stratified sample + keyword extraction +
+        # decontamination (map-only / bounded-shuffle pipeline ops)
+        with timed("selection"):
+            for qname in (
+                "docs_sample_stratified",
+                "docs_keywords",
+                "docs_decontaminate",
+            ):
+                QUERIES[qname].spark_fn(spark, SF_DIR).agg(F.count("*")).collect()
+
         # compaction rewrite (compact_test.go:788 BenchmarkCompaction)
         # — runs on the pristine store so the number stays comparable
         # across rounds

@@ -167,12 +167,13 @@ FROM t""",
 )
 def docs_wordpiece_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    wp = T.wordpieces_expr("text")
-    return docs.select(
+    # bind the regex tokenization once; referencing the expression twice
+    # (size + distinct-size) would run the regex scan twice per row
+    return docs.withColumn("_wp", T.wordpieces_expr("text")).select(
         "doc_id",
         F.size(T.tokens_expr("text")).alias("n_ws_tokens"),
-        F.size(wp).alias("n_wordpieces"),
-        F.size(F.array_distinct(wp)).alias("n_distinct_wordpieces"),
+        F.size("_wp").alias("n_wordpieces"),
+        F.size(F.array_distinct("_wp")).alias("n_distinct_wordpieces"),
     )
 
 
