@@ -1004,6 +1004,118 @@ def tsdb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "tsdb_resets_changes",
+    _with_prelude("""
+, d AS (SELECT labels_str, t, min(v) AS v FROM samples
+        WHERE t >= {T0} AND t < {T0} + 7*{DAY} GROUP BY 1, 2),
+l AS (SELECT labels_str, (t // 86400000) * 86400000 AS day, v,
+        lag(v) OVER (PARTITION BY labels_str ORDER BY t) AS pv
+      FROM d)
+SELECT labels_str, day,
+  CAST(count(*) FILTER (WHERE pv IS NOT NULL AND v < pv) AS BIGINT) AS resets,
+  CAST(count(*) FILTER (WHERE pv IS NOT NULL AND v <> pv) AS BIGINT) AS changes
+FROM l GROUP BY 1, 2"""),
+    "resets()/changes() family: per series per day, count of counter "
+    "resets (v < prev) and value changes (v != prev) — one series-"
+    "partitioned LAG + a combinable rollup; the window never crosses "
+    "series so a series-bucketed layout needs no extra shuffle",
+)
+def tsdb_resets_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        events_samples(spark, sf_dir)
+        .filter((F.col("t") >= T0) & (F.col("t") < T0 + 7 * DAY))
+        .groupBy("labels_str", "t")
+        .agg(F.min("v").alias("v"))
+    )
+    w = Window.partitionBy("labels_str").orderBy("t")
+    l = d.select(
+        "labels_str",
+        (F.col("t") - F.pmod(F.col("t"), F.lit(DAY))).alias("day"),
+        "v",
+        F.lag("v").over(w).alias("pv"),
+    )
+    has_prev = F.col("pv").isNotNull()
+    return l.groupBy("labels_str", "day").agg(
+        F.count_if(has_prev & (F.col("v") < F.col("pv"))).alias("resets"),
+        F.count_if(has_prev & (F.col("v") != F.col("pv"))).alias("changes"),
+    )
+
+
+@register(
+    "tsdb_quantile_windows",
+    _with_prelude("""
+, d AS (SELECT labels_str, t, min(v) AS v FROM samples
+        WHERE t >= {T0} AND t < {T0} + 7*{DAY} GROUP BY 1, 2),
+g AS (SELECT labels_str, (t // 21600000) * 21600000 AS w_start,
+        list_sort(list(v)) AS vs
+      FROM d GROUP BY 1, 2)
+SELECT labels_str, w_start, CAST(len(vs) AS BIGINT) AS n,
+  vs[CAST(floor((len(vs) - 1) * 0.5) AS BIGINT) + 1] AS p50,
+  vs[CAST(floor((len(vs) - 1) * 0.9) AS BIGINT) + 1] AS p90
+FROM g"""),
+    "quantile_over_time: per series per 6h window, exact lower-rank p50/"
+    "p90 — the quantile is an ELEMENT of the sorted in-window value list "
+    "(no interpolation arithmetic, so any engine agrees bit-for-bit); "
+    "state per group is bounded by samples-per-series-per-window",
+)
+def tsdb_quantile_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        events_samples(spark, sf_dir)
+        .filter((F.col("t") >= T0) & (F.col("t") < T0 + 7 * DAY))
+        .groupBy("labels_str", "t")
+        .agg(F.min("v").alias("v"))
+    )
+    g = d.groupBy(
+        "labels_str",
+        (F.col("t") - F.pmod(F.col("t"), F.lit(21_600_000))).alias("w_start"),
+    ).agg(F.sort_array(F.collect_list("v")).alias("vs"))
+    n = F.size("vs")
+
+    def q(p: float):
+        return F.element_at("vs", (F.floor((n - 1) * p) + 1).cast("int"))
+
+    return g.select(
+        "labels_str",
+        "w_start",
+        n.cast("long").alias("n"),
+        q(0.5).alias("p50"),
+        q(0.9).alias("p90"),
+    )
+
+
+@register(
+    "tsdb_delta_daily",
+    _with_prelude("""
+, d AS (SELECT labels_str, t, min(v) AS v FROM samples
+        WHERE t >= {T0} AND t < {T0} + 7*{DAY} GROUP BY 1, 2)
+SELECT labels_str, (t // 86400000) * 86400000 AS day,
+  CAST(count(*) AS BIGINT) AS n,
+  arg_min(v, t) AS first_v, arg_max(v, t) AS last_v,
+  arg_max(v, t) - arg_min(v, t) AS delta
+FROM d GROUP BY 1, 2"""),
+    "delta() family for gauges: per series per day, first/last sample by "
+    "time and their difference — min_by/max_by in ONE map-side-combinable "
+    "aggregate, no window, no sort (the scale shape for last-value serving)",
+)
+def tsdb_delta_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        events_samples(spark, sf_dir)
+        .filter((F.col("t") >= T0) & (F.col("t") < T0 + 7 * DAY))
+        .groupBy("labels_str", "t")
+        .agg(F.min("v").alias("v"))
+    )
+    return d.groupBy(
+        "labels_str",
+        (F.col("t") - F.pmod(F.col("t"), F.lit(DAY))).alias("day"),
+    ).agg(
+        F.count("*").alias("n"),
+        F.min_by("v", "t").alias("first_v"),
+        F.max_by("v", "t").alias("last_v"),
+        (F.max_by("v", "t") - F.min_by("v", "t")).alias("delta"),
+    )
+
+
 # registers the documents/embeddings pipeline queries into the same
 # registry (import at the bottom: pipeline.queries imports `register`
 # from this module)
