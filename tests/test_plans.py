@@ -1,0 +1,85 @@
+"""Physical-plan shape assertions: the properties that make the engine
+viable at 100 TB, locked in as tests so a refactor can't silently
+regress them.
+
+- the clean-path select never shuffles the samples side (broadcast
+  joins only);
+- the time-range prune reaches the parquet scan as a PARTITION filter
+  (t_bucket), not just a row filter;
+- an overlapping (dirty) bucket triggers dedup for itself only — the
+  clean side of the union still has no samples shuffle.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tsdb_spark import DB, eq
+
+
+WIDTH = 3_600_000
+
+
+def _rows(spark, series, t0, n, step=60_000, v0=0.0):
+    data = [({"__name__": series}, t0 + i * step, v0 + i) for i in range(n)]
+    return spark.createDataFrame(data, "labels MAP<STRING,STRING>, t LONG, v DOUBLE")
+
+
+def _executed(df) -> str:
+    df.collect()  # let AQE finalize the adaptive plan before reading it
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    db = DB.create(spark, str(tmp_path / "db"), block_width_ms=WIDTH)
+    db.append(_rows(spark, "m", 0, 240))  # 4 buckets
+    return db
+
+
+def test_clean_select_has_no_samples_shuffle(store):
+    plan = _executed(store.querier(0, WIDTH * 4).select([eq("__name__", "m")]))
+    assert "BroadcastHashJoin" in plan
+    # every Exchange must be a broadcast: a ShuffleExchange here would
+    # mean the 100TB samples scan is being repartitioned to answer a
+    # simple select
+    assert "ShuffleExchange" not in plan.replace("BroadcastExchange", "")
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_time_prune_is_a_partition_filter(store):
+    plan = _executed(store.querier(WIDTH, 2 * WIDTH - 1).select([eq("__name__", "m")]))
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf, "scan lost its PartitionFilters section"
+    assert any("t_bucket" in ln for ln in pf), "t_bucket prune not pushed to scan"
+
+
+def test_dirty_bucket_dedup_is_scoped(spark, store):
+    # overlap bucket 0 only
+    store.append(_rows(spark, "m", 10_000, 5, v0=500.0))
+    assert store.overlapping_buckets == [0]
+    q = store.querier(0, WIDTH * 4)
+    plan = _executed(q.select([eq("__name__", "m")]))
+    # the vertical dedup aggregates only the dirty partition: the plan
+    # must contain the dedup aggregate AND a clean-side scan that still
+    # carries the not-dirty partition filter
+    assert "Union" in plan
+    assert plan.count("HashAggregate") >= 1 or "SortAggregate" in plan
+    assert any(
+        "PartitionFilters" in ln and "NOT" in ln and "t_bucket" in ln
+        for ln in plan.splitlines()
+    ), "clean side lost its dirty-bucket partition exclusion"
+
+
+def test_postings_matcher_plan_prunes_name(spark, tmp_path):
+    db = DB.create(spark, str(tmp_path / "db2"), block_width_ms=WIDTH)
+    db.append(_rows(spark, "a", 0, 10))
+    db.append(_rows(spark, "b", 0, 10))
+    db.materialize_postings()
+    from tsdb_spark.operators.postings import postings_for_matchers
+
+    ids = postings_for_matchers(db.postings(), db.series(), [eq("__name__", "a")])
+    plan = _executed(ids)
+    # the equality matcher must reach the postings scan as a filter on
+    # the name column (partition- or row-level), not a post-join filter
+    assert "name" in plan and ("PushedFilters" in plan or "PartitionFilters" in plan)

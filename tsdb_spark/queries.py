@@ -1116,6 +1116,36 @@ def tsdb_delta_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "tsdb_agg_by_label",
+    _with_prelude("""
+SELECT event_type AS name, k_bucket, (t // 21600000) * 21600000 AS w_start,
+  CAST(count(*) AS BIGINT) AS n, round(sum(v), 2) AS sum_v,
+  min(v) AS min_v, max(v) AS max_v
+FROM samples WHERE t >= {T0} AND t < {T0} + 7*{DAY}
+GROUP BY 1, 2, 3"""),
+    "cross-series aggregation, sum by (__name__, k_bucket) per 6h window "
+    "— the PromQL agg-operator shape: one map-side-combinable shuffle "
+    "whose key count is (names x label values x windows), independent of "
+    "series cardinality; the missing k_bucket label groups as '' per "
+    "Prometheus missing-label semantics",
+)
+def tsdb_agg_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = events_samples(spark, sf_dir).filter(
+        (F.col("t") >= T0) & (F.col("t") < T0 + 7 * DAY)
+    )
+    return s.groupBy(
+        F.col("labels").getItem("__name__").alias("name"),
+        F.coalesce(F.col("labels").getItem("k_bucket"), F.lit("")).alias("k_bucket"),
+        (F.col("t") - F.pmod(F.col("t"), F.lit(21_600_000))).alias("w_start"),
+    ).agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("v"), 2).alias("sum_v"),
+        F.min("v").alias("min_v"),
+        F.max("v").alias("max_v"),
+    )
+
+
 # registers the documents/embeddings pipeline queries into the same
 # registry (import at the bottom: pipeline.queries imports `register`
 # from this module)
