@@ -8,7 +8,7 @@ relational algebra, so this is the sanctioned pandas path (everything
 around it — partitioning, pruning, joins — stays declarative).
 
 The container has no image/audio codecs, so `decode_image` /
-`sample_frames` are explicit stubs (NotImplementedError) with the real
+`sample_frames` / `audio_features` use deterministic fake decodes with the real
 Spark-side plumbing — schema, batch iteration, output contract — in
 place and exercised by `payload_features`, whose deterministic "decode"
 (byte length + md5 digest) a SQL oracle can verify.
@@ -147,3 +147,53 @@ def sample_frames(table: DataFrame, every_ms: int = 1000, decoder=None) -> DataF
             )
 
     return table.select("doc_id", "payload").mapInPandas(run, FRAMES_SCHEMA)
+
+
+AUDIO_SCHEMA = (
+    "doc_id long, win_idx long, n_samples long, energy long, "
+    "zero_crossings long, peak long"
+)
+
+
+def audio_features(table: DataFrame, window: int = 64) -> DataFrame:
+    """Audio feature extraction as an Arrow-batched mapInPandas stage:
+    the payload is treated as 8-bit PCM mono (center 128) and every
+    `window`-sample frame yields integer DSP features — energy
+    (sum of squared amplitudes), zero-crossing count (strict sign
+    flips), and peak amplitude.
+
+    DETERMINISTIC-FAKE decode like the image/video paths (no audio
+    codec ships in this container): the "PCM" is the raw payload bytes,
+    so a SQL oracle reproduces every feature; a real decoder would
+    replace only the byte-source line. One-to-many fan-out per row, all
+    arithmetic integer-exact, vectorized per Arrow batch."""
+
+    def run(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, wins, ns, es, zs, ps = [], [], [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                pcm = np.frombuffer(bytes(payload), dtype=np.uint8).astype(np.int64) - 128
+                for w in range((len(pcm) + window - 1) // window):
+                    fr = pcm[w * window : (w + 1) * window]
+                    sg = np.sign(fr)
+                    ids.append(doc_id)
+                    wins.append(w)
+                    ns.append(len(fr))
+                    es.append(int((fr * fr).sum()))
+                    zs.append(int(((sg[:-1] * sg[1:]) < 0).sum()))
+                    ps.append(int(np.abs(fr).max()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "win_idx": wins,
+                    "n_samples": ns,
+                    "energy": es,
+                    "zero_crossings": zs,
+                    "peak": ps,
+                }
+            )
+
+    return table.select("doc_id", "payload").mapInPandas(run, AUDIO_SCHEMA)

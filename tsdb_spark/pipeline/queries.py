@@ -936,3 +936,30 @@ def docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = corpus.filter((F.col("doc_id") < 100000) & (F.col("doc_id") % 14 == 0))
     rest = corpus.filter((F.col("doc_id") >= 100000) | (F.col("doc_id") % 14 != 0))
     return S.decontaminate(rest, probes, k=5)
+
+
+@register(
+    "mm_audio_features",
+    """
+WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+w AS (SELECT doc_id, text, n, unnest(range(0, (n + 63) // 64)) AS win_idx FROM d),
+c AS (SELECT doc_id, win_idx,
+        list_transform(range(win_idx * 64 + 1, least((win_idx + 1) * 64, n) + 1),
+                       p -> ascii(substr(text, CAST(p AS INT), 1)) - 128) AS codes
+      FROM w)
+SELECT doc_id, win_idx,
+  CAST(len(codes) AS BIGINT) AS n_samples,
+  CAST(list_sum(list_transform(codes, x -> x * x)) AS BIGINT) AS energy,
+  CAST(coalesce(list_sum(list_transform(range(1, len(codes)),
+         i -> CASE WHEN (codes[i] > 0 AND codes[i+1] < 0)
+                     OR (codes[i] < 0 AND codes[i+1] > 0)
+              THEN 1 ELSE 0 END)), 0) AS BIGINT) AS zero_crossings,
+  CAST(list_max(list_transform(codes, x -> abs(x))) AS BIGINT) AS peak
+FROM c""",
+    "audio feature plumbing: payload as 8-bit PCM, per-64-sample frame "
+    "integer energy / zero-crossings / peak via Arrow-batched mapInPandas "
+    "(one-to-many fan-out; a real codec swaps in at the byte-source line)",
+)
+def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return M.audio_features(M.with_payload(docs))
