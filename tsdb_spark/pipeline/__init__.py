@@ -5,7 +5,9 @@ operations a 100TB training-data pipeline runs over document/embedding
 corpora — deduplication (exact, MinHash-LSH, SimHash, n-gram Jaccard),
 similarity search over embeddings (brute-force + LSH-bucketed ANN), text
 analysis (tokenization, stats, language-ID, quality, fingerprinting) and
-multimodal binary-column plumbing.
+multimodal binary-column plumbing (image decode/resize, video frame
+sampling, audio PCM features), corpus selection (deterministic
+stratified sampling, benchmark decontamination) and keyword extraction.
 
 Design rules (same as the tsdb core):
 - native `pyspark.sql.functions` expressions only on the hot paths —
@@ -25,7 +27,10 @@ from tsdb_spark.pipeline.text import (
     text_stats,
     language_id,
     winnow_fingerprints,
+    doc_keywords,
 )
+from tsdb_spark.pipeline.sampling import stratified_sample, decontaminate
+from tsdb_spark.pipeline.multimodal import audio_features
 from tsdb_spark.pipeline.dedup import (
     exact_dedup,
     minhash_signatures,
@@ -50,4 +55,8 @@ __all__ = [
     "cosine_expr",
     "cosine_topk",
     "ann_lsh_topk",
+    "doc_keywords",
+    "stratified_sample",
+    "decontaminate",
+    "audio_features",
 ]
