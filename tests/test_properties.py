@@ -1,0 +1,205 @@
+"""Property-based tests (hypothesis) for the pure-Python planning layers:
+the set-regex rewrite must agree with Java/RE2 alternation semantics on
+EVERY input it claims to decompose, and the compaction planner must
+never propose an unsound rewrite, whatever the store layout.
+
+Driver-side only — no SparkSession, so thousands of examples run in
+seconds.
+"""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from tsdb_spark.compaction import (
+    BlockMeta,
+    exponential_ranges,
+    overlapping_blocks,
+    plan,
+    split_by_range,
+)
+from tsdb_spark.labels import find_set_matches
+
+# ---------------------------------------------------------------- set-regex
+
+# literal alternatives: printable chars, with metachars reachable only
+# through escapes (the grammar find_set_matches accepts)
+_META = set(r".+*?()[]{}^$|\\")
+_plain = st.text(
+    st.characters(
+        min_codepoint=32, max_codepoint=126, blacklist_characters="".join(_META)
+    ),
+    max_size=6,
+)
+
+
+def _render(lit: str) -> str:
+    """Render a literal as pattern text, escaping regex metachars."""
+    return re.escape(lit)
+
+
+@given(st.lists(_plain, min_size=1, max_size=5))
+@settings(max_examples=300, deadline=None)
+def test_plain_alternation_roundtrip(lits):
+    pattern = "|".join(lits)
+    out = find_set_matches(pattern)
+    assert out == lits
+
+
+@given(st.lists(st.text(st.characters(min_codepoint=32, max_codepoint=126), max_size=5),
+                min_size=1, max_size=4))
+@settings(max_examples=300, deadline=None)
+def test_escaped_alternation_agrees_with_re(lits):
+    """With every literal escaped, the rewrite either declines (None —
+    re.escape may introduce \\<alnum> forms it treats as classes) or
+    returns a set that matches Python re fullmatch semantics exactly."""
+    pattern = "|".join(_render(l) for l in lits)
+    out = find_set_matches(pattern)
+    if out is None:
+        return
+    probe = set(lits) | {"", "x", "zz", "|", "\\"}
+    rx = re.compile(f"(?:{pattern})")
+    for s in probe:
+        assert (s in out) == bool(rx.fullmatch(s)), (pattern, s, out)
+
+
+@given(st.text(st.characters(min_codepoint=32, max_codepoint=126), max_size=12))
+@settings(max_examples=500, deadline=None)
+def test_arbitrary_pattern_never_lies(pattern):
+    """For ARBITRARY pattern text: whenever the rewrite claims a literal
+    set, membership must equal regex fullmatch for every claimed literal
+    and for strings near it."""
+    out = find_set_matches(pattern)
+    if out is None:
+        return
+    try:
+        rx = re.compile(f"(?:{pattern})")
+    except re.error:
+        assert False, f"claimed literals for uncompilable pattern {pattern!r}"
+    probe = set(out) | {l + "x" for l in out} | {"", "q"}
+    for s in probe:
+        assert (s in out) == bool(rx.fullmatch(s)), (pattern, s, out)
+
+
+# ---------------------------------------------------------------- planner
+
+_W = 100  # base bucket width
+
+
+@st.composite
+def stores(draw):
+    """A plausible store layout: sorted, non-overlapping-or-overlapping
+    buckets with mixed widths (levels), dirt, failures, tombstones."""
+    n = draw(st.integers(1, 10))
+    blocks, lo = [], 0
+    for i in range(n):
+        gap = draw(st.integers(0, 2)) * _W
+        width = _W * draw(st.sampled_from([1, 1, 1, 3, 9]))
+        lo = lo + gap
+        blocks.append(
+            BlockMeta(
+                mint=lo,
+                maxt=lo + width,
+                dir=f"b{i}",
+                num_series=draw(st.integers(0, 100)),
+                num_tombstones=draw(st.integers(0, 20)),
+                failed=draw(st.booleans()) and draw(st.booleans()),
+                dirty=draw(st.booleans()) and draw(st.booleans()),
+            )
+        )
+        lo += width
+    return blocks
+
+
+@given(stores())
+@settings(max_examples=300, deadline=None)
+def test_plan_is_sound(blocks):
+    ranges = exponential_ranges(_W, 3, 3)
+    sel = plan(blocks, ranges)
+    # selection is a subset of the store, in sorted order, and contiguous
+    # in the sorted listing (rewriting a non-contiguous slice could
+    # interleave with unselected data)
+    srt = sorted(blocks, key=lambda b: b.mint)
+    assert all(b in srt for b in sel)
+    if sel:
+        idx = [srt.index(b) for b in sel]
+        assert idx == list(range(idx[0], idx[0] + len(sel)))
+    # the LEVELED merge path never groups failed blocks (selectDirs skips
+    # failed groups, compact.go:245); the overlap/dirty repair paths may
+    # include them — vertical compaction is how a failed overlap heals
+    overlapping_sel = any(
+        a.maxt > b.mint and b.maxt > a.mint
+        for i, a in enumerate(sel)
+        for b in sel[i + 1 :]
+    )
+    if len(sel) > 1 and not overlapping_sel and not any(b.dirty for b in sel):
+        assert not any(b.failed for b in sel)
+    # the freshest block is untouched unless it overlaps/dirty
+    if sel and not any(b.dirty for b in sel):
+        fresh = srt[-1]
+        overlapped = any(
+            a.maxt > b.mint and b.maxt > a.mint
+            for a in srt
+            for b in srt
+            if a is not b
+        )
+        if not overlapped:
+            assert fresh not in sel
+
+
+@given(stores())
+@settings(max_examples=300, deadline=None)
+def test_plan_terminates(blocks):
+    """Repeatedly applying plan() and merging the selection must reach
+    [] — the maintenance loop terminates on every layout."""
+    ranges = exponential_ranges(_W, 3, 3)
+    cur = sorted(blocks, key=lambda b: b.mint)
+    for _ in range(40):
+        sel = plan(cur, ranges)
+        if not sel:
+            return
+        merged = BlockMeta(
+            mint=min(b.mint for b in sel),
+            maxt=max(b.maxt for b in sel),
+            dir="+".join(b.dir for b in sel),
+            num_series=max(b.num_series for b in sel),
+            num_tombstones=0,
+            failed=False,
+            dirty=False,
+        )
+        cur = sorted(
+            [b for b in cur if b not in sel] + [merged], key=lambda b: b.mint
+        )
+    assert False, "planner did not terminate in 40 rounds"
+
+
+@given(stores())
+@settings(max_examples=200, deadline=None)
+def test_split_by_range_windows_are_aligned(blocks):
+    tr = _W * 3
+    for group in split_by_range(sorted(blocks, key=lambda b: b.mint), tr):
+        t0 = tr * (group[0].mint // tr)
+        assert all(t0 <= b.mint and b.maxt <= t0 + tr for b in group)
+
+
+@given(stores())
+@settings(max_examples=200, deadline=None)
+def test_overlapping_blocks_report_is_correct(blocks):
+    rep = overlapping_blocks(blocks)
+    for (lo, hi), group in rep.items():
+        assert len(group) >= 2
+        for b in group:
+            assert b.mint <= lo and b.maxt >= hi
+    # completeness: any pairwise overlap midpoint appears in some range
+    for i, a in enumerate(blocks):
+        for b in blocks[i + 1 :]:
+            lo, hi = max(a.mint, b.mint), min(a.maxt, b.maxt)
+            if lo < hi:
+                assert any(rlo <= lo and hi <= rhi for (rlo, rhi) in rep), (
+                    a,
+                    b,
+                    rep,
+                )
