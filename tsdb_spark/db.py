@@ -187,7 +187,27 @@ class DB:
         return self._read_or_empty(self._samples_path, schema)
 
     def series(self) -> DataFrame:
-        return self._read_or_empty(self._series_path, SERIES_SCHEMA)
+        """The series dim, persisted and cached per data version.
+
+        Every select/label query starts from this relation (the analog
+        of the reference's always-mmapped index); re-reading its parquet
+        per query is pure overhead. The cache key is `_data_version`, so
+        any mutation that can change the dim (append bumps ingest seq;
+        gc/retention/delete bump data seq) invalidates it. Executor
+        storage is bounded by the dim itself — metadata-scale next to
+        the samples."""
+        ver = tuple(self._data_version())
+        cached = getattr(self, "_series_cache", None)
+        if cached is not None and cached[0] == ver:
+            return cached[1]
+        if cached is not None:
+            try:
+                cached[1].unpersist()
+            except Exception:
+                pass
+        df = self._read_or_empty(self._series_path, SERIES_SCHEMA).persist()
+        self._series_cache = (ver, df)
+        return df
 
     def tombstones(self) -> DataFrame:
         return self._read_or_empty(self._tombstones_path, TOMBSTONES_SCHEMA)
@@ -784,8 +804,9 @@ class DB:
         n_kept = kept.count()
         if n_kept < total:
             self._atomic_overwrite(kept.repartition(1), self._series_path)
-            # the materialized postings index still lists the removed
-            # series — stale until the next materialize
+            # the dim changed: invalidate version-keyed readers (the
+            # series cache) and mark the postings index stale
+            self._bump_data_seq()
             if self.meta.pop("postings_ingest_seq", None) is not None:
                 self._write_meta()
         return total - n_kept
