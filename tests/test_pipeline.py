@@ -363,3 +363,44 @@ def test_decontaminate_flags_planted_overlap(spark):
     # 'one two three four five' and 'two three four five six'? only the
     # first survives inside doc 10 (yy breaks the second) → 1 shared
     assert rows[0]["n_shared"] == 1 and rows[0]["n_probe_docs"] == 1
+
+
+def test_audio_features_integer_dsp(spark):
+    df = spark.createDataFrame([(1, "ab")], "doc_id LONG, text STRING")
+    rows = M.audio_features(M.with_payload(df), window=64).collect()
+    # 'a'=97, 'b'=98 → centered: -31, -30; one window
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_samples"] == 2
+    assert r["energy"] == 31 * 31 + 30 * 30
+    assert r["zero_crossings"] == 0
+    assert r["peak"] == 31
+
+
+def test_audio_features_windows_and_zcr(spark):
+    # 130,126 alternate around the 128 center → 3 sign flips in one window
+    payload_text = chr(130 if False else 0x82) if False else None
+    df = spark.createDataFrame([(1, "\x82\x7e\x82\x7e")], "doc_id LONG, text STRING")
+    rows = M.audio_features(M.with_payload(df), window=2).collect()
+    # NB: \x82 is non-ascii → utf-8 encodes multibyte; just assert the
+    # fan-out contract (windows cover all bytes, indices contiguous)
+    total = sum(r["n_samples"] for r in rows)
+    assert total == len("\x82\x7e\x82\x7e".encode("utf-8"))
+    assert [r["win_idx"] for r in rows] == list(range(len(rows)))
+
+
+def test_ivf_index_roundtrip_matches_inmemory(spark, tmp_path):
+    from tsdb_spark.pipeline.vecindex import IvfIndex
+
+    emb = spark.createDataFrame(
+        [(i, [float((i * 7 + j * 3) % 5) + 0.25 for j in range(4)]) for i in range(30)],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    probes = emb.filter(F.col("vec_id") < 3)
+    direct = E.ann_ivf_topk(emb, probes, k=2, n_centroids=4, nprobe=2)
+    idx = IvfIndex.build(spark, emb, str(tmp_path / "ivf"), n_centroids=4)
+    served = IvfIndex.open(spark, str(tmp_path / "ivf")).search(probes, k=2, nprobe=2)
+    a = sorted(map(tuple, direct.collect()))
+    b = sorted(map(tuple, served.collect()))
+    assert a == b
+    assert idx.meta["n_vectors"] == 30 and idx.meta["dim"] == 4

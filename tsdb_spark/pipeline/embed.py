@@ -299,6 +299,22 @@ def ann_ivf_topk(
         embeddings, n_centroids, id_col, vec_col
     )
     lists = ivf_assign(embeddings, n_centroids, id_col, vec_col, cent)
+    return search_ivf_lists(lists, cent, probes, k, nprobe, id_col, vec_col)
+
+
+def search_ivf_lists(
+    lists: DataFrame,
+    cent: DataFrame,
+    probes: DataFrame,
+    k: int = 3,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The IVF probe path over an existing (id, vec, centroid_id) lists
+    relation — shared by the build-and-query op above and the persisted
+    `IvfIndex` (vecindex.py), so an index on disk answers with exactly
+    the plan (and bits) of the in-memory build."""
     p = probes.select(F.col(id_col).alias("probe_id"), F.col(vec_col).alias("_pv"))
     pw = Window.partitionBy("probe_id").orderBy(F.desc("pcos"), "centroid_id")
     probe_lists = (

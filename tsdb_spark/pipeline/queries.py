@@ -963,3 +963,34 @@ FROM c""",
 def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return M.audio_features(M.with_payload(docs))
+
+
+_IVF_INDEXES: dict = {}
+
+
+@register(
+    "emb_ivf_persisted",
+    None,  # oracle assigned below: identical to emb_ann_ivf by design
+    "persisted IVF index (vecindex.IvfIndex): centroids + per-list "
+    "partitioned parquet built once, probe reads pruned to nprobe lists; "
+    "answers bit-identically to the in-memory build (same oracle)",
+)
+def emb_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from tsdb_spark.pipeline.vecindex import IvfIndex
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    if sf_dir not in _IVF_INDEXES:
+        root = tempfile.mkdtemp(prefix="tsdb_q_ivfidx_")
+        IvfIndex.build(spark, emb, root, n_centroids=16)
+        _IVF_INDEXES[sf_dir] = root
+    idx = IvfIndex.open(spark, _IVF_INDEXES[sf_dir])
+    return idx.search(emb.filter(F.col("vec_id") < 8), k=3, nprobe=4)
+
+
+# the persisted index must answer exactly like the in-memory build — one
+# oracle covers both (divergence = a bug in the index roundtrip)
+from tsdb_spark.queries import QUERIES as _Q  # noqa: E402
+
+_Q["emb_ivf_persisted"].oracle = _Q["emb_ann_ivf"].oracle
