@@ -31,6 +31,7 @@ from tsdb_spark.pipeline.text import (
 )
 from tsdb_spark.pipeline.sampling import stratified_sample, decontaminate
 from tsdb_spark.pipeline.multimodal import audio_features
+from tsdb_spark.pipeline.vecindex import IvfIndex
 from tsdb_spark.pipeline.dedup import (
     exact_dedup,
     minhash_signatures,
@@ -59,4 +60,5 @@ __all__ = [
     "stratified_sample",
     "decontaminate",
     "audio_features",
+    "IvfIndex",
 ]
