@@ -1,0 +1,54 @@
+"""events adapter: schema-drift tolerance.
+
+The driver's testdata has shipped `events.ts` under different parquet
+types across rounds (int64-nanos-as-long, TIMESTAMP micros); the adapter
+must produce the same int64 epoch-ms samples from any of them.
+"""
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from tsdb_spark.sources.events import events_samples
+
+
+BASE_MS = 1_704_067_200_000  # 2024-01-01T00:00:00Z
+
+
+def _write_events(spark, path, ts_col):
+    df = spark.createDataFrame(
+        [
+            (1, ts_col(BASE_MS), 7, "click", 1.5, '{"k": 60}'),
+            (2, ts_col(BASE_MS + 1000), 8, "view", 2.5, '{"k": 10}'),
+        ],
+        "event_id LONG, ts {}, user_id LONG, event_type STRING, value DOUBLE, props STRING".format(
+            "LONG" if isinstance(ts_col(0), int) else "TIMESTAMP_NTZ"
+        ),
+    )
+    df.write.parquet(f"{path}/events.parquet")
+
+
+def _expect(spark, path):
+    rows = {
+        r["t"]: r
+        for r in events_samples(spark, path).select("labels", "t", "v").collect()
+    }
+    assert set(rows) == {BASE_MS, BASE_MS + 1000}
+    assert rows[BASE_MS]["labels"]["k_bucket"] == "high"
+    assert "k_bucket" not in rows[BASE_MS + 1000]["labels"]
+    assert rows[BASE_MS]["v"] == 1.5
+
+
+def test_events_ts_as_int64_nanos(spark, tmp_path):
+    _write_events(spark, str(tmp_path), lambda ms: ms * 1_000_000)
+    _expect(spark, str(tmp_path))
+
+
+def test_events_ts_as_timestamp(spark, tmp_path):
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    _write_events(
+        spark,
+        str(tmp_path),
+        lambda ms: datetime.datetime.utcfromtimestamp(ms / 1000.0),
+    )
+    _expect(spark, str(tmp_path))
