@@ -305,14 +305,18 @@ def docs_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _minhash_pairs(spark, sf_dir)
 
 
-_PAIRS_CACHE: dict[str, DataFrame] = {}
+#: keyed by (session id, sf_dir): cached DataFrames are bound to the
+#: session that built them — a driver recreating its SparkSession must
+#: get a fresh sketch pass, not a dead handle
+_PAIRS_CACHE: dict[tuple, DataFrame] = {}
 
 
 def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Memoized verified MinHash pairs — the pairs query and the cluster
     queries share ONE sketch pass per sf_dir instead of re-running the
     32-way MinHash over the corpus each."""
-    if sf_dir not in _PAIRS_CACHE:
+    key = (id(spark), sf_dir)
+    if key not in _PAIRS_CACHE:
         # eager materialize: the signature frame feeds the banded
         # self-join (2 scans) and the Jaccard verification (2 more) —
         # lazily persisted, the sibling scan stages all miss the empty
@@ -322,11 +326,11 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         # before the self-join); far above any bucket size at test scale,
         # so oracle results are unaffected
         cand = D.lsh_candidate_pairs(sigs, max_bucket=100_000)
-        _PAIRS_CACHE[sf_dir] = materialize(D.jaccard_pairs(cand, sigs))
+        _PAIRS_CACHE[key] = materialize(D.jaccard_pairs(cand, sigs))
         # pairs are materialized: the signature/shingle frame is no
         # longer scanned — release its executor storage
         sigs.unpersist()
-    return _PAIRS_CACHE[sf_dir]
+    return _PAIRS_CACHE[key]
 
 
 def sql_cc(edges: str) -> str:

@@ -462,7 +462,9 @@ def tsdb_intervals_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
 # =====================================================================
 
 STORE_WIDTH_MS = 21_600_000  # 6h blocks, matching the block_stats oracle
-_STORES: dict[tuple[str, str], DB] = {}
+#: keyed by (session id, scenario, sf_dir): DB handles embed the session
+#: that opened them — a recreated driver session must rebuild its stores
+_STORES: dict[tuple, DB] = {}
 
 
 def _store(spark: SparkSession, sf_dir: str, scenario: str) -> DB:
@@ -496,7 +498,7 @@ def _store(spark: SparkSession, sf_dir: str, scenario: str) -> DB:
         db.append(batch.select("labels", "t", "v", "ord"), order_col="ord")
         _STORES[key] = db
         return db
-    base_key = ("base", sf_dir)
+    base_key = ("base", id(spark), sf_dir)
     if base_key not in _STORES:
         root = tempfile.mkdtemp(prefix="tsdb_q_base_")
         bdb = DB.create(spark, f"{root}/db", block_width_ms=STORE_WIDTH_MS)
@@ -587,7 +589,7 @@ WHERE event_type = 'view' AND t BETWEEN {T0} + 3*{DAY} AND {T0} + 10*{DAY}"""),
 )
 def store_snapshot_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = _store(spark, sf_dir, "base")
-    key = ("snapshot_ro", sf_dir)
+    key = ("snapshot_ro", id(spark), sf_dir)
     if key not in _STORES:
         root = tempfile.mkdtemp(prefix="tsdb_q_snap_")
         base.snapshot(f"{root}/db")
@@ -724,7 +726,7 @@ SELECT labels_str, t, v FROM samples WHERE t < {T0} + 2*{DAY}"""),
 def stream_ingest_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tsdb_spark.streaming import StreamIngestor
 
-    key = ("stream", sf_dir)
+    key = ("stream", id(spark), sf_dir)
     if key not in _STORES:
         root = tempfile.mkdtemp(prefix="tsdb_q_stream_")
         src, ckpt = f"{root}/src", f"{root}/ckpt"
@@ -775,7 +777,7 @@ GROUP BY 1, 2"""),
 def stream_windowed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tsdb_spark.streaming import windowed_rollup
 
-    key = ("rollup", sf_dir)
+    key = ("rollup", id(spark), sf_dir)
     if key not in _ROLLUPS:
         root = tempfile.mkdtemp(prefix="tsdb_q_rollup_")
         src, out, ckpt = f"{root}/src", f"{root}/out", f"{root}/ckpt"
@@ -820,7 +822,7 @@ def stream_windowed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_ROLLUPS: dict[tuple[str, str], str] = {}
+_ROLLUPS: dict[tuple, str] = {}
 
 
 @register(
@@ -845,7 +847,7 @@ FROM l"""),
 def stream_series_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tsdb_spark.streaming import series_rate
 
-    key = ("rate", sf_dir)
+    key = ("rate", id(spark), sf_dir)
     if key not in _ROLLUPS:
         root = tempfile.mkdtemp(prefix="tsdb_q_rate_")
         src, out, ckpt = f"{root}/src", f"{root}/out", f"{root}/ckpt"
@@ -887,7 +889,7 @@ WHERE t < {T0} + 2*{DAY} GROUP BY 1, 2"""),
 def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tsdb_spark.streaming import exact_dedup_stream
 
-    key = ("dedup", sf_dir)
+    key = ("dedup", id(spark), sf_dir)
     if key not in _ROLLUPS:
         root = tempfile.mkdtemp(prefix="tsdb_q_sdedup_")
         src, out, ckpt = f"{root}/src", f"{root}/out", f"{root}/ckpt"
