@@ -1148,6 +1148,76 @@ def tsdb_agg_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "tsdb_topk_series",
+    _with_prelude("""
+, g AS (SELECT labels_str, (t // 86400000) * 86400000 AS day,
+          CAST(count(*) AS BIGINT) AS n, round(sum(v), 2) AS sum_v
+        FROM samples WHERE t >= {T0} AND t < {T0} + 7*{DAY} GROUP BY 1, 2),
+r AS (SELECT *, CAST(row_number() OVER (PARTITION BY day
+         ORDER BY sum_v DESC, labels_str) AS BIGINT) AS rank FROM g)
+SELECT labels_str, day, n, sum_v, rank FROM r WHERE rank <= 5"""),
+    "topk() aggregation operator: the 5 heaviest series by daily sum — "
+    "per-series rollup (combinable) then a per-day top-k window over the "
+    "series-day aggregate (rows ∝ series x days, never samples)",
+)
+def tsdb_topk_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = events_samples(spark, sf_dir).filter(
+        (F.col("t") >= T0) & (F.col("t") < T0 + 7 * DAY)
+    )
+    g = s.groupBy(
+        "labels_str",
+        (F.col("t") - F.pmod(F.col("t"), F.lit(DAY))).alias("day"),
+    ).agg(F.count("*").alias("n"), F.round(F.sum("v"), 2).alias("sum_v"))
+    w = Window.partitionBy("day").orderBy(F.desc("sum_v"), "labels_str")
+    return (
+        g.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+    )
+
+
+@register(
+    "tsdb_absent_windows",
+    _with_prelude("""
+, names AS (SELECT DISTINCT event_type AS name FROM samples),
+grid AS (SELECT name, {T0} + 21600000 * g AS w_start
+         FROM names CROSS JOIN range(0, 28) t(g)),
+have AS (SELECT DISTINCT event_type AS name,
+                (t // 21600000) * 21600000 AS w_start
+         FROM samples WHERE user_lbl = '7'
+           AND t >= {T0} AND t < {T0} + 7*{DAY})
+SELECT g.name, g.w_start FROM grid g
+LEFT JOIN have h ON g.name = h.name AND g.w_start = h.w_start
+WHERE h.name IS NULL"""),
+    "absent() operator over the selector {user='7'}: metric-name x "
+    "6h-window grid anti-joined against observed windows — alerting's "
+    "absence detection; the grid is names x windows (metadata-sized) and "
+    "the observed set is a combinable distinct, so cost is independent "
+    "of sample volume",
+)
+def tsdb_absent_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = events_samples(spark, sf_dir)
+    names = (
+        s.select(F.col("labels").getItem("__name__").alias("name"))
+        .filter(F.col("name").isNotNull())
+        .distinct()
+    )
+    wsize = 21_600_000
+    grid = names.crossJoin(
+        spark.range(28).select((F.lit(T0) + F.col("id") * wsize).alias("w_start"))
+    )
+    have = (
+        s.filter(L.compile_matchers([L.eq("user", "7")]))
+        .filter((F.col("t") >= T0) & (F.col("t") < T0 + 7 * DAY))
+        .select(
+            F.col("labels").getItem("__name__").alias("name"),
+            (F.col("t") - F.pmod(F.col("t"), F.lit(wsize))).alias("w_start"),
+        )
+        .distinct()
+    )
+    return grid.join(have, ["name", "w_start"], "left_anti")
+
+
 # registers the documents/embeddings pipeline queries into the same
 # registry (import at the bottom: pipeline.queries imports `register`
 # from this module)
