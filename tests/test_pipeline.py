@@ -404,3 +404,13 @@ def test_ivf_index_roundtrip_matches_inmemory(spark, tmp_path):
     b = sorted(map(tuple, served.collect()))
     assert a == b
     assert idx.meta["n_vectors"] == 30 and idx.meta["dim"] == 4
+
+
+def test_bigram_familiarity(spark):
+    df = docs_df(spark, ["a b c", "a b d", "x y"])
+    rows = {r["doc_id"]: r for r in T.bigram_familiarity(df).collect()}
+    # doc0: bigrams {a b, b c}; 'a b' appears in doc1 too → familiar
+    assert rows[0]["n_bigrams"] == 2 and rows[0]["n_familiar"] == 1
+    assert rows[0]["familiarity_bp"] == 5000
+    # doc2: 'x y' unique → 0 familiar
+    assert rows[2]["n_familiar"] == 0 and rows[2]["familiarity_bp"] == 0

@@ -998,3 +998,24 @@ def emb_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
 from tsdb_spark.queries import QUERIES as _Q  # noqa: E402
 
 _Q["emb_ivf_persisted"].oracle = _Q["emb_ann_ivf"].oracle
+
+
+@register(
+    "docs_bigram_familiarity",
+    f"""
+WITH t AS MATERIALIZED (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
+b AS MATERIALIZED (
+  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks)),
+           i -> toks[i] || ' ' || toks[i+1]))) AS bg
+  FROM t WHERE len(toks) >= 2),
+df AS (SELECT bg, CAST(count(*) AS BIGINT) AS df FROM b GROUP BY bg)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+  CAST(count(*) FILTER (WHERE df >= 2) AS BIGINT) AS n_familiar,
+  (10000 * count(*) FILTER (WHERE df >= 2)) // count(*) AS familiarity_bp
+FROM b JOIN df USING (bg) GROUP BY doc_id""",
+    "LM-proxy quality: fraction of a doc's distinct bigrams seen in >= 2 "
+    "docs (integer perplexity stand-in); shuffle ∝ distinct bigram "
+    "occurrences, df table vocabulary-sized",
+)
+def docs_bigram_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.bigram_familiarity(load_table(spark, sf_dir, "documents"))

@@ -277,3 +277,50 @@ def token_histogram(docs: DataFrame, text_col: str = "text", top: int = 20) -> D
         .orderBy(F.desc("n"), "token")
         .limit(top)
     )
+
+
+def bigram_familiarity(
+    docs: DataFrame, min_df: int = 2, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """LM-proxy quality signal: what fraction of a document's distinct
+    bigrams also appear in other documents? Text whose word transitions
+    are corpus-typical scores high; gibberish and boilerplate-mangled
+    text score low — the integer-exact stand-in for an n-gram LM
+    perplexity filter.
+
+    Returns (doc_id, n_bigrams, n_familiar, familiarity_bp) where a
+    bigram is familiar iff its document frequency >= min_df.
+
+    Scale shape: distinct bigrams per doc (map-only), document frequency
+    as ONE map-side-combinable groupBy over (doc, bigram) rows, joined
+    back on the bigram key — shuffle ∝ distinct bigram occurrences, and
+    the df table is vocabulary-sized (broadcastable at most corpus
+    scales)."""
+    b = (
+        docs.withColumn("_toks", tokens_expr(text_col))
+        .filter(F.size("_toks") >= 2)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        "transform(sequence(1, size(_toks) - 1),"
+                        " i -> concat(_toks[i-1], ' ', _toks[i]))"
+                    )
+                )
+            ).alias("bg"),
+        )
+    )
+    df_ = b.groupBy("bg").agg(F.count("*").alias("df"))
+    return (
+        b.join(df_, "bg")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.count_if(F.col("df") >= min_df).alias("n_familiar"),
+        )
+        .withColumn(
+            "familiarity_bp",
+            F.floor(F.lit(10000) * F.col("n_familiar") / F.col("n_bigrams")).cast("long"),
+        )
+    )
