@@ -1222,3 +1222,34 @@ class Querier:
         (series label-sorted querier.go:214-230/SortedPostings, samples
         time-ordered within series)."""
         return self.select(matchers).orderBy("labels_str", "t")
+
+
+def federated_select(
+    dbs: list["DB"],
+    matchers: list[L.Matcher],
+    mint: int,
+    maxt: int,
+    with_labels: bool = False,
+) -> DataFrame:
+    """Merged read across SEVERAL stores — mergedSeriesSet generalized
+    from blocks to databases (querier.go:536-618: the reference merges
+    per-block queriers exactly like this; a store is just a bigger
+    block).
+
+    Each store answers with its own partition-pruned, matcher-filtered,
+    tombstone-subtracted plan; the union resolves (series, t) collisions
+    by store position — the LATER store in `dbs` wins, the cross-store
+    rendering of verticalMergeSeriesIterator's "b wins"
+    (querier.go:1039-1043). No store's samples shuffle except the final
+    per-key dedup, whose input is already matcher- and time-pruned.
+    """
+    parts = [
+        db.querier(mint, maxt)
+        .select(matchers, with_labels=with_labels)
+        .withColumn("_src", F.lit(i))
+        for i, db in enumerate(dbs)
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return dedup_vertical(u, precedence_col="_src").drop("_src")

@@ -477,7 +477,7 @@ def _store(spark: SparkSession, sf_dir: str, scenario: str) -> DB:
     (appends add files, compaction swaps directories), so the fork is
     isolated while skipping three redundant ingests per correctness run.
     """
-    key = (scenario, sf_dir)
+    key = (scenario, id(spark), sf_dir)
     if key in _STORES:
         return _STORES[key]
     if scenario == "amend":
@@ -1145,6 +1145,42 @@ def tsdb_agg_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("v"), 2).alias("sum_v"),
         F.min("v").alias("min_v"),
         F.max("v").alias("max_v"),
+    )
+
+
+@register(
+    "store_federated",
+    _with_prelude("""
+, d AS (SELECT labels_str, t, min(v) AS v FROM samples GROUP BY 1, 2)
+SELECT labels_str, t,
+  CASE WHEN t < {T0} + 14*{DAY} THEN v ELSE v + 1000.0 END AS v
+FROM d"""),
+    "federated read across TWO stores (mergedSeriesSet generalized to "
+    "databases, querier.go:536-618): store A holds days 0-16, store B "
+    "days 14-31 with amended values; the merged read resolves the "
+    "2-day overlap later-store-wins (verticalMergeSeriesIterator "
+    "querier.go:1039-1043) — each store answers with its own pruned "
+    "broadcast-join plan before the bounded per-key dedup",
+)
+def store_federated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tsdb_spark.db import federated_select
+
+    key = ("federated", id(spark), sf_dir)
+    if key not in _STORES:
+        root = tempfile.mkdtemp(prefix="tsdb_q_fed_")
+        base = events_samples(spark, sf_dir).select("labels", "t", "v")
+        dba = DB.create(spark, f"{root}/a", block_width_ms=STORE_WIDTH_MS)
+        dba.append(base.filter(F.col("t") < T0 + 16 * DAY))
+        dbb = DB.create(spark, f"{root}/b", block_width_ms=STORE_WIDTH_MS)
+        dbb.append(
+            base.filter(F.col("t") >= T0 + 14 * DAY).withColumn(
+                "v", F.col("v") + 1000.0
+            )
+        )
+        _STORES[key] = (dba, dbb)
+    dba, dbb = _STORES[key]
+    return federated_select([dba, dbb], [], T0, T0 + 31 * DAY).select(
+        "labels_str", "t", "v"
     )
 
 
