@@ -137,3 +137,30 @@ def test_nan_values_roundtrip(spark, tmp_path):
     db.append(df)
     got = {r["t"]: r["v"] for r in db.querier(0, 100).select([L.eq("x", "1")]).collect()}
     assert math.isnan(got[5]) and got[6] == 1.0
+
+
+def test_federated_select_later_store_wins(spark, tmp_path):
+    from tsdb_spark.db import federated_select
+    from tsdb_spark import eq
+
+    rows = lambda vals: spark.createDataFrame(
+        [({"m": "x", "site": s}, t, float(v)) for s, t, v in vals],
+        "labels MAP<STRING,STRING>, t LONG, v DOUBLE",
+    )
+    a = DB.create(spark, str(tmp_path / "a"), block_width_ms=100)
+    a.append(rows([("1", 10, 1.0), ("1", 20, 2.0), ("2", 10, 9.0)]))
+    b = DB.create(spark, str(tmp_path / "b"), block_width_ms=100)
+    b.append(rows([("1", 20, 200.0), ("1", 30, 3.0)]))
+    # store B deletes its t=30 sample; the delete must not leak to A
+    b.delete(25, 35, [eq("m", "x")])
+
+    out = {
+        (r["labels_str"], r["t"]): r["v"]
+        for r in federated_select([a, b], [eq("site", "1")], 0, 100).collect()
+    }
+    assert out == {
+        ('{m="x",site="1"}', 10): 1.0,   # only in A
+        ('{m="x",site="1"}', 20): 200.0, # overlap → B wins
+        # t=30 tombstoned in B and absent from A → gone
+    }
+    # (dict equality above also proves the site=2 series was matcher-filtered)
