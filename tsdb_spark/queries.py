@@ -526,6 +526,13 @@ def _store(spark: SparkSession, sf_dir: str, scenario: str) -> DB:
         db.retain_after(T0 + 20 * DAY)
     elif scenario == "rollup":
         db.materialize_rollup(3_600_000)
+    elif scenario == "checkpoint":
+        # a delete straddling the future cutoff, then a checkpoint at
+        # T0+20d: partitions behind the cutoff drop, orphan series GC,
+        # and the tombstone is CLIPPED to [cutoff, inf) — surviving reads
+        # must still mask the remaining deleted range
+        db.delete(T0 + 18 * DAY, T0 + 22 * DAY, [L.eq("user", "3")])
+        db.checkpoint(T0 + 20 * DAY)
     elif scenario == "size_ret":
         # budget = exact bytes of the blocks at/after the cutoff → the
         # newest-first byte accumulation must reproduce the time cut,
@@ -713,6 +720,26 @@ GROUP BY 1 ORDER BY t_bucket"""),
 def store_size_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     db = _store(spark, sf_dir, "size_ret")
     return db.block_stats()
+
+
+@register(
+    "store_checkpoint",
+    _with_prelude("""
+, d AS (SELECT labels_str, user_lbl, t, min(v) AS v FROM samples GROUP BY 1, 2, 3)
+SELECT labels_str, t, v FROM d
+WHERE (t // 21600000) * 21600000 + 21600000 > {T0} + 20*{DAY}
+  AND NOT (user_lbl = '3' AND t BETWEEN {T0} + 18*{DAY} AND {T0} + 22*{DAY})"""),
+    "checkpoint (S10/A6, checkpoint.go:102-261): filtered rewrite behind "
+    "mint — whole partitions dropped, orphan series GC'd, the straddling "
+    "tombstone clipped to [mint, inf) and still masking surviving reads",
+)
+def store_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    db = _store(spark, sf_dir, "checkpoint")
+    return (
+        db.querier(T0, T0 + 31 * DAY)
+        .select([], with_labels=False)
+        .select("labels_str", "t", "v")
+    )
 
 
 @register(
