@@ -526,6 +526,18 @@ def _store(spark: SparkSession, sf_dir: str, scenario: str) -> DB:
         db.retain_after(T0 + 20 * DAY)
     elif scenario == "rollup":
         db.materialize_rollup(3_600_000)
+    elif scenario == "vacuum":
+        # fragment one bucket with five single-row appends (the
+        # streaming-ingest file pattern), then defragment; results must
+        # be byte-identical to never having vacuumed
+        for i in range(5):
+            db.append(
+                spark.createDataFrame(
+                    [({"m": "frag", "i": str(i)}, T0 + i * 1000, float(i))],
+                    "labels MAP<STRING,STRING>, t LONG, v DOUBLE",
+                )
+            )
+        db.vacuum(max_files_per_bucket=2)
     elif scenario == "checkpoint":
         # a delete straddling the future cutoff, then a checkpoint at
         # T0+20d: partitions behind the cutoff drop, orphan series GC,
@@ -720,6 +732,28 @@ GROUP BY 1 ORDER BY t_bucket"""),
 def store_size_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     db = _store(spark, sf_dir, "size_ret")
     return db.block_stats()
+
+
+@register(
+    "store_vacuum",
+    _with_prelude("""
+, d AS (SELECT labels_str, t, min(v) AS v FROM samples GROUP BY 1, 2),
+frag AS (SELECT '{{i="' || i || '",m="frag"}}' AS labels_str,
+                {T0} + i * 1000 AS t, CAST(i AS DOUBLE) AS v
+         FROM range(0, 5) t(i))
+SELECT labels_str, t, v FROM d WHERE t < {T0} + 7*{DAY}
+UNION ALL SELECT * FROM frag"""),
+    "vacuum (small-file defragmentation): five single-row appends "
+    "fragment one bucket, the rewrite coalesces its files — the read "
+    "must be byte-identical to never having vacuumed (week-1 slice)",
+)
+def store_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    db = _store(spark, sf_dir, "vacuum")
+    return (
+        db.querier(T0, T0 + 7 * DAY - 1)
+        .select([], with_labels=False)
+        .select("labels_str", "t", "v")
+    )
 
 
 @register(
