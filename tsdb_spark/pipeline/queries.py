@@ -1019,3 +1019,45 @@ FROM b JOIN df USING (bg) GROUP BY doc_id""",
 )
 def docs_bigram_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.bigram_familiarity(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "emb_corpus_map",
+    f"""
+WITH {SQL_EMB},
+q AS (SELECT vec_id, v, list_transform(v, x -> CAST(floor(x * 1000000) AS BIGINT)) AS qv FROM e),
+c0 AS (SELECT vec_id AS centroid_id, qv AS cq FROM q WHERE vec_id < 8),
+{_sql_lloyd(0)},
+{_sql_lloyd(1)},
+cent AS (SELECT centroid_id, list_transform(cq, x -> x / 1000000.0) AS cv FROM c2),
+asg AS (SELECT e.vec_id, centroid_id,
+          row_number() OVER (PARTITION BY e.vec_id
+                             ORDER BY list_cosine_similarity(e.v, cv) DESC, centroid_id) AS r
+        FROM e CROSS JOIN cent),
+a AS (SELECT vec_id, centroid_id FROM asg WHERE r = 1)
+SELECT a.centroid_id AS cluster_id, d.lang, d.source,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(d.n_chars) AS BIGINT) AS total_chars
+FROM a JOIN documents d ON d.doc_id = a.vec_id
+GROUP BY 1, 2, 3""",
+    "corpus map (dataset-card rollup): k-means cluster assignment of the "
+    "embeddings joined to document metadata on doc_id=vec_id, rolled up "
+    "per (cluster, lang, source) — the docs-side join broadcasts the "
+    "(vec_id, cluster) assignment; rollup keys ∝ clusters x langs x "
+    "sources, independent of corpus size",
+)
+def emb_corpus_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    cents = E.kmeans_centroids(emb, n_centroids=8, iters=2)
+    asg = E.ivf_assign(emb, n_centroids=8, centroids=cents).select(
+        F.col("id").alias("vec_id"), F.col("centroid_id").alias("cluster_id")
+    )
+    return (
+        docs.join(F.broadcast(asg), docs["doc_id"] == asg["vec_id"])
+        .groupBy("cluster_id", "lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
