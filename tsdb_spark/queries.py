@@ -1246,6 +1246,56 @@ def store_federated(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tsdb_vector_match",
+    _with_prelude("""
+, d AS (SELECT labels_str, user_lbl, event_type, t, min(v) AS v FROM samples
+        WHERE t >= {T0} AND t < {T0} + 7*{DAY} GROUP BY 1, 2, 3, 4),
+c AS (SELECT user_lbl, (t // 86400000) * 86400000 AS day,
+        CAST(count(*) AS BIGINT) AS n_click
+      FROM d WHERE event_type = 'click' GROUP BY 1, 2),
+w AS (SELECT user_lbl, (t // 86400000) * 86400000 AS day,
+        CAST(count(*) AS BIGINT) AS n_view
+      FROM d WHERE event_type = 'view' GROUP BY 1, 2)
+SELECT c.user_lbl AS "user", c.day, n_click, n_view,
+  (10000 * n_click) // n_view AS ratio_bp
+FROM c JOIN w ON c.user_lbl = w.user_lbl AND c.day = w.day"""),
+    "PromQL binary operation with vector matching on(user): daily click "
+    "count / view count per user — two selector aggregates equi-joined on "
+    "the matching labels + window; join keys ∝ users x days, never "
+    "samples; integer basis-point ratio",
+)
+def tsdb_vector_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = events_samples(spark, sf_dir).filter(
+        (F.col("t") >= T0) & (F.col("t") < T0 + 7 * DAY)
+    )
+    d = s.groupBy(
+        "labels_str",
+        F.col("labels").getItem("user").alias("user"),
+        F.col("labels").getItem("__name__").alias("name"),
+        "t",
+    ).agg(F.min("v").alias("v"))
+    day = (F.col("t") - F.pmod(F.col("t"), F.lit(DAY))).alias("day")
+
+    def side(metric, out):
+        return (
+            d.filter(F.col("name") == metric)
+            .groupBy("user", day)
+            .agg(F.count("*").alias(out))
+        )
+
+    c, w = side("click", "n_click"), side("view", "n_view")
+    return c.join(w, ["user", "day"]).select(
+        "user",
+        "day",
+        "n_click",
+        "n_view",
+        F.floor(F.lit(10000) * F.col("n_click") / F.col("n_view"))
+        .cast("long")
+        .alias("ratio_bp"),
+    )
+
+
+@register(
     "tsdb_topk_series",
     _with_prelude("""
 , g AS (SELECT labels_str, (t // 86400000) * 86400000 AS day,
