@@ -206,6 +206,10 @@ def tsdb_label_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tsdb_label_names",
     _with_prelude("""
+-- the candidate name set IS the adapter mapping (events -> labels is a
+-- fixed schema); presence of each name is conditioned on the DATA having
+-- a nonempty value for it, so the oracle verifies the operator, not the
+-- fixture
 SELECT DISTINCT name FROM (
   SELECT '__name__' AS name FROM samples WHERE event_type != ''
   UNION ALL SELECT 'user' FROM samples WHERE user_lbl != ''
@@ -1243,6 +1247,27 @@ def store_federated(spark: SparkSession, sf_dir: str) -> DataFrame:
     return federated_select([dba, dbb], [], T0, T0 + 31 * DAY).select(
         "labels_str", "t", "v"
     )
+
+
+@register(
+    "tsdb_count_values",
+    _with_prelude("""
+, d AS (SELECT labels_str, event_type, t, min(v) AS v FROM samples
+        WHERE t >= {T0} AND t < {T0} + 7*{DAY} GROUP BY 1, 2, 3)
+SELECT event_type AS name, v, CAST(count(*) AS BIGINT) AS n
+FROM d GROUP BY 1, 2"""),
+    "count_values() aggregation: occurrences of each exact sample value "
+    "per metric — one combinable groupBy on (name, v); the value is a "
+    "group key (exact doubles), never arithmetic",
+)
+def tsdb_count_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = events_samples(spark, sf_dir).filter(
+        (F.col("t") >= T0) & (F.col("t") < T0 + 7 * DAY)
+    )
+    d = s.groupBy(
+        "labels_str", F.col("labels").getItem("__name__").alias("name"), "t"
+    ).agg(F.min("v").alias("v"))
+    return d.groupBy("name", "v").agg(F.count("*").alias("n"))
 
 
 @register(
