@@ -164,3 +164,33 @@ def test_federated_select_later_store_wins(spark, tmp_path):
         # t=30 tombstoned in B and absent from A → gone
     }
     # (dict equality above also proves the site=2 series was matcher-filtered)
+
+
+def test_readonly_open_refuses_mutation(spark, tmp_path):
+    db = DB.create(spark, str(tmp_path / "ro"), block_width_ms=100)
+    db.append(
+        spark.createDataFrame(
+            [({"m": "x"}, 10, 1.0)], "labels MAP<STRING,STRING>, t LONG, v DOUBLE"
+        )
+    )
+    ro = DB.open_readonly(spark, str(tmp_path / "ro"))
+    # the whole query surface works...
+    assert ro.querier(0, 100).select([]).count() == 1
+    assert ro.label_names().count() == 1
+    # ...every mutation is refused (DBReadOnly analog, db.go:265-429)
+    import pytest as _pytest
+
+    for call in (
+        lambda: ro.append(ro.samples()),
+        lambda: ro.delete(0, 50, []),
+        lambda: ro.compact(),
+        lambda: ro.retain_after(50),
+        lambda: ro.clean_tombstones(),
+        lambda: ro.checkpoint(50),
+        lambda: ro.vacuum(),
+        lambda: ro.gc_series(),
+    ):
+        with _pytest.raises(PermissionError):
+            call()
+    # and the underlying store is untouched
+    assert DB.open(spark, str(tmp_path / "ro")).samples().count() == 1

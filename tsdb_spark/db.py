@@ -104,6 +104,22 @@ class DB:
         return db
 
     @classmethod
+    def open_readonly(cls, spark: SparkSession, path: str) -> "DB":
+        """DBReadOnly (db.go:265-429): full query surface, every mutation
+        refused — the safe handle for operating on a store another
+        process owns (the reference uses it for CLI dump/ls against a
+        running server's data dir)."""
+        db = cls.open(spark, path)
+        db._read_only = True
+        return db
+
+    def _check_writable(self) -> None:
+        if getattr(self, "_read_only", False):
+            raise PermissionError(
+                f"store at {self.path} was opened read-only (DBReadOnly analog)"
+            )
+
+    @classmethod
     def open(cls, spark: SparkSession, path: str) -> "DB":
         configure(spark)
         with open(os.path.join(path, "_meta.json")) as f:
@@ -253,6 +269,7 @@ class DB:
         batch (invisible to selects, which semi-join the dim), never
         phantom dim entries with no samples.
         """
+        self._check_writable()
         rep = AppendReport(new_series=-1, appended=-1)
         seq = self.meta["next_ingest_seq"]
         width = self.block_width_ms
@@ -463,6 +480,7 @@ class DB:
         coalesced to canonical form (tombstones.go:259-304). Data is
         dropped lazily at read (subtract_intervals) until clean_tombstones.
         Returns number of series tombstoned."""
+        self._check_writable()
         ids = self.series().filter(L.compile_matchers(matchers)).select("series_id")
         new = ids.withColumn("mint", F.lit(mint).cast("long")).withColumn(
             "maxt", F.lit(maxt).cast("long")
@@ -481,6 +499,7 @@ class DB:
         job over all affected buckets (a serial per-bucket loop would
         serialize the cluster at 1000s of affected buckets); the driver
         then just swaps directories."""
+        self._check_writable()
         tombs = self.tombstones()
         intervals = [(r["mint"], r["maxt"]) for r in tombs.select("mint", "maxt").collect()]
         if not intervals:
@@ -543,6 +562,7 @@ class DB:
         (LeveledCompactor.Write compact.go:466-640 + populateBlock
         :645-873 as one declarative job; atomic swap compact.go:634-638).
         """
+        self._check_writable()
         width = target_width_ms or self.block_width_ms
         s = self.samples()
         tombs = self.tombstones()
@@ -676,6 +696,7 @@ class DB:
 
         The global tombstone file is retained (other buckets may still
         need it); re-subtracting on already-clean data is a no-op."""
+        self._check_writable()
         if not buckets:
             return
         los = sorted(buckets)
@@ -732,6 +753,7 @@ class DB:
         for exactly this reason). All selected partitions rewrite in ONE
         Spark job; the driver only swaps directories. Returns the
         rewritten bucket los."""
+        self._check_writable()
         frag = [
             lo
             for lo in sorted(
@@ -756,6 +778,7 @@ class DB:
         """Run planning rounds until the planner is satisfied (the
         reference's db.compact loop, db.go:701-759). Returns the executed
         groups."""
+        self._check_writable()
         done = []
         for _ in range(max_rounds):
             los, target = self.compact_plan()
@@ -797,6 +820,7 @@ class DB:
         Retention deletes sample partitions wholesale, so without this
         the dim accumulates label sets that LabelValues/LabelNames still
         report. Returns the number of series removed."""
+        self._check_writable()
         live = self.samples().select("series_id").distinct()
         s = self.series()
         total = s.count()
@@ -817,6 +841,7 @@ class DB:
         longer referenced, and spent delete records):
         whole partitions below mint are deleted, orphan series GC'd, and
         tombstone intervals clipped to [mint, ∞)."""
+        self._check_writable()
         dropped = self.retain_after(mint)
         removed = self.gc_series()
         tombs_trimmed = 0
@@ -843,6 +868,7 @@ class DB:
         beyondTimeRetention (db.go:865-884) as partition deletes. A bucket
         is deletable iff its half-open range [lo, lo+width) ends at or
         before the cutoff. Returns number of dropped partitions."""
+        self._check_writable()
         dropped = 0
         widths, base = self.bucket_widths, self.block_width_ms
         for d in sorted(self._bucket_dirs()):
@@ -876,6 +902,7 @@ class DB:
         walk blocks newest-first accumulating on-disk size; once the
         budget is exceeded, that block and everything older is deletable.
         Returns number of dropped partitions."""
+        self._check_writable()
         sizes = self.block_bytes()
         acc, dropped = 0, 0
         for lo in sorted(sizes, reverse=True):
@@ -923,6 +950,7 @@ class DB:
         falls back to deriving postings from the dim on the fly until
         the next materialize (the reference likewise rebuilds the index
         at compaction time, not per-append)."""
+        self._check_writable()
         from tsdb_spark.operators.postings import build_postings
 
         p = build_postings(self.series())
@@ -1001,6 +1029,7 @@ class DB:
         data seq) like the postings artifact; after an append, delete,
         or retention the reader recomputes on the fly until the next
         materialize."""
+        self._check_writable()
         dest = self._rollup_dir(width_ms)
         tmp = dest + f".tmp.{uuid.uuid4().hex}"
         (
