@@ -2,6 +2,7 @@
 DB.append. Covers T1 (bounded lateness), T3 (auto-flush via the leveled
 planner), T5 (restart/replay semantics — the WAL analog)."""
 
+import pytest
 import os
 
 import pytest
@@ -156,3 +157,15 @@ def test_stream_vacuum_every(spark, tmp_path):
     n_files = sum(1 for f in os.listdir(part) if not f.startswith(("_", ".")))
     assert n_files <= 8  # defragmented (was 10 pre-vacuum)
     assert _store_ts(db) == {100 + i: float(i) for i in range(10)}
+
+
+def test_stream_shuffle_partitions_restores_on_error(spark):
+    from tsdb_spark.streaming import stream_shuffle_partitions
+
+    key = "spark.sql.shuffle.partitions"
+    before = spark.conf.get(key)
+    with pytest.raises(RuntimeError):
+        with stream_shuffle_partitions(spark, 3):
+            assert spark.conf.get(key) == "3"
+            raise RuntimeError("stream failed")
+    assert spark.conf.get(key) == before

@@ -11,8 +11,9 @@ the public PySpark DataFrame/SQL API:
   labels/selector.go)
 - sorted-merge / vertical-dedup / tombstone semantics as declarative
   DataFrame plans optimized by Catalyst (reference: querier.go:536-1204)
-- batch + streaming ingest, compaction, retention (reference: head.go,
-  compact.go, db.go)
+- batch + streaming ingest, leveled compaction, time/size retention,
+  snapshots, checkpoints, read-only opens, and federated multi-store
+  reads (reference: head.go, compact.go, db.go, checkpoint.go)
 
 plus large-scale training-data pipeline operators (dedup, similarity
 search, text analysis, multimodal plumbing) on the same engine.
