@@ -83,3 +83,26 @@ def test_postings_matcher_plan_prunes_name(spark, tmp_path):
     # the equality matcher must reach the postings scan as a filter on
     # the name column (partition- or row-level), not a post-join filter
     assert "name" in plan and ("PushedFilters" in plan or "PartitionFilters" in plan)
+
+
+def test_federated_select_single_shuffle(spark, tmp_path):
+    from tsdb_spark.db import federated_select
+
+    rows = lambda t0, n: spark.createDataFrame(
+        [({"m": "x", "i": str(i % 3)}, t0 + i, float(i)) for i in range(n)],
+        "labels MAP<STRING,STRING>, t LONG, v DOUBLE",
+    )
+    a = DB.create(spark, str(tmp_path / "fa"), block_width_ms=WIDTH)
+    a.append(rows(0, 50))
+    b = DB.create(spark, str(tmp_path / "fb"), block_width_ms=WIDTH)
+    b.append(rows(25, 50))
+    plan = _executed(federated_select([a, b], [eq("m", "x")], 0, WIDTH))
+    # AQE prints the final plan followed by the initial plan — count
+    # shuffles in the final section only
+    final = plan.split("== Initial Plan ==")[0]
+    # each store's select is broadcast-only; the cross-store later-wins
+    # dedup is the ONE permitted samples shuffle
+    n_shuffles = final.count("Exchange hashpartitioning") + final.count(
+        "Exchange rangepartitioning"
+    )
+    assert n_shuffles == 1, final[:2000]
