@@ -52,3 +52,30 @@ def test_events_ts_as_timestamp(spark, tmp_path):
         lambda ms: datetime.datetime.utcfromtimestamp(ms / 1000.0),
     )
     _expect(spark, str(tmp_path))
+
+
+def test_load_table_normalizes_drifted_types(spark, tmp_path):
+    # documents with int32 ids / counts, embeddings with double vectors:
+    # load_table must cast them back to the canonical engine types.
+    spark.createDataFrame(
+        [(1, "hello world", "en", "web", 11)],
+        "doc_id INT, text STRING, lang STRING, source STRING, n_chars INT",
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+    spark.createDataFrame(
+        [(1, [0.5, 0.25], 3)],
+        "vec_id INT, embedding ARRAY<DOUBLE>, label BIGINT",
+    ).write.parquet(f"{tmp_path}/embeddings.parquet")
+
+    from tsdb_spark.sources.events import load_table
+
+    docs = load_table(spark, str(tmp_path), "documents")
+    assert dict(docs.dtypes) == {
+        "doc_id": "bigint", "text": "string", "lang": "string",
+        "source": "string", "n_chars": "bigint",
+    }
+    assert docs.columns == ["doc_id", "text", "lang", "source", "n_chars"]
+    emb = load_table(spark, str(tmp_path), "embeddings")
+    assert dict(emb.dtypes) == {
+        "vec_id": "bigint", "embedding": "array<float>", "label": "int",
+    }
+    assert emb.collect()[0]["embedding"] == [0.5, 0.25]

@@ -208,6 +208,24 @@ def docs_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "docs_chunk_windows",
+    f"""
+WITH t AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
+nz AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 1),
+e AS (SELECT doc_id, toks, unnest(range(0, len(toks), 24)) AS chunk_start FROM nz)
+SELECT doc_id, CAST(chunk_start AS INT) AS chunk_start,
+  CAST(least(32, len(toks) - chunk_start) AS BIGINT) AS n_chunk_tokens,
+  {sql_h("'chunk'", "array_to_string(toks[chunk_start+1:chunk_start+32], ' ')")} AS chunk_hash
+FROM e""",
+    "training-sequence sharding: fixed 32-token windows at stride 24 "
+    "(8-token overlap) with a keyed content digest per window — MAP-ONLY "
+    "fan-out inside each task, no shuffle",
+)
+def docs_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.chunk_windows(load_table(spark, sf_dir, "documents"))
+
+
+@register(
     "docs_repetition",
     f"""
 WITH t AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),

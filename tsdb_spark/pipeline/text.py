@@ -324,3 +324,40 @@ def bigram_familiarity(
             F.floor(F.lit(10000) * F.col("n_familiar") / F.col("n_bigrams")).cast("long"),
         )
     )
+
+
+def chunk_windows(
+    docs: DataFrame,
+    size: int = 32,
+    stride: int = 24,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split each document into fixed-size token windows with overlap —
+    the sharding step that turns raw documents into training sequences
+    (size tokens per example, stride < size keeps cross-boundary context).
+
+    Returns (doc_id, chunk_start, n_chunk_tokens, chunk_hash) with one
+    row per window; chunk_hash is the keyed content digest (joinable for
+    chunk-level dedup downstream).
+
+    Scale shape: MAP-ONLY — the explode fans out rows inside each task
+    (never more than ceil(n_tokens/stride) per doc), nothing shuffles;
+    the row fan-out is bounded by size/stride (~1.3x token volume here).
+    """
+    from tsdb_spark.pipeline.common import hash64
+
+    d = docs.withColumn("_toks", tokens_expr(text_col)).filter(F.size("_toks") >= 1)
+    starts = F.sequence(
+        F.lit(0), F.size("_toks") - 1, F.lit(stride)
+    )  # every start < n_tokens
+    e = d.select(
+        F.col(id_col), "_toks", F.explode(starts).alias("chunk_start")
+    )
+    chunk = F.slice("_toks", F.col("chunk_start") + 1, size)
+    return e.select(
+        id_col,
+        "chunk_start",
+        F.size(chunk).cast("long").alias("n_chunk_tokens"),
+        hash64(F.array_join(chunk, " "), "chunk").alias("chunk_hash"),
+    )

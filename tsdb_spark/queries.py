@@ -1390,6 +1390,210 @@ def tsdb_absent_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grid.join(have, ["name", "w_start"], "left_anti")
 
 
+#: cumulative histogram bucket upper bounds (le) for the synthesized
+#: classic-histogram shape; values span 0.01..490 so the top finite
+#: bound leaves a real +Inf bucket
+_HIST_LE = (10.0, 25.0, 50.0, 100.0, 250.0)
+
+
+@register(
+    "tsdb_histogram_quantile",
+    _with_prelude("""
+, g AS (SELECT event_type AS name, (t // 21600000) * 21600000 AS w_start,
+    CAST(count(*) AS BIGINT) AS n,
+    CAST(count(*) FILTER (WHERE v <= 10.0) AS BIGINT) AS c1,
+    CAST(count(*) FILTER (WHERE v <= 25.0) AS BIGINT) AS c2,
+    CAST(count(*) FILTER (WHERE v <= 50.0) AS BIGINT) AS c3,
+    CAST(count(*) FILTER (WHERE v <= 100.0) AS BIGINT) AS c4,
+    CAST(count(*) FILTER (WHERE v <= 250.0) AS BIGINT) AS c5
+  FROM samples WHERE t >= {T0} AND t < {T0} + 7*{DAY} GROUP BY 1, 2)
+SELECT name, w_start, n, c1, c2, c3, c4, c5,
+  round(CASE WHEN 0.5 * n <= c1 THEN 10.0 * (0.5 * n) / c1
+             WHEN 0.5 * n <= c2 THEN 10.0 + 15.0 * (0.5 * n - c1) / (c2 - c1)
+             WHEN 0.5 * n <= c3 THEN 25.0 + 25.0 * (0.5 * n - c2) / (c3 - c2)
+             WHEN 0.5 * n <= c4 THEN 50.0 + 50.0 * (0.5 * n - c3) / (c4 - c3)
+             WHEN 0.5 * n <= c5 THEN 100.0 + 150.0 * (0.5 * n - c4) / (c5 - c4)
+             ELSE 250.0 END, 6) AS p50,
+  round(CASE WHEN 0.9 * n <= c1 THEN 10.0 * (0.9 * n) / c1
+             WHEN 0.9 * n <= c2 THEN 10.0 + 15.0 * (0.9 * n - c1) / (c2 - c1)
+             WHEN 0.9 * n <= c3 THEN 25.0 + 25.0 * (0.9 * n - c2) / (c3 - c2)
+             WHEN 0.9 * n <= c4 THEN 50.0 + 50.0 * (0.9 * n - c3) / (c4 - c3)
+             WHEN 0.9 * n <= c5 THEN 100.0 + 150.0 * (0.9 * n - c4) / (c5 - c4)
+             ELSE 250.0 END, 6) AS p90
+FROM g"""),
+    "histogram_quantile(): per (metric, 6h window) the samples are "
+    "bucketed into cumulative le-counts in ONE map-side-combinable "
+    "aggregate (6 conditional counts, key count = names x windows, "
+    "independent of sample volume), then PromQL's in-bucket linear "
+    "interpolation runs on the aggregate row — rank phi*n between "
+    "cumulative bounds, lower bound 0 for the first bucket, +Inf bucket "
+    "clamps to the top finite bound. Float ops are written in the same "
+    "shape on both sides so the doubles agree bit-for-bit",
+)
+def tsdb_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = events_samples(spark, sf_dir).filter(
+        (F.col("t") >= T0) & (F.col("t") < T0 + 7 * DAY)
+    )
+    les = _HIST_LE
+    g = s.groupBy(
+        F.col("labels").getItem("__name__").alias("name"),
+        (F.col("t") - F.pmod(F.col("t"), F.lit(21_600_000))).alias("w_start"),
+    ).agg(
+        F.count("*").alias("n"),
+        *[
+            F.count_if(F.col("v") <= F.lit(le)).alias(f"c{i+1}")
+            for i, le in enumerate(les)
+        ],
+    )
+
+    def quantile(phi: float):
+        rank = F.lit(phi) * F.col("n")
+        cums = [F.col(f"c{i+1}") for i in range(len(les))]
+        # walk buckets highest-first so the when-chain composes in the
+        # same low-to-high order as the SQL CASE
+        expr = F.lit(les[-1])  # +Inf bucket: clamp to top finite bound
+        for i in range(len(les) - 1, -1, -1):
+            lo = F.lit(0.0) if i == 0 else F.lit(les[i - 1])
+            prev = F.lit(0).cast("long") if i == 0 else cums[i - 1]
+            width = F.lit(les[i] - (0.0 if i == 0 else les[i - 1]))
+            expr = F.when(
+                rank <= cums[i], lo + width * (rank - prev) / (cums[i] - prev)
+            ).otherwise(expr)
+        return F.round(expr, 6)
+
+    return g.select(
+        "name", "w_start", "n", "c1", "c2", "c3", "c4", "c5",
+        quantile(0.5).alias("p50"),
+        quantile(0.9).alias("p90"),
+    )
+
+
+@register(
+    "tsdb_predict_linear",
+    _with_prelude("""
+, d AS (SELECT labels_str, t, min(v) AS v FROM samples
+        WHERE t >= {T0} AND t < {T0} + 7*{DAY} GROUP BY 1, 2),
+x AS (SELECT labels_str, (t // 86400000) * 86400000 AS day,
+        (t - (t // 86400000) * 86400000) // 1000 AS dt,
+        CAST(round(v * 100) AS BIGINT) AS vc
+      FROM d),
+g AS (SELECT labels_str, day, CAST(count(*) AS BIGINT) AS n,
+        sum(dt) AS sx, sum(vc) AS sy, sum(dt * vc) AS sxy, sum(dt * dt) AS sxx
+      FROM x GROUP BY 1, 2),
+s AS (SELECT labels_str, day, n,
+        CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE) / 100.0
+          / CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE) AS slope,
+        CAST(sy AS DOUBLE) / 100.0 / n AS avg_y,
+        CAST(sx AS DOUBLE) / n AS avg_x
+      FROM g
+      WHERE CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx > 0)
+SELECT labels_str, day, n, round(slope * 1000000.0, 6) AS slope_uvps,
+  round(avg_y + slope * (86400.0 - avg_x), 4) AS predicted
+FROM s"""),
+    "deriv()/predict_linear(): per series per day, least-squares slope "
+    "over (second-offset, value) and the value projected to the day "
+    "boundary. The regression sums run as ONE combinable integer "
+    "aggregate (values exact at centi-units, offsets at seconds); the "
+    "normal-equation products go through 128-bit integers (HUGEINT / "
+    "DECIMAL(38,0)) so they cannot overflow at any group size, and only "
+    "the final two divisions are floating-point — written identically "
+    "on both sides so the doubles agree bit-for-bit",
+)
+def tsdb_predict_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        events_samples(spark, sf_dir)
+        .filter((F.col("t") >= T0) & (F.col("t") < T0 + 7 * DAY))
+        .groupBy("labels_str", "t")
+        .agg(F.min("v").alias("v"))
+    )
+    x = d.withColumn(
+        "day", F.col("t") - F.pmod(F.col("t"), F.lit(DAY))
+    ).select(
+        "labels_str",
+        "day",
+        F.expr("(t - day) div 1000").alias("dt"),
+        F.round(F.col("v") * 100).cast("long").alias("vc"),
+    )
+    g = x.groupBy("labels_str", "day").agg(
+        F.count("*").alias("n"),
+        F.sum("dt").alias("sx"),
+        F.sum("vc").alias("sy"),
+        F.sum(F.col("dt") * F.col("vc")).alias("sxy"),
+        F.sum(F.col("dt") * F.col("dt")).alias("sxx"),
+    )
+    dec = "decimal(38,0)"
+    num = F.col("n").cast(dec) * F.col("sxy") - F.col("sx").cast(dec) * F.col("sy")
+    den = F.col("n").cast(dec) * F.col("sxx") - F.col("sx").cast(dec) * F.col("sx")
+    s = g.filter(den > 0).select(
+        "labels_str",
+        "day",
+        "n",
+        (num.cast("double") / F.lit(100.0) / den.cast("double")).alias("slope"),
+        (F.col("sy").cast("double") / F.lit(100.0) / F.col("n")).alias("avg_y"),
+        (F.col("sx").cast("double") / F.col("n")).alias("avg_x"),
+    )
+    return s.select(
+        "labels_str",
+        "day",
+        "n",
+        F.round(F.col("slope") * 1_000_000.0, 6).alias("slope_uvps"),
+        F.round(
+            F.col("avg_y") + F.col("slope") * (F.lit(86400.0) - F.col("avg_x")), 4
+        ).alias("predicted"),
+    )
+
+
+@register(
+    "tsdb_label_replace",
+    _with_prelude("""
+, ser AS (SELECT event_type, user_lbl, k_bucket, count(*) AS n_samples
+          FROM samples GROUP BY 1, 2, 3)
+SELECT
+  '{{__name__="' || event_type || '"'
+    || CASE WHEN k_bucket <> '' THEN ',k_bucket="' || k_bucket || '"' ELSE '' END
+    || ',uid="' || event_type || '-' || user_lbl || '"'
+    || ',user="' || user_lbl || '"'
+    || ',user_tier="t' || regexp_extract(user_lbl, '^([0-9])', 1) || '"}}'
+    AS labels_str,
+  't' || regexp_extract(user_lbl, '^([0-9])', 1) AS user_tier,
+  CAST(n_samples AS BIGINT) AS n_samples
+FROM ser"""),
+    "label_replace()/label_join(): per series, derive user_tier by regex "
+    "capture from the user label and uid by joining __name__ with user, "
+    "splice both into the label set, and re-render the canonical sorted "
+    "labels_str through the engine's map machinery (relabeling is "
+    "map-only; the rollup key count is the series cardinality)",
+)
+def tsdb_label_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # maps can't be grouping keys; labels_str is the canonical injective
+    # rendering, so group on it and carry one labels map per group
+    ser = (
+        events_samples(spark, sf_dir)
+        .groupBy("labels_str")
+        .agg(F.count("*").alias("n_samples"), F.first("labels").alias("labels"))
+    )
+    user = F.coalesce(F.col("labels").getItem("user"), F.lit(""))
+    tier = F.concat(F.lit("t"), F.regexp_extract(user, r"^([0-9])", 1))
+    uid = F.concat(
+        F.coalesce(F.col("labels").getItem("__name__"), F.lit("")),
+        F.lit("-"),
+        user,
+    )
+    relabeled = ser.select(
+        F.map_concat(
+            "labels",
+            F.create_map(F.lit("user_tier"), tier, F.lit("uid"), uid),
+        ).alias("labels"),
+        tier.alias("user_tier"),
+        "n_samples",
+    )
+    return relabeled.select(
+        L.labels_str_expr("labels").alias("labels_str"),
+        "user_tier",
+        "n_samples",
+    )
+
+
 # registers the documents/embeddings pipeline queries into the same
 # registry (import at the bottom: pipeline.queries imports `register`
 # from this module)

@@ -32,9 +32,32 @@ TABLES = (
 ).split()
 
 
+# Canonical engine-side types per driver table. The testdata's physical
+# types have drifted between driver rounds (events.ts shipped as raw
+# int64 nanos in one round and TIMESTAMP in the next); integer width /
+# float width drift on the other tables would silently break 30+ oracle
+# comparisons the same way, so every known column is normalized at load.
+_CANON: dict[str, dict[str, str]] = {
+    "documents": {"doc_id": "long", "text": "string", "lang": "string",
+                  "source": "string", "n_chars": "long"},
+    "embeddings": {"vec_id": "long", "embedding": "array<float>", "label": "int"},
+}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     configure(spark)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    canon = _CANON.get(name)
+    if canon:
+        dtypes = dict(df.dtypes)
+        if any(c in dtypes and dtypes[c] != t for c, t in canon.items()):
+            df = df.select(*[
+                F.col(c).cast(canon[c]).alias(c)
+                if c in canon and dtypes[c] != canon[c]
+                else F.col(c)
+                for c in df.columns
+            ])
+    return df
 
 
 def event_labels(ev: DataFrame | None = None) -> F.Column:
