@@ -414,3 +414,39 @@ def test_bigram_familiarity(spark):
     assert rows[0]["familiarity_bp"] == 5000
     # doc2: 'x y' unique → 0 familiar
     assert rows[2]["n_familiar"] == 0 and rows[2]["familiarity_bp"] == 0
+
+
+def test_chunk_windows_strides_and_tail(spark):
+    from tsdb_spark.pipeline.text import chunk_windows
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"w{i}" for i in range(80))),  # 80 tokens → starts 0,24,48,72
+            (2, "only three tokens"),                   # single short chunk
+            (3, ""),                                    # no tokens → no rows
+        ],
+        "doc_id LONG, text STRING",
+    )
+    rows = {
+        (r["doc_id"], r["chunk_start"]): r
+        for r in chunk_windows(docs, size=32, stride=24).collect()
+    }
+    assert sorted(k for k in rows if k[0] == 1) == [(1, 0), (1, 24), (1, 48), (1, 72)]
+    assert rows[(1, 0)]["n_chunk_tokens"] == 32
+    assert rows[(1, 72)]["n_chunk_tokens"] == 8  # tail clipped to remaining
+    assert rows[(2, 0)]["n_chunk_tokens"] == 3
+    assert not any(k[0] == 3 for k in rows)
+    # overlap: chunk at 24 shares tokens 24..31 with chunk at 0 but
+    # hashes differently (different window content)
+    assert rows[(1, 0)]["chunk_hash"] != rows[(1, 24)]["chunk_hash"]
+
+
+def test_chunk_windows_hash_is_content_keyed(spark):
+    from tsdb_spark.pipeline.text import chunk_windows
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c"), (3, "a b d")], "doc_id LONG, text STRING"
+    )
+    h = {r["doc_id"]: r["chunk_hash"] for r in chunk_windows(docs).collect()}
+    assert h[1] == h[2]  # identical content → identical digest (dedup-joinable)
+    assert h[1] != h[3]
