@@ -450,3 +450,25 @@ def test_chunk_windows_hash_is_content_keyed(spark):
     h = {r["doc_id"]: r["chunk_hash"] for r in chunk_windows(docs).collect()}
     assert h[1] == h[2]  # identical content → identical digest (dedup-joinable)
     assert h[1] != h[3]
+
+
+def test_pq_codes_known_assignment(spark):
+    from tsdb_spark.pipeline.embed import pq_codes
+
+    # codebook = vectors 0 and 1; vector 2's first half matches v0's,
+    # second half matches v1's; codebook entries encode themselves
+    emb = spark.createDataFrame(
+        [
+            (0, [0.0, 0.0, 10.0, 10.0]),
+            (1, [5.0, 5.0, 0.0, 0.0]),
+            (2, [1.0, 0.0, 0.0, 1.0]),
+        ],
+        "vec_id LONG, embedding ARRAY<FLOAT>",
+    )
+    rows = {r["vec_id"]: r for r in pq_codes(emb, m=2, n_codes=2).collect()}
+    assert (rows[0]["code0"], rows[0]["code1"], rows[0]["err_bp"]) == (0, 0, 0)
+    assert (rows[1]["code0"], rows[1]["code1"], rows[1]["err_bp"]) == (1, 1, 0)
+    # v2 first half [1,0]: d2 to cb0 [0,0] = 1, to cb1 [5,5] = 41 → code 0
+    # v2 second half [0,1]: d2 to cb0 [10,10] = 181, to cb1 [0,0] = 1 → code 1
+    assert (rows[2]["code0"], rows[2]["code1"]) == (0, 1)
+    assert rows[2]["err_bp"] == 20000  # (1 + 1) * 1e4

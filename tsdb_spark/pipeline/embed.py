@@ -392,3 +392,72 @@ def cosine_near_dup_pairs(
         # most once; no distinct needed
         .select("id_a", "id_b", "cos_bp")
     )
+
+
+def pq_codes(
+    embeddings: DataFrame,
+    m: int = 4,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization encoding: split each vector into `m`
+    contiguous subvectors and replace each with the id of its nearest
+    codebook entry (L2) — the compression step of an IVF-PQ index, which
+    is how billion-vector ANN stores fit in memory (a 64-dim float
+    vector becomes m=4 one-byte codes here).
+
+    Codebook = the subvectors of the `n_codes` lowest-id vectors per
+    subspace (deterministic, training-free — the same convention as
+    `_default_centroids`; a k-means codebook drops in the same way).
+
+    Returns (vec_id, code0..code{m-1}, err_bp): the per-subspace codes
+    and the total squared reconstruction error in 1e-4 units.
+
+    Scale shape: the codebook (m × n_codes subvectors) broadcasts; the
+    corpus explodes m-ways, equi-joins on the subspace id, and folds
+    back with TWO map-side-combinable aggregates — cost linear in the
+    corpus, shuffle rows = m per vector, never a corpus self-join.
+
+    Determinism: distances are double-precision sequential folds; the
+    argmin tie breaks to the lowest code id; the per-vector error sums
+    in subspace order (a 4-element ordered fold, not a float SUM).
+    """
+    base = embeddings.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("v"))
+    sub_len = F.expr(f"size(v) div {m}")
+    subs = base.select(
+        "id",
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
+        F.expr(f"slice(v, sub * (size(v) div {m}) + 1, size(v) div {m})").alias("sv"),
+    )
+    cb = subs.filter(F.col("id") < n_codes).select(
+        F.col("sub"), F.col("id").alias("code"), F.col("sv").alias("cv")
+    )
+    d2 = F.aggregate(
+        F.zip_with("sv", "cv", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    best = (
+        subs.join(F.broadcast(cb), "sub")
+        .withColumn("d2", d2)
+        .groupBy("id", "sub")
+        .agg(
+            F.min_by("code", F.struct("d2", "code")).alias("code"),
+            F.min("d2").alias("d2"),
+        )
+    )
+    packed = best.groupBy("id").agg(
+        F.array_sort(F.collect_list(F.struct("sub", "code", "d2"))).alias("cs")
+    )
+    err = F.aggregate(
+        F.transform("cs", lambda s: s["d2"]), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return packed.select(
+        F.col("id").alias(id_col),
+        *[
+            F.element_at("cs", i + 1)["code"].cast("long").alias(f"code{i}")
+            for i in range(m)
+        ],
+        F.floor(F.lit(10000) * err).cast("long").alias("err_bp"),
+    )

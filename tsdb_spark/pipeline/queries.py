@@ -597,6 +597,42 @@ def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return E.cosine_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
 
 
+@register(
+    "emb_pq_codes",
+    f"""
+WITH {SQL_EMB},
+subs AS (SELECT vec_id AS id, s.sub,
+           v[(s.sub * (len(v) // 4) + 1):((s.sub + 1) * (len(v) // 4))] AS sv
+         FROM e, (SELECT unnest(range(0, 4)) AS sub) s),
+cb AS (SELECT sub, id AS code, sv AS cv FROM subs WHERE id < 16),
+scored AS (SELECT subs.id, subs.sub, cb.code,
+    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      list_transform(range(1, 1 + len(sv)),
+                     i -> (sv[i] - cv[i]) * (sv[i] - cv[i]))),
+      (a, b) -> a + b) AS d2
+  FROM subs JOIN cb USING (sub)),
+best AS (SELECT id, sub, code, d2 FROM (
+           SELECT *, row_number() OVER (PARTITION BY id, sub
+                                        ORDER BY d2, code) AS rn
+           FROM scored) WHERE rn = 1),
+packed AS (SELECT id, list(code ORDER BY sub) AS codes,
+                  list(d2 ORDER BY sub) AS d2s
+           FROM best GROUP BY 1)
+SELECT id AS vec_id,
+  CAST(codes[1] AS BIGINT) AS code0, CAST(codes[2] AS BIGINT) AS code1,
+  CAST(codes[3] AS BIGINT) AS code2, CAST(codes[4] AS BIGINT) AS code3,
+  CAST(floor(10000 * list_reduce(list_prepend(CAST(0 AS DOUBLE), d2s),
+                                 (a, b) -> a + b)) AS BIGINT) AS err_bp
+FROM packed""",
+    "product-quantization encoding (the IVF-PQ compression step): m=4 "
+    "subspaces, 16-entry codebook per subspace from the lowest-id "
+    "vectors; broadcast codebook, m-way explode, two combinable "
+    "aggregates — linear in the corpus",
+)
+def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return E.pq_codes(load_table(spark, sf_dir, "embeddings"))
+
+
 def _sql_lsh_code(vexpr: str) -> str:
     """DuckDB rendering of embed.lsh_bucket_expr for a DOUBLE[] column:
     per plane, the ±1 sign vector comes from hash64('plane<p>', dim) and
