@@ -106,3 +106,49 @@ def test_federated_select_single_shuffle(spark, tmp_path):
         "Exchange rangepartitioning"
     )
     assert n_shuffles == 1, final[:2000]
+
+
+def test_chunk_windows_is_map_only(spark):
+    from tsdb_spark.pipeline.text import chunk_windows
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h")], "doc_id LONG, text STRING"
+    )
+    plan = _executed(chunk_windows(docs))
+    # training-sequence sharding must never shuffle: explode + project only
+    assert "Exchange" not in plan
+    assert "Generate explode" in plan
+
+
+def test_pq_codes_broadcasts_codebook_and_combines(spark):
+    from tsdb_spark.pipeline.embed import pq_codes
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 0.0, 1.0, 2.0]) for i in range(40)],
+        "vec_id LONG, embedding ARRAY<FLOAT>",
+    )
+    plan = _executed(pq_codes(emb, m=2, n_codes=4))
+    # the codebook side must broadcast (corpus never shuffles for the join)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # both fold-back aggregates are hash aggregates with partial sides
+    assert plan.count("HashAggregate") >= 4
+
+
+def test_histogram_quantile_single_aggregation_pass(spark, tmp_path):
+    from tsdb_spark.queries import QUERIES, T0
+
+    spark.createDataFrame(
+        [(i, (T0 + i * 1000) * 1_000_000, 1, "m", float(i % 7), '{"k": 10}')
+         for i in range(50)],
+        "event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING",
+    ).write.parquet(f"{tmp_path}/events.parquet")
+    df = QUERIES["tsdb_histogram_quantile"].spark_fn(spark, str(tmp_path))
+    # AQE's toString appends the pre-adaptive "Initial Plan" — assert on
+    # the final plan section only
+    plan = _executed(df).split("== Initial Plan ==")[0]
+    # one partial+final aggregate pair, one shuffle on (name, window):
+    # the quantile interpolation itself must not add passes or shuffles
+    assert plan.count("HashAggregate") == 2
+    exchanges = [ln for ln in plan.splitlines() if "Exchange" in ln and "Broadcast" not in ln]
+    assert len(exchanges) <= 1
