@@ -1,0 +1,46 @@
+"""CLI surface (cmd/tsdb analog): each subcommand drives the store
+in-process through the same SparkSession."""
+
+import os
+
+from tsdb_spark import DB
+from tsdb_spark.__main__ import main
+
+
+def _store(spark, tmp_path):
+    db = DB.create(spark, str(tmp_path / "db"), block_width_ms=3_600_000)
+    rows = [({"__name__": "m", "i": str(i % 3)}, i * 60_000, float(i)) for i in range(120)]
+    db.append(
+        spark.createDataFrame(rows, "labels MAP<STRING,STRING>, t LONG, v DOUBLE")
+    )
+    return str(tmp_path / "db")
+
+
+def test_cli_ls_analyze_dump_roundtrip(spark, tmp_path, capsys):
+    path = _store(spark, tmp_path)
+    assert main(["ls", path]) == 0
+    out = capsys.readouterr().out
+    assert "t_bucket" in out and "num_samples" in out
+
+    assert main(["analyze", path]) == 0
+    out = capsys.readouterr().out
+    assert "__name__" in out and "cardinality" in out
+
+    assert main(["dump", path, "--maxt", "120000"]) == 0
+    out = capsys.readouterr().out
+    # reference dump prints `labels value ts` lines (cmd/tsdb/main.go:646)
+    assert '{__name__="m",i="0"} 0 0' in out.replace("0.0 0", "0 0")
+
+    dump_dir = str(tmp_path / "csv")
+    assert main(["dump", path, "--out", dump_dir]) == 0
+    assert any(f.endswith(".csv") for f in os.listdir(dump_dir))
+
+
+def test_cli_compact_and_vacuum(spark, tmp_path, capsys):
+    path = _store(spark, tmp_path)
+    assert main(["compact", path]) == 0
+    assert "compacted" in capsys.readouterr().out
+    assert main(["vacuum", path]) == 0
+    assert "rewrote buckets" in capsys.readouterr().out
+    # the store still reads after maintenance
+    assert DB.open_readonly(spark, path).samples().count() == 120

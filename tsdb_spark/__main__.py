@@ -1,0 +1,103 @@
+"""CLI for the engine — the `cmd/tsdb` analog (cmd/tsdb/main.go:94-141
+command table: bench write / ls / analyze / dump).
+
+    python -m tsdb_spark ls       <store>
+    python -m tsdb_spark analyze  <store> [--limit N]
+    python -m tsdb_spark dump     <store> [--mint MS] [--maxt MS] [--out DIR]
+    python -m tsdb_spark bench-write <store> --events DIR [--width MS]
+    python -m tsdb_spark compact  <store> [--width MS]
+    python -m tsdb_spark vacuum   <store>
+
+Every command opens one SparkSession sized from $SPARK_GRAFT_CPUS and
+operates on a DB directory (ls/analyze/dump open it read-only).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="tsdb_spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p_ls = sub.add_parser("ls", help="list block (bucket) metas: cmd/tsdb/main.go:437-455")
+    p_ls.add_argument("store")
+
+    p_an = sub.add_parser("analyze", help="cardinality report: cmd/tsdb/main.go:464-616")
+    p_an.add_argument("store")
+    p_an.add_argument("--limit", type=int, default=20)
+
+    p_du = sub.add_parser("dump", help="full scan `labels t v`: cmd/tsdb/main.go:618-653")
+    p_du.add_argument("store")
+    p_du.add_argument("--mint", type=int, default=-(2**62))
+    p_du.add_argument("--maxt", type=int, default=2**62)
+    p_du.add_argument("--out", help="write CSV here instead of stdout")
+
+    p_bw = sub.add_parser("bench-write", help="macro write bench: cmd/tsdb/main.go:143-327")
+    p_bw.add_argument("store")
+    p_bw.add_argument("--events", required=True, help="sf dir with events.parquet")
+    p_bw.add_argument("--width", type=int, default=2 * 3600 * 1000)
+
+    p_co = sub.add_parser("compact", help="planned (leveled) compaction rounds")
+    p_co.add_argument("store")
+    p_co.add_argument("--width", type=int, default=None)
+
+    p_va = sub.add_parser("vacuum", help="small-file defragmentation")
+    p_va.add_argument("store")
+
+    args = ap.parse_args(argv)
+
+    from tsdb_spark.db import DB
+    from tsdb_spark.session import get_spark
+
+    spark = get_spark(f"tsdb-{args.cmd}")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if args.cmd == "ls":
+        DB.open_readonly(spark, args.store).ls().show(1000, truncate=False)
+    elif args.cmd == "analyze":
+        from tsdb_spark.analyze import analyze_labels, analyze_metrics
+
+        db = DB.open_readonly(spark, args.store)
+        ser = db.series().select("series_id", "labels", "labels_str")
+        smp = db.samples()
+        print("== label cardinality / churn ==")
+        analyze_labels(ser, smp).show(args.limit, truncate=False)
+        print("== per-metric series/samples ==")
+        analyze_metrics(smp.join(ser, "series_id")).show(args.limit, truncate=False)
+    elif args.cmd == "dump":
+        df = DB.open_readonly(spark, args.store).dump(args.mint, args.maxt)
+        if args.out:
+            # CSV has no MAP type — export the canonical rendering
+            df.select("labels_str", "t", "v").write.mode("overwrite").option(
+                "header", True
+            ).csv(args.out)
+            print(f"wrote {args.out}")
+        else:
+            for row in df.toLocalIterator():
+                print(f'{row["labels_str"]} {row["v"]} {row["t"]}')
+    elif args.cmd == "bench-write":
+        from tsdb_spark.sources.events import events_samples
+
+        db = DB.create(spark, args.store, block_width_ms=args.width)
+        src = events_samples(spark, args.events).select("labels", "t", "v")
+        t0 = time.time()
+        db.append(src, report=False)
+        dt = time.time() - t0
+        n = db.samples().count()
+        print(f"ingested {n} samples in {dt:.2f}s = {n / dt:,.0f} samples/sec")
+    elif args.cmd == "compact":
+        db = DB.open(spark, args.store)
+        rounds = db.auto_compact()
+        print(f"compacted {len(rounds)} round(s): {rounds}")
+    elif args.cmd == "vacuum":
+        db = DB.open(spark, args.store)
+        print(f"rewrote buckets: {db.vacuum()}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
