@@ -79,3 +79,14 @@ def test_label_replace_splices_sorted_keys(spark, tmp_path):
     assert r["labels_str"] == (
         '{__name__="click",uid="click-7",user="7",user_tier="t7"}'
     )
+
+
+def test_stddev_windows_known_variance(spark, tmp_path):
+    # one series, one window: values 1.0 and 3.0 → population var 1.0
+    _write_events(
+        spark, str(tmp_path), [(T0, 1, "m", 1.0), (T0 + 1000, 1, "m", 3.0)]
+    )
+    r = QUERIES["tsdb_stddev_windows"].spark_fn(spark, str(tmp_path)).collect()[0]
+    assert r["n"] == 2
+    assert r["var_v"] == pytest.approx(1.0)
+    assert r["stddev_v"] == pytest.approx(1.0)

@@ -1544,6 +1544,57 @@ def tsdb_predict_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tsdb_stddev_windows",
+    _with_prelude("""
+, d AS (SELECT labels_str, t, min(v) AS v FROM samples
+        WHERE t >= {T0} AND t < {T0} + 7*{DAY} GROUP BY 1, 2),
+g AS (SELECT labels_str, (t // 21600000) * 21600000 AS w_start,
+        CAST(count(*) AS BIGINT) AS n,
+        sum(CAST(round(v * 100) AS BIGINT)) AS s1,
+        sum(CAST(round(v * 100) AS BIGINT) * CAST(round(v * 100) AS BIGINT)) AS s2
+      FROM d GROUP BY 1, 2)
+SELECT labels_str, w_start, n,
+  round(CAST(CAST(n AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE)
+          / CAST(CAST(n AS HUGEINT) * n AS DOUBLE) / 10000.0, 6) AS var_v,
+  round(sqrt(CAST(CAST(n AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE)
+               / CAST(CAST(n AS HUGEINT) * n AS DOUBLE) / 10000.0), 6) AS stddev_v
+FROM g"""),
+    "stddev_over_time/stdvar_over_time: per series per 6h window, "
+    "population variance from exact integer moment sums (centi-unit "
+    "values, 128-bit products — overflow-free at any group size, ONE "
+    "map-side-combinable aggregate); only the final divide/sqrt is "
+    "floating-point, written identically on both sides",
+)
+def tsdb_stddev_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        events_samples(spark, sf_dir)
+        .filter((F.col("t") >= T0) & (F.col("t") < T0 + 7 * DAY))
+        .groupBy("labels_str", "t")
+        .agg(F.min("v").alias("v"))
+    )
+    vc = F.round(F.col("v") * 100).cast("long")
+    g = d.groupBy(
+        "labels_str",
+        (F.col("t") - F.pmod(F.col("t"), F.lit(21_600_000))).alias("w_start"),
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(vc).alias("s1"),
+        F.sum(vc * vc).alias("s2"),
+    )
+    dec = "decimal(38,0)"
+    num = F.col("n").cast(dec) * F.col("s2") - F.col("s1").cast(dec) * F.col("s1")
+    den = F.col("n").cast(dec) * F.col("n")
+    var = num.cast("double") / den.cast("double") / F.lit(10000.0)
+    return g.select(
+        "labels_str",
+        "w_start",
+        "n",
+        F.round(var, 6).alias("var_v"),
+        F.round(F.sqrt(var), 6).alias("stddev_v"),
+    )
+
+
+@register(
     "tsdb_label_replace",
     _with_prelude("""
 , ser AS (SELECT event_type, user_lbl, k_bucket, count(*) AS n_samples
