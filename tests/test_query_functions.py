@@ -90,3 +90,18 @@ def test_stddev_windows_known_variance(spark, tmp_path):
     assert r["n"] == 2
     assert r["var_v"] == pytest.approx(1.0)
     assert r["stddev_v"] == pytest.approx(1.0)
+
+
+def test_holt_winters_promql_recurrence(spark, tmp_path):
+    # v = [1, 3]: s0=1, b0=2; one step over v[1]:
+    #   s1 = 0.5*3 + 0.5*(1+2) = 3.0 ; b1 = 0.5*(3-1) + 0.5*2 = 2.0
+    _write_events(
+        spark, str(tmp_path), [(T0, 1, "m", 1.0), (T0 + 1000, 1, "m", 3.0)]
+    )
+    r = QUERIES["tsdb_holt_winters"].spark_fn(spark, str(tmp_path)).collect()[0]
+    assert (r["n"], r["smoothed"], r["trend"]) == (2, 3.0, 2.0)
+    # single-sample series emit nothing (the PromQL function needs >= 2)
+    _write_events(
+        spark, str(tmp_path / "one"), [(T0, 1, "m", 1.0)]
+    )
+    assert QUERIES["tsdb_holt_winters"].spark_fn(spark, str(tmp_path / "one")).count() == 0

@@ -1595,6 +1595,69 @@ def tsdb_stddev_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tsdb_holt_winters",
+    _with_prelude("""
+, d AS (SELECT labels_str, t, min(v) AS v FROM samples
+        WHERE t >= {T0} AND t < {T0} + 7*{DAY} GROUP BY 1, 2),
+g AS (SELECT labels_str, (t // 86400000) * 86400000 AS day,
+        list(v ORDER BY t) AS vs
+      FROM d GROUP BY 1, 2),
+f AS (SELECT labels_str, day, CAST(len(vs) AS BIGINT) AS n,
+        list_reduce(
+          list_prepend([vs[1], vs[2] - vs[1]],
+                       list_transform(vs[2:len(vs)], x -> [x, CAST(0 AS DOUBLE)])),
+          (a, x) -> [0.5 * x[1] + 0.5 * (a[1] + a[2]),
+                     0.5 * ((0.5 * x[1] + 0.5 * (a[1] + a[2])) - a[1]) + 0.5 * a[2]]
+        ) AS sb
+      FROM g WHERE len(vs) >= 2)
+SELECT labels_str, day, n, round(sb[1], 6) AS smoothed, round(sb[2], 6) AS trend
+FROM f"""),
+    "holt_winters()/double_exponential_smoothing(): per series per day, "
+    "the PromQL recurrence (sf=tf=0.5) as an ORDERED sequential fold "
+    "over the day's samples — state [level, trend] threads through "
+    "F.aggregate on the Spark side and list_reduce in SQL with the "
+    "identical expression tree, so the doubles agree bit-for-bit; "
+    "per-group state is the day's sample list, grouped in one shuffle",
+)
+def tsdb_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        events_samples(spark, sf_dir)
+        .filter((F.col("t") >= T0) & (F.col("t") < T0 + 7 * DAY))
+        .groupBy("labels_str", "t")
+        .agg(F.min("v").alias("v"))
+    )
+    g = d.groupBy(
+        "labels_str",
+        (F.col("t") - F.pmod(F.col("t"), F.lit(DAY))).alias("day"),
+    ).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("t", "v"))), lambda s: s["v"]
+        ).alias("vs")
+    )
+    g = g.filter(F.size("vs") >= 2)
+    vs = F.col("vs")
+    v1, v2 = F.element_at(vs, 1), F.element_at(vs, 2)
+    rest = F.transform(
+        F.slice(vs, 2, F.size(vs) - 1),
+        lambda x: F.array(x, F.lit(0.0)),
+    )
+
+    def step(a, x):
+        lvl, trend, xv = F.element_at(a, 1), F.element_at(a, 2), F.element_at(x, 1)
+        s_new = F.lit(0.5) * xv + F.lit(0.5) * (lvl + trend)
+        return F.array(s_new, F.lit(0.5) * (s_new - lvl) + F.lit(0.5) * trend)
+
+    sb = F.aggregate(rest, F.array(v1, v2 - v1), step)
+    return g.select(
+        "labels_str",
+        "day",
+        F.size("vs").cast("long").alias("n"),
+        F.round(F.element_at(sb, 1), 6).alias("smoothed"),
+        F.round(F.element_at(sb, 2), 6).alias("trend"),
+    )
+
+
+@register(
     "tsdb_label_replace",
     _with_prelude("""
 , ser AS (SELECT event_type, user_lbl, k_bucket, count(*) AS n_samples
