@@ -323,6 +323,80 @@ def docs_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _minhash_pairs(spark, sf_dir)
 
 
+@register(
+    "docs_lsh_recall",
+    f"""
+WITH {SQL_CORPUS},
+{SQL_SHINGLES},
+{SQL_MINHASH_PAIRS},
+planted AS (SELECT doc_id AS id_a, doc_id + 100000 AS id_b, 'exact' AS kind
+              FROM base WHERE doc_id % 10 = 0
+            UNION ALL
+            SELECT doc_id, doc_id + 200000, 'near'
+              FROM base WHERE doc_id % 7 = 0),
+truth AS (SELECT p.kind, p.id_a, p.id_b,
+            (10000 * len(list_intersect(sa.sh, sb.sh)))
+              // (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jbp
+          FROM planted p
+          JOIN sh sa ON sa.doc_id = p.id_a
+          JOIN sh sb ON sb.doc_id = p.id_b),
+t2 AS (SELECT * FROM truth WHERE jbp >= 6000)
+SELECT kind, CAST(count(*) AS BIGINT) AS n_true,
+  CAST(count(v.id_a) AS BIGINT) AS n_found,
+  (10000 * count(v.id_a)) // count(*) AS recall_bp
+FROM t2 LEFT JOIN verified v USING (id_a, id_b)
+GROUP BY kind""",
+    "LSH recall evaluation: the planted duplicate pairs (ground truth by "
+    "construction, independent of the sketch) whose exact Jaccard meets "
+    "the threshold, anti-checked against the MinHash-LSH output — the "
+    "quality gate a production dedup pipeline runs before trusting a "
+    "sketch config; the truth side scans only the (tiny) planted pair "
+    "list against the shingle frame",
+)
+def docs_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    found = _minhash_pairs(spark, sf_dir).select(
+        "id_a", "id_b", F.lit(1).alias("hit")
+    )
+    base = load_table(spark, sf_dir, "documents").select("doc_id")
+    planted = (
+        base.filter(F.col("doc_id") % 10 == 0)
+        .select(
+            F.col("doc_id").alias("id_a"),
+            (F.col("doc_id") + 100000).alias("id_b"),
+            F.lit("exact").alias("kind"),
+        )
+        .unionByName(
+            base.filter(F.col("doc_id") % 7 == 0).select(
+                F.col("doc_id").alias("id_a"),
+                (F.col("doc_id") + 200000).alias("id_b"),
+                F.lit("near").alias("kind"),
+            )
+        )
+    )
+    sh = D.shingle_sets(_corpus(spark, sf_dir))
+    a = sh.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    truth = (
+        planted.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("jbp", F.floor(F.lit(10000) * inter / union).cast("long"))
+        .filter(F.col("jbp") >= 6000)
+    )
+    return (
+        truth.join(found, ["id_a", "id_b"], "left")
+        .groupBy("kind")
+        .agg(
+            F.count("*").alias("n_true"),
+            F.count("hit").alias("n_found"),
+            F.floor(F.lit(10000) * F.count("hit") / F.count("*"))
+            .cast("long")
+            .alias("recall_bp"),
+        )
+    )
+
+
 #: keyed by (session id, sf_dir): cached DataFrames are bound to the
 #: session that built them — a driver recreating its SparkSession must
 #: get a fresh sketch pass, not a dead handle
