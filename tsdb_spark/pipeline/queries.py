@@ -748,10 +748,10 @@ def emb_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return E.ann_lsh_topk(emb, emb.filter(F.col("vec_id") < 8), k=3)
 
 
-@register(
-    "emb_ann_ivf",
-    f"""
-WITH {SQL_EMB},
+#: the IVF-Flat probe chain (16 deterministic centroids, nprobe=4, top-3
+#: per probe) — shared by the ANN query and the recall evaluation so the
+#: two oracles can never disagree on the index definition
+SQL_IVF_CHAIN = """
 cent AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 16),
 asg0 AS (SELECT e.vec_id AS id, e.v, centroid_id,
            row_number() OVER (PARTITION BY e.vec_id
@@ -769,6 +769,14 @@ scored AS (SELECT probe_id, l.id AS neighbor_id, list_cosine_similarity(pv, l.v)
 rk AS (SELECT probe_id, neighbor_id, cos,
          row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rank
        FROM scored)
+""".strip()
+
+
+@register(
+    "emb_ann_ivf",
+    f"""
+WITH {SQL_EMB},
+{SQL_IVF_CHAIN}
 SELECT probe_id, neighbor_id, rank, CAST(floor(100000 * cos) AS BIGINT) AS cos_bp
 FROM rk WHERE rank <= 3""",
     "IVF-Flat approximate top-k: 16 deterministic centroids, nprobe=4 inverted-list probe",
@@ -777,6 +785,47 @@ def emb_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return E.ann_ivf_topk(
         emb, emb.filter(F.col("vec_id") < 8), k=3, n_centroids=16, nprobe=4
+    )
+
+
+@register(
+    "emb_ann_recall",
+    f"""
+WITH {SQL_EMB},
+{SQL_IVF_CHAIN},
+approx AS (SELECT probe_id, neighbor_id FROM rk WHERE rank <= 3),
+ex0 AS (SELECT probe_id, e.vec_id AS neighbor_id,
+          row_number() OVER (PARTITION BY probe_id
+                             ORDER BY list_cosine_similarity(pv, e.v) DESC, e.vec_id) AS rank
+        FROM e CROSS JOIN p WHERE e.vec_id != probe_id),
+exact AS (SELECT probe_id, neighbor_id FROM ex0 WHERE rank <= 3)
+SELECT probe_id, CAST(count(*) AS BIGINT) AS n_exact,
+  CAST(count(a.neighbor_id) AS BIGINT) AS n_hit,
+  (10000 * count(a.neighbor_id)) // count(*) AS recall_bp
+FROM exact LEFT JOIN approx a USING (probe_id, neighbor_id)
+GROUP BY probe_id""",
+    "ANN recall@3 evaluation: the IVF-Flat result anti-checked against "
+    "brute-force exact top-3 per probe — the index-quality gate run "
+    "before trusting nprobe/n_centroids at corpus scale; the exact side "
+    "is the (broadcast-probe) linear scan, never a corpus self-join",
+)
+def emb_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 8)
+    exact = E.cosine_topk(emb, probes, k=3).select("probe_id", "neighbor_id")
+    approx = E.ann_ivf_topk(emb, probes, k=3, n_centroids=16, nprobe=4).select(
+        "probe_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    return (
+        exact.join(approx, ["probe_id", "neighbor_id"], "left")
+        .groupBy("probe_id")
+        .agg(
+            F.count("*").alias("n_exact"),
+            F.count("hit").alias("n_hit"),
+            F.floor(F.lit(10000) * F.count("hit") / F.count("*"))
+            .cast("long")
+            .alias("recall_bp"),
+        )
     )
 
 
