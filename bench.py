@@ -161,6 +161,23 @@ def main() -> None:
             ):
                 QUERIES[qname].spark_fn(spark, SF_DIR).agg(F.count("*")).collect()
 
+        # training-sequence chunking (map-only fan-out over the corpus)
+        with timed("chunking"):
+            QUERIES["docs_chunk_windows"].spark_fn(spark, SF_DIR).agg(
+                F.count("*")
+            ).collect()
+
+        # PQ encoding (broadcast codebook, two combinable aggregates)
+        with timed("pq"):
+            QUERIES["emb_pq_codes"].spark_fn(spark, SF_DIR).agg(
+                F.count("*")
+            ).collect()
+
+        # aggregate-state query functions (histogram buckets + ordered fold)
+        with timed("queryfns"):
+            for qname in ("tsdb_histogram_quantile", "tsdb_holt_winters"):
+                QUERIES[qname].spark_fn(spark, SF_DIR).agg(F.count("*")).collect()
+
         # compaction rewrite (compact_test.go:788 BenchmarkCompaction)
         # — runs on the pristine store so the number stays comparable
         # across rounds

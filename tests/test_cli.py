@@ -44,3 +44,11 @@ def test_cli_compact_and_vacuum(spark, tmp_path, capsys):
     assert "rewrote buckets" in capsys.readouterr().out
     # the store still reads after maintenance
     assert DB.open_readonly(spark, path).samples().count() == 120
+
+
+def test_cli_select_with_selector_string(spark, tmp_path, capsys):
+    path = _store(spark, tmp_path)
+    assert main(["select", path, 'm{i="1"}', "--maxt", "300000"]) == 0
+    out = capsys.readouterr().out
+    assert '{__name__="m",i="1"}' in out
+    assert '{__name__="m",i="0"}' not in out

@@ -190,3 +190,40 @@ def test_matcher_compiler_equivalence_exhaustive(spark):
             want = all(ref_one(m, lbl) for m in ms)
             have = bool(got[rid][f"c{k}"])
             assert have == want, (lbl, [str(m) for m in ms], have, want)
+
+
+# ---------------------------------------------------------------- parser
+
+def test_parse_selector_forms():
+    from tsdb_spark.labels import parse_selector
+
+    assert parse_selector("up") == [L.eq("__name__", "up")]
+    assert parse_selector('{job="api"}') == [L.eq("job", "api")]
+    got = parse_selector('click{user=~"1|2", k_bucket!="high", x!~"a.*"}')
+    assert got == [
+        L.eq("__name__", "click"),
+        L.re_match("user", "1|2"),
+        L.neq("k_bucket", "high"),
+        L.re_not_match("x", "a.*"),
+    ]
+
+
+def test_parse_selector_escapes():
+    from tsdb_spark.labels import parse_selector
+
+    # escaped quote and backslash inside a value; \\n is backslash + n,
+    # NOT a newline (single-pass unescape)
+    (m,) = parse_selector(r'{a="q\"v\\n"}')
+    assert m.value == 'q"v\\n'
+    (m2,) = parse_selector(r'{a="tab\there"}')
+    assert m2.value == "tab\there"
+
+
+def test_parse_selector_rejects_garbage():
+    import pytest
+
+    from tsdb_spark.labels import parse_selector
+
+    for bad in ("", "{}", '{a="b"', '{a=b}', '{a="b"} trailing', '{a=="b"}'):
+        with pytest.raises(ValueError):
+            parse_selector(bad)

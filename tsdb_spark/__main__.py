@@ -36,6 +36,15 @@ def main(argv: list[str] | None = None) -> int:
     p_du.add_argument("--maxt", type=int, default=2**62)
     p_du.add_argument("--out", help="write CSV here instead of stdout")
 
+    p_se = sub.add_parser(
+        "select", help='query samples by PromQL-style selector, e.g. \'click{user="7"}\''
+    )
+    p_se.add_argument("store")
+    p_se.add_argument("selector")
+    p_se.add_argument("--mint", type=int, default=-(2**62))
+    p_se.add_argument("--maxt", type=int, default=2**62)
+    p_se.add_argument("--limit", type=int, default=100)
+
     p_bw = sub.add_parser("bench-write", help="macro write bench: cmd/tsdb/main.go:143-327")
     p_bw.add_argument("store")
     p_bw.add_argument("--events", required=True, help="sf dir with events.parquet")
@@ -79,6 +88,14 @@ def main(argv: list[str] | None = None) -> int:
         else:
             for row in df.toLocalIterator():
                 print(f'{row["labels_str"]} {row["v"]} {row["t"]}')
+    elif args.cmd == "select":
+        from tsdb_spark.labels import parse_selector
+
+        db = DB.open_readonly(spark, args.store)
+        df = db.querier(args.mint, args.maxt).select_sorted(
+            parse_selector(args.selector)
+        )
+        df.select("labels_str", "t", "v").show(args.limit, truncate=False)
     elif args.cmd == "bench-write":
         from tsdb_spark.sources.events import events_samples
 

@@ -226,3 +226,63 @@ def series_id_expr(labels_str_col: Column) -> Column:
     the distributed-friendly choice (no driver-side counter).
     """
     return F.xxhash64(labels_str_col)
+
+
+# ---------------------------------------------------------------- parsing
+
+_SELECTOR_RE = __import__("re").compile(
+    r'\s*([a-zA-Z_][a-zA-Z0-9_.]*)\s*(=~|!~|!=|=)\s*"((?:[^"\\]|\\.)*)"\s*(,|\})'
+)
+
+
+def parse_selector(s: str) -> list[Matcher]:
+    """Parse a PromQL-style series selector into matchers.
+
+    Accepts ``metric{a="b",c!="d",e=~"x.*",f!~"y"}``, a bare ``{...}``
+    block, or a bare metric name; a leading metric name desugars to
+    ``__name__="metric"`` (the PromQL convention). Values are
+    double-quoted with backslash escapes (\\" \\\\ \\n \\t).
+
+    This is the user-facing string form of the `Matcher` constructors —
+    the reference keeps parsing in the PromQL layer above the library
+    (matchers arrive pre-built, labels/selector.go:34-42); the engine
+    ships a parser so CLI/API callers can express selectors without
+    Python constructors.
+    """
+    s = s.strip()
+    out: list[Matcher] = []
+    brace = s.find("{")
+    if brace == -1:
+        if not s:
+            raise ValueError("empty selector")
+        return [eq("__name__", s)]
+    name = s[:brace].strip()
+    if name:
+        out.append(eq("__name__", name))
+    body = s[brace + 1 :]
+    if not s.endswith("}"):
+        raise ValueError(f"selector must end with '}}': {s!r}")
+    if body.strip() == "}":
+        if not out:
+            raise ValueError("empty selector")
+        return out
+    ops = {"=": eq, "!=": neq, "=~": re_match, "!~": re_not_match}
+    pos = 0
+    while True:
+        m = _SELECTOR_RE.match(body, pos)
+        if m is None:
+            raise ValueError(f"bad selector syntax at {body[pos:]!r}")
+        lname, op, raw, delim = m.groups()
+        # single-pass unescape: sequential str.replace would mis-handle
+        # runs like \\n (escaped backslash followed by a literal n)
+        value = __import__("re").sub(
+            r"\\(.)",
+            lambda e: {"n": "\n", "t": "\t"}.get(e.group(1), e.group(1)),
+            raw,
+        )
+        out.append(ops[op](lname, value))
+        pos = m.end()
+        if delim == "}":
+            if body[pos:].strip():
+                raise ValueError(f"trailing input after '}}': {body[pos:]!r}")
+            return out
