@@ -1,0 +1,100 @@
+#!/usr/bin/env python
+"""Macro write benchmark — the `cmd/tsdb bench write` analog
+(cmd/tsdb/main.go:143-327: 10k series × 3000 scrapes × 30s step ≈ 30M
+samples, reports samples/sec; the published design target for the
+reference engine is ~1e6 samples/s sustained on commodity hardware,
+README.md:11-15).
+
+Synthesizes the same shape engine-side (spark.range — no parquet read
+in the measured path), appends through the full DB.append pipeline
+(series upsert, dedup policy, range-partitioned sorted bucket write),
+and prints ONE JSON line.
+
+    python bench_macro.py [--series 10000] [--scrapes 3000]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import shutil
+import tempfile
+import time
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--series", type=int, default=10_000)
+    ap.add_argument("--scrapes", type=int, default=3_000)
+    ap.add_argument("--step-ms", type=int, default=30_000)
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from tsdb_spark import DB, get_spark
+
+    spark = get_spark("bench-macro")
+    spark.sparkContext.setLogLevel("ERROR")
+    n = args.series * args.scrapes
+    t0_ms = 1_704_067_200_000
+
+    src = spark.range(n).select(
+        F.create_map(
+            F.lit("__name__"), F.lit("bench"),
+            F.lit("i"), (F.col("id") % args.series).cast("string"),
+        ).alias("labels"),
+        (F.lit(t0_ms) + (F.col("id") / args.series).cast("long") * args.step_ms).alias("t"),
+        (F.col("id") % 1000).cast("double").alias("v"),
+    )
+
+    wh = tempfile.mkdtemp(prefix="tsdb_macro_")
+    try:
+        # warmup pass (Go testing.B analog): JIT/codegen/committer setup
+        # must not be billed to the measured append
+        warm = DB.create(spark, f"{wh}/warm", block_width_ms=2 * 3600 * 1000)
+        warm.append(src.limit(1_000_000), report=False)
+
+        db = DB.create(spark, f"{wh}/db", block_width_ms=2 * 3600 * 1000)
+        t0 = time.time()
+        db.append(src, report=False)
+        dt = time.time() - t0
+
+        # read side (querier_test.go:1481 BenchmarkQueryIterator shape):
+        # full-scan select through the querier (matcher + dim broadcast +
+        # time clamp), drained by an aggregate
+        from tsdb_spark import eq, re_match
+
+        maxt = t0_ms + (args.scrapes + 1) * args.step_ms
+        t1 = time.time()
+        db.querier(t0_ms, maxt).select(
+            [re_match("__name__", ".*")], with_labels=False
+        ).agg(F.count("*"), F.sum("v")).collect()
+        dt_scan = time.time() - t1
+        # selective matcher (1 of `series` label values → ~scrapes rows)
+        t2 = time.time()
+        db.querier(t0_ms, maxt).select(
+            [eq("__name__", "bench"), eq("i", "42")], with_labels=False
+        ).agg(F.count("*"), F.sum("v")).collect()
+        dt_point = time.time() - t2
+
+        print(
+            json.dumps(
+                {
+                    "metric": "macro_write_samples_per_sec",
+                    "value": round(n / dt),
+                    "unit": "samples/sec",
+                    "samples": n,
+                    "series": args.series,
+                    "seconds": round(dt, 2),
+                    "read_fullscan_samples_per_sec": round(n / dt_scan),
+                    "read_one_series_sec": round(dt_point, 3),
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()
