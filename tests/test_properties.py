@@ -203,3 +203,32 @@ def test_overlapping_blocks_report_is_correct(blocks):
                     b,
                     rep,
                 )
+
+
+# ---------------------------------------------------------------- selector
+
+from tsdb_spark.labels import Matcher, parse_selector  # noqa: E402
+
+_lname = st.from_regex(r"[a-zA-Z_][a-zA-Z0-9_.]{0,8}", fullmatch=True)
+_lvalue = st.text(
+    st.characters(min_codepoint=32, max_codepoint=0x2FFF), max_size=12
+)
+_matcher = st.builds(
+    Matcher,
+    st.sampled_from(["=", "!=", "=~", "!~"]),
+    _lname,
+    _lvalue,
+)
+
+
+def _render_selector(ms: list[Matcher]) -> str:
+    def esc(v: str) -> str:
+        return v.replace("\\", "\\\\").replace('"', '\\"')
+
+    return "{" + ",".join(f'{m.name}{m.type}"{esc(m.value)}"' for m in ms) + "}"
+
+
+@given(st.lists(_matcher, min_size=1, max_size=5))
+@settings(max_examples=300, deadline=None)
+def test_selector_parse_render_roundtrip(ms):
+    assert parse_selector(_render_selector(ms)) == ms

@@ -226,6 +226,38 @@ def docs_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "docs_chunk_dedup",
+    f"""
+WITH {SQL_CORPUS},
+nz AS (SELECT doc_id, {SQL_TOKS} AS toks FROM corpus WHERE len({SQL_TOKS}) >= 1),
+e AS (SELECT doc_id, toks, unnest(range(0, len(toks), 24)) AS chunk_start FROM nz),
+h AS (SELECT doc_id,
+        {sql_h("'chunk'", "array_to_string(toks[chunk_start+1:chunk_start+32], ' ')")} AS chunk_hash
+      FROM e)
+SELECT chunk_hash, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+  CAST(count(*) AS BIGINT) AS n_occurrences, min(doc_id) AS canonical_doc
+FROM h GROUP BY chunk_hash HAVING count(*) > 1""",
+    "chunk-level dedup over the duplicate-synthesized corpus: the "
+    "windows from `chunk_windows` grouped on their content digest — "
+    "repeated training sequences surface across documents even when "
+    "whole-document hashes differ (the sequence-level complement of "
+    "MinHash); ONE map-side-combinable groupBy on the digest, shuffle "
+    "∝ distinct chunks",
+)
+def docs_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    chunks = T.chunk_windows(_corpus(spark, sf_dir))
+    return (
+        chunks.groupBy("chunk_hash")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_occurrences"),
+            F.min("doc_id").alias("canonical_doc"),
+        )
+        .filter(F.col("n_occurrences") > 1)
+    )
+
+
+@register(
     "docs_repetition",
     f"""
 WITH t AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
