@@ -52,3 +52,11 @@ def test_cli_select_with_selector_string(spark, tmp_path, capsys):
     out = capsys.readouterr().out
     assert '{__name__="m",i="1"}' in out
     assert '{__name__="m",i="0"}' not in out
+
+
+def test_cli_explain_shows_pushdown(spark, tmp_path, capsys):
+    path = _store(spark, tmp_path)
+    assert main(["explain", path, 'm{i="1"}', "--mint", "0", "--maxt", "60000"]) == 0
+    out = capsys.readouterr().out
+    assert "PartitionFilters" in out and "t_bucket" in out
+    assert "BroadcastHashJoin" in out

@@ -45,6 +45,14 @@ def main(argv: list[str] | None = None) -> int:
     p_se.add_argument("--maxt", type=int, default=2**62)
     p_se.add_argument("--limit", type=int, default=100)
 
+    p_ex = sub.add_parser(
+        "explain", help="show the physical plan for a selector (pushdown audit)"
+    )
+    p_ex.add_argument("store")
+    p_ex.add_argument("selector")
+    p_ex.add_argument("--mint", type=int, default=-(2**62))
+    p_ex.add_argument("--maxt", type=int, default=2**62)
+
     p_bw = sub.add_parser("bench-write", help="macro write bench: cmd/tsdb/main.go:143-327")
     p_bw.add_argument("store")
     p_bw.add_argument("--events", required=True, help="sf dir with events.parquet")
@@ -96,6 +104,12 @@ def main(argv: list[str] | None = None) -> int:
             parse_selector(args.selector)
         )
         df.select("labels_str", "t", "v").show(args.limit, truncate=False)
+    elif args.cmd == "explain":
+        from tsdb_spark.labels import parse_selector
+
+        db = DB.open_readonly(spark, args.store)
+        df = db.querier(args.mint, args.maxt).select(parse_selector(args.selector))
+        df.explain("formatted")
     elif args.cmd == "bench-write":
         from tsdb_spark.sources.events import events_samples
 
