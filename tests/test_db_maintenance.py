@@ -471,3 +471,43 @@ def test_clean_tombstones_covers_promoted_bucket(spark, tmp_path):
     assert not os.path.isdir(db._tombstones_path)
     got = {r["t"] for r in db.querier(0, 400).select([L.eq("m", "a")]).collect()}
     assert got == {10, 110, 310}  # 210 gone for good, not resurrected
+
+
+def test_compaction_lineage_levels_and_sources(spark, tmp_path):
+    """BlockMeta.Compaction parity (block.go:171-200): a width-merge
+    records level = max(source levels) + 1 and its source buckets; in-place
+    rewrites keep lineage; retention prunes lineage of dropped buckets."""
+    from tsdb_spark.db import DB
+
+    W = 3_600_000
+    db = DB.create(spark, str(tmp_path / "db"), block_width_ms=W)
+    rows = [
+        ({"__name__": "m"}, t, float(t))
+        for b in range(3)
+        for t in range(b * W, b * W + W, 300_000)
+    ]
+    db.append(spark.createDataFrame(rows, "labels MAP<STRING,STRING>, t LONG, v DOUBLE"))
+    assert db.bucket_levels == {}  # fresh buckets are implicitly level 1
+    ls = {r["t_bucket"]: r for r in db.ls().collect()}
+    assert all(r["level"] == 1 and r["sources"] == [] for r in ls.values())
+
+    db.compact_selected([0, W, 2 * W], target_width_ms=3 * W)
+    assert db.bucket_levels == {0: 2}
+    assert db.bucket_sources == {0: [0, W, 2 * W]}
+    (row,) = db.ls().collect()
+    assert row["level"] == 2 and sorted(row["sources"]) == [0, W, 2 * W]
+
+    # a second-generation merge accumulates the original sources
+    db.append(
+        spark.createDataFrame(
+            [({"__name__": "m"}, 3 * W + 1, 1.0)],
+            "labels MAP<STRING,STRING>, t LONG, v DOUBLE",
+        )
+    )
+    db.compact_selected([0, 3 * W], target_width_ms=9 * W)
+    assert db.bucket_levels == {0: 3}
+    assert db.bucket_sources == {0: [0, W, 2 * W, 3 * W]}
+
+    # dropping the bucket prunes its lineage
+    db.retain_after(10 * W)
+    assert db.bucket_levels == {} and db.bucket_sources == {}

@@ -176,6 +176,19 @@ class DB:
         )
 
     @property
+    def bucket_levels(self) -> dict[int, int]:
+        """Compaction level per bucket (BlockMeta.Compaction.Level,
+        block.go:171-186): fresh appends are level 1 (stored implicitly);
+        a width-merge writes level = max(source levels) + 1."""
+        return {int(k): v for k, v in self.meta.get("bucket_levels", {}).items()}
+
+    @property
+    def bucket_sources(self) -> dict[int, list[int]]:
+        """Source buckets a merged bucket was compacted from
+        (BlockMeta.Compaction.Sources/parents, block.go:178-200)."""
+        return {int(k): v for k, v in self.meta.get("bucket_sources", {}).items()}
+
+    @property
     def bucket_widths(self) -> dict[int, int]:
         """Widths of level-promoted buckets (JSON keys are strings)."""
         return {int(k): v for k, v in self.meta.get("bucket_widths", {}).items()}
@@ -600,6 +613,8 @@ class DB:
                 "block_width_ms": width,
                 "overlapping_buckets": [],
                 "bucket_widths": {},
+                "bucket_levels": {},
+                "bucket_sources": {},
                 "ts_clean_buckets": [],
                 "block_ranges": compaction.exponential_ranges(width),
                 "last_compaction_ms": int(time.time() * 1000),
@@ -714,6 +729,24 @@ class DB:
             )
         new_dirs = self._rewrite_buckets(s, los, "lvl")
         widths = {int(k): v for k, v in self.meta.get("bucket_widths", {}).items()}
+        # lineage (BlockMeta.Compaction, block.go:171-200): a width-merge
+        # produces level = max(source levels) + 1 and records its sources;
+        # in-place rewrites keep the bucket's existing lineage
+        if target_width_ms is not None and new_dirs:
+            levels = self.bucket_levels
+            sources = self.bucket_sources
+            new_level = max(levels.get(lo, 1) for lo in los) + 1
+            merged_sources = sorted(
+                {s for lo in los for s in sources.get(lo, [lo])}
+            )
+            for lo in los:
+                levels.pop(lo, None)
+                sources.pop(lo, None)
+            for lo in new_dirs:
+                levels[lo] = new_level
+                sources[lo] = merged_sources
+            self.meta["bucket_levels"] = {str(k): v for k, v in levels.items()}
+            self.meta["bucket_sources"] = {str(k): v for k, v in sources.items()}
         if target_width_ms is not None:
             # the group's dirs were replaced by coarse ones: re-key widths
             for lo in los:
@@ -921,15 +954,23 @@ class DB:
         kept = [b for b in self.overlapping_buckets if b in live]
         widths = {k: v for k, v in self.meta.get("bucket_widths", {}).items() if int(k) in live}
         ts_clean = [b for b in self.meta.get("ts_clean_buckets", []) if b in live]
+        levels = {k: v for k, v in self.meta.get("bucket_levels", {}).items() if int(k) in live}
+        sources = {k: v for k, v in self.meta.get("bucket_sources", {}).items() if int(k) in live}
         if (
             kept != self.overlapping_buckets
             or widths != self.meta.get("bucket_widths", {})
             or ts_clean != self.meta.get("ts_clean_buckets", [])
+            or levels != self.meta.get("bucket_levels", {})
+            or sources != self.meta.get("bucket_sources", {})
         ):
             self.meta["overlapping_buckets"] = kept
             self.meta["bucket_widths"] = widths
             if "ts_clean_buckets" in self.meta:
                 self.meta["ts_clean_buckets"] = ts_clean
+            if "bucket_levels" in self.meta:
+                self.meta["bucket_levels"] = levels
+            if "bucket_sources" in self.meta:
+                self.meta["bucket_sources"] = sources
             self._write_meta()
 
     # ---------------- materialized postings index (S6/F5) ----------------
@@ -1088,9 +1129,44 @@ class DB:
             ),
             F.lit(self.block_width_ms),
         )
+        levels = self.bucket_levels
+        level_expr = F.coalesce(
+            *(
+                [
+                    F.create_map(
+                        *[x for lo, l in levels.items() for x in (F.lit(lo), F.lit(l))]
+                    )[F.col("t_bucket")]
+                ]
+                if levels
+                else []
+            ),
+            F.lit(1),
+        )
+        sources = self.bucket_sources
+        sources_expr = F.coalesce(
+            *(
+                [
+                    F.create_map(
+                        *[
+                            x
+                            for lo, srcs in sources.items()
+                            for x in (
+                                F.lit(lo),
+                                F.array(*[F.lit(s).cast("long") for s in srcs]),
+                            )
+                        ]
+                    )[F.col("t_bucket")]
+                ]
+                if sources
+                else []
+            ),
+            F.array().cast("array<long>"),
+        )
         return stats.select(
             "t_bucket",
             width_expr.alias("width_ms"),
+            level_expr.alias("level"),
+            sources_expr.alias("sources"),
             "num_samples",
             "num_series",
             "min_t",
