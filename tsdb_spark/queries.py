@@ -549,6 +549,12 @@ def _store(spark: SparkSession, sf_dir: str, scenario: str) -> DB:
         # must still mask the remaining deleted range
         db.delete(T0 + 18 * DAY, T0 + 22 * DAY, [L.eq("user", "3")])
         db.checkpoint(T0 + 20 * DAY)
+    elif scenario == "lineage":
+        # promote day 0 (four 6h buckets) to one 24h bucket: the merged
+        # bucket must carry level 2 + its source bucket list (block.go:171-200)
+        db.compact_selected(
+            [T0 + i * STORE_WIDTH_MS for i in range(4)], target_width_ms=DAY
+        )
     elif scenario == "size_ret":
         # budget = exact bytes of the blocks at/after the cutoff → the
         # newest-first byte accumulation must reproduce the time cut,
@@ -559,6 +565,43 @@ def _store(spark: SparkSession, sf_dir: str, scenario: str) -> DB:
         db.retain_max_bytes(budget)
     _STORES[key] = db
     return db
+
+
+_LINEAGE_SOURCES = ",".join(str(T0 + i * STORE_WIDTH_MS) for i in range(4))
+
+
+@register(
+    "store_lineage",
+    _with_prelude(f"""
+, d AS (SELECT labels_str, t, min(v) AS v FROM samples GROUP BY 1, 2),
+b AS (SELECT labels_str, t,
+        CASE WHEN t < {{T0}} + {{DAY}} THEN {{T0}}
+             ELSE (t // {STORE_WIDTH_MS}) * {STORE_WIDTH_MS} END AS t_bucket
+      FROM d)
+SELECT t_bucket,
+  CASE WHEN t_bucket = {{T0}} THEN {{DAY}} ELSE {STORE_WIDTH_MS} END AS width_ms,
+  CASE WHEN t_bucket = {{T0}} THEN 2 ELSE 1 END AS level,
+  CASE WHEN t_bucket = {{T0}} THEN '{_LINEAGE_SOURCES}' ELSE '' END AS sources_str,
+  CAST(count(*) AS BIGINT) AS num_samples,
+  CAST(count(DISTINCT labels_str) AS BIGINT) AS num_series
+FROM b GROUP BY 1"""),
+    "block lineage through the store lifecycle (BlockMeta.Compaction, "
+    "block.go:171-200): day 0's four 6h buckets merge into one 24h "
+    "bucket; the listing must show the promoted width, level 2, and the "
+    "exact source-bucket list, while untouched buckets stay level 1",
+)
+def store_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    db = _store(spark, sf_dir, "lineage")
+    return db.ls().select(
+        "t_bucket",
+        "width_ms",
+        F.col("level").cast("long").alias("level"),
+        F.array_join(
+            F.transform("sources", lambda x: x.cast("string")), ","
+        ).alias("sources_str"),
+        "num_samples",
+        "num_series",
+    )
 
 
 @register(
