@@ -60,3 +60,29 @@ def test_cli_explain_shows_pushdown(spark, tmp_path, capsys):
     out = capsys.readouterr().out
     assert "PartitionFilters" in out and "t_bucket" in out
     assert "BroadcastHashJoin" in out
+
+
+def test_cli_stream_drains_file_source(spark, tmp_path, capsys):
+    from tsdb_spark.schema import INGEST_SCHEMA
+    from tsdb_spark.streaming import stream_shuffle_partitions
+
+    src = str(tmp_path / "incoming")
+    rows = [({"__name__": "s", "i": str(i % 4)}, i * 1000, float(i)) for i in range(50)]
+    spark.createDataFrame(rows, INGEST_SCHEMA).write.parquet(src)
+
+    store = str(tmp_path / "sdb")
+    with stream_shuffle_partitions(spark, 4):
+        assert main([
+            "stream", store, "--source", src,
+            "--checkpoint", str(tmp_path / "ckpt"),
+        ]) == 0
+    assert "ingested through epoch" in capsys.readouterr().out
+    db = DB.open_readonly(spark, store)
+    assert db.samples().count() == 50
+    # a second drain with the same checkpoint is a no-op (exactly-once)
+    with stream_shuffle_partitions(spark, 4):
+        assert main([
+            "stream", store, "--source", src,
+            "--checkpoint", str(tmp_path / "ckpt"),
+        ]) == 0
+    assert DB.open_readonly(spark, store).samples().count() == 50

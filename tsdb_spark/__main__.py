@@ -58,6 +58,19 @@ def main(argv: list[str] | None = None) -> int:
     p_bw.add_argument("--events", required=True, help="sf dir with events.parquet")
     p_bw.add_argument("--width", type=int, default=2 * 3600 * 1000)
 
+    p_st = sub.add_parser(
+        "stream",
+        help="drain a parquet file-stream of (labels,t,v) into the store "
+        "(Structured Streaming ingest with checkpoint/WAL semantics)",
+    )
+    p_st.add_argument("store")
+    p_st.add_argument("--source", required=True, help="directory watched for parquet files")
+    p_st.add_argument("--checkpoint", required=True)
+    p_st.add_argument("--lateness-ms", type=int, default=None)
+    p_st.add_argument("--compact-every", type=int, default=0)
+    p_st.add_argument("--follow", action="store_true",
+                      help="keep running (default: drain available files and stop)")
+
     p_co = sub.add_parser("compact", help="planned (leveled) compaction rounds")
     p_co.add_argument("store")
     p_co.add_argument("--width", type=int, default=None)
@@ -120,6 +133,25 @@ def main(argv: list[str] | None = None) -> int:
         dt = time.time() - t0
         n = db.samples().count()
         print(f"ingested {n} samples in {dt:.2f}s = {n / dt:,.0f} samples/sec")
+    elif args.cmd == "stream":
+        import os as _os
+
+        from tsdb_spark.schema import INGEST_SCHEMA
+        from tsdb_spark.streaming import StreamIngestor
+
+        db = (
+            DB.open(spark, args.store)
+            if _os.path.exists(f"{args.store}/_meta.json")
+            else DB.create(spark, args.store)
+        )
+        ing = StreamIngestor(
+            db, lateness_ms=args.lateness_ms, compact_every=args.compact_every
+        )
+        stream = spark.readStream.schema(INGEST_SCHEMA).parquet(args.source)
+        trigger = None if args.follow else {"availableNow": True}
+        q = ing.start(stream, args.checkpoint, trigger=trigger)
+        q.awaitTermination()
+        print(f"ingested through epoch {db.meta.get('last_stream_epoch')}")
     elif args.cmd == "compact":
         db = DB.open(spark, args.store)
         rounds = db.auto_compact()

@@ -40,6 +40,16 @@ SAMPLES_SCHEMA = T.StructType(
     ]
 )
 
+# the shape ingest sources (batch appends, streaming file sources)
+# deliver: raw label sets before series-id assignment
+INGEST_SCHEMA = T.StructType(
+    [
+        T.StructField("labels", T.MapType(T.StringType(), T.StringType(), False), False),
+        T.StructField("t", T.LongType(), False),
+        T.StructField("v", T.DoubleType(), False),
+    ]
+)
+
 SERIES_SCHEMA = T.StructType(
     [
         T.StructField("series_id", T.LongType(), False),
