@@ -21,6 +21,7 @@ search, text analysis, multimodal plumbing) on the same engine.
 
 from tsdb_spark.labels import (
     Matcher,
+    parse_selector,
     eq,
     neq,
     re_match,
@@ -35,6 +36,7 @@ from tsdb_spark.session import get_spark, configure
 __all__ = [
     "DB",
     "Matcher",
+    "parse_selector",
     "eq",
     "neq",
     "re_match",
