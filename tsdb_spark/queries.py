@@ -1587,6 +1587,59 @@ def tsdb_predict_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tsdb_subquery_rate_avg",
+    _with_prelude("""
+, d AS (SELECT labels_str, t, min(v) AS v FROM samples
+        WHERE t >= {T0} AND t < {T0} + 7*{DAY} GROUP BY 1, 2),
+l AS (SELECT labels_str, t, v, lag(v) OVER w AS pv
+      FROM d WINDOW w AS (PARTITION BY labels_str ORDER BY t)),
+r5 AS (SELECT labels_str, (t // 300000) * 300000 AS w5,
+         CAST(count(*) AS BIGINT) AS n5,
+         round(sum(CASE WHEN v >= pv THEN v - pv ELSE v END), 2) AS inc5
+       FROM l WHERE pv IS NOT NULL GROUP BY 1, 2)
+SELECT labels_str, (w5 // 3600000) * 3600000 AS w_start,
+  CAST(count(*) AS BIGINT) AS n_windows,
+  round(round(sum(inc5), 2) / count(*), 6) AS avg_inc5
+FROM r5 GROUP BY 1, 2"""),
+    "PromQL subquery shape avg_over_time(increase(m[5m])[1h:5m]): the "
+    "inner increase() materializes per-series 5-minute windows, the "
+    "outer avg_over_time aggregates those windows per hour — two "
+    "map-side-combinable rollups stacked on one series-partitioned LAG, "
+    "no second sample-volume shuffle (the inner result is window-sized)",
+)
+def tsdb_subquery_rate_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        events_samples(spark, sf_dir)
+        .filter((F.col("t") >= T0) & (F.col("t") < T0 + 7 * DAY))
+        .groupBy("labels_str", "t")
+        .agg(F.min("v").alias("v"))
+    )
+    w = Window.partitionBy("labels_str").orderBy("t")
+    l = d.withColumn("pv", F.lag("v").over(w)).filter(F.col("pv").isNotNull())
+    r5 = l.groupBy(
+        "labels_str",
+        (F.col("t") - F.pmod(F.col("t"), F.lit(300_000))).alias("w5"),
+    ).agg(
+        F.count("*").alias("n5"),
+        F.round(
+            F.sum(
+                F.when(F.col("v") >= F.col("pv"), F.col("v") - F.col("pv")).otherwise(
+                    F.col("v")
+                )
+            ),
+            2,
+        ).alias("inc5"),
+    )
+    return r5.groupBy(
+        "labels_str",
+        (F.col("w5") - F.pmod(F.col("w5"), F.lit(3_600_000))).alias("w_start"),
+    ).agg(
+        F.count("*").alias("n_windows"),
+        F.round(F.round(F.sum("inc5"), 2) / F.count("*"), 6).alias("avg_inc5"),
+    )
+
+
+@register(
     "tsdb_stddev_windows",
     _with_prelude("""
 , d AS (SELECT labels_str, t, min(v) AS v FROM samples
