@@ -86,3 +86,12 @@ def test_cli_stream_drains_file_source(spark, tmp_path, capsys):
             "--checkpoint", str(tmp_path / "ckpt"),
         ]) == 0
     assert DB.open_readonly(spark, store).samples().count() == 50
+
+
+def test_cli_plan_dry_run(spark, tmp_path, capsys):
+    path = _store(spark, tmp_path)
+    assert main(["plan", path]) == 0
+    out = capsys.readouterr().out
+    assert out.startswith("plan:")
+    # dry run: the store is untouched
+    assert DB.open_readonly(spark, path).samples().count() == 120

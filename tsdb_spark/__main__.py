@@ -3,8 +3,12 @@ command table: bench write / ls / analyze / dump).
 
     python -m tsdb_spark ls       <store>
     python -m tsdb_spark analyze  <store> [--limit N]
+    python -m tsdb_spark select   <store> '<promql selector>' [--mint --maxt]
+    python -m tsdb_spark explain  <store> '<promql selector>' [--mint --maxt]
     python -m tsdb_spark dump     <store> [--mint MS] [--maxt MS] [--out DIR]
     python -m tsdb_spark bench-write <store> --events DIR [--width MS]
+    python -m tsdb_spark stream   <store> --source DIR --checkpoint DIR
+    python -m tsdb_spark plan     <store>
     python -m tsdb_spark compact  <store> [--width MS]
     python -m tsdb_spark vacuum   <store>
 
@@ -70,6 +74,9 @@ def main(argv: list[str] | None = None) -> int:
     p_st.add_argument("--compact-every", type=int, default=0)
     p_st.add_argument("--follow", action="store_true",
                       help="keep running (default: drain available files and stop)")
+
+    p_pl = sub.add_parser("plan", help="show the next compaction step without running it")
+    p_pl.add_argument("store")
 
     p_co = sub.add_parser("compact", help="planned (leveled) compaction rounds")
     p_co.add_argument("store")
@@ -152,6 +159,15 @@ def main(argv: list[str] | None = None) -> int:
         q = ing.start(stream, args.checkpoint, trigger=trigger)
         q.awaitTermination()
         print(f"ingested through epoch {db.meta.get('last_stream_epoch')}")
+    elif args.cmd == "plan":
+        db = DB.open_readonly(spark, args.store)
+        buckets, width = db.compact_plan()
+        if not buckets:
+            print("plan: nothing to compact")
+        elif width is None:
+            print(f"plan: rewrite in place: {buckets}")
+        else:
+            print(f"plan: merge {buckets} -> width {width} ms")
     elif args.cmd == "compact":
         db = DB.open(spark, args.store)
         rounds = db.auto_compact()
