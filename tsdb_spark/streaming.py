@@ -96,6 +96,65 @@ def series_rate(stream: DataFrame, out_dir: str, checkpoint_dir: str):
     )
 
 
+STRICT_OUT_SCHEMA = "labels_str STRING, t LONG, v DOUBLE"
+STRICT_STATE_SCHEMA = "last_t LONG, last_v DOUBLE"
+
+
+def strict_append_stream(stream: DataFrame, out_dir: str, checkpoint_dir: str):
+    """Strict per-series monotonic ingest — the reference's EXACT head
+    append contract (head.go:1681-1699) as a custom stateful streaming
+    operator, closing SURVEY §2.9 T2's documented batch/stream gap:
+
+    - t >  last_t            → accepted, state advances
+    - t == last_t, v == last_v → duplicate re-append: silent no-op (the
+      sink already holds the row; the reference returns the existing ref)
+    - t == last_t, v != last_v → ErrAmendSample: REJECTED
+    - t <  last_t            → ErrOutOfOrderSample: REJECTED
+
+    Input is (labels_str, t, v, ord) where `ord` is the arrival order
+    within the batch (the WAL append order); per-series (last_t, last_v)
+    state lives in the checkpointed state store, so rejections hold
+    across micro-batches AND restarts — a redelivered amend after a
+    crash is still refused, which watermark-scoped dedup
+    (`exact_dedup_stream`) cannot promise for a value-changing replay.
+
+    Returns the started StreamingQuery; `out_dir` reads back as parquet
+    (labels_str, t, v) holding exactly the accepted appends."""
+    import pandas as pd
+
+    def fn(key, pdfs, state):
+        last_t, last_v = state.get if state.exists else (None, None)
+        # one global arrival order per key — concat every Arrow chunk
+        # before sorting (chunks arrive split and unordered)
+        pdf = pd.concat(list(pdfs), ignore_index=True).sort_values("ord")
+        pdf = pdf.reset_index(drop=True)
+        keep = []
+        for t, v in zip(pdf["t"], pdf["v"]):
+            t, v = int(t), float(v)
+            if last_t is None or t > last_t:
+                keep.append(True)
+                last_t, last_v = t, v
+            else:
+                # out-of-order, amend, or duplicate no-op: never emitted
+                keep.append(False)
+        if last_t is not None:
+            state.update((last_t, last_v))
+        yield pdf.loc[pd.Series(keep, index=pdf.index), ["labels_str", "t", "v"]]
+
+    out = stream.groupBy("labels_str").applyInPandasWithState(
+        fn, STRICT_OUT_SCHEMA, STRICT_STATE_SCHEMA, "append", "NoTimeout"
+    )
+    return (
+        out.writeStream.queryName("tsdb-strict-append")
+        .outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def windowed_rollup(
     stream: DataFrame,
     out_dir: str,
