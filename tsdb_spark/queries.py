@@ -535,11 +535,16 @@ def _store(spark: SparkSession, sf_dir: str, scenario: str) -> DB:
         # streaming-ingest file pattern), then defragment; results must
         # be byte-identical to never having vacuumed
         for i in range(5):
+            # single known-clean rows: skip the dedup shuffle and the
+            # per-append dim warm-up (five warm-ups would be pure fixed
+            # cost in a scenario that reads once at the end)
             db.append(
                 spark.createDataFrame(
                     [({"m": "frag", "i": str(i)}, T0 + i * 1000, float(i))],
                     "labels MAP<STRING,STRING>, t LONG, v DOUBLE",
-                )
+                ),
+                validate=False,
+                warm_index=False,
             )
         db.vacuum(max_files_per_bucket=2)
     elif scenario == "checkpoint":
@@ -567,11 +572,15 @@ def _store(spark: SparkSession, sf_dir: str, scenario: str) -> DB:
         H6 = 6 * 3_600_000
         db.append(
             base.filter((F.col("t") >= T0 + H6) & (F.col("t") < T0 + 2 * H6))
-            .withColumn("v", F.col("v") + 1000.0)
+            .withColumn("v", F.col("v") + 1000.0),
+            validate=False,
+            warm_index=False,
         )
         db.append(
             base.filter((F.col("t") >= T0 + 3 * DAY) & (F.col("t") < T0 + 3 * DAY + H6))
-            .withColumn("v", F.col("v") + 1000.0)
+            .withColumn("v", F.col("v") + 1000.0),
+            validate=False,
+            warm_index=False,
         )
     elif scenario == "size_ret":
         # budget = exact bytes of the blocks at/after the cutoff → the

@@ -282,7 +282,9 @@ class StreamIngestor:
             min_valid = hwm - self.lateness_ms
         # one metadata-sized job for the batch's event-time frontier
         mx = batch.agg(F.max("t").alias("m")).collect()[0]["m"]
-        self.db.append(batch, min_valid_time=min_valid)
+        # warm_index=False: per-micro-batch dim warm-up would tax ingest
+        # latency; the dim cache refreshes lazily on first read instead
+        self.db.append(batch, min_valid_time=min_valid, warm_index=False)
         if mx is not None:
             self.db.meta["stream_high_water_ms"] = max(hwm or mx, mx)
         # epoch id commits with the same atomic meta write as the
