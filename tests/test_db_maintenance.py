@@ -511,3 +511,32 @@ def test_compaction_lineage_levels_and_sources(spark, tmp_path):
     # dropping the bucket prunes its lineage
     db.retain_after(10 * W)
     assert db.bucket_levels == {} and db.bucket_sources == {}
+
+
+def test_multi_window_merge_attributes_sources_per_output(spark, tmp_path):
+    # ADVICE r3: a width-merge that emits several coarse buckets must
+    # attribute to each output only the source buckets its window covers
+    db = _mkdb(spark, tmp_path, "multiwin", width=1000)
+    rows = [({"m": "a"}, t, float(t)) for t in range(0, 4000, 500)]
+    db.append(_df(spark, rows))
+    db.compact_selected([0, 1000, 2000, 3000], target_width_ms=2000)
+    assert db.bucket_sources == {0: [0, 1000], 2000: [2000, 3000]}
+    assert db.bucket_levels == {0: 2, 2000: 2}
+
+
+def test_emptied_bucket_sheds_stale_lineage(spark, tmp_path):
+    # ADVICE r3: a rewrite that empties a lineage-carrying bucket must
+    # prune its meta — a later fresh bucket at the same lo must not
+    # inherit the old level/sources in ls()
+    db = _mkdb(spark, tmp_path, "stale", width=1000)
+    db.append(_df(spark, [({"m": "a"}, t, float(t)) for t in (100, 1100)]))
+    db.compact_selected([0, 1000], target_width_ms=2000)  # level-2 at lo=0
+    assert db.bucket_levels == {0: 2}
+    db.delete(0, 2000, [L.eq("m", "a")])  # tombstone the whole block
+    db.compact_selected([0], None)  # in-place rewrite drops every row
+    assert db.bucket_levels == {} and db.bucket_sources == {}
+    assert db.bucket_widths == {}
+    # fresh append at the same lo starts a clean level-1 bucket
+    db.append(_df(spark, [({"m": "b"}, 100, 1.0)]))
+    (row,) = db.ls().collect()
+    assert row["level"] == 1 and row["sources"] == [] and row["width_ms"] == 1000

@@ -227,3 +227,23 @@ def test_parse_selector_rejects_garbage():
     for bad in ("", "{}", '{a="b"', '{a=b}', '{a="b"} trailing', '{a=="b"}'):
         with pytest.raises(ValueError):
             parse_selector(bad)
+
+
+def test_parse_selector_metric_name_grammar_and_trailing_comma():
+    import pytest
+
+    from tsdb_spark import labels as L
+    from tsdb_spark.labels import parse_selector
+
+    # PromQL allows one trailing comma before '}'
+    assert parse_selector('{a="b",}') == [L.eq("a", "b")]
+    assert parse_selector('m{a="b", }') == [
+        L.eq("__name__", "m"),
+        L.eq("a", "b"),
+    ]
+    # recording-rule colons are legal metric-name chars
+    assert parse_selector("job:rate:5m") == [L.eq("__name__", "job:rate:5m")]
+    # ADVICE r3: a bare name must satisfy the metric-name grammar
+    for bad in ("m}", "1up", "a-b", "m{,}", '{,a="b"}'):
+        with pytest.raises(ValueError):
+            parse_selector(bad)

@@ -213,11 +213,18 @@ _lname = st.from_regex(r"[a-zA-Z_][a-zA-Z0-9_.]{0,8}", fullmatch=True)
 _lvalue = st.text(
     st.characters(min_codepoint=32, max_codepoint=0x2FFF), max_size=12
 )
-_matcher = st.builds(
-    Matcher,
-    st.sampled_from(["=", "!=", "=~", "!~"]),
-    _lname,
-    _lvalue,
+# regex-typed matchers draw from the RE2-compatible subset only — the
+# constructors (and parse_selector) now refuse Java-only constructs
+# like possessive quantifiers, which arbitrary text can spell
+_re2_safe_value = st.text(
+    st.characters(
+        min_codepoint=32, max_codepoint=0x2FFF, exclude_characters="+*?{}()<>=!\\"
+    ),
+    max_size=12,
+)
+_matcher = st.one_of(
+    st.builds(Matcher, st.sampled_from(["=", "!="]), _lname, _lvalue),
+    st.builds(Matcher, st.sampled_from(["=~", "!~"]), _lname, _re2_safe_value),
 )
 
 

@@ -170,8 +170,13 @@ def main(argv: list[str] | None = None) -> int:
             print(f"plan: merge {buckets} -> width {width} ms")
     elif args.cmd == "compact":
         db = DB.open(spark, args.store)
-        rounds = db.auto_compact()
-        print(f"compacted {len(rounds)} round(s): {rounds}")
+        if args.width is not None:
+            # explicit width: one full rewrite at that block width
+            db.compact(args.width)
+            print(f"compacted store to width {args.width} ms")
+        else:
+            rounds = db.auto_compact()
+            print(f"compacted {len(rounds)} round(s): {rounds}")
     elif args.cmd == "vacuum":
         db = DB.open(spark, args.store)
         print(f"rewrote buckets: {db.vacuum()}")

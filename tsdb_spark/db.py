@@ -776,16 +776,25 @@ class DB:
         if target_width_ms is not None and new_dirs:
             levels = self.bucket_levels
             sources = self.bucket_sources
-            new_level = max(levels.get(lo, 1) for lo in los) + 1
-            merged_sources = sorted(
-                {s for lo in los for s in sources.get(lo, [lo])}
-            )
+            levels_before, sources_before = dict(levels), dict(sources)
             for lo in los:
                 levels.pop(lo, None)
                 sources.pop(lo, None)
-            for lo in new_dirs:
-                levels[lo] = new_level
-                sources[lo] = merged_sources
+            for out in sorted(new_dirs):
+                # per-output attribution: only the source buckets whose
+                # time range overlaps THIS coarse window contributed to
+                # it (a merge spanning several target windows must not
+                # claim every source for every output)
+                grp = [
+                    lo
+                    for lo in los
+                    if lo < out + target_width_ms
+                    and lo + widths.get(lo, self.block_width_ms) > out
+                ]
+                levels[out] = max(levels_before.get(lo, 1) for lo in grp) + 1
+                sources[out] = sorted(
+                    {s for lo in grp for s in sources_before.get(lo, [lo])}
+                )
             self.meta["bucket_levels"] = {str(k): v for k, v in levels.items()}
             self.meta["bucket_sources"] = {str(k): v for k, v in sources.items()}
         if target_width_ms is not None:
@@ -811,6 +820,10 @@ class DB:
             (set(self.meta.get("ts_clean_buckets", [])) - set(los)) | new_dirs
         )
         self.meta["last_compaction_ms"] = int(time.time() * 1000)
+        # prune lineage/width/overlap tracking for buckets this rewrite
+        # removed (fully-tombstoned groups, emptied in-place rewrites) —
+        # a later fresh bucket at the same lo must not inherit stale meta
+        self._forget_dropped_buckets()
         self._write_meta()
 
     def vacuum(self, max_files_per_bucket: int = 8) -> list[int]:

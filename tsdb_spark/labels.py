@@ -86,11 +86,51 @@ def neq(name: str, value: str) -> Matcher:
     return Matcher("!=", name, value)
 
 
+def _check_re2_subset(pattern: str) -> None:
+    """Reject regex constructs Java supports but RE2 (the reference's
+    dialect, labels/selector.go via regexp) does NOT: lookarounds,
+    backreferences, possessive quantifiers, and conditionals. The
+    reference would refuse to compile these, so silently giving them
+    Java semantics would diverge; raising keeps the documented contract
+    honest. Patterns on the shared anchored subset compile identically
+    in both dialects (pinned by tests/test_regex_parity.py against
+    DuckDB's RE2)."""
+    i, n, in_class = 0, len(pattern), False
+    while i < n:
+        c = pattern[i]
+        if c == "\\":
+            nxt = pattern[i + 1] if i + 1 < n else ""
+            if not in_class and nxt.isdigit() and nxt != "0":
+                raise ValueError(
+                    f"backreference \\{nxt} in {pattern!r}: not RE2-compatible"
+                )
+            i += 2
+            continue
+        if in_class:
+            if c == "]":
+                in_class = False
+            i += 1
+            continue
+        if c == "[":
+            in_class = True
+            i += 1
+            continue
+        if c == "(" and pattern[i + 1 :].startswith(("?=", "?!", "?<=", "?<!")):
+            raise ValueError(f"lookaround in {pattern!r}: not RE2-compatible")
+        if c in "*+?}" and i + 1 < n and pattern[i + 1] == "+":
+            raise ValueError(
+                f"possessive quantifier at {i} in {pattern!r}: not RE2-compatible"
+            )
+        i += 1
+
+
 def re_match(name: str, value: str) -> Matcher:
+    _check_re2_subset(value)
     return Matcher("=~", name, value)
 
 
 def re_not_match(name: str, value: str) -> Matcher:
+    _check_re2_subset(value)
     return Matcher("!~", name, value)
 
 
@@ -144,7 +184,10 @@ def matcher_condition(m: Matcher, labels_col: str | Column = "labels") -> Column
     '=' / '!=' → (in)equality on the coalesced lookup (labels/selector.go:44-64).
     '=~' / '!~' → anchored rlike, with the set-regex fast path rewritten to
     isin (querier.go:398-489). Note rlike is Java regex, the reference is
-    RE2 — semantics agree on the anchored POSIX-ish subset we document.
+    RE2 — the constructors reject Java-only constructs RE2 lacks
+    (_check_re2_subset), and on the remaining shared subset the dialects
+    are pinned to agree by tests/test_regex_parity.py (Java rlike vs
+    DuckDB RE2 over adversarial corner patterns).
     """
     v = label_value(m.name, labels_col)
     if m.type == "=":
@@ -234,6 +277,9 @@ _SELECTOR_RE = __import__("re").compile(
     r'\s*([a-zA-Z_][a-zA-Z0-9_.]*)\s*(=~|!~|!=|=)\s*"((?:[^"\\]|\\.)*)"\s*(,|\})'
 )
 
+# PromQL metric-name grammar (colons included: recording-rule names)
+_METRIC_NAME_RE = __import__("re").compile(r"[a-zA-Z_:][a-zA-Z0-9_:]*")
+
 
 def parse_selector(s: str) -> list[Matcher]:
     """Parse a PromQL-style series selector into matchers.
@@ -255,9 +301,13 @@ def parse_selector(s: str) -> list[Matcher]:
     if brace == -1:
         if not s:
             raise ValueError("empty selector")
+        if _METRIC_NAME_RE.fullmatch(s) is None:
+            raise ValueError(f"invalid metric name: {s!r}")
         return [eq("__name__", s)]
     name = s[:brace].strip()
     if name:
+        if _METRIC_NAME_RE.fullmatch(name) is None:
+            raise ValueError(f"invalid metric name: {name!r}")
         out.append(eq("__name__", name))
     body = s[brace + 1 :]
     if not s.endswith("}"):
@@ -271,6 +321,9 @@ def parse_selector(s: str) -> list[Matcher]:
     while True:
         m = _SELECTOR_RE.match(body, pos)
         if m is None:
+            # PromQL allows one trailing comma before '}'
+            if out and body[pos:].strip() == "}":
+                return out
             raise ValueError(f"bad selector syntax at {body[pos:]!r}")
         lname, op, raw, delim = m.groups()
         # single-pass unescape: sequential str.replace would mis-handle

@@ -424,7 +424,6 @@ def pq_codes(
     in subspace order (a 4-element ordered fold, not a float SUM).
     """
     base = embeddings.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("v"))
-    sub_len = F.expr(f"size(v) div {m}")
     subs = base.select(
         "id",
         F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
