@@ -1832,6 +1832,147 @@ def tsdb_label_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# PromQL function parity, continued (r4): irate/idelta, offset, clamp
+# =====================================================================
+
+@register(
+    "tsdb_irate_idelta",
+    _with_prelude("""
+, d AS (SELECT labels_str, t, CAST(round(min(v) * 100) AS BIGINT) AS vc
+        FROM samples GROUP BY 1, 2),
+w AS (SELECT labels_str, (t // 21600000) * 21600000 AS win, t, vc,
+        row_number() OVER (PARTITION BY labels_str, t // 21600000
+                           ORDER BY t DESC) AS rn
+      FROM d),
+p AS (SELECT labels_str, win,
+        max(CASE WHEN rn = 1 THEN t END) AS t1,
+        max(CASE WHEN rn = 1 THEN vc END) AS v1c,
+        max(CASE WHEN rn = 2 THEN t END) AS t0,
+        max(CASE WHEN rn = 2 THEN vc END) AS v0c
+      FROM w WHERE rn <= 2 GROUP BY 1, 2)
+SELECT labels_str, win,
+  (CASE WHEN v1c < v0c THEN v1c ELSE v1c - v0c END) * 100000 // (t1 - t0)
+    AS irate_cps,
+  v1c - v0c AS idelta_c
+FROM p WHERE t0 IS NOT NULL"""),
+    "irate()/idelta() (functions.go instant variants of rate/delta): per "
+    "series per 6h window, ONLY the last two samples define the result — "
+    "irate applies the counter-reset rule (v1 < v0 → increase = v1), "
+    "idelta is the raw difference. All math in integer centi-units with "
+    "integer floor division, so both engines agree exactly",
+)
+def tsdb_irate_idelta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    W6 = 21_600_000
+    d = (
+        events_samples(spark, sf_dir)
+        .groupBy("labels_str", "t")
+        .agg(F.round(F.min("v") * 100).cast("long").alias("vc"))
+    )
+    w = d.select(
+        "labels_str",
+        F.expr(f"t div {W6} * {W6}").alias("win"),
+        "t",
+        "vc",
+        F.row_number()
+        .over(
+            Window.partitionBy("labels_str", F.expr(f"t div {W6}")).orderBy(
+                F.col("t").desc()
+            )
+        )
+        .alias("rn"),
+    ).filter(F.col("rn") <= 2)
+    p = w.groupBy("labels_str", "win").agg(
+        F.max(F.when(F.col("rn") == 1, F.col("t"))).alias("t1"),
+        F.max(F.when(F.col("rn") == 1, F.col("vc"))).alias("v1c"),
+        F.max(F.when(F.col("rn") == 2, F.col("t"))).alias("t0"),
+        F.max(F.when(F.col("rn") == 2, F.col("vc"))).alias("v0c"),
+    )
+    inc = F.when(F.col("v1c") < F.col("v0c"), F.col("v1c")).otherwise(
+        F.col("v1c") - F.col("v0c")
+    )
+    return (
+        p.filter(F.col("t0").isNotNull())
+        .withColumn("inc_c", inc)
+        # inc_c >= 0 and t1 > t0, so Spark's truncating `div` and
+        # DuckDB's flooring `//` agree exactly
+        .select(
+            "labels_str",
+            "win",
+            F.expr("inc_c * 100000 div (t1 - t0)").alias("irate_cps"),
+            (F.col("v1c") - F.col("v0c")).alias("idelta_c"),
+        )
+    )
+
+
+@register(
+    "tsdb_offset_compare",
+    _with_prelude("""
+, h AS (SELECT event_type AS name, (t // 3600000) * 3600000 AS hr,
+          sum(CAST(round(v * 100) AS BIGINT)) AS sc
+        FROM samples GROUP BY 1, 2)
+SELECT a.name, a.hr, a.sc AS cur_c, b.sc AS prev_c, a.sc - b.sc AS dod_c
+FROM h a JOIN h b ON b.name = a.name AND b.hr = a.hr - 86400000"""),
+    "the `offset 1d` modifier (PromQL time-shifted selector): hourly sum "
+    "per metric joined against the same series one day earlier — the "
+    "day-over-day delta. Exact integer centi-sums on both engines; the "
+    "self-join input is window-count-sized (hours × metrics), so the "
+    "join broadcasts and the samples scan runs once per side with the "
+    "aggregation pushed below the join",
+)
+def tsdb_offset_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    HR = 3_600_000
+    h = (
+        events_samples(spark, sf_dir)
+        .groupBy(
+            F.col("labels").getItem("__name__").alias("name"),
+            F.expr(f"t div {HR} * {HR}").alias("hr"),
+        )
+        .agg(F.sum(F.round(F.col("v") * 100).cast("long")).alias("sc"))
+    )
+    prev = h.select(
+        F.col("name"), (F.col("hr") + F.lit(DAY)).alias("hr"), F.col("sc").alias("prev_c")
+    )
+    return (
+        h.join(F.broadcast(prev), ["name", "hr"], "inner")
+        .select("name", "hr", F.col("sc").alias("cur_c"), "prev_c",
+                (F.col("sc") - F.col("prev_c")).alias("dod_c"))
+    )
+
+
+@register(
+    "tsdb_clamp_bool",
+    _with_prelude("""
+, d AS (SELECT labels_str, (t // 86400000) * 86400000 AS day,
+          CAST(round(max(v) * 100) AS BIGINT) AS mx_c
+        FROM samples GROUP BY 1, 2)
+SELECT labels_str, day,
+  CASE WHEN mx_c < 1000 THEN 1000 WHEN mx_c > 10000 THEN 10000
+       ELSE mx_c END AS clamped_c,
+  CASE WHEN mx_c > 5000 THEN 1 ELSE 0 END AS above_bool
+FROM d"""),
+    "clamp()/clamp_min()/clamp_max() and the `bool` comparison modifier "
+    "(PromQL scalar ops): per series daily max clamped into [10, 100] "
+    "and a 0/1 threshold flag — pure map-only scalar arithmetic after "
+    "one combinable aggregate, exact in integer centi-units",
+)
+def tsdb_clamp_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        events_samples(spark, sf_dir)
+        .groupBy("labels_str", F.expr(f"t div {DAY} * {DAY}").alias("day"))
+        .agg(F.round(F.max("v") * 100).cast("long").alias("mx_c"))
+    )
+    clamped = F.when(F.col("mx_c") < 1000, F.lit(1000)).when(
+        F.col("mx_c") > 10000, F.lit(10000)
+    ).otherwise(F.col("mx_c")).cast("long")
+    return d.select(
+        "labels_str",
+        "day",
+        clamped.alias("clamped_c"),
+        F.when(F.col("mx_c") > 5000, F.lit(1)).otherwise(F.lit(0)).cast("long").alias("above_bool"),
+    )
+
+
+# =====================================================================
 # round-4 gate additions: output ordering (O1), DBReadOnly (S12),
 # overlapping-block report (A9), strict streaming ingest (T2 exact)
 # =====================================================================
