@@ -152,3 +152,22 @@ def test_histogram_quantile_single_aggregation_pass(spark, tmp_path):
     assert plan.count("HashAggregate") == 2
     exchanges = [ln for ln in plan.splitlines() if "Exchange" in ln and "Broadcast" not in ln]
     assert len(exchanges) <= 1
+
+
+def test_select_sorted_plan_has_global_sort(store):
+    plan = _executed(store.querier(0, WIDTH * 4).select_sorted([eq("__name__", "m")]))
+    assert "Sort [labels_str" in plan and "t#" in plan
+    # the sort is global (range exchange), not merely per-partition —
+    # the reference's output contract is a total (labels, t) order
+    assert "rangepartitioning(labels_str" in plan
+
+
+def test_offset_compare_joins_broadcast(spark, tmp_path):
+    # the offset-modifier self-join is window-count-sized: it must plan
+    # as a broadcast join, never a samples-side shuffle join
+    from tsdb_spark.queries import QUERIES
+
+    df = QUERIES["tsdb_offset_compare"].spark_fn(spark, "/root/testdata/sf0.001")
+    plan = _executed(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
