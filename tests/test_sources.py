@@ -79,3 +79,26 @@ def test_load_table_normalizes_drifted_types(spark, tmp_path):
         "vec_id": "bigint", "embedding": "array<float>", "label": "int",
     }
     assert emb.collect()[0]["embedding"] == [0.5, 0.25]
+
+
+def test_events_ts_as_raw_ms_us_s(spark, tmp_path):
+    # raw-integer epochs in ms / us / s: the unit is inferred by
+    # magnitude (dtype alone cannot distinguish them)
+    for sub, factor in (("ms", 1), ("us", 1000), ("s", 0.001)):
+        path = str(tmp_path / sub)
+        _write_events(spark, path, lambda ms: int(ms * factor))
+        _expect(spark, path)
+
+
+def test_events_ts_as_string(spark, tmp_path):
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    path = str(tmp_path / "str")
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00", 7, "click", 1.5, '{"k": 60}'),
+            (2, "2024-01-01 00:00:01", 8, "view", 2.5, '{"k": 10}'),
+        ],
+        "event_id LONG, ts STRING, user_id LONG, event_type STRING, value DOUBLE, props STRING",
+    )
+    df.write.parquet(f"{path}/events.parquet")
+    _expect(spark, path)

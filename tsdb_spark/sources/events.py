@@ -83,21 +83,55 @@ def event_labels(ev: DataFrame | None = None) -> F.Column:
     return L.strip_empty_labels(raw)
 
 
+#: per-process cache of the inferred raw-integer ts divisor, keyed by a
+#: stable identity of the loaded table (the one-row magnitude probe is a
+#: Spark job; pay it once per dataset, not per query build)
+_TS_DIVISOR: dict[str, int] = {}
+
+
+def _raw_ts_divisor(ev: DataFrame) -> int:
+    """Infer the epoch unit of a raw-integer `ts` column by magnitude:
+    2024 epochs are ~1.7e9 s / 1.7e12 ms / 1.7e15 us / 1.7e18 ns — four
+    decades apart, so one max() probe classifies unambiguously. The
+    testdata's physical layout has changed between driver rounds; dtype
+    alone cannot distinguish these (all `bigint`)."""
+    key = ",".join(sorted(ev.inputFiles())) or str(id(ev))
+    if key not in _TS_DIVISOR:
+        row = ev.agg(F.max(F.abs(F.col("ts"))).alias("m")).collect()[0]
+        m = row["m"] or 0
+        if m >= 10**16:
+            div = 1_000_000  # nanoseconds
+        elif m >= 10**13:
+            div = 1_000  # microseconds
+        elif m >= 10**11:
+            div = 1  # already milliseconds
+        else:
+            div = -1000  # seconds → multiply
+        _TS_DIVISOR[key] = div
+    return _TS_DIVISOR[key]
+
+
 def event_time_ms(ev: DataFrame) -> F.Column:
     """`ts` → int64 epoch-ms, whatever the driver's parquet layout.
 
     The testdata has shipped `ts` both as TIMESTAMP(NANOS) (read as raw
     int64 nanos under legacy nanosAsLong) and as TIMESTAMP(MICROS)
-    (read as timestamp_ntz). Normalize both to the engine's int64 ms
-    (reference keeps t as int64 ms end-to-end, db.go:14). Session tz is
-    UTC (session.py), so NTZ→epoch matches DuckDB's epoch_ms(ts).
-    """
+    (read as timestamp_ntz); a string/date rendering or a raw epoch in
+    ms/us/s would be the next drift. Normalize everything to the
+    engine's int64 ms (reference keeps t as int64 ms end-to-end,
+    db.go:14). Session tz is UTC (session.py), so NTZ→epoch matches
+    DuckDB's epoch_ms(ts). Integer paths use integer division: double
+    division would lose precision (1e18 ns exceeds a double's 53-bit
+    mantissa)."""
     dt = dict(ev.dtypes).get("ts", "")
-    if dt.startswith("timestamp"):
+    if dt.startswith("timestamp") or dt in ("string", "date"):
         return F.expr("unix_micros(cast(ts as timestamp)) div 1000")
-    # raw int64 nanos → ms via integer division: double division would
-    # lose precision (1e18 ns exceeds a double's 53-bit mantissa)
-    return F.expr("ts div 1000000")
+    div = _raw_ts_divisor(ev)
+    if div == -1000:
+        return F.expr("ts * 1000")
+    if div == 1:
+        return F.col("ts").cast("long")
+    return F.expr(f"ts div {div}")
 
 
 def events_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
