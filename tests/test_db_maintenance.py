@@ -540,3 +540,72 @@ def test_emptied_bucket_sheds_stale_lineage(spark, tmp_path):
     db.append(_df(spark, [({"m": "b"}, 100, 1.0)]))
     (row,) = db.ls().collect()
     assert row["level"] == 1 and row["sources"] == [] and row["width_ms"] == 1000
+
+
+def test_replay_append_matches_sequential(spark, tmp_path):
+    # one seq_col replay == k sequential appends: same query results,
+    # same later-wins resolution vs existing data, same seq advance
+    a = _mkdb(spark, tmp_path, "replay_a", width=1000)
+    b = _mkdb(spark, tmp_path, "replay_b", width=1000)
+    batches = [
+        [({"x": "1"}, 100, 1.0), ({"x": "2"}, 150, 2.0)],
+        [({"x": "1"}, 100, 7.0)],  # cross-batch collision → later batch wins
+        [({"x": "1"}, 300, 3.0), ({"x": "3"}, 2100, 4.0)],
+    ]
+    for rows in batches:
+        b.append(_df(spark, rows))
+    replay = spark.createDataFrame(
+        [(lbl, t, v, i) for i, rows in enumerate(batches) for (lbl, t, v) in rows],
+        "labels MAP<STRING,STRING>, t LONG, v DOUBLE, b LONG",
+    )
+    rep = a.append(replay, seq_col="b", report=True)
+    assert rep.amends_rejected == 1  # the collision resolved at write
+    assert a.meta["next_ingest_seq"] == b.meta["next_ingest_seq"]
+    for db in (a, b):
+        got = sorted(
+            (r["labels_str"], r["t"], r["v"])
+            for r in db.querier(0, 9999).select([L.neq("x", "")]).collect()
+        )
+        assert got == [
+            ('{x="1"}', 100, 7.0),
+            ('{x="1"}', 300, 3.0),
+            ('{x="2"}', 150, 2.0),
+            ('{x="3"}', 2100, 4.0),
+        ]
+    # replay resolves collisions at write: its buckets never enter the
+    # overlap ledger, while k separate appends must (reads dedup there)
+    assert a.overlapping_buckets == []
+    assert b.overlapping_buckets == [0]
+    # later-wins vs existing data stays per logical batch: a replayed
+    # batch overwriting a pre-existing (series, t) must win the vertical
+    # dedup exactly as a separate later append would
+    c = _mkdb(spark, tmp_path, "replay_c", width=1000)
+    c.append(_df(spark, [({"x": "1"}, 100, 10.0)]))
+    c.append(
+        spark.createDataFrame(
+            [({"x": "1"}, 100, 20.0, 0)],
+            "labels MAP<STRING,STRING>, t LONG, v DOUBLE, b LONG",
+        ),
+        seq_col="b",
+    )
+    got = {r["t"]: r["v"] for r in c.querier(0, 999).select([L.eq("x", "1")]).collect()}
+    assert got == {100: 20.0}
+
+
+def test_replay_append_fragments_files_per_batch(spark, tmp_path):
+    # replay file layout mirrors k separate appends: each logical batch
+    # writes its own file(s) inside the bucket it touches
+    db = _mkdb(spark, tmp_path, "replay_frag", width=100000)
+    db.append(
+        spark.createDataFrame(
+            [({"m": "frag", "i": str(i)}, 1000 + i, float(i), i) for i in range(5)],
+            "labels MAP<STRING,STRING>, t LONG, v DOUBLE, b LONG",
+        ),
+        seq_col="b",
+        validate=False,
+    )
+    bucket_dir = os.path.join(db._samples_path, "t_bucket=0")
+    files = [f for f in os.listdir(bucket_dir) if f.endswith(".parquet")]
+    assert len(files) >= 2  # fragmented, not one coalesced file
+    seqs = {r["ingest_seq"] for r in spark.read.parquet(bucket_dir).collect()}
+    assert seqs == {1, 2, 3, 4, 5}

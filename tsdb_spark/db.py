@@ -282,6 +282,7 @@ class DB:
         validate: bool = True,
         report: bool = False,
         order_col: str | None = None,
+        seq_col: str | None = None,
         warm_index: bool = True,
     ) -> AppendReport:
         """Transactional batch ingest of rows(labels MAP<STRING,STRING>, t LONG, v DOUBLE).
@@ -313,8 +314,25 @@ class DB:
         job can leave committed samples without dim entries for at most one
         batch (invisible to selects, which semi-join the dim), never
         phantom dim entries with no samples.
+
+        Replay mode: `seq_col` names a column of small non-negative ints
+        giving each row's LOGICAL batch index (0..k-1). One Spark job then
+        commits k sequential appends — the WAL-replay analog (S9,
+        head.go:497-561 replays many records in one pass): every logical
+        batch gets its own ingest_seq (later-wins vs existing data per
+        batch, exactly as if appended one at a time), a (series, t)
+        collision ACROSS batches resolves later-batch-wins (the vertical
+        rule k separate appends would yield at read time, J6), and the
+        file layout splits by ingest_seq inside each bucket so the
+        physical result mirrors k separate appends. Replaying N
+        micro-batches this way costs one job instead of N — the
+        difference between minutes and hours on a 100 TB restore.
+        Mutually exclusive with `order_col` (use order_col for
+        first-wins WITHIN one logical append).
         """
         self._check_writable()
+        if order_col is not None and seq_col is not None:
+            raise ValueError("order_col and seq_col are mutually exclusive")
         rep = AppendReport(new_series=-1, appended=-1)
         seq = self.meta["next_ingest_seq"]
         width = self.block_width_ms
@@ -324,6 +342,11 @@ class DB:
             F.col("t").cast("long").alias("t"),
             F.col("v").cast("double").alias("v"),
             *([F.col(order_col)] if order_col is not None else []),
+            *(
+                [F.col(seq_col).cast("long").alias("_seq")]
+                if seq_col is not None
+                else []
+            ),
         )
         if min_valid_time is not None:
             if report:
@@ -344,7 +367,43 @@ class DB:
             rows = rows.cache()
         try:
             samples = rows.select("series_id", "t", "v")
-            if validate and order_col is not None:
+            if seq_col is not None:
+                staged = rows.select("series_id", "t", "v", "_seq")
+                if validate:
+                    # LATER batch wins at a (series, t) collision — the
+                    # identical outcome k separate appends produce, where
+                    # each batch is its own block and read-time vertical
+                    # dedup resolves by ingest_seq (J6, querier.go:1039-1043).
+                    # Within ONE logical batch the engine default (min v)
+                    # applies. Both rules in one map-side-combinable
+                    # aggregate: lexicographic min of (-seq, v). Resolving
+                    # at write (instead of leaving collided rows for the
+                    # readers, as k appends would) keeps the batch's buckets
+                    # out of the overlap ledger — reads stay dedup-free.
+                    win = F.min(
+                        F.struct((-F.col("_seq")).alias("ns"), F.col("v").alias("v"))
+                    ).alias("w")
+                    clean = (
+                        staged.groupBy("series_id", "t")
+                        .agg(win)
+                        .select(
+                            "series_id",
+                            "t",
+                            F.col("w.v").alias("v"),
+                            (-F.col("w.ns")).alias("_seq"),
+                        )
+                    )
+                    if report:
+                        n_raw = staged.count()
+                        n_dedup = staged.dropDuplicates(
+                            ["series_id", "t", "v"]
+                        ).count()
+                        n_clean = clean.count()
+                        rep.duplicates_dropped = n_raw - n_dedup
+                        rep.amends_rejected = n_dedup - n_clean
+                else:
+                    clean = staged
+            elif validate and order_col is not None:
                 # first-wins (head.go:1697-1698): the earliest row by
                 # arrival order defines v; later duplicates AND amends at
                 # the same (series, t) are rejected. One map-side-
@@ -395,8 +454,13 @@ class DB:
                     clean = clean.cache()
                     rep.out_of_order_rejected = before - clean.count()
 
+            seq_expr = (
+                (F.lit(seq) + F.col("_seq")).cast("long")
+                if seq_col is not None
+                else F.lit(seq).cast("long")
+            )
             out = (
-                clean.withColumn("ingest_seq", F.lit(seq).cast("long"))
+                clean.withColumn("ingest_seq", seq_expr)
                 # floored bucketing via pure int64 math (t - pmod floors for
                 # negative t too; `div` truncates toward zero — a t=-1 sample
                 # must land in bucket -width, not 0). One rule everywhere:
@@ -407,20 +471,45 @@ class DB:
             existing_buckets = {int(d.split("=")[1]) for d in self._bucket_dirs()}
             if report:
                 rep.appended = out.count()
+            seq_advance = 1
+            if seq_col is not None:
+                # ONE metadata-sized pre-write job returns the touched
+                # (bucket, seq) lineage: the touched-bucket set for overlap
+                # tracking, the highest replayed seq (how far to advance
+                # next_ingest_seq), and the group count that sizes the
+                # range shuffle below.
+                lineage = (
+                    out.select("t_bucket", "ingest_seq").distinct().collect()
+                )
+                batch_buckets = {r["t_bucket"] for r in lineage}
+                if lineage:
+                    seq_advance = max(r["ingest_seq"] for r in lineage) - seq + 1
+            # range partition: respects t_bucket grouping while splitting
+            # hot buckets across tasks by series range → bounded task/file
+            # sizes at 100TB; in-file (series_id, t) order gives Parquet
+            # min/max row-group pruning on both dimensions. Replay mode
+            # adds ingest_seq to the range keys with an EXPLICIT partition
+            # count (one per (bucket, seq) group — AQE would coalesce the
+            # implicit count and merge logical batches into shared files)
+            # so each replayed batch keeps its own file(s) inside its
+            # bucket, mirroring k separate appends.
+            if seq_col is not None:
+                parted = out.repartitionByRange(
+                    max(1, len(lineage)), "t_bucket", "ingest_seq", "series_id"
+                )
+            else:
+                parted = out.repartitionByRange("t_bucket", "series_id")
             (
-                # range partition: respects t_bucket grouping while splitting
-                # hot buckets across tasks by series range → bounded task/file
-                # sizes at 100TB; in-file (series_id, t) order gives Parquet
-                # min/max row-group pruning on both dimensions
-                out.repartitionByRange("t_bucket", "series_id")
-                .sortWithinPartitions("t_bucket", "series_id", "t")
+                parted.sortWithinPartitions("t_bucket", "series_id", "t")
                 .write.mode("append")
                 .partitionBy("t_bucket")
                 .parquet(self._samples_path)
             )
             need_overlap = not strict_order and bool(existing_buckets)
             need_ts_clean = bool(self.meta.get("ts_clean_buckets"))
-            if need_overlap or need_ts_clean:
+            if seq_col is not None:
+                pass  # batch_buckets already collected pre-write
+            elif need_overlap or need_ts_clean:
                 # which buckets did THIS batch actually touch? Metadata-
                 # sized collect over the cached batch — never a comparison
                 # of dir listings (a dir set intersected with its own
@@ -477,7 +566,7 @@ class DB:
         finally:
             if report:
                 rows.unpersist()
-        self.meta["next_ingest_seq"] = seq + 1
+        self.meta["next_ingest_seq"] = seq + seq_advance
         self._write_meta()
         if warm_index:
             # refresh + materialize the persisted dim NOW, the way the

@@ -531,21 +531,24 @@ def _store(spark: SparkSession, sf_dir: str, scenario: str) -> DB:
     elif scenario == "rollup":
         db.materialize_rollup(3_600_000)
     elif scenario == "vacuum":
-        # fragment one bucket with five single-row appends (the
+        # fragment one bucket with five single-row logical appends (the
         # streaming-ingest file pattern), then defragment; results must
-        # be byte-identical to never having vacuumed
-        for i in range(5):
-            # single known-clean rows: skip the dedup shuffle and the
-            # per-append dim warm-up (five warm-ups would be pure fixed
-            # cost in a scenario that reads once at the end)
-            db.append(
-                spark.createDataFrame(
-                    [({"m": "frag", "i": str(i)}, T0 + i * 1000, float(i))],
-                    "labels MAP<STRING,STRING>, t LONG, v DOUBLE",
-                ),
-                validate=False,
-                warm_index=False,
-            )
+        # be byte-identical to never having vacuumed. One seq_col replay
+        # commits all five batches — own ingest_seq and own file each —
+        # in a single job (five separate appends would be 5x the fixed
+        # job cost for the identical store state)
+        db.append(
+            spark.createDataFrame(
+                [
+                    ({"m": "frag", "i": str(i)}, T0 + i * 1000, float(i), i)
+                    for i in range(5)
+                ],
+                "labels MAP<STRING,STRING>, t LONG, v DOUBLE, b LONG",
+            ),
+            seq_col="b",
+            validate=False,
+            warm_index=False,
+        )
         db.vacuum(max_files_per_bucket=2)
     elif scenario == "checkpoint":
         # a delete straddling the future cutoff, then a checkpoint at
