@@ -2130,6 +2130,191 @@ def stream_strict_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(_ROLLUPS[key]).select("labels_str", "t", "v")
 
 
+@register(
+    "tsdb_rate_extrapolated",
+    _with_prelude("""
+, d AS (SELECT labels_str, t, CAST(round(min(v) * 100) AS BIGINT) AS vc
+        FROM samples GROUP BY 1, 2),
+l AS (SELECT labels_str, (t // 21600000) * 21600000 AS win, t, vc,
+        lag(vc) OVER (PARTITION BY labels_str, t // 21600000 ORDER BY t) AS pvc
+      FROM d),
+g AS (SELECT labels_str, win,
+        CAST(count(*) AS BIGINT) AS n,
+        min(t) AS first_t, max(t) AS last_t,
+        min_by(vc, t) AS first_c, max_by(vc, t) AS last_c,
+        CAST(sum(CASE WHEN pvc IS NOT NULL AND vc < pvc THEN pvc ELSE 0 END)
+             AS BIGINT) AS corr_c
+      FROM l GROUP BY 1, 2),
+e AS (SELECT labels_str, win, n,
+        last_c - first_c + corr_c AS delta_c,
+        CAST(last_t - first_t AS DOUBLE) AS sampled,
+        CAST(first_t - win AS DOUBLE) AS dstart,
+        CAST(win + 21600000 - last_t AS DOUBLE) AS dend,
+        CAST(first_c AS DOUBLE) AS first_d
+      FROM g WHERE n >= 2),
+x AS (SELECT *, sampled / CAST(n - 1 AS DOUBLE) AS avg_dur,
+        CASE WHEN delta_c > 0 AND first_d >= 0
+               AND sampled * (first_d / CAST(delta_c AS DOUBLE)) < dstart
+             THEN sampled * (first_d / CAST(delta_c AS DOUBLE))
+             ELSE dstart END AS dstart2
+      FROM e)
+SELECT labels_str, win, n,
+  round(CAST(delta_c AS DOUBLE) * ((sampled
+      + (CASE WHEN dstart2 < avg_dur * 1.1 THEN dstart2 ELSE avg_dur / 2 END)
+      + (CASE WHEN dend < avg_dur * 1.1 THEN dend ELSE avg_dur / 2 END))
+    / sampled) / 100.0 / 21600.0, 9) AS rate_ps
+FROM x"""),
+    "rate() with PromQL's boundary extrapolation (extrapolatedRate, "
+    "promql/functions.go): per series per 6h window, counter-reset-"
+    "corrected increase scaled to the window bounds — extrapolate to "
+    "each edge when the first/last sample sits within 1.1x the average "
+    "scrape interval of it, else by half an interval; clamp the left "
+    "edge at the counter's projected zero crossing. Increase math is "
+    "exact integer centi-units; the extrapolation factor is the same "
+    "double expression tree on both engines. One LAG + one combinable "
+    "aggregate per window",
+)
+def tsdb_rate_extrapolated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    W6 = 21_600_000
+    d = (
+        events_samples(spark, sf_dir)
+        .groupBy("labels_str", "t")
+        .agg(F.round(F.min("v") * 100).cast("long").alias("vc"))
+    )
+    w = Window.partitionBy("labels_str", F.expr(f"t div {W6}")).orderBy("t")
+    lg = d.select(
+        "labels_str",
+        F.expr(f"t div {W6} * {W6}").alias("win"),
+        "t",
+        "vc",
+        F.lag("vc").over(w).alias("pvc"),
+    )
+    g = lg.groupBy("labels_str", "win").agg(
+        F.count("*").alias("n"),
+        F.min("t").alias("first_t"),
+        F.max("t").alias("last_t"),
+        F.min_by("vc", "t").alias("first_c"),
+        F.max_by("vc", "t").alias("last_c"),
+        F.sum(
+            F.when(
+                F.col("pvc").isNotNull() & (F.col("vc") < F.col("pvc")),
+                F.col("pvc"),
+            ).otherwise(F.lit(0))
+        ).alias("corr_c"),
+    )
+    e = g.filter(F.col("n") >= 2).select(
+        "labels_str",
+        "win",
+        "n",
+        (F.col("last_c") - F.col("first_c") + F.col("corr_c")).alias("delta_c"),
+        (F.col("last_t") - F.col("first_t")).cast("double").alias("sampled"),
+        (F.col("first_t") - F.col("win")).cast("double").alias("dstart"),
+        (F.col("win") + F.lit(W6) - F.col("last_t")).cast("double").alias("dend"),
+        F.col("first_c").cast("double").alias("first_d"),
+    )
+    dzero = F.col("sampled") * (F.col("first_d") / F.col("delta_c").cast("double"))
+    x = e.select(
+        "*",
+        (F.col("sampled") / (F.col("n") - 1).cast("double")).alias("avg_dur"),
+        F.when(
+            (F.col("delta_c") > 0)
+            & (F.col("first_d") >= 0)
+            & (dzero < F.col("dstart")),
+            dzero,
+        )
+        .otherwise(F.col("dstart"))
+        .alias("dstart2"),
+    )
+    thr = F.col("avg_dur") * F.lit(1.1)
+    ext = (
+        F.col("sampled")
+        + F.when(F.col("dstart2") < thr, F.col("dstart2")).otherwise(
+            F.col("avg_dur") / 2
+        )
+        + F.when(F.col("dend") < thr, F.col("dend")).otherwise(F.col("avg_dur") / 2)
+    )
+    return x.select(
+        "labels_str",
+        "win",
+        "n",
+        F.round(
+            F.col("delta_c").cast("double")
+            * (ext / F.col("sampled"))
+            / F.lit(100.0)
+            / F.lit(21600.0),
+            9,
+        ).alias("rate_ps"),
+    )
+
+
+@register(
+    "tsdb_calendar_profile",
+    _with_prelude("""
+, d AS (SELECT labels_str, event_type, t, min(v) AS v FROM samples GROUP BY 1, 2, 3)
+SELECT event_type AS name,
+  ((t // 86400000) + 4) % 7 AS dow,
+  (t % 86400000) // 3600000 AS hod,
+  CAST(count(*) AS BIGINT) AS n_samples,
+  CAST(sum(CAST(round(v * 100) AS BIGINT)) AS BIGINT) AS sum_c
+FROM d GROUP BY 1, 2, 3"""),
+    "day_of_week()/hour() (PromQL time functions): per metric, sample "
+    "count and exact centi-sum bucketed by UTC weekday (0=Sunday, epoch "
+    "day 0 was a Thursday) and hour of day — pure int64 arithmetic on t, "
+    "map-only derivation + one combinable groupBy with key cardinality "
+    "metrics x 7 x 24 regardless of corpus size",
+)
+def tsdb_calendar_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    DAY_MS, HOUR_MS = 86_400_000, 3_600_000
+    d = (
+        events_samples(spark, sf_dir)
+        .groupBy("labels_str", F.col("labels").getItem("__name__").alias("name"), "t")
+        .agg(F.min("v").alias("v"))
+    )
+    return d.groupBy(
+        "name",
+        # t >= 0 here, so truncating div == floor div and % == pmod
+        F.expr(f"(t div {DAY_MS} + 4) % 7").alias("dow"),
+        F.expr(f"(t % {DAY_MS}) div {HOUR_MS}").alias("hod"),
+    ).agg(
+        F.count("*").alias("n_samples"),
+        F.sum(F.round(F.col("v") * 100).cast("long")).alias("sum_c"),
+    )
+
+
+@register(
+    "tsdb_bottomk_series",
+    _with_prelude("""
+, d AS (SELECT labels_str, t, min(v) AS v FROM samples GROUP BY 1, 2),
+g AS (SELECT labels_str, (t // 86400000) * 86400000 AS day,
+        CAST(sum(CAST(round(v * 100) AS BIGINT)) AS BIGINT) AS sum_c
+      FROM d GROUP BY 1, 2),
+r AS (SELECT *, row_number() OVER (PARTITION BY day
+                                  ORDER BY sum_c ASC, labels_str ASC) AS rk
+      FROM g)
+SELECT labels_str, day, sum_c, CAST(rk AS INT) AS rk FROM r WHERE rk <= 3"""),
+    "bottomk() (the aggregation operator, dual of topk): per day the 3 "
+    "series with the LOWEST exact centi-sum, deterministic labels_str "
+    "tie-break; per-series rollup first (rows ~ series x days), then a "
+    "day-partitioned top-k window over the aggregate — never a global "
+    "sort of raw samples",
+)
+def tsdb_bottomk_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        events_samples(spark, sf_dir)
+        .groupBy("labels_str", "t")
+        .agg(F.min("v").alias("v"))
+    )
+    g = d.groupBy(
+        "labels_str", F.expr(f"t div {DAY} * {DAY}").alias("day")
+    ).agg(F.sum(F.round(F.col("v") * 100).cast("long")).alias("sum_c"))
+    w = Window.partitionBy("day").orderBy(F.col("sum_c").asc(), F.col("labels_str").asc())
+    return (
+        g.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("labels_str", "day", "sum_c", "rk")
+    )
+
+
 # registers the documents/embeddings pipeline queries into the same
 # registry (import at the bottom: pipeline.queries imports `register`
 # from this module)
