@@ -171,3 +171,28 @@ def test_offset_compare_joins_broadcast(spark, tmp_path):
     plan = _executed(df)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_pii_stats_is_map_only(spark):
+    from tsdb_spark.pipeline.text import pii_stats
+
+    docs = spark.createDataFrame(
+        [(1, "mail me at a@b.co ref 1234567")], "doc_id LONG, text STRING"
+    )
+    plan = _executed(pii_stats(docs))
+    # the compliance scan must stream: regex extraction + projection only
+    assert "Exchange" not in plan
+
+
+def test_sq8_topk_broadcasts_grid_and_probes(spark):
+    from tsdb_spark.pipeline.embed import sq8_topk
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 7), float(i % 3), 1.0, 0.5]) for i in range(40)],
+        "vec_id LONG, embedding ARRAY<FLOAT>",
+    )
+    plan = _executed(sq8_topk(emb, emb.filter(F.col("vec_id") < 2), k=3))
+    # grid row and probe set broadcast; the corpus side must never
+    # sort-merge against either
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -1270,3 +1270,164 @@ def emb_corpus_map(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("total_chars"),
         )
     )
+
+
+# ====================================================== round-4 additions
+
+#: deterministic PII planting: the synthetic corpus has no natural
+#: emails/ids, so every 13th doc gets a contact line appended — the same
+#: construction on both engines (the dedup-corpus pattern)
+SQL_PII_CORPUS = """
+pc AS (SELECT doc_id,
+         text || CASE WHEN doc_id % 13 = 0
+                      THEN ' contact user' || doc_id
+                           || '@example.com ref 900' || doc_id
+                      ELSE '' END AS text
+       FROM documents)
+""".strip()
+
+
+@register(
+    "docs_pii_scrub",
+    f"""
+WITH {SQL_PII_CORPUS}
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '{T.PII_EMAIL_RE}')) AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all(text, '{T.PII_DIGITS_RE}')) AS BIGINT) AS n_long_digits,
+  CAST(coalesce(list_sum(list_transform(regexp_extract_all(text, '{T.PII_EMAIL_RE}'),
+                                        m -> length(m))), 0)
+     + coalesce(list_sum(list_transform(regexp_extract_all(text, '{T.PII_DIGITS_RE}'),
+                                        m -> length(m))), 0) AS BIGINT) AS masked_chars,
+  CAST(len(regexp_extract_all(text, '{T.PII_EMAIL_RE}')) > 0
+       OR len(regexp_extract_all(text, '{T.PII_DIGITS_RE}')) > 0 AS INT) AS has_pii
+FROM pc""",
+    "PII detection report (the pre-release compliance gate): per doc the "
+    "email-address and long-digit-run match counts, total chars a "
+    "redaction would mask, and the scrub verdict — patterns restricted "
+    "to the Java/RE2-agreeing regex subset; MAP-ONLY, zero shuffle, "
+    "match lists never leave the task",
+)
+def docs_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 13 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com ref 900"),
+                    F.col("doc_id").cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return T.pii_stats(planted)
+
+
+@register(
+    "docs_dup_span_coverage",
+    f"""
+WITH {SQL_CORPUS},
+nz AS (SELECT doc_id, {SQL_TOKS} AS toks FROM corpus WHERE len({SQL_TOKS}) >= 1),
+e AS (SELECT doc_id, toks, unnest(range(0, len(toks), 8)) AS chunk_start FROM nz),
+h AS (SELECT doc_id,
+        {sql_h("'chunk'", "array_to_string(toks[chunk_start+1:chunk_start+16], ' ')")} AS chunk_hash
+      FROM e),
+df AS (SELECT chunk_hash, count(DISTINCT doc_id) AS ndocs FROM h GROUP BY 1)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+  CAST(sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows,
+  CAST((10000 * sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END)) // count(*) AS BIGINT)
+    AS dup_bp
+FROM h JOIN df USING (chunk_hash) GROUP BY doc_id""",
+    "duplicate-span coverage (the substring-dedup signal of Lee et al., "
+    "'Deduplicating Training Data Makes Language Models Better'): per "
+    "doc, the fraction of its 16-token windows (stride 8) whose content "
+    "digest appears in >= 2 docs — catches partial/boilerplate overlap "
+    "that whole-doc hashes miss. Shuffle ∝ distinct window digests "
+    "(combinable df agg + one equi-join back); never doc x doc",
+)
+def docs_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ch = T.chunk_windows(_corpus(spark, sf_dir), size=16, stride=8).select(
+        "doc_id", "chunk_hash"
+    )
+    df_tbl = ch.groupBy("chunk_hash").agg(
+        F.countDistinct("doc_id").alias("ndocs")
+    )
+    dup = F.sum(F.when(F.col("ndocs") >= 2, 1).otherwise(0)).cast("long")
+    return (
+        ch.join(df_tbl, "chunk_hash")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_windows"),
+            dup.alias("n_dup_windows"),
+        )
+        .select(
+            "doc_id",
+            "n_windows",
+            "n_dup_windows",
+            F.expr("10000 * n_dup_windows div n_windows").alias("dup_bp"),
+        )
+    )
+
+
+@register(
+    "emb_sq8_recall",
+    f"""
+WITH {SQL_EMB},
+dims AS (SELECT i, min(v[i]) AS lo, max(v[i]) AS hi
+         FROM e CROSS JOIN (SELECT unnest(range(1, (SELECT len(v) FROM e LIMIT 1) + 1)) AS i) d
+         GROUP BY i),
+g AS (SELECT list(lo ORDER BY i) AS los, list(hi ORDER BY i) AS his FROM dims),
+q AS (SELECT vec_id, list_transform(range(1, len(v) + 1),
+        i -> CASE WHEN his[i] > los[i]
+                  THEN least(255, CAST(floor((v[i] - los[i]) * 255 / (his[i] - los[i])) AS BIGINT))
+                  ELSE 0 END) AS c
+      FROM e, g),
+p AS (SELECT vec_id AS probe_id, c AS pc FROM q WHERE vec_id < 8),
+sc AS (SELECT probe_id, q.vec_id AS neighbor_id,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_transform(range(1, 1 + len(pc)), i -> pc[i] * q.c[i])), (a, b) -> a + b) AS dot
+       FROM q CROSS JOIN p WHERE q.vec_id != probe_id),
+ar AS (SELECT probe_id, neighbor_id,
+         row_number() OVER (PARTITION BY probe_id ORDER BY dot DESC, neighbor_id) AS rank
+       FROM sc),
+approx AS (SELECT probe_id, neighbor_id FROM ar WHERE rank <= 5),
+pv AS (SELECT vec_id AS probe_id, v AS pvec FROM e WHERE vec_id < 8),
+ex0 AS (SELECT probe_id, e.vec_id AS neighbor_id,
+          row_number() OVER (PARTITION BY probe_id
+                             ORDER BY list_cosine_similarity(pvec, e.v) DESC, e.vec_id) AS rank
+        FROM e CROSS JOIN pv WHERE e.vec_id != probe_id),
+exact AS (SELECT probe_id, neighbor_id FROM ex0 WHERE rank <= 5)
+SELECT probe_id, CAST(count(*) AS BIGINT) AS n_exact,
+  CAST(count(a.neighbor_id) AS BIGINT) AS n_hit,
+  (10000 * count(a.neighbor_id)) // count(*) AS recall_bp
+FROM exact LEFT JOIN approx a USING (probe_id, neighbor_id)
+GROUP BY probe_id""",
+    "8-bit scalar quantization recall@5: vectors compressed 4x to uint8 "
+    "codes on a per-dimension [lo,hi] grid, neighbors scored by EXACT "
+    "integer dot product, anti-checked against brute-force cosine — the "
+    "memory-compression ANN path graded the same way as IVF/PQ. Grid is "
+    "one broadcast row (dim-sized combinable agg), corpus never shuffles "
+    "except the per-probe top-k window",
+)
+def emb_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 8)
+    exact = E.cosine_topk(emb, probes, k=5).select("probe_id", "neighbor_id")
+    approx = E.sq8_topk(emb, probes, k=5).select(
+        "probe_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    return (
+        exact.join(approx, ["probe_id", "neighbor_id"], "left")
+        .groupBy("probe_id")
+        .agg(
+            F.count("*").alias("n_exact"),
+            F.count("hit").alias("n_hit"),
+            F.floor(F.lit(10000) * F.count("hit") / F.count("*"))
+            .cast("long")
+            .alias("recall_bp"),
+        )
+    )

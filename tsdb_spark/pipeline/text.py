@@ -361,3 +361,42 @@ def chunk_windows(
         F.size(chunk).cast("long").alias("n_chunk_tokens"),
         hash64(F.array_join(chunk, " "), "chunk").alias("chunk_hash"),
     )
+
+
+#: conservative PII patterns, restricted to the regex subset on which
+#: Java (Spark) and RE2 (DuckDB/Go) agree exactly: literal classes,
+#: bounded/unbounded counted repeats, no backrefs or lookaround
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_DIGITS_RE = r"[0-9]{6,}"
+
+
+def pii_stats(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document PII detection report: email-address and long-digit-run
+    (id/phone-shaped) match counts, the total characters a redaction pass
+    would mask, and the keep/scrub verdict — the compliance gate a
+    training corpus runs before release.
+
+    Scale shape: MAP-ONLY — two regex extractions per row, zero shuffle;
+    the match lists never leave the task (only their counts/length sums
+    project out), so memory is bounded by one document regardless of
+    corpus size.
+    """
+    emails = F.regexp_extract_all(F.col(text_col), F.lit(PII_EMAIL_RE), 0)
+    digits = F.regexp_extract_all(F.col(text_col), F.lit(PII_DIGITS_RE), 0)
+
+    def total_len(matches):
+        return F.aggregate(
+            F.transform(matches, lambda m: F.length(m).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    return docs.select(
+        id_col,
+        F.size(emails).cast("long").alias("n_emails"),
+        F.size(digits).cast("long").alias("n_long_digits"),
+        (total_len(emails) + total_len(digits)).alias("masked_chars"),
+        ((F.size(emails) > 0) | (F.size(digits) > 0)).cast("int").alias("has_pii"),
+    )
