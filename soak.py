@@ -1,0 +1,189 @@
+#!/usr/bin/env python
+"""Scale soak: measure how the heavy paths scale when the data grows k-fold.
+
+/root/testdata tops out at sf0.1 (~600k samples), so the 100 TB claims
+rest on plan shapes. This soak manufactures the next decade locally:
+replicate the sf0.1 tables k times with shifted identities (events get
+k x the series via a user_id offset; documents/embeddings get k x the
+corpus via id offsets and a per-replica text tag so replicas are
+distinct documents, not exact dups), write them once to /tmp, then time
+each headline shape at 1x and kx IN THE SAME PROCESS and report
+time_k / (k * time_1) — `linearity` <= ~1.0 means the shape scales at
+or better than linearly (fixed per-job cost amortizes, no super-linear
+shuffle blowup).
+
+Prints ONE JSON line:
+  {"metric": "soak_linearity", "mult": k, "sf": ..., "queries":
+   {name: {"t1": s, "tk": s, "linearity": r}, ...}}
+
+Usage: python soak.py [--mult K]   (default 8; ~5 min at sf0.1)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def replicate(spark, mult: int, out_dir: str) -> None:
+    """Write kx copies of events/documents/embeddings with shifted ids."""
+    from pyspark.sql import functions as F
+
+    reps = spark.range(mult).select(F.col("id").alias("_rep"))
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    (
+        ev.crossJoin(F.broadcast(reps))
+        .select(
+            (F.col("event_id") + F.col("_rep") * 100_000_000).alias("event_id"),
+            "ts",
+            # new user ⇒ new series per replica: series cardinality
+            # scales with the data, like a fleet growing 10x
+            (F.col("user_id") + F.col("_rep") * 1_000_000).alias("user_id"),
+            "event_type",
+            "value",
+            "props",
+        )
+        .write.mode("overwrite")
+        .parquet(f"{out_dir}/events.parquet")
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    (
+        docs.crossJoin(F.broadcast(reps))
+        .select(
+            (F.col("doc_id") + F.col("_rep") * 1_000_000).alias("doc_id"),
+            # tag makes replicas DISTINCT docs (shared shingles, so the
+            # LSH join still works against realistic near-dup density)
+            F.when(F.col("_rep") == 0, F.col("text"))
+            .otherwise(F.concat_ws(" ", F.col("text"), F.concat(F.lit("rep"), F.col("_rep"))))
+            .alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+        .write.mode("overwrite")
+        .parquet(f"{out_dir}/documents.parquet")
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    (
+        emb.crossJoin(F.broadcast(reps))
+        .select(
+            (F.col("vec_id") + F.col("_rep") * 1_000_000).alias("vec_id"),
+            "embedding",
+            "label",
+        )
+        .write.mode("overwrite")
+        .parquet(f"{out_dir}/embeddings.parquet")
+    )
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mult", type=int, default=8)
+    args = ap.parse_args()
+    k = args.mult
+
+    from pyspark.sql import functions as F
+
+    from tsdb_spark import DB, eq, get_spark, neq, re_match
+    from tsdb_spark.queries import DAY, QUERIES, T0
+    import tsdb_spark.pipeline.queries  # noqa: F401 — registers pipeline entries
+    from tsdb_spark.sources.events import events_samples
+
+    spark = get_spark("soak")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    big = tempfile.mkdtemp(prefix="tsdb_soak_")
+    wh = tempfile.mkdtemp(prefix="tsdb_soak_wh_")
+    results: dict[str, dict[str, float]] = {}
+    try:
+        # warmup: pay JVM/codegen/first-shuffle fixed cost OUTSIDE the
+        # timed shapes, else the 1x run absorbs it and linearity reads
+        # artificially low (the r4 bench bisect showed first-execution
+        # fixed cost ~1s/shape on this box)
+        wdb = DB.create(spark, f"{wh}/warm", block_width_ms=6 * 3600 * 1000)
+        wdb.append(
+            events_samples(spark, "/root/testdata/sf0.001").select("labels", "t", "v"),
+            report=False,
+        )
+        wdb.querier(T0, T0 + 31 * DAY).select(
+            [re_match("__name__", ".*")], with_labels=False
+        ).agg(F.count("*")).collect()
+
+        replicate(spark, k, big)
+
+        def drain(df):
+            df.agg(F.count("*")).collect()
+
+        def shape(name, fn):
+            t0 = time.time()
+            fn(SF_DIR, f"{wh}/db1")
+            t1 = time.time() - t0
+            t0 = time.time()
+            fn(big, f"{wh}/dbk")
+            tk = time.time() - t0
+            results[name] = {
+                "t1": round(t1, 3),
+                "tk": round(tk, 3),
+                "linearity": round(tk / (k * t1), 3) if t1 > 0 else -1.0,
+            }
+            print(f"# {name}: 1x={t1:.1f}s {k}x={tk:.1f}s linearity={results[name]['linearity']}",
+                  file=sys.stderr)
+
+        dbs: dict[str, DB] = {}
+
+        def ingest(sf, store):
+            db = DB.create(spark, store, block_width_ms=6 * 3600 * 1000)
+            db.append(events_samples(spark, sf).select("labels", "t", "v"), report=False)
+            dbs[store] = db
+
+        shape("ingest", ingest)
+
+        def fullscan(sf, store):
+            drain(dbs[store].querier(T0, T0 + 31 * DAY).select(
+                [re_match("__name__", ".*")], with_labels=False))
+
+        shape("fullscan", fullscan)
+
+        def matchers(sf, store):
+            q = dbs[store].querier(T0, T0 + 31 * DAY)
+            drain(q.select([eq("__name__", "click"), neq("user", "3")], with_labels=False))
+
+        shape("matchers", matchers)
+
+        def compact(sf, store):
+            dbs[store].compact(24 * 3600 * 1000)
+
+        shape("compact", compact)
+
+        for qname, label in (
+            ("docs_dedup_minhash", "minhash"),
+            ("emb_ann_lsh", "ann"),
+            ("docs_chunk_windows", "chunking"),
+            ("docs_pack_shards", "packing"),
+        ):
+            shape(label, lambda sf, store, q=qname: drain(QUERIES[q].spark_fn(spark, sf)))
+
+        print(json.dumps({
+            "metric": "soak_linearity",
+            "mult": k,
+            "sf": float(os.path.basename(SF_DIR.rstrip("/"))[2:]),
+            "queries": results,
+        }))
+    finally:
+        shutil.rmtree(big, ignore_errors=True)
+        shutil.rmtree(wh, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1431,3 +1431,26 @@ def emb_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("recall_bp"),
         )
     )
+
+
+@register(
+    "docs_pack_shards",
+    f"""
+WITH d AS (SELECT source, doc_id,
+             CAST(len({SQL_TOKS}) AS BIGINT) AS n_tok
+           FROM documents),
+c AS (SELECT *, sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS cum_before
+      FROM d)
+SELECT source AS part, cum_before // 2048 AS shard_id,
+  CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS tok_sum,
+  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM c GROUP BY 1, 2""",
+    "sequence packing into training shards: per source stream (doc_id "
+    "order), docs are concatenated and cut every 2048 tokens "
+    "(concat-and-split, the pretraining batch layout); one row per "
+    "shard with doc count / token sum / id range. Running sum is "
+    "windowed per source — no global sort; rollup is combinable",
+)
+def docs_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.pack_shards(load_table(spark, sf_dir, "documents"), budget=2048)

@@ -400,3 +400,47 @@ def pii_stats(
         (total_len(emails) + total_len(digits)).alias("masked_chars"),
         ((F.size(emails) > 0) | (F.size(digits) > 0)).cast("int").alias("has_pii"),
     )
+
+
+def pack_shards(
+    docs: DataFrame,
+    budget: int = 2048,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    part_col: str = "source",
+) -> DataFrame:
+    """Greedy sequence packing: within each `part_col` stream (ordered
+    by `id_col`) documents are concatenated into one token stream and
+    cut every `budget` tokens; a document belongs to the shard where
+    its FIRST token lands (concat-and-split packing, the standard
+    pretraining batch layout — no padding waste, long docs span
+    shards).
+
+    Returns one row per (part, shard_id): doc count, token sum, and the
+    id range of the documents that start in the shard.
+
+    Scale shape: the running sum is windowed PER SOURCE — no global
+    sort, one ordered pass per stream; the final rollup is a combinable
+    groupBy on (source, shard_id). At 100 TB, sub-shard each source by
+    a doc-id hash prefix first to bound window-partition width; the
+    packing stays exact within each sub-stream.
+    """
+    from pyspark.sql import Window
+
+    n_tok = F.size(tokens_expr(text_col)).cast("long")
+    d = docs.select(F.col(part_col).alias("part"), F.col(id_col), n_tok.alias("n_tok"))
+    w = (
+        Window.partitionBy("part")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = d.withColumn("cum_before", F.sum("n_tok").over(w) - F.col("n_tok"))
+    return (
+        c.groupBy("part", F.expr(f"cum_before div {budget}").alias("shard_id"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("tok_sum"),
+            F.min(id_col).alias("first_doc"),
+            F.max(id_col).alias("last_doc"),
+        )
+    )

@@ -2315,6 +2315,174 @@ def tsdb_bottomk_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "tsdb_group_left",
+    _with_prelude("""
+, d AS (SELECT labels_str, user_lbl, event_type, t, min(v) AS v
+        FROM samples GROUP BY 1, 2, 3, 4),
+g AS (SELECT user_lbl, event_type, (t // 86400000) * 86400000 AS day,
+        CAST(count(*) AS BIGINT) AS n
+      FROM d GROUP BY 1, 2, 3),
+tot AS (SELECT user_lbl, day, CAST(sum(n) AS BIGINT) AS total
+        FROM g GROUP BY 1, 2)
+SELECT g.user_lbl AS "user", g.event_type AS name, g.day, g.n, tot.total,
+  (10000 * g.n) // tot.total AS share_bp
+FROM g JOIN tot ON g.user_lbl = tot.user_lbl AND g.day = tot.day"""),
+    "many-to-one vector matching with group_left (PromQL "
+    "`sum by(user,__name__)(x) / on(user) group_left sum by(user)(x)`, "
+    "promql/engine.go VectorMatching.Card=CardManyToOne): each "
+    "(user, metric, day) count joined against the per-user daily total, "
+    "extra labels carried from the many side — join keys are aggregate-"
+    "scale (users x days), never samples; integer basis-point share",
+)
+def tsdb_group_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        events_samples(spark, sf_dir)
+        .groupBy(
+            "labels_str",
+            F.col("labels").getItem("user").alias("user"),
+            F.col("labels").getItem("__name__").alias("name"),
+            "t",
+        )
+        .agg(F.min("v").alias("v"))
+    )
+    g = d.groupBy(
+        "user", "name", F.expr(f"t div {DAY} * {DAY}").alias("day")
+    ).agg(F.count("*").alias("n"))
+    tot = g.groupBy("user", "day").agg(F.sum("n").alias("total"))
+    # the "one" side is a strict rollup of the "many" side (one row per
+    # user-day vs one per user-metric-day) — both are aggregate-sized;
+    # the equi-join shuffles rollups, never raw samples, and AQE can
+    # broadcast the one side when it fits
+    return g.join(tot, ["user", "day"]).select(
+        "user",
+        "name",
+        "day",
+        "n",
+        "total",
+        F.floor(F.lit(10000) * F.col("n") / F.col("total")).cast("long").alias("share_bp"),
+    )
+
+
+@register(
+    "tsdb_quantile_agg",
+    _with_prelude("""
+, d AS (SELECT labels_str, t, min(v) AS v FROM samples GROUP BY 1, 2),
+g AS (SELECT labels_str, (t // 86400000) * 86400000 AS day,
+        CAST(sum(CAST(round(v * 100) AS BIGINT)) AS BIGINT) AS sum_c
+      FROM d GROUP BY 1, 2),
+q AS (SELECT day, list_sort(list(sum_c)) AS vs FROM g GROUP BY 1)
+SELECT day, CAST(len(vs) AS BIGINT) AS n_series,
+  vs[CAST(floor((len(vs) - 1) * 0.5) AS BIGINT) + 1] AS p50_c,
+  vs[CAST(floor((len(vs) - 1) * 0.9) AS BIGINT) + 1] AS p90_c
+FROM q"""),
+    "quantile() as an AGGREGATION across series (PromQL "
+    "`quantile(0.9, metric)`, the instant-vector dual of "
+    "quantile_over_time): per day, exact lower-rank p50/p90 of the "
+    "per-series daily centi-sums. Element-of-the-list quantile ⇒ "
+    "bit-exact on any engine; per-day state ∝ series count — the 100 TB "
+    "path swaps collect_list for approx_percentile with no plan change "
+    "upstream of the final agg",
+)
+def tsdb_quantile_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        events_samples(spark, sf_dir)
+        .groupBy("labels_str", "t")
+        .agg(F.min("v").alias("v"))
+    )
+    g = d.groupBy(
+        "labels_str", F.expr(f"t div {DAY} * {DAY}").alias("day")
+    ).agg(F.sum(F.round(F.col("v") * 100).cast("long")).alias("sum_c"))
+    q = g.groupBy("day").agg(F.sort_array(F.collect_list("sum_c")).alias("vs"))
+    n = F.size("vs")
+
+    def qt(p: float):
+        return F.element_at("vs", (F.floor((n - 1) * p) + 1).cast("int"))
+
+    return q.select(
+        "day",
+        n.cast("long").alias("n_series"),
+        qt(0.5).alias("p50_c"),
+        qt(0.9).alias("p90_c"),
+    )
+
+
+@register(
+    "tsdb_label_join",
+    _with_prelude("""
+, d AS (SELECT labels_str, user_lbl, event_type, t, min(v) AS v
+        FROM samples GROUP BY 1, 2, 3, 4)
+SELECT event_type || '/' || user_lbl AS joined,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(CAST(round(v * 100) AS BIGINT)) AS BIGINT) AS sum_c
+FROM d GROUP BY 1"""),
+    "label_join() (promql/functions.go funcLabelJoin): synthesize a new "
+    "label from existing ones with a separator, then aggregate by it — "
+    "map-only string concat feeding one combinable groupBy; the derived "
+    "label is load-bearing (it IS the group key), so a concat or "
+    "separator regression is hash-visible",
+)
+def tsdb_label_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        events_samples(spark, sf_dir)
+        .groupBy(
+            "labels_str",
+            F.col("labels").getItem("user").alias("user"),
+            F.col("labels").getItem("__name__").alias("name"),
+            "t",
+        )
+        .agg(F.min("v").alias("v"))
+    )
+    return d.groupBy(
+        F.concat_ws("/", F.col("name"), F.col("user")).alias("joined")
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("v") * 100).cast("long")).alias("sum_c"),
+    )
+
+
+@register(
+    "tsdb_math_fns",
+    _with_prelude("""
+, d AS (SELECT labels_str, t, min(v) AS v FROM samples GROUP BY 1, 2),
+g AS (SELECT labels_str, (t // 86400000) * 86400000 AS day,
+        max(v) AS mx, min(v) AS mn
+      FROM d GROUP BY 1, 2)
+SELECT labels_str, day,
+  CAST(ceil(abs(mx)) AS BIGINT) AS ceil_mx,
+  CAST(floor(abs(mn)) AS BIGINT) AS floor_mn,
+  round(sqrt(abs(mx)), 6) AS sqrt_mx,
+  round(ln(1 + abs(mx)), 6) AS ln1p_mx,
+  CAST(sign(mx - mn) AS BIGINT) AS sgn_range,
+  CAST(abs(CAST(round((mx - mn) * 100) AS BIGINT)) AS BIGINT) AS range_c
+FROM g"""),
+    "PromQL scalar math functions (promql/functions.go: abs, ceil, "
+    "floor, sqrt, ln, sgn): per series daily extrema pushed through the "
+    "function set — one combinable aggregate then map-only scalar "
+    "exprs, all inside whole-stage codegen. sqrt is IEEE-exact; ln is "
+    "round(6)-stable (ulp error ~1e-15 << the rounding step); the rest "
+    "are integer-exact",
+)
+def tsdb_math_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = (
+        events_samples(spark, sf_dir)
+        .groupBy("labels_str", "t")
+        .agg(F.min("v").alias("v"))
+        .groupBy("labels_str", F.expr(f"t div {DAY} * {DAY}").alias("day"))
+        .agg(F.max("v").alias("mx"), F.min("v").alias("mn"))
+    )
+    return g.select(
+        "labels_str",
+        "day",
+        F.ceil(F.abs("mx")).cast("long").alias("ceil_mx"),
+        F.floor(F.abs("mn")).cast("long").alias("floor_mn"),
+        F.round(F.sqrt(F.abs("mx")), 6).alias("sqrt_mx"),
+        F.round(F.log1p(F.abs("mx")), 6).alias("ln1p_mx"),
+        F.signum(F.col("mx") - F.col("mn")).cast("long").alias("sgn_range"),
+        F.abs(F.round((F.col("mx") - F.col("mn")) * 100).cast("long")).alias("range_c"),
+    )
+
+
 # registers the documents/embeddings pipeline queries into the same
 # registry (import at the bottom: pipeline.queries imports `register`
 # from this module)
