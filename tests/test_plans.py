@@ -196,3 +196,34 @@ def test_sq8_topk_broadcasts_grid_and_probes(spark):
     # sort-merge against either
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_pack_shards_has_no_global_sort(spark):
+    from tsdb_spark.pipeline.text import pack_shards
+
+    docs = spark.createDataFrame(
+        [(i, "tok " * (i % 7 + 1), f"s{i % 3}") for i in range(60)],
+        "doc_id LONG, text STRING, source STRING",
+    )
+    plan = _executed(pack_shards(docs, budget=8))
+    # the running token sum is windowed PER SOURCE: every Sort in the
+    # plan must be partition-local (global=false) — a global sort here
+    # would serialize the whole corpus through one range partitioner
+    for ln in plan.splitlines():
+        if "Sort [" in ln or "Sort(" in ln:
+            assert "false" in ln, f"global sort leaked into packing: {ln}"
+    assert "Window" in plan
+
+
+def test_group_left_joins_aggregates_not_samples(spark, tmp_path):
+    from tsdb_spark.queries import QUERIES
+
+    plan = _executed(
+        QUERIES["tsdb_group_left"].spark_fn(spark, "/root/testdata/sf0.001")
+    )
+    # the many-to-one join runs over two rollups: each join child must
+    # contain its own aggregate (i.e. the join is user x day sized, the
+    # raw samples were reduced before any join exchange)
+    assert "Join" in plan or "BroadcastHashJoin" in plan
+    agg_before_join = plan.count("HashAggregate")
+    assert agg_before_join >= 4  # partial+final for both sides
