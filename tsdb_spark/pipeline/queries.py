@@ -1454,3 +1454,34 @@ FROM c GROUP BY 1, 2""",
 )
 def docs_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.pack_shards(load_table(spark, sf_dir, "documents"), budget=2048)
+
+
+@register(
+    "docs_importance_weights",
+    f"""
+WITH t AS (SELECT doc_id, lang = 'en' AS is_t, {SQL_TOKS} AS toks FROM documents),
+b AS (SELECT doc_id, is_t,
+        unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS bg
+      FROM t WHERE len(toks) >= 2),
+occ AS (SELECT doc_id, is_t, bg, CAST(count(*) AS BIGINT) AS n_occ
+        FROM b GROUP BY 1, 2, 3),
+cts AS (SELECT bg, CAST(sum(n_occ) AS BIGINT) AS ct_r,
+          CAST(coalesce(sum(n_occ) FILTER (WHERE is_t), 0) AS BIGINT) AS ct_t
+        FROM occ GROUP BY 1),
+tot AS (SELECT CAST(sum(ct_r) AS BIGINT) AS nr, CAST(sum(ct_t) AS BIGINT) AS nt,
+          CAST(count(*) AS BIGINT) AS v
+        FROM cts)
+SELECT doc_id, CAST(sum(n_occ) AS BIGINT) AS n_bigrams,
+  CAST(sum(n_occ * CAST(round(1000 * (ln((ct_t + 1) / (nt + v))
+                                    - ln((ct_r + 1) / (nr + v)))) AS BIGINT)) AS BIGINT)
+    AS score_mn
+FROM occ JOIN cts USING (bg) CROSS JOIN tot
+GROUP BY doc_id""",
+    "DSIR-style importance weights: per-doc log-likelihood ratio of a "
+    "Laplace-smoothed target (lang=en) bigram LM vs the raw-corpus LM, "
+    "each occurrence's milli-nat term integer-rounded BEFORE the sum "
+    "(order-free exact fold). One explode + one combinable occurrence "
+    "groupBy; LM tables vocabulary-sized; totals broadcast",
+)
+def docs_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.importance_weights(load_table(spark, sf_dir, "documents"))

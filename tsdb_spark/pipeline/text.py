@@ -444,3 +444,70 @@ def pack_shards(
             F.max(id_col).alias("last_doc"),
         )
     )
+
+
+def importance_weights(
+    docs: DataFrame,
+    target: Column | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR-style data-selection weights (Xie et al. 2023, public):
+    score each document by the log-likelihood ratio between a TARGET
+    bigram LM and the RAW-corpus bigram LM, both Laplace-smoothed —
+    documents whose word transitions look like the target domain get
+    positive scores and are up-sampled for training.
+
+    `target` is a boolean Column over the doc row (default lang='en').
+    Returns (doc_id, n_bigrams, score_mn) with the score as an exact
+    integer sum of per-term milli-nats: each occurrence contributes
+    round(1000 * (ln p_target(bg) - ln p_raw(bg))), rounded BEFORE the
+    sum so the fold is order-free integer addition — no float-sum
+    nondeterminism across partitionings or engines.
+
+    Scale shape: one bigram explode (map-only), ONE combinable groupBy
+    to (doc, bigram) occurrence counts, the two LM count tables derive
+    from it vocabulary-sized, the totals row broadcasts; shuffle is
+    bounded by distinct (doc, bigram) pairs.
+    """
+    target = target if target is not None else (F.col("lang") == "en")
+    b = (
+        docs.withColumn("_toks", tokens_expr(text_col))
+        .filter(F.size("_toks") >= 2)
+        .select(
+            F.col(id_col),
+            target.alias("is_t"),
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(_toks) - 1),"
+                    " i -> concat(_toks[i-1], ' ', _toks[i]))"
+                )
+            ).alias("bg"),
+        )
+    )
+    occ = b.groupBy(id_col, "is_t", "bg").agg(F.count("*").alias("n_occ"))
+    cts = occ.groupBy("bg").agg(
+        F.sum("n_occ").alias("ct_r"),
+        F.coalesce(
+            F.sum(F.when(F.col("is_t"), F.col("n_occ"))), F.lit(0)
+        ).alias("ct_t"),
+    )
+    tot = cts.agg(
+        F.sum("ct_r").alias("nr"), F.sum("ct_t").alias("nt"), F.count("*").alias("v")
+    )
+    term_mn = F.round(
+        1000
+        * (
+            F.log((F.col("ct_t") + 1) / (F.col("nt") + F.col("v")))
+            - F.log((F.col("ct_r") + 1) / (F.col("nr") + F.col("v")))
+        )
+    ).cast("long")
+    return (
+        occ.join(cts, "bg")
+        .crossJoin(F.broadcast(tot))
+        .groupBy(id_col)
+        .agg(
+            F.sum("n_occ").alias("n_bigrams"),
+            F.sum(F.col("n_occ") * term_mn).alias("score_mn"),
+        )
+    )
