@@ -624,16 +624,22 @@ class DB:
         dropped lazily at read (subtract_intervals) until clean_tombstones.
         Returns number of series tombstoned."""
         self._check_writable()
-        ids = self.series().filter(L.compile_matchers(matchers)).select("series_id")
-        new = ids.withColumn("mint", F.lit(mint).cast("long")).withColumn(
-            "maxt", F.lit(maxt).cast("long")
-        )
-        merged = coalesce_intervals(self.tombstones().unionByName(new))
-        self._atomic_overwrite(merged.coalesce(1), self._tombstones_path)
+        # cache the matched ids: the count and the tombstone write both
+        # read them, and the matcher filter over the dim runs ONCE
+        ids = self.series().filter(L.compile_matchers(matchers)).select("series_id").cache()
+        try:
+            n = ids.count()  # materializes the cache
+            new = ids.withColumn("mint", F.lit(mint).cast("long")).withColumn(
+                "maxt", F.lit(maxt).cast("long")
+            )
+            merged = coalesce_intervals(self.tombstones().unionByName(new))
+            self._atomic_overwrite(merged.coalesce(1), self._tombstones_path)
+        finally:
+            ids.unpersist()
         # fresh intervals may hit previously tombstone-rewritten buckets
         self.meta.pop("ts_clean_buckets", None)
         self._bump_data_seq()  # rollup artifacts built pre-delete are stale
-        return new.count()
+        return n
 
     def clean_tombstones(self) -> None:
         """Rewrite affected partitions dropping tombstoned samples, then
