@@ -2483,6 +2483,70 @@ def tsdb_math_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "tsdb_set_ops",
+    _with_prelude("""
+, d AS (SELECT labels_str, user_lbl, event_type, k_bucket, t, min(v) AS v
+        FROM samples WHERE t >= {T0} AND t < {T0} + 7*{DAY} GROUP BY 1,2,3,4,5),
+a AS (SELECT user_lbl, (t // {DAY}) * {DAY} AS day, CAST(count(*) AS BIGINT) AS n
+      FROM d WHERE event_type = 'click' GROUP BY 1, 2),
+b AS (SELECT user_lbl, (t // {DAY}) * {DAY} AS day, CAST(count(*) AS BIGINT) AS n
+      FROM d WHERE event_type = 'view' AND k_bucket = 'high' GROUP BY 1, 2)
+SELECT 'and' AS op, a.user_lbl AS "user", a.day, a.n
+FROM a WHERE EXISTS (SELECT 1 FROM b WHERE b.user_lbl = a.user_lbl AND b.day = a.day)
+UNION ALL
+SELECT 'unless' AS op, a.user_lbl, a.day, a.n
+FROM a WHERE NOT EXISTS (SELECT 1 FROM b WHERE b.user_lbl = a.user_lbl AND b.day = a.day)
+UNION ALL
+SELECT 'or' AS op, user_lbl, day, n FROM a
+UNION ALL
+SELECT 'or' AS op, b.user_lbl, b.day, b.n
+FROM b WHERE NOT EXISTS (SELECT 1 FROM a WHERE a.user_lbl = b.user_lbl AND a.day = b.day)"""),
+    "PromQL set operators between instant vectors (promql/engine.go "
+    "VectorAnd/VectorOr/VectorUnless): A = daily click count per user, "
+    "B = daily high-k view count per user; `and` = left-semi join on the "
+    "matching label signature, `unless` = left-anti, `or` = A plus B's "
+    "non-matching elements (A's value wins on a match, PromQL's rule). "
+    "All three join on rollup keys ∝ users x days — never raw samples; "
+    "every join side is an aggregate, broadcast-eligible at any scale",
+)
+def tsdb_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = events_samples(spark, sf_dir).filter(
+        (F.col("t") >= T0) & (F.col("t") < T0 + 7 * DAY)
+    )
+    d = s.groupBy(
+        "labels_str",
+        F.col("labels").getItem("user").alias("user"),
+        F.col("labels").getItem("__name__").alias("name"),
+        F.col("labels").getItem("k_bucket").alias("k_bucket"),
+        "t",
+    ).agg(F.min("v").alias("v"))
+    day = (F.col("t") - F.pmod(F.col("t"), F.lit(DAY))).alias("day")
+    a = (
+        d.filter(F.col("name") == "click")
+        .groupBy("user", day)
+        .agg(F.count("*").alias("n"))
+    )
+    b = (
+        d.filter((F.col("name") == "view") & (F.col("k_bucket") == "high"))
+        .groupBy("user", day)
+        .agg(F.count("*").alias("n"))
+    )
+    keys = ["user", "day"]
+    v_and = a.join(b.select(*keys), keys, "left_semi").select(
+        F.lit("and").alias("op"), "user", "day", "n"
+    )
+    v_unless = a.join(b.select(*keys), keys, "left_anti").select(
+        F.lit("unless").alias("op"), "user", "day", "n"
+    )
+    v_or = a.select(F.lit("or").alias("op"), "user", "day", "n").unionByName(
+        b.join(a.select(*keys), keys, "left_anti").select(
+            F.lit("or").alias("op"), "user", "day", "n"
+        )
+    )
+    return v_and.unionByName(v_unless).unionByName(v_or)
+
+
 # registers the documents/embeddings pipeline queries into the same
 # registry (import at the bottom: pipeline.queries imports `register`
 # from this module)
