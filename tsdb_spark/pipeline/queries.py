@@ -1485,3 +1485,159 @@ GROUP BY doc_id""",
 )
 def docs_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.importance_weights(load_table(spark, sf_dir, "documents"))
+
+
+_SQL_DSIR = f"""
+t AS (SELECT doc_id, lang = 'en' AS is_t, {SQL_TOKS} AS toks FROM documents),
+b AS (SELECT doc_id, is_t,
+        unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS bg
+      FROM t WHERE len(toks) >= 2),
+occ AS (SELECT doc_id, is_t, bg, CAST(count(*) AS BIGINT) AS n_occ
+        FROM b GROUP BY 1, 2, 3),
+cts AS (SELECT bg, CAST(sum(n_occ) AS BIGINT) AS ct_r,
+          CAST(coalesce(sum(n_occ) FILTER (WHERE is_t), 0) AS BIGINT) AS ct_t
+        FROM occ GROUP BY 1),
+tot AS (SELECT CAST(sum(ct_r) AS BIGINT) AS nr, CAST(sum(ct_t) AS BIGINT) AS nt,
+          CAST(count(*) AS BIGINT) AS v
+        FROM cts),
+w AS (SELECT doc_id,
+        CAST(sum(n_occ * CAST(round(1000 * (ln((ct_t + 1) / (nt + v))
+                                          - ln((ct_r + 1) / (nr + v)))) AS BIGINT)) AS BIGINT)
+          AS score_mn
+      FROM occ JOIN cts USING (bg) CROSS JOIN tot
+      GROUP BY doc_id)
+""".strip()
+
+
+@register(
+    "docs_mixture_sample",
+    f"""
+WITH {_SQL_DSIR},
+s AS (SELECT d.doc_id, d.source, w.score_mn FROM documents d JOIN w USING (doc_id)),
+r AS (SELECT *,
+        CAST(row_number() OVER (PARTITION BY source
+                                ORDER BY score_mn DESC, doc_id) AS BIGINT) AS rank,
+        CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n_src
+      FROM s)
+SELECT doc_id, source, score_mn, rank,
+  CAST(CASE WHEN 4 * rank <= n_src THEN 1 ELSE 0 END AS BIGINT) AS kept
+FROM r""",
+    "DSIR-guided mixture selection: the top quartile of each source "
+    "stratum by importance weight (the deterministic analog of "
+    "importance RESAMPLING — Xie et al. '23 select by sampling "
+    "proportional to the weight; rank-thresholding makes the choice "
+    "rerun-stable and driver-verifiable). Weights reuse the DSIR "
+    "operator's combinable shape; ranking is one window per stratum "
+    "over DOC-count-sized rows (never token rows). At 100 TB the exact "
+    "per-stratum rank swaps for an approx-quantile score threshold "
+    "with the identical upstream plan",
+)
+def docs_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = T.importance_weights(docs)
+    s = docs.select("doc_id", "source").join(w.select("doc_id", "score_mn"), "doc_id")
+    win = Window.partitionBy("source").orderBy(F.desc("score_mn"), F.asc("doc_id"))
+    r = s.select(
+        "doc_id",
+        "source",
+        "score_mn",
+        F.row_number().over(win).cast("long").alias("rank"),
+        F.count("*").over(Window.partitionBy("source")).cast("long").alias("n_src"),
+    )
+    return r.select(
+        "doc_id",
+        "source",
+        "score_mn",
+        "rank",
+        F.when(4 * F.col("rank") <= F.col("n_src"), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("kept"),
+    )
+
+
+@register(
+    "emb_semdedup",
+    f"""
+WITH RECURSIVE {SQL_EMB_DUP},
+q AS (SELECT vec_id, v, list_transform(v, x -> CAST(floor(x * 1000000) AS BIGINT)) AS qv FROM corp),
+c0 AS (SELECT vec_id AS centroid_id, qv AS cq FROM q WHERE vec_id < 8),
+{_sql_lloyd(0)},
+{_sql_lloyd(1)},
+cent AS (SELECT centroid_id, list_transform(cq, x -> x / 1000000.0) AS cv FROM c2),
+asg0 AS (SELECT q.vec_id, q.v, centroid_id, cv,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY list_cosine_similarity(q.v, cv) DESC, centroid_id) AS r
+         FROM q CROSS JOIN cent),
+asg AS MATERIALIZED (SELECT vec_id, v, centroid_id,
+         CAST(floor(100000 * list_cosine_similarity(v, cv)) AS BIGINT) AS cent_cos_bp
+       FROM asg0 WHERE r = 1),
+prs AS MATERIALIZED (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       FROM asg a JOIN asg b ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+       WHERE floor(100000 * list_cosine_similarity(a.v, b.v)) >= 99000),
+{sql_cc("prs")},
+m AS (SELECT asg.vec_id, asg.centroid_id, asg.cent_cos_bp,
+        coalesce(cc.cluster_id, asg.vec_id) AS component
+      FROM asg LEFT JOIN cc ON cc.id = asg.vec_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY component
+                                   ORDER BY cent_cos_bp ASC, vec_id ASC) AS rk
+      FROM m)
+SELECT vec_id, centroid_id, component, cent_cos_bp,
+  CAST(CASE WHEN rk = 1 THEN 1 ELSE 0 END AS BIGINT) AS kept
+FROM r""",
+    "SemDeDup (Abbas et al. '23, public): k-means the corpus, find "
+    "cosine-duplicate pairs ONLY within each cluster (the cluster bound "
+    "is what makes semantic dedup tractable — pairwise work is "
+    "sum(cluster^2), never corpus^2; k is chosen so clusters stay "
+    "machine-sized at 100 TB), group duplicates into components, and "
+    "keep each component's LOWEST-centroid-similarity member (the "
+    "paper's keep-the-outlier rule). Reuses the trained k-means "
+    "quantizer, the broadcast assignment, and the connected-components "
+    "operator; the verdict columns are driver-verified bit-for-bit",
+)
+def emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corp = _emb_dup_corpus(spark, sf_dir)
+    cent = E.kmeans_centroids(corp, n_centroids=8, iters=2)
+    asg = E.ivf_assign(corp, centroids=cent)  # (id, vec, centroid_id)
+    scored = materialize(
+        asg.join(F.broadcast(cent), "centroid_id").select(
+            "id",
+            "vec",
+            "centroid_id",
+            F.floor(100000 * E.cosine_expr("vec", "_cent"))
+            .cast("long")
+            .alias("cent_cos_bp"),
+        )
+    )
+    a, b = scored.alias("a"), scored.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.centroid_id") == F.col("b.centroid_id"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .filter(
+            F.floor(100000 * E.cosine_expr(F.col("a.vec"), F.col("b.vec"))) >= 99000
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    )
+    cc = D.connected_components(pairs)  # (id, label)
+    m = scored.join(cc, scored["id"] == cc["id"], "left").select(
+        scored["id"].alias("vec_id"),
+        "centroid_id",
+        F.coalesce(cc["label"], scored["id"]).alias("component"),
+        "cent_cos_bp",
+    )
+    win = Window.partitionBy("component").orderBy(
+        F.asc("cent_cos_bp"), F.asc("vec_id")
+    )
+    return m.select(
+        "vec_id",
+        "centroid_id",
+        "component",
+        "cent_cos_bp",
+        F.when(F.row_number().over(win) == 1, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("kept"),
+    )
