@@ -517,7 +517,8 @@ class DB:
                 parted = out.repartitionByRange("t_bucket", "series_id")
 
             (
-                # hot appends write lz4: cheapest-CPU codec at parity
+                # hot appends write lz4_raw (the standardized LZ4_RAW,
+                # not legacy lz4hadoop): cheapest-CPU codec at parity
                 # read speed — the head-vs-block split the reference
                 # itself uses (uncompressed head chunks, compressed
                 # persisted blocks, head.go vs chunks/): compaction
@@ -525,7 +526,7 @@ class DB:
                 # default (zstd), so long-lived data stays dense.
                 parted.sortWithinPartitions("t_bucket", "series_id", "t")
                 .write.mode("append")
-                .option("compression", "lz4")
+                .option("compression", "lz4_raw")
                 .partitionBy("t_bucket")
                 .parquet(self._samples_path)
             )
