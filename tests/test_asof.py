@@ -1,0 +1,90 @@
+"""asof_join operator semantics: backward/forward, inclusivity at equal
+timestamps, tolerance horizon, unmatched rows, name collisions."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tsdb_spark.operators.asof import asof_join
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    left = spark.createDataFrame(
+        [("a", 10), ("a", 20), ("a", 35), ("b", 10), ("c", 10)],
+        "k string, ts long",
+    )
+    right = spark.createDataFrame(
+        [("a", 5, 1.0), ("a", 20, 2.0), ("a", 30, 3.0), ("b", 40, 4.0)],
+        "k string, t long, v double",
+    )
+    return left, right
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_backward_inclusive(frames):
+    left, right = frames
+    out = asof_join(left, right, on="k", left_t="ts", right_t="t")
+    assert _rows(out.select("k", "ts", "t", "v")) == sorted(
+        [
+            ("a", 10, 5, 1.0),
+            ("a", 20, 20, 2.0),   # equal timestamp matches
+            ("a", 35, 30, 3.0),
+            ("b", 10, None, None),  # right exists but only later
+            ("c", 10, None, None),  # no right rows at all
+        ]
+    )
+
+
+def test_forward_inclusive(frames):
+    left, right = frames
+    out = asof_join(left, right, on="k", left_t="ts", right_t="t", direction="forward")
+    assert _rows(out.select("k", "ts", "t", "v")) == sorted(
+        [
+            ("a", 10, 20, 2.0),
+            ("a", 20, 20, 2.0),
+            ("a", 35, None, None),
+            ("b", 10, 40, 4.0),
+            ("c", 10, None, None),
+        ]
+    )
+
+
+def test_tolerance(frames):
+    left, right = frames
+    out = asof_join(left, right, on="k", left_t="ts", right_t="t", tolerance=5)
+    assert _rows(out.select("k", "ts", "t", "v")) == sorted(
+        [
+            ("a", 10, 5, 1.0),      # gap 5 == tolerance: kept
+            ("a", 20, 20, 2.0),
+            ("a", 35, 30, 3.0),
+            ("b", 10, None, None),
+            ("c", 10, None, None),
+        ]
+    )
+    out2 = asof_join(left, right, on="k", left_t="ts", right_t="t", tolerance=4)
+    got = {(r["k"], r["ts"]): r["t"] for r in out2.collect()}
+    assert got[("a", 10)] is None  # gap 5 > 4: nulled
+
+
+def test_collision_suffix(spark):
+    left = spark.createDataFrame([("a", 10, "L")], "k string, t long, v string")
+    right = spark.createDataFrame([("a", 5, 9.0)], "k string, t long, v double")
+    out = asof_join(left, right, on="k")
+    row = out.collect()[0]
+    assert row["v"] == "L" and row["v_r"] == 9.0 and row["t_r"] == 5
+
+
+def test_one_shuffle_no_range_join(spark, frames):
+    left, right = frames
+    out = asof_join(left, right, on="k", left_t="ts", right_t="t")
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the strategy is union + window: no join node of any kind, and
+    # every row crosses the wire exactly once (one Exchange per union
+    # branch, both keyed on the join key — never a range-join explosion)
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "Exchange rangepartitioning" not in plan

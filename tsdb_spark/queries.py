@@ -2484,6 +2484,53 @@ def tsdb_math_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tsdb_instant_vector",
+    _with_prelude("""
+, d AS (SELECT labels_str, t, min(v) AS v FROM samples
+        WHERE t >= {T0} AND t < {T0} + 7*{DAY} GROUP BY 1, 2),
+grid AS (SELECT labels_str, {T0} + (6*3600000) * g.x AS ts
+         FROM (SELECT DISTINCT labels_str FROM d)
+         CROSS JOIN (SELECT unnest(range(0, 28)) AS x) g)
+SELECT g.labels_str, g.ts, d.t AS sample_t, d.v
+FROM grid g ASOF JOIN d
+  ON g.labels_str = d.labels_str AND d.t <= g.ts
+WHERE g.ts - d.t <= 6*3600000"""),
+    "PromQL instant-vector evaluation on a 6h query grid: per series per "
+    "grid step T, the most recent sample at-or-before T within the "
+    "lookback horizon (the promql/engine.go matrix-selector staleness "
+    "rule — the reference's querier serves the iterators, the evaluator "
+    "does this lookback in-process). Implemented on the engine's "
+    "distributed AS-OF JOIN (operators/asof.py): union + one ordered "
+    "window per series — shuffle = samples + grid rows ONCE, never a "
+    "per-step probe or a range-join explosion; DuckDB's native ASOF "
+    "JOIN is the oracle",
+)
+def tsdb_instant_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tsdb_spark.operators.asof import asof_join
+
+    HOUR6 = 6 * 3_600_000
+    d = (
+        events_samples(spark, sf_dir)
+        .filter((F.col("t") >= T0) & (F.col("t") < T0 + 7 * DAY))
+        .groupBy("labels_str", "t")
+        .agg(F.min("v").alias("v"))
+    )
+    grid = (
+        d.select("labels_str")
+        .distinct()
+        .crossJoin(
+            spark.range(28).select((F.lit(T0) + F.col("id") * HOUR6).alias("ts"))
+        )
+    )
+    out = asof_join(
+        grid, d, on="labels_str", left_t="ts", right_t="t", tolerance=HOUR6
+    )
+    return out.filter(F.col("t").isNotNull()).select(
+        "labels_str", "ts", F.col("t").alias("sample_t"), "v"
+    )
+
+
+@register(
     "tsdb_set_ops",
     _with_prelude("""
 , d AS (SELECT labels_str, user_lbl, event_type, k_bucket, t, min(v) AS v
