@@ -1641,3 +1641,112 @@ def emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("kept"),
     )
+
+
+@register(
+    "docs_cross_dedup",
+    f"""
+WITH {SQL_CORPUS},
+{SQL_SHINGLES},
+bh AS MATERIALIZED (SELECT doc_id, sh, list_transform(sh, x -> {sql_h("'mh'", "x")}) AS bh FROM sh),
+sig AS MATERIALIZED (SELECT doc_id,
+          list_transform(range(0, {D.N_HASHES}),
+                         s -> list_min(list_transform(bh, h ->
+                           ((h >> 30) * ({_MH_A})[s+1]
+                            + (h & {D.MASK30}) * ({_MH_B})[s+1]
+                            + ({_MH_C})[s+1]) & {D.MASK60}))) AS sig
+        FROM bh),
+banded AS MATERIALIZED (SELECT doc_id, b AS band_id,
+             {sql_h("'band' || b::VARCHAR", f"array_to_string(sig[b*{D.ROWS_PER_BAND}+1:b*{D.ROWS_PER_BAND}+{D.ROWS_PER_BAND}], ',')")} AS band_key
+           FROM sig CROSS JOIN range(0, {D.N_BANDS}) t(b)),
+cross_cand AS (SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+               FROM banded n JOIN banded o
+                 ON n.band_id = o.band_id AND n.band_key = o.band_key
+               WHERE n.doc_id >= 100000 AND o.doc_id < 100000),
+cv AS (SELECT new_id, old_id,
+         (10000 * len(list_intersect(sn.sh, so.sh)))
+           // (len(sn.sh) + len(so.sh) - len(list_intersect(sn.sh, so.sh))) AS jbp
+       FROM cross_cand c
+       JOIN sh sn ON sn.doc_id = c.new_id
+       JOIN sh so ON so.doc_id = c.old_id),
+hits AS (SELECT new_id, min(old_id) AS matched_id, max(jbp) AS best_jaccard_bp
+         FROM cv WHERE jbp >= 6000 GROUP BY new_id),
+incoming AS (SELECT doc_id FROM corpus WHERE doc_id >= 100000)
+SELECT i.doc_id, h.matched_id,
+  coalesce(h.best_jaccard_bp, 0) AS best_jaccard_bp,
+  CAST(CASE WHEN h.new_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
+FROM incoming i LEFT JOIN hits h ON h.new_id = i.doc_id""",
+    "incremental cross-corpus dedup: an INCOMING batch (the synthesized "
+    "exact+near copies) MinHash-banded against the EXISTING corpus only "
+    "— the band join is new-side x old-side, never corpus x corpus, so "
+    "a steady-state ingest pipeline pays bands(batch) join "
+    "bands(existing index) per batch (at 100 TB the old side is a "
+    "persisted band index partitioned by band, probed with partition "
+    "pruning; batch-internal duplicates route to the ordinary self-join "
+    "path first). Verdict per incoming doc: best existing match + keep "
+    "flag; exact-Jaccard verification only on cross candidates",
+)
+def docs_cross_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = materialize(D.minhash_signatures(_corpus(spark, sf_dir)))
+    CUT = 100000
+    # band both sides from the one signature pass, then equi-join
+    # new x old (never a full self-join)
+    from tsdb_spark.pipeline.dedup import N_BANDS, ROWS_PER_BAND
+    from tsdb_spark.pipeline.common import hash64
+
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                hash64(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.element_at("sig", b * ROWS_PER_BAND + r + 1)
+                            for r in range(ROWS_PER_BAND)
+                        ],
+                    ),
+                    f"band{b}",
+                ).alias("band_key"),
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    banded = sigs.select("id", F.explode(band_arr).alias("b")).select(
+        "id", "b.band_id", "b.band_key"
+    )
+    new_b = banded.filter(F.col("id") >= CUT).withColumnRenamed("id", "new_id")
+    old_b = banded.filter(F.col("id") < CUT).withColumnRenamed("id", "old_id")
+    cand = (
+        new_b.join(old_b, ["band_id", "band_key"])
+        .select("new_id", "old_id")
+        .distinct()
+    )
+    sh = sigs.select("id", "shingles")
+    cv = (
+        cand.join(
+            sh.withColumnRenamed("id", "new_id").withColumnRenamed("shingles", "sh_n"),
+            "new_id",
+        )
+        .join(
+            sh.withColumnRenamed("id", "old_id").withColumnRenamed("shingles", "sh_o"),
+            "old_id",
+        )
+    )
+    inter = F.size(F.array_intersect("sh_n", "sh_o"))
+    union = F.size("sh_n") + F.size("sh_o") - inter
+    jbp = F.floor(F.lit(10000) * inter / union).cast("long")
+    hits = (
+        cv.select("new_id", "old_id", jbp.alias("jbp"))
+        .filter(F.col("jbp") >= 6000)
+        .groupBy("new_id")
+        .agg(F.min("old_id").alias("matched_id"), F.max("jbp").alias("best_jaccard_bp"))
+    )
+    incoming = _corpus(spark, sf_dir).select("doc_id").filter(F.col("doc_id") >= CUT)
+    out = incoming.join(hits, incoming["doc_id"] == hits["new_id"], "left")
+    return out.select(
+        "doc_id",
+        "matched_id",
+        F.coalesce("best_jaccard_bp", F.lit(0)).cast("long").alias("best_jaccard_bp"),
+        F.when(F.col("new_id").isNull(), F.lit(1)).otherwise(F.lit(0)).cast("long").alias("kept"),
+    )
