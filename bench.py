@@ -178,6 +178,25 @@ def main() -> None:
             for qname in ("tsdb_histogram_quantile", "tsdb_holt_winters"):
                 QUERIES[qname].spark_fn(spark, SF_DIR).agg(F.count("*")).collect()
 
+        # instant-vector grid evaluation via the distributed as-of join
+        # (union + one ordered window per series)
+        with timed("asof"):
+            QUERIES["tsdb_instant_vector"].spark_fn(spark, SF_DIR).agg(
+                F.count("*")
+            ).collect()
+
+        # semantic dedup: k-means clusters bound the pairwise cosine work
+        with timed("semdedup"):
+            QUERIES["emb_semdedup"].spark_fn(spark, SF_DIR).agg(
+                F.count("*")
+            ).collect()
+
+        # incremental ingest dedup: new batch banded against the corpus
+        with timed("cross_dedup"):
+            QUERIES["docs_cross_dedup"].spark_fn(spark, SF_DIR).agg(
+                F.count("*")
+            ).collect()
+
         # compaction rewrite (compact_test.go:788 BenchmarkCompaction)
         # — runs on the pristine store so the number stays comparable
         # across rounds
