@@ -88,3 +88,48 @@ def test_one_shuffle_no_range_join(spark, frames):
     assert "Join" not in plan
     assert plan.count("Exchange hashpartitioning") <= 2
     assert "Exchange rangepartitioning" not in plan
+
+
+# ---------------------------------------------------------------- property
+
+from hypothesis import given, settings, HealthCheck
+from hypothesis import strategies as st
+
+_key = st.sampled_from(["a", "b"])
+_ts = st.integers(min_value=0, max_value=40)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    lrows=st.lists(st.tuples(_key, _ts), min_size=1, max_size=8),
+    rrows=st.lists(st.tuples(_key, _ts), min_size=0, max_size=8, unique=True),
+    tol=st.one_of(st.none(), st.integers(min_value=0, max_value=15)),
+    direction=st.sampled_from(["backward", "forward"]),
+)
+def test_asof_matches_python_model(spark, lrows, rrows, tol, direction):
+    left = spark.createDataFrame(lrows, "k string, ts long")
+    right = spark.createDataFrame(
+        [(k, t, float(t)) for k, t in rrows], "k string, t long, v double"
+    )
+    out = asof_join(
+        left, right, on="k", left_t="ts", right_t="t",
+        tolerance=tol, direction=direction,
+    )
+    got = sorted((r["k"], r["ts"], r["t"], r["v"]) for r in out.collect())
+
+    def model(k, ts):
+        if direction == "backward":
+            cand = [t for kk, t in rrows if kk == k and t <= ts]
+            m = max(cand, default=None)
+            ok = m is not None and (tol is None or ts - m <= tol)
+        else:
+            cand = [t for kk, t in rrows if kk == k and t >= ts]
+            m = min(cand, default=None)
+            ok = m is not None and (tol is None or m - ts <= tol)
+        return (k, ts, m, float(m)) if ok else (k, ts, None, None)
+
+    assert got == sorted(model(k, ts) for k, ts in lrows)

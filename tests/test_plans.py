@@ -227,3 +227,31 @@ def test_group_left_joins_aggregates_not_samples(spark, tmp_path):
     assert "Join" in plan or "BroadcastHashJoin" in plan
     agg_before_join = plan.count("HashAggregate")
     assert agg_before_join >= 4  # partial+final for both sides
+
+
+def test_cross_dedup_band_join_is_equi_never_nested_loop(spark):
+    # the incoming-vs-existing band join must compile to a hash/merge
+    # equi join on (band_id, band_key) — a nested-loop here would be
+    # batch x corpus at every ingest
+    from tsdb_spark.queries import QUERIES
+
+    df = QUERIES["docs_cross_dedup"].spark_fn(spark, "/root/testdata/sf0.001")
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_semdedup_only_nested_loop_is_the_centroid_broadcast(spark):
+    # the ONLY non-equi join in SemDeDup is the deliberate k-row
+    # centroid broadcast (the IVF assign); the within-cluster pair join
+    # must stay an equi join on centroid_id
+    from tsdb_spark.queries import QUERIES
+
+    df = QUERIES["emb_semdedup"].spark_fn(spark, "/root/testdata/sf0.001")
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    for ln in plan.splitlines():
+        if "BroadcastNestedLoopJoin" in ln:
+            assert "BuildRight" in ln or "BuildLeft" in ln  # broadcast side exists
