@@ -2484,6 +2484,63 @@ def tsdb_math_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_last_value",
+    _with_prelude("""
+, d AS (SELECT labels_str, t, min(v) AS v FROM samples
+        WHERE t < {T0} + 2*{DAY} GROUP BY 1, 2),
+r AS (SELECT labels_str, t, v,
+        row_number() OVER (PARTITION BY labels_str ORDER BY t DESC, v ASC) AS rk,
+        CAST(count(*) OVER (PARTITION BY labels_str) AS BIGINT) AS n_seen
+      FROM d)
+SELECT labels_str, n_seen, t AS last_t, v AS last_v FROM r WHERE rk = 1"""),
+    "per-series last-value serving state (custom stateful streaming, "
+    "applyInPandasWithState): every micro-batch refreshes each touched "
+    "series' (last_t, last_v) and a CUMULATIVE sample counter in "
+    "checkpointed state; run as two drains with a restart between, so "
+    "n_seen proves the state survived (a replay would double it, a "
+    "cold start would reset it). Readers take the max-n_seen row per "
+    "key from the append-only serving log; the oracle is the batch "
+    "arg-max over both days",
+)
+def stream_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tsdb_spark.streaming import last_value_stream
+
+    key = ("lastv", id(spark), sf_dir)
+    if key not in _ROLLUPS:
+        root = tempfile.mkdtemp(prefix="tsdb_q_lastv_")
+        src, out, ckpt = f"{root}/src", f"{root}/out", f"{root}/ckpt"
+        ev = (
+            events_samples(spark, sf_dir)
+            .select("labels_str", "t", "v")
+            .groupBy("labels_str", "t")
+            .agg(F.min("v").alias("v"))
+        )
+        schema = "labels_str STRING, t LONG, v DOUBLE"
+
+        def drain():
+            from tsdb_spark.streaming import stream_shuffle_partitions
+
+            with stream_shuffle_partitions(spark):
+                stream = spark.readStream.schema(schema).parquet(src + "/*")
+                last_value_stream(stream, out, ckpt).awaitTermination(300)
+
+        ev.filter(F.col("t") < T0 + DAY).write.parquet(f"{src}/day1")
+        drain()
+        ev.filter((F.col("t") >= T0 + DAY) & (F.col("t") < T0 + 2 * DAY)).write.parquet(
+            f"{src}/day2"
+        )
+        drain()
+        _ROLLUPS[key] = out
+    log = spark.read.parquet(_ROLLUPS[key])
+    w = Window.partitionBy("labels_str").orderBy(F.desc("n_seen"))
+    return (
+        log.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .select("labels_str", "n_seen", "last_t", "last_v")
+    )
+
+
+@register(
     "tsdb_instant_vector",
     _with_prelude("""
 , d AS (SELECT labels_str, t, min(v) AS v FROM samples

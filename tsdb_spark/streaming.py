@@ -96,6 +96,61 @@ def series_rate(stream: DataFrame, out_dir: str, checkpoint_dir: str):
     )
 
 
+LAST_OUT_SCHEMA = "labels_str STRING, n_seen LONG, last_t LONG, last_v DOUBLE"
+LAST_STATE_SCHEMA = "n_seen LONG, last_t LONG, last_v DOUBLE"
+
+
+def last_value_stream(stream: DataFrame, out_dir: str, checkpoint_dir: str):
+    """Per-series LAST-VALUE serving state — the streaming analog of the
+    instant-vector lookback: every micro-batch updates each touched
+    series' (last_t, last_v) and a cumulative sample counter, emitting
+    the refreshed serving row. State is O(1) per key over unbounded
+    input, checkpointed across restarts (the counter is the proof: after
+    a restart it keeps counting from the pre-restart total — replay
+    would double it, cold state would reset it).
+
+    Update rule, deterministic under arbitrary intra-batch arrival
+    order: keep the sample with the highest t; at an exact t tie keep
+    the minimum v (the engine's batch amend policy). On a finite input
+    the final serving row per series therefore equals the batch
+    arg-max — which is exactly what the oracle checks."""
+    import pandas as pd
+
+    def fn(key, pdfs, state):
+        n, last_t, last_v = state.get if state.exists else (0, None, None)
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        n += len(pdf)
+        cand = pdf.sort_values(["t", "v"], ascending=[False, True]).iloc[0]
+        ct, cv = int(cand["t"]), float(cand["v"])
+        if last_t is None or ct > last_t or (ct == last_t and cv < last_v):
+            last_t, last_v = ct, cv
+        state.update((n, last_t, last_v))
+        yield pd.DataFrame(
+            {
+                "labels_str": [key[0]],
+                "n_seen": [n],
+                "last_t": [last_t],
+                "last_v": [last_v],
+            }
+        )
+
+    out = stream.groupBy("labels_str").applyInPandasWithState(
+        fn, LAST_OUT_SCHEMA, LAST_STATE_SCHEMA, "append", "NoTimeout"
+    )
+    return (
+        # file sinks only support append; each batch APPENDS the
+        # refreshed serving row per touched key (a versioned upsert log
+        # — readers take the max-n_seen row per key)
+        out.writeStream.queryName("tsdb-last-value")
+        .outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 STRICT_OUT_SCHEMA = "labels_str STRING, t LONG, v DOUBLE"
 STRICT_STATE_SCHEMA = "last_t LONG, last_v DOUBLE"
 
