@@ -1266,6 +1266,43 @@ class DB:
             & (F.col("w_start") + width_ms - 1 <= F.lit(maxt))
         ).select("series_id", "w_start", "n", "min_v", "max_v", "sum_v")
 
+    def fresh_rollup_widths(self) -> list[int]:
+        """Widths with a materialized rollup artifact that is current at
+        this (ingest seq, data seq) — the resolutions `rollup_at_step`
+        may serve from without touching raw samples."""
+        ver = self._data_version()
+        return sorted(
+            int(w)
+            for w, v in self.meta.get("rollups", {}).items()
+            if list(v) == list(ver) and os.path.isdir(self._rollup_dir(int(w)))
+        )
+
+    def rollup_at_step(self, mint: int, maxt: int, step_ms: int) -> DataFrame:
+        """Serve (series_id, w_start, n, min_v, max_v, sum_v) at an
+        arbitrary step by RE-AGGREGATING the coarsest fresh rollup whose
+        width divides the step — the hierarchical-resolution read path
+        (Thanos/M3-style multi-resolution downsampling, beyond the
+        reference surface: Prometheus defers downsampling to remote
+        systems). n/min/max/sum are associative, so w-rollup rows merge
+        exactly into step windows; a 1-year step-1d query over a fresh
+        1h artifact reads 24 aggregate rows per series-day instead of
+        the raw scan — and the fallback (no usable artifact) computes
+        the identical expression from samples, so callers never branch.
+        """
+        usable = [w for w in self.fresh_rollup_widths() if step_ms % w == 0]
+        if not usable:
+            return self.rollup(mint, maxt, step_ms)
+        base = self.rollup(mint, maxt, max(usable))
+        step = (
+            F.col("w_start") - F.pmod(F.col("w_start"), F.lit(step_ms))
+        ).alias("w_start")
+        return base.groupBy("series_id", step).agg(
+            F.sum("n").alias("n"),
+            F.min("min_v").alias("min_v"),
+            F.max("max_v").alias("max_v"),
+            F.sum("sum_v").alias("sum_v"),
+        )
+
     def dump(self, mint: int = -(2**62), maxt: int = 2**62) -> DataFrame:
         """Full-store sample dump with labels, (labels_str, t)-ordered —
         the `tsdb dump` CLI (dumpSamples, cmd/tsdb/main.go:618-653)."""

@@ -2484,6 +2484,39 @@ def tsdb_math_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "store_rollup_hierarchy",
+    _with_prelude("""
+SELECT labels_str, (t // 21600000) * 21600000 AS w_start,
+  CAST(count(*) AS BIGINT) AS n, min(v) AS min_v, max(v) AS max_v,
+  round(sum(v), 2) AS sum_v
+FROM samples
+WHERE (t // 21600000) * 21600000 BETWEEN {T0} + 7*{DAY} AND {T0} + 21*{DAY} - 21600000
+GROUP BY 1, 2"""),
+    "hierarchical-resolution serving (rollup_at_step): a 6h-step range "
+    "query answered by RE-AGGREGATING the fresh 1h rollup artifact — "
+    "n/min/max/sum merge associatively, so the coarser answer is exact "
+    "while reading 6x fewer rows than the 1h artifact and ~1400x fewer "
+    "than raw 15s-class samples; must equal aggregating raw samples "
+    "directly (the oracle). The fallback path (no usable artifact) "
+    "computes the same expression from samples — callers never branch",
+)
+def store_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    db = _store(spark, sf_dir, "rollup")
+    assert 3_600_000 in db.fresh_rollup_widths()
+    r = db.rollup_at_step(T0 + 7 * DAY, T0 + 21 * DAY, 6 * 3_600_000)
+    return r.join(
+        F.broadcast(db.series().select("series_id", "labels_str")), "series_id"
+    ).select(
+        "labels_str",
+        "w_start",
+        "n",
+        "min_v",
+        "max_v",
+        F.round("sum_v", 2).alias("sum_v"),
+    )
+
+
+@register(
     "stream_last_value",
     _with_prelude("""
 , d AS (SELECT labels_str, t, min(v) AS v FROM samples
