@@ -1750,3 +1750,43 @@ def docs_cross_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("best_jaccard_bp", F.lit(0)).cast("long").alias("best_jaccard_bp"),
         F.when(F.col("new_id").isNull(), F.lit(1)).otherwise(F.lit(0)).cast("long").alias("kept"),
     )
+
+
+@register(
+    "mm_image_embed_ann",
+    """
+WITH d AS (SELECT doc_id, md5(text) AS digest FROM documents),
+e AS (SELECT doc_id,
+        list_transform(range(0, 3), b ->
+          (CAST(concat('0x', substr(md5(concat('img:', digest, ':', b::VARCHAR)), 1, 15))
+                AS BIGINT) % 256) / 255.0) AS emb
+      FROM d),
+p AS (SELECT doc_id AS probe_id, emb AS pv FROM e WHERE doc_id < 5),
+scored AS (SELECT probe_id, c.doc_id AS neighbor_id,
+             list_cosine_similarity(pv, c.emb) AS cos
+           FROM e c JOIN p ON c.doc_id != probe_id),
+r AS (SELECT probe_id, neighbor_id, cos,
+        CAST(row_number() OVER (PARTITION BY probe_id
+                                ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+      FROM scored)
+SELECT probe_id, neighbor_id, rank, CAST(floor(100000 * cos) AS BIGINT) AS cos_bp
+FROM r WHERE rank <= 3""",
+    "multimodal retrieval end-to-end: binary payload -> Arrow-batched "
+    "image decode (mapInPandas, deterministic fake codec) -> pooled "
+    "embedding (one component per 256-px block, exact in both engines) "
+    "-> brute-force cosine top-3 — the image-similarity-search chain "
+    "with every stage already production-shaped (the real codec swaps "
+    "into the decoder slot; the embedding pooling becomes a model UDF; "
+    "the ANN stage swaps for the IVF/LSH path at corpus scale)",
+)
+def mm_image_embed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    decoded = M.decode_image(M.with_payload(docs), 16, 16)
+    emb = decoded.select(
+        "doc_id",
+        F.array(
+            *[F.element_at("pixels", b * 256 + 1) for b in range(3)]
+        ).alias("embedding"),
+    )
+    probes = emb.filter(F.col("doc_id") < 5)
+    return E.cosine_topk(emb, probes, k=3, id_col="doc_id")
