@@ -2713,7 +2713,7 @@ GATE: tuple[str, ...] = (
     "tsdb_label_values",
     "tsdb_vertical_dedup",
     "tsdb_tombstone_delete",
-    "tsdb_lookback_buffer",
+    "tsdb_instant_vector",  # as-of join lookback (subsumes the buffer shape)
     "tsdb_block_stats",
     "tsdb_analyze_labels",
     "tsdb_histogram_quantile",
@@ -2743,7 +2743,7 @@ GATE: tuple[str, ...] = (
     "docs_decontaminate",
     "docs_dedup_exact",
     "docs_dedup_minhash",
-    "docs_dedup_simhash",
+    "emb_semdedup",  # semantic dedup (simhash stays selfcheck-verified)
     "docs_dedup_clusters",
     "docs_curated_corpus",
     # -- embeddings pipeline --
