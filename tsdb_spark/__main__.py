@@ -10,6 +10,7 @@ command table: bench write / ls / analyze / dump).
     python -m tsdb_spark stream   <store> --source DIR --checkpoint DIR
     python -m tsdb_spark plan     <store>
     python -m tsdb_spark compact  <store> [--width MS]
+    python -m tsdb_spark rollup   <store> [--width MS | --serve-step MS]
     python -m tsdb_spark vacuum   <store>
 
 Every command opens one SparkSession sized from $SPARK_GRAFT_CPUS and
@@ -84,6 +85,20 @@ def main(argv: list[str] | None = None) -> int:
 
     p_va = sub.add_parser("vacuum", help="small-file defragmentation")
     p_va.add_argument("store")
+
+    p_ro = sub.add_parser(
+        "rollup",
+        help="materialize the per-series rollup artifact, or serve a "
+        "step-aggregated range from the freshest usable one",
+    )
+    p_ro.add_argument("store")
+    p_ro.add_argument("--width", type=int, default=3_600_000,
+                      help="artifact width to materialize (ms)")
+    p_ro.add_argument("--serve-step", type=int, default=None,
+                      help="instead of materializing, print the range "
+                      "aggregated to this step (ms) via rollup_at_step")
+    p_ro.add_argument("--mint", type=int, default=-(2**62))
+    p_ro.add_argument("--maxt", type=int, default=2**62)
 
     args = ap.parse_args(argv)
 
@@ -180,6 +195,17 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "vacuum":
         db = DB.open(spark, args.store)
         print(f"rewrote buckets: {db.vacuum()}")
+    elif args.cmd == "rollup":
+        if args.serve_step is not None:
+            db = DB.open_readonly(spark, args.store)
+            usable = [w for w in db.fresh_rollup_widths() if args.serve_step % w == 0]
+            src = f"artifact w={max(usable)}" if usable else "raw samples (no fresh artifact)"
+            print(f"serving step={args.serve_step} ms from {src}")
+            db.rollup_at_step(args.mint, args.maxt, args.serve_step).show(50, False)
+        else:
+            db = DB.open(spark, args.store)
+            db.materialize_rollup(args.width)
+            print(f"materialized rollup artifact at width {args.width} ms")
     return 0
 
 
