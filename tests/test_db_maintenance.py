@@ -609,3 +609,35 @@ def test_replay_append_fragments_files_per_batch(spark, tmp_path):
     assert len(files) >= 2  # fragmented, not one coalesced file
     seqs = {r["ingest_seq"] for r in spark.read.parquet(bucket_dir).collect()}
     assert seqs == {1, 2, 3, 4, 5}
+
+
+def test_rollup_at_step_artifact_vs_fallback(spark, tmp_path):
+    # the re-aggregated artifact answer must equal the on-the-fly answer
+    # (and the fallback path must be taken when no width divides)
+    from tsdb_spark.db import DB
+
+    W = 3_600_000
+    db = DB.create(spark, str(tmp_path / "db"), block_width_ms=6 * W)
+    rows = spark.createDataFrame(
+        [({"m": "x"}, i * 600_000, float(i % 17)) for i in range(72)],
+        "labels MAP<STRING,STRING>, t LONG, v DOUBLE",
+    )
+    db.append(rows)
+    db.materialize_rollup(W)
+    assert db.fresh_rollup_widths() == [W]
+
+    def norm(df):
+        return sorted(
+            (r["series_id"], r["w_start"], r["n"], r["min_v"], r["max_v"], round(r["sum_v"], 6))
+            for r in df.collect()
+        )
+
+    served = norm(db.rollup_at_step(0, 12 * W - 1, 2 * W))   # 2h from 1h artifact
+    fallback = norm(db.rollup(0, 12 * W - 1, 2 * W))          # direct expression
+    assert served == fallback and len(served) > 0
+    # step not divisible by any artifact -> fallback, still correct
+    odd = norm(db.rollup_at_step(0, 12 * W - 1, 90 * 60 * 1000))
+    assert odd == norm(db.rollup(0, 12 * W - 1, 90 * 60 * 1000))
+    # append invalidates freshness
+    db.append(rows.limit(1).withColumn("t", F.lit(100 * W)))
+    assert db.fresh_rollup_widths() == []
