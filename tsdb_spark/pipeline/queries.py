@@ -1790,3 +1790,51 @@ def mm_image_embed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     probes = emb.filter(F.col("doc_id") < 5)
     return E.cosine_topk(emb, probes, k=3, id_col="doc_id")
+
+
+@register(
+    "emb_knn_graph",
+    f"""
+WITH {SQL_EMB},
+coded AS (SELECT vec_id, v, {_sql_lsh_code('v')} AS bucket FROM e),
+scored AS (SELECT a.vec_id, b.vec_id AS neighbor_id,
+             list_cosine_similarity(a.v, b.v) AS cos
+           FROM coded a JOIN coded b
+             ON a.bucket = b.bucket AND a.vec_id != b.vec_id),
+r AS (SELECT vec_id, neighbor_id, cos,
+        CAST(row_number() OVER (PARTITION BY vec_id
+                                ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+      FROM scored)
+SELECT vec_id, neighbor_id, rank, CAST(floor(100000 * cos) AS BIGINT) AS cos_bp
+FROM r WHERE rank <= 3""",
+    "approximate kNN GRAPH over the whole corpus (every vector's top-3 "
+    "within its LSH bucket) — the input relation for graph-based "
+    "clustering / SNN dedup / connectivity analysis. Unlike the probe "
+    "queries the probe set IS the corpus, so the cost shape is the "
+    "bucket self-join: sum over buckets of size^2, bounded by the "
+    "hyperplane count (add planes to halve buckets), never corpus^2; "
+    "the per-vector top-k is one partial-sort-combinable window",
+)
+def emb_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    coded = emb.withColumn("bucket", E.lsh_bucket_expr("v"))
+    a = coded.select("vec_id", "v", "bucket")
+    b = coded.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv"), "bucket"
+    )
+    scored = a.join(b, "bucket").filter(
+        F.col("vec_id") != F.col("neighbor_id")
+    ).withColumn("cos", E.cosine_expr("v", "nv"))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "vec_id",
+            "neighbor_id",
+            "rank",
+            F.floor(F.lit(100000) * F.col("cos")).cast("long").alias("cos_bp"),
+        )
+    )
