@@ -255,3 +255,17 @@ def test_semdedup_only_nested_loop_is_the_centroid_broadcast(spark):
     for ln in plan.splitlines():
         if "BroadcastNestedLoopJoin" in ln:
             assert "BuildRight" in ln or "BuildLeft" in ln  # broadcast side exists
+
+
+def test_huge_matched_dim_skips_broadcast(spark, store):
+    # force the guard: with the limit at 0 the broadcast hint must be
+    # omitted (AQE then owns the join strategy); results stay identical
+    plan_small = _executed(store.querier(0, WIDTH * 4).select([eq("__name__", "m")]))
+    assert "BroadcastHashJoin" in plan_small
+    store.broadcast_series_limit = 0
+    try:
+        df = store.querier(0, WIDTH * 4).select([eq("__name__", "m")])
+        n = df.count()
+        assert n == 240
+    finally:
+        del store.broadcast_series_limit

@@ -1503,8 +1503,9 @@ class Querier:
             matched = self.db.series().join(ids, "series_id", "left_semi")
         else:
             matched = self.db.series().filter(L.compile_matchers(matchers))
+        matched = self._bounded_broadcast(matched)
         s = self._pruned_samples().join(
-            F.broadcast(matched.select("series_id")), "series_id", "left_semi"
+            matched.select("series_id"), "series_id", "left_semi"
         )
         widths, base = self.db.bucket_widths, self.db.block_width_ms
         dirty = [
@@ -1521,7 +1522,25 @@ class Querier:
             tombs = self.db.tombstones()
             s = subtract_intervals(s, tombs)
         cols = ["labels_str", "series_id", "t", "v"] + (["labels"] if with_labels else [])
-        return s.join(F.broadcast(matched), "series_id", "inner").select(*cols)
+        return s.join(matched, "series_id", "inner").select(*cols)
+
+    def _bounded_broadcast(self, matched: DataFrame) -> DataFrame:
+        """Broadcast the matched dim slice only while it provably fits.
+
+        The broadcast is what keeps a select shuffle-free — but a
+        matcher like {job=~".+"} on a 100M-series store would ship the
+        whole dim to every executor and OOM the driver first. Guard:
+        if the WHOLE dim is under the limit the slice trivially is
+        (zero extra jobs — the dim is cached, its count is memoized by
+        Spark); otherwise one cheap count over the cached dim decides.
+        Past the limit the hint is omitted and AQE picks a shuffled
+        join — at that selectivity the samples-side shuffle is the
+        honest cost, not a planning failure."""
+        limit = getattr(self.db, "broadcast_series_limit", 5_000_000)
+        dim = self.db.series()
+        if dim.count() <= limit or matched.count() <= limit:
+            return F.broadcast(matched)
+        return matched
 
     def select_sorted(self, matchers: list[L.Matcher]) -> DataFrame:
         """select() ordered by (labels, t) — the reference's output order
