@@ -449,9 +449,16 @@ class DB:
 
             if strict_order:
                 maxt = self.samples().groupBy("series_id").agg(F.max("t").alias("_maxt"))
+                # dim-scale frame: broadcast only while the dim provably
+                # fits (same guard as the select path — a 100M-series
+                # store must not ship per-series maxima to every executor)
+                if self.series().count() <= getattr(
+                    self, "broadcast_series_limit", 5_000_000
+                ):
+                    maxt = F.broadcast(maxt)
                 if report:
                     before = clean.count()
-                clean = clean.join(F.broadcast(maxt), "series_id", "left").filter(
+                clean = clean.join(maxt, "series_id", "left").filter(
                     F.col("_maxt").isNull() | (F.col("t") > F.col("_maxt"))
                 ).drop("_maxt")
                 if report:
@@ -565,10 +572,17 @@ class DB:
             # phantom dim entries (commit-ordering note in the docstring).
             # Reads the CACHED batch — dedup + anti-join, no re-decode.
             existing = self.series().select("series_id")
+            if self.series().count() <= getattr(
+                self, "broadcast_series_limit", 5_000_000
+            ):
+                # dim-scale guard (see select): past the limit the
+                # anti-join shuffles batch-candidates vs dim ids — both
+                # id-only relations — instead of shipping the dim around
+                existing = F.broadcast(existing)
             new_series = (
                 rows.select("series_id", "labels", "labels_str")
                 .dropDuplicates(["series_id"])
-                .join(F.broadcast(existing), "series_id", "left_anti")
+                .join(existing, "series_id", "left_anti")
             )
             if report:
                 new_series = new_series.cache()
