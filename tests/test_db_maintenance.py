@@ -638,6 +638,10 @@ def test_rollup_at_step_artifact_vs_fallback(spark, tmp_path):
     # step not divisible by any artifact -> fallback, still correct
     odd = norm(db.rollup_at_step(0, 12 * W - 1, 90 * 60 * 1000))
     assert odd == norm(db.rollup(0, 12 * W - 1, 90 * 60 * 1000))
+    # UNALIGNED maxt: the re-agg path must exclude the partial edge
+    # window exactly like the direct path does
+    ragged = norm(db.rollup_at_step(0, 11 * W, 2 * W))
+    assert ragged == norm(db.rollup(0, 11 * W, 2 * W))
     # append invalidates freshness
     db.append(rows.limit(1).withColumn("t", F.lit(100 * W)))
     assert db.fresh_rollup_widths() == []

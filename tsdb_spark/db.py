@@ -1310,11 +1310,21 @@ class DB:
         step = (
             F.col("w_start") - F.pmod(F.col("w_start"), F.lit(step_ms))
         ).alias("w_start")
-        return base.groupBy("series_id", step).agg(
-            F.sum("n").alias("n"),
-            F.min("min_v").alias("min_v"),
-            F.max("max_v").alias("max_v"),
-            F.sum("sum_v").alias("sum_v"),
+        return (
+            base.groupBy("series_id", step)
+            .agg(
+                F.sum("n").alias("n"),
+                F.min("min_v").alias("min_v"),
+                F.max("max_v").alias("max_v"),
+                F.sum("sum_v").alias("sum_v"),
+            )
+            # same contract as rollup(): only step windows FULLY inside
+            # the closed range — without this, an unaligned maxt would
+            # emit a PARTIAL edge window the direct path excludes
+            .filter(
+                (F.col("w_start") >= F.lit(mint))
+                & (F.col("w_start") + step_ms - 1 <= F.lit(maxt))
+            )
         )
 
     def dump(self, mint: int = -(2**62), maxt: int = 2**62) -> DataFrame:
