@@ -1838,3 +1838,141 @@ def emb_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.lit(100000) * F.col("cos")).cast("long").alias("cos_bp"),
         )
     )
+
+
+@register(
+    "docs_pipeline_funnel",
+    f"""
+WITH RECURSIVE {SQL_CORPUS},
+{SQL_SHINGLES},
+{SQL_MINHASH_PAIRS},
+{sql_cc("verified")},
+{SQL_DECON},
+ftoks AS (SELECT doc_id, text, {SQL_TOKS} AS toks FROM corpus),
+s1 AS (SELECT doc_id, text FROM corpus),
+s2 AS (SELECT f.doc_id, f.text FROM ftoks f
+       WHERE len(toks) BETWEEN 10 AND 100000
+         AND (10000 * len(list_filter(toks, x -> x IN {T.EN_STOPWORDS!r}))) // len(toks) >= 100),
+s3 AS (SELECT doc_id, text FROM (
+         SELECT doc_id, text,
+           min(doc_id) OVER (PARTITION BY md5(text)) AS canon
+         FROM s2) WHERE doc_id = canon),
+canon4 AS (SELECT cc.cluster_id, min(s3.doc_id) AS keep_id
+           FROM s3 JOIN cc ON cc.id = s3.doc_id GROUP BY cc.cluster_id),
+s4 AS (SELECT s3.doc_id, s3.text FROM s3
+       LEFT JOIN cc ON cc.id = s3.doc_id
+       LEFT JOIN canon4 ON canon4.cluster_id = cc.cluster_id
+       WHERE cc.id IS NULL OR s3.doc_id = canon4.keep_id),
+probe_sh AS (SELECT DISTINCT sh FROM dsh WHERE doc_id < 100000 AND doc_id % 14 = 0),
+dirty AS (SELECT DISTINCT d.doc_id FROM dsh d JOIN probe_sh p ON d.sh = p.sh),
+s5 AS (SELECT s4.doc_id, s4.text FROM s4
+       WHERE s4.doc_id NOT IN (SELECT doc_id FROM dirty)),
+s6 AS (SELECT s5.doc_id, s5.text FROM s5
+       JOIN documents base ON base.doc_id = s5.doc_id % 100000
+       WHERE {sql_h("'strat'", "CAST(s5.doc_id AS VARCHAR)")} % 10000
+             < 500 + (CAST(substr(base.source, 4) AS BIGINT) * 450) % 9000)
+SELECT * FROM (
+  SELECT CAST(1 AS BIGINT) AS stage_idx, 'raw' AS stage,
+    CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(length(text)) AS BIGINT) AS n_chars FROM s1
+  UNION ALL SELECT 2, 'quality', CAST(count(*) AS BIGINT), CAST(sum(length(text)) AS BIGINT) FROM s2
+  UNION ALL SELECT 3, 'exact_dedup', CAST(count(*) AS BIGINT), CAST(sum(length(text)) AS BIGINT) FROM s3
+  UNION ALL SELECT 4, 'near_dedup', CAST(count(*) AS BIGINT), CAST(sum(length(text)) AS BIGINT) FROM s4
+  UNION ALL SELECT 5, 'decontaminated', CAST(count(*) AS BIGINT), CAST(sum(length(text)) AS BIGINT) FROM s5
+  UNION ALL SELECT 6, 'sampled', CAST(count(*) AS BIGINT), CAST(sum(length(text)) AS BIGINT) FROM s6)""",
+    "the WHOLE curation pipeline as one driver-verified funnel: raw "
+    "corpus -> C4 quality gate -> exact dedup (md5 canonical) -> "
+    "near-dedup (MinHash-LSH clusters, canonical re-elected among "
+    "survivors) -> benchmark decontamination (5-shingle overlap with "
+    "the probe set) -> stratified sampling; one row per stage with doc "
+    "and char counts. Every stage reuses the production operator and "
+    "its scale shape (combinable hash aggs, banded joins, broadcast "
+    "probes, map-only sampling) — the dataset-card funnel a real "
+    "pipeline publishes",
+)
+def docs_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tsdb_spark.pipeline.common import hash64
+    from tsdb_spark.pipeline.dedup import shingles_of_tokens
+    from tsdb_spark.pipeline.sampling import sample_key_expr
+
+    corpus = materialize(_corpus(spark, sf_dir))
+    toks = T.tokens_expr("text")
+    n_toks = F.size("_toks")
+    stop = F.size(F.filter("_toks", lambda t: t.isin(*T.EN_STOPWORDS)))
+    s2 = (
+        corpus.withColumn("_toks", toks)
+        .filter(
+            n_toks.between(10, 100000)
+            & (F.floor(10000 * stop / n_toks) >= 100)
+        )
+        .select("doc_id", "text")
+    )
+    w_md5 = Window.partitionBy(F.md5("text"))
+    s3 = (
+        s2.withColumn("_canon", F.min("doc_id").over(w_md5))
+        .filter(F.col("doc_id") == F.col("_canon"))
+        .select("doc_id", "text")
+    )
+    cc = _minhash_clusters(spark, sf_dir).select("id", "cluster_id")
+    canon4 = (
+        s3.join(cc, s3["doc_id"] == cc["id"])
+        .groupBy("cluster_id")
+        .agg(F.min("doc_id").alias("keep_id"))
+    )
+    s4 = (
+        s3.join(cc, s3["doc_id"] == cc["id"], "left")
+        .join(F.broadcast(canon4), "cluster_id", "left")
+        .filter(cc["id"].isNull() | (s3["doc_id"] == F.col("keep_id")))
+        .select(s3["doc_id"], s3["text"])
+    )
+    # distinct 5-shingle hashes of every corpus doc (== SQL_DECON's dsh)
+    dsh = (
+        corpus.withColumn("_toks", toks)
+        .filter(F.size("_toks") >= 5)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        shingles_of_tokens(F.col("_toks"), 5),
+                        lambda s: hash64(s, "decon"),
+                    )
+                )
+            ).alias("sh"),
+        )
+    )
+    probe_sh = dsh.filter(
+        (F.col("doc_id") < 100000) & (F.col("doc_id") % 14 == 0)
+    ).select("sh").distinct()
+    dirty = (
+        dsh.join(F.broadcast(probe_sh), "sh").select("doc_id").distinct()
+    )
+    s5 = s4.join(dirty, "doc_id", "left_anti")
+    base = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("_base_id"), "source"
+    )
+    rate = (
+        F.lit(500)
+        + (F.substring("source", 4, 10).cast("long") * 450) % 9000
+    )
+    s6 = (
+        s5.join(F.broadcast(base), s5["doc_id"] % 100000 == F.col("_base_id"))
+        .filter(sample_key_expr(F.col("doc_id")) < rate)
+        .select("doc_id", "text")
+    )
+
+    def stage(i, name, df):
+        return df.agg(
+            F.lit(i).cast("long").alias("stage_idx"),
+            F.lit(name).alias("stage"),
+            F.count("*").cast("long").alias("n_docs"),
+            F.coalesce(F.sum(F.length("text")), F.lit(0)).cast("long").alias("n_chars"),
+        )
+
+    out = stage(1, "raw", corpus)
+    for i, (name, df) in enumerate(
+        [("quality", s2), ("exact_dedup", s3), ("near_dedup", s4),
+         ("decontaminated", s5), ("sampled", s6)],
+        start=2,
+    ):
+        out = out.unionByName(stage(i, name, df))
+    return out
