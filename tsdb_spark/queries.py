@@ -2745,7 +2745,7 @@ GATE: tuple[str, ...] = (
     "docs_dedup_minhash",
     "emb_semdedup",  # semantic dedup (simhash stays selfcheck-verified)
     "docs_dedup_clusters",
-    "docs_curated_corpus",
+    "docs_pipeline_funnel",  # end-to-end funnel (subsumes the curation verdict; that stays selfcheck-verified)
     # -- embeddings pipeline --
     "emb_cosine_topk",
     "emb_ann_lsh",
