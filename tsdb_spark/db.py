@@ -270,6 +270,19 @@ class DB:
         self._series_cache = (ver, df)
         return df
 
+    def series_count(self) -> int:
+        """Series cardinality, memoized per data version — the broadcast
+        guards consult it on EVERY select, so it must not cost a Spark
+        job each time (the first call per version materializes the
+        cached dim, which warm_index already does at ingest)."""
+        ver = tuple(self._data_version())
+        cached = getattr(self, "_series_count_cache", None)
+        if cached is not None and cached[0] == ver:
+            return cached[1]
+        n = self.series().count()
+        self._series_count_cache = (ver, n)
+        return n
+
     def tombstones(self) -> DataFrame:
         return self._read_or_empty(self._tombstones_path, TOMBSTONES_SCHEMA)
 
@@ -452,7 +465,7 @@ class DB:
                 # dim-scale frame: broadcast only while the dim provably
                 # fits (same guard as the select path — a 100M-series
                 # store must not ship per-series maxima to every executor)
-                if self.series().count() <= getattr(
+                if self.series_count() <= getattr(
                     self, "broadcast_series_limit", 5_000_000
                 ):
                     maxt = F.broadcast(maxt)
@@ -572,7 +585,7 @@ class DB:
             # phantom dim entries (commit-ordering note in the docstring).
             # Reads the CACHED batch — dedup + anti-join, no re-decode.
             existing = self.series().select("series_id")
-            if self.series().count() <= getattr(
+            if self.series_count() <= getattr(
                 self, "broadcast_series_limit", 5_000_000
             ):
                 # dim-scale guard (see select): past the limit the
@@ -1561,8 +1574,7 @@ class Querier:
         join — at that selectivity the samples-side shuffle is the
         honest cost, not a planning failure."""
         limit = getattr(self.db, "broadcast_series_limit", 5_000_000)
-        dim = self.db.series()
-        if dim.count() <= limit or matched.count() <= limit:
+        if self.db.series_count() <= limit or matched.count() <= limit:
             return F.broadcast(matched)
         return matched
 
