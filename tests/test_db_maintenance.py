@@ -645,3 +645,53 @@ def test_rollup_at_step_artifact_vs_fallback(spark, tmp_path):
     # append invalidates freshness
     db.append(rows.limit(1).withColumn("t", F.lit(100 * W)))
     assert db.fresh_rollup_widths() == []
+
+
+def test_refresh_rollup_rewrites_only_dirty_partitions(spark, tmp_path):
+    from tsdb_spark.db import DB
+
+    W = 3_600_000
+    db = DB.create(spark, str(tmp_path / "db"), block_width_ms=W)
+
+    def rows(t0, n):
+        return spark.createDataFrame(
+            [({"m": "x"}, t0 + i * 60_000, float(i)) for i in range(n)],
+            "labels MAP<STRING,STRING>, t LONG, v DOUBLE",
+        )
+
+    db.append(rows(0, 180))          # buckets 0,1,2
+    db.materialize_rollup(W)
+    assert db.fresh_rollup_widths() == [W]
+    art = db._rollup_dir(W)
+    files_before = {
+        d: sorted(os.listdir(os.path.join(art, d)))
+        for d in os.listdir(art) if d.startswith("t_bucket=")
+    }
+    # dirty ONLY bucket 2 with a second append
+    db.append(rows(2 * W + 5, 10))
+    assert db.fresh_rollup_widths() == []        # stale now
+    rewritten = db.refresh_rollup(W)
+    assert rewritten == [2 * W], rewritten
+    files_after = {
+        d: sorted(os.listdir(os.path.join(art, d)))
+        for d in os.listdir(art) if d.startswith("t_bucket=")
+    }
+    # untouched partitions keep their exact files; the dirty one changed
+    assert files_after[f"t_bucket=0"] == files_before["t_bucket=0"]
+    assert files_after[f"t_bucket={W}"] == files_before[f"t_bucket={W}"]
+    assert files_after[f"t_bucket={2*W}"] != files_before[f"t_bucket={2*W}"]
+    # the refreshed artifact serves the exact aggregate
+    assert db.fresh_rollup_widths() == [W]
+    got = sorted(
+        (r["w_start"], r["n"]) for r in db.rollup(0, 3 * W - 1, W).collect()
+    )
+    exp = sorted(
+        (r["w_start"], r["n"]) for r in db._rollup_frame(W)
+        .filter((F.col("w_start") >= 0) & (F.col("w_start") + W - 1 <= 3 * W - 1))
+        .select("w_start", "n").collect()
+    )
+    assert got == exp
+    # delete bumps data_seq -> refresh falls back to a full rebuild
+    db.delete(0, 1, [L.eq("m", "x")])
+    db.refresh_rollup(W)
+    assert db.fresh_rollup_widths() == [W]

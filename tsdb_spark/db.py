@@ -519,8 +519,11 @@ class DB:
             # bucket, mirroring k separate appends.
             need_overlap = not strict_order and bool(existing_buckets)
             need_ts_clean = bool(self.meta.get("ts_clean_buckets"))
+            # materialized rollups track which buckets each append dirties
+            # so refresh_rollup can rewrite ONLY those artifact partitions
+            need_rollup_dirty = bool(self.meta.get("rollup_dirty"))
             obs: Observation | None = None
-            if seq_col is None and (need_overlap or need_ts_clean):
+            if seq_col is None and (need_overlap or need_ts_clean or need_rollup_dirty):
                 # which buckets does THIS batch touch? Collected as an
                 # OBSERVED metric of the write job itself (accumulator-
                 # sized: distinct buckets ∝ time range / width) — never a
@@ -580,6 +583,14 @@ class DB:
                 self.meta["ts_clean_buckets"] = sorted(
                     set(self.meta["ts_clean_buckets"]) - batch_buckets
                 )
+            if need_rollup_dirty:
+                # accumulate per-width dirty buckets for incremental
+                # artifact refresh; only widths whose basis was set by
+                # materialize_rollup track (an untracked width falls
+                # back to a full rebuild in refresh_rollup)
+                dirty = self.meta["rollup_dirty"]
+                for wkey in dirty:
+                    dirty[wkey] = sorted(set(dirty[wkey]) | batch_buckets)
 
             # series upsert (J12) last: a failed samples job must not leave
             # phantom dim entries (commit-ordering note in the docstring).
@@ -1275,7 +1286,64 @@ class DB:
         os.makedirs(self._rollups_path, exist_ok=True)
         self._swap_dir(tmp, dest)
         self.meta.setdefault("rollups", {})[str(width_ms)] = self._data_version()
+        # dirty-tracking basis: from here on, appends record which
+        # buckets each batch touches so refresh_rollup can be partial
+        self.meta.setdefault("rollup_dirty", {})[str(width_ms)] = []
         self._write_meta()
+
+    def refresh_rollup(self, width_ms: int = 3_600_000) -> list[int]:
+        """Bring a stale rollup artifact current by rewriting ONLY the
+        partitions appends have dirtied since its version — the
+        incremental-materialized-view maintenance a 100 TB store needs
+        (a full rebuild re-aggregates the whole history; this re-reads
+        just the touched buckets). Falls back to a full rebuild when the
+        data changed in ways appends don't track (delete/retention bump
+        data_seq; an artifact predating dirty tracking has no basis).
+        Returns the artifact partitions rewritten ([] if fresh)."""
+        self._check_writable()
+        wkey = str(width_ms)
+        ver = self.meta.get("rollups", {}).get(wkey)
+        cur = self._data_version()
+        dest = self._rollup_dir(width_ms)
+        if ver is None or not os.path.isdir(dest):
+            self.materialize_rollup(width_ms)
+            return []
+        if list(ver) == list(cur):
+            return []
+        dirty_raw = self.meta.get("rollup_dirty", {}).get(wkey)
+        if ver[1] != cur[1] or dirty_raw is None:
+            # delete/retention (or no tracked basis): full rebuild
+            self.materialize_rollup(width_ms)
+            return []
+        grid = max(self.block_width_ms, width_ms)
+        bw = self.block_width_ms
+        parts: set[int] = set()
+        for b in dirty_raw:
+            parts.add(b - b % grid)
+            hi = b + bw - 1
+            parts.add(hi - hi % grid)
+        parts_l = sorted(parts)
+        tmp = dest + f".inc.{uuid.uuid4().hex}"
+        (
+            self._rollup_frame(width_ms)
+            .filter(F.col("t_bucket").isin(parts_l))
+            .repartitionByRange("t_bucket", "series_id")
+            .sortWithinPartitions("t_bucket", "series_id", "w_start")
+            .write.mode("overwrite")
+            .partitionBy("t_bucket")
+            .parquet(tmp)
+        )
+        for lo in parts_l:
+            src = os.path.join(tmp, f"t_bucket={lo}")
+            self._swap_dir(
+                src if os.path.isdir(src) else None,
+                os.path.join(dest, f"t_bucket={lo}"),
+            )
+        shutil.rmtree(tmp, ignore_errors=True)
+        self.meta["rollups"][wkey] = cur
+        self.meta["rollup_dirty"][wkey] = []
+        self._write_meta()
+        return parts_l
 
     def rollup(self, mint: int, maxt: int, width_ms: int = 3_600_000) -> DataFrame:
         """(series_id, w_start, n, min_v, max_v, sum_v) for rollup

@@ -530,6 +530,22 @@ def _store(spark: SparkSession, sf_dir: str, scenario: str) -> DB:
         db.retain_after(T0 + 20 * DAY)
     elif scenario == "rollup":
         db.materialize_rollup(3_600_000)
+    elif scenario == "rollup_inc":
+        # materialize on the month, then append day 1 shifted out to
+        # day 40 (+1000) and refresh: the artifact must be brought
+        # current by rewriting ONLY the newly-touched partitions — a
+        # full rebuild here is the 100TB anti-pattern this scenario
+        # exists to catch (the pytest asserts partiality; correctness
+        # is the whole-range serve below)
+        db.materialize_rollup(3_600_000)
+        extra = base.filter(F.col("t") < T0 + DAY).select(
+            "labels",
+            (F.col("t") + 40 * DAY).alias("t"),
+            (F.col("v") + 1000.0).alias("v"),
+        )
+        db.append(extra)
+        rewritten = db.refresh_rollup(3_600_000)
+        assert rewritten, "refresh must be incremental, not a rebuild"
     elif scenario == "vacuum":
         # fragment one bucket with five single-row logical appends (the
         # streaming-ingest file pattern), then defragment; results must
@@ -2480,6 +2496,43 @@ def tsdb_math_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.log1p(F.abs("mx")), 6).alias("ln1p_mx"),
         F.signum(F.col("mx") - F.col("mn")).cast("long").alias("sgn_range"),
         F.abs(F.round((F.col("mx") - F.col("mn")) * 100).cast("long")).alias("range_c"),
+    )
+
+
+@register(
+    "store_rollup_incremental",
+    _with_prelude("""
+, ext AS (SELECT labels_str, t, v FROM samples
+          UNION ALL
+          SELECT labels_str, t + 40 * CAST({DAY} AS BIGINT), v + 1000 FROM samples WHERE t < {T0} + {DAY})
+SELECT labels_str, (t // 3600000) * 3600000 AS w_start,
+  CAST(count(*) AS BIGINT) AS n, min(v) AS min_v, max(v) AS max_v,
+  round(sum(v), 2) AS sum_v
+FROM ext
+WHERE (t // 3600000) * 3600000 >= {T0}
+  AND (t // 3600000) * 3600000 + 3599999 <= {T0} + 42 * CAST({DAY} AS BIGINT)
+GROUP BY 1, 2"""),
+    "incremental rollup maintenance: materialize the 1h artifact, append "
+    "a new region (day 1 shifted to day 40, +1000), refresh_rollup "
+    "rewrites ONLY the dirtied artifact partitions (appends record the "
+    "touched buckets as an observed write metric), then the WHOLE range "
+    "serves from the artifact — old partitions must be byte-stable and "
+    "the new region merged in; the oracle aggregates the unioned raw "
+    "samples directly",
+)
+def store_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    db = _store(spark, sf_dir, "rollup_inc")
+    assert 3_600_000 in db.fresh_rollup_widths()
+    r = db.rollup(T0, T0 + 42 * DAY, 3_600_000)
+    return r.join(
+        F.broadcast(db.series().select("series_id", "labels_str")), "series_id"
+    ).select(
+        "labels_str",
+        "w_start",
+        "n",
+        "min_v",
+        "max_v",
+        F.round("sum_v", 2).alias("sum_v"),
     )
 
 
