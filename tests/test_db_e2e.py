@@ -194,3 +194,76 @@ def test_readonly_open_refuses_mutation(spark, tmp_path):
             call()
     # and the underlying store is untouched
     assert DB.open(spark, str(tmp_path / "ro")).samples().count() == 1
+
+
+def test_block_boundary_parity(spark, tmp_path):
+    """db_test.go:1343 TestChunkAtBlockBoundary + :1399
+    TestQuerierWithBoundaryChunks, transcribed: data never spans bucket
+    boundaries on disk, a boundary-timestamp sample lands in the bucket
+    STARTING there, and a [W, 2W] query prunes to exactly two buckets."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from tsdb_spark import eq
+    from tsdb_spark.db import DB
+
+    W = 3_600_000
+    db = DB.create(spark, str(tmp_path / "db"), block_width_ms=W)
+    rows = [({"foo": "bar"}, i * W + off, 0.0) for i in range(3) for off in (0, 1000)]
+    db.append(
+        spark.createDataFrame(rows, "labels MAP<STRING,STRING>, t LONG, v DOUBLE")
+    )
+    # on-disk containment: every file's t stays inside its bucket
+    root = db._samples_path
+    seen = set()
+    for d in os.listdir(root):
+        if not d.startswith("t_bucket="):
+            continue
+        lo = int(d.split("=")[1])
+        seen.add(lo)
+        for dirpath, _, files in os.walk(os.path.join(root, d)):
+            for fn in files:
+                if fn.endswith(".parquet"):
+                    ts = pq.read_table(os.path.join(dirpath, fn), columns=["t"])["t"]
+                    for t in ts.to_pylist():
+                        assert lo <= t < lo + W, (lo, t)
+    assert seen == {0, W, 2 * W}
+    # the [W, 2W] closed-interval query touches exactly buckets {W, 2W}
+    q = db.querier(W, 2 * W)
+    touched = {
+        r["t_bucket"]
+        for r in q._pruned_samples().select("t_bucket").distinct().collect()
+    }
+    assert touched == {W, 2 * W}, touched
+    got = sorted(r["t"] for r in q.select([eq("foo", "bar")]).select("t").collect())
+    assert got == [W, W + 1000, 2 * W], got
+
+
+def test_min_valid_time_refuses_covered_timestamps(spark, tmp_path):
+    """db_test.go:2167 TestBlockRanges: a sample whose timestamp is
+    covered by an already-persisted range must be refused when the
+    caller enforces the reference's head contract (min_valid_time =
+    last persisted maxt; the engine's default instead ACCEPTS it as a
+    vertical overlap resolved at read — the documented deviation)."""
+    from tsdb_spark import eq
+    from tsdb_spark.db import DB
+
+    W = 3_600_000
+    db = DB.create(spark, str(tmp_path / "db"), block_width_ms=W)
+    db.append(
+        spark.createDataFrame(
+            [({"a": "b"}, 3, 1.0)], "labels MAP<STRING,STRING>, t LONG, v DOUBLE"
+        )
+    )
+    rep = db.append(
+        spark.createDataFrame(
+            [({"a": "b"}, 2, 9.0), ({"a": "b"}, 4, 2.0), ({"a": "b"}, 5, 3.0)],
+            "labels MAP<STRING,STRING>, t LONG, v DOUBLE",
+        ),
+        min_valid_time=4,
+        report=True,
+    )
+    assert rep.out_of_bounds_rejected == 1 and rep.appended == 2
+    got = sorted((r["t"], r["v"]) for r in db.querier(0, 10).select([eq("a", "b")]).select("t", "v").collect())
+    assert got == [(3, 1.0), (4, 2.0), (5, 3.0)], got
