@@ -125,3 +125,39 @@ def test_plan_dirty_buckets_first():
 def test_select_overlapping_cluster_stops():
     blocks = [B("1", 0, 20), B("2", 19, 40), B("3", 50, 60), B("4", 55, 70)]
     assert names(select_overlapping(blocks)) == ["1", "2"]
+
+
+def test_contained_overlap_group_merges_at_own_span(spark, tmp_path):
+    """Seed-367 regression: base dirs appended INSIDE a promoted coarse
+    bucket must plan a re-merge at the group's own span — the old rule
+    (target strictly wider than every member) forced a width whose
+    aligned window swallowed live buckets outside the group and tripped
+    the clobber guard mid-auto_compact."""
+    from tsdb_spark import eq
+    from tsdb_spark.db import DB
+
+    W = 1000
+    db = DB.create(spark, str(tmp_path / "db"), block_width_ms=W)
+
+    def rows(ts):
+        return spark.createDataFrame(
+            [({"m": "x"}, t, float(t)) for t in ts],
+            "labels MAP<STRING,STRING>, t LONG, v DOUBLE",
+        )
+
+    # base buckets 0..8, then promote [3000,6000) to one coarse bucket
+    db.append(rows(range(0, 9000, 500)))
+    db.compact_selected([3000, 4000, 5000], 3000)
+    assert db.bucket_widths == {3000: 3000}
+    # new base appends INSIDE the promoted window -> contained overlap
+    db.append(rows([4100, 5100]))
+    assert set(db.overlapping_buckets) >= {3000, 4000, 5000}
+    los, width = db.compact_plan()
+    # planning must converge without ever clobbering a live bucket
+    rounds = db.auto_compact()
+    assert rounds, "planner found nothing to do on an overlapping layout"
+    assert db.overlapping_buckets == []
+    got = sorted(
+        r["t"] for r in db.querier(0, 10**9).select([eq("m", "x")]).select("t").collect()
+    )
+    assert got == sorted(set(range(0, 9000, 500)) | {4100, 5100})

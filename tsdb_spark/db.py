@@ -885,10 +885,31 @@ class DB:
         if any(b.dirty for b in group) or len(group) == 1:
             return los, None
         mint, maxt = group[0].mint, group[-1].maxt
+        group_set = set(los)
+        live = {
+            int(d.split("=")[1]): self.width_of(int(d.split("=")[1]))
+            for d in self._bucket_dirs()
+        }
         for r in self.block_ranges:
             t0 = (mint // r) * r
-            if maxt <= t0 + r and r > max(b.maxt - b.mint for b in group):
-                return los, r
+            if maxt > t0 + r or r < maxt - mint:
+                continue
+            if all(b.maxt - b.mint == r for b in group):
+                continue  # every member already AT this width — no-op merge
+            # never emit into a window occupied by a live bucket OUTSIDE
+            # the group: seed-367's clobber — group [3000,4000,5000]
+            # (base dirs contained in a promoted 3000-wide parent) must
+            # re-merge at its own span r=3000, not get forced to r=9000
+            # (the old `r > max member span` rule) whose [0,9000) window
+            # swallows live dirs 0/1000/2000/6000... that the rewrite
+            # would clobber. Window containment (maxt <= t0 + r) also
+            # guarantees ONE output bucket per merge (ADVICE r3 #2).
+            if any(
+                lo not in group_set and lo < t0 + r and lo + w > t0
+                for lo, w in live.items()
+            ):
+                continue
+            return los, r
         return los, None
 
     def compact_selected(self, buckets: list[int], target_width_ms: int | None = None) -> None:
