@@ -117,7 +117,7 @@ def series_pred(matchers):
     return pred
 
 
-@pytest.mark.parametrize("seed", [7, 23, 101, 367, 1009])
+@pytest.mark.parametrize("seed", [7, 23, 101, 367, 1009, 4242, 9001])
 def test_lifecycle_matches_model(spark, tmp_path, seed):
     rng = random.Random(seed)
     db = DB.create(spark, str(tmp_path / f"life{seed}"), block_width_ms=WIDTH)
