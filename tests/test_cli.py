@@ -95,3 +95,16 @@ def test_cli_plan_dry_run(spark, tmp_path, capsys):
     assert out.startswith("plan:")
     # dry run: the store is untouched
     assert DB.open_readonly(spark, path).samples().count() == 120
+
+
+def test_cli_rollup_materialize_and_serve(spark, tmp_path, capsys):
+    path = _store(spark, tmp_path)
+    assert main(["rollup", path]) == 0
+    assert "materialized rollup artifact" in capsys.readouterr().out
+    db = DB.open_readonly(spark, path)
+    assert db.fresh_rollup_widths() == [3_600_000]
+    # serve a coarser step read-only from the fresh artifact
+    assert main(["rollup", path, "--serve-step", "7200000"]) == 0
+    out = capsys.readouterr().out
+    assert "from artifact w=3600000" in out
+    assert "w_start" in out
