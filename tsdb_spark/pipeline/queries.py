@@ -96,7 +96,7 @@ SELECT doc_id,
   length(text) AS n_chars,
   len(toks) AS n_tokens,
   len(list_distinct(toks)) AS n_distinct_tokens,
-  (10000 * list_sum(list_transform(toks, x -> length(x)))) // len(toks) AS avg_token_len_bp,
+  CAST((10000 * list_sum(list_transform(toks, x -> length(x)))) // len(toks) AS BIGINT) AS avg_token_len_bp,
   (10000 * len(list_filter(toks, x -> x IN {T.EN_STOPWORDS!r}))) // len(toks) AS stopword_bp,
   (10000 * length(regexp_replace(text, '[^a-z]', '', 'g'))) // length(text) AS alpha_bp,
   (len(toks) BETWEEN 10 AND 100000)
@@ -272,14 +272,14 @@ c AS (SELECT doc_id, n, g, count(*) AS c FROM g GROUP BY ALL),
 p AS (SELECT doc_id, n, sum(c) AS total, max(c) AS top, count(*) AS dist
       FROM c GROUP BY doc_id, n)
 SELECT doc_id,
-  max(CASE WHEN n=1 THEN total END) AS n_tokens,
-  (10000 * max(CASE WHEN n=1 THEN top END))
-    // max(CASE WHEN n=1 THEN total END) AS top_token_bp,
-  max(CASE WHEN n=2 THEN total END) AS n_bigrams,
-  (10000 * max(CASE WHEN n=2 THEN top END))
-    // max(CASE WHEN n=2 THEN total END) AS top_bigram_bp,
-  (10000 * (max(CASE WHEN n=2 THEN total END) - max(CASE WHEN n=2 THEN dist END)))
-    // max(CASE WHEN n=2 THEN total END) AS dup_bigram_bp
+  CAST(max(CASE WHEN n=1 THEN total END) AS BIGINT) AS n_tokens,
+  CAST((10000 * max(CASE WHEN n=1 THEN top END))
+    // max(CASE WHEN n=1 THEN total END) AS BIGINT) AS top_token_bp,
+  CAST(max(CASE WHEN n=2 THEN total END) AS BIGINT) AS n_bigrams,
+  CAST((10000 * max(CASE WHEN n=2 THEN top END))
+    // max(CASE WHEN n=2 THEN total END) AS BIGINT) AS top_bigram_bp,
+  CAST((10000 * (max(CASE WHEN n=2 THEN total END) - max(CASE WHEN n=2 THEN dist END)))
+    // max(CASE WHEN n=2 THEN total END) AS BIGINT) AS dup_bigram_bp
 FROM p GROUP BY doc_id""",
     "Gopher-style repetition signals (top-token / top-bigram share, "
     "duplicate-bigram fraction) — boilerplate detection; doc-local keys, "
@@ -553,7 +553,7 @@ SELECT d.source,
   CAST(sum(CASE WHEN c.keep_quality THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
   CAST(sum(CASE WHEN c.is_exact_dup OR NOT c.is_canonical THEN 1 ELSE 0 END) AS BIGINT) AS n_dups,
   CAST(sum(CASE WHEN c.selected THEN 1 ELSE 0 END) AS BIGINT) AS n_selected,
-  (10000 * sum(c.n_tokens)) // count(*) AS avg_tokens_bp
+  CAST((10000 * sum(c.n_tokens)) // count(*) AS BIGINT) AS avg_tokens_bp
 FROM curated c JOIN documents d ON d.doc_id = c.doc_id
 GROUP BY d.source""",
     "per-source curation rollup over the base documents (quality pass / "
@@ -1442,7 +1442,7 @@ WITH d AS (SELECT source, doc_id,
 c AS (SELECT *, sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS cum_before
       FROM d)
-SELECT source AS part, cum_before // 2048 AS shard_id,
+SELECT source AS part, CAST(cum_before // 2048 AS BIGINT) AS shard_id,
   CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS tok_sum,
   min(doc_id) AS first_doc, max(doc_id) AS last_doc
 FROM c GROUP BY 1, 2""",

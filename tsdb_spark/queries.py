@@ -1927,7 +1927,7 @@ def tsdb_irate_idelta(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tsdb_offset_compare",
     _with_prelude("""
 , h AS (SELECT event_type AS name, (t // 3600000) * 3600000 AS hr,
-          sum(CAST(round(v * 100) AS BIGINT)) AS sc
+          CAST(sum(CAST(round(v * 100) AS BIGINT)) AS BIGINT) AS sc
         FROM samples GROUP BY 1, 2)
 SELECT a.name, a.hr, a.sc AS cur_c, b.sc AS prev_c, a.sc - b.sc AS dod_c
 FROM h a JOIN h b ON b.name = a.name AND b.hr = a.hr - 86400000"""),
