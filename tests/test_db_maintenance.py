@@ -695,3 +695,60 @@ def test_refresh_rollup_rewrites_only_dirty_partitions(spark, tmp_path):
     db.delete(0, 1, [L.eq("m", "x")])
     db.refresh_rollup(W)
     assert db.fresh_rollup_widths() == [W]
+
+
+def test_refresh_rollup_straddling_window_low_edge(spark, tmp_path):
+    # width NOT dividing block width: a sample appended at block bucket b
+    # updates the rollup window w0 = b - b%width < b, whose artifact
+    # partition is the one BELOW b's. refresh_rollup must rewrite that
+    # partition too, and the refreshed artifact must equal a fresh
+    # full recompute (the pre-fix code marked only b's partition, served
+    # the stale straddling window as fresh).
+    W = 45 * 60 * 1000          # 45 min rollup
+    BW = 2 * 3_600_000          # 2 h blocks; grid = max(BW, W) = BW
+    db = DB.create(spark, str(tmp_path / "straddle"), block_width_ms=BW)
+    db.append(_df(spark, [({"m": "x"}, t, 1.0) for t in range(0, 4 * BW, W)]))
+    db.materialize_rollup(W)
+    # dirty ONLY block bucket BW: t=BW+60s lands in window 1.5h..2.25h,
+    # which starts inside artifact partition 0
+    db.append(_df(spark, [({"m": "x"}, BW + 60_000, 5.0)]))
+    rewritten = db.refresh_rollup(W)
+    assert 0 in rewritten and BW in rewritten, rewritten
+    assert db.fresh_rollup_widths() == [W]
+
+    def norm(df):
+        return sorted(
+            (r["series_id"], r["w_start"], r["n"], r["min_v"], r["max_v"],
+             round(r["sum_v"], 6))
+            for r in df.select(
+                "series_id", "w_start", "n", "min_v", "max_v", "sum_v"
+            ).collect()
+        )
+
+    served = norm(db.rollup(-(2**62), 2**62 - 1, W))
+    fresh = norm(db._rollup_frame(W))
+    assert served == fresh
+    # the straddling window itself carries the new sample
+    w0 = BW - BW % W
+    row = [r for r in served if r[1] == w0]
+    assert row and row[0][2] == 2 and row[0][5] == 6.0, row
+
+
+def test_refresh_rollup_scan_is_partition_pruned(spark, tmp_path):
+    # the incremental refresh must push the dirty span into the raw
+    # samples scan (partition pruning), not re-aggregate the full store
+    # and filter post-hoc on the derived t_bucket
+    W = 3_600_000
+    db = DB.create(spark, str(tmp_path / "pruned"), block_width_ms=W)
+    db.append(_df(spark, [({"m": "x"}, i * W + 1, 1.0) for i in range(8)]))
+    db.materialize_rollup(W)
+    db.append(_df(spark, [({"m": "x"}, 5 * W + 2, 2.0)]))
+    grid = max(db.block_width_ms, W)
+    plan = db._rollup_frame(W, 5 * W, 5 * W + grid + W - 1)._jdf.queryExecution().executedPlan().toString()
+    import re as _re
+    scans = [m for m in _re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)]
+    samples_scans = [s for s in scans if "t_bucket" in s]
+    assert samples_scans, f"no t_bucket partition filter in plan:\n{plan[:2000]}"
+    rewritten = db.refresh_rollup(W)
+    assert rewritten == [5 * W], rewritten
+    assert db.fresh_rollup_widths() == [W]

@@ -1261,8 +1261,15 @@ class DB:
         self.meta["data_seq"] = self.meta.get("data_seq", 0) + 1
         self._write_meta()
 
-    def _rollup_frame(self, width_ms: int) -> DataFrame:
-        base = self.querier(-(2**62), 2**62).select([], with_labels=False)
+    def _rollup_frame(
+        self, width_ms: int, mint: int = -(2**62), maxt: int = 2**62
+    ) -> DataFrame:
+        # bounds flow into the querier so the samples scan is
+        # partition-pruned (refresh_rollup passes the dirty span; the
+        # full build keeps the open range). Callers must pass bounds
+        # that cover every window they keep WHOLLY — a window straddling
+        # mint/maxt aggregates partially.
+        base = self.querier(mint, maxt).select([], with_labels=False)
         w = (F.col("t") - F.pmod(F.col("t"), F.lit(width_ms))).alias("w_start")
         grid = max(self.block_width_ms, width_ms)
         return (
@@ -1340,13 +1347,32 @@ class DB:
         bw = self.block_width_ms
         parts: set[int] = set()
         for b in dirty_raw:
-            parts.add(b - b % grid)
+            # a dirty block bucket [b, b+bw) touches every rollup window
+            # from the one containing its low edge (w_lo = b - b%width,
+            # which can start BELOW b — and land in the artifact
+            # partition below b's — whenever width does not divide bw)
+            # through the one containing its high edge; mark every grid
+            # partition holding one of those window starts
+            w_lo = b - b % width_ms
             hi = b + bw - 1
-            parts.add(hi - hi % grid)
+            w_hi = hi - hi % width_ms
+            p = w_lo - w_lo % grid
+            while p <= w_hi:
+                parts.add(p)
+                p += grid
         parts_l = sorted(parts)
         tmp = dest + f".inc.{uuid.uuid4().hex}"
+        # bound the rebuild scan to the dirty span so samples-side
+        # t_bucket partition pruning applies (the isin below is on the
+        # DERIVED t_bucket, post-aggregation — it selects partitions of
+        # the artifact but prunes nothing off the raw scan). Windows in
+        # partition p start within [p, p+grid) and end before
+        # p + grid + width, so this range covers every kept window
+        # wholly; out-of-span partial windows are dropped by the isin.
         (
-            self._rollup_frame(width_ms)
+            self._rollup_frame(
+                width_ms, parts_l[0], parts_l[-1] + grid + width_ms - 1
+            )
             .filter(F.col("t_bucket").isin(parts_l))
             .repartitionByRange("t_bucket", "series_id")
             .sortWithinPartitions("t_bucket", "series_id", "w_start")
