@@ -133,3 +133,26 @@ def test_asof_matches_python_model(spark, lrows, rrows, tol, direction):
         return (k, ts, m, float(m)) if ok else (k, ts, None, None)
 
     assert got == sorted(model(k, ts) for k, ts in lrows)
+
+
+def test_null_payload_field_stays_row_atomic(spark):
+    # a right row whose payload COLUMN is legitimately null must match as
+    # that whole row — not stitch the null column from an older right
+    # row (the pre-struct implementation carried each payload column
+    # through its own last(ignorenulls) and mixed rows)
+    left = spark.createDataFrame([("a", 30)], "k string, ts long")
+    right = spark.createDataFrame(
+        [("a", 10, 1.0, "old"), ("a", 20, None, None)],
+        "k string, t long, v double, tag string",
+    )
+    out = asof_join(left, right, on="k", left_t="ts", right_t="t").collect()
+    assert len(out) == 1
+    r = out[0]
+    # nearest right row is t=20 with null v/tag — all three payload
+    # cells must come from THAT row
+    assert (r["t"], r["v"], r["tag"]) == (20, None, None), r
+    # and tolerance must judge the t=20 pairing, not the stitched one
+    out2 = asof_join(
+        left, right, on="k", left_t="ts", right_t="t", tolerance=5
+    ).collect()[0]
+    assert (out2["t"], out2["v"], out2["tag"]) == (None, None, None), out2

@@ -14,9 +14,12 @@ Strategy — union + one ordered window, never a range join:
   2. ONE shuffle on the key (the window partition), sort by
      (t, side) — a right row at exactly the left timestamp sorts first,
      making the match inclusive;
-  3. per partition, `last(payload, ignorenulls=True)` over rows
+  3. per partition, `last(payload_struct, ignorenulls=True)` over rows
      UNBOUNDED PRECEDING..CURRENT carries the latest right payload
-     forward; left rows read it off;
+     forward; left rows read it off. The payload rides as ONE struct —
+     non-null for every right row even when individual fields are null —
+     so the match is row-atomic: a right row with a null column can
+     never stitch that column from an older right row;
   4. a tolerance horizon nulls matches older than the window.
 
 Cost: shuffle(left + right) once + a linear scan — no candidate
@@ -31,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-_AT, _SIDE = "_asof_at", "_asof_side"
+_AT, _SIDE, _PAY = "_asof_at", "_asof_side", "_asof_pay"
 
 
 def asof_join(
@@ -69,18 +72,23 @@ def asof_join(
     def _null(df: DataFrame, c: str) -> Column:
         return F.lit(None).cast(df.schema[c].dataType).alias(c)
 
+    # all right payload columns travel as ONE struct: null marks "no
+    # right row here" (left rows), while a right row with null FIELDS is
+    # still a non-null struct — last(ignorenulls) then matches whole
+    # rows, never a column-wise mix of different right rows
+    pay_t = r.select(F.struct(*rp).alias(_PAY)).schema[_PAY].dataType
     lside = left.select(
         *lcols,
         F.col(left_t).alias(_AT),
         F.lit(1).alias(_SIDE),
-        *[_null(r, c) for c in rp],
+        F.lit(None).cast(pay_t).alias(_PAY),
     )
     rside = r.select(
         *[_null(left, c) for c in lcols if c not in keys],
         *keys,
         F.col(ren[right_t]).alias(_AT),
         F.lit(0).alias(_SIDE),
-        *rp,
+        F.struct(*rp).alias(_PAY),
     )
     order = [F.asc(_AT)] if direction == "backward" else [F.desc(_AT)]
     w = (
@@ -92,9 +100,14 @@ def asof_join(
         *lcols,
         _AT,
         _SIDE,
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in rp],
+        F.last(_PAY, ignorenulls=True).over(w).alias(_PAY),
     )
-    out = carried.filter(F.col(_SIDE) == 1)
+    out = carried.filter(F.col(_SIDE) == 1).select(
+        *lcols,
+        _AT,
+        _SIDE,
+        *[F.col(f"{_PAY}.{c}").alias(c) for c in rp],
+    )
     if tolerance is not None:
         rt = ren[right_t]
         gap = (
