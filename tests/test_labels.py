@@ -120,7 +120,7 @@ def test_labels_str_injective_no_series_id_collision(spark):
     df = spark.createDataFrame([(l,) for l in tricky], "labels MAP<STRING,STRING>")
     out = df.select(
         L.labels_str_expr("labels").alias("s"),
-        L.series_id_expr(L.labels_str_expr("labels")).alias("sid"),
+        L.series_id_expr("labels").alias("sid"),
     ).collect()
     strs = [r["s"] for r in out]
     sids = [r["sid"] for r in out]
@@ -247,3 +247,19 @@ def test_parse_selector_metric_name_grammar_and_trailing_comma():
     for bad in ("m}", "1up", "a-b", "m{,}", '{,a="b"}'):
         with pytest.raises(ValueError):
             parse_selector(bad)
+
+
+def test_series_id_strip_invariant_and_structural(spark):
+    # identity must ignore empty-valued labels (head.go:832-833) and be
+    # computed from entries, staying injective across the render-level
+    # ambiguity cases without ever building the string
+    df = spark.createDataFrame(
+        [
+            ({"a": "b", "junk": ""},),
+            ({"a": "b"},),
+            ({"a": "b", "junk": "x"},),
+        ],
+        "labels MAP<STRING,STRING>",
+    )
+    sids = [r["sid"] for r in df.select(L.series_id_expr("labels").alias("sid")).collect()]
+    assert sids[0] == sids[1] != sids[2]

@@ -302,7 +302,9 @@ class DB:
         """Transactional batch ingest of rows(labels MAP<STRING,STRING>, t LONG, v DOUBLE).
 
         Appender.Add/Commit (head.go:818-952) as one job:
-        1. strip empty labels (head.go:832-833), derive labels_str/series_id
+        1. derive series_id (strip-invariant entries hash; empty labels
+           dropped per head.go:832-833 — the dim's labels/labels_str are
+           stripped+rendered post-dedup, never per sample)
         2. upsert new series into the dim (getOrCreate head.go:1371-1415)
         3. validate: bounds (T1), in-batch duplicate/amend policy (T2);
            optional strict out-of-order check vs stored per-series max t
@@ -352,7 +354,7 @@ class DB:
         width = self.block_width_ms
 
         rows = rows.select(
-            L.strip_empty_labels("labels").alias("labels"),
+            F.col("labels"),
             F.col("t").cast("long").alias("t"),
             F.col("v").cast("double").alias("v"),
             *([F.col(order_col)] if order_col is not None else []),
@@ -369,13 +371,16 @@ class DB:
             if report:
                 kept = rows.count()
                 rep.out_of_bounds_rejected = total - kept
-        rows = rows.withColumn("labels_str", L.labels_str_expr("labels")).withColumn(
-            "series_id", L.series_id_expr(F.col("labels_str"))
-        )
+        # identity hashes the sorted entries directly — empty-label strip
+        # rides inside the hash expression, and the labels_str RENDER
+        # (per-entry escapes + concat, the measured CPU hog of decode at
+        # ~320ns/row) is deferred to the deduped series dim below, where
+        # it runs on |series| rows instead of |samples|.
+        rows = rows.withColumn("series_id", L.series_id_expr("labels"))
         # Persist the decoded batch ONCE: the samples write and the series
-        # upsert both consume it, and the per-row decode (canonical
-        # labels_str render + xxhash64 identity) is the CPU-dominant step
-        # of ingest — measured at 30M rows/batch, sharing it via the cache
+        # upsert both consume it, and the per-row decode (entries sort +
+        # xxhash64 identity) is a major CPU step of ingest — measured at
+        # 30M rows/batch, sharing it via the cache
         # beats two source scans by ~22% wall (and the gap widens when the
         # source is a real parquet/stream read, not synthesized rows).
         # MEMORY_AND_DISK: a bulk-load batch larger than executor memory
@@ -603,10 +608,18 @@ class DB:
                 # anti-join shuffles batch-candidates vs dim ids — both
                 # id-only relations — instead of shipping the dim around
                 existing = F.broadcast(existing)
+            stripped = L.strip_empty_labels("labels")
             new_series = (
-                rows.select("series_id", "labels", "labels_str")
+                rows.select("series_id", "labels")
                 .dropDuplicates(["series_id"])
                 .join(existing, "series_id", "left_anti")
+                # strip + canonical render happen HERE, on dim-scale rows
+                # (post-dedup, post-anti-join) — never per sample
+                .select(
+                    "series_id",
+                    stripped.alias("labels"),
+                    L.labels_str_expr(stripped).alias("labels_str"),
+                )
             )
             if report:
                 new_series = new_series.cache()

@@ -55,6 +55,13 @@ def get_spark(app_name: str = "tsdb_spark", shuffle_partitions: int | None = Non
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
+        # local-mode = one JVM doing driver AND all executor threads.
+        # 8g measured FASTEST for the 30M-row macro write on this class
+        # of VM (8g: 28-36s; 12g: 69s; 28g: 79s; 32g: 116s — monotonic,
+        # likely thin-provisioned guest memory faulting fresh pages
+        # slower than spilling to page-cached disk). Override via
+        # SPARK_DRIVER_MEMORY for workloads that need headroom (e.g.
+        # many large appends in one session can exhaust 8g).
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )
     for k, v in RUNTIME_CONFS.items():

@@ -144,7 +144,7 @@ def events_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = out.withColumn("labels_str", L.labels_str_expr("labels"))
     return (
-        out.withColumn("series_id", L.series_id_expr(F.col("labels_str")))
+        out.withColumn("series_id", L.series_id_expr("labels"))
         .withColumn("ingest_seq", F.lit(1).cast("long"))
     )
 
