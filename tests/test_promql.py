@@ -1,0 +1,242 @@
+"""PromQL evaluator: parser structure, semantics vs a direct Python
+model of the Prometheus evaluation rules (promql/functions.go
+extrapolatedRate / instant-vector lookback), and plan-shape guards."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from tsdb_spark import promql as P
+from tsdb_spark.labels import eq
+
+
+# ---------------------------------------------------------------- parse
+
+def test_parse_duration():
+    assert P.parse_duration("5m") == 300_000
+    assert P.parse_duration("1h30m") == 5_400_000
+    assert P.parse_duration("250ms") == 250
+    with pytest.raises(ValueError):
+        P.parse_duration("5x")
+
+
+def test_parse_structures():
+    n = P.parse_expr('sum by (user) (rate(click{user!="3"}[1h]))')
+    assert isinstance(n, P.Aggregate) and n.op == "sum" and n.by == ["user"]
+    assert isinstance(n.child, P.FuncCall) and n.child.fn == "rate"
+    assert n.child.arg.range_ms == 3_600_000
+    assert any(m.name == "user" for m in n.child.arg.matchers)
+
+    n = P.parse_expr("avg_over_time(gauge[1d]) * 2 + 1")
+    assert isinstance(n, P.BinScalar) and n.op == "+" and n.scalar == 1.0
+    assert isinstance(n.child, P.BinScalar) and n.child.op == "*"
+
+    n = P.parse_expr('count without (i, j) (up{k="1"})')
+    assert isinstance(n, P.Aggregate) and n.without == ["i", "j"]
+    assert isinstance(n.child, P.Selector) and n.child.range_ms is None
+
+    n = P.parse_expr("max(click) by (user)")  # trailing grouping form
+    assert n.by == ["user"]
+
+    with pytest.raises(ValueError):
+        P.parse_expr("rate(click)")  # range fn needs [d]
+    with pytest.raises(ValueError):
+        P.parse_expr("click[5m]")  # bare matrix selector
+    with pytest.raises(ValueError):
+        P.parse_expr("sum(click) extra")
+
+
+# ---------------------------------------------------------------- model
+
+START, END, STEP = 10_000, 40_000, 7_000  # deliberately range%step != 0
+LOOKBACK = 9_000
+
+SERIES = {
+    ("click", "1"): [(1_000, 0.0), (6_000, 5.0), (11_000, 2.0), (16_000, 7.0),
+                     (21_000, 7.0), (29_500, 12.25), (38_000, 1.5)],
+    ("click", "2"): [(9_000, 100.0), (19_000, 100.0), (20_000, 90.0),
+                     (31_000, 95.0)],
+    ("gauge", "1"): [(5_000, -3.5), (15_000, 4.25), (25_000, -1.0),
+                     (35_000, 8.0)],
+    ("lonely", "9"): [(22_000, 42.0)],
+}
+
+
+@pytest.fixture(scope="module")
+def frame(spark):
+    rows = []
+    for (name, user), pts in SERIES.items():
+        for t, v in pts:
+            rows.append(({"__name__": name, "user": user}, t, float(v)))
+    df = spark.createDataFrame(rows, "labels MAP<STRING,STRING>, t LONG, v DOUBLE")
+    from tsdb_spark import labels as L
+
+    return df.withColumn("labels_str", L.labels_str_expr("labels"))
+
+
+def grid():
+    return list(range(START, END + 1, STEP))
+
+
+def in_window(pts, T, R):
+    return [(t, v) for t, v in pts if T - R < t <= T]
+
+
+def model_fn(fn, pts, T, R):
+    """Direct Prometheus semantics on centi-units."""
+    w = [(t, round(v * 100)) for t, v in in_window(pts, T, R)]
+    if fn == "count_over_time":
+        return float(len(w)) if w else None
+    if not w:
+        return None
+    if fn == "last_over_time":
+        return w[-1][1] / 100.0
+    if fn == "sum_over_time":
+        return sum(c for _, c in w) / 100.0
+    if fn == "avg_over_time":
+        return sum(c for _, c in w) / len(w) / 100.0
+    if fn == "min_over_time":
+        return min(c for _, c in w) / 100.0
+    if fn == "max_over_time":
+        return max(c for _, c in w) / 100.0
+    if fn in ("resets", "changes"):
+        n = 0
+        for (t0, c0), (t1, c1) in zip(w, w[1:]):
+            if fn == "resets" and c1 < c0:
+                n += 1
+            if fn == "changes" and c1 != c0:
+                n += 1
+        return float(n)
+    if fn in ("irate", "idelta"):
+        if len(w) < 2:
+            return None
+        (t0, c0), (t1, c1) = w[-2], w[-1]
+        if fn == "idelta":
+            return (c1 - c0) / 100.0
+        inc = c1 - c0 if c1 >= c0 else c1
+        return inc / 100.0 / ((t1 - t0) / 1000.0)
+    # rate / increase / delta
+    if len(w) < 2:
+        return None
+    counter = fn in ("rate", "increase")
+    first_t, first_c = w[0]
+    last_t, last_c = w[-1]
+    delta = last_c - first_c
+    if counter:
+        for (t0, c0), (t1, c1) in zip(w, w[1:]):
+            if c1 < c0:
+                delta += c0
+    sampled = float(last_t - first_t)
+    dstart = float(first_t - (T - R))
+    dend = float(T - last_t)
+    avg_dur = sampled / (len(w) - 1)
+    if counter and delta > 0 and first_c >= 0:
+        zc = sampled * (first_c / delta)
+        if zc < dstart:
+            dstart = zc
+    factor = (
+        sampled
+        + (dstart if dstart < avg_dur * 1.1 else avg_dur / 2)
+        + (dend if dend < avg_dur * 1.1 else avg_dur / 2)
+    ) / sampled
+    out = delta * factor / 100.0
+    if fn == "rate":
+        out /= R / 1000.0
+    return out
+
+
+def collect_map(df, keys=("labels_str",)):
+    out = {}
+    for r in df.collect():
+        out[tuple(r[k] for k in keys) + (r["t"],)] = r["value"]
+    return out
+
+
+def assert_close(got: dict, want: dict):
+    assert set(got) == set(want), (
+        f"keys differ; extra={set(got)-set(want)} missing={set(want)-set(got)}"
+    )
+    for k, wv in want.items():
+        gv = got[k]
+        assert gv is not None and math.isclose(gv, wv, rel_tol=1e-9, abs_tol=1e-12), (
+            k, gv, wv,
+        )
+
+
+ALL_FNS = [
+    "rate", "increase", "delta", "irate", "idelta", "resets", "changes",
+    "avg_over_time", "min_over_time", "max_over_time", "sum_over_time",
+    "count_over_time", "last_over_time",
+]
+
+
+@pytest.mark.parametrize("fn", ALL_FNS)
+def test_range_functions_match_model(spark, frame, fn):
+    R = 12_000
+    q = P.RangeQuery(frame, START, END, STEP, lookback_ms=LOOKBACK)
+    got = collect_map(q.run(f"{fn}(click[12s])"))
+    want = {}
+    for (name, user), pts in SERIES.items():
+        if name != "click":
+            continue
+        ls = f'{{__name__="click",user="{user}"}}'
+        for T in grid():
+            v = model_fn(fn, pts, T, R)
+            if v is not None:
+                want[(ls, T)] = v
+    assert_close(got, want)
+
+
+def test_instant_selector_lookback(spark, frame):
+    q = P.RangeQuery(frame, START, END, STEP, lookback_ms=LOOKBACK)
+    got = collect_map(q.run("gauge"))
+    want = {}
+    for (name, user), pts in SERIES.items():
+        if name != "gauge":
+            continue
+        ls = f'{{__name__="gauge",user="{user}"}}'
+        for T in grid():
+            w = in_window(pts, T, LOOKBACK)
+            if w:
+                want[(ls, T)] = round(w[-1][1] * 100) / 100.0
+    assert_close(got, want)
+
+
+def test_aggregate_by_and_scalar(spark, frame):
+    q = P.RangeQuery(frame, START, END, STEP, lookback_ms=LOOKBACK)
+    got = collect_map(q.run('sum by (user) (last_over_time({__name__=~"click|lonely"}[12s])) * 2'),
+                      keys=("user",))
+    want = {}
+    for T in grid():
+        per_user = {}
+        for (name, user), pts in SERIES.items():
+            if name not in ("click", "lonely"):
+                continue
+            w = in_window(pts, T, 12_000)
+            if w:
+                per_user[user] = per_user.get(user, 0.0) + round(w[-1][1] * 100) / 100.0
+        for u, v in per_user.items():
+            want[(u, T)] = v * 2
+    assert_close(got, want)
+
+
+def test_aggregate_without(spark, frame):
+    q = P.RangeQuery(frame, START, END, STEP, lookback_ms=LOOKBACK)
+    # without (user) also drops __name__ → every series in one group
+    df = q.run('count without (user) (count_over_time({__name__=~".*"}[40s]))')
+    rows = df.collect()
+    assert all(r["group_str"] == "{}" for r in rows)
+    by_t = {r["t"]: r["value"] for r in rows}
+    for T in grid():
+        n = sum(
+            1 for pts in SERIES.values() if in_window(pts, T, 40_000)
+        )
+        assert by_t.get(T, 0.0) == float(n) if n else T not in by_t
+
+
+def test_plan_shape_no_cartesian(spark, frame):
+    q = P.RangeQuery(frame, START, END, STEP)
+    plan = q.run("sum by (user) (rate(click[12s]))")._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert "Generate" in plan  # the bounded sequence() fan-out

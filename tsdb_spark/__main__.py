@@ -4,6 +4,7 @@ command table: bench write / ls / analyze / dump).
     python -m tsdb_spark ls       <store>
     python -m tsdb_spark analyze  <store> [--limit N]
     python -m tsdb_spark select   <store> '<promql selector>' [--mint --maxt]
+    python -m tsdb_spark query    <store> '<promql expr>' --start --end --step
     python -m tsdb_spark explain  <store> '<promql selector>' [--mint --maxt]
     python -m tsdb_spark dump     <store> [--mint MS] [--maxt MS] [--out DIR]
     python -m tsdb_spark bench-write <store> --events DIR [--width MS]
@@ -49,6 +50,20 @@ def main(argv: list[str] | None = None) -> int:
     p_se.add_argument("--mint", type=int, default=-(2**62))
     p_se.add_argument("--maxt", type=int, default=2**62)
     p_se.add_argument("--limit", type=int, default=100)
+
+    p_q = sub.add_parser(
+        "query",
+        help="evaluate a PromQL range expression over a time grid, e.g. "
+        "'sum by (user) (rate(click[1h]))'",
+    )
+    p_q.add_argument("store")
+    p_q.add_argument("expr")
+    p_q.add_argument("--start", type=int, required=True, help="grid start (ms)")
+    p_q.add_argument("--end", type=int, required=True, help="grid end (ms)")
+    p_q.add_argument("--step", type=int, required=True, help="grid step (ms)")
+    p_q.add_argument("--lookback", type=int, default=300_000,
+                     help="instant-selector staleness window (ms)")
+    p_q.add_argument("--limit", type=int, default=100)
 
     p_ex = sub.add_parser(
         "explain", help="show the physical plan for a selector (pushdown audit)"
@@ -139,6 +154,13 @@ def main(argv: list[str] | None = None) -> int:
             parse_selector(args.selector)
         )
         df.select("labels_str", "t", "v").show(args.limit, truncate=False)
+    elif args.cmd == "query":
+        from tsdb_spark.promql import eval_range_db
+
+        db = DB.open_readonly(spark, args.store)
+        eval_range_db(
+            db, args.expr, args.start, args.end, args.step, args.lookback
+        ).show(args.limit, truncate=False)
     elif args.cmd == "explain":
         from tsdb_spark.labels import parse_selector
 

@@ -2742,6 +2742,9 @@ def tsdb_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 # from this module)
 from tsdb_spark.pipeline import queries as _pipeline_queries  # noqa: E402,F401
 
+# PromQL range-evaluator entries (same bottom-import pattern)
+from tsdb_spark import promql_queries as _promql_queries  # noqa: E402,F401
+
 # =====================================================================
 # driver gate manifest: the driver's CORRECTNESS check takes the FIRST
 # 50 registry entries in iteration order. Round 3 learned the hard way
