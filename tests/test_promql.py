@@ -240,3 +240,95 @@ def test_plan_shape_no_cartesian(spark, frame):
     plan = q.run("sum by (user) (rate(click[12s]))")._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
     assert "Generate" in plan  # the bounded sequence() fan-out
+
+
+# ------------------------------------------------- r5 extensions
+
+def test_parse_offset_topk_binvec():
+    n = P.parse_expr("rate(click[5m] offset 1h)")
+    assert n.arg.offset_ms == 3_600_000 and n.arg.range_ms == 300_000
+    n = P.parse_expr("click offset 30s")
+    assert isinstance(n, P.Selector) and n.offset_ms == 30_000
+    n = P.parse_expr("topk by (user) (2, rate(click[5m]))")
+    assert isinstance(n, P.Aggregate) and n.op == "topk" and n.param == 2.0
+    n = P.parse_expr("quantile(0.9, click)")
+    assert n.op == "quantile" and n.param == 0.9
+    n = P.parse_expr("rate(a[5m]) / rate(b[5m])")
+    assert isinstance(n, P.BinVector) and n.op == "/"
+    assert P.required_reach("sum(rate(a[5m] offset 2m)) / max(b offset 1m)", 60_000) == 420_000
+    with pytest.raises(ValueError):
+        P.parse_expr("topk(click)")  # missing param
+
+
+def test_offset_shifts_windows(spark, frame):
+    q = P.RangeQuery(frame, START, END, STEP, lookback_ms=LOOKBACK)
+    plain = collect_map(q.run("sum_over_time(click[12s])"))
+    OFF = 2 * STEP
+    q2 = P.RangeQuery(frame, START + OFF, END + OFF, STEP, lookback_ms=LOOKBACK)
+    shifted = collect_map(q2.run(f"sum_over_time(click[12s] offset {2 * STEP}ms)"))
+    # offset by exactly 2 steps = the plain result re-labeled 2 steps later
+    assert shifted == {(ls, T + OFF): v for (ls, T), v in plain.items()}
+
+
+def test_topk_bottomk(spark, frame):
+    q = P.RangeQuery(frame, START, END, STEP, lookback_ms=LOOKBACK)
+    top = collect_map(q.run('topk(1, last_over_time({__name__=~"click|lonely"}[40s]))'))
+    # model: highest-valued series per grid point, tiebreak labels_str asc
+    want = {}
+    for T in grid():
+        best = None
+        for (name, user), pts in sorted(SERIES.items()):
+            if name not in ("click", "lonely"):
+                continue
+            w = in_window(pts, T, 40_000)
+            if not w:
+                continue
+            ls = f'{{__name__="{name}",user="{user}"}}'
+            v = round(w[-1][1] * 100) / 100.0
+            if best is None or v > best[1] or (v == best[1] and ls < best[0]):
+                best = (ls, v)
+        if best:
+            want[(best[0], T)] = best[1]
+    assert_close(top, want)
+    bot = collect_map(q.run('bottomk(1, last_over_time({__name__=~"click|lonely"}[40s]))'))
+    assert len(bot) == len(want)
+    assert any(bot[k] != want[k] for k in want if k in bot) or set(bot) != set(want)
+
+
+def test_quantile_agg(spark, frame):
+    q = P.RangeQuery(frame, START, END, STEP, lookback_ms=LOOKBACK)
+    got = collect_map(
+        q.run('quantile(0.5, count_over_time({__name__=~".*"}[40s]))'),
+        keys=(),
+    )
+    import statistics
+
+    for T in grid():
+        counts = sorted(
+            len(in_window(pts, T, 40_000))
+            for pts in SERIES.values()
+            if in_window(pts, T, 40_000)
+        )
+        if counts:
+            assert math.isclose(got[(T,)], statistics.median(counts), rel_tol=1e-12)
+
+
+def test_vector_binop_ratio(spark, frame):
+    # click{user=1} count / sum — same series set on both sides, matched
+    # on labels minus __name__
+    q = P.RangeQuery(frame, START, END, STEP, lookback_ms=LOOKBACK)
+    got = collect_map(
+        q.run("sum_over_time(click[40s]) / count_over_time(click[40s])"),
+        keys=("labels_str",),
+    )
+    want = {}
+    for (name, user), pts in SERIES.items():
+        if name != "click":
+            continue
+        ls = f'{{user="{user}"}}'  # __name__ dropped by the binop
+        for T in grid():
+            w = in_window(pts, T, 40_000)
+            if w:
+                cs = [round(v * 100) for _, v in w]
+                want[(ls, T)] = (sum(cs) / 100.0) / len(cs)
+    assert_close(got, want)

@@ -8,13 +8,19 @@ selectors). A user switching storage still runs PromQL on top — so the
 engine ships the common range-query subset as a first-class relational
 compiler:
 
-    expr      := aggregate | function | selector   [op number]*
+    expr      := unary (op (number | unary))*      -- scalar or vector RHS
+    unary     := aggregate | function | selector | number op unary
     aggregate := (sum|avg|min|max|count) [by|without (l,...)] (expr)
-    function  := fn '(' selector '[' duration ']' ')'
+               | (topk|bottomk|quantile) [by|without (l,...)] (number, expr)
+    function  := fn '(' matrix ')'
     fn        := rate increase delta irate idelta resets changes
                  avg_over_time min_over_time max_over_time sum_over_time
                  count_over_time last_over_time
-    selector  := metric{label op "value", ...}     (labels.parse_selector)
+    matrix    := selector '[' duration ']' ['offset' duration]
+    selector  := metric{label op "value", ...} ['offset' duration]
+
+Vector-vector arithmetic uses PromQL's default one-to-one matching
+(identical label sets minus __name__, which the result drops).
 
 Evaluation model (the scale-shape insight): a range query at
 (start, end, step) needs, for every grid point T, an aggregate over the
@@ -61,6 +67,8 @@ _DUR_MS = {
 }
 
 AGG_OPS = ("sum", "avg", "min", "max", "count")
+#: aggregations taking a leading scalar parameter: topk(3, e), quantile(0.9, e)
+PARAM_AGGS = ("topk", "bottomk", "quantile")
 RANGE_FNS = (
     "rate",
     "increase",
@@ -99,6 +107,7 @@ def parse_duration(s: str) -> int:
 class Selector:
     matchers: list  # list[L.Matcher]
     range_ms: int | None = None  # set for matrix selectors
+    offset_ms: int = 0  # `offset 5m` time shift
 
 
 @dataclass
@@ -113,6 +122,7 @@ class Aggregate:
     child: object
     by: list[str] | None = None
     without: list[str] | None = None
+    param: float | None = None  # topk/bottomk k, quantile φ
 
 
 @dataclass
@@ -124,13 +134,26 @@ class BinScalar:
 
 
 @dataclass
+class BinVector:
+    """Vector-vector arithmetic with PromQL's DEFAULT one-to-one label
+    matching: entries pair when their full label sets minus __name__
+    are identical; __name__ is dropped from the result. (on/ignoring/
+    group_* modifiers are out of scope for this subset.)"""
+
+    op: str  # + - * /
+    left: object
+    right: object
+
+
+@dataclass
 class _Tok:
     kind: str
     val: str
 
 
 _TOKEN_RE = re.compile(
-    r"\s*(?:(?P<num>\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)"
+    r"\s*(?:(?P<off>offset\s+[0-9][0-9a-zA-Z]*)"
+    r"|(?P<num>\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)"
     r"|(?P<name>[a-zA-Z_:][a-zA-Z0-9_:]*)"
     r"|(?P<brace>\{(?:[^\"{}]|\"(?:[^\"\\]|\\.)*\")*\})"
     r"|(?P<dur>\[[0-9a-z]+\])"
@@ -146,7 +169,7 @@ def _tokenize(s: str) -> list[_Tok]:
             if s[pos:].strip() == "":
                 break
             raise ValueError(f"parse error at {s[pos:pos+20]!r}")
-        for kind in ("num", "name", "brace", "dur", "op"):
+        for kind in ("off", "num", "name", "brace", "dur", "op"):
             v = m.group(kind)
             if v is not None:
                 toks.append(_Tok(kind, v))
@@ -176,13 +199,16 @@ class _Parser:
 
     def parse_expr(self):
         node = self.parse_unary()
-        # trailing scalar arithmetic: expr op number (left-assoc chain)
+        # trailing arithmetic: scalar RHS → BinScalar, vector RHS →
+        # BinVector (left-assoc chain, no precedence — parenthesize)
         while (t := self.peek()) is not None and t.val in "+-*/":
             op = self.next().val
-            num = self.next()
-            if num.kind != "num":
-                raise ValueError(f"only scalar operands supported, got {num.val!r}")
-            node = BinScalar(op, node, float(num.val))
+            rhs = self.peek()
+            if rhs is not None and rhs.kind == "num":
+                self.next()
+                node = BinScalar(op, node, float(rhs.val))
+            else:
+                node = BinVector(op, node, self.parse_unary())
         return node
 
     def parse_unary(self):
@@ -196,7 +222,7 @@ class _Parser:
                 raise ValueError(f"expected operator after scalar, got {op!r}")
             child = self.parse_unary()
             return BinScalar(op, child, float(t.val), scalar_left=True)
-        if t.kind == "name" and t.val in AGG_OPS:
+        if t.kind == "name" and t.val in AGG_OPS + PARAM_AGGS:
             return self.parse_aggregate()
         if t.kind == "name" and t.val in RANGE_FNS:
             return self.parse_function()
@@ -228,6 +254,13 @@ class _Parser:
             else:
                 without = names
         self.expect("(")
+        param = None
+        if op in PARAM_AGGS:
+            num = self.next()
+            if num.kind != "num":
+                raise ValueError(f"{op} needs a scalar parameter, got {num.val!r}")
+            param = float(num.val)
+            self.expect(",")
         child = self.parse_expr()
         self.expect(")")
         t = self.peek()
@@ -239,7 +272,7 @@ class _Parser:
                 by = names
             else:
                 without = names
-        return Aggregate(op, child, by=by, without=without)
+        return Aggregate(op, child, by=by, without=without, param=param)
 
     def parse_function(self):
         fn = self.next().val
@@ -267,7 +300,11 @@ class _Parser:
             raise ValueError("range function needs a [duration] selector")
         if not require_range and range_ms is not None:
             raise ValueError("matrix selector outside a range function")
-        return Selector(matchers, range_ms)
+        offset_ms = 0
+        t = self.peek()
+        if t is not None and t.kind == "off":
+            offset_ms = parse_duration(self.next().val[len("offset"):].strip())
+        return Selector(matchers, range_ms, offset_ms=offset_ms)
 
 
 def parse_expr(s: str):
@@ -492,6 +529,8 @@ class RangeQuery:
             a, b = (s, v) if node.scalar_left else (v, s)
             ops = {"+": a + b, "-": a - b, "*": a * b, "/": a / b}
             return child.withColumn("value", ops[node.op])
+        if isinstance(node, BinVector):
+            return self._eval_binvec(node)
         if isinstance(node, Aggregate):
             return self._eval_agg(node)
         if isinstance(node, FuncCall):
@@ -500,18 +539,62 @@ class RangeQuery:
             return self._eval_instant(node)
         raise TypeError(f"unknown node {node!r}")
 
-    def _base(self, matchers, reach: int) -> DataFrame:
+    def _eval_binvec(self, node: BinVector) -> DataFrame:
+        left, right = self.eval(node.left), self.eval(node.right)
+        if "labels" in left.columns and "labels" in right.columns:
+            # default one-to-one matching: full label set minus __name__;
+            # result labels drop the metric name (PromQL binop rule)
+            def keyed(df):
+                m = F.map_filter(F.col("labels"), lambda k, _: k != F.lit("__name__"))
+                return df.select(
+                    L.labels_str_expr(m).alias("labels_str"),
+                    m.alias("labels"),
+                    F.col(_G),
+                    "value",
+                )
+
+            keys = ["labels_str", _G]
+            l, r = keyed(left), keyed(right)
+            joined = l.alias("l").join(r.alias("r"), keys).select(
+                "labels_str",
+                F.col("l.labels").alias("labels"),
+                F.col(_G),
+                F.col("l.value").alias("_lv"),
+                F.col("r.value").alias("_rv"),
+            )
+        else:
+            # both sides are grouped aggregates: match on their common
+            # grouping columns (must agree — PromQL would error too)
+            lg = [c for c in left.columns if c not in (_G, "value", "labels")]
+            rg = [c for c in right.columns if c not in (_G, "value", "labels")]
+            if sorted(lg) != sorted(rg):
+                raise ValueError(
+                    f"vector-matching groups differ: {sorted(lg)} vs {sorted(rg)}"
+                )
+            keys = [*lg, _G]
+            joined = left.join(
+                right.withColumnRenamed("value", "_rv"), keys
+            ).withColumnRenamed("value", "_lv")
+        a, b = F.col("_lv"), F.col("_rv")
+        ops = {"+": a + b, "-": a - b, "*": a * b, "/": a / b}
+        return joined.withColumn("value", ops[node.op]).drop("_lv", "_rv")
+
+    def _base(self, matchers, reach: int, offset_ms: int = 0) -> DataFrame:
         # canonicalize to one centi-unit value per (series, t) — PromQL
         # storage is unique per (series, t); raw relations (e.g. an
         # events mapping) may not be, and the lag/argmax logic needs the
         # uniqueness. min(vc) is the engine's standard deterministic
         # amend rule; the combinable groupBy also shrinks the frame
         # before the grid fan-out.
-        lo = self.start - reach + 1
+        # `offset` shifts every sample forward by offset_ms, so the
+        # unchanged downstream window (T-R, T] reads the
+        # (T-offset-R, T-offset] real-time window — the PromQL modifier
+        # as a pure time translation.
+        lo = self.start - reach + 1 - offset_ms
         return (
             self.frame.filter(L.compile_matchers(matchers))
-            .filter((F.col("t") >= lo) & (F.col("t") <= self.end))
-            .groupBy("labels_str", "t")
+            .filter((F.col("t") >= lo) & (F.col("t") <= self.end - offset_ms))
+            .groupBy("labels_str", (F.col("t") + offset_ms).alias("t"))
             .agg(
                 F.first("labels").alias("labels"),
                 F.min(F.round(F.col("v") * 100).cast("long")).alias("vc"),
@@ -521,7 +604,11 @@ class RangeQuery:
     def _eval_instant(self, node: Selector) -> DataFrame:
         reach = self.lookback_ms
         cells = _grid_explode(
-            self._base(node.matchers, reach), self.start, self.end, self.step, reach
+            self._base(node.matchers, reach, node.offset_ms),
+            self.start,
+            self.end,
+            self.step,
+            reach,
         )
         return cells.groupBy("labels_str", _G).agg(
             F.first("labels").alias("labels"),
@@ -530,7 +617,7 @@ class RangeQuery:
 
     def _eval_func(self, node: FuncCall) -> DataFrame:
         rng = node.arg.range_ms
-        base = self._base(node.arg.matchers, rng)
+        base = self._base(node.arg.matchers, rng, node.arg.offset_ms)
         need_lag = node.fn in (
             "rate",
             "increase",
@@ -552,11 +639,49 @@ class RangeQuery:
 
     def _eval_agg(self, node: Aggregate) -> DataFrame:
         child = self.eval(node.child)
+        has_labels = "labels" in child.columns
+
+        def _key_col(k: str) -> Column:
+            # a grouped child exposes its keys as plain columns; a
+            # selector/function child carries the labels map
+            if has_labels:
+                return F.coalesce(F.col("labels").getItem(k), F.lit(""))
+            return F.col(k)
+
+        if node.op in ("topk", "bottomk"):
+            # not a fold: keep the k extreme SERIES per (group, T) with
+            # their input labels (PromQL topk/bottomk semantics). One
+            # window over (group keys, T); ties broken deterministically
+            # by the series identity so the result is reproducible.
+            from pyspark.sql import Window
+
+            part = [F.col(_G)]
+            if node.by is not None:
+                part += [_key_col(k) for k in node.by]
+            elif node.without is not None:
+                drop = F.array(*[F.lit(k) for k in [*node.without, "__name__"]])
+                part.append(
+                    L.labels_str_expr(
+                        F.map_filter(
+                            F.col("labels"), lambda k, _: ~F.array_contains(drop, k)
+                        )
+                    )
+                )
+            tie = (
+                F.col("labels_str")
+                if "labels_str" in child.columns
+                else F.lit(0)
+            )
+            val = F.col("value").desc() if node.op == "topk" else F.col("value").asc()
+            w = Window.partitionBy(*part).orderBy(val, tie)
+            k = int(node.param if node.param is not None else 1)
+            return (
+                child.withColumn("_rk", F.row_number().over(w))
+                .filter(F.col("_rk") <= k)
+                .drop("_rk")
+            )
         if node.by is not None:
-            keys = [
-                F.coalesce(F.col("labels").getItem(k), F.lit("")).alias(k)
-                for k in node.by
-            ]
+            keys = [_key_col(k).alias(k) for k in node.by]
             out_keys = list(node.by)
         elif node.without is not None:
             # PromQL `without` also drops the metric name from the result
@@ -577,6 +702,12 @@ class RangeQuery:
             "min": F.min("value"),
             "max": F.max("value"),
             "count": F.count("value").cast("double"),
+            # exact percentile with PromQL's rank = φ(n-1) linear
+            # interpolation (matches DuckDB quantile_cont); group sizes
+            # are series-per-group, never sample counts
+            "quantile": F.expr(
+                f"percentile(value, {node.param if node.param is not None else 0.5})"
+            ),
         }
         return child.groupBy(*keys, _G).agg(ops[node.op].alias("value")).select(
             *out_keys, _G, "value"
@@ -608,11 +739,17 @@ def required_reach(node, lookback_ms: int = DEFAULT_LOOKBACK_MS) -> int:
     if isinstance(node, str):
         node = parse_expr(node)
     if isinstance(node, Selector):
-        return node.range_ms if node.range_ms is not None else lookback_ms
+        base = node.range_ms if node.range_ms is not None else lookback_ms
+        return base + node.offset_ms
     if isinstance(node, FuncCall):
         return required_reach(node.arg, lookback_ms)
     if isinstance(node, (Aggregate, BinScalar)):
         return required_reach(node.child, lookback_ms)
+    if isinstance(node, BinVector):
+        return max(
+            required_reach(node.left, lookback_ms),
+            required_reach(node.right, lookback_ms),
+        )
     raise TypeError(f"unknown node {node!r}")
 
 
