@@ -183,6 +183,17 @@ def main() -> None:
             for qname in ("tsdb_histogram_quantile", "tsdb_holt_winters"):
                 QUERIES[qname].spark_fn(spark, SF_DIR).agg(F.count("*")).collect()
 
+        # PromQL range-query evaluator: parse → bounded grid fan-out →
+        # combinable window aggregates (rate extrapolation, label agg,
+        # topk-over-ratio composition)
+        with timed("promql"):
+            for qname in (
+                "promql_rate_grid",
+                "promql_sum_by_rate",
+                "promql_topk_ratio",
+            ):
+                QUERIES[qname].spark_fn(spark, SF_DIR).agg(F.count("*")).collect()
+
         # instant-vector grid evaluation via the distributed as-of join
         # (union + one ordered window per series)
         with timed("asof"):

@@ -220,3 +220,41 @@ def promql_changes_resets(spark: SparkSession, sf_dir: str) -> DataFrame:
             ["labels_str", "t"],
         )
     )
+
+
+@register(
+    "promql_topk_ratio",
+    _with_prelude(
+        f"""
+, {_canon_cte("event_type = 'click'")},
+{_grid_cte(T0 + DAY, T0 + 31 * DAY, DAY)},
+w AS (SELECT d.labels_str, g.gt, d.t, d.vc
+      FROM d JOIN g ON d.t > g.gt - {2 * DAY} AND d.t <= g.gt),
+v AS (SELECT labels_str, gt AS t,
+        (CAST(sum(vc) AS DOUBLE) / 100.0) / count(*) AS value
+      FROM w GROUP BY 1, 2),
+-- binop drops __name__ from the matched labels (both sides share the
+-- label set here, so the key is the user/k_bucket remainder)
+m AS (SELECT regexp_replace(labels_str, '__name__="[^"]*",', '') AS labels_str,
+             t, value
+      FROM v),
+r AS (SELECT *, row_number() OVER (PARTITION BY t
+                                   ORDER BY value DESC, labels_str) AS rk
+      FROM m)
+SELECT labels_str, t, value FROM r WHERE rk <= 2"""
+    ),
+    "PromQL composition `topk(2, sum_over_time(click[2d]) / "
+    "count_over_time(click[2d]))` daily — vector-vector arithmetic with "
+    "default label matching (metric name dropped) under a topk window. "
+    "The ratio is an integer-sum divided once (bit-exact); topk ties "
+    "break on the canonical label string so the result is reproducible",
+)
+def promql_topk_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = eval_range(
+        events_samples(spark, sf_dir),
+        "topk(2, sum_over_time(click[2d]) / count_over_time(click[2d]))",
+        T0 + DAY,
+        T0 + 31 * DAY,
+        DAY,
+    )
+    return out.select("labels_str", "t", "value")
