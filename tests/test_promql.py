@@ -332,3 +332,260 @@ def test_vector_binop_ratio(spark, frame):
                 cs = [round(v * 100) for _, v in w]
                 want[(ls, T)] = (sum(cs) / 100.0) / len(cs)
     assert_close(got, want)
+
+
+# ------------------------------------------------- r5 wave 2: breadth
+
+def test_parse_precedence_and_modifiers():
+    # * binds tighter than +, comparisons looser than arithmetic
+    n = P.parse_expr("rate(a[5m]) + rate(b[5m]) * 2")
+    assert isinstance(n, P.BinVector) and n.op == "+"
+    assert isinstance(n.right, P.BinScalar) and n.right.op == "*"
+    n = P.parse_expr("rate(a[5m]) * 2 > 0.5")
+    assert isinstance(n, P.BinScalar) and n.op == ">" and n.scalar == 0.5
+    assert isinstance(n.child, P.BinScalar) and n.child.op == "*"
+    # and binds tighter than or
+    n = P.parse_expr("a or b and c")
+    assert isinstance(n, P.BinSet) and n.op == "or"
+    assert isinstance(n.right, P.BinSet) and n.right.op == "and"
+    # bool + on/ignoring/group modifiers
+    n = P.parse_expr("a > bool 3")
+    assert isinstance(n, P.BinScalar) and n.cmp_bool
+    n = P.parse_expr("a / on (user) group_left b")
+    assert isinstance(n, P.BinVector) and n.on == ["user"] and n.group_side == "left"
+    n = P.parse_expr("a and ignoring (mode) b")
+    assert isinstance(n, P.BinSet) and n.ignoring == ["mode"]
+    # parenthesized grouping overrides precedence
+    n = P.parse_expr("(rate(a[5m]) + rate(b[5m])) * 2")
+    assert isinstance(n, P.BinScalar) and n.op == "*"
+    # function forms
+    n = P.parse_expr("quantile_over_time(0.9, a[5m])")
+    assert isinstance(n, P.FuncCall) and n.param == 0.9
+    n = P.parse_expr("predict_linear(a[5m], 3600)")
+    assert isinstance(n, P.FuncCall) and n.param == 3600.0
+    n = P.parse_expr("clamp(a, 1, 5)")
+    assert isinstance(n, P.ValueFn) and n.params == [1.0, 5.0]
+    n = P.parse_expr("histogram_quantile(0.5, sum by (le) (rate(h[5m])))")
+    assert isinstance(n, P.HistQuantile) and n.phi == 0.5
+    n = P.parse_expr('absent(up{job="x"})')
+    assert isinstance(n, P.Absent)
+    with pytest.raises(ValueError):
+        P.parse_expr("2 + 3")  # scalar-only
+    with pytest.raises(ValueError):
+        P.parse_expr("clamp(a, 1)")  # arity
+
+
+def model_reg(fn, pts, T, R, param=None):
+    """deriv/predict_linear on exact integer sums, engine formula."""
+    w = [(t, round(v * 100)) for t, v in in_window(pts, T, R)]
+    n = len(w)
+    if n < 2:
+        return None
+    sx = sum(t - T for t, _ in w)
+    sy = sum(c for _, c in w)
+    sxy = sum((t - T) * c for t, c in w)
+    sxx = sum((t - T) ** 2 for t, _ in w)
+    num, den = float(n * sxy - sx * sy), float(n * sxx - sx * sx)
+    if den == 0.0:
+        return None
+    if fn == "deriv":
+        return num / den * 1000.0 / 100.0
+    xstar = param * 1000.0
+    return sy / n / 100.0 + num / den / 100.0 * (xstar - sx / n)
+
+
+def model_spread(fn, pts, T, R, param=None):
+    w = [round(v * 100) for _, v in in_window(pts, T, R)]
+    n = len(w)
+    if not n:
+        return None
+    if fn == "present_over_time":
+        return 1.0
+    if fn in ("stdvar_over_time", "stddev_over_time"):
+        var = float(n * sum(c * c for c in w) - sum(w) ** 2) / n / n / 10000.0
+        return var if fn == "stdvar_over_time" else math.sqrt(var)
+    if fn == "quantile_over_time":
+        s = sorted(w)
+        r = param * (n - 1)
+        lo, hi = int(math.floor(r)), min(int(math.floor(r)) + 1, n - 1)
+        return (s[lo] + (s[hi] - s[lo]) * (r - lo)) / 100.0
+    raise AssertionError(fn)
+
+
+@pytest.mark.parametrize("fn,param", [
+    ("deriv", None), ("predict_linear", 60.0),
+    ("stddev_over_time", None), ("stdvar_over_time", None),
+    ("quantile_over_time", 0.75), ("present_over_time", None),
+])
+def test_new_range_functions_match_model(spark, frame, fn, param):
+    R = 12_000
+    q = P.RangeQuery(frame, START, END, STEP, lookback_ms=LOOKBACK)
+    if fn == "quantile_over_time":
+        expr = f"quantile_over_time({param}, click[12s])"
+    elif fn == "predict_linear":
+        expr = f"predict_linear(click[12s], {param})"
+    else:
+        expr = f"{fn}(click[12s])"
+    got = collect_map(q.run(expr))
+    model = model_reg if fn in ("deriv", "predict_linear") else model_spread
+    want = {}
+    for (name, user), pts in SERIES.items():
+        if name != "click":
+            continue
+        ls = f'{{__name__="click",user="{user}"}}'
+        for T in grid():
+            v = model(fn, pts, T, R, param)
+            if v is not None:
+                want[(ls, T)] = v
+    assert_close(got, want)
+
+
+def test_value_functions(spark, frame):
+    q = P.RangeQuery(frame, START, END, STEP, lookback_ms=LOOKBACK)
+    base = collect_map(q.run("gauge"))
+    # value fns drop __name__ from the label set
+    def relab(d):
+        return {(ls.replace('__name__="gauge",', ""), T): v for (ls, T), v in d.items()}
+
+    got = collect_map(q.run("abs(gauge)"))
+    assert_close(got, {k: abs(v) for k, v in relab(base).items()})
+    got = collect_map(q.run("ceil(gauge)"))
+    assert_close(got, {k: float(math.ceil(v)) for k, v in relab(base).items()})
+    got = collect_map(q.run("clamp(gauge, -1, 4)"))
+    assert_close(got, {k: min(4.0, max(-1.0, v)) for k, v in relab(base).items()})
+    got = collect_map(q.run("round(gauge, 2)"))
+    assert_close(got, {k: math.floor(v / 2 + 0.5) * 2.0 for k, v in relab(base).items()})
+    got = collect_map(q.run("sgn(gauge)"))
+    assert_close(got, {k: float((v > 0) - (v < 0)) for k, v in relab(base).items()})
+
+
+def test_comparison_filter_and_bool(spark, frame):
+    q = P.RangeQuery(frame, START, END, STEP, lookback_ms=LOOKBACK)
+    base = collect_map(q.run("gauge"))
+    got = collect_map(q.run("gauge > 0"))
+    want = {k: v for k, v in base.items() if v > 0}
+    assert_close(got, want)  # filter keeps original labels incl __name__
+    got = collect_map(q.run("gauge >= bool 0"))
+    # bool yields 0/1 for every element and drops __name__
+    want = {
+        (ls.replace('__name__="gauge",', ""), T): (1.0 if v >= 0 else 0.0)
+        for (ls, T), v in base.items()
+    }
+    assert_close(got, want)
+    # scalar-left comparison: 0 < gauge  ==  gauge > 0
+    got = collect_map(q.run("0 < gauge"))
+    assert_close(got, {k: v for k, v in base.items() if v > 0})
+
+
+def test_vector_comparison_and_setops(spark, frame):
+    q = P.RangeQuery(frame, START, END, STEP, lookback_ms=LOOKBACK)
+    # click sum vs count per series: sum >= count almost everywhere
+    got = collect_map(
+        q.run("sum_over_time(click[40s]) > count_over_time(click[40s])")
+    )
+    sums = collect_map(q.run("sum_over_time(click[40s])"))
+    counts = collect_map(q.run("count_over_time(click[40s])"))
+    want = {k: v for k, v in sums.items() if v > counts[k]}
+    assert_close(got, want)
+    # and: click series where gauge{user=1} exists at T (match on user)
+    got = collect_map(q.run("last_over_time(click[12s]) and on (user) gauge"))
+    clicks = collect_map(q.run("last_over_time(click[12s])"))
+    gauges = collect_map(q.run("gauge"))
+    gauge_keys = {(ls[ls.find('user="') + 6], T) for (ls, T) in gauges}
+    want = {
+        (ls, T): v
+        for (ls, T), v in clicks.items()
+        if (ls[ls.find('user="') + 6], T) in gauge_keys
+    }
+    assert_close(got, want)
+    # unless is the complement
+    got_u = collect_map(q.run("last_over_time(click[12s]) unless on (user) gauge"))
+    assert set(got_u) == set(clicks) - set(got)
+    # or: LHS + the RHS elements whose signature (labels minus
+    # __name__ = {user}) has no LHS element at that instant
+    got_or = collect_map(q.run("last_over_time(click[12s]) or gauge"))
+    click_sigs = {(ls[ls.find('user="') + 6], T) for (ls, T) in clicks}
+    extra = {
+        k for (ls, T) in gauges
+        if (ls[ls.find('user="') + 6], T) not in click_sigs
+        for k in [(ls, T)]
+    }
+    assert set(got_or) == set(clicks) | extra
+
+
+def test_group_left_ratio(spark, frame):
+    # per-series click count divided by the per-user total (sum by user):
+    # many-to-one with the many side keeping its labels minus __name__
+    q = P.RangeQuery(frame, START, END, STEP, lookback_ms=LOOKBACK)
+    got = collect_map(
+        q.run(
+            "count_over_time(click[40s]) / on (user) group_left "
+            "sum by (user) (count_over_time(click[40s]))"
+        )
+    )
+    counts = collect_map(q.run("count_over_time(click[40s])"))
+    per_user = {}
+    for (ls, T), v in counts.items():
+        u = ls[ls.find('user="') + 6]
+        per_user[(u, T)] = per_user.get((u, T), 0.0) + v
+    want = {}
+    for (ls, T), v in counts.items():
+        u = ls[ls.find('user="') + 6]
+        want[(ls.replace('__name__="click",', ""), T)] = v / per_user[(u, T)]
+    assert_close(got, want)
+
+
+def test_absent_and_absent_over_time(spark, frame):
+    q = P.RangeQuery(frame, START, END, STEP, lookback_ms=LOOKBACK)
+    rows = q.run('absent(nosuch{job="x"})').collect()
+    assert {r["t"] for r in rows} == set(grid())
+    assert all(r["value"] == 1.0 and r["labels_str"] == '{job="x"}' for r in rows)
+    # lonely has one sample at 22_000 → covered grid points absent elsewhere
+    rows = q.run("absent_over_time(lonely[12s])").collect()
+    covered = {T for T in grid() if in_window(SERIES[("lonely", "9")], T, 12_000)}
+    assert {r["t"] for r in rows} == set(grid()) - covered
+    # a fully-present selector yields no absent rows
+    assert q.run("absent_over_time(click[40s])").count() == 0
+
+
+def test_histogram_quantile(spark):
+    # two stacked histograms with cumulative le buckets at one instant
+    rows = []
+    for site, counts in {"a": [4, 10, 10], "b": [0, 5, 20]}.items():
+        for le, c in zip(["1", "2.5", "+Inf"], counts):
+            rows.append(({"__name__": "lat_bucket", "site": site, "le": le},
+                         1_000, float(c)))
+    df = spark.createDataFrame(rows, "labels MAP<STRING,STRING>, t LONG, v DOUBLE")
+    from tsdb_spark import labels as L
+
+    df = df.withColumn("labels_str", L.labels_str_expr("labels"))
+    q = P.RangeQuery(df, 1_000, 1_000, 1_000, lookback_ms=9_000)
+    got = collect_map(q.run("histogram_quantile(0.5, lat_bucket)"))
+    # site a: total 10, rank 5 → in (1, 2.5] bucket: 1 + 1.5*(5-4)/(10-4)
+    # site b: total 20, rank 10 → +Inf bucket → clamp to 2.5
+    assert_close(got, {
+        ('{site="a"}', 1_000): 1 + 1.5 * (5 - 4) / (10 - 4),
+        ('{site="b"}', 1_000): 2.5,
+    })
+    # rank inside the first bucket interpolates from lower bound 0
+    got = collect_map(q.run("histogram_quantile(0.2, lat_bucket)"))
+    assert math.isclose(got[('{site="a"}', 1_000)], 1.0 * 2 / 4)
+
+
+def test_stddev_agg(spark, frame):
+    q = P.RangeQuery(frame, START, END, STEP, lookback_ms=LOOKBACK)
+    got = collect_map(
+        q.run('stdvar(last_over_time({__name__=~"click|lonely"}[40s]))'), keys=()
+    )
+    import statistics
+
+    for T in grid():
+        vals = []
+        for (name, user), pts in SERIES.items():
+            if name not in ("click", "lonely"):
+                continue
+            w = in_window(pts, T, 40_000)
+            if w:
+                vals.append(round(w[-1][1] * 100) / 100.0)
+        if vals:
+            assert math.isclose(got[(T,)], statistics.pvariance(vals), rel_tol=1e-9)

@@ -8,19 +8,36 @@ selectors). A user switching storage still runs PromQL on top — so the
 engine ships the common range-query subset as a first-class relational
 compiler:
 
-    expr      := unary (op (number | unary))*      -- scalar or vector RHS
-    unary     := aggregate | function | selector | number op unary
-    aggregate := (sum|avg|min|max|count) [by|without (l,...)] (expr)
+    expr      := binary expression over unary with PromQL precedence
+                 (or < and|unless < comparisons < +- < */% < ^),
+                 comparisons take an optional `bool` modifier, every
+                 vector-vector op takes optional
+                 on(l,...) | ignoring(l,...) and group_left/group_right
+    unary     := aggregate | function | selector | number
+    aggregate := (sum|avg|min|max|count|stddev|stdvar|group)
+                   [by|without (l,...)] (expr)
                | (topk|bottomk|quantile) [by|without (l,...)] (number, expr)
-    function  := fn '(' matrix ')'
-    fn        := rate increase delta irate idelta resets changes
+    function  := rangefn '(' matrix ')'          -- window functions
+               | quantile_over_time '(' number ',' matrix ')'
+               | predict_linear '(' matrix ',' number ')'
+               | histogram_quantile '(' number ',' expr ')'
+               | absent '(' selector ')' | absent_over_time '(' matrix ')'
+               | valuefn '(' expr [',' number]* ')'  -- abs ceil floor ...
+    rangefn   := rate increase delta irate idelta resets changes deriv
                  avg_over_time min_over_time max_over_time sum_over_time
-                 count_over_time last_over_time
+                 count_over_time last_over_time present_over_time
+                 stddev_over_time stdvar_over_time
+    valuefn   := abs ceil floor sqrt exp ln log2 log10 sgn
+                 clamp clamp_min clamp_max round
     matrix    := selector '[' duration ']' ['offset' duration]
     selector  := metric{label op "value", ...} ['offset' duration]
 
-Vector-vector arithmetic uses PromQL's default one-to-one matching
-(identical label sets minus __name__, which the result drops).
+Vector-vector arithmetic uses PromQL's one-to-one matching (full label
+set minus __name__ by default, or the on()/ignoring() subset; the
+result carries the matching labels, and group_left/group_right keeps
+the many side's full label set). Set operators and/or/unless keep LHS
+elements untouched (or unions the unmatched RHS), matching on the same
+signature.
 
 Evaluation model (the scale-shape insight): a range query at
 (start, end, step) needs, for every grid point T, an aggregate over the
@@ -39,7 +56,17 @@ All window math runs on integer centi-units (round(v*100), the same
 canonicalization the query-function suite uses) so sums are
 order-independent; the only doubles are final deterministic scalar
 expressions — the PromQL extrapolation formula reproduced from
-promql/functions.go extrapolatedRate.
+promql/functions.go extrapolatedRate, the least-squares slope from
+promql/functions.go linearRegression (computed from exact integer /
+decimal sums so the double result is bit-stable across engines), and
+the bucket interpolation from promql/quantile.go bucketQuantile.
+
+Documented deviations from upstream PromQL (all intentional, all
+pinned by tests): values are centi-unit-canonicalized; scalar
+arithmetic keeps the metric name (upstream drops it); `round` uses
+floor(x/to + 0.5) (differs from Go math.Round only at negative .5
+boundaries); ln/log of out-of-domain values yields NULL-filtered rows
+rather than NaN points; subqueries and @-modifiers are out of scope.
 """
 
 from __future__ import annotations
@@ -66,7 +93,7 @@ _DUR_MS = {
     "y": 365 * 86_400_000,
 }
 
-AGG_OPS = ("sum", "avg", "min", "max", "count")
+AGG_OPS = ("sum", "avg", "min", "max", "count", "stddev", "stdvar", "group")
 #: aggregations taking a leading scalar parameter: topk(3, e), quantile(0.9, e)
 PARAM_AGGS = ("topk", "bottomk", "quantile")
 RANGE_FNS = (
@@ -77,13 +104,57 @@ RANGE_FNS = (
     "idelta",
     "resets",
     "changes",
+    "deriv",
+    "predict_linear",
     "avg_over_time",
     "min_over_time",
     "max_over_time",
     "sum_over_time",
     "count_over_time",
     "last_over_time",
+    "present_over_time",
+    "stddev_over_time",
+    "stdvar_over_time",
+    "quantile_over_time",
 )
+#: elementwise value transforms (vector → vector); extra scalar args
+#: allowed where noted in the grammar
+VALUE_FNS = (
+    "abs",
+    "ceil",
+    "floor",
+    "sqrt",
+    "exp",
+    "ln",
+    "log2",
+    "log10",
+    "sgn",
+    "clamp",
+    "clamp_min",
+    "clamp_max",
+    "round",
+)
+SET_OPS = ("and", "or", "unless")
+CMP_OPS = ("==", "!=", ">", "<", ">=", "<=")
+
+#: binary-operator precedence (PromQL: or < and/unless < cmp < +- < */% < ^)
+_PREC = {
+    "or": 1,
+    "and": 2,
+    "unless": 2,
+    "==": 3,
+    "!=": 3,
+    "<=": 3,
+    "<": 3,
+    ">=": 3,
+    ">": 3,
+    "+": 4,
+    "-": 4,
+    "*": 5,
+    "/": 5,
+    "%": 5,
+    "^": 6,
+}
 
 
 def parse_duration(s: str) -> int:
@@ -104,6 +175,11 @@ def parse_duration(s: str) -> int:
 
 
 @dataclass
+class Number:
+    val: float
+
+
+@dataclass
 class Selector:
     matchers: list  # list[L.Matcher]
     range_ms: int | None = None  # set for matrix selectors
@@ -114,6 +190,33 @@ class Selector:
 class FuncCall:
     fn: str
     arg: Selector  # matrix selector
+    param: float | None = None  # quantile_over_time φ, predict_linear t
+
+
+@dataclass
+class ValueFn:
+    """Elementwise value transform; drops __name__ (PromQL rule)."""
+
+    fn: str
+    child: object
+    params: list[float] = field(default_factory=list)
+
+
+@dataclass
+class HistQuantile:
+    """histogram_quantile(φ, e): per (labels − le, T) bucket
+    interpolation over cumulative `le` counts (promql/quantile.go)."""
+
+    phi: float
+    child: object
+
+
+@dataclass
+class Absent:
+    """absent(v) / absent_over_time(m[r]): 1 at grid points where the
+    selector matches nothing; labels derived from its eq matchers."""
+
+    sel: Selector
 
 
 @dataclass
@@ -127,22 +230,39 @@ class Aggregate:
 
 @dataclass
 class BinScalar:
-    op: str  # + - * /
+    op: str  # + - * / % ^ or a comparison
     child: object
     scalar: float
     scalar_left: bool = False
+    cmp_bool: bool = False  # `bool` modifier on comparisons
 
 
 @dataclass
 class BinVector:
-    """Vector-vector arithmetic with PromQL's DEFAULT one-to-one label
-    matching: entries pair when their full label sets minus __name__
-    are identical; __name__ is dropped from the result. (on/ignoring/
-    group_* modifiers are out of scope for this subset.)"""
+    """Vector-vector arithmetic/comparison with one-to-one label
+    matching: full label sets minus __name__ by default, or the
+    on()/ignoring() subset; group_left/group_right allows many-to-one
+    with the many side keeping its label set."""
 
-    op: str  # + - * /
+    op: str
     left: object
     right: object
+    cmp_bool: bool = False
+    on: list[str] | None = None
+    ignoring: list[str] | None = None
+    group_side: str | None = None  # "left" | "right"
+
+
+@dataclass
+class BinSet:
+    """and / or / unless — LHS elements kept (or RHS unmatched ones
+    unioned for `or`), matched on the binop signature."""
+
+    op: str
+    left: object
+    right: object
+    on: list[str] | None = None
+    ignoring: list[str] | None = None
 
 
 @dataclass
@@ -157,7 +277,7 @@ _TOKEN_RE = re.compile(
     r"|(?P<name>[a-zA-Z_:][a-zA-Z0-9_:]*)"
     r"|(?P<brace>\{(?:[^\"{}]|\"(?:[^\"\\]|\\.)*\")*\})"
     r"|(?P<dur>\[[0-9a-z]+\])"
-    r"|(?P<op>[()+\-*/,]))"
+    r"|(?P<op>==|!=|<=|>=|[()+\-*/,<>%^]))"
 )
 
 
@@ -197,39 +317,102 @@ class _Parser:
         if t.val != val:
             raise ValueError(f"expected {val!r}, got {t.val!r}")
 
-    def parse_expr(self):
+    def _next_num(self) -> float:
+        t = self.next()
+        sign = 1.0
+        if t.val in ("-", "+"):  # signed scalar parameter
+            sign = -1.0 if t.val == "-" else 1.0
+            t = self.next()
+        if t.kind != "num":
+            raise ValueError(f"expected a number, got {t.val!r}")
+        return sign * float(t.val)
+
+    # -- binary expressions: precedence climbing -------------------
+
+    def _peek_binop(self) -> str | None:
+        t = self.peek()
+        if t is None:
+            return None
+        if t.kind == "op" and t.val in _PREC:
+            return t.val
+        if t.kind == "name" and t.val in SET_OPS:
+            return t.val
+        return None
+
+    def parse_expr(self, min_prec: int = 1):
         node = self.parse_unary()
-        # trailing arithmetic: scalar RHS → BinScalar, vector RHS →
-        # BinVector (left-assoc chain, no precedence — parenthesize)
-        while (t := self.peek()) is not None and t.val in "+-*/":
-            op = self.next().val
-            rhs = self.peek()
-            if rhs is not None and rhs.kind == "num":
+        while (op := self._peek_binop()) is not None and _PREC[op] >= min_prec:
+            self.next()
+            cmp_bool = False
+            t = self.peek()
+            if op in CMP_OPS and t is not None and t.kind == "name" and t.val == "bool":
                 self.next()
-                node = BinScalar(op, node, float(rhs.val))
-            else:
-                node = BinVector(op, node, self.parse_unary())
+                cmp_bool = True
+            on = ignoring = None
+            t = self.peek()
+            if t is not None and t.kind == "name" and t.val in ("on", "ignoring"):
+                mode = self.next().val
+                names = self._parse_label_list()
+                if mode == "on":
+                    on = names
+                else:
+                    ignoring = names
+            group_side = None
+            t = self.peek()
+            if t is not None and t.kind == "name" and t.val in (
+                "group_left",
+                "group_right",
+            ):
+                group_side = self.next().val.removeprefix("group_")
+            # ^ is right-associative; everything else left-associative
+            rhs = self.parse_expr(_PREC[op] + (0 if op == "^" else 1))
+            node = self._mk_binop(op, node, rhs, cmp_bool, on, ignoring, group_side)
         return node
+
+    def _mk_binop(self, op, left, right, cmp_bool, on, ignoring, group_side):
+        if op in SET_OPS:
+            if isinstance(left, Number) or isinstance(right, Number):
+                raise ValueError(f"set operator {op!r} needs vector operands")
+            return BinSet(op, left, right, on=on, ignoring=ignoring)
+        if isinstance(left, Number) and isinstance(right, Number):
+            raise ValueError("scalar-only expressions are not supported")
+        if isinstance(left, Number):
+            return BinScalar(op, right, left.val, scalar_left=True, cmp_bool=cmp_bool)
+        if isinstance(right, Number):
+            return BinScalar(op, left, right.val, cmp_bool=cmp_bool)
+        return BinVector(
+            op,
+            left,
+            right,
+            cmp_bool=cmp_bool,
+            on=on,
+            ignoring=ignoring,
+            group_side=group_side,
+        )
 
     def parse_unary(self):
         t = self.peek()
         if t is None:
             raise ValueError("empty expression")
-        if t.kind == "num":  # number op expr (scalar on the left)
+        if t.val == "(":
             self.next()
-            op = self.next().val
-            if op not in "+-*/":
-                raise ValueError(f"expected operator after scalar, got {op!r}")
-            child = self.parse_unary()
-            return BinScalar(op, child, float(t.val), scalar_left=True)
+            node = self.parse_expr()
+            self.expect(")")
+            return node
+        if t.kind == "num":
+            self.next()
+            return Number(float(t.val))
         if t.kind == "name" and t.val in AGG_OPS + PARAM_AGGS:
             return self.parse_aggregate()
-        if t.kind == "name" and t.val in RANGE_FNS:
+        if t.kind == "name" and (
+            t.val in RANGE_FNS
+            or t.val in VALUE_FNS
+            or t.val in ("histogram_quantile", "absent", "absent_over_time")
+        ):
             return self.parse_function()
         return self.parse_selector_expr()
 
-    def _parse_grouping(self) -> tuple[str, list[str]]:
-        mode = self.next().val  # by | without
+    def _parse_label_list(self) -> list[str]:
         self.expect("(")
         names: list[str] = []
         while True:
@@ -241,7 +424,11 @@ class _Parser:
             if t.kind != "name":
                 raise ValueError(f"bad grouping label {t.val!r}")
             names.append(t.val)
-        return mode, names
+        return names
+
+    def _parse_grouping(self) -> tuple[str, list[str]]:
+        mode = self.next().val  # by | without
+        return mode, self._parse_label_list()
 
     def parse_aggregate(self):
         op = self.next().val
@@ -256,10 +443,7 @@ class _Parser:
         self.expect("(")
         param = None
         if op in PARAM_AGGS:
-            num = self.next()
-            if num.kind != "num":
-                raise ValueError(f"{op} needs a scalar parameter, got {num.val!r}")
-            param = float(num.val)
+            param = self._next_num()
             self.expect(",")
         child = self.parse_expr()
         self.expect(")")
@@ -277,9 +461,44 @@ class _Parser:
     def parse_function(self):
         fn = self.next().val
         self.expect("(")
-        sel = self.parse_selector_expr(require_range=True)
+        if fn == "histogram_quantile":
+            phi = self._next_num()
+            self.expect(",")
+            child = self.parse_expr()
+            self.expect(")")
+            return HistQuantile(phi, child)
+        if fn == "absent":
+            sel = self.parse_selector_expr()
+            self.expect(")")
+            return Absent(sel)
+        if fn == "absent_over_time":
+            sel = self.parse_selector_expr(require_range=True)
+            self.expect(")")
+            return Absent(sel)
+        if fn in RANGE_FNS:
+            param = None
+            if fn == "quantile_over_time":
+                param = self._next_num()
+                self.expect(",")
+            sel = self.parse_selector_expr(require_range=True)
+            if fn == "predict_linear":
+                self.expect(",")
+                param = self._next_num()
+            self.expect(")")
+            return FuncCall(fn, sel, param=param)
+        # value transform: fn(expr [, number]*)
+        child = self.parse_expr()
+        params: list[float] = []
+        while (t := self.peek()) is not None and t.val == ",":
+            self.next()
+            params.append(self._next_num())
         self.expect(")")
-        return FuncCall(fn, sel)
+        want = {"clamp": 2, "clamp_min": 1, "clamp_max": 1}.get(fn)
+        if want is not None and len(params) != want:
+            raise ValueError(f"{fn} takes {want} scalar parameter(s)")
+        if fn == "round" and len(params) > 1:
+            raise ValueError("round takes at most one scalar parameter")
+        return ValueFn(fn, child, params)
 
     def parse_selector_expr(self, require_range: bool = False) -> Selector:
         t = self.peek()
@@ -313,6 +532,8 @@ def parse_expr(s: str):
     node = p.parse_expr()
     if p.peek() is not None:
         raise ValueError(f"trailing input: {p.peek().val!r}")
+    if isinstance(node, Number):
+        raise ValueError("scalar-only expressions are not supported")
     return node
 
 
@@ -368,8 +589,13 @@ def _with_lag(df: DataFrame) -> DataFrame:
     )
 
 
+_LAG_FNS = ("rate", "increase", "irate", "idelta", "resets", "changes")
+#: window fns computing least-squares sums over x = t - grid_T
+_REGRESSION_FNS = ("deriv", "predict_linear")
+
+
 # window-aggregate builders: (series, T) group → centi-unit columns
-def _window_agg(fn: str, range_ms: int):
+def _window_agg(fn: str, range_ms: int, param: float | None = None):
     base = [
         F.count("*").alias("n"),
         F.min("t").alias("first_t"),
@@ -420,18 +646,49 @@ def _window_agg(fn: str, range_ms: int):
             F.max_by("pvc", "t").alias("last_pvc"),
             F.max_by("pt", "t").alias("last_pt"),
         ]
-    if fn == "sum_over_time":
-        base.append(F.sum("vc").alias("sum_c"))
-    if fn == "avg_over_time":
+    if fn in ("sum_over_time", "avg_over_time"):
         base.append(F.sum("vc").alias("sum_c"))
     if fn == "min_over_time":
         base.append(F.min("vc").alias("min_c"))
     if fn == "max_over_time":
         base.append(F.max("vc").alias("max_c"))
+    if fn in ("stddev_over_time", "stdvar_over_time"):
+        # exact integer sums (|vc| < 3e6 and window counts < 1e6 keep
+        # every product far under 2^63); the variance is ONE double
+        # expression over them — order-independent across engines
+        base += [
+            F.sum("vc").alias("sum_c"),
+            F.sum(F.col("vc") * F.col("vc")).alias("sumsq_c"),
+        ]
+    if fn == "quantile_over_time":
+        # exact percentile at rank φ(n-1) with linear interpolation over
+        # integer centi-units (matches DuckDB quantile_cont and the
+        # promql/quantile.go rank rule) — deterministic
+        base.append(
+            F.expr(f"percentile(vc, {param if param is not None else 0.5})").alias(
+                "pct_c"
+            )
+        )
+    if fn in _REGRESSION_FNS:
+        # least-squares sums over x = t - grid_T (centering on the
+        # grid point keeps |x| <= range_ms; slope is centering-invariant
+        # in exact arithmetic). decimal sums make x² overflow-proof for
+        # multi-week ranges; all sums stay exact so the final double
+        # slope is bit-stable across engines (promql/functions.go
+        # linearRegression is the float-accumulating original).
+        xd = (F.col("t") - F.col(_G)).cast("decimal(19,0)")
+        base += [
+            F.sum(F.col("t") - F.col(_G)).alias("sx"),
+            F.sum("vc").alias("sy"),
+            F.sum(xd * F.col("vc")).alias("sxy"),
+            F.sum(xd * xd).alias("sxx"),
+        ]
     return base
 
 
-def _window_value(fn: str, range_ms: int, grid_t: Column) -> Column:
+def _window_value(
+    fn: str, range_ms: int, grid_t: Column, param: float | None = None
+) -> Column:
     """Final per-(series, T) double value from the window aggregates —
     deterministic scalar math over order-independent integer columns."""
     n = F.col("n")
@@ -439,6 +696,8 @@ def _window_value(fn: str, range_ms: int, grid_t: Column) -> Column:
     first_c, last_c = F.col("first_c"), F.col("last_c")
     if fn == "count_over_time":
         return n.cast("double")
+    if fn == "present_over_time":
+        return F.lit(1.0)
     if fn == "last_over_time":
         return last_c / 100.0
     if fn == "sum_over_time":
@@ -449,6 +708,37 @@ def _window_value(fn: str, range_ms: int, grid_t: Column) -> Column:
         return F.col("min_c") / 100.0
     if fn == "max_over_time":
         return F.col("max_c") / 100.0
+    if fn == "quantile_over_time":
+        return F.col("pct_c") / 100.0
+    if fn in ("stddev_over_time", "stdvar_over_time"):
+        # population variance over centi-units: (n·Σc² − (Σc)²) / n / n,
+        # then /1e4 to de-scale — written in the exact op order the
+        # DuckDB oracle uses so the doubles agree bit-for-bit
+        var = (
+            (n * F.col("sumsq_c") - F.col("sum_c") * F.col("sum_c")).cast("double")
+            / n.cast("double")
+            / n.cast("double")
+            / 10000.0
+        )
+        return F.sqrt(var) if fn == "stddev_over_time" else var
+    if fn in _REGRESSION_FNS:
+        num = (
+            n.cast("decimal(38,0)") * F.col("sxy")
+            - F.col("sx").cast("decimal(38,0)") * F.col("sy")
+        ).cast("double")
+        den = (
+            n.cast("decimal(38,0)") * F.col("sxx")
+            - F.col("sx").cast("decimal(38,0)") * F.col("sx")
+        ).cast("double")
+        if fn == "deriv":
+            # slope in units/second = centi/ms · 1000 / 100
+            val = num / den * 1000.0 / 100.0
+        else:  # predict_linear(v[r], t): ŷ at x* = t·1000 ms past T
+            xstar = F.lit((param if param is not None else 0.0) * 1000.0)
+            mean_x = F.col("sx").cast("double") / n.cast("double")
+            mean_y = F.col("sy").cast("double") / n.cast("double") / 100.0
+            val = mean_y + num / den / 100.0 * (xstar - mean_x)
+        return F.when((n >= 2) & (den != 0.0), val)
     if fn == "resets":
         return (F.col("reset_n") - F.col("first_reset")).cast("double")
     if fn == "changes":
@@ -499,6 +789,28 @@ def _window_value(fn: str, range_ms: int, grid_t: Column) -> Column:
     return F.when(n >= 2, ext)
 
 
+def _arith_col(op: str, a: Column, b: Column) -> Column:
+    return {
+        "+": a + b,
+        "-": a - b,
+        "*": a * b,
+        "/": a / b,
+        "%": a % b,  # sign of the dividend — Go math.Mod / DuckDB fmod
+        "^": F.pow(a, b),
+    }[op]
+
+
+def _cmp_col(op: str, a: Column, b: Column) -> Column:
+    return {
+        "==": a == b,
+        "!=": a != b,
+        ">": a > b,
+        "<": a < b,
+        ">=": a >= b,
+        "<=": a <= b,
+    }[op]
+
+
 class RangeQuery:
     """Compiles one parsed expression against a samples frame.
 
@@ -524,60 +836,211 @@ class RangeQuery:
     #   grouping columns (labels_str, labels | by-columns), _pq_t, value
     def eval(self, node) -> DataFrame:
         if isinstance(node, BinScalar):
-            child = self.eval(node.child)
-            v, s = F.col("value"), F.lit(node.scalar)
-            a, b = (s, v) if node.scalar_left else (v, s)
-            ops = {"+": a + b, "-": a - b, "*": a * b, "/": a / b}
-            return child.withColumn("value", ops[node.op])
+            return self._eval_binscalar(node)
         if isinstance(node, BinVector):
             return self._eval_binvec(node)
+        if isinstance(node, BinSet):
+            return self._eval_binset(node)
         if isinstance(node, Aggregate):
             return self._eval_agg(node)
         if isinstance(node, FuncCall):
             return self._eval_func(node)
+        if isinstance(node, ValueFn):
+            return self._eval_valuefn(node)
+        if isinstance(node, HistQuantile):
+            return self._eval_histq(node)
+        if isinstance(node, Absent):
+            return self._eval_absent(node)
         if isinstance(node, Selector):
             return self._eval_instant(node)
         raise TypeError(f"unknown node {node!r}")
 
+    # -- binop machinery -------------------------------------------
+
+    @staticmethod
+    def _match_map(on: list[str] | None, ignoring: list[str] | None):
+        """labels-map → matching-signature-map transform (the binop
+        signature: full set minus __name__, or the on()/ignoring()
+        subset — promql/engine.go signatureFunc)."""
+        if on is not None:
+            keep = F.array(*[F.lit(k) for k in on])
+            return lambda lab: F.map_filter(
+                lab, lambda k, _: F.array_contains(keep, k)
+            )
+        drop = F.array(F.lit("__name__"), *[F.lit(k) for k in (ignoring or [])])
+        return lambda lab: F.map_filter(
+            lab, lambda k, _: ~F.array_contains(drop, k)
+        )
+
+    def _eval_binscalar(self, node: BinScalar) -> DataFrame:
+        child = self.eval(node.child)
+        v, s = F.col("value"), F.lit(node.scalar)
+        a, b = (s, v) if node.scalar_left else (v, s)
+        if node.op in CMP_OPS:
+            cond = _cmp_col(node.op, a, b)
+            if node.cmp_bool:
+                out = child.withColumn(
+                    "value", F.when(cond, 1.0).otherwise(0.0)
+                )
+                return self._strip_name(out)
+            return child.filter(cond)  # filter semantics keep the element
+        return child.withColumn("value", _arith_col(node.op, a, b))
+
     def _eval_binvec(self, node: BinVector) -> DataFrame:
         left, right = self.eval(node.left), self.eval(node.right)
+        mk = self._match_map(node.on, node.ignoring)
         if "labels" in left.columns and "labels" in right.columns:
-            # default one-to-one matching: full label set minus __name__;
-            # result labels drop the metric name (PromQL binop rule)
-            def keyed(df):
-                m = F.map_filter(F.col("labels"), lambda k, _: k != F.lit("__name__"))
-                return df.select(
-                    L.labels_str_expr(m).alias("labels_str"),
-                    m.alias("labels"),
+            if node.group_side is None:
+                # carry BOTH the match signature and the left element's
+                # original labels: arithmetic/bool results take the
+                # signature (PromQL one-to-one rule), comparison filters
+                # keep the LHS element untouched
+                l = left.select(
+                    L.labels_str_expr(mk(F.col("labels"))).alias("_mk"),
+                    "labels_str",
+                    "labels",
+                    F.col(_G),
+                    F.col("value").alias("_lv"),
+                )
+                r = right.select(
+                    L.labels_str_expr(mk(F.col("labels"))).alias("_mk"),
+                    F.col(_G),
+                    F.col("value").alias("_rv"),
+                )
+                joined = l.join(r, ["_mk", _G])
+                if node.op in CMP_OPS and not node.cmp_bool:
+                    joined = joined.drop("_mk")
+                else:
+                    joined = joined.select(
+                        F.col("_mk").alias("labels_str"),
+                        mk(F.col("labels")).alias("labels"),
+                        F.col(_G),
+                        "_lv",
+                        "_rv",
+                    )
+            else:
+                # many-to-one: the group_* side keeps its full label set
+                # (minus __name__); the one side reduces to (sig, T, v)
+                many, one = (
+                    (left, right) if node.group_side == "left" else (right, left)
+                )
+                m_named = self._strip_name(many).withColumn(
+                    "_mk", L.labels_str_expr(mk(F.col("labels")))
+                )
+                o = one.select(
+                    L.labels_str_expr(mk(F.col("labels"))).alias("_mk"),
+                    F.col(_G),
+                    F.col("value").alias("_ov"),
+                )
+                j = m_named.join(o, ["_mk", _G]).drop("_mk")
+                lv = F.col("value") if node.group_side == "left" else F.col("_ov")
+                rv = F.col("_ov") if node.group_side == "left" else F.col("value")
+                joined = j.select(
+                    "labels_str",
+                    "labels",
+                    F.col(_G),
+                    lv.alias("_lv"),
+                    rv.alias("_rv"),
+                )
+        else:
+            # at least one side is a grouped aggregate exposing its keys
+            # as plain columns; a labels-carrying side extracts the same
+            # keys from its map. Match on on() if given, else the
+            # grouped side's keys (both grouped → keys must agree,
+            # PromQL would error too).
+            aux = (_G, "value", "labels", "labels_str")
+            lg = [c for c in left.columns if c not in aux]
+            rg = [c for c in right.columns if c not in aux]
+            left_has = "labels" in left.columns
+            right_has = "labels" in right.columns
+            if node.on is not None:
+                keys = node.on
+            elif left_has != right_has:
+                keys = rg if left_has else lg
+            else:
+                if sorted(lg) != sorted(rg):
+                    raise ValueError(
+                        f"vector-matching groups differ: {sorted(lg)} vs {sorted(rg)}"
+                    )
+                keys = lg
+
+            def label_key(k):
+                return F.coalesce(F.col("labels").getItem(k), F.lit("")).alias(k)
+
+            many = node.group_side
+            if (many == "left" and left_has) or (many == "right" and right_has):
+                # many-to-one against a grouped one side: the many side
+                # keeps its label set (minus __name__)
+                mdf, odf = (left, right) if many == "left" else (right, left)
+                o_has = right_has if many == "left" else left_has
+                m = self._strip_name(mdf).select(
+                    "labels_str",
+                    "labels",
                     F.col(_G),
                     "value",
+                    *[label_key(k) for k in keys],
                 )
-
-            keys = ["labels_str", _G]
-            l, r = keyed(left), keyed(right)
-            joined = l.alias("l").join(r.alias("r"), keys).select(
-                "labels_str",
-                F.col("l.labels").alias("labels"),
-                F.col(_G),
-                F.col("l.value").alias("_lv"),
-                F.col("r.value").alias("_rv"),
-            )
-        else:
-            # both sides are grouped aggregates: match on their common
-            # grouping columns (must agree — PromQL would error too)
-            lg = [c for c in left.columns if c not in (_G, "value", "labels")]
-            rg = [c for c in right.columns if c not in (_G, "value", "labels")]
-            if sorted(lg) != sorted(rg):
-                raise ValueError(
-                    f"vector-matching groups differ: {sorted(lg)} vs {sorted(rg)}"
+                o = odf.select(
+                    *([label_key(k) for k in keys] if o_has else keys),
+                    F.col(_G),
+                    F.col("value").alias("_ov"),
                 )
-            keys = [*lg, _G]
-            joined = left.join(
-                right.withColumnRenamed("value", "_rv"), keys
-            ).withColumnRenamed("value", "_lv")
+                j = m.join(o, [*keys, _G]).drop(*keys)
+                lv = F.col("value") if many == "left" else F.col("_ov")
+                rv = F.col("_ov") if many == "left" else F.col("value")
+                joined = j.select(
+                    "labels_str",
+                    "labels",
+                    F.col(_G),
+                    lv.alias("_lv"),
+                    rv.alias("_rv"),
+                )
+            else:
+                l = left.select(
+                    *([label_key(k) for k in keys] if left_has else keys),
+                    F.col(_G),
+                    F.col("value").alias("_lv"),
+                )
+                r = right.select(
+                    *([label_key(k) for k in keys] if right_has else keys),
+                    F.col(_G),
+                    F.col("value").alias("_rv"),
+                )
+                joined = l.join(r, [*keys, _G])
         a, b = F.col("_lv"), F.col("_rv")
-        ops = {"+": a + b, "-": a - b, "*": a * b, "/": a / b}
-        return joined.withColumn("value", ops[node.op]).drop("_lv", "_rv")
+        if node.op in CMP_OPS:
+            cond = _cmp_col(node.op, a, b)
+            if node.cmp_bool:
+                return joined.withColumn(
+                    "value", F.when(cond, 1.0).otherwise(0.0)
+                ).drop("_lv", "_rv")
+            return (
+                joined.filter(cond).withColumn("value", a).drop("_lv", "_rv")
+            )
+        return joined.withColumn("value", _arith_col(node.op, a, b)).drop(
+            "_lv", "_rv"
+        )
+
+    def _eval_binset(self, node: BinSet) -> DataFrame:
+        left, right = self.eval(node.left), self.eval(node.right)
+        if "labels" not in left.columns or "labels" not in right.columns:
+            raise ValueError("set operators need label-carrying operands")
+        mk = self._match_map(node.on, node.ignoring)
+        sig = lambda: L.labels_str_expr(mk(F.col("labels")))  # noqa: E731
+        cols = ["labels_str", "labels", _G, "value"]
+        lk = left.select(*cols).withColumn("_mk", sig())
+        if node.op == "or":
+            # LHS untouched + RHS elements whose signature has no LHS match
+            rk = right.select(*cols).withColumn("_mk", sig())
+            extra = rk.join(
+                lk.select("_mk", _G).distinct(), ["_mk", _G], "left_anti"
+            ).drop("_mk")
+            return left.select(*cols).unionByName(extra)
+        rkeys = right.select(sig().alias("_mk"), F.col(_G)).distinct()
+        how = "left_semi" if node.op == "and" else "left_anti"
+        return lk.join(rkeys, ["_mk", _G], how).drop("_mk")
+
+    # -- leaves -----------------------------------------------------
 
     def _base(self, matchers, reach: int, offset_ms: int = 0) -> DataFrame:
         # canonicalize to one centi-unit value per (series, t) — PromQL
@@ -618,23 +1081,172 @@ class RangeQuery:
     def _eval_func(self, node: FuncCall) -> DataFrame:
         rng = node.arg.range_ms
         base = self._base(node.arg.matchers, rng, node.arg.offset_ms)
-        need_lag = node.fn in (
-            "rate",
-            "increase",
-            "irate",
-            "idelta",
-            "resets",
-            "changes",
-        )
-        if need_lag:
+        if node.fn in _LAG_FNS:
             base = _with_lag(base)
         cells = _grid_explode(base, self.start, self.end, self.step, rng)
         agg = cells.groupBy("labels_str", _G).agg(
-            F.first("labels").alias("labels"), *_window_agg(node.fn, rng)
+            F.first("labels").alias("labels"),
+            *_window_agg(node.fn, rng, node.param),
         )
-        out = agg.withColumn("value", _window_value(node.fn, rng, F.col(_G)))
+        out = agg.withColumn(
+            "value", _window_value(node.fn, rng, F.col(_G), node.param)
+        )
         return out.filter(F.col("value").isNotNull()).select(
             "labels_str", "labels", _G, "value"
+        )
+
+    def _grid_frame(self) -> DataFrame:
+        kmax = (self.end - self.start) // self.step
+        return (
+            self.frame.sparkSession.range(0, kmax + 1)
+            .select(
+                (F.lit(self.start) + F.col("id") * self.step)
+                .cast("long")
+                .alias(_G)
+            )
+        )
+
+    def _eval_absent(self, node: Absent) -> DataFrame:
+        sel = node.sel
+        reach = sel.range_ms if sel.range_ms is not None else self.lookback_ms
+        base = self._base(sel.matchers, reach, sel.offset_ms)
+        present = _grid_explode(
+            base, self.start, self.end, self.step, reach
+        ).select(_G).distinct()
+        missing = self._grid_frame().join(present, _G, "left_anti")
+        # result labels derive from the eq matchers (promql/functions.go
+        # createLabelsForAbsentFunction), minus the metric name
+        pairs = {
+            m.name: m.value
+            for m in sel.matchers
+            if m.type == "=" and m.name != "__name__" and m.value != ""
+        }
+        kv = [x for k in sorted(pairs) for x in (F.lit(k), F.lit(pairs[k]))]
+        lab = F.create_map(*kv) if kv else F.create_map().cast(
+            "map<string,string>"
+        )
+        return missing.select(
+            L.labels_str_expr(lab).alias("labels_str"),
+            lab.alias("labels"),
+            F.col(_G),
+            F.lit(1.0).alias("value"),
+        )
+
+    # -- transforms -------------------------------------------------
+
+    @staticmethod
+    def _strip_name(df: DataFrame) -> DataFrame:
+        """Drop __name__ from the label set (PromQL rule for value
+        transforms and bool comparisons)."""
+        if "labels" not in df.columns:
+            return df
+        return df.withColumn(
+            "labels",
+            F.map_filter(F.col("labels"), lambda k, _: k != F.lit("__name__")),
+        ).withColumn("labels_str", L.labels_str_expr(F.col("labels")))
+
+    def _eval_valuefn(self, node: ValueFn) -> DataFrame:
+        child = self._strip_name(self.eval(node.child))
+        v = F.col("value")
+        p = node.params
+        fn = node.fn
+        if fn == "abs":
+            out = F.abs(v)
+        elif fn == "ceil":
+            out = F.ceil(v).cast("double")
+        elif fn == "floor":
+            out = F.floor(v).cast("double")
+        elif fn == "sqrt":
+            out = F.sqrt(v)
+        elif fn == "exp":
+            out = F.exp(v)
+        elif fn == "ln":
+            out = F.log(v)
+        elif fn == "log2":
+            out = F.log2(v)
+        elif fn == "log10":
+            out = F.log10(v)
+        elif fn == "sgn":
+            out = F.signum(v)
+        elif fn == "clamp":
+            out = F.least(F.lit(p[1]), F.greatest(F.lit(p[0]), v))
+        elif fn == "clamp_min":
+            out = F.greatest(F.lit(p[0]), v)
+        elif fn == "clamp_max":
+            out = F.least(F.lit(p[0]), v)
+        elif fn == "round":
+            to = p[0] if p else 1.0
+            # nearest multiple of `to`, .5 up — floor(x/to + 0.5)·to is
+            # the documented cross-engine-stable form
+            out = (F.floor(v / F.lit(to) + 0.5) * F.lit(to)).cast("double")
+        else:
+            raise ValueError(f"unknown value function {fn!r}")
+        # out-of-domain math (ln of a negative, 0/0 upstream) yields
+        # NULL in Spark — filtered, not emitted as NaN (documented)
+        return child.withColumn("value", out).filter(F.col("value").isNotNull())
+
+    def _eval_histq(self, node: HistQuantile) -> DataFrame:
+        child = self.eval(node.child)
+        if "labels" not in child.columns:
+            raise ValueError("histogram_quantile needs a le-labeled vector")
+        m = F.map_filter(
+            F.col("labels"),
+            lambda k, _: (k != F.lit("le")) & (k != F.lit("__name__")),
+        )
+        le_s = F.col("labels").getItem("le")
+        le = (
+            F.when(le_s == "+Inf", F.lit(float("inf")))
+            .otherwise(le_s.cast("double"))
+            .alias("le")
+        )
+        grp = child.select(
+            L.labels_str_expr(m).alias("labels_str"),
+            m.alias("labels"),
+            le,
+            F.col(_G),
+            "value",
+        ).filter(F.col("le").isNotNull())
+        agg = grp.groupBy("labels_str", _G).agg(
+            F.first("labels").alias("labels"),
+            F.array_sort(
+                F.collect_list(F.struct(F.col("le"), F.col("value").alias("c")))
+            ).alias("buckets"),
+        )
+        b = F.col("buckets")
+        total = F.element_at(b, -1).getField("c")
+        rank = F.lit(node.phi) * total
+        # left-to-right fold over ascending buckets: first cumulative
+        # count >= rank wins; interpolate within [prev_le, le]; a hit in
+        # the +Inf bucket clamps to the highest finite bound
+        # (promql/quantile.go bucketQuantile)
+        init = F.struct(
+            F.lit(None).cast("double").alias("res"),
+            F.lit(0.0).alias("ple"),
+            F.lit(0.0).alias("pc"),
+        )
+        inf = F.lit(float("inf"))
+
+        def step(acc, x):
+            hit = F.when(
+                x.getField("le") == inf, acc.getField("ple")
+            ).otherwise(
+                acc.getField("ple")
+                + (x.getField("le") - acc.getField("ple"))
+                * (rank - acc.getField("pc"))
+                / (x.getField("c") - acc.getField("pc"))
+            )
+            take = acc.getField("res").isNull() & (x.getField("c") >= rank)
+            return F.struct(
+                F.when(take, hit).otherwise(acc.getField("res")).alias("res"),
+                x.getField("le").alias("ple"),
+                x.getField("c").alias("pc"),
+            )
+
+        q = F.aggregate(b, init, step, lambda acc: acc.getField("res"))
+        return (
+            agg.withColumn("value", q)
+            .filter(F.col("value").isNotNull())
+            .select("labels_str", "labels", _G, "value")
         )
 
     def _eval_agg(self, node: Aggregate) -> DataFrame:
@@ -702,6 +1314,12 @@ class RangeQuery:
             "min": F.min("value"),
             "max": F.max("value"),
             "count": F.count("value").cast("double"),
+            "group": F.lit(1.0),
+            # population stddev/stdvar over the (few) series per group —
+            # float-accumulating like upstream; oracle entries keep the
+            # groups tiny or round, per the sum caveat
+            "stddev": F.stddev_pop("value"),
+            "stdvar": F.var_pop("value"),
             # exact percentile with PromQL's rank = φ(n-1) linear
             # interpolation (matches DuckDB quantile_cont); group sizes
             # are series-per-group, never sample counts
@@ -738,14 +1356,18 @@ def required_reach(node, lookback_ms: int = DEFAULT_LOOKBACK_MS) -> int:
     partition pruning still applies under the evaluator."""
     if isinstance(node, str):
         node = parse_expr(node)
+    if isinstance(node, Number):
+        return 0
     if isinstance(node, Selector):
         base = node.range_ms if node.range_ms is not None else lookback_ms
         return base + node.offset_ms
     if isinstance(node, FuncCall):
         return required_reach(node.arg, lookback_ms)
-    if isinstance(node, (Aggregate, BinScalar)):
+    if isinstance(node, Absent):
+        return required_reach(node.sel, lookback_ms)
+    if isinstance(node, (Aggregate, BinScalar, ValueFn, HistQuantile)):
         return required_reach(node.child, lookback_ms)
-    if isinstance(node, BinVector):
+    if isinstance(node, (BinVector, BinSet)):
         return max(
             required_reach(node.left, lookback_ms),
             required_reach(node.right, lookback_ms),
