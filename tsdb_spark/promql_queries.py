@@ -258,3 +258,264 @@ def promql_topk_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         DAY,
     )
     return out.select("labels_str", "t", "value")
+
+
+# ---------------------------------------------------------- r5 wave 2
+
+_W6 = 6 * 3_600_000
+_D2 = 2 * DAY
+
+
+@register(
+    "promql_deriv_predict",
+    _with_prelude(
+        f"""
+, {_canon_cte("event_type = 'click'")},
+{_grid_cte(T0 + 2 * DAY, T0 + 16 * DAY, DAY)},
+w AS (SELECT d.labels_str, g.gt, d.t - g.gt AS x, d.vc
+      FROM d JOIN g ON d.t > g.gt - {_D2} AND d.t <= g.gt),
+a AS (SELECT labels_str, gt, CAST(count(*) AS BIGINT) AS n,
+        sum(x) AS sx, sum(vc) AS sy,
+        sum(CAST(x AS HUGEINT) * vc) AS sxy,
+        sum(CAST(x AS HUGEINT) * x) AS sxx
+      FROM w GROUP BY 1, 2),
+s AS (SELECT labels_str, gt, n, sx, sy,
+        CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE) AS num,
+        CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE) AS den
+      FROM a WHERE n >= 2)
+SELECT labels_str, gt AS t,
+  round(num / den * 1000.0 / 100.0, 9) AS deriv,
+  round(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) / 100.0
+        + num / den / 100.0 * (86400000.0 - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)), 9)
+    AS predicted
+FROM s WHERE den != 0.0"""
+    ),
+    "PromQL `deriv(click[2d])` and `predict_linear(click[2d], 86400)` "
+    "daily: least-squares slope per sliding window, computed from EXACT "
+    "integer/decimal sums over x = t - T (centering on the grid point "
+    "bounds |x| by the range, making x² overflow-proof and the slope "
+    "bit-stable across engines — promql/functions.go linearRegression "
+    "is the float-accumulating original). Engine plan: the same bounded "
+    "fan-out + one combinable groupBy as every window fn — the four "
+    "regression sums are just four more combinable aggregates",
+)
+def promql_deriv_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    frame = events_samples(spark, sf_dir)
+    args = (T0 + 2 * DAY, T0 + 16 * DAY, DAY)
+    dv = eval_range(frame, "deriv(click[2d])", *args)
+    pl = eval_range(frame, "predict_linear(click[2d], 86400)", *args)
+    return dv.select(
+        "labels_str", "t", F.round("value", 9).alias("deriv")
+    ).join(
+        pl.select("labels_str", "t", F.round("value", 9).alias("predicted")),
+        ["labels_str", "t"],
+    )
+
+
+@register(
+    "promql_stat_windows",
+    _with_prelude(
+        f"""
+, {_canon_cte("event_type = 'view'")},
+{_grid_cte(T0 + 2 * DAY, T0 + 16 * DAY, DAY)},
+w AS (SELECT d.labels_str, g.gt, d.vc
+      FROM d JOIN g ON d.t > g.gt - {_D2} AND d.t <= g.gt),
+a AS (SELECT labels_str, gt, CAST(count(*) AS BIGINT) AS n,
+        sum(vc) AS s, sum(vc * vc) AS ss,
+        quantile_cont(vc, 0.9) AS q
+      FROM w GROUP BY 1, 2)
+SELECT labels_str, gt AS t,
+  round(CAST(n * ss - s * s AS DOUBLE) / CAST(n AS DOUBLE) / CAST(n AS DOUBLE)
+        / 10000.0, 9) AS stdvar,
+  round(sqrt(CAST(n * ss - s * s AS DOUBLE) / CAST(n AS DOUBLE)
+             / CAST(n AS DOUBLE) / 10000.0), 9) AS stddev,
+  round(q / 100.0, 9) AS p90
+FROM a"""
+    ),
+    "PromQL `stdvar_over_time` / `stddev_over_time` / "
+    "`quantile_over_time(0.9, ...)` over view[2d] daily: population "
+    "variance from exact integer sums (n·Σc² − (Σc)²)/n², and the exact "
+    "φ(n-1) interpolated percentile over integer centi-units (Spark "
+    "`percentile` ≡ DuckDB `quantile_cont`) — all three deterministic, "
+    "rounded to 9 decimals to absorb last-bit interpolation ordering",
+)
+def promql_stat_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    frame = events_samples(spark, sf_dir)
+    args = (T0 + 2 * DAY, T0 + 16 * DAY, DAY)
+    sv = eval_range(frame, "stdvar_over_time(view[2d])", *args)
+    sd = eval_range(frame, "stddev_over_time(view[2d])", *args)
+    qt = eval_range(frame, "quantile_over_time(0.9, view[2d])", *args)
+    return (
+        sv.select("labels_str", "t", F.round("value", 9).alias("stdvar"))
+        .join(
+            sd.select("labels_str", "t", F.round("value", 9).alias("stddev")),
+            ["labels_str", "t"],
+        )
+        .join(
+            qt.select("labels_str", "t", F.round("value", 9).alias("p90")),
+            ["labels_str", "t"],
+        )
+    )
+
+
+@register(
+    "promql_cmp_unless",
+    _with_prelude(
+        f"""
+, {_grid_cte(T0 + 2 * DAY, T0 + 16 * DAY, DAY)},
+cc AS (SELECT labels_str, t, CAST(round(min(v) * 100) AS BIGINT) AS vc
+       FROM samples WHERE event_type = 'click' GROUP BY 1, 2),
+cv AS (SELECT labels_str, t, CAST(round(min(v) * 100) AS BIGINT) AS vc
+       FROM samples WHERE event_type = 'view' GROUP BY 1, 2),
+um AS (SELECT DISTINCT labels_str, user_lbl FROM samples),
+lw AS (SELECT cc.labels_str, g.gt, sum(cc.vc) AS s
+       FROM cc JOIN g ON cc.t > g.gt - {_D2} AND cc.t <= g.gt GROUP BY 1, 2),
+lhs AS (SELECT labels_str, gt, CAST(s AS DOUBLE) / 100.0 AS value
+        FROM lw WHERE CAST(s AS DOUBLE) / 100.0 > 60.0),
+rw AS (SELECT cv.labels_str, g.gt, max(cv.vc) AS m
+       FROM cv JOIN g ON cv.t > g.gt - {_D2} AND cv.t <= g.gt GROUP BY 1, 2),
+ru AS (SELECT DISTINCT um.user_lbl, rw.gt
+       FROM rw JOIN um USING (labels_str)
+       WHERE CAST(rw.m AS DOUBLE) / 100.0 > 200.0)
+SELECT lhs.labels_str, lhs.gt AS t, round(lhs.value, 9) AS value
+FROM lhs JOIN um USING (labels_str)
+WHERE NOT EXISTS (SELECT 1 FROM ru
+                  WHERE ru.user_lbl = um.user_lbl AND ru.gt = lhs.gt)"""
+    ),
+    "PromQL comparison filters + set algebra: "
+    "`sum_over_time(click[2d]) > 60 unless on (user) "
+    "(max_over_time(view[2d]) > 200)` daily — the > filters keep LHS "
+    "elements untouched (metric name intact), then `unless on (user)` "
+    "anti-joins away every series whose user had a high view spike at "
+    "that instant. Engine plan: two window aggregates + one "
+    "signature-keyed anti join; all values exact centi-unit sums",
+)
+def promql_cmp_unless(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = eval_range(
+        events_samples(spark, sf_dir),
+        "sum_over_time(click[2d]) > 60 unless on (user) "
+        "(max_over_time(view[2d]) > 200)",
+        T0 + 2 * DAY,
+        T0 + 16 * DAY,
+        DAY,
+    )
+    return out.select("labels_str", "t", F.round("value", 9).alias("value"))
+
+
+_HQ_LES = (10.0, 25.0, 50.0, 100.0, 250.0)
+
+
+@register(
+    "promql_hist_tiers",
+    _with_prelude(
+        f"""
+, b AS (SELECT CASE WHEN k_bucket = 'high' THEN 'high' ELSE 'low' END AS tier,
+          (t - t % {_W6}) + {_W6} AS w_end,
+          CAST(count(*) AS BIGINT) AS n,
+          {", ".join(f"CAST(count(*) FILTER (WHERE v <= {le}) AS BIGINT) AS c{i+1}" for i, le in enumerate(_HQ_LES))}
+        FROM samples WHERE t >= {T0} AND t < {T0} + 7 * {DAY}
+        GROUP BY 1, 2)
+SELECT tier, w_end AS t,
+  round(CASE WHEN 0.9 * n <= c1 THEN 0.0 + (10.0 - 0.0) * (0.9 * n - 0.0) / (c1 - 0.0)
+             WHEN 0.9 * n <= c2 THEN 10.0 + (25.0 - 10.0) * (0.9 * n - c1) / (c2 - c1)
+             WHEN 0.9 * n <= c3 THEN 25.0 + (50.0 - 25.0) * (0.9 * n - c2) / (c3 - c2)
+             WHEN 0.9 * n <= c4 THEN 50.0 + (100.0 - 50.0) * (0.9 * n - c3) / (c4 - c3)
+             WHEN 0.9 * n <= c5 THEN 100.0 + (250.0 - 100.0) * (0.9 * n - c4) / (c5 - c4)
+             ELSE 250.0 END, 9) AS value
+FROM b"""
+    ),
+    "PromQL `histogram_quantile(0.9, lat_bucket)` through the GENERIC "
+    "bucket-interpolation fold (promql/quantile.go bucketQuantile): the "
+    "engine first derives a cumulative le-bucket counter frame per "
+    "(tier, 6h window) — one map-side-combinable aggregate with 6 "
+    "conditional counts, fanned to bucket series rows — then the "
+    "evaluator's array fold walks ascending buckets exactly like the "
+    "oracle's fixed CASE chain. Demonstrates the fold and the CASE "
+    "compute bit-identical doubles over exact integer counts",
+)
+def promql_hist_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tsdb_spark import labels as L
+
+    s = events_samples(spark, sf_dir).filter(
+        (F.col("t") >= T0) & (F.col("t") < T0 + 7 * DAY)
+    )
+    g = s.groupBy(
+        F.when(F.col("labels").getItem("k_bucket") == "high", "high")
+        .otherwise("low")
+        .alias("tier"),
+        (F.col("t") - F.pmod(F.col("t"), F.lit(_W6)) + _W6).alias("w_end"),
+    ).agg(
+        F.count("*").alias("n"),
+        *[
+            F.count_if(F.col("v") <= F.lit(le)).alias(f"c{i+1}")
+            for i, le in enumerate(_HQ_LES)
+        ],
+    )
+    stack_args = ", ".join(
+        [f"'{le}', c{i+1}" for i, le in enumerate(_HQ_LES)] + ["'+Inf', n"]
+    )
+    rows = g.select(
+        "tier",
+        "w_end",
+        F.expr(f"stack({len(_HQ_LES) + 1}, {stack_args}) AS (le, cnt)"),
+    )
+    lab = F.create_map(
+        F.lit("__name__"), F.lit("lat_bucket"),
+        F.lit("tier"), F.col("tier"),
+        F.lit("le"), F.col("le"),
+    )
+    frame = rows.select(
+        lab.alias("labels"),
+        L.labels_str_expr(lab).alias("labels_str"),
+        F.col("w_end").alias("t"),
+        F.col("cnt").cast("double").alias("v"),
+    )
+    out = eval_range(
+        frame,
+        "histogram_quantile(0.9, lat_bucket)",
+        T0 + _W6,
+        T0 + 7 * DAY,
+        _W6,
+        lookback_ms=1,
+    )
+    return out.select(
+        F.col("labels").getItem("tier").alias("tier"),
+        "t",
+        F.round("value", 9).alias("value"),
+    )
+
+
+@register(
+    "promql_value_pipeline",
+    _with_prelude(
+        f"""
+, {_canon_cte("event_type = 'view'")},
+{_grid_cte(T0 + 2 * DAY, T0 + 16 * DAY, DAY)},
+w AS (SELECT d.labels_str, g.gt, d.vc
+      FROM d JOIN g ON d.t > g.gt - {_D2} AND d.t <= g.gt),
+a AS (SELECT labels_str, gt,
+        CAST(sum(vc) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 100.0 AS avgv
+      FROM w GROUP BY 1, 2),
+r AS (SELECT labels_str, gt,
+        least(60.0, greatest(40.0, floor(avgv / 0.5 + 0.5) * 0.5)) AS value
+      FROM a)
+SELECT regexp_replace(labels_str, '__name__="[^"]*",', '') AS labels_str,
+       gt AS t, round(value, 9) AS value
+FROM r"""
+    ),
+    "PromQL value-transform chain `clamp(round(avg_over_time(view[2d]), "
+    "0.5), 40, 60)` daily — elementwise functions compose on the vector "
+    "with the metric name dropped (PromQL rule). round(v, to) is "
+    "floor(v/to + 0.5)·to on both engines (the documented "
+    "cross-engine-stable form); clamp is least/greatest. Map-only on "
+    "top of the window aggregate — no extra shuffle",
+)
+def promql_value_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = eval_range(
+        events_samples(spark, sf_dir),
+        "clamp(round(avg_over_time(view[2d]), 0.5), 40, 60)",
+        T0 + 2 * DAY,
+        T0 + 16 * DAY,
+        DAY,
+    )
+    return out.select("labels_str", "t", F.round("value", 9).alias("value"))

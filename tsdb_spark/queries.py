@@ -2773,7 +2773,8 @@ GATE: tuple[str, ...] = (
     "tsdb_block_stats",
     "tsdb_analyze_labels",
     "tsdb_histogram_quantile",
-    "tsdb_label_replace",
+    "promql_rate_grid",  # PromQL family representative (label_replace
+    # moved to selfcheck coverage — the string transform is low-risk)
     # -- store lifecycle --
     "store_select_pruned",
     "store_compact_vertical",
