@@ -589,3 +589,17 @@ def test_stddev_agg(spark, frame):
                 vals.append(round(w[-1][1] * 100) / 100.0)
         if vals:
             assert math.isclose(got[(T,)], statistics.pvariance(vals), rel_tol=1e-9)
+
+
+def test_plan_shapes_new_paths(spark, frame):
+    # set ops / comparisons / group_left compile to equi-joins, never a
+    # cartesian or nested-loop; histogram fold stays a single aggregate
+    q = P.RangeQuery(frame, START, END, STEP, lookback_ms=LOOKBACK)
+    for expr in [
+        "last_over_time(click[12s]) unless on (user) gauge",
+        "sum_over_time(click[40s]) > count_over_time(click[40s])",
+        "count_over_time(click[40s]) / on (user) group_left "
+        "sum by (user) (count_over_time(click[40s]))",
+    ]:
+        plan = q.run(expr)._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
