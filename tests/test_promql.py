@@ -603,3 +603,79 @@ def test_plan_shapes_new_paths(spark, frame):
     ]:
         plan = q.run(expr)._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_parse_subquery():
+    n = P.parse_expr("max_over_time(rate(click[12s])[30s:6s])")
+    assert isinstance(n, P.FuncCall) and n.fn == "max_over_time"
+    sq = n.arg
+    assert isinstance(sq, P.Subquery) and sq.range_ms == 30_000 and sq.step_ms == 6_000
+    assert isinstance(sq.child, P.FuncCall) and sq.child.fn == "rate"
+    # default step + offset
+    n = P.parse_expr("avg_over_time(gauge[30s:] offset 10s)")
+    sq = n.arg
+    assert sq.step_ms is None and sq.offset_ms == 10_000
+    assert isinstance(sq.child, P.Selector)
+    # subquery over an aggregate
+    n = P.parse_expr("max_over_time(sum by (user) (gauge)[30s:6s])")
+    assert isinstance(n.arg.child, P.Aggregate)
+    assert P.required_reach("max_over_time(rate(click[12s])[30s:6s])") == 42_000
+    with pytest.raises(ValueError):
+        P.parse_expr("click[30s:6s]")  # bare subquery
+    with pytest.raises(ValueError):
+        P.parse_expr("rate(click)")  # still needs a range operand
+
+
+def test_subquery_matches_model(spark, frame):
+    # max_over_time(last_over_time(click[12s])[21s:7s]) — inner instant
+    # points at absolute multiples of 7s, outer max over trailing 21s
+    q = P.RangeQuery(frame, START, END, STEP, lookback_ms=LOOKBACK)
+    got = collect_map(q.run("max_over_time(last_over_time(click[12s])[21s:7s])"))
+    S, R = 7_000, 21_000
+    want = {}
+    for (name, user), pts in SERIES.items():
+        if name != "click":
+            continue
+        ls = f'{{__name__="click",user="{user}"}}'
+        # inner grid: aligned points covering (START - R, END]
+        inner = {}
+        p = (START - R) // S * S
+        while p <= END:
+            w = in_window(pts, p, 12_000)
+            if w:
+                inner[p] = round(w[-1][1] * 100) / 100.0
+            p += S
+        for T in grid():
+            pts_in = [v for p, v in inner.items() if T - R < p <= T]
+            if pts_in:
+                want[(ls, T)] = max(pts_in)
+    assert_close(got, want)
+
+
+def test_subquery_over_aggregate(spark, frame):
+    # grouped inner: per-user count at each inner step, then windowed max
+    q = P.RangeQuery(frame, START, END, STEP, lookback_ms=LOOKBACK)
+    got = collect_map(
+        q.run(
+            "max_over_time(sum by (user) (count_over_time(click[12s]))[21s:7s])"
+        )
+    )
+    S, R = 7_000, 21_000
+    inner = {}
+    p = (START - R) // S * S
+    while p <= END:
+        for (name, user), pts in SERIES.items():
+            if name != "click":
+                continue
+            w = in_window(pts, p, 12_000)
+            if w:
+                k = (user, p)
+                inner[k] = inner.get(k, 0.0) + float(len(w))
+        p += S
+    want = {}
+    for T in grid():
+        for user in ("1", "2"):
+            vals = [v for (u, p), v in inner.items() if u == user and T - R < p <= T]
+            if vals:
+                want[(f'{{user="{user}"}}', T)] = max(vals)
+    assert_close(got, want)

@@ -17,7 +17,8 @@ compiler:
     aggregate := (sum|avg|min|max|count|stddev|stdvar|group)
                    [by|without (l,...)] (expr)
                | (topk|bottomk|quantile) [by|without (l,...)] (number, expr)
-    function  := rangefn '(' matrix ')'          -- window functions
+    function  := rangefn '(' (matrix | expr '[' R ':' [S] ']') ')'
+                                                 -- windows + subqueries
                | quantile_over_time '(' number ',' matrix ')'
                | predict_linear '(' matrix ',' number ')'
                | histogram_quantile '(' number ',' expr ')'
@@ -66,7 +67,8 @@ pinned by tests): values are centi-unit-canonicalized; scalar
 arithmetic keeps the metric name (upstream drops it); `round` uses
 floor(x/to + 0.5) (differs from Go math.Round only at negative .5
 boundaries); ln/log of out-of-domain values yields NULL-filtered rows
-rather than NaN points; subqueries and @-modifiers are out of scope.
+rather than NaN points; subquery inner points are re-canonicalized to
+centi-units before the outer window; @-modifiers are out of scope.
 """
 
 from __future__ import annotations
@@ -194,6 +196,19 @@ class FuncCall:
 
 
 @dataclass
+class Subquery:
+    """`expr[R:S]` — the inner expression evaluated on its own
+    absolute-S-aligned grid, whose output points feed the enclosing
+    window function like samples (promql/engine.go evalSubquery).
+    S omitted → the outer evaluation step."""
+
+    child: object
+    range_ms: int
+    step_ms: int | None = None
+    offset_ms: int = 0
+
+
+@dataclass
 class ValueFn:
     """Elementwise value transform; drops __name__ (PromQL rule)."""
 
@@ -276,7 +291,7 @@ _TOKEN_RE = re.compile(
     r"|(?P<num>\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)"
     r"|(?P<name>[a-zA-Z_:][a-zA-Z0-9_:]*)"
     r"|(?P<brace>\{(?:[^\"{}]|\"(?:[^\"\\]|\\.)*\")*\})"
-    r"|(?P<dur>\[[0-9a-z]+\])"
+    r"|(?P<dur>\[[0-9a-z]+(?::[0-9a-z]*)?\])"
     r"|(?P<op>==|!=|<=|>=|[()+\-*/,<>%^]))"
 )
 
@@ -339,8 +354,8 @@ class _Parser:
             return t.val
         return None
 
-    def parse_expr(self, min_prec: int = 1):
-        node = self.parse_unary()
+    def parse_expr(self, min_prec: int = 1, left=None):
+        node = left if left is not None else self.parse_unary()
         while (op := self._peek_binop()) is not None and _PREC[op] >= min_prec:
             self.next()
             cmp_bool = False
@@ -480,12 +495,12 @@ class _Parser:
             if fn == "quantile_over_time":
                 param = self._next_num()
                 self.expect(",")
-            sel = self.parse_selector_expr(require_range=True)
+            arg = self._parse_range_operand()
             if fn == "predict_linear":
                 self.expect(",")
                 param = self._next_num()
             self.expect(")")
-            return FuncCall(fn, sel, param=param)
+            return FuncCall(fn, arg, param=param)
         # value transform: fn(expr [, number]*)
         child = self.parse_expr()
         params: list[float] = []
@@ -500,7 +515,42 @@ class _Parser:
             raise ValueError("round takes at most one scalar parameter")
         return ValueFn(fn, child, params)
 
-    def parse_selector_expr(self, require_range: bool = False) -> Selector:
+    def _parse_range_operand(self):
+        """Matrix selector `m{...}[R]` or subquery `expr[R:S]` — the
+        two shapes a window function accepts."""
+        t = self.peek()
+        # fast path: a plain (possibly braced) selector — let it consume
+        # its own [R] so `rate(m[5m])` parses as before
+        if t is not None and t.kind in ("name", "brace") and not (
+            t.kind == "name"
+            and (
+                t.val in AGG_OPS + PARAM_AGGS
+                or t.val in RANGE_FNS
+                or t.val in VALUE_FNS
+                or t.val in ("histogram_quantile", "absent", "absent_over_time")
+            )
+        ):
+            sel = self.parse_selector_expr(allow_range=True)
+            if sel.range_ms is not None:
+                return sel
+            node = self.parse_expr(left=sel)
+        else:
+            node = self.parse_expr()
+        d = self.peek()
+        if d is None or d.kind != "dur" or ":" not in d.val:
+            raise ValueError("range function needs a [duration] or [R:S] operand")
+        rng_txt, step_txt = self.next().val[1:-1].split(":", 1)
+        range_ms = parse_duration(rng_txt)
+        step_ms = parse_duration(step_txt) if step_txt else None
+        offset_ms = 0
+        t = self.peek()
+        if t is not None and t.kind == "off":
+            offset_ms = parse_duration(self.next().val[len("offset"):].strip())
+        return Subquery(node, range_ms, step_ms, offset_ms)
+
+    def parse_selector_expr(
+        self, require_range: bool = False, allow_range: bool = False
+    ) -> Selector:
         t = self.peek()
         text = ""
         if t is not None and t.kind == "name":
@@ -513,11 +563,12 @@ class _Parser:
         matchers = L.parse_selector(text)
         range_ms = None
         t = self.peek()
-        if t is not None and t.kind == "dur":
+        # colon-durs are subquery brackets — left for the caller
+        if t is not None and t.kind == "dur" and ":" not in t.val:
             range_ms = parse_duration(self.next().val[1:-1])
         if require_range and range_ms is None:
             raise ValueError("range function needs a [duration] selector")
-        if not require_range and range_ms is not None:
+        if not (require_range or allow_range) and range_ms is not None:
             raise ValueError("matrix selector outside a range function")
         offset_ms = 0
         t = self.peek()
@@ -1078,21 +1129,68 @@ class RangeQuery:
             (F.max_by("vc", "t") / 100.0).alias("value"),
         )
 
-    def _eval_func(self, node: FuncCall) -> DataFrame:
-        rng = node.arg.range_ms
-        base = self._base(node.arg.matchers, rng, node.arg.offset_ms)
-        if node.fn in _LAG_FNS:
+    def _windowed(self, base: DataFrame, fn: str, rng: int, param) -> DataFrame:
+        """Shared window-function tail: optional per-series lag, grid
+        fan-out, ONE combinable groupBy, final scalar value."""
+        if fn in _LAG_FNS:
             base = _with_lag(base)
         cells = _grid_explode(base, self.start, self.end, self.step, rng)
         agg = cells.groupBy("labels_str", _G).agg(
             F.first("labels").alias("labels"),
-            *_window_agg(node.fn, rng, node.param),
+            *_window_agg(fn, rng, param),
         )
-        out = agg.withColumn(
-            "value", _window_value(node.fn, rng, F.col(_G), node.param)
-        )
+        out = agg.withColumn("value", _window_value(fn, rng, F.col(_G), param))
         return out.filter(F.col("value").isNotNull()).select(
             "labels_str", "labels", _G, "value"
+        )
+
+    def _eval_func(self, node: FuncCall) -> DataFrame:
+        if isinstance(node.arg, Subquery):
+            sq = node.arg
+            return self._windowed(
+                self._subquery_base(sq), node.fn, sq.range_ms, node.param
+            )
+        rng = node.arg.range_ms
+        base = self._base(node.arg.matchers, rng, node.arg.offset_ms)
+        return self._windowed(base, node.fn, rng, node.param)
+
+    def _subquery_base(self, sq: Subquery) -> DataFrame:
+        """Evaluate the inner expression on its own absolute-S-aligned
+        grid and canonicalize its output points back to (labels_str,
+        labels, t, vc) samples for the enclosing window function —
+        promql/engine.go evalSubquery re-expressed as plan composition
+        (the inner evaluation is itself the bounded fan-out plan, so
+        the whole subquery stays a fixed number of shuffles)."""
+        step = sq.step_ms if sq.step_ms is not None else self.step
+        lo = self.start - sq.offset_ms - sq.range_ms
+        hi = self.end - sq.offset_ms
+        # first aligned point at or before lo: a point exactly at lo is
+        # excluded by every (T-R, T] window downstream, so flooring is
+        # safe and keeps Prometheus's absolute alignment
+        istart = lo - lo % step
+        inner = RangeQuery(self.frame, istart, hi, step, self.lookback_ms)
+        df = inner.eval(sq.child)
+        if "labels" not in df.columns:
+            # grouped child: rebuild a label map from its key columns so
+            # the window tail (and any by/without above) sees series
+            keys = [c for c in df.columns if c not in (_G, "value")]
+            kv = [x for k in keys for x in (F.lit(k), F.col(k))]
+            lab = (
+                F.create_map(*kv)
+                if kv
+                else F.create_map().cast("map<string,string>")
+            )
+            df = df.select(
+                L.labels_str_expr(lab).alias("labels_str"),
+                lab.alias("labels"),
+                F.col(_G),
+                "value",
+            )
+        return df.select(
+            "labels_str",
+            "labels",
+            (F.col(_G) + sq.offset_ms).alias("t"),
+            F.round(F.col("value") * 100).cast("long").alias("vc"),
         )
 
     def _grid_frame(self) -> DataFrame:
@@ -1363,6 +1461,12 @@ def required_reach(node, lookback_ms: int = DEFAULT_LOOKBACK_MS) -> int:
         return base + node.offset_ms
     if isinstance(node, FuncCall):
         return required_reach(node.arg, lookback_ms)
+    if isinstance(node, Subquery):
+        return (
+            node.range_ms
+            + node.offset_ms
+            + required_reach(node.child, lookback_ms)
+        )
     if isinstance(node, Absent):
         return required_reach(node.sel, lookback_ms)
     if isinstance(node, (Aggregate, BinScalar, ValueFn, HistQuantile)):

@@ -519,3 +519,43 @@ def promql_value_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         DAY,
     )
     return out.select("labels_str", "t", F.round("value", 9).alias("value"))
+
+
+@register(
+    "promql_subquery",
+    _with_prelude(
+        f"""
+, {_canon_cte("event_type = 'click'")},
+ig AS (SELECT unnest(generate_series(
+        ({T0} + 2 * {DAY} - 7 * {DAY}) - ({T0} + 2 * {DAY} - 7 * {DAY}) % {DAY},
+        {T0} + 16 * {DAY}, {DAY})) AS it),
+iw AS (SELECT d.labels_str, ig.it, sum(d.vc) AS s
+       FROM d JOIN ig ON d.t > ig.it - {2 * DAY} AND d.t <= ig.it
+       GROUP BY 1, 2),
+iv AS (SELECT labels_str, it,
+         CAST(round((CAST(s AS DOUBLE) / 100.0) * 100) AS BIGINT) AS ivc
+       FROM iw),
+{_grid_cte(T0 + 2 * DAY, T0 + 16 * DAY, DAY)},
+ow AS (SELECT iv.labels_str, g.gt, iv.ivc
+       FROM iv JOIN g ON iv.it > g.gt - {7 * DAY} AND iv.it <= g.gt)
+SELECT labels_str, gt AS t, max(ivc) / 100.0 AS value
+FROM ow GROUP BY 1, 2"""
+    ),
+    "PromQL subquery `max_over_time(sum_over_time(click[2d])[7d:1d])` "
+    "daily: the inner expression runs on its own absolute-1d-aligned "
+    "grid, its output points are re-canonicalized to centi-units and "
+    "fed to the outer window exactly like samples "
+    "(promql/engine.go evalSubquery). Engine plan: plan COMPOSITION — "
+    "the inner bounded fan-out feeds the outer bounded fan-out, a "
+    "fixed number of shuffles regardless of data volume, never a "
+    "driver-side inner-evaluation loop",
+)
+def promql_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = eval_range(
+        events_samples(spark, sf_dir),
+        "max_over_time(sum_over_time(click[2d])[7d:1d])",
+        T0 + 2 * DAY,
+        T0 + 16 * DAY,
+        DAY,
+    )
+    return out.select("labels_str", "t", "value")
