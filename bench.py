@@ -194,6 +194,16 @@ def main() -> None:
             ):
                 QUERIES[qname].spark_fn(spark, SF_DIR).agg(F.count("*")).collect()
 
+        # PromQL composition surface: subquery plan composition,
+        # comparison+set algebra, regression windows
+        with timed("promql_compose"):
+            for qname in (
+                "promql_subquery",
+                "promql_cmp_unless",
+                "promql_deriv_predict",
+            ):
+                QUERIES[qname].spark_fn(spark, SF_DIR).agg(F.count("*")).collect()
+
         # instant-vector grid evaluation via the distributed as-of join
         # (union + one ordered window per series)
         with timed("asof"):

@@ -679,3 +679,53 @@ def test_subquery_over_aggregate(spark, frame):
             if vals:
                 want[(f'{{user="{user}"}}', T)] = max(vals)
     assert_close(got, want)
+
+
+def test_label_transforms_and_timestamp(spark, frame):
+    q = P.RangeQuery(frame, START, END, STEP, lookback_ms=LOOKBACK)
+    base = collect_map(q.run("gauge"))
+    # label_replace: copy user into a new tier label with a suffix
+    got = collect_map(
+        q.run('label_replace(gauge, "tier", "u$1x", "user", "(.*)")')
+    )
+    want = {
+        (ls[:-1] + f',tier="u{ls[ls.find("user=") + 6]}x"' + "}", T): v
+        for (ls, T), v in base.items()
+    }
+    # labels_str is byte-sorted: tier sorts after __name__ but before user
+    got_keys = set(got)
+    assert len(got) == len(base)
+    assert all('tier="u1x"' in ls for ls, _ in got_keys)
+    for v_got, v_want in zip(sorted(got.values()), sorted(base.values())):
+        assert v_got == v_want
+    # no-match regex leaves the series untouched
+    same = collect_map(q.run('label_replace(gauge, "user", "X", "user", "zzz")'))
+    assert same == base
+    # empty replacement removes the label
+    dropped = collect_map(q.run('label_replace(gauge, "user", "", "user", "(.*)")'))
+    assert all("user=" not in ls for ls, _ in dropped)
+    # label_join concatenates sources
+    joined = collect_map(
+        q.run('label_join(gauge, "id", "-", "__name__", "user")')
+    )
+    assert all('id="gauge-1"' in ls for ls, _ in joined)
+    # timestamp(): seconds of the most recent covered sample, name dropped
+    ts = collect_map(q.run("timestamp(gauge)"))
+    want_ts = {}
+    for (name, user), pts in SERIES.items():
+        if name != "gauge":
+            continue
+        for T in grid():
+            w = in_window(pts, T, LOOKBACK)
+            if w:
+                want_ts[(f'{{user="{user}"}}', T)] = w[-1][0] / 1000.0
+    assert_close(ts, want_ts)
+
+
+def test_parse_label_transform_errors():
+    with pytest.raises(ValueError):
+        P.parse_expr('label_replace(gauge, "a", "b", "c")')  # arity
+    with pytest.raises(ValueError):
+        P.parse_expr('label_join(gauge, "a")')  # needs sep
+    n = P.parse_expr('label_replace(rate(x[5m]), "d", "$1", "s", "(.+)")')
+    assert isinstance(n, P.LabelTransform) and n.args[0] == "d"

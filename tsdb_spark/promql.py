@@ -23,13 +23,15 @@ compiler:
                | predict_linear '(' matrix ',' number ')'
                | histogram_quantile '(' number ',' expr ')'
                | absent '(' selector ')' | absent_over_time '(' matrix ')'
+               | label_replace '(' expr ',' dst ',' repl ',' src ',' re ')'
+               | label_join '(' expr ',' dst ',' sep [',' src]* ')'
                | valuefn '(' expr [',' number]* ')'  -- abs ceil floor ...
     rangefn   := rate increase delta irate idelta resets changes deriv
                  avg_over_time min_over_time max_over_time sum_over_time
                  count_over_time last_over_time present_over_time
                  stddev_over_time stdvar_over_time
     valuefn   := abs ceil floor sqrt exp ln log2 log10 sgn
-                 clamp clamp_min clamp_max round
+                 clamp clamp_min clamp_max round timestamp
     matrix    := selector '[' duration ']' ['offset' duration]
     selector  := metric{label op "value", ...} ['offset' duration]
 
@@ -135,6 +137,7 @@ VALUE_FNS = (
     "clamp_min",
     "clamp_max",
     "round",
+    "timestamp",
 )
 SET_OPS = ("and", "or", "unless")
 CMP_OPS = ("==", "!=", ">", "<", ">=", "<=")
@@ -218,6 +221,18 @@ class ValueFn:
 
 
 @dataclass
+class LabelTransform:
+    """label_replace(v, dst, repl, src, regex) / label_join(v, dst,
+    sep, src...) — pure label-map rewrites (promql/functions.go
+    funcLabelReplace / funcLabelJoin); an empty resulting value removes
+    the destination label."""
+
+    fn: str  # "label_replace" | "label_join"
+    child: object
+    args: list[str] = field(default_factory=list)
+
+
+@dataclass
 class HistQuantile:
     """histogram_quantile(φ, e): per (labels − le, T) bucket
     interpolation over cumulative `le` counts (promql/quantile.go)."""
@@ -291,6 +306,7 @@ _TOKEN_RE = re.compile(
     r"|(?P<num>\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)"
     r"|(?P<name>[a-zA-Z_:][a-zA-Z0-9_:]*)"
     r"|(?P<brace>\{(?:[^\"{}]|\"(?:[^\"\\]|\\.)*\")*\})"
+    r"|(?P<qstr>\"(?:[^\"\\]|\\.)*\")"
     r"|(?P<dur>\[[0-9a-z]+(?::[0-9a-z]*)?\])"
     r"|(?P<op>==|!=|<=|>=|[()+\-*/,<>%^]))"
 )
@@ -304,7 +320,7 @@ def _tokenize(s: str) -> list[_Tok]:
             if s[pos:].strip() == "":
                 break
             raise ValueError(f"parse error at {s[pos:pos+20]!r}")
-        for kind in ("off", "num", "name", "brace", "dur", "op"):
+        for kind in ("off", "num", "name", "brace", "qstr", "dur", "op"):
             v = m.group(kind)
             if v is not None:
                 toks.append(_Tok(kind, v))
@@ -422,7 +438,14 @@ class _Parser:
         if t.kind == "name" and (
             t.val in RANGE_FNS
             or t.val in VALUE_FNS
-            or t.val in ("histogram_quantile", "absent", "absent_over_time")
+            or t.val
+            in (
+                "histogram_quantile",
+                "absent",
+                "absent_over_time",
+                "label_replace",
+                "label_join",
+            )
         ):
             return self.parse_function()
         return self.parse_selector_expr()
@@ -482,6 +505,22 @@ class _Parser:
             child = self.parse_expr()
             self.expect(")")
             return HistQuantile(phi, child)
+        if fn in ("label_replace", "label_join"):
+            child = self.parse_expr()
+            strs: list[str] = []
+            while (t := self.peek()) is not None and t.val == ",":
+                self.next()
+                s = self.next()
+                if s.kind != "qstr":
+                    raise ValueError(f"{fn} takes string arguments, got {s.val!r}")
+                strs.append(s.val[1:-1].replace('\\"', '"').replace("\\\\", "\\"))
+            self.expect(")")
+            want = 4 if fn == "label_replace" else None
+            if want is not None and len(strs) != want:
+                raise ValueError(f"{fn} takes {want} string arguments")
+            if fn == "label_join" and len(strs) < 2:
+                raise ValueError("label_join needs dst, sep, and sources")
+            return LabelTransform(fn, child, strs)
         if fn == "absent":
             sel = self.parse_selector_expr()
             self.expect(")")
@@ -527,7 +566,14 @@ class _Parser:
                 t.val in AGG_OPS + PARAM_AGGS
                 or t.val in RANGE_FNS
                 or t.val in VALUE_FNS
-                or t.val in ("histogram_quantile", "absent", "absent_over_time")
+                or t.val
+                in (
+                    "histogram_quantile",
+                    "absent",
+                    "absent_over_time",
+                    "label_replace",
+                    "label_join",
+                )
             )
         ):
             sel = self.parse_selector_expr(allow_range=True)
@@ -898,6 +944,8 @@ class RangeQuery:
             return self._eval_func(node)
         if isinstance(node, ValueFn):
             return self._eval_valuefn(node)
+        if isinstance(node, LabelTransform):
+            return self._eval_labeltx(node)
         if isinstance(node, HistQuantile):
             return self._eval_histq(node)
         if isinstance(node, Absent):
@@ -1243,7 +1291,57 @@ class RangeQuery:
             F.map_filter(F.col("labels"), lambda k, _: k != F.lit("__name__")),
         ).withColumn("labels_str", L.labels_str_expr(F.col("labels")))
 
+    def _eval_labeltx(self, node: LabelTransform) -> DataFrame:
+        child = self.eval(node.child)
+        if "labels" not in child.columns:
+            raise ValueError(f"{node.fn} needs a label-carrying vector")
+        m = F.col("labels")
+        if node.fn == "label_replace":
+            dst, repl, src, regex = node.args
+            srcv = F.coalesce(m.getItem(src), F.lit(""))
+            anchored = f"^(?:{regex})$"
+            # no full match → the destination keeps its current value
+            # ($1-style backrefs work identically in RE2 and Java)
+            newv = F.when(
+                srcv.rlike(anchored), F.regexp_replace(srcv, anchored, repl)
+            ).otherwise(F.coalesce(m.getItem(dst), F.lit("")))
+        else:
+            dst, sep, *srcs = node.args
+            newv = F.concat_ws(
+                sep, *[F.coalesce(m.getItem(s), F.lit("")) for s in srcs]
+            )
+        nm = F.map_concat(
+            F.map_filter(m, lambda k, _: k != F.lit(dst)),
+            F.map_filter(
+                F.create_map(F.lit(dst), newv), lambda _, v: v != F.lit("")
+            ),
+        )
+        return child.withColumn("labels", nm).withColumn(
+            "labels_str", L.labels_str_expr(F.col("labels"))
+        )
+
     def _eval_valuefn(self, node: ValueFn) -> DataFrame:
+        if node.fn == "timestamp":
+            # timestamp(v): the evaluation timestamp of each point's
+            # underlying sample, in seconds — needs the pre-aggregation
+            # sample times, so it binds to an instant selector
+            if not isinstance(node.child, Selector):
+                raise ValueError("timestamp() takes an instant selector")
+            sel = node.child
+            cells = _grid_explode(
+                self._base(sel.matchers, self.lookback_ms, sel.offset_ms),
+                self.start,
+                self.end,
+                self.step,
+                self.lookback_ms,
+            )
+            out = cells.groupBy("labels_str", _G).agg(
+                F.first("labels").alias("labels"),
+                (F.max("t") / 1000.0).alias("value"),
+            )
+            return self._strip_name(
+                out.select("labels_str", "labels", _G, "value")
+            )
         child = self._strip_name(self.eval(node.child))
         v = F.col("value")
         p = node.params
@@ -1469,7 +1567,9 @@ def required_reach(node, lookback_ms: int = DEFAULT_LOOKBACK_MS) -> int:
         )
     if isinstance(node, Absent):
         return required_reach(node.sel, lookback_ms)
-    if isinstance(node, (Aggregate, BinScalar, ValueFn, HistQuantile)):
+    if isinstance(
+        node, (Aggregate, BinScalar, ValueFn, HistQuantile, LabelTransform)
+    ):
         return required_reach(node.child, lookback_ms)
     if isinstance(node, (BinVector, BinSet)):
         return max(
