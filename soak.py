@@ -170,6 +170,7 @@ def main() -> None:
             ("emb_ann_lsh", "ann"),
             ("docs_chunk_windows", "chunking"),
             ("docs_pack_shards", "packing"),
+            ("promql_sum_by_rate", "promql"),
         ):
             shape(label, lambda sf, store, q=qname: drain(QUERIES[q].spark_fn(spark, sf)))
 

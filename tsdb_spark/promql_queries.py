@@ -559,3 +559,39 @@ def promql_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         DAY,
     )
     return out.select("labels_str", "t", "value")
+
+
+@register(
+    "promql_label_pipeline",
+    _with_prelude(
+        f"""
+, {_canon_cte("event_type = 'click'")},
+{_grid_cte(T0 + DAY, T0 + 31 * DAY, DAY)},
+w AS (SELECT d.labels_str, g.gt, d.t, d.vc
+      FROM d JOIN g ON d.t > g.gt - {DAY} AND d.t <= g.gt),
+lv AS (SELECT labels_str, gt, max_by(vc, t) / 100.0 AS value
+       FROM w GROUP BY 1, 2),
+um AS (SELECT DISTINCT labels_str, user_lbl FROM samples)
+SELECT 'u' || um.user_lbl AS uid, lv.gt AS t,
+       round(sum(lv.value), 9) AS value
+FROM lv JOIN um USING (labels_str)
+GROUP BY 1, 2"""
+    ),
+    "PromQL label-rewrite pipeline `sum by (uid) (label_replace("
+    "last_over_time(click[1d]), \\\"uid\\\", \\\"u$1\\\", \\\"user\\\", "
+    "\\\"(.*)\\\"))` daily — label_replace runs as a pure map rewrite "
+    "(promql/functions.go funcLabelReplace; $1 backrefs behave "
+    "identically in RE2 and Java), then the aggregation groups on the "
+    "SYNTHESIZED label. Per-(uid, T) groups hold <= 2 series (the "
+    "k_bucket split), so the float sum is order-independent",
+)
+def promql_label_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = eval_range(
+        events_samples(spark, sf_dir),
+        'sum by (uid) (label_replace(last_over_time(click[1d]), '
+        '"uid", "u$1", "user", "(.*)"))',
+        T0 + DAY,
+        T0 + 31 * DAY,
+        DAY,
+    )
+    return out.select("uid", "t", F.round("value", 9).alias("value"))
