@@ -269,3 +269,20 @@ def test_huge_matched_dim_skips_broadcast(spark, store):
         assert n == 240
     finally:
         del store.broadcast_series_limit
+
+
+def test_promql_db_eval_prunes_partitions(store):
+    # the evaluator over a DB store bounds its scan to
+    # [start - reach + 1, end] — the t_bucket partition filter must
+    # survive all the way through the grid fan-out plan
+    from tsdb_spark.promql import eval_range_db
+
+    df = eval_range_db(
+        store, "sum_over_time(m[30m])", 2 * WIDTH, 3 * WIDTH, WIDTH // 2
+    )
+    plan = _executed(df)
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and any("t_bucket" in ln for ln in pf), (
+        "promql evaluation lost the t_bucket partition prune"
+    )
+    assert "CartesianProduct" not in plan

@@ -729,3 +729,48 @@ def test_parse_label_transform_errors():
         P.parse_expr('label_join(gauge, "a")')  # needs sep
     n = P.parse_expr('label_replace(rate(x[5m]), "d", "$1", "s", "(.+)")')
     assert isinstance(n, P.LabelTransform) and n.args[0] == "d"
+
+
+def test_window_identities_random(spark):
+    # one seeded random corpus, identities asserted over EVERY emitted
+    # point: increase == rate·R, min ≤ avg ≤ max, avg == sum/count,
+    # resets ≤ changes, present == 1 wherever count exists
+    import random
+
+    rng = random.Random(42)
+    rows = []
+    for s in range(12):
+        t = 0
+        for _ in range(rng.randint(2, 40)):
+            t += rng.randint(500, 5000)
+            rows.append(({"__name__": "m", "s": str(s)}, t,
+                         round(rng.uniform(-50.0, 150.0), 2)))
+    from tsdb_spark import labels as L
+
+    frame = spark.createDataFrame(
+        rows, "labels MAP<STRING,STRING>, t LONG, v DOUBLE"
+    ).withColumn("labels_str", L.labels_str_expr("labels"))
+    q = P.RangeQuery(frame, 10_000, 100_000, 9_000, lookback_ms=7_000)
+    ev = {
+        fn: collect_map(q.run(f"{fn}(m[17s])"))
+        for fn in (
+            "rate", "increase", "min_over_time", "avg_over_time",
+            "max_over_time", "sum_over_time", "count_over_time",
+            "changes", "resets", "present_over_time",
+        )
+    }
+    assert set(ev["rate"]) == set(ev["increase"]) and ev["rate"]
+    for k, r in ev["rate"].items():
+        assert math.isclose(ev["increase"][k], r * 17.0, rel_tol=1e-9, abs_tol=1e-12)
+    base = set(ev["count_over_time"])
+    assert base == set(ev["avg_over_time"]) == set(ev["present_over_time"])
+    for k in base:
+        assert ev["min_over_time"][k] <= ev["avg_over_time"][k] + 1e-9
+        assert ev["avg_over_time"][k] <= ev["max_over_time"][k] + 1e-9
+        assert math.isclose(
+            ev["avg_over_time"][k],
+            ev["sum_over_time"][k] / ev["count_over_time"][k],
+            rel_tol=1e-9,
+        )
+        assert ev["present_over_time"][k] == 1.0
+        assert ev["resets"][k] <= ev["changes"][k]
