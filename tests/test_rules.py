@@ -1,0 +1,72 @@
+"""Recording rules: evaluate → append → re-select round trip, static
+label override, and rule layering (rules/recording.go semantics on
+DB.append)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tsdb_spark import DB, eq
+from tsdb_spark.promql import eval_range_db
+from tsdb_spark.rules import Rule, record, rule_frame
+
+WIDTH = 3_600_000
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    rows = []
+    for s in ("a", "b"):
+        for i in range(40):
+            rows.append(({"__name__": "m", "s": s}, i * 60_000,
+                         float(i if s == "a" else 2 * i)))
+    db = DB.create(spark, str(tmp_path / "db"), block_width_ms=WIDTH)
+    db.append(spark.createDataFrame(
+        rows, "labels MAP<STRING,STRING>, t LONG, v DOUBLE"))
+    return db
+
+
+def test_rule_roundtrip_matches_direct_eval(store):
+    rule = Rule("job:m:sum10m", "sum_over_time(m[10m])")
+    record(store, [rule], 600_000, 2_000_000, 300_000)
+    back = {
+        (r["labels_str"], r["t"]): r["v"]
+        for r in store.querier(0, 3_000_000)
+        .select([eq("__name__", "job:m:sum10m")])
+        .select("labels_str", "t", "v")
+        .collect()
+    }
+    direct = {
+        (r["labels_str"].replace('__name__="m"', '__name__="job:m:sum10m"'), r["t"]): r["value"]
+        for r in eval_range_db(store, "sum_over_time(m[10m])", 600_000, 2_000_000, 300_000).collect()
+    }
+    assert back == direct and back
+
+
+def test_static_labels_override_and_grouped_shape(store):
+    rule = Rule(
+        "job:m:total",
+        "sum by (s) (sum_over_time(m[10m]))",
+        labels=(("s", "forced"), ("env", "prod")),
+    )
+    frame = rule_frame(store, rule, 600_000, 1_200_000, 300_000)
+    rows = frame.collect()
+    assert rows
+    for r in rows:
+        lab = r["labels"]
+        assert lab["__name__"] == "job:m:total"
+        assert lab["s"] == "forced" and lab["env"] == "prod"
+
+
+def test_layered_rules_sequential(store):
+    record(
+        store,
+        [
+            Rule("l1", "sum by (s) (count_over_time(m[10m]))"),
+            Rule("l2", 'sum({__name__="l1"})'),
+        ],
+        600_000,
+        1_200_000,
+        300_000,
+    )
+    l2 = store.querier(0, 2_000_000).select([eq("__name__", "l2")]).collect()
+    assert l2 and all(r["v"] == 20.0 for r in l2)  # 2 series x 10 samples

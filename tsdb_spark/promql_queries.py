@@ -595,3 +595,54 @@ def promql_label_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         DAY,
     )
     return out.select("uid", "t", F.round("value", 9).alias("value"))
+
+
+@register(
+    "promql_recording_rule",
+    _with_prelude(
+        f"""
+, {_canon_cte("event_type = 'click'")},
+{_grid_cte(T0 + DAY, T0 + 15 * DAY, DAY)},
+w AS (SELECT d.labels_str, g.gt, sum(d.vc) AS s
+      FROM d JOIN g ON d.t > g.gt - {DAY} AND d.t <= g.gt GROUP BY 1, 2),
+um AS (SELECT DISTINCT labels_str, user_lbl FROM samples),
+r1 AS (SELECT um.user_lbl AS u, w.gt,
+         sum(CAST(w.s AS DOUBLE) / 100.0) AS v,
+         CAST(sum(w.s) AS BIGINT) AS sc
+       FROM w JOIN um USING (labels_str) GROUP BY 1, 2),
+rule1 AS (SELECT '{{{{__name__="job:click:sum1d",rule_group="daily",user="'
+                 || u || '"}}}}' AS labels_str,
+                 gt AS t, v FROM r1),
+rk AS (SELECT *, row_number() OVER (
+         PARTITION BY gt
+         ORDER BY CAST(sc AS DOUBLE) / 100.0 DESC,
+           '{{{{__name__="job:click:sum1d",rule_group="daily",user="' || u || '"}}}}'
+       ) AS rnk FROM r1),
+rule2 AS (SELECT '{{{{__name__="job:click:sum1d:top",rule_group="daily",user="'
+                 || u || '"}}}}' AS labels_str,
+                 gt AS t, CAST(sc AS DOUBLE) / 100.0 AS v
+          FROM rk WHERE rnk <= 3)
+SELECT labels_str, t, round(v, 9) AS v FROM rule1
+UNION ALL
+SELECT labels_str, t, round(v, 9) AS v FROM rule2"""
+    ),
+    "recording rules (rules/recording.go Eval semantics on DB.append): "
+    "rule 1 `job:click:sum1d = sum by (user) (sum_over_time(click[1d]))` "
+    "with a static rule_group label, rule 2 "
+    "`topk(3, job:click:sum1d)` LAYERED on rule 1's recorded output "
+    "(sequential group eval) — both materialized back into the store "
+    "with one batch append each and read back through the normal "
+    "matcher path. Rule 2's values pass through the instant-vector "
+    "centi canonicalization, so its oracle is the exact integer sum "
+    "while rule 1's is the float-addition original — both deterministic",
+)
+def promql_recording_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tsdb_spark import labels as L
+    from tsdb_spark.queries import _store
+
+    db = _store(spark, sf_dir, "rules")
+    return (
+        db.querier(T0, T0 + 16 * DAY)
+        .select([L.re_match("__name__", "job:click:sum1d.*")])
+        .select("labels_str", "t", F.round("v", 9).alias("v"))
+    )

@@ -546,6 +546,29 @@ def _store(spark: SparkSession, sf_dir: str, scenario: str) -> DB:
         db.append(extra)
         rewritten = db.refresh_rollup(3_600_000)
         assert rewritten, "refresh must be incremental, not a rebuild"
+    elif scenario == "rules":
+        # recording rules: two layered rules — the second reads the
+        # first's output (rule-group sequential eval) — recorded back
+        # into the store and served through the normal matcher path
+        from tsdb_spark.rules import Rule, record
+
+        record(
+            db,
+            [
+                Rule(
+                    "job:click:sum1d",
+                    "sum by (user) (sum_over_time(click[1d]))",
+                    labels=(("rule_group", "daily"),),
+                ),
+                Rule(
+                    "job:click:sum1d:top",
+                    'topk(3, {__name__="job:click:sum1d"})',
+                ),
+            ],
+            T0 + DAY,
+            T0 + 15 * DAY,
+            DAY,
+        )
     elif scenario == "vacuum":
         # fragment one bucket with five single-row logical appends (the
         # streaming-ingest file pattern), then defragment; results must

@@ -1,0 +1,108 @@
+"""Recording rules: named PromQL expressions materialized back into a
+store as first-class series — the rules engine of the Prometheus
+ecosystem built directly on the range evaluator, closing the
+storage → evaluator → storage loop.
+
+Reference anchor: recording rules live ABOVE this library in
+prometheus/prometheus (rules/manager.go, rules/recording.go), where the
+manager evaluates each rule as an instant query every interval and
+appends the result vector through the same Appender interface this
+engine's `DB.append` re-implements (db.go:93-112). Here a rule
+evaluates as ONE bounded-fan-out range query over [start, end] and
+lands with ONE batch append — the whole backfill is two shuffles plus
+the append, never a per-step evaluation loop.
+
+Semantics matched to rules/recording.go Eval:
+- the result series get `__name__` = the rule name;
+- static rule labels are attached and OVERRIDE result labels of the
+  same name;
+- the recorded series are immediately selectable through the normal
+  matcher path, and further rules (or queries) can read them back —
+  `job:x:rate5m`-style layering works exactly like upstream.
+
+Re-recording an already-recorded window lands on the store's amend
+policy (first-wins with order_col, else deterministic min) — record
+disjoint windows, or use a step-aligned `start` to make the operation
+idempotent (identical values amend to themselves harmlessly).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from tsdb_spark.promql import DEFAULT_LOOKBACK_MS, eval_range_db
+
+
+@dataclass(frozen=True)
+class Rule:
+    """One recording rule: `name: expr` plus optional static labels."""
+
+    name: str
+    expr: str
+    labels: tuple[tuple[str, str], ...] = ()
+
+
+def rule_frame(
+    db,
+    rule: Rule,
+    start: int,
+    end: int,
+    step: int,
+    lookback_ms: int = DEFAULT_LOOKBACK_MS,
+) -> DataFrame:
+    """Evaluate one rule over [start, end] at `step` and shape the
+    result as append-ready rows(labels MAP, t LONG, v DOUBLE).
+
+    Works for both evaluator output shapes: label-carrying vectors
+    (selector/function results — `__name__` replaced by the rule name)
+    and grouped aggregates (`sum by (k)` — the key columns become the
+    label set)."""
+    out = eval_range_db(db, rule.expr, start, end, step, lookback_ms)
+    if "labels" in out.columns:
+        m = F.map_filter(F.col("labels"), lambda k, _: k != F.lit("__name__"))
+    else:
+        keys = [c for c in out.columns if c not in ("t", "value", "labels_str")]
+        kv = [x for k in keys for x in (F.lit(k), F.col(k).cast("string"))]
+        m = (
+            F.create_map(*kv)
+            if kv
+            else F.create_map().cast("map<string,string>")
+        )
+    override = F.array(
+        F.lit("__name__"), *[F.lit(k) for k, _ in rule.labels]
+    )
+    statics = [x for k, v in rule.labels for x in (F.lit(k), F.lit(v))]
+    lab = F.map_concat(
+        F.map_filter(m, lambda k, _: ~F.array_contains(override, k)),
+        F.create_map(F.lit("__name__"), F.lit(rule.name), *statics),
+    )
+    return out.select(
+        lab.alias("labels"), F.col("t"), F.col("value").alias("v")
+    ).filter(F.col("v").isNotNull())
+
+
+def record(
+    db,
+    rules: list[Rule],
+    start: int,
+    end: int,
+    step: int,
+    dst=None,
+    lookback_ms: int = DEFAULT_LOOKBACK_MS,
+) -> dict[str, "object"]:
+    """Evaluate every rule against `db` and append the results to `dst`
+    (default: back into `db` itself, the upstream arrangement).
+
+    Rules are recorded in list order, so a later rule may read an
+    earlier rule's output — upstream evaluates a rule group
+    sequentially for the same reason (rules/manager.go group eval).
+    Returns {rule name: AppendReport}."""
+    dst = dst if dst is not None else db
+    reports: dict[str, object] = {}
+    for rule in rules:
+        frame = rule_frame(db, rule, start, end, step, lookback_ms)
+        reports[rule.name] = dst.append(frame)
+    return reports
