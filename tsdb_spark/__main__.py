@@ -65,6 +65,26 @@ def main(argv: list[str] | None = None) -> int:
                      help="instant-selector staleness window (ms)")
     p_q.add_argument("--limit", type=int, default=100)
 
+    p_rr = sub.add_parser(
+        "record",
+        help="evaluate a recording rule and append the result back into "
+        "the store as series `name`, e.g. "
+        "record /db 'job:click:rate1h' 'sum by (user) (rate(click[1h]))'",
+    )
+    p_rr.add_argument("store")
+    p_rr.add_argument("name")
+    p_rr.add_argument("expr")
+    p_rr.add_argument("--start", type=int, required=True, help="grid start (ms)")
+    p_rr.add_argument("--end", type=int, required=True, help="grid end (ms)")
+    p_rr.add_argument("--step", type=int, required=True, help="grid step (ms)")
+    p_rr.add_argument(
+        "--label",
+        action="append",
+        default=[],
+        metavar="K=V",
+        help="static rule label (repeatable; overrides result labels)",
+    )
+
     p_ex = sub.add_parser(
         "explain", help="show the physical plan for a selector (pushdown audit)"
     )
@@ -161,6 +181,16 @@ def main(argv: list[str] | None = None) -> int:
         eval_range_db(
             db, args.expr, args.start, args.end, args.step, args.lookback
         ).show(args.limit, truncate=False)
+    elif args.cmd == "record":
+        from tsdb_spark.rules import Rule, record
+
+        db = DB.open(spark, args.store)
+        statics = tuple(
+            (kv.split("=", 1)[0], kv.split("=", 1)[1]) for kv in args.label
+        )
+        rule = Rule(args.name, args.expr, labels=statics)
+        rep = record(db, [rule], args.start, args.end, args.step)[args.name]
+        print(f"recorded {args.name}: {rep}")
     elif args.cmd == "explain":
         from tsdb_spark.labels import parse_selector
 
