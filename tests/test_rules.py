@@ -70,3 +70,65 @@ def test_layered_rules_sequential(store):
     )
     l2 = store.querier(0, 2_000_000).select([eq("__name__", "l2")]).collect()
     assert l2 and all(r["v"] == 20.0 for r in l2)  # 2 series x 10 samples
+
+
+def test_alert_rule_states(store):
+    # series a: v = i at t = i*60s (40 samples); alert when
+    # avg_over_time(m[5m]) > threshold chosen so series a fires late
+    # and series b (v = 2i) fires earlier — check pending → firing
+    from tsdb_spark.rules import AlertRule, alerts_frame
+
+    rule = AlertRule(
+        "hi_m",
+        "avg_over_time(m[5m]) > 40",
+        for_ms=600_000,  # 2 steps on the 5m grid → need 3 consecutive
+        labels=(("severity", "page"),),
+    )
+    rows = alerts_frame(store, rule, 300_000, 2_400_000, 300_000).collect()
+    assert rows
+    by_key = {}
+    for r in rows:
+        lab = r["labels"]
+        assert lab["__name__"] == "ALERTS"
+        assert lab["alertname"] == "hi_m" and lab["severity"] == "page"
+        assert r["v"] == 1.0
+        by_key[(lab["s"], r["t"])] = lab["alertstate"]
+    # model: active at T iff avg of window > 40; firing iff active at
+    # T, T-5m, T-10m
+    import statistics
+
+    pts = {
+        "a": [(i * 60_000, float(i)) for i in range(40)],
+        "b": [(i * 60_000, float(2 * i)) for i in range(40)],
+    }
+
+    def active(s, T):
+        w = [round(v * 100) for t, v in pts[s] if T - 300_000 < t <= T]
+        return bool(w) and (sum(w) / len(w) / 100.0) > 40.0
+
+    want = {}
+    for s in ("a", "b"):
+        for T in range(300_000, 2_400_001, 300_000):
+            if active(s, T):
+                cont = all(
+                    active(s, T - k * 300_000) and T - k * 300_000 >= 300_000
+                    for k in (1, 2)
+                )
+                want[(s, T)] = "firing" if cont else "pending"
+    assert by_key == want
+    assert "pending" in want.values() and "firing" in want.values()
+
+
+def test_record_alerts_roundtrip(store):
+    from tsdb_spark.rules import AlertRule, record_alerts
+
+    record_alerts(
+        store,
+        [AlertRule("any_m", "count_over_time(m[5m]) > 0")],
+        300_000,
+        1_200_000,
+        300_000,
+    )
+    back = store.querier(0, 3_000_000).select([eq("__name__", "ALERTS")]).collect()
+    assert back and all(r["v"] == 1.0 for r in back)
+    assert all('alertstate="firing"' in r["labels_str"] for r in back)

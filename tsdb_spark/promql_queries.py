@@ -646,3 +646,50 @@ def promql_recording_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select([L.re_match("__name__", "job:click:sum1d.*")])
         .select("labels_str", "t", F.round("v", 9).alias("v"))
     )
+
+
+@register(
+    "promql_alert_rule",
+    _with_prelude(
+        f"""
+, {_canon_cte("event_type = 'click'")},
+{_grid_cte(T0 + DAY, T0 + 15 * DAY, DAY)},
+w AS (SELECT d.labels_str, g.gt, sum(d.vc) AS s
+      FROM d JOIN g ON d.t > g.gt - {DAY} AND d.t <= g.gt GROUP BY 1, 2),
+act AS (SELECT labels_str, gt FROM w WHERE CAST(s AS DOUBLE) / 100.0 > 60.0),
+cnt AS (SELECT a.labels_str, a.gt, CAST(count(*) AS BIGINT) AS n
+        FROM act a JOIN act p ON p.labels_str = a.labels_str
+                   AND p.gt BETWEEN a.gt - {2 * DAY} AND a.gt
+        GROUP BY 1, 2),
+um AS (SELECT DISTINCT labels_str, user_lbl, k_bucket FROM samples)
+SELECT '{{{{__name__="ALERTS",alertname="hi_click",alertstate="'
+       || CASE WHEN n >= 3 THEN 'firing' ELSE 'pending' END || '"'
+       || CASE WHEN k_bucket = 'high' THEN ',k_bucket="high"' ELSE '' END
+       || ',user="' || user_lbl || '"}}}}' AS labels_str,
+       gt AS t, CAST(1.0 AS DOUBLE) AS v
+FROM cnt JOIN um USING (labels_str)"""
+    ),
+    "alerting rules (rules/alerting.go Eval state machine at grid "
+    "resolution): `hi_click = sum_over_time(click[1d]) > 60 for 2d` — "
+    "active points fan out to the `for` windows they support, ONE "
+    "combinable count per (series, T) decides pending vs firing, and "
+    "the upstream ALERTS{{alertname, alertstate}} synthetic series is "
+    "emitted with value 1. Expr labels ride along minus the metric "
+    "name; exact integer window sums make the comparison deterministic",
+)
+def promql_alert_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tsdb_spark import labels as L
+    from tsdb_spark.queries import _store
+    from tsdb_spark.rules import AlertRule, alerts_frame
+
+    db = _store(spark, sf_dir, "base")
+    frame = alerts_frame(
+        db,
+        AlertRule("hi_click", "sum_over_time(click[1d]) > 60", for_ms=2 * DAY),
+        T0 + DAY,
+        T0 + 15 * DAY,
+        DAY,
+    )
+    return frame.select(
+        L.labels_str_expr("labels").alias("labels_str"), "t", "v"
+    )

@@ -33,7 +33,8 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from tsdb_spark.promql import DEFAULT_LOOKBACK_MS, eval_range_db
+from tsdb_spark import labels as L
+from tsdb_spark.promql import DEFAULT_LOOKBACK_MS, _grid_explode, eval_range_db
 
 
 @dataclass(frozen=True)
@@ -84,6 +85,92 @@ def rule_frame(
     ).filter(F.col("v").isNotNull())
 
 
+@dataclass(frozen=True)
+class AlertRule:
+    """One alerting rule: fire when `expr` has results, with the
+    upstream pending→firing state machine (`for_ms` of continuous
+    activity promotes pending to firing)."""
+
+    name: str
+    expr: str
+    for_ms: int = 0
+    labels: tuple[tuple[str, str], ...] = ()
+
+
+def alerts_frame(
+    db,
+    rule: AlertRule,
+    start: int,
+    end: int,
+    step: int,
+    lookback_ms: int = DEFAULT_LOOKBACK_MS,
+) -> DataFrame:
+    """Evaluate one alert rule over the grid and emit the upstream
+    `ALERTS{alertname, alertstate, ...}` synthetic series (value 1 at
+    every active point — rules/alerting.go Eval + sample()).
+
+    States at grid point T (active ⇔ the expr returned a result at T):
+    FIRING when the expr was active at every grid point of [T-for, T]
+    (for_ms // step + 1 consecutive points — the grid-resolution
+    reading of upstream's continuous `for` clock), else PENDING.
+    Alert labels = the expr's result labels minus __name__, plus the
+    static rule labels (overriding), plus alertname/alertstate.
+
+    Plan shape: the expr's own bounded fan-out, then each active point
+    fans out to the ≤ for/step + 1 later grid points whose `for` window
+    it supports, and ONE combinable groupBy((series, T)) counts them —
+    the same two-shuffle skeleton as every window function."""
+    out = eval_range_db(db, rule.expr, start, end, step, lookback_ms)
+    if "labels" in out.columns:
+        m = F.map_filter(F.col("labels"), lambda k, _: k != F.lit("__name__"))
+    else:
+        keys = [c for c in out.columns if c not in ("t", "value", "labels_str")]
+        kv = [x for k in keys for x in (F.lit(k), F.col(k).cast("string"))]
+        m = (
+            F.create_map(*kv)
+            if kv
+            else F.create_map().cast("map<string,string>")
+        )
+    pts = out.select(
+        L.labels_str_expr(m).alias("labels_str"), m.alias("labels"), "t"
+    )
+    # fan each active point p to the alert evaluations T ∈ [p, p+for]
+    # it supports (reach for_ms + 1 ⇒ half-open [p, p+for+1) — equal on
+    # the grid); count == the full window ⇒ the activity was continuous
+    need = rule.for_ms // step + 1
+    cells = _grid_explode(pts, start, end, step, rule.for_ms + 1)
+    agg = cells.groupBy("labels_str", "_pq_t").agg(
+        F.first("labels").alias("labels"),
+        F.count("*").alias("n"),
+        F.max("t").alias("last_active"),
+    )
+    # an alert exists at T only if the expr is active AT T
+    active = agg.filter(F.col("last_active") == F.col("_pq_t"))
+    state = F.when(F.col("n") >= need, "firing").otherwise("pending")
+    reserved = F.array(
+        F.lit("alertname"),
+        F.lit("alertstate"),
+        *[F.lit(k) for k, _ in rule.labels],
+    )
+    statics = [x for k, v in rule.labels for x in (F.lit(k), F.lit(v))]
+    lab = F.map_concat(
+        F.map_filter(
+            F.col("labels"), lambda k, _: ~F.array_contains(reserved, k)
+        ),
+        F.create_map(
+            F.lit("__name__"), F.lit("ALERTS"),
+            F.lit("alertname"), F.lit(rule.name),
+            F.lit("alertstate"), state,
+            *statics,
+        ),
+    )
+    return active.select(
+        lab.alias("labels"),
+        F.col("_pq_t").alias("t"),
+        F.lit(1.0).alias("v"),
+    )
+
+
 def record(
     db,
     rules: list[Rule],
@@ -104,5 +191,25 @@ def record(
     reports: dict[str, object] = {}
     for rule in rules:
         frame = rule_frame(db, rule, start, end, step, lookback_ms)
+        reports[rule.name] = dst.append(frame)
+    return reports
+
+
+def record_alerts(
+    db,
+    rules: list[AlertRule],
+    start: int,
+    end: int,
+    step: int,
+    dst=None,
+    lookback_ms: int = DEFAULT_LOOKBACK_MS,
+) -> dict[str, "object"]:
+    """Evaluate every alert rule and append its ALERTS series to `dst`
+    (default: back into `db`, where it is selectable like any series —
+    the upstream arrangement for alert state history)."""
+    dst = dst if dst is not None else db
+    reports: dict[str, object] = {}
+    for rule in rules:
+        frame = alerts_frame(db, rule, start, end, step, lookback_ms)
         reports[rule.name] = dst.append(frame)
     return reports
