@@ -1,0 +1,66 @@
+"""Prometheus HTTP-API wire shapes (web/api/v1/api.go): matrix/vector
+responses, label values, and series listing over the evaluator."""
+
+import json
+
+import pytest
+
+from tsdb_spark import DB
+from tsdb_spark.api import format_value, label_values, query, query_range, series
+
+WIDTH = 3_600_000
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    rows = []
+    for s in ("a", "b"):
+        for i in range(20):
+            rows.append(({"__name__": "m", "s": s}, i * 60_000,
+                         float(i if s == "a" else i * 2)))
+    db = DB.create(spark, str(tmp_path / "db"), block_width_ms=WIDTH)
+    db.append(spark.createDataFrame(
+        rows, "labels MAP<STRING,STRING>, t LONG, v DOUBLE"))
+    return db
+
+
+def test_format_value():
+    assert format_value(1.0) == "1"
+    assert format_value(0.5) == "0.5"
+    assert format_value(float("nan")) == "NaN"
+    assert format_value(float("inf")) == "+Inf"
+    assert format_value(1.25e-7) == "1.25e-07"
+
+
+def test_query_range_matrix(store):
+    resp = query_range(store, "sum_over_time(m[5m])", 300_000, 900_000, 300_000)
+    assert resp["status"] == "success"
+    assert resp["data"]["resultType"] == "matrix"
+    result = resp["data"]["result"]
+    assert len(result) == 2
+    for s in result:
+        assert s["metric"]["__name__"] == "m" and s["metric"]["s"] in ("a", "b")
+        for ts, v in s["values"]:
+            assert isinstance(ts, float) and isinstance(v, str)
+        assert [p[0] for p in s["values"]] == sorted(p[0] for p in s["values"])
+    json.dumps(resp)  # wire-serializable
+
+
+def test_query_instant_vector_and_grouped(store):
+    resp = query(store, "m", 600_000)
+    assert resp["data"]["resultType"] == "vector"
+    assert len(resp["data"]["result"]) == 2
+    for e in resp["data"]["result"]:
+        ts, v = e["value"]
+        assert ts == 600.0 and v in ("10", "20")
+    # grouped output: metric = the by-labels only
+    resp = query(store, "sum by (s) (count_over_time(m[5m]))", 600_000)
+    metrics = sorted(e["metric"]["s"] for e in resp["data"]["result"])
+    assert metrics == ["a", "b"]
+    assert all(e["value"][1] == "5" for e in resp["data"]["result"])
+
+
+def test_label_values_and_series(store):
+    assert label_values(store, "s")["data"] == ["a", "b"]
+    resp = series(store, 'm{s="a"}', 0, 10_000_000)
+    assert resp["data"] == [{"__name__": "m", "s": "a"}]

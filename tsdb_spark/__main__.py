@@ -64,6 +64,11 @@ def main(argv: list[str] | None = None) -> int:
     p_q.add_argument("--lookback", type=int, default=300_000,
                      help="instant-selector staleness window (ms)")
     p_q.add_argument("--limit", type=int, default=100)
+    p_q.add_argument(
+        "--json",
+        action="store_true",
+        help="emit the Prometheus /api/v1/query_range wire format",
+    )
 
     p_rr = sub.add_parser(
         "record",
@@ -175,12 +180,26 @@ def main(argv: list[str] | None = None) -> int:
         )
         df.select("labels_str", "t", "v").show(args.limit, truncate=False)
     elif args.cmd == "query":
-        from tsdb_spark.promql import eval_range_db
-
         db = DB.open_readonly(spark, args.store)
-        eval_range_db(
-            db, args.expr, args.start, args.end, args.step, args.lookback
-        ).show(args.limit, truncate=False)
+        if args.json:
+            import json as _json
+
+            from tsdb_spark.api import query_range
+
+            print(
+                _json.dumps(
+                    query_range(
+                        db, args.expr, args.start, args.end, args.step,
+                        args.lookback,
+                    )
+                )
+            )
+        else:
+            from tsdb_spark.promql import eval_range_db
+
+            eval_range_db(
+                db, args.expr, args.start, args.end, args.step, args.lookback
+            ).show(args.limit, truncate=False)
     elif args.cmd == "record":
         from tsdb_spark.rules import Rule, record
 

@@ -1,0 +1,122 @@
+"""Prometheus HTTP-API response shapes over the range evaluator.
+
+The reference storage engine serves Prometheus's web/api/v1 layer
+(web/api/v1/api.go in prometheus/prometheus), whose wire format is the
+contract every dashboard/client in the ecosystem consumes:
+
+    {"status": "success",
+     "data": {"resultType": "matrix",
+              "result": [{"metric": {...labels...},
+                          "values": [[unix_seconds, "value"], ...]}]}}
+
+This module renders the evaluator's DataFrames into exactly that JSON
+shape — `query_range` (resultType "matrix") and `query` (instant,
+resultType "vector") — so a consumer of the upstream API can read this
+engine's answers unchanged.
+
+Driver-side by design: the API layer is a serving surface, collecting
+an already-aggregated grid result (rows = series × grid points — the
+same volume upstream marshals), never raw samples.
+"""
+
+from __future__ import annotations
+
+import math
+
+from tsdb_spark.promql import DEFAULT_LOOKBACK_MS, eval_range_db
+
+
+def format_value(v: float) -> str:
+    """Prometheus renders sample values with Go's shortest round-trip
+    float formatting (strconv.FormatFloat(v, 'f', -1, 64)); Python's
+    repr is the same shortest-round-trip contract, with integral
+    values collapsed to their integer rendering like Go's."""
+    if math.isnan(v):
+        return "NaN"
+    if math.isinf(v):
+        return "+Inf" if v > 0 else "-Inf"
+    if v == int(v) and abs(v) < 1e15:
+        return str(int(v))
+    return repr(v)
+
+
+def _series_rows(df):
+    aux = ("t", "value", "labels", "labels_str")
+    has_labels = "labels" in df.columns
+    label_cols = [c for c in df.columns if c not in aux]
+    out: dict[tuple, dict] = {}
+    for row in df.collect():
+        metric = (
+            dict(row["labels"])
+            if has_labels and row["labels"] is not None
+            else {k: str(row[k]) for k in label_cols if row[k] is not None}
+        )
+        # engine convention (F14, head.go:832-833): empty value == absent
+        metric = {k: v for k, v in metric.items() if v not in ("", None)}
+        key = tuple(sorted(metric.items()))
+        entry = out.setdefault(key, {"metric": metric, "values": []})
+        entry["values"].append([row["t"] / 1000.0, format_value(row["value"])])
+    for entry in out.values():
+        entry["values"].sort(key=lambda p: p[0])
+    return [out[k] for k in sorted(out)]
+
+
+def query_range(
+    db,
+    expr: str,
+    start: int,
+    end: int,
+    step: int,
+    lookback_ms: int = DEFAULT_LOOKBACK_MS,
+) -> dict:
+    """GET /api/v1/query_range — resultType "matrix"."""
+    df = eval_range_db(db, expr, start, end, step, lookback_ms)
+    return {
+        "status": "success",
+        "data": {"resultType": "matrix", "result": _series_rows(df)},
+    }
+
+
+def query(
+    db,
+    expr: str,
+    time_ms: int,
+    lookback_ms: int = DEFAULT_LOOKBACK_MS,
+) -> dict:
+    """GET /api/v1/query — one-point grid, resultType "vector"."""
+    df = eval_range_db(db, expr, time_ms, time_ms, 1, lookback_ms)
+    result = [
+        {"metric": s["metric"], "value": s["values"][-1]}
+        for s in _series_rows(df)
+    ]
+    return {
+        "status": "success",
+        "data": {"resultType": "vector", "result": result},
+    }
+
+
+def label_values(db, name: str) -> dict:
+    """GET /api/v1/label/<name>/values (api.go labelValues → the
+    engine's A1 LabelValues)."""
+    vals = [r[0] for r in db.label_values(name).collect()]
+    return {"status": "success", "data": sorted(vals)}
+
+
+def series(db, selector: str, mint: int, maxt: int) -> dict:
+    """GET /api/v1/series — the label sets matching a selector in a
+    range (api.go series → Querier.Select with label projection)."""
+    from tsdb_spark.labels import parse_selector
+
+    # Spark cannot set-op on MAP columns; dedup on the canonical
+    # labels_str key and keep one map per series.
+    dim = (
+        db.querier(mint, maxt)
+        .select(parse_selector(selector), with_labels=True)
+        .select("labels_str", "labels")
+        .dropDuplicates(["labels_str"])
+    )
+    data = sorted(
+        (dict(r["labels"]) for r in dim.collect()),
+        key=lambda m: sorted(m.items()),
+    )
+    return {"status": "success", "data": data}
