@@ -774,3 +774,100 @@ def test_window_identities_random(spark):
         )
         assert ev["present_over_time"][k] == 1.0
         assert ev["resets"][k] <= ev["changes"][k]
+
+
+# ------------------------------------------------------- @ modifier
+
+
+def test_at_modifier_pins_evaluation(spark, frame):
+    q = P.RangeQuery(frame, START, END, STEP, lookback_ms=LOOKBACK)
+    got = collect_map(q.run("click @ 31"))
+    # every grid point carries the instant value at the pin
+    pinned = collect_map(
+        P.RangeQuery(frame, 31_000, 31_000, 1, lookback_ms=LOOKBACK).run("click")
+    )
+    assert {t for _, t in got} == set(grid())
+    for (ls, _t), v in got.items():
+        assert v == pinned[(ls, 31_000)]
+
+    # start()/end() sentinels resolve to the outermost query bounds
+    assert collect_map(q.run("click @ end()")) == collect_map(
+        q.run(f"click @ {END // 1000}")
+    )
+
+    # pinned window function: count in (START-20s, START], constant per step
+    got_w = collect_map(q.run("count_over_time(click[20s] @ start())"))
+    want = {"1": 2.0, "2": 1.0}  # pts <= 10s: user1 {1s,6s}, user2 {9s}
+    assert {t for _, t in got_w} == set(grid())
+    for (ls, _t), v in got_w.items():
+        user = dict(
+            p.split("=") for p in ls.strip("{}").replace('"', "").split(",")
+        )["user"]
+        assert v == want[user]
+
+
+def test_at_parse_and_offset_order():
+    n = P.parse_expr("rate(m[5m] @ 100 offset 1m)").arg
+    assert n.at_ms == 100_000 and n.offset_ms == 60_000
+    n2 = P.parse_expr("rate(m[5m] offset 1m @ 100)").arg
+    assert n2.at_ms == 100_000 and n2.offset_ms == 60_000
+    assert P.parse_expr("m @ start()").at_ms == "start()"
+    with pytest.raises(ValueError):
+        P.parse_expr("m @ bogus")
+
+
+def test_scan_bounds():
+    # non-@ matches the required_reach contract
+    lo, hi = P.scan_bounds("rate(m[5m])", 1_000_000, 2_000_000)
+    assert (lo, hi) == (1_000_000 - 300_000 + 1, 2_000_000)
+    # @ pins the scan to the pinned window, wherever it lies
+    assert P.scan_bounds("rate(m[5m] @ 100)", 1_000_000, 2_000_000) == (
+        100_000 - 300_000 + 1,
+        100_000,
+    )
+    # sentinel resolves before bounding; binop takes the union
+    lo, hi = P.scan_bounds(
+        "m - count_over_time(m[10s] @ start())", 1_000_000, 2_000_000,
+        lookback_ms=5_000,
+    )
+    assert lo == 1_000_000 - 10_000 + 1 and hi == 2_000_000
+
+
+# ----------------------------------------------------- count_values
+
+
+def test_count_values(spark, frame):
+    q = P.RangeQuery(frame, START, END, STEP, lookback_ms=LOOKBACK)
+    inst = collect_map(q.run("click"))
+    want: dict = {}
+    for (_ls, t), v in inst.items():
+        s = str(int(v)) if v == int(v) else repr(v)
+        want[(s, t)] = want.get((s, t), 0.0) + 1.0
+    got = collect_map(q.run('count_values("val", click)'), keys=("val",))
+    assert got == want
+    # grouped variant: by (user) keeps the user label alongside
+    gotu = collect_map(
+        q.run('count_values by (user) ("val", click)'), keys=("user", "val")
+    )
+    assert sum(gotu.values()) == sum(want.values())
+    assert all(v == 1.0 for v in gotu.values())  # one series per user here
+
+
+# ------------------------------------------------------- sort
+
+
+def test_sort_ordering(spark, frame):
+    q = P.RangeQuery(frame, START, END, STEP, lookback_ms=LOOKBACK)
+    rows = q.run("sort_desc(click)").collect()
+    assert rows, "sort_desc returned nothing"
+    by_t: dict = {}
+    for r in rows:
+        by_t.setdefault(r["t"], []).append(r["value"])
+    for vs in by_t.values():
+        assert vs == sorted(vs, reverse=True)
+    rows_asc = q.run("sort(click)").collect()
+    by_t = {}
+    for r in rows_asc:
+        by_t.setdefault(r["t"], []).append(r["value"])
+    for vs in by_t.values():
+        assert vs == sorted(vs)

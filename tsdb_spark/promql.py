@@ -17,6 +17,7 @@ compiler:
     aggregate := (sum|avg|min|max|count|stddev|stdvar|group)
                    [by|without (l,...)] (expr)
                | (topk|bottomk|quantile) [by|without (l,...)] (number, expr)
+               | count_values [by|without (l,...)] ('"label"', expr)
     function  := rangefn '(' (matrix | expr '[' R ':' [S] ']') ')'
                                                  -- windows + subqueries
                | quantile_over_time '(' number ',' matrix ')'
@@ -25,6 +26,7 @@ compiler:
                | absent '(' selector ')' | absent_over_time '(' matrix ')'
                | label_replace '(' expr ',' dst ',' repl ',' src ',' re ')'
                | label_join '(' expr ',' dst ',' sep [',' src]* ')'
+               | sort '(' expr ')' | sort_desc '(' expr ')'
                | valuefn '(' expr [',' number]* ')'  -- abs ceil floor ...
     rangefn   := rate increase delta irate idelta resets changes deriv
                  avg_over_time min_over_time max_over_time sum_over_time
@@ -32,8 +34,9 @@ compiler:
                  stddev_over_time stdvar_over_time
     valuefn   := abs ceil floor sqrt exp ln log2 log10 sgn
                  clamp clamp_min clamp_max round timestamp
-    matrix    := selector '[' duration ']' ['offset' duration]
-    selector  := metric{label op "value", ...} ['offset' duration]
+    matrix    := selector '[' duration ']' [modifiers]
+    selector  := metric{label op "value", ...} [modifiers]
+    modifiers := ('offset' duration | '@' (unix_s | start() | end()))*
 
 Vector-vector arithmetic uses PromQL's one-to-one matching (full label
 set minus __name__ by default, or the on()/ignoring() subset; the
@@ -76,7 +79,7 @@ centi-units before the outer window; @-modifiers are out of scope.
 from __future__ import annotations
 
 import re
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, replace
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -98,8 +101,9 @@ _DUR_MS = {
 }
 
 AGG_OPS = ("sum", "avg", "min", "max", "count", "stddev", "stdvar", "group")
-#: aggregations taking a leading scalar parameter: topk(3, e), quantile(0.9, e)
-PARAM_AGGS = ("topk", "bottomk", "quantile")
+#: aggregations taking a leading parameter: topk(3, e), quantile(0.9, e),
+#: count_values("label", e) — the last takes a string (the output label)
+PARAM_AGGS = ("topk", "bottomk", "quantile", "count_values")
 RANGE_FNS = (
     "rate",
     "increase",
@@ -189,6 +193,9 @@ class Selector:
     matchers: list  # list[L.Matcher]
     range_ms: int | None = None  # set for matrix selectors
     offset_ms: int = 0  # `offset 5m` time shift
+    #: `@ <unix-s>` pin — int ms, or the "start()"/"end()" sentinel
+    #: resolved against the outermost query bounds at eval time
+    at_ms: int | str | None = None
 
 
 @dataclass
@@ -209,6 +216,7 @@ class Subquery:
     range_ms: int
     step_ms: int | None = None
     offset_ms: int = 0
+    at_ms: int | str | None = None  # `@` pin, as on Selector
 
 
 @dataclass
@@ -255,7 +263,18 @@ class Aggregate:
     child: object
     by: list[str] | None = None
     without: list[str] | None = None
-    param: float | None = None  # topk/bottomk k, quantile φ
+    #: topk/bottomk k, quantile φ; count_values output-label name (str)
+    param: float | str | None = None
+
+
+@dataclass
+class Sort:
+    """sort(v) / sort_desc(v): value-ordered presentation of the
+    result vector (promql/functions.go funcSort) — a pure output
+    ordering, applied by RangeQuery.run as the final orderBy."""
+
+    child: object
+    desc: bool = False
 
 
 @dataclass
@@ -308,7 +327,7 @@ _TOKEN_RE = re.compile(
     r"|(?P<brace>\{(?:[^\"{}]|\"(?:[^\"\\]|\\.)*\")*\})"
     r"|(?P<qstr>\"(?:[^\"\\]|\\.)*\")"
     r"|(?P<dur>\[[0-9a-z]+(?::[0-9a-z]*)?\])"
-    r"|(?P<op>==|!=|<=|>=|[()+\-*/,<>%^]))"
+    r"|(?P<op>==|!=|<=|>=|[()+\-*/,<>%^@]))"
 )
 
 
@@ -445,6 +464,8 @@ class _Parser:
                 "absent_over_time",
                 "label_replace",
                 "label_join",
+                "sort",
+                "sort_desc",
             )
         ):
             return self.parse_function()
@@ -468,6 +489,30 @@ class _Parser:
         mode = self.next().val  # by | without
         return mode, self._parse_label_list()
 
+    def _parse_modifiers(self) -> tuple[int, int | str | None]:
+        """Trailing `offset D` / `@ T` modifiers, in either order
+        (promql/parser accepts both); `@ start()` / `@ end()` become
+        sentinels resolved against the outermost query bounds."""
+        offset_ms: int = 0
+        at_ms: int | str | None = None
+        while (t := self.peek()) is not None and (
+            t.kind == "off" or t.val == "@"
+        ):
+            if t.kind == "off":
+                offset_ms = parse_duration(self.next().val[len("offset"):].strip())
+                continue
+            self.next()
+            nt = self.next()
+            if nt.kind == "num":
+                at_ms = int(float(nt.val) * 1000)
+            elif nt.kind == "name" and nt.val in ("start", "end"):
+                self.expect("(")
+                self.expect(")")
+                at_ms = nt.val + "()"
+            else:
+                raise ValueError(f"bad @ modifier operand {nt.val!r}")
+        return offset_ms, at_ms
+
     def parse_aggregate(self):
         op = self.next().val
         by = without = None
@@ -480,7 +525,13 @@ class _Parser:
                 without = names
         self.expect("(")
         param = None
-        if op in PARAM_AGGS:
+        if op == "count_values":
+            s = self.next()
+            if s.kind != "qstr":
+                raise ValueError("count_values takes a quoted label name")
+            param = s.val[1:-1]
+            self.expect(",")
+        elif op in PARAM_AGGS:
             param = self._next_num()
             self.expect(",")
         child = self.parse_expr()
@@ -521,6 +572,10 @@ class _Parser:
             if fn == "label_join" and len(strs) < 2:
                 raise ValueError("label_join needs dst, sep, and sources")
             return LabelTransform(fn, child, strs)
+        if fn in ("sort", "sort_desc"):
+            child = self.parse_expr()
+            self.expect(")")
+            return Sort(child, desc=fn == "sort_desc")
         if fn == "absent":
             sel = self.parse_selector_expr()
             self.expect(")")
@@ -573,6 +628,8 @@ class _Parser:
                     "absent_over_time",
                     "label_replace",
                     "label_join",
+                    "sort",
+                    "sort_desc",
                 )
             )
         ):
@@ -588,11 +645,8 @@ class _Parser:
         rng_txt, step_txt = self.next().val[1:-1].split(":", 1)
         range_ms = parse_duration(rng_txt)
         step_ms = parse_duration(step_txt) if step_txt else None
-        offset_ms = 0
-        t = self.peek()
-        if t is not None and t.kind == "off":
-            offset_ms = parse_duration(self.next().val[len("offset"):].strip())
-        return Subquery(node, range_ms, step_ms, offset_ms)
+        offset_ms, at_ms = self._parse_modifiers()
+        return Subquery(node, range_ms, step_ms, offset_ms, at_ms)
 
     def parse_selector_expr(
         self, require_range: bool = False, allow_range: bool = False
@@ -616,11 +670,8 @@ class _Parser:
             raise ValueError("range function needs a [duration] selector")
         if not (require_range or allow_range) and range_ms is not None:
             raise ValueError("matrix selector outside a range function")
-        offset_ms = 0
-        t = self.peek()
-        if t is not None and t.kind == "off":
-            offset_ms = parse_duration(self.next().val[len("offset"):].strip())
-        return Selector(matchers, range_ms, offset_ms=offset_ms)
+        offset_ms, at_ms = self._parse_modifiers()
+        return Selector(matchers, range_ms, offset_ms=offset_ms, at_ms=at_ms)
 
 
 def parse_expr(s: str):
@@ -632,6 +683,25 @@ def parse_expr(s: str):
     if isinstance(node, Number):
         raise ValueError("scalar-only expressions are not supported")
     return node
+
+
+def resolve_at(node, start: int, end: int):
+    """Resolve `@ start()` / `@ end()` sentinels against the OUTERMOST
+    query bounds (the upstream contract — a sentinel inside a subquery
+    still refers to the top-level query, promql/parser/ast.go
+    StartOrEnd), returning a rewritten AST with int-only at_ms."""
+
+    def walk(n):
+        if isinstance(n, (Number, type(None))):
+            return n
+        if isinstance(n, (Selector, Subquery)) and isinstance(n.at_ms, str):
+            n = replace(n, at_ms=start if n.at_ms == "start()" else end)
+        for fld in ("child", "arg", "sel", "left", "right"):
+            if hasattr(n, fld):
+                n = replace(n, **{fld: walk(getattr(n, fld))})
+        return n
+
+    return walk(node)
 
 
 # ---------------------------------------------------------------- eval
@@ -952,7 +1022,22 @@ class RangeQuery:
             return self._eval_absent(node)
         if isinstance(node, Selector):
             return self._eval_instant(node)
+        if isinstance(node, Sort):
+            return self.eval(node.child)  # ordering applied in run()
         raise TypeError(f"unknown node {node!r}")
+
+    def _pinned(self, at_ms: int, stripped) -> DataFrame:
+        """`@` modifier: evaluate the @-stripped node once at the
+        pinned instant (a one-point grid) and fan the constant vector
+        across the query grid — promql/engine.go's step-invariant
+        expression optimization, expressed as a broadcast cross join
+        with the (tiny) grid frame."""
+        sub = RangeQuery(self.frame, at_ms, at_ms, 1, self.lookback_ms)
+        out = sub.eval(stripped)
+        cols = [c for c in out.columns if c != _G]
+        return out.drop(_G).crossJoin(F.broadcast(self._grid_frame())).select(
+            *cols, _G
+        )
 
     # -- binop machinery -------------------------------------------
 
@@ -1164,6 +1249,8 @@ class RangeQuery:
         )
 
     def _eval_instant(self, node: Selector) -> DataFrame:
+        if node.at_ms is not None:
+            return self._pinned(node.at_ms, replace(node, at_ms=None))
         reach = self.lookback_ms
         cells = _grid_explode(
             self._base(node.matchers, reach, node.offset_ms),
@@ -1193,6 +1280,11 @@ class RangeQuery:
         )
 
     def _eval_func(self, node: FuncCall) -> DataFrame:
+        if node.arg.at_ms is not None:
+            return self._pinned(
+                node.arg.at_ms,
+                FuncCall(node.fn, replace(node.arg, at_ms=None), node.param),
+            )
         if isinstance(node.arg, Subquery):
             sq = node.arg
             return self._windowed(
@@ -1254,6 +1346,8 @@ class RangeQuery:
 
     def _eval_absent(self, node: Absent) -> DataFrame:
         sel = node.sel
+        if sel.at_ms is not None:
+            return self._pinned(sel.at_ms, Absent(replace(sel, at_ms=None)))
         reach = sel.range_ms if sel.range_ms is not None else self.lookback_ms
         base = self._base(sel.matchers, reach, sel.offset_ms)
         present = _grid_explode(
@@ -1504,6 +1598,23 @@ class RangeQuery:
             out_keys = ["group_str"]
         else:
             keys, out_keys = [], []
+        if node.op == "count_values":
+            # count_values("dst", e): series count per distinct value,
+            # the value itself becoming the `dst` label. Rendering
+            # matches the API layer's Go-style shortest form for
+            # integral values (api.format_value); one combinable
+            # groupBy — the distinct-value space is the group space.
+            dst = str(node.param)
+            rendered = F.when(
+                (F.col("value") == F.floor("value"))
+                & (F.abs(F.col("value")) < F.lit(1e15)),
+                F.col("value").cast("bigint").cast("string"),
+            ).otherwise(F.col("value").cast("string"))
+            return (
+                child.groupBy(*keys, rendered.alias(dst), _G)
+                .agg(F.count("*").cast("double").alias("value"))
+                .select(*out_keys, dst, _G, "value")
+            )
         ops = {
             "sum": F.sum("value"),
             "avg": F.avg("value"),
@@ -1531,7 +1642,14 @@ class RangeQuery:
         node = (
             parse_expr(node_or_text) if isinstance(node_or_text, str) else node_or_text
         )
-        return self.eval(node).withColumnRenamed(_G, "t").orderBy("t")
+        node = resolve_at(node, self.start, self.end)
+        out = self.eval(node).withColumnRenamed(_G, "t")
+        if isinstance(node, Sort):
+            return out.orderBy(
+                "t",
+                F.col("value").desc() if node.desc else F.col("value").asc(),
+            )
+        return out.orderBy("t")
 
 
 def eval_range(
@@ -1568,7 +1686,7 @@ def required_reach(node, lookback_ms: int = DEFAULT_LOOKBACK_MS) -> int:
     if isinstance(node, Absent):
         return required_reach(node.sel, lookback_ms)
     if isinstance(
-        node, (Aggregate, BinScalar, ValueFn, HistQuantile, LabelTransform)
+        node, (Aggregate, BinScalar, ValueFn, HistQuantile, LabelTransform, Sort)
     ):
         return required_reach(node.child, lookback_ms)
     if isinstance(node, (BinVector, BinSet)):
@@ -1577,6 +1695,50 @@ def required_reach(node, lookback_ms: int = DEFAULT_LOOKBACK_MS) -> int:
             required_reach(node.right, lookback_ms),
         )
     raise TypeError(f"unknown node {node!r}")
+
+
+def scan_bounds(
+    node, start: int, end: int, lookback_ms: int = DEFAULT_LOOKBACK_MS
+) -> tuple[int, int]:
+    """The physical sample-time interval [mint, maxt] evaluating `node`
+    over grid [start, end] may read — the storage-scan bound. Unlike
+    `required_reach` (start-relative by contract) this is `@`-aware: a
+    pinned selector reads around its pin, wherever that lies."""
+    if isinstance(node, str):
+        node = parse_expr(node)
+    node = resolve_at(node, start, end)
+
+    def walk(n, lo: int, hi: int) -> tuple[int, int] | None:
+        if isinstance(n, Number):
+            return None
+        if isinstance(n, Selector):
+            if n.at_ms is not None:
+                lo = hi = n.at_ms
+            r = n.range_ms if n.range_ms is not None else lookback_ms
+            return (lo - n.offset_ms - r + 1, hi - n.offset_ms)
+        if isinstance(n, FuncCall):
+            return walk(n.arg, lo, hi)
+        if isinstance(n, Subquery):
+            if n.at_ms is not None:
+                lo = hi = n.at_ms
+            return walk(n.child, lo - n.offset_ms - n.range_ms, hi - n.offset_ms)
+        if isinstance(n, Absent):
+            return walk(n.sel, lo, hi)
+        if isinstance(
+            n, (Aggregate, BinScalar, ValueFn, HistQuantile, LabelTransform, Sort)
+        ):
+            return walk(n.child, lo, hi)
+        if isinstance(n, (BinVector, BinSet)):
+            a, b = walk(n.left, lo, hi), walk(n.right, lo, hi)
+            if a is None:
+                return b
+            if b is None:
+                return a
+            return (min(a[0], b[0]), max(a[1], b[1]))
+        raise TypeError(f"unknown node {n!r}")
+
+    got = walk(node, start, end)
+    return got if got is not None else (start, end)
 
 
 def eval_range_db(
@@ -1591,6 +1753,6 @@ def eval_range_db(
     grid evaluator (the promql/engine.go arrangement — the evaluator
     sits directly on Querier.Select)."""
     node = parse_expr(expr)
-    reach = required_reach(node, lookback_ms)
-    frame = db.querier(start - reach + 1, end).select([], with_labels=True)
+    mint, maxt = scan_bounds(node, start, end, lookback_ms)
+    frame = db.querier(mint, maxt).select([], with_labels=True)
     return RangeQuery(frame, start, end, step, lookback_ms).run(node)

@@ -693,3 +693,66 @@ def promql_alert_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame.select(
         L.labels_str_expr("labels").alias("labels_str"), "t", "v"
     )
+
+
+_AT_END = T0 + 8 * DAY
+
+
+@register(
+    "promql_at_pin",
+    _with_prelude(
+        f"""
+, {_canon_cte("event_type = 'click'")},
+{_grid_cte(T0 + DAY, _AT_END, DAY)},
+c AS (SELECT labels_str, CAST(count(*) AS DOUBLE) AS value FROM d
+      WHERE t > {_AT_END - DAY} AND t <= {_AT_END} GROUP BY 1)
+SELECT c.labels_str, g.gt AS t, c.value FROM c CROSS JOIN g"""
+    ),
+    "PromQL `@` modifier: `count_over_time(click[1d] @ end())` — the "
+    "window is pinned to the query end (promql/parser StartOrEnd "
+    "resolved against the outermost bounds), so every grid point "
+    "carries the same per-series constant. Engine plan: ONE one-point "
+    "evaluation broadcast-cross-joined to the (tiny) grid frame — the "
+    "step-invariant-expression optimization, never a per-step re-eval",
+)
+def promql_at_pin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = eval_range(
+        events_samples(spark, sf_dir),
+        "count_over_time(click[1d] @ end())",
+        T0 + DAY,
+        _AT_END,
+        DAY,
+    )
+    return out.select("labels_str", "t", "value")
+
+
+@register(
+    "promql_count_values",
+    _with_prelude(
+        f"""
+, {_canon_cte("event_type IN ('click', 'view')")},
+{_grid_cte(T0 + DAY, T0 + 31 * DAY, DAY)},
+w AS (SELECT d.labels_str, g.gt, max_by(d.vc, d.t) AS vc
+      FROM d JOIN g ON d.t > g.gt - {DAY} AND d.t <= g.gt GROUP BY 1, 2),
+r AS (SELECT gt, CAST(CAST(floor(vc / 100.0 + 0.5) AS BIGINT) AS VARCHAR) AS lvl
+      FROM w)
+SELECT lvl, gt AS t, CAST(count(*) AS DOUBLE) AS value
+FROM r GROUP BY 1, 2"""
+    ),
+    "PromQL `count_values(\"lvl\", round({__name__=~'click|view'}))`: "
+    "series count per distinct (rounded) value, the value itself "
+    "becoming the `lvl` label (promql/engine.go aggregation "
+    "countValues). The instant grid + round run on the exact "
+    "centi-unit/floor path shared with the oracle; counting is one "
+    "combinable groupBy whose group space is the distinct-value space",
+)
+def promql_count_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = eval_range(
+        events_samples(spark, sf_dir),
+        'count_values("lvl", round({__name__=~"click|view"}))',
+        T0 + DAY,
+        T0 + 31 * DAY,
+        DAY,
+        lookback_ms=DAY,
+    )
+    return out.select("lvl", "t", "value")
