@@ -871,3 +871,80 @@ def test_sort_ordering(spark, frame):
         by_t.setdefault(r["t"], []).append(r["value"])
     for vs in by_t.values():
         assert vs == sorted(vs)
+
+
+# ------------------------------------------------- holt_winters
+
+
+def test_holt_winters_matches_model(spark, frame):
+    q = P.RangeQuery(frame, START, END, STEP, lookback_ms=LOOKBACK)
+    got = collect_map(q.run("holt_winters(click[20s], 0.4, 0.3)"))
+    assert collect_map(
+        q.run("double_exponential_smoothing(click[20s], 0.4, 0.3)")
+    ) == got
+
+    def model(xs, sf, tf):
+        s, b = xs[0], xs[1] - xs[0]
+        for x in xs[1:]:  # upstream folds from x1 (first iter: s1 = x1)
+            sn = sf * x + (1 - sf) * (s + b)
+            b = tf * (sn - s) + (1 - tf) * b
+            s = sn
+        return s
+
+    want = {}
+    for (name, user), pts in SERIES.items():
+        if name != "click":
+            continue
+        ls = f'{{__name__="click",user="{user}"}}'
+        for T in grid():
+            w = [round(v * 100) / 100.0 for t, v in pts if T - 20_000 < t <= T]
+            if len(w) >= 2:
+                want[(ls, T)] = model(w, 0.4, 0.3)
+    assert_close(got, want)
+
+
+def test_holt_winters_parse():
+    n = P.parse_expr("holt_winters(m[5m], 0.5, 0.1)")
+    assert n.fn == "holt_winters" and n.param == (0.5, 0.1)
+    with pytest.raises(ValueError):
+        P.parse_expr("holt_winters(m[5m], 0.5)")
+
+
+# ------------------------------------------------- time functions
+
+
+def test_time_functions_grid(spark, frame):
+    # 2024-01-01T00:00:00Z (a Monday) + hourly grid
+    t0 = 1_704_067_200_000
+    q = P.RangeQuery(frame, t0, t0 + 7_200_000, 3_600_000)
+    hours = collect_map(q.run("hour()"))
+    assert hours == {("{}", t0 + i * 3_600_000): float(i) for i in range(3)}
+    assert collect_map(q.run("hour(time())")) == hours
+    dow = collect_map(q.run("day_of_week()"))
+    assert all(v == 1.0 for v in dow.values())  # Monday, 0=Sunday
+    assert all(
+        v == 31.0 for v in collect_map(q.run("days_in_month()")).values()
+    )
+    assert all(v == 2024.0 for v in collect_map(q.run("year()")).values())
+    tv = collect_map(q.run("time()"))
+    assert tv[("{}", t0)] == t0 / 1000.0
+    vec = collect_map(q.run("vector(42)"))
+    assert set(vec.values()) == {42.0}
+    # comparison filters the grid like any vector
+    sel = collect_map(q.run("hour() == 1"))
+    assert sel == {("{}", t0 + 3_600_000): 1.0}
+
+
+def test_time_fn_on_vector_child(spark, frame):
+    # hour(timestamp(m)): the hour of each SAMPLE's own timestamp
+    t0 = 1_704_067_200_000
+    rows = [({"__name__": "m"}, t0 + 90 * 60_000, 5.0)]
+    from tsdb_spark import labels as L
+
+    df = spark.createDataFrame(
+        rows, "labels MAP<STRING,STRING>, t LONG, v DOUBLE"
+    ).withColumn("labels_str", L.labels_str_expr("labels"))
+    q = P.RangeQuery(df, t0 + 2 * 3_600_000, t0 + 2 * 3_600_000, 1000,
+                     lookback_ms=3_600_000)
+    got = collect_map(q.run("hour(timestamp(m))"))
+    assert list(got.values()) == [1.0]  # sample sits at 01:30 UTC

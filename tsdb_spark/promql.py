@@ -27,11 +27,16 @@ compiler:
                | label_replace '(' expr ',' dst ',' repl ',' src ',' re ')'
                | label_join '(' expr ',' dst ',' sep [',' src]* ')'
                | sort '(' expr ')' | sort_desc '(' expr ')'
+               | time '(' ')' | vector '(' number ')'
+               | timefn '(' [expr] ')'   -- minute hour day_of_week
+                 day_of_month day_of_year days_in_month month year;
+                 no arg → the grid timestamp (UTC)
                | valuefn '(' expr [',' number]* ')'  -- abs ceil floor ...
     rangefn   := rate increase delta irate idelta resets changes deriv
                  avg_over_time min_over_time max_over_time sum_over_time
                  count_over_time last_over_time present_over_time
                  stddev_over_time stdvar_over_time
+                 holt_winters/double_exponential_smoothing(m[R], sf, tf)
     valuefn   := abs ceil floor sqrt exp ln log2 log10 sgn
                  clamp clamp_min clamp_max round timestamp
     matrix    := selector '[' duration ']' [modifiers]
@@ -124,6 +129,21 @@ RANGE_FNS = (
     "stddev_over_time",
     "stdvar_over_time",
     "quantile_over_time",
+    "holt_winters",
+    "double_exponential_smoothing",  # the post-2.x upstream name
+)
+#: the two holt aliases share one implementation
+_HOLT_FNS = ("holt_winters", "double_exponential_smoothing")
+#: grid-time component functions (UTC, like upstream)
+TIME_FNS = (
+    "minute",
+    "hour",
+    "day_of_week",
+    "day_of_month",
+    "day_of_year",
+    "days_in_month",
+    "month",
+    "year",
 )
 #: elementwise value transforms (vector → vector); extra scalar args
 #: allowed where noted in the grammar
@@ -202,7 +222,8 @@ class Selector:
 class FuncCall:
     fn: str
     arg: Selector  # matrix selector
-    param: float | None = None  # quantile_over_time φ, predict_linear t
+    #: quantile_over_time φ, predict_linear t, holt_winters (sf, tf)
+    param: float | tuple | None = None
 
 
 @dataclass
@@ -265,6 +286,19 @@ class Aggregate:
     without: list[str] | None = None
     #: topk/bottomk k, quantile φ; count_values output-label name (str)
     param: float | str | None = None
+
+
+@dataclass
+class TimeFn:
+    """time() / vector(n) / the calendar component functions
+    (promql/functions.go funcTime, funcVector, funcHour...). With no
+    child the value derives from the grid timestamp itself (upstream's
+    `hour(v=vector(time()))` default); with a child, from the child's
+    values read as epoch seconds. All components are UTC."""
+
+    fn: str  # "time" | "vector" | one of TIME_FNS
+    child: object | None = None
+    scalar: float | None = None  # vector(n)'s n
 
 
 @dataclass
@@ -457,6 +491,7 @@ class _Parser:
         if t.kind == "name" and (
             t.val in RANGE_FNS
             or t.val in VALUE_FNS
+            or t.val in TIME_FNS
             or t.val
             in (
                 "histogram_quantile",
@@ -466,6 +501,8 @@ class _Parser:
                 "label_join",
                 "sort",
                 "sort_desc",
+                "time",
+                "vector",
             )
         ):
             return self.parse_function()
@@ -576,6 +613,23 @@ class _Parser:
             child = self.parse_expr()
             self.expect(")")
             return Sort(child, desc=fn == "sort_desc")
+        if fn == "time":
+            self.expect(")")
+            return TimeFn("time")
+        if fn == "vector":
+            inner = self.parse_expr()
+            self.expect(")")
+            if not isinstance(inner, Number):
+                raise ValueError("vector() takes a scalar literal")
+            return TimeFn("vector", scalar=inner.val)
+        if fn in TIME_FNS:
+            t = self.peek()
+            if t is not None and t.val == ")":
+                self.next()
+                return TimeFn(fn)
+            child = self.parse_expr()
+            self.expect(")")
+            return TimeFn(fn, child)
         if fn == "absent":
             sel = self.parse_selector_expr()
             self.expect(")")
@@ -593,6 +647,12 @@ class _Parser:
             if fn == "predict_linear":
                 self.expect(",")
                 param = self._next_num()
+            if fn in _HOLT_FNS:
+                self.expect(",")
+                sf = self._next_num()
+                self.expect(",")
+                tf = self._next_num()
+                param = (sf, tf)
             self.expect(")")
             return FuncCall(fn, arg, param=param)
         # value transform: fn(expr [, number]*)
@@ -621,6 +681,7 @@ class _Parser:
                 t.val in AGG_OPS + PARAM_AGGS
                 or t.val in RANGE_FNS
                 or t.val in VALUE_FNS
+                or t.val in TIME_FNS
                 or t.val
                 in (
                     "histogram_quantile",
@@ -630,6 +691,8 @@ class _Parser:
                     "label_join",
                     "sort",
                     "sort_desc",
+                    "time",
+                    "vector",
                 )
             )
         ):
@@ -836,6 +899,16 @@ def _window_agg(fn: str, range_ms: int, param: float | None = None):
                 "pct_c"
             )
         )
+    if fn in _HOLT_FNS:
+        # the one window fn that is an inherently ORDERED fold: carry
+        # the window's samples as a time-sorted array (per-(series, T)
+        # state = that window's points, never the whole series) and run
+        # the recurrence in _window_value via F.aggregate
+        base.append(
+            F.array_sort(F.collect_list(F.struct(F.col("t"), F.col("vc")))).alias(
+                "pts"
+            )
+        )
     if fn in _REGRESSION_FNS:
         # least-squares sums over x = t - grid_T (centering on the
         # grid point keeps |x| <= range_ms; slope is centering-invariant
@@ -877,6 +950,27 @@ def _window_value(
         return F.col("max_c") / 100.0
     if fn == "quantile_over_time":
         return F.col("pct_c") / 100.0
+    if fn in _HOLT_FNS:
+        # double exponential smoothing (promql/functions.go
+        # funcDoubleExponentialSmoothing): s₀ = x₀, b₀ = x₁ − x₀, then
+        # sᵢ = sf·xᵢ + (1−sf)·(sᵢ₋₁ + bᵢ₋₁),
+        # bᵢ = tf·(sᵢ − sᵢ₋₁) + (1−tf)·bᵢ₋₁ — the same uniform
+        # recurrence as tsdb_holt_winters (queries.py), an ordered
+        # F.aggregate fold over the time-sorted window
+        sf, tf = param  # type: ignore[misc]
+        xs = F.transform(F.col("pts"), lambda p: p["vc"].cast("double") / 100.0)
+        v1, v2 = F.element_at(xs, 1), F.element_at(xs, 2)
+        rest = F.slice(xs, 2, F.greatest(F.size(xs) - 1, F.lit(0)))
+
+        def _hw_step(a, x):
+            lvl, trend = F.element_at(a, 1), F.element_at(a, 2)
+            s_new = F.lit(sf) * x + F.lit(1.0 - sf) * (lvl + trend)
+            return F.array(
+                s_new, F.lit(tf) * (s_new - lvl) + F.lit(1.0 - tf) * trend
+            )
+
+        sb = F.aggregate(rest, F.array(v1, v2 - v1), _hw_step)
+        return F.when(n >= 2, F.element_at(sb, 1))
     if fn in ("stddev_over_time", "stdvar_over_time"):
         # population variance over centi-units: (n·Σc² − (Σc)²) / n / n,
         # then /1e4 to de-scale — written in the exact op order the
@@ -1024,7 +1118,51 @@ class RangeQuery:
             return self._eval_instant(node)
         if isinstance(node, Sort):
             return self.eval(node.child)  # ordering applied in run()
+        if isinstance(node, TimeFn):
+            return self._eval_timefn(node)
         raise TypeError(f"unknown node {node!r}")
+
+    def _eval_timefn(self, node: TimeFn) -> DataFrame:
+        empty = F.create_map().cast("map<string,string>")
+        if node.fn == "vector":
+            return self._grid_frame().select(
+                F.lit("{}").alias("labels_str"),
+                empty.alias("labels"),
+                _G,
+                F.lit(float(node.scalar)).alias("value"),
+            )
+        if node.child is None:
+            # hour() == hour(vector(time())): derive from the grid
+            # timestamp — one no-label series over the (tiny) grid
+            out = self._grid_frame().select(
+                F.lit("{}").alias("labels_str"),
+                empty.alias("labels"),
+                _G,
+                (F.col(_G) / 1000.0).alias("_sec"),
+            )
+        else:
+            out = self._strip_name(self.eval(node.child)).withColumn(
+                "_sec", F.col("value")
+            )
+        if node.fn == "time":
+            val = F.col("_sec")
+        else:
+            # session tz is UTC (session.configure), matching upstream's
+            # time.UTC component math
+            ts = F.timestamp_seconds(F.col("_sec"))
+            val = {
+                "minute": F.minute(ts),
+                "hour": F.hour(ts),
+                "day_of_week": F.dayofweek(ts) - 1,  # upstream: 0=Sunday
+                "day_of_month": F.dayofmonth(ts),
+                "day_of_year": F.dayofyear(ts),
+                "days_in_month": F.dayofmonth(F.last_day(ts)),
+                "month": F.month(ts),
+                "year": F.year(ts),
+            }[node.fn].cast("double")
+        return out.withColumn("value", val).select(
+            "labels_str", "labels", _G, "value"
+        )
 
     def _pinned(self, at_ms: int, stripped) -> DataFrame:
         """`@` modifier: evaluate the @-stripped node once at the
@@ -1685,6 +1823,12 @@ def required_reach(node, lookback_ms: int = DEFAULT_LOOKBACK_MS) -> int:
         )
     if isinstance(node, Absent):
         return required_reach(node.sel, lookback_ms)
+    if isinstance(node, TimeFn):
+        return (
+            required_reach(node.child, lookback_ms)
+            if node.child is not None
+            else 0
+        )
     if isinstance(
         node, (Aggregate, BinScalar, ValueFn, HistQuantile, LabelTransform, Sort)
     ):
@@ -1724,6 +1868,8 @@ def scan_bounds(
             return walk(n.child, lo - n.offset_ms - n.range_ms, hi - n.offset_ms)
         if isinstance(n, Absent):
             return walk(n.sel, lo, hi)
+        if isinstance(n, TimeFn):
+            return walk(n.child, lo, hi) if n.child is not None else None
         if isinstance(
             n, (Aggregate, BinScalar, ValueFn, HistQuantile, LabelTransform, Sort)
         ):
