@@ -64,3 +64,51 @@ def test_label_values_and_series(store):
     assert label_values(store, "s")["data"] == ["a", "b"]
     resp = series(store, 'm{s="a"}', 0, 10_000_000)
     assert resp["data"] == [{"__name__": "m", "s": "a"}]
+
+
+def test_http_server_endpoints(store):
+    import threading
+    import urllib.request
+
+    from tsdb_spark.api import serve
+
+    srv = serve(store, "127.0.0.1", 0)  # ephemeral port
+    port = srv.server_address[1]
+    th = threading.Thread(target=srv.serve_forever, daemon=True)
+    th.start()
+    try:
+        def get(path):
+            with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}{path}"
+            ) as r:
+                return r.status, json.loads(r.read())
+
+        code, body = get("/api/v1/query_range?query=m&start=300&end=600&step=5m")
+        assert code == 200 and body["data"]["resultType"] == "matrix"
+        assert len(body["data"]["result"]) == 2
+
+        code, body = get("/api/v1/query?query=m&time=600")
+        assert code == 200 and len(body["data"]["result"]) == 2
+
+        code, body = get("/api/v1/labels")
+        assert code == 200 and body["data"] == ["__name__", "s"]
+
+        code, body = get("/api/v1/label/s/values")
+        assert code == 200 and body["data"] == ["a", "b"]
+
+        code, body = get(
+            '/api/v1/series?match[]=m{s="b"}&start=0&end=10000'
+        )
+        assert code == 200 and body["data"] == [{"__name__": "m", "s": "b"}]
+
+        # bad request: missing params → 400 with errorType
+        import urllib.error
+
+        try:
+            get("/api/v1/query?query=m")
+            raise AssertionError("expected HTTP 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+            assert json.loads(e.read())["errorType"] == "bad_data"
+    finally:
+        srv.shutdown()

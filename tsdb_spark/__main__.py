@@ -13,6 +13,7 @@ command table: bench write / ls / analyze / dump).
     python -m tsdb_spark compact  <store> [--width MS]
     python -m tsdb_spark rollup   <store> [--width MS | --serve-step MS]
     python -m tsdb_spark vacuum   <store>
+    python -m tsdb_spark serve    <store> [--host H] [--port P]
 
 Every command opens one SparkSession sized from $SPARK_GRAFT_CPUS and
 operates on a DB directory (ls/analyze/dump open it read-only).
@@ -69,6 +70,16 @@ def main(argv: list[str] | None = None) -> int:
         action="store_true",
         help="emit the Prometheus /api/v1/query_range wire format",
     )
+
+    p_sv = sub.add_parser(
+        "serve",
+        help="serve the Prometheus HTTP API (/api/v1/query_range, "
+        "query, labels, label/<n>/values, series) over a read-only "
+        "store",
+    )
+    p_sv.add_argument("store")
+    p_sv.add_argument("--host", default="127.0.0.1")
+    p_sv.add_argument("--port", type=int, default=9090)
 
     p_rr = sub.add_parser(
         "record",
@@ -200,6 +211,16 @@ def main(argv: list[str] | None = None) -> int:
             eval_range_db(
                 db, args.expr, args.start, args.end, args.step, args.lookback
             ).show(args.limit, truncate=False)
+    elif args.cmd == "serve":
+        from tsdb_spark.api import serve
+
+        db = DB.open_readonly(spark, args.store)
+        srv = serve(db, args.host, args.port)
+        print(f"serving /api/v1 on http://{args.host}:{args.port}")
+        try:
+            srv.serve_forever()
+        except KeyboardInterrupt:
+            srv.shutdown()
     elif args.cmd == "record":
         from tsdb_spark.rules import Rule, record
 

@@ -95,6 +95,13 @@ def query(
     }
 
 
+def labels(db) -> dict:
+    """GET /api/v1/labels (api.go labelNames → the engine's A2
+    LabelNames)."""
+    vals = [r[0] for r in db.label_names().collect()]
+    return {"status": "success", "data": sorted(vals)}
+
+
 def label_values(db, name: str) -> dict:
     """GET /api/v1/label/<name>/values (api.go labelValues → the
     engine's A1 LabelValues)."""
@@ -120,3 +127,103 @@ def series(db, selector: str, mint: int, maxt: int) -> dict:
         key=lambda m: sorted(m.items()),
     )
     return {"status": "success", "data": data}
+
+
+# ------------------------------------------------------------ HTTP
+
+
+def _parse_time(s: str) -> int:
+    """Unix seconds (float ok) → epoch ms, the API's time params."""
+    return int(float(s) * 1000)
+
+
+def _parse_step(s: str) -> int:
+    """`step` is either a duration string ("30s", "1h") or float
+    seconds, per the upstream query_range contract."""
+    from tsdb_spark.promql import parse_duration
+
+    try:
+        return parse_duration(s)
+    except ValueError:
+        return int(float(s) * 1000)
+
+
+def make_handler(db):
+    """BaseHTTPRequestHandler subclass bound to one DB — the web/api/v1
+    router (api.go Register): query, query_range, labels,
+    label/<name>/values, series. The handler is a thin driver-side
+    front; every query underneath is the distributed evaluator."""
+    import json
+    from http.server import BaseHTTPRequestHandler
+    from urllib.parse import parse_qs, urlparse
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet by default
+            pass
+
+        def _reply(self, code: int, payload: dict) -> None:
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):  # noqa: N802 (http.server contract)
+            u = urlparse(self.path)
+            q = {k: v[0] for k, v in parse_qs(u.query).items()}
+            multi = parse_qs(u.query)
+            try:
+                if u.path == "/api/v1/query":
+                    t = _parse_time(q["time"]) if "time" in q else None
+                    if t is None:
+                        raise ValueError("missing `time` parameter")
+                    return self._reply(200, query(db, q["query"], t))
+                if u.path == "/api/v1/query_range":
+                    return self._reply(
+                        200,
+                        query_range(
+                            db,
+                            q["query"],
+                            _parse_time(q["start"]),
+                            _parse_time(q["end"]),
+                            _parse_step(q["step"]),
+                        ),
+                    )
+                if u.path == "/api/v1/labels":
+                    return self._reply(200, labels(db))
+                if u.path.startswith("/api/v1/label/") and u.path.endswith(
+                    "/values"
+                ):
+                    name = u.path[len("/api/v1/label/"):-len("/values")]
+                    return self._reply(200, label_values(db, name))
+                if u.path == "/api/v1/series":
+                    sel = multi.get("match[]", [None])[0]
+                    if sel is None:
+                        raise ValueError("missing `match[]` parameter")
+                    mint = _parse_time(q.get("start", "-9e9"))
+                    maxt = _parse_time(q.get("end", "9e9"))
+                    return self._reply(200, series(db, sel, mint, maxt))
+                return self._reply(
+                    404,
+                    {"status": "error", "errorType": "not_found",
+                     "error": f"unknown path {u.path}"},
+                )
+            except (KeyError, ValueError) as e:
+                return self._reply(
+                    400,
+                    {"status": "error", "errorType": "bad_data",
+                     "error": str(e)},
+                )
+
+    return Handler
+
+
+def serve(db, host: str = "127.0.0.1", port: int = 9090):
+    """Run the HTTP API (blocking). Returns the server object if you
+    want to drive it yourself (tests use server.serve_forever in a
+    thread)."""
+    from http.server import ThreadingHTTPServer
+
+    srv = ThreadingHTTPServer((host, port), make_handler(db))
+    return srv
