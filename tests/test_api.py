@@ -112,3 +112,23 @@ def test_http_server_endpoints(store):
             assert json.loads(e.read())["errorType"] == "bad_data"
     finally:
         srv.shutdown()
+
+
+def test_status_tsdb(store):
+    from tsdb_spark.api import status_tsdb
+
+    resp = status_tsdb(store)
+    d = resp["data"]
+    assert d["headStats"]["numSeries"] == 2
+    assert d["headStats"]["numLabelPairs"] == 3  # __name__=m, s=a, s=b
+    assert d["headStats"]["minTime"] == 0
+    assert d["headStats"]["maxTime"] == 19 * 60_000
+    assert d["headStats"]["chunkCount"] == 2  # one bucket x two series
+    assert d["seriesCountByMetricName"] == [{"name": "m", "value": 2}]
+    assert {e["name"]: e["value"] for e in d["labelValueCountByLabelName"]} == {
+        "__name__": 1,
+        "s": 2,
+    }
+    pairs = {e["name"]: e["value"] for e in d["seriesCountByLabelValuePair"]}
+    assert pairs == {"__name__=m": 2, "s=a": 1, "s=b": 1}
+    json.dumps(resp)

@@ -129,6 +129,72 @@ def series(db, selector: str, mint: int, maxt: int) -> dict:
     return {"status": "success", "data": data}
 
 
+def status_tsdb(db, limit: int = 10) -> dict:
+    """GET /api/v1/status/tsdb (api.go serveTSDBStatus): head stats +
+    the four top-card cardinality lists. Every statistic is a
+    combinable aggregation over the series dim / samples — the same
+    plans as `tsdb analyze` (analyze.py), trimmed to top-`limit`."""
+    from pyspark.sql import functions as F
+
+    ser = db.series()
+    expl = ser.select(F.explode("labels").alias("name", "value"))
+    hs = db.samples().agg(
+        F.min("t").alias("mint"),
+        F.max("t").alias("maxt"),
+        F.countDistinct("series_id", "t_bucket").alias("chunks"),
+    ).collect()[0]
+
+    def top(df, name_col, value_col):
+        return [
+            {"name": r[0], "value": int(r[1])}
+            for r in df.select(name_col, value_col)
+            .orderBy(F.desc(value_col), name_col)
+            .limit(limit)
+            .collect()
+        ]
+
+    by_metric = top(
+        expl.filter(F.col("name") == "__name__")
+        .groupBy("value")
+        .agg(F.count("*").alias("n")),
+        "value",
+        "n",
+    )
+    val_count = top(
+        expl.groupBy("name").agg(F.countDistinct("value").alias("n")),
+        "name",
+        "n",
+    )
+    mem_by_name = top(
+        expl.groupBy("name").agg(F.sum(F.length("value")).alias("n")),
+        "name",
+        "n",
+    )
+    by_pair = top(
+        expl.groupBy(
+            F.concat_ws("=", "name", "value").alias("pair")
+        ).agg(F.count("*").alias("n")),
+        "pair",
+        "n",
+    )
+    return {
+        "status": "success",
+        "data": {
+            "headStats": {
+                "numSeries": ser.count(),
+                "numLabelPairs": expl.distinct().count(),
+                "chunkCount": int(hs["chunks"] or 0),
+                "minTime": int(hs["mint"]) if hs["mint"] is not None else None,
+                "maxTime": int(hs["maxt"]) if hs["maxt"] is not None else None,
+            },
+            "seriesCountByMetricName": by_metric,
+            "labelValueCountByLabelName": val_count,
+            "memoryInBytesByLabelName": mem_by_name,
+            "seriesCountByLabelValuePair": by_pair,
+        },
+    }
+
+
 # ------------------------------------------------------------ HTTP
 
 
@@ -192,6 +258,8 @@ def make_handler(db):
                     )
                 if u.path == "/api/v1/labels":
                     return self._reply(200, labels(db))
+                if u.path == "/api/v1/status/tsdb":
+                    return self._reply(200, status_tsdb(db))
                 if u.path.startswith("/api/v1/label/") and u.path.endswith(
                     "/values"
                 ):
