@@ -472,3 +472,59 @@ def test_pq_codes_known_assignment(spark):
     # v2 second half [0,1]: d2 to cb0 [10,10] = 181, to cb1 [0,0] = 1 → code 1
     assert (rows[2]["code0"], rows[2]["code1"]) == (0, 1)
     assert rows[2]["err_bp"] == 20000  # (1 + 1) * 1e4
+
+
+# ---------------------------------------------------------------- BPE
+
+
+def test_bpe_train_matches_hand_model(spark):
+    # the classic Sennrich example corpus: low/lower/newest/widest
+    rows = [(1, "low low low low low lower lower "
+                "newest newest newest newest newest newest "
+                "widest widest widest")]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    merges = T.bpe_train(docs, n_merges=4, min_freq=1)
+    # hand model (ties break to the lexicographically greatest pair):
+    # freqs: low:5 lower:2 newest:6 widest:3
+    # round 1: (e,s)/(s,t)/(t,</w>) all 9 → tie-break: ('t','</w>')
+    # round 2: (e,s)/(s,t</w>) at 9 → ('s','t</w>')
+    # round 3: ('e','st</w>') 9
+    # round 4: (l,o)/(o,w) at 7 → ('o','w')
+    assert merges == [
+        ("t", "</w>"), ("s", "t</w>"), ("e", "st</w>"), ("o", "w"),
+    ]
+    enc = T.bpe_encode_word("newest", {m: i for i, m in enumerate(merges)})
+    assert enc == ["n", "e", "w", "est</w>"]
+    assert "".join(enc) == "newest</w>"
+
+
+def test_bpe_apply_counts(spark):
+    rows = [
+        (1, "low lower low"),
+        (2, "newest widest"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    merges = T.bpe_train(docs, n_merges=3, min_freq=1)
+    out = {r["doc_id"]: r for r in T.bpe_apply(docs, merges).collect()}
+    assert out[1]["n_words"] == 3 and out[2]["n_words"] == 2
+    # token counts bounded by chars+1 per word and >= 1 per word
+    for d, text in rows:
+        n_chars = sum(len(w) for w in text.split())
+        assert out[d]["n_words"] <= out[d]["n_bpe_tokens"] <= n_chars + out[d]["n_words"]
+    # more merges never increase the token count
+    merges6 = T.bpe_train(docs, n_merges=6, min_freq=1)
+    out6 = {r["doc_id"]: r for r in T.bpe_apply(docs, merges6).collect()}
+    for d in out:
+        assert out6[d]["n_bpe_tokens"] <= out[d]["n_bpe_tokens"]
+
+
+def test_bpe_encode_roundtrip_property(spark):
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog repeatedly")],
+        "doc_id LONG, text STRING",
+    )
+    merges = T.bpe_train(docs, n_merges=10, min_freq=1)
+    ranks = {m: i for i, m in enumerate(merges)}
+    for w in "the quick brown fox jumps lazy dog".split():
+        toks = T.bpe_encode_word(w, ranks)
+        assert "".join(toks) == w + "</w>"

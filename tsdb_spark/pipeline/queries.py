@@ -1976,3 +1976,21 @@ def docs_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ):
         out = out.unionByName(stage(i, name, df))
     return out
+
+
+@register(
+    "docs_bpe_tokens",
+    None,  # iterative merge training is the sanctioned non-SQL case:
+    # the driver records a rows-only check; the algorithm itself is
+    # pinned by tests/test_pipeline.py against a hand-computed model
+    "BPE tokenizer TRAINED on the corpus (Sennrich '16): one combinable "
+    "word-histogram shuffle, a vocabulary-scale merge loop (driver "
+    "state = the vocab table, like k-means centroids), then corpus "
+    "encoding as encode-distinct-words-once + broadcast join — the "
+    "heavy side is probed, never re-encoded per occurrence. Output: "
+    "per-doc word and BPE-token counts",
+)
+def docs_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    merges = T.bpe_train(docs, n_merges=40)
+    return T.bpe_apply(docs, merges).orderBy("doc_id")

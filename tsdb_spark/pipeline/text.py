@@ -511,3 +511,116 @@ def importance_weights(
             F.sum(F.col("n_occ") * term_mn).alias("score_mn"),
         )
     )
+
+
+# ---------------------------------------------------------------- BPE
+
+
+def bpe_train(
+    docs: DataFrame,
+    n_merges: int = 50,
+    text_col: str = "text",
+    min_freq: int = 2,
+) -> list[tuple[str, str]]:
+    """Train a byte-pair-encoding merge table on the corpus (Sennrich
+    et al. '16, the public algorithm behind GPT-2/LLaMA-style
+    tokenizers).
+
+    Scale shape: the only corpus-sized pass is ONE combinable word
+    histogram (explode + groupBy count). The merge loop then runs on
+    that vocabulary-sized table — the same metadata-scale driver state
+    as k-means centroids; a 100 TB corpus has a ~1e7-word vocabulary,
+    which is exactly the frame the original algorithm iterates on.
+    Deterministic: ties on pair frequency break to the lexicographically
+    greatest pair.
+    """
+    hist = (
+        docs.select(F.explode(wordpieces_expr(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+        .filter(F.col("freq") >= min_freq)
+    )
+    words: dict[tuple[str, ...], int] = {
+        tuple(r["w"]) + ("</w>",): int(r["freq"]) for r in hist.collect()
+    }
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs: dict[tuple[str, str], int] = {}
+        for sym, f in words.items():
+            for a, b in zip(sym, sym[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + f
+        if not pairs:
+            break
+        best = max(pairs.items(), key=lambda kv: (kv[1], kv[0]))[0]
+        merges.append(best)
+        joined = best[0] + best[1]
+        nxt: dict[tuple[str, ...], int] = {}
+        for sym, f in words.items():
+            out, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and (sym[i], sym[i + 1]) == best:
+                    out.append(joined)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            nxt[tuple(out)] = nxt.get(tuple(out), 0) + f
+        words = nxt
+    return merges
+
+
+def bpe_encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Greedy lowest-rank-first merge of one word (the standard BPE
+    inference loop)."""
+    sym = list(word) + ["</w>"]
+    while len(sym) > 1:
+        cand = [
+            (ranks[(a, b)], i)
+            for i, (a, b) in enumerate(zip(sym, sym[1:]))
+            if (a, b) in ranks
+        ]
+        if not cand:
+            break
+        _, i = min(cand)
+        sym = sym[:i] + [sym[i] + sym[i + 1]] + sym[i + 2:]
+    return sym
+
+
+def bpe_apply(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenize the corpus with a trained merge table.
+
+    Scale shape: encode the corpus's DISTINCT words once (a vocab-sized
+    Arrow-batched pass — the merge loop never touches the corpus), then
+    broadcast-join the exploded corpus against that word→n_tokens map
+    and reduce per document. Per-occurrence work is a hash-join probe,
+    not a re-encode.
+
+    Returns (id_col, n_words, n_bpe_tokens).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    ranks = {m: i for i, m in enumerate(merges)}
+    # explicit form: string type hints under `from __future__ import
+    # annotations` break pandas_udf's hint introspection
+    n_toks = pandas_udf(
+        lambda ws: ws.map(lambda w: len(bpe_encode_word(w, ranks))),
+        "integer",
+    )
+
+    occ = docs.select(
+        F.col(id_col), F.explode(wordpieces_expr(text_col)).alias("w")
+    )
+    vocab = occ.select("w").distinct().withColumn("nt", n_toks("w"))
+    return (
+        occ.join(F.broadcast(vocab), "w")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum("nt").cast("long").alias("n_bpe_tokens"),
+        )
+    )
