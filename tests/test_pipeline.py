@@ -528,3 +528,21 @@ def test_bpe_encode_roundtrip_property(spark):
     for w in "the quick brown fox jumps lazy dog".split():
         toks = T.bpe_encode_word(w, ranks)
         assert "".join(toks) == w + "</w>"
+
+
+def test_duplicated_spans_hand_example(spark):
+    rows = [
+        (1, "a b c d e f g h x"),
+        (2, "a b c d e f g h y"),
+        (3, "completely different words here now"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = {r["doc_id"]: r for r in D.duplicated_spans(docs, n=8).collect()}
+    # docs 1 and 2 share the 8-gram "a..h" at pos 1 → tokens 1-8 covered
+    for d in (1, 2):
+        assert out[d]["n_tokens"] == 9
+        assert out[d]["dup_positions"] == 8
+        assert out[d]["dup_span_bp"] == 8888  # floor(1e4 * 8/9)
+    # doc 3 is shorter than n and shares nothing
+    assert out[3]["n_tokens"] == 5 and out[3]["dup_positions"] == 0
+    assert out[3]["dup_span_bp"] == 0

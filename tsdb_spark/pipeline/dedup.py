@@ -444,3 +444,71 @@ def simhash_near_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def duplicated_spans(
+    docs: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Substring-level duplicate detection at token n-gram granularity —
+    the Spark-native rendering of exact-substring training-data dedup
+    (Lee et al. '22, "Deduplicating Training Data Makes Language Models
+    Better"; the suffix-array method's spans, approximated at n-token
+    resolution).
+
+    Scale shape: ONE n-gram hash pass (higher-order expression, JVM
+    side), a combinable count to find hashes occurring more than once,
+    an equi-join (NOT broadcast — the duplicated-gram table grows with
+    the corpus) to mark duplicated positions, and a distinct-positions
+    union per doc. The ×n position fan-out happens only on MARKED
+    grams, i.e. work ∝ duplicated text, not corpus.
+
+    Returns (id_col, n_tokens, dup_positions, dup_span_bp) where
+    dup_span_bp = floor(1e4 · covered-token fraction).
+    """
+    toks = tokens_expr(text_col)
+    d = docs.select(F.col(id_col), toks.alias("toks")).filter(
+        F.size("toks") > 0
+    )
+    grams = F.when(
+        F.size("toks") >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - n + 1),
+            lambda i: hash64(
+                F.array_join(F.slice(F.col("toks"), i, n), " "), seed="span"
+            ),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    g = d.select(
+        F.col(id_col),
+        F.size("toks").alias("n_tokens"),
+        F.posexplode(grams).alias("pos0", "h"),
+    ).select(
+        id_col, "n_tokens", (F.col("pos0") + 1).alias("pos"), "h"
+    )
+    dup = g.groupBy("h").count().filter(F.col("count") > 1).select("h")
+    cov = (
+        g.join(dup, "h")
+        .select(
+            F.col(id_col),
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + n - 1)).alias("p"),
+        )
+        .distinct()
+        .groupBy(id_col)
+        .agg(F.count("*").cast("long").alias("dup_positions"))
+    )
+    return (
+        d.select(F.col(id_col), F.size("toks").cast("long").alias("n_tokens"))
+        .join(cov, id_col, "left")
+        .fillna(0, subset=["dup_positions"])
+        .select(
+            id_col,
+            "n_tokens",
+            "dup_positions",
+            F.floor(F.lit(10000) * F.col("dup_positions") / F.col("n_tokens"))
+            .cast("long")
+            .alias("dup_span_bp"),
+        )
+    )

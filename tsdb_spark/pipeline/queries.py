@@ -1994,3 +1994,34 @@ def docs_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     merges = T.bpe_train(docs, n_merges=40)
     return T.bpe_apply(docs, merges).orderBy("doc_id")
+
+
+_SPAN_N = 8
+
+
+@register(
+    "docs_dup_spans",
+    f"""
+WITH {SQL_CORPUS},
+t AS (SELECT doc_id, {SQL_TOKS} AS toks FROM corpus WHERE len({SQL_TOKS}) > 0),
+g AS (SELECT doc_id, u.i AS pos,
+        {sql_h("'span'", f"array_to_string(toks[u.i:u.i+{_SPAN_N - 1}], ' ')")} AS h
+      FROM t, UNNEST(range(1, len(toks) - {_SPAN_N} + 2)) AS u(i)),
+dup AS (SELECT h FROM g GROUP BY h HAVING count(*) > 1),
+cov AS (SELECT DISTINCT doc_id, w.p
+        FROM g JOIN dup USING (h), UNNEST(range(g.pos, g.pos + {_SPAN_N})) AS w(p)),
+cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dup_positions
+        FROM cov GROUP BY doc_id)
+SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+  coalesce(cnt.dup_positions, 0) AS dup_positions,
+  (10000 * coalesce(cnt.dup_positions, 0)) // len(t.toks) AS dup_span_bp
+FROM t LEFT JOIN cnt USING (doc_id)""",
+    "substring-level duplicate SPANS at 8-token-gram granularity (Lee "
+    "et al. '22 exact-substring dedup, suffix-array spans approximated "
+    "at n-gram resolution): one JVM-side gram-hash pass, a combinable "
+    "duplicated-gram count, an equi-join to mark positions (work ∝ "
+    "duplicated text), per-doc covered-token fraction in basis points. "
+    "Run over the corpus-with-copies so spans actually recur",
+)
+def docs_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.duplicated_spans(_corpus(spark, sf_dir), n=_SPAN_N)
