@@ -286,3 +286,63 @@ def test_promql_db_eval_prunes_partitions(store):
         "promql evaluation lost the t_bucket partition prune"
     )
     assert "CartesianProduct" not in plan
+
+
+def test_at_pin_evaluates_once_and_broadcasts_grid(store):
+    # `@` pins evaluation to one instant; the fan-out across the grid
+    # must be a BROADCAST cross join with the tiny grid frame (the
+    # step-invariant optimization), never a per-step re-evaluation or
+    # an unbroadcast cartesian
+    from tsdb_spark.promql import eval_range_db
+
+    df = eval_range_db(
+        store, f"count_over_time(m[1h] @ {2 * WIDTH // 1000})",
+        2 * WIDTH, 4 * WIDTH, WIDTH,
+    )
+    plan = _executed(df)
+    assert "CartesianProduct" not in plan
+    # the pinned scan also keeps the partition prune (around the pin)
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and any("t_bucket" in ln for ln in pf)
+
+
+def test_count_values_is_one_combinable_aggregation(store):
+    # count_values groups by (rendered value, T): one HashAggregate
+    # pair (partial + final), no window, no join beyond the base path
+    from tsdb_spark.promql import eval_range_db
+
+    df = eval_range_db(store, 'count_values("lvl", m)', WIDTH, 2 * WIDTH, WIDTH)
+    plan = _executed(df)
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan  # aggregation, not ranking
+
+
+def test_dup_spans_join_is_equi_and_fanout_is_marked_only(spark):
+    # duplicated_spans: the gram→duplicated-gram join must be an equi
+    # join on the hash (the dup table grows with the corpus — a nested
+    # loop would be grams x dups); no cartesian anywhere
+    from tsdb_spark.queries import QUERIES
+
+    df = QUERIES["docs_dup_spans"].spark_fn(spark, "/root/testdata/sf0.001")
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bpe_apply_corpus_side_never_runs_python(spark):
+    # bpe_apply: the Arrow-batched encoder touches only the DISTINCT
+    # word frame; the corpus side must be join+aggregate, with the
+    # python eval feeding the (broadcast) vocab build
+    docs = spark.createDataFrame(
+        [(1, "a b c a b"), (2, "b c d")], "doc_id LONG, text STRING"
+    )
+    from tsdb_spark.pipeline import text as T
+
+    merges = T.bpe_train(docs, n_merges=3, min_freq=1)
+    df = T.bpe_apply(docs, merges)
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    # the python stage exists exactly once (the vocab encode)
+    assert plan.count("ArrowEvalPython") == 1
