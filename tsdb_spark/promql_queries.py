@@ -756,3 +756,67 @@ def promql_count_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         lookback_ms=DAY,
     )
     return out.select("lvl", "t", "value")
+
+
+@register(
+    "promql_holt_grid",
+    _with_prelude(
+        f"""
+, {_canon_cte("event_type = 'view'")},
+{_grid_cte(T0 + DAY, T0 + 8 * DAY, DAY)},
+w AS (SELECT d.labels_str, g.gt, list(d.vc / 100.0 ORDER BY d.t) AS vs
+      FROM d JOIN g ON d.t > g.gt - {DAY} AND d.t <= g.gt GROUP BY 1, 2),
+f AS (SELECT labels_str, gt, len(vs) AS n,
+        list_reduce(
+          list_prepend([vs[1], vs[2] - vs[1]],
+                       list_transform(vs[2:len(vs)], x -> [x, CAST(0 AS DOUBLE)])),
+          (a, x) -> [0.3 * x[1] + 0.7 * (a[1] + a[2]),
+                     0.6 * ((0.3 * x[1] + 0.7 * (a[1] + a[2])) - a[1]) + 0.4 * a[2]]
+        ) AS sb
+      FROM w WHERE len(vs) >= 2)
+SELECT labels_str, gt AS t, round(sb[1], 9) AS value FROM f""",
+    ),
+    "PromQL `holt_winters(view[1d], 0.3, 0.6)` on a daily grid: the "
+    "double-exponential-smoothing recurrence as an ORDERED F.aggregate "
+    "fold over each (series, T) window's time-sorted samples — "
+    "per-group state is the window's points, and the identical "
+    "expression tree runs as DuckDB list_reduce so the doubles agree "
+    "bit-for-bit (same discipline as tsdb_holt_winters)",
+)
+def promql_holt_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = eval_range(
+        events_samples(spark, sf_dir),
+        "holt_winters(view[1d], 0.3, 0.6)",
+        T0 + DAY,
+        T0 + 8 * DAY,
+        DAY,
+    )
+    return out.select("labels_str", "t", F.round("value", 9).alias("value"))
+
+
+@register(
+    "promql_time_fns",
+    _with_prelude(
+        f"""
+, {_grid_cte(T0 + DAY, T0 + 15 * DAY, 9 * 3_600_000)},
+c AS (SELECT gt, make_timestamp(gt * 1000) AS ts FROM g)
+SELECT '{{{{}}}}' AS labels_str, gt AS t,
+  CAST(hour(ts) + 100 * (dayofweek(ts) % 7) + 10000 * day(ts) AS DOUBLE) AS value
+FROM c""",
+    ),
+    "PromQL calendar functions on the grid: `hour() + 100 * "
+    "day_of_week() + 10000 * day_of_month()` at a 9h step (UTC, "
+    "upstream funcHour/funcDayOfWeek/funcDayOfMonth over "
+    "vector(time())). Engine plan: expressions over the generated grid "
+    "frame joined one-to-one on the empty label set — no storage scan "
+    "at all; exact integer arithmetic",
+)
+def promql_time_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = eval_range(
+        events_samples(spark, sf_dir),
+        "hour() + 100 * day_of_week() + 10000 * day_of_month()",
+        T0 + DAY,
+        T0 + 15 * DAY,
+        9 * 3_600_000,
+    )
+    return out.select("labels_str", "t", "value")
