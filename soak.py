@@ -171,6 +171,8 @@ def main() -> None:
             ("docs_chunk_windows", "chunking"),
             ("docs_pack_shards", "packing"),
             ("promql_sum_by_rate", "promql"),
+            ("docs_dup_spans", "dup_spans"),
+            ("docs_bpe_tokens", "bpe"),
         ):
             shape(label, lambda sf, store, q=qname: drain(QUERIES[q].spark_fn(spark, sf)))
 

@@ -948,3 +948,38 @@ def test_time_fn_on_vector_child(spark, frame):
                      lookback_ms=3_600_000)
     got = collect_map(q.run("hour(timestamp(m))"))
     assert list(got.values()) == [1.0]  # sample sits at 01:30 UTC
+
+
+# ------------------------------------------------------- scalar()
+
+
+def test_scalar_dynamic_binop(spark, frame):
+    q = P.RangeQuery(frame, START, END, STEP, lookback_ms=LOOKBACK)
+    inst = collect_map(q.run("click"))
+    tot = {}
+    for (_ls, t), v in inst.items():
+        tot[t] = tot.get(t, 0.0) + v
+    # m / scalar(sum(m)): per-series share of the per-step total
+    got = collect_map(q.run("click / scalar(sum(click))"))
+    assert set(got) == set(inst)
+    for (ls, t), v in got.items():
+        assert math.isclose(v, inst[(ls, t)] / tot[t], rel_tol=1e-9)
+    # scalar of a >1-element vector is NaN → every comparison false
+    assert collect_map(q.run("click > scalar(click)")) == {}
+    # ...except != (IEEE semantics, not Spark's NaN ordering)
+    ne = collect_map(q.run("click != scalar(click)"))
+    assert set(ne) == set(inst)
+    # top-level scalar renders as the no-label series
+    sc = collect_map(q.run("scalar(sum(click))"))
+    assert set(sc) == {("{}", t) for t in grid()}
+    for (_ls, t), v in sc.items():
+        assert math.isclose(v, tot[t], rel_tol=1e-9)
+
+
+def test_scalar_parse_and_set_op_rejection(spark):
+    n = P.parse_expr("m * scalar(sum(m))")
+    assert isinstance(n, P.BinDynScalar) and not n.scalar_left
+    n = P.parse_expr("scalar(sum(m)) * m")
+    assert n.scalar_left
+    with pytest.raises(ValueError):
+        P.parse_expr("m and scalar(m)")

@@ -28,6 +28,9 @@ compiler:
                | label_join '(' expr ',' dst ',' sep [',' src]* ')'
                | sort '(' expr ')' | sort_desc '(' expr ')'
                | time '(' ')' | vector '(' number ')'
+               | scalar '(' expr ')'  -- per-step dynamic scalar:
+                 value of the 1-element vector, NaN otherwise; usable
+                 on either side of arithmetic/comparisons
                | timefn '(' [expr] ')'   -- minute hour day_of_week
                  day_of_month day_of_year days_in_month month year;
                  no arg → the grid timestamp (UTC)
@@ -302,6 +305,27 @@ class TimeFn:
 
 
 @dataclass
+class ScalarOf:
+    """scalar(v): the one-element vector's value per step, NaN when the
+    cardinality isn't exactly 1 (promql/functions.go funcScalar)."""
+
+    child: object
+
+
+@dataclass
+class BinDynScalar:
+    """vector op scalar(expr): the scalar side is a per-step value, so
+    the op joins on the grid time alone — the scalar frame is
+    grid-sized and broadcast."""
+
+    op: str
+    child: object  # the vector side
+    scalar: object  # a ScalarOf (or any no-label per-step producer)
+    scalar_left: bool = False
+    cmp_bool: bool = False
+
+
+@dataclass
 class Sort:
     """sort(v) / sort_desc(v): value-ordered presentation of the
     result vector (promql/functions.go funcSort) — a pure output
@@ -455,7 +479,9 @@ class _Parser:
 
     def _mk_binop(self, op, left, right, cmp_bool, on, ignoring, group_side):
         if op in SET_OPS:
-            if isinstance(left, Number) or isinstance(right, Number):
+            if isinstance(left, (Number, ScalarOf)) or isinstance(
+                right, (Number, ScalarOf)
+            ):
                 raise ValueError(f"set operator {op!r} needs vector operands")
             return BinSet(op, left, right, on=on, ignoring=ignoring)
         if isinstance(left, Number) and isinstance(right, Number):
@@ -464,6 +490,10 @@ class _Parser:
             return BinScalar(op, right, left.val, scalar_left=True, cmp_bool=cmp_bool)
         if isinstance(right, Number):
             return BinScalar(op, left, right.val, cmp_bool=cmp_bool)
+        if isinstance(left, ScalarOf) and not isinstance(right, ScalarOf):
+            return BinDynScalar(op, right, left, scalar_left=True, cmp_bool=cmp_bool)
+        if isinstance(right, ScalarOf) and not isinstance(left, ScalarOf):
+            return BinDynScalar(op, left, right, cmp_bool=cmp_bool)
         return BinVector(
             op,
             left,
@@ -503,6 +533,7 @@ class _Parser:
                 "sort_desc",
                 "time",
                 "vector",
+                "scalar",
             )
         ):
             return self.parse_function()
@@ -613,6 +644,10 @@ class _Parser:
             child = self.parse_expr()
             self.expect(")")
             return Sort(child, desc=fn == "sort_desc")
+        if fn == "scalar":
+            child = self.parse_expr()
+            self.expect(")")
+            return ScalarOf(child)
         if fn == "time":
             self.expect(")")
             return TimeFn("time")
@@ -693,6 +728,7 @@ class _Parser:
                     "sort_desc",
                     "time",
                     "vector",
+                    "scalar",
                 )
             )
         ):
@@ -759,8 +795,10 @@ def resolve_at(node, start: int, end: int):
             return n
         if isinstance(n, (Selector, Subquery)) and isinstance(n.at_ms, str):
             n = replace(n, at_ms=start if n.at_ms == "start()" else end)
-        for fld in ("child", "arg", "sel", "left", "right"):
-            if hasattr(n, fld):
+        for fld in ("child", "arg", "sel", "left", "right", "scalar"):
+            # TimeFn.scalar / BinScalar.scalar are primitives — walk
+            # passes non-node values through unchanged
+            if hasattr(n, fld) and hasattr(getattr(n, fld), "__dataclass_fields__"):
                 n = replace(n, **{fld: walk(getattr(n, fld))})
         return n
 
@@ -1120,7 +1158,52 @@ class RangeQuery:
             return self.eval(node.child)  # ordering applied in run()
         if isinstance(node, TimeFn):
             return self._eval_timefn(node)
+        if isinstance(node, ScalarOf):
+            return self._eval_scalarof(node)
+        if isinstance(node, BinDynScalar):
+            return self._eval_bindynscalar(node)
         raise TypeError(f"unknown node {node!r}")
+
+    def _eval_scalarof(self, node: ScalarOf) -> DataFrame:
+        per = (
+            self.eval(node.child)
+            .groupBy(_G)
+            .agg(F.count("*").alias("_n"), F.first("value").alias("_v"))
+        )
+        empty = F.create_map().cast("map<string,string>")
+        # left join from the grid: steps where the vector is empty or
+        # has cardinality != 1 read NaN (funcScalar)
+        return (
+            self._grid_frame()
+            .join(per, _G, "left")
+            .select(
+                F.lit("{}").alias("labels_str"),
+                empty.alias("labels"),
+                _G,
+                F.when(F.col("_n") == 1, F.col("_v"))
+                .otherwise(F.lit(float("nan")))
+                .alias("value"),
+            )
+        )
+
+    def _eval_bindynscalar(self, node: BinDynScalar) -> DataFrame:
+        vec = self.eval(node.child)
+        sc = self.eval(node.scalar).select(F.col(_G), F.col("value").alias("_sc"))
+        # the scalar frame is one row per grid step — always broadcast
+        j = vec.join(F.broadcast(sc), _G)
+        v, s = F.col("value"), F.col("_sc")
+        a, b = (s, v) if node.scalar_left else (v, s)
+        if node.op in CMP_OPS:
+            # scalar() yields NaN on cardinality != 1; Spark orders NaN
+            # above everything, upstream wants IEEE (false, except !=)
+            cond = F.when(
+                F.isnan(a) | F.isnan(b), F.lit(node.op == "!=")
+            ).otherwise(_cmp_col(node.op, a, b))
+            if node.cmp_bool:
+                out = j.withColumn("value", F.when(cond, 1.0).otherwise(0.0))
+                return self._strip_name(out.drop("_sc"))
+            return j.filter(cond).drop("_sc")
+        return j.withColumn("value", _arith_col(node.op, a, b)).drop("_sc")
 
     def _eval_timefn(self, node: TimeFn) -> DataFrame:
         empty = F.create_map().cast("map<string,string>")
@@ -1829,8 +1912,14 @@ def required_reach(node, lookback_ms: int = DEFAULT_LOOKBACK_MS) -> int:
             if node.child is not None
             else 0
         )
+    if isinstance(node, BinDynScalar):
+        return max(
+            required_reach(node.child, lookback_ms),
+            required_reach(node.scalar, lookback_ms),
+        )
     if isinstance(
-        node, (Aggregate, BinScalar, ValueFn, HistQuantile, LabelTransform, Sort)
+        node,
+        (Aggregate, BinScalar, ValueFn, HistQuantile, LabelTransform, Sort, ScalarOf),
     ):
         return required_reach(node.child, lookback_ms)
     if isinstance(node, (BinVector, BinSet)):
@@ -1870,8 +1959,15 @@ def scan_bounds(
             return walk(n.sel, lo, hi)
         if isinstance(n, TimeFn):
             return walk(n.child, lo, hi) if n.child is not None else None
+        if isinstance(n, BinDynScalar):
+            a, b = walk(n.child, lo, hi), walk(n.scalar, lo, hi)
+            if a is None or b is None:
+                return a if b is None else b
+            return (min(a[0], b[0]), max(a[1], b[1]))
         if isinstance(
-            n, (Aggregate, BinScalar, ValueFn, HistQuantile, LabelTransform, Sort)
+            n,
+            (Aggregate, BinScalar, ValueFn, HistQuantile, LabelTransform, Sort,
+             ScalarOf),
         ):
             return walk(n.child, lo, hi)
         if isinstance(n, (BinVector, BinSet)):
