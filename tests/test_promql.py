@@ -983,3 +983,32 @@ def test_scalar_parse_and_set_op_rejection(spark):
     assert n.scalar_left
     with pytest.raises(ValueError):
         P.parse_expr("m and scalar(m)")
+
+
+def test_trig_functions_and_pi(spark, frame):
+    # gauge is a single series; value fns drop __name__ (upstream rule)
+    # so key the comparison by t alone
+    q = P.RangeQuery(frame, START, END, STEP, lookback_ms=LOOKBACK)
+    inst = {t: v for (_ls, t), v in collect_map(q.run("gauge")).items()}
+
+    def by_t(expr):
+        return {t: v for (_ls, t), v in collect_map(q.run(expr)).items()}
+
+    got = by_t("sin(gauge)")
+    assert set(got) == set(inst)
+    for t, v in got.items():
+        assert math.isclose(v, math.sin(inst[t]), rel_tol=1e-12)
+    for t, v in by_t("deg(rad(gauge))").items():
+        assert math.isclose(v, inst[t], rel_tol=1e-9)
+    # pi() is a scalar literal usable in arithmetic
+    for t, v in by_t("gauge * pi()").items():
+        assert math.isclose(v, inst[t] * math.pi, rel_tol=1e-12)
+    # acos out of domain → NaN, kept (upstream parity: math.Acos NaN
+    # samples survive; unlike ln's NULL-drop, Spark trig returns NaN)
+    dom = by_t("acos(gauge)")
+    assert set(dom) == set(inst)
+    for t, v in dom.items():
+        if -1.0 <= inst[t] <= 1.0:
+            assert math.isclose(v, math.acos(inst[t]), rel_tol=1e-12)
+        else:
+            assert math.isnan(v)

@@ -42,6 +42,8 @@ compiler:
                  holt_winters/double_exponential_smoothing(m[R], sf, tf)
     valuefn   := abs ceil floor sqrt exp ln log2 log10 sgn
                  clamp clamp_min clamp_max round timestamp
+                 sin cos tan asin acos atan sinh cosh tanh deg rad;
+                 pi() parses as a scalar literal
     matrix    := selector '[' duration ']' [modifiers]
     selector  := metric{label op "value", ...} [modifiers]
     modifiers := ('offset' duration | '@' (unix_s | start() | end()))*
@@ -86,6 +88,7 @@ centi-units before the outer window; @-modifiers are out of scope.
 
 from __future__ import annotations
 
+import math
 import re
 from dataclasses import dataclass, field, replace
 
@@ -165,6 +168,19 @@ VALUE_FNS = (
     "clamp_max",
     "round",
     "timestamp",
+    # trigonometric functions (upstream 2.31+, promql/functions.go
+    # funcSin...; simpleFunc wrappers over the math package)
+    "sin",
+    "cos",
+    "tan",
+    "asin",
+    "acos",
+    "atan",
+    "sinh",
+    "cosh",
+    "tanh",
+    "deg",
+    "rad",
 )
 SET_OPS = ("and", "or", "unless")
 CMP_OPS = ("==", "!=", ">", "<", ">=", "<=")
@@ -534,6 +550,7 @@ class _Parser:
                 "time",
                 "vector",
                 "scalar",
+                "pi",
             )
         ):
             return self.parse_function()
@@ -644,6 +661,9 @@ class _Parser:
             child = self.parse_expr()
             self.expect(")")
             return Sort(child, desc=fn == "sort_desc")
+        if fn == "pi":
+            self.expect(")")
+            return Number(math.pi)
         if fn == "scalar":
             child = self.parse_expr()
             self.expect(")")
@@ -729,6 +749,7 @@ class _Parser:
                     "time",
                     "vector",
                     "scalar",
+                    "pi",
                 )
             )
         ):
@@ -1685,6 +1706,13 @@ class RangeQuery:
             out = F.greatest(F.lit(p[0]), v)
         elif fn == "clamp_max":
             out = F.least(F.lit(p[0]), v)
+        elif fn in ("sin", "cos", "tan", "asin", "acos", "atan",
+                    "sinh", "cosh", "tanh"):
+            out = getattr(F, fn)(v)
+        elif fn == "deg":
+            out = F.degrees(v)
+        elif fn == "rad":
+            out = F.radians(v)
         elif fn == "round":
             to = p[0] if p else 1.0
             # nearest multiple of `to`, .5 up — floor(x/to + 0.5)·to is
