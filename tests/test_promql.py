@@ -1012,3 +1012,24 @@ def test_trig_functions_and_pi(spark, frame):
             assert math.isclose(v, math.acos(inst[t]), rel_tol=1e-12)
         else:
             assert math.isnan(v)
+
+
+def test_negative_offset_looks_forward(spark, frame):
+    n = P.parse_expr("rate(m[5m] offset -1m)").arg
+    assert n.offset_ms == -60_000
+    q = P.RangeQuery(frame, START, END, STEP, lookback_ms=LOOKBACK)
+    # count at T with offset -7s == unshifted count at T+7s
+    fwd = collect_map(q.run("count_over_time(click[14s] offset -7000ms)"))
+    base = collect_map(
+        P.RangeQuery(
+            frame, START + 7_000, END + 7_000, STEP, lookback_ms=LOOKBACK
+        ).run("count_over_time(click[14s])")
+    )
+    assert {(ls, t): v for (ls, t), v in fwd.items()} == {
+        (ls, t - 7_000): v for (ls, t), v in base.items()
+    }
+    # scan_bounds extends past `end` for the forward read
+    lo, hi = P.scan_bounds(
+        "count_over_time(m[10s] offset -5s)", 100_000, 200_000
+    )
+    assert hi == 205_000 and lo == 100_000 + 5_000 - 10_000 + 1

@@ -395,7 +395,7 @@ class _Tok:
 
 
 _TOKEN_RE = re.compile(
-    r"\s*(?:(?P<off>offset\s+[0-9][0-9a-zA-Z]*)"
+    r"\s*(?:(?P<off>offset\s+-?[0-9][0-9a-zA-Z]*)"
     r"|(?P<num>\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)"
     r"|(?P<name>[a-zA-Z_:][a-zA-Z0-9_:]*)"
     r"|(?P<brace>\{(?:[^\"{}]|\"(?:[^\"\\]|\\.)*\")*\})"
@@ -584,7 +584,15 @@ class _Parser:
             t.kind == "off" or t.val == "@"
         ):
             if t.kind == "off":
-                offset_ms = parse_duration(self.next().val[len("offset"):].strip())
+                d = self.next().val[len("offset"):].strip()
+                # negative offsets look forward in time (upstream
+                # --enable-feature=promql-negative-offset, default-on
+                # since 2.x); every consumer treats offset_ms as a pure
+                # time translation so the sign simply flows through
+                if d.startswith("-"):
+                    offset_ms = -parse_duration(d[1:])
+                else:
+                    offset_ms = parse_duration(d)
                 continue
             self.next()
             nt = self.next()
