@@ -132,3 +132,29 @@ def test_cli_query_promql_range(spark, tmp_path, capsys):
     ]) == 0
     out = capsys.readouterr().out
     assert '{__name__="m",i="1"}' in out
+
+
+def test_cli_alerts_and_query_json(spark, tmp_path, capsys):
+    path = _store(spark, tmp_path)
+    # alerts: m sums high enough to activate everywhere → firing after the for window
+    assert main([
+        "alerts", path, "hi_m", "sum_over_time(m[1h]) > 0",
+        "--for", "3600000",
+        "--start", "3600000", "--end", "7200000", "--step", "3600000",
+    ]) == 0
+    out = capsys.readouterr().out
+    assert 'alertname="hi_m"' in out and "alertstate" in out
+
+    # query --json: the Prometheus wire format end-to-end from the CLI
+    assert main([
+        "query", path, "count(m)",
+        "--start", "3600000", "--end", "3600000", "--step", "1000",
+        "--json",
+    ]) == 0
+    out = capsys.readouterr().out
+    import json as _json
+
+    body = _json.loads(out.strip().splitlines()[-1])
+    assert body["status"] == "success"
+    assert body["data"]["resultType"] == "matrix"
+    assert body["data"]["result"], "query --json returned no series"

@@ -1033,3 +1033,16 @@ def test_negative_offset_looks_forward(spark, frame):
         "count_over_time(m[10s] offset -5s)", 100_000, 200_000
     )
     assert hi == 205_000 and lo == 100_000 + 5_000 - 10_000 + 1
+
+
+def test_sort_by_label(spark, frame):
+    q = P.RangeQuery(frame, START, END, STEP, lookback_ms=LOOKBACK)
+    rows = q.run('sort_by_label_desc(click, "user")').collect()
+    assert rows
+    by_t = {}
+    for r in rows:
+        by_t.setdefault(r["t"], []).append(r["labels"]["user"])
+    for us in by_t.values():
+        assert us == sorted(us, reverse=True)
+    with pytest.raises(ValueError):
+        P.parse_expr("sort_by_label(m)")

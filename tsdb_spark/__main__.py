@@ -14,6 +14,7 @@ command table: bench write / ls / analyze / dump).
     python -m tsdb_spark rollup   <store> [--width MS | --serve-step MS]
     python -m tsdb_spark vacuum   <store>
     python -m tsdb_spark serve    <store> [--host H] [--port P]
+    python -m tsdb_spark alerts   <store> <name> '<expr>' [--for MS] --start --end --step
 
 Every command opens one SparkSession sized from $SPARK_GRAFT_CPUS and
 operates on a DB directory (ls/analyze/dump open it read-only).
@@ -70,6 +71,23 @@ def main(argv: list[str] | None = None) -> int:
         action="store_true",
         help="emit the Prometheus /api/v1/query_range wire format",
     )
+
+    p_al = sub.add_parser(
+        "alerts",
+        help="evaluate an alerting rule over a grid and print the "
+        "ALERTS series (pending/firing state machine), e.g. "
+        "alerts /db hi_click 'sum_over_time(click[1d]) > 60' "
+        "--for 172800000 --start ... --end ... --step 86400000",
+    )
+    p_al.add_argument("store")
+    p_al.add_argument("name")
+    p_al.add_argument("expr")
+    p_al.add_argument("--for", dest="for_ms", type=int, default=0,
+                      help="continuous-activity ms before firing")
+    p_al.add_argument("--start", type=int, required=True)
+    p_al.add_argument("--end", type=int, required=True)
+    p_al.add_argument("--step", type=int, required=True)
+    p_al.add_argument("--limit", type=int, default=100)
 
     p_sv = sub.add_parser(
         "serve",
@@ -211,6 +229,21 @@ def main(argv: list[str] | None = None) -> int:
             eval_range_db(
                 db, args.expr, args.start, args.end, args.step, args.lookback
             ).show(args.limit, truncate=False)
+    elif args.cmd == "alerts":
+        from tsdb_spark import labels as L
+        from tsdb_spark.rules import AlertRule, alerts_frame
+
+        db = DB.open_readonly(spark, args.store)
+        frame = alerts_frame(
+            db,
+            AlertRule(args.name, args.expr, for_ms=args.for_ms),
+            args.start,
+            args.end,
+            args.step,
+        )
+        frame.select(
+            L.labels_str_expr("labels").alias("labels_str"), "t", "v"
+        ).show(args.limit, truncate=False)
     elif args.cmd == "serve":
         from tsdb_spark.api import serve
 

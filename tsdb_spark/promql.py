@@ -27,6 +27,7 @@ compiler:
                | label_replace '(' expr ',' dst ',' repl ',' src ',' re ')'
                | label_join '(' expr ',' dst ',' sep [',' src]* ')'
                | sort '(' expr ')' | sort_desc '(' expr ')'
+               | sort_by_label[_desc] '(' expr [',' "label"]+ ')'
                | time '(' ')' | vector '(' number ')'
                | scalar '(' expr ')'  -- per-step dynamic scalar:
                  value of the 1-element vector, NaN otherwise; usable
@@ -343,12 +344,14 @@ class BinDynScalar:
 
 @dataclass
 class Sort:
-    """sort(v) / sort_desc(v): value-ordered presentation of the
-    result vector (promql/functions.go funcSort) — a pure output
-    ordering, applied by RangeQuery.run as the final orderBy."""
+    """sort(v) / sort_desc(v) / sort_by_label(v, "l", ...): ordered
+    presentation of the result vector (promql/functions.go funcSort,
+    funcSortByLabel) — a pure output ordering, applied by
+    RangeQuery.run as the final orderBy."""
 
     child: object
     desc: bool = False
+    by_labels: list[str] | None = None  # sort_by_label keys
 
 
 @dataclass
@@ -547,6 +550,8 @@ class _Parser:
                 "label_join",
                 "sort",
                 "sort_desc",
+                "sort_by_label",
+                "sort_by_label_desc",
                 "time",
                 "vector",
                 "scalar",
@@ -669,6 +674,19 @@ class _Parser:
             child = self.parse_expr()
             self.expect(")")
             return Sort(child, desc=fn == "sort_desc")
+        if fn in ("sort_by_label", "sort_by_label_desc"):
+            child = self.parse_expr()
+            lbls: list[str] = []
+            while (t := self.peek()) is not None and t.val == ",":
+                self.next()
+                s = self.next()
+                if s.kind != "qstr":
+                    raise ValueError(f"{fn} takes quoted label names")
+                lbls.append(s.val[1:-1])
+            self.expect(")")
+            if not lbls:
+                raise ValueError(f"{fn} needs at least one label")
+            return Sort(child, desc=fn.endswith("_desc"), by_labels=lbls)
         if fn == "pi":
             self.expect(")")
             return Number(math.pi)
@@ -754,6 +772,8 @@ class _Parser:
                     "label_join",
                     "sort",
                     "sort_desc",
+                    "sort_by_label",
+                    "sort_by_label_desc",
                     "time",
                     "vector",
                     "scalar",
@@ -1902,6 +1922,17 @@ class RangeQuery:
         node = resolve_at(node, self.start, self.end)
         out = self.eval(node).withColumnRenamed(_G, "t")
         if isinstance(node, Sort):
+            if node.by_labels:
+                keys = [
+                    (
+                        F.col("labels").getItem(k)
+                        if "labels" in out.columns
+                        else F.col(k)
+                    )
+                    for k in node.by_labels
+                ]
+                keys = [c.desc() if node.desc else c.asc() for c in keys]
+                return out.orderBy("t", *keys)
             return out.orderBy(
                 "t",
                 F.col("value").desc() if node.desc else F.col("value").asc(),
