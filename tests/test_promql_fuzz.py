@@ -94,9 +94,10 @@ def test_fuzz_eval_contract(spark, fuzz_frame, expr):
     for r in rows:
         assert r["t"] in grid, (expr, r["t"])
         assert r["value"] is None or isinstance(r["value"], float)
-    # ordering wrappers are presentation-only: same multiset
+    # ordering wrappers are presentation-only: same multiset (compare
+    # reprs — tuple == is NaN-blind, repr('nan') is not)
     sorted_rows = q.run(f"sort({expr})").collect()
-    key = lambda r: (r["t"], r["value"])
-    assert sorted(map(key, rows), key=repr) == sorted(
-        map(key, sorted_rows), key=repr
+    key = lambda r: repr((r["t"], r["value"]))
+    assert sorted(key(r) for r in rows) == sorted(
+        key(r) for r in sorted_rows
     ), expr

@@ -1138,12 +1138,23 @@ def _window_value(
 
 
 def _arith_col(op: str, a: Column, b: Column) -> Column:
+    # IEEE zero-divisor semantics (PromQL: x/0 = ±Inf, 0/0 = NaN,
+    # x%0 = NaN) — Spark's ANSI mode throws DIVIDE_BY_ZERO instead,
+    # so the zero case is made explicit
+    if op == "/":
+        return F.when(
+            b == 0,
+            F.when(a > 0, F.lit(float("inf")))
+            .when(a < 0, F.lit(float("-inf")))
+            .otherwise(F.lit(float("nan"))),
+        ).otherwise(a / b)
+    if op == "%":
+        # sign of the dividend — Go math.Mod / DuckDB fmod
+        return F.when(b == 0, F.lit(float("nan"))).otherwise(a % b)
     return {
         "+": a + b,
         "-": a - b,
         "*": a * b,
-        "/": a / b,
-        "%": a % b,  # sign of the dividend — Go math.Mod / DuckDB fmod
         "^": F.pow(a, b),
     }[op]
 
