@@ -820,3 +820,39 @@ def promql_time_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
         9 * 3_600_000,
     )
     return out.select("labels_str", "t", "value")
+
+
+@register(
+    "promql_scalar_ratio",
+    _with_prelude(
+        f"""
+, {_canon_cte("event_type IN ('click', 'view')")},
+{_grid_cte(T0 + DAY, T0 + 15 * DAY, DAY)},
+w AS (SELECT d.labels_str, g.gt, max_by(d.vc, d.t) AS vc
+      FROM d JOIN g ON d.t > g.gt - {DAY} AND d.t <= g.gt GROUP BY 1, 2),
+n AS (SELECT gt, CAST(count(*) AS DOUBLE) AS nn FROM w GROUP BY gt),
+c AS (SELECT labels_str, gt, vc FROM w
+      WHERE labels_str LIKE '%__name__="click"%')
+SELECT c.labels_str, c.gt AS t,
+  round((c.vc / 100.0) / n.nn, 9) AS value
+FROM c JOIN n USING (gt)""",
+    ),
+    "PromQL dynamic scalar: `click / scalar(count({{__name__=~"
+    "'click|view'}}))` at a 1d step — each series divided by the "
+    "per-step matching-series count (promql/functions.go funcScalar; "
+    "cardinality != 1 would read NaN). Engine plan: the scalar frame "
+    "is ONE row per grid step, broadcast into the vector side — never "
+    "a shuffle keyed on anything but the grid time. count() keeps the "
+    "scalar integer-valued so the single float division is "
+    "order-independent across engines",
+)
+def promql_scalar_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = eval_range(
+        events_samples(spark, sf_dir),
+        'click / scalar(count({__name__=~"click|view"}))',
+        T0 + DAY,
+        T0 + 15 * DAY,
+        DAY,
+        lookback_ms=DAY,
+    )
+    return out.select("labels_str", "t", F.round("value", 9).alias("value"))
