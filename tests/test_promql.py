@@ -1046,3 +1046,24 @@ def test_sort_by_label(spark, frame):
         assert us == sorted(us, reverse=True)
     with pytest.raises(ValueError):
         P.parse_expr("sort_by_label(m)")
+
+
+def test_limitk_and_limit_ratio(spark, frame):
+    q = P.RangeQuery(frame, START, END, STEP, lookback_ms=LOOKBACK)
+    inst = collect_map(q.run("click"))
+    # limitk(1): exactly one series per step, values drawn from the input
+    got = collect_map(q.run("limitk(1, click)"))
+    per_t = {}
+    for (ls, t), v in got.items():
+        per_t.setdefault(t, []).append(ls)
+        assert inst[(ls, t)] == v
+    assert all(len(ls) == 1 for ls in per_t.values())
+    # the selection is stable run to run
+    assert collect_map(q.run("limitk(1, click)")) == got
+    # limitk(k >= series count) is the identity
+    assert collect_map(q.run("limitk(10, click)")) == inst
+    # limit_ratio partitions: r and r-1 select complementary sets
+    a = collect_map(q.run("limit_ratio(0.5, click)"))
+    b = collect_map(q.run("limit_ratio(-0.5, click)"))
+    assert set(a).isdisjoint(set(b))
+    assert set(a) | set(b) == set(inst)

@@ -18,6 +18,8 @@ compiler:
                    [by|without (l,...)] (expr)
                | (topk|bottomk|quantile) [by|without (l,...)] (number, expr)
                | count_values [by|without (l,...)] ('"label"', expr)
+               | limitk(k, expr) | limit_ratio(r, expr)  -- deterministic
+                 series sampling on the md5 identity hash
     function  := rangefn '(' (matrix | expr '[' R ':' [S] ']') ')'
                                                  -- windows + subqueries
                | quantile_over_time '(' number ',' matrix ')'
@@ -115,7 +117,8 @@ _DUR_MS = {
 AGG_OPS = ("sum", "avg", "min", "max", "count", "stddev", "stdvar", "group")
 #: aggregations taking a leading parameter: topk(3, e), quantile(0.9, e),
 #: count_values("label", e) — the last takes a string (the output label)
-PARAM_AGGS = ("topk", "bottomk", "quantile", "count_values")
+PARAM_AGGS = ("topk", "bottomk", "quantile", "count_values",
+              "limitk", "limit_ratio")
 RANGE_FNS = (
     "rate",
     "increase",
@@ -1838,6 +1841,57 @@ class RangeQuery:
                 return F.coalesce(F.col("labels").getItem(k), F.lit(""))
             return F.col(k)
 
+        def _ident() -> Column:
+            # stable per-series identity for the sampling aggregations:
+            # the canonical labels_str when present, else the grouped
+            # child's key columns
+            if "labels_str" in child.columns:
+                return F.col("labels_str")
+            keys_ = [
+                c for c in child.columns if c not in (_G, "value", "labels")
+            ]
+            return F.concat_ws("\x1f", *[F.col(c) for c in keys_])
+
+        if node.op == "limit_ratio":
+            # deterministic ratio sampling of series (promql 3.x
+            # limit_ratio; upstream hashes the label set — here the
+            # md5-derived hash64, the engine's standard, so a SQL
+            # oracle reproduces the exact selection). Negative ratio
+            # selects the complement set, as upstream.
+            from tsdb_spark.pipeline.common import hash64
+
+            r = float(node.param if node.param is not None else 0.0)
+            frac = hash64(_ident(), seed="limitk") / float(1 << 60)
+            cond = (frac < F.lit(r)) if r >= 0 else (frac >= F.lit(1.0 + r))
+            return child.filter(cond)
+        if node.op == "limitk":
+            # k arbitrary-but-deterministic series per (group, T):
+            # the topk window ordered by the series-identity hash
+            from pyspark.sql import Window
+
+            from tsdb_spark.pipeline.common import hash64
+
+            part = [F.col(_G)]
+            if node.by is not None:
+                part += [_key_col(k) for k in node.by]
+            elif node.without is not None:
+                drop = F.array(*[F.lit(k) for k in [*node.without, "__name__"]])
+                part.append(
+                    L.labels_str_expr(
+                        F.map_filter(
+                            F.col("labels"), lambda k, _: ~F.array_contains(drop, k)
+                        )
+                    )
+                )
+            w = Window.partitionBy(*part).orderBy(
+                hash64(_ident(), seed="limitk").asc(), _ident().asc()
+            )
+            k = int(node.param if node.param is not None else 1)
+            return (
+                child.withColumn("_rk", F.row_number().over(w))
+                .filter(F.col("_rk") <= k)
+                .drop("_rk")
+            )
         if node.op in ("topk", "bottomk"):
             # not a fold: keep the k extreme SERIES per (group, T) with
             # their input labels (PromQL topk/bottomk semantics). One

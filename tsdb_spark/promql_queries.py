@@ -856,3 +856,35 @@ def promql_scalar_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         lookback_ms=DAY,
     )
     return out.select("labels_str", "t", F.round("value", 9).alias("value"))
+
+
+@register(
+    "promql_limitk",
+    _with_prelude(
+        f"""
+, {_canon_cte("event_type = 'click'")},
+{_grid_cte(T0 + DAY, T0 + 15 * DAY, DAY)},
+w AS (SELECT d.labels_str, g.gt, max_by(d.vc, d.t) / 100.0 AS value
+      FROM d JOIN g ON d.t > g.gt - {DAY} AND d.t <= g.gt GROUP BY 1, 2),
+r AS (SELECT *, row_number() OVER (PARTITION BY gt ORDER BY
+        CAST(concat('0x', substr(md5(concat('limitk:', labels_str)), 1, 15)) AS BIGINT),
+        labels_str) AS rk
+      FROM w)
+SELECT labels_str, gt AS t, value FROM r WHERE rk <= 3""",
+    ),
+    "PromQL `limitk(3, click)` at a 1d step (promql 3.x sampling "
+    "aggregation): 3 arbitrary-but-DETERMINISTIC series per step, "
+    "selected by the engine's md5-derived identity hash so the SQL "
+    "oracle reproduces the exact pick. Engine plan: the same one-window "
+    "ranking as topk, ordered by the hash instead of the value",
+)
+def promql_limitk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = eval_range(
+        events_samples(spark, sf_dir),
+        "limitk(3, click)",
+        T0 + DAY,
+        T0 + 15 * DAY,
+        DAY,
+        lookback_ms=DAY,
+    )
+    return out.select("labels_str", "t", "value")
