@@ -1067,3 +1067,28 @@ def test_limitk_and_limit_ratio(spark, frame):
     b = collect_map(q.run("limit_ratio(-0.5, click)"))
     assert set(a).isdisjoint(set(b))
     assert set(a) | set(b) == set(inst)
+
+
+def test_mad_over_time_matches_model(spark, frame):
+    q = P.RangeQuery(frame, START, END, STEP, lookback_ms=LOOKBACK)
+    got = collect_map(q.run("mad_over_time(click[20s])"))
+
+    def pct50(xs):
+        xs = sorted(xs)
+        r = (len(xs) - 1) / 2.0
+        lo = int(r)
+        if r == lo:
+            return xs[lo]
+        return xs[lo] + (xs[lo + 1] - xs[lo]) * (r - lo)
+
+    want = {}
+    for (name, user), pts in SERIES.items():
+        if name != "click":
+            continue
+        ls = f'{{__name__="click",user="{user}"}}'
+        for T in grid():
+            w = [round(v * 100) for t, v in pts if T - 20_000 < t <= T]
+            if w:
+                med = pct50(w)
+                want[(ls, T)] = pct50([abs(c - med) for c in w]) / 100.0
+    assert_close(got, want)

@@ -41,7 +41,7 @@ compiler:
     rangefn   := rate increase delta irate idelta resets changes deriv
                  avg_over_time min_over_time max_over_time sum_over_time
                  count_over_time last_over_time present_over_time
-                 stddev_over_time stdvar_over_time
+                 stddev_over_time stdvar_over_time mad_over_time
                  holt_winters/double_exponential_smoothing(m[R], sf, tf)
     valuefn   := abs ceil floor sqrt exp ln log2 log10 sgn
                  clamp clamp_min clamp_max round timestamp
@@ -139,6 +139,7 @@ RANGE_FNS = (
     "stddev_over_time",
     "stdvar_over_time",
     "quantile_over_time",
+    "mad_over_time",
     "holt_winters",
     "double_exponential_smoothing",  # the post-2.x upstream name
 )
@@ -989,6 +990,15 @@ def _window_agg(fn: str, range_ms: int, param: float | None = None):
                 "pct_c"
             )
         )
+    if fn == "mad_over_time":
+        # median absolute deviation (upstream experimental
+        # funcMadOverTime): median computed exactly on centi-units,
+        # then the median of |x − med| over the window's value array —
+        # per-group state is the window, same bound as holt_winters
+        base += [
+            F.expr("percentile(vc, 0.5)").alias("med_c"),
+            F.array_sort(F.collect_list("vc")).alias("vals_c"),
+        ]
     if fn in _HOLT_FNS:
         # the one window fn that is an inherently ORDERED fold: carry
         # the window's samples as a time-sorted array (per-(series, T)
@@ -1040,6 +1050,22 @@ def _window_value(
         return F.col("max_c") / 100.0
     if fn == "quantile_over_time":
         return F.col("pct_c") / 100.0
+    if fn == "mad_over_time":
+        med = F.col("med_c")
+        devs = F.array_sort(
+            F.transform(F.col("vals_c"), lambda c: F.abs(c.cast("double") - med))
+        )
+        # percentile(·, 0.5) rank rule on the deviation array:
+        # rank = (n−1)/2, linear interpolation between neighbors
+        rank = (n - 1).cast("double") / 2.0
+        lo = F.floor(rank).cast("int")
+        lo_v = F.element_at(devs, lo + 1)
+        hi_v = F.element_at(devs, lo + 2)
+        frac = rank - lo.cast("double")
+        return (
+            F.when(frac == 0, lo_v).otherwise(lo_v + (hi_v - lo_v) * frac)
+            / 100.0
+        )
     if fn in _HOLT_FNS:
         # double exponential smoothing (promql/functions.go
         # funcDoubleExponentialSmoothing): s₀ = x₀, b₀ = x₁ − x₀, then
