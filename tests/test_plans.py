@@ -346,3 +346,30 @@ def test_bpe_apply_corpus_side_never_runs_python(spark):
     assert "CartesianProduct" not in plan
     # the python stage exists exactly once (the vocab encode)
     assert plan.count("ArrowEvalPython") == 1
+
+
+def test_limitk_is_one_window_no_join(store):
+    # limitk ranks by the identity hash inside ONE window — no join,
+    # no cartesian, and the storage prune survives
+    from tsdb_spark.promql import eval_range_db
+
+    df = eval_range_db(store, "limitk(2, m)", 2 * WIDTH, 4 * WIDTH, WIDTH)
+    plan = _executed(df)
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and any("t_bucket" in ln for ln in pf)
+
+
+def test_dynamic_scalar_broadcasts_grid_side(store):
+    # vector / scalar(...): the per-step scalar frame joins in as a
+    # broadcast (it is grid-sized), never a shuffled join of the
+    # vector side on anything but its own aggregation keys
+    from tsdb_spark.promql import eval_range_db
+
+    df = eval_range_db(
+        store, "m / scalar(count(m))", 2 * WIDTH, 4 * WIDTH, WIDTH
+    )
+    plan = _executed(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan

@@ -888,3 +888,36 @@ def promql_limitk(spark: SparkSession, sf_dir: str) -> DataFrame:
         lookback_ms=DAY,
     )
     return out.select("labels_str", "t", "value")
+
+
+@register(
+    "promql_mad_grid",
+    _with_prelude(
+        f"""
+, {_canon_cte("event_type = 'click'")},
+{_grid_cte(T0 + DAY, T0 + 15 * DAY, DAY)},
+w AS (SELECT d.labels_str, g.gt, d.vc
+      FROM d JOIN g ON d.t > g.gt - {DAY} AND d.t <= g.gt),
+m AS (SELECT labels_str, gt, quantile_cont(vc, 0.5) AS med
+      FROM w GROUP BY 1, 2)
+SELECT w.labels_str, w.gt AS t,
+  quantile_cont(abs(w.vc - m.med), 0.5) / 100.0 AS value
+FROM w JOIN m USING (labels_str, gt)
+GROUP BY w.labels_str, w.gt, m.med""",
+    ),
+    "PromQL `mad_over_time(click[1d])` daily: median absolute "
+    "deviation per window. Median and deviation-median both run on "
+    "exact centi-unit integers/halves (magnitudes « 2^53, so the "
+    "rank-interpolation arithmetic is EXACT and op-order-independent "
+    "across engines — no rounding needed). Engine: one combinable "
+    "percentile + one sorted deviation array per (series, T)",
+)
+def promql_mad_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = eval_range(
+        events_samples(spark, sf_dir),
+        "mad_over_time(click[1d])",
+        T0 + DAY,
+        T0 + 15 * DAY,
+        DAY,
+    )
+    return out.select("labels_str", "t", "value")
