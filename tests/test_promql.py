@@ -1092,3 +1092,29 @@ def test_mad_over_time_matches_model(spark, frame):
                 med = pct50(w)
                 want[(ls, T)] = pct50([abs(c - med) for c in w]) / 100.0
     assert_close(got, want)
+
+
+def test_ts_of_over_time(spark, frame):
+    q = P.RangeQuery(frame, START, END, STEP, lookback_ms=LOOKBACK)
+    for fn, pickfn in (
+        ("ts_of_max_over_time", max),
+        ("ts_of_min_over_time", min),
+    ):
+        got = collect_map(q.run(f"{fn}(click[20s])"))
+        want = {}
+        for (name, user), pts in SERIES.items():
+            if name != "click":
+                continue
+            ls = f'{{__name__="click",user="{user}"}}'
+            for T in grid():
+                w = [(round(v * 100), t) for t, v in pts if T - 20_000 < t <= T]
+                if w:
+                    # ties break to the latest (max) / earliest (min) t
+                    want[(ls, T)] = (
+                        pickfn(w)[1] if fn.startswith("ts_of_max")
+                        else min(w, key=lambda p: (p[0], -p[1]))[1]
+                    ) / 1000.0
+        assert_close(got, want)
+    got = collect_map(q.run("ts_of_last_over_time(click[20s])"))
+    for (ls, t), v in got.items():
+        assert v <= t / 1000.0

@@ -42,6 +42,8 @@ compiler:
                  avg_over_time min_over_time max_over_time sum_over_time
                  count_over_time last_over_time present_over_time
                  stddev_over_time stdvar_over_time mad_over_time
+                 ts_of_max_over_time ts_of_min_over_time
+                 ts_of_last_over_time
                  holt_winters/double_exponential_smoothing(m[R], sf, tf)
     valuefn   := abs ceil floor sqrt exp ln log2 log10 sgn
                  clamp clamp_min clamp_max round timestamp
@@ -140,6 +142,9 @@ RANGE_FNS = (
     "stdvar_over_time",
     "quantile_over_time",
     "mad_over_time",
+    "ts_of_max_over_time",
+    "ts_of_min_over_time",
+    "ts_of_last_over_time",
     "holt_winters",
     "double_exponential_smoothing",  # the post-2.x upstream name
 )
@@ -184,6 +189,9 @@ VALUE_FNS = (
     "sinh",
     "cosh",
     "tanh",
+    "asinh",
+    "acosh",
+    "atanh",
     "deg",
     "rad",
 )
@@ -990,6 +998,17 @@ def _window_agg(fn: str, range_ms: int, param: float | None = None):
                 "pct_c"
             )
         )
+    if fn in ("ts_of_max_over_time", "ts_of_min_over_time"):
+        # timestamp of the window's extreme sample (upstream 3.x
+        # funcTsOfMaxOverTime); ties break to the LATEST timestamp,
+        # made deterministic via the (vc, t) struct ordering
+        pick = F.max_by if fn == "ts_of_max_over_time" else F.min_by
+        key = (
+            F.struct(F.col("vc"), F.col("t"))
+            if fn == "ts_of_max_over_time"
+            else F.struct(F.col("vc"), (-F.col("t")).alias("nt"))
+        )
+        base.append(pick("t", key).alias("ts_of"))
     if fn == "mad_over_time":
         # median absolute deviation (upstream experimental
         # funcMadOverTime): median computed exactly on centi-units,
@@ -1040,6 +1059,10 @@ def _window_value(
         return F.lit(1.0)
     if fn == "last_over_time":
         return last_c / 100.0
+    if fn == "ts_of_last_over_time":
+        return last_t / 1000.0  # unix seconds, like timestamp()
+    if fn in ("ts_of_max_over_time", "ts_of_min_over_time"):
+        return F.col("ts_of") / 1000.0
     if fn == "sum_over_time":
         return F.col("sum_c") / 100.0
     if fn == "avg_over_time":
@@ -1775,7 +1798,7 @@ class RangeQuery:
         elif fn == "clamp_max":
             out = F.least(F.lit(p[0]), v)
         elif fn in ("sin", "cos", "tan", "asin", "acos", "atan",
-                    "sinh", "cosh", "tanh"):
+                    "sinh", "cosh", "tanh", "asinh", "acosh", "atanh"):
             out = getattr(F, fn)(v)
         elif fn == "deg":
             out = F.degrees(v)
