@@ -921,3 +921,34 @@ def promql_mad_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         DAY,
     )
     return out.select("labels_str", "t", "value")
+
+
+@register(
+    "promql_ts_of_max",
+    _with_prelude(
+        f"""
+, {_canon_cte("event_type = 'click'")},
+{_grid_cte(T0 + DAY, T0 + 15 * DAY, DAY)},
+w AS (SELECT d.labels_str, g.gt, d.t, d.vc
+      FROM d JOIN g ON d.t > g.gt - {DAY} AND d.t <= g.gt),
+mx AS (SELECT labels_str, gt, max(vc) AS m FROM w GROUP BY 1, 2)
+SELECT w.labels_str, w.gt AS t, max(w.t) / 1000.0 AS value
+FROM w JOIN mx ON w.labels_str = mx.labels_str AND w.gt = mx.gt
+              AND w.vc = mx.m
+GROUP BY 1, 2""",
+    ),
+    "PromQL `ts_of_max_over_time(click[1d])` daily: the unix-seconds "
+    "timestamp of each window's maximum sample, ties to the LATEST "
+    "timestamp (engine: one max_by over a (vc, t) struct — "
+    "deterministic; oracle: max then latest-t join-back). Exact "
+    "integer comparisons end to end",
+)
+def promql_ts_of_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = eval_range(
+        events_samples(spark, sf_dir),
+        "ts_of_max_over_time(click[1d])",
+        T0 + DAY,
+        T0 + 15 * DAY,
+        DAY,
+    )
+    return out.select("labels_str", "t", "value")
