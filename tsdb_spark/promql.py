@@ -9,7 +9,7 @@ engine ships the common range-query subset as a first-class relational
 compiler:
 
     expr      := binary expression over unary with PromQL precedence
-                 (or < and|unless < comparisons < +- < */% < ^),
+                 (or < and|unless < comparisons < +- < */%/atan2 < ^),
                  comparisons take an optional `bool` modifier, every
                  vector-vector op takes optional
                  on(l,...) | ignoring(l,...) and group_left/group_right
@@ -214,6 +214,7 @@ _PREC = {
     "*": 5,
     "/": 5,
     "%": 5,
+    "atan2": 5,  # upstream: same precedence as * / %
     "^": 6,
 }
 
@@ -474,7 +475,7 @@ class _Parser:
             return None
         if t.kind == "op" and t.val in _PREC:
             return t.val
-        if t.kind == "name" and t.val in SET_OPS:
+        if t.kind == "name" and (t.val in SET_OPS or t.val == "atan2"):
             return t.val
         return None
 
@@ -1208,6 +1209,7 @@ def _arith_col(op: str, a: Column, b: Column) -> Column:
         "-": a - b,
         "*": a * b,
         "^": F.pow(a, b),
+        "atan2": F.atan2(a, b),  # binary op since upstream 2.31
     }[op]
 
 
