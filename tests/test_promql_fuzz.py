@@ -47,7 +47,7 @@ def _vector(depth: int):
         base,
         st.tuples(_valuefn, inner).map(lambda t: f"{t[0]}({t[1]})"),
         st.tuples(_agg, inner).map(lambda t: f"{t[0]} by (user) ({t[1]})"),
-        st.tuples(inner, st.sampled_from(["+", "*", "-"]), _num).map(
+        st.tuples(inner, st.sampled_from(["+", "*", "-", "atan2", "%"]), _num).map(
             lambda t: f"({t[0]}) {t[1]} {t[2]}"
         ),
         st.tuples(inner, st.sampled_from([">", "<="]), _num).map(
