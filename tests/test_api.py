@@ -132,3 +132,16 @@ def test_status_tsdb(store):
     pairs = {e["name"]: e["value"] for e in d["seriesCountByLabelValuePair"]}
     assert pairs == {"__name__=m": 2, "s=a": 1, "s=b": 1}
     json.dumps(resp)
+
+
+def test_federate_text_format(store):
+    from tsdb_spark.api import federate
+
+    out = federate(store, ['m{s="a"}', 'm{s="b"}'], 600_000)
+    lines = out.strip().splitlines()
+    assert len(lines) == 2
+    assert 'm{s="a"} 10 600000' in lines
+    assert 'm{s="b"} 20 600000' in lines
+    # overlapping selectors dedup
+    out2 = federate(store, ["m", 'm{s="a"}'], 600_000)
+    assert len(out2.strip().splitlines()) == 2

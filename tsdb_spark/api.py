@@ -235,6 +235,14 @@ def make_handler(db):
             self.end_headers()
             self.wfile.write(body)
 
+        def _reply_text(self, code: int, text: str) -> None:
+            body = text.encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "text/plain; version=0.0.4")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
         def do_GET(self):  # noqa: N802 (http.server contract)
             u = urlparse(self.path)
             q = {k: v[0] for k, v in parse_qs(u.query).items()}
@@ -260,6 +268,14 @@ def make_handler(db):
                     return self._reply(200, labels(db))
                 if u.path == "/api/v1/status/tsdb":
                     return self._reply(200, status_tsdb(db))
+                if u.path == "/federate":
+                    sels = multi.get("match[]", [])
+                    if not sels:
+                        raise ValueError("missing `match[]` parameter")
+                    t = _parse_time(q["time"]) if "time" in q else None
+                    if t is None:
+                        raise ValueError("missing `time` parameter")
+                    return self._reply_text(200, federate(db, sels, t))
                 if u.path.startswith("/api/v1/label/") and u.path.endswith(
                     "/values"
                 ):
@@ -295,3 +311,40 @@ def serve(db, host: str = "127.0.0.1", port: int = 9090):
 
     srv = ThreadingHTTPServer((host, port), make_handler(db))
     return srv
+
+
+def federate(db, selectors: list[str], time_ms: int, lookback_ms: int = DEFAULT_LOOKBACK_MS) -> str:
+    """GET /federate — the instant vector for each match[] selector in
+    the Prometheus exposition text format (web/federate.go):
+
+        metric_name{label="v",...} value timestamp_ms
+
+    so another Prometheus (or this engine) can scrape this store."""
+    from tsdb_spark.labels import parse_selector
+    from tsdb_spark.promql import RangeQuery
+    from pyspark.sql import functions as F
+
+    lines: list[str] = []
+    seen: set[str] = set()
+    for sel in selectors:
+        matchers = parse_selector(sel)
+        frame = db.querier(time_ms - lookback_ms + 1, time_ms).select(
+            [], with_labels=True
+        )
+        q = RangeQuery(frame, time_ms, time_ms, 1, lookback_ms)
+        from tsdb_spark.promql import Selector
+
+        out = q.run(Selector(matchers))
+        for row in out.collect():
+            labels = dict(row["labels"])
+            name = labels.pop("__name__", "")
+            pairs = ",".join(
+                f'{k}="{v}"' for k, v in sorted(labels.items()) if v
+            )
+            line = (
+                f"{name}{{{pairs}}} {format_value(row['value'])} {row['t']}"
+            )
+            if line not in seen:  # overlapping selectors dedup
+                seen.add(line)
+                lines.append(line)
+    return "\n".join(sorted(lines)) + ("\n" if lines else "")
