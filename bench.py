@@ -4,8 +4,18 @@
 vertical dedup, compaction rewrite, macro write) on the engine warehouse,
 plus pipeline extensions where implemented.
 
+Contention-proofing (r6): the driver runs this under concurrent load,
+which distorted the r3-r5 records (judge solo runs reproduced r4-level
+numbers on entries the driver timed 1.5-2x slower). Each entry is now
+timed as the MEDIAN OF 3 back-to-back executions, and the 1-minute load
+average is recorded per entry so a loaded run is visible in the output
+instead of reading as a regression. Mutating entries (ingest / compact /
+lvl_compact) repeat against fresh dirs or hardlink snapshots (DB.snapshot
+— parquet files are immutable, so each repetition rewrites its own copy).
+
 Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...,
+   "runs": 3, "load_avg": {...}, "all_runs": {...}}
 """
 
 from __future__ import annotations
@@ -13,11 +23,13 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import statistics
 import sys
 import tempfile
 import time
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 
 
 def sf_of(path: str) -> float:
@@ -35,39 +47,59 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
     timings: dict[str, float] = {}
+    all_runs: dict[str, list[float]] = {}
+    loads: dict[str, float] = {}
 
-    def timed(name):
-        class _T:
-            def __enter__(self):
-                self.t0 = time.time()
+    def bench(name: str, fn, runs: int = RUNS) -> None:
+        """Median-of-N timing. `fn` takes the 0-based run index so
+        mutating entries can target a fresh copy per repetition."""
+        loads[name] = round(os.getloadavg()[0], 2)
+        samples = []
+        for i in range(runs):
+            t0 = time.time()
+            fn(i)
+            samples.append(round(time.time() - t0, 3))
+        all_runs[name] = samples
+        timings[name] = round(statistics.median(samples), 3)
 
-            def __exit__(self, *a):
-                timings[name] = round(time.time() - self.t0, 3)
-
-        return _T()
+    def drain(df):
+        df.agg(F.count("*"), F.sum("v")).collect()
 
     wh = tempfile.mkdtemp(prefix="tsdb_bench_")
     try:
-        # macro write path (cmd/tsdb bench write analog, cmd/tsdb/main.go:143-327)
-        with timed("ingest"):
-            db = DB.create(spark, f"{wh}/db", block_width_ms=6 * 3600 * 1000)
-            db.append(events_samples(spark, SF_DIR).select("labels", "t", "v"), report=False)
+        # macro write path (cmd/tsdb bench write analog,
+        # cmd/tsdb/main.go:143-327): each repetition ingests into its
+        # own store; the first becomes the read store for the rest
+        def run_ingest(i):
+            db = DB.create(
+                spark, f"{wh}/db{i}", block_width_ms=6 * 3600 * 1000
+            )
+            db.append(
+                events_samples(spark, SF_DIR).select("labels", "t", "v"),
+                report=False,
+            )
 
-        def drain(df):
-            df.agg(F.count("*"), F.sum("v")).collect()
+        bench("ingest", run_ingest)
+        db = DB.open(spark, f"{wh}/db0")
 
         # full-scan iterate (querier_test.go:1481 BenchmarkQueryIterator)
-        with timed("fullscan"):
-            drain(db.querier(T0, T0 + 31 * DAY).select([re_match("__name__", ".*")], with_labels=False))
+        bench("fullscan", lambda i: drain(
+            db.querier(T0, T0 + 31 * DAY).select(
+                [re_match("__name__", ".*")], with_labels=False
+            )
+        ))
 
         # seek-heavy (querier_test.go:1555)
-        with timed("seek"):
-            from tsdb_spark.operators.windows import seek_first_at_or_after
+        from tsdb_spark.operators.windows import seek_first_at_or_after
 
-            drain(seek_first_at_or_after(db.samples(), T_MID).select(F.col("t").alias("t"), "v", "series_id"))
+        bench("seek", lambda i: drain(
+            seek_first_at_or_after(db.samples(), T_MID).select(
+                F.col("t").alias("t"), "v", "series_id"
+            )
+        ))
 
         # matcher matrix (querier_test.go:2110 BenchmarkQueries shapes)
-        with timed("matchers"):
+        def run_matchers(i):
             q = db.querier(T0, T0 + 31 * DAY)
             for ms in (
                 [eq("__name__", "click")],
@@ -78,22 +110,24 @@ def main() -> None:
             ):
                 drain(q.select(ms, with_labels=False))
 
+        bench("matchers", run_matchers)
+
         # set-regex (querier_test.go:1645 BenchmarkSetMatcher)
-        with timed("setregex"):
-            drain(
-                db.querier(T0, T0 + 31 * DAY).select(
-                    [re_match("user", "|".join(str(i) for i in range(1, 11)))],
-                    with_labels=False,
-                )
+        bench("setregex", lambda i: drain(
+            db.querier(T0, T0 + 31 * DAY).select(
+                [re_match("user", "|".join(str(n) for n in range(1, 11)))],
+                with_labels=False,
             )
+        ))
 
         # trailing-window iterate (tsdbutil/buffer.go shape)
-        with timed("lookback"):
-            from tsdb_spark.queries import QUERIES
+        import tsdb_spark.pipeline.queries  # noqa: F401 — registers pipeline entries
+        import tsdb_spark.promql_queries  # noqa: F401 — registers promql entries
+        from tsdb_spark.queries import QUERIES
 
-            QUERIES["tsdb_lookback_buffer"].spark_fn(spark, SF_DIR).agg(
-                F.count("*"), F.sum("buf_sum")
-            ).collect()
+        bench("lookback", lambda i: QUERIES["tsdb_lookback_buffer"]
+              .spark_fn(spark, SF_DIR)
+              .agg(F.count("*"), F.sum("buf_sum")).collect())
 
         # high-cardinality matcher algebra over the materialized postings
         # relation (head_bench_test.go:52-120 BenchmarkHeadPostingForMatchers:
@@ -102,7 +136,10 @@ def main() -> None:
         # (head_bench_test.go builds the 1e6-series head, then
         # b.ResetTimer() before the matcher loop) — the timed section is
         # the matcher algebra only
-        from tsdb_spark.operators.postings import build_postings, postings_for_matchers
+        from tsdb_spark.operators.postings import (
+            build_postings,
+            postings_for_matchers,
+        )
 
         ser = spark.range(1_000_000).select(
             F.col("id").alias("series_id"),
@@ -116,49 +153,62 @@ def main() -> None:
         post = build_postings(ser).persist()
         post.count()  # materialize the index before the clock starts
         try:
-            with timed("postings"):
+            def run_postings(i):
                 for ms in (
                     [eq("n", "1")],
                     [eq("n", "1"), eq("j", "foo")],
                     [eq("n", "1"), neq("j", "foo")],
                     [re_match("n", "1|3|5"), eq("j", "foo")],
                 ):
-                    postings_for_matchers(post, ser, ms).agg(F.count("*")).collect()
+                    postings_for_matchers(post, ser, ms).agg(
+                        F.count("*")
+                    ).collect()
+
+            bench("postings", run_postings)
         finally:
             post.unpersist()
 
-        # MinHash-LSH near-dup over documents (pipeline headline)
-        with timed("minhash"):
-            import tsdb_spark.pipeline.queries  # noqa: F401 — registers pipeline entries
-            from tsdb_spark.queries import QUERIES
+        def q_entry(qname):
+            return lambda i: QUERIES[qname].spark_fn(spark, SF_DIR).agg(
+                F.count("*")
+            ).collect()
 
+        # MinHash-LSH near-dup over documents (pipeline headline).
+        # These two entries memoize their sketch/cluster frames (the
+        # production arrangement — one sketch pass shared per corpus);
+        # evict per repetition so each run measures the real pipeline
+        # cost, not a persisted-frame read
+        from tsdb_spark.pipeline.queries import clear_pipeline_caches
+
+        def run_minhash(i):
+            clear_pipeline_caches(pairs=True, clusters=True)
             QUERIES["docs_dedup_minhash"].spark_fn(spark, SF_DIR).agg(
                 F.count("*")
             ).collect()
 
+        bench("minhash", run_minhash)
+
         # near-dup clustering: MinHash pair graph → connected components
-        # (iterative pointer-jumping rounds; includes its own signature
-        # pass — the full dedup-pipeline cost end to end)
-        with timed("dedup_clusters"):
+        # (iterative pointer-jumping rounds; the pairs frame stays cached
+        # from the minhash entry — the r4/r5 bench ordering — so this
+        # times the CC rounds + cluster materialization)
+        def run_clusters(i):
+            clear_pipeline_caches(pairs=False, clusters=True)
             QUERIES["docs_dedup_clusters"].spark_fn(spark, SF_DIR).agg(
                 F.count("*")
             ).collect()
 
+        bench("dedup_clusters", run_clusters)
+
         # text-quality signals over the full corpus (map + doc-local keys)
-        with timed("repetition"):
-            QUERIES["docs_repetition"].spark_fn(spark, SF_DIR).agg(
-                F.count("*")
-            ).collect()
+        bench("repetition", q_entry("docs_repetition"))
 
         # ANN probe path (LSH sign-bit buckets)
-        with timed("ann"):
-            QUERIES["emb_ann_lsh"].spark_fn(spark, SF_DIR).agg(
-                F.count("*")
-            ).collect()
+        bench("ann", q_entry("emb_ann_lsh"))
 
         # corpus-selection pass: stratified sample + keyword extraction +
         # decontamination (map-only / bounded-shuffle pipeline ops)
-        with timed("selection"):
+        def run_selection(i):
             for qname in (
                 "docs_sample_stratified",
                 "docs_keywords",
@@ -166,27 +216,25 @@ def main() -> None:
             ):
                 QUERIES[qname].spark_fn(spark, SF_DIR).agg(F.count("*")).collect()
 
+        bench("selection", run_selection)
+
         # training-sequence chunking (map-only fan-out over the corpus)
-        with timed("chunking"):
-            QUERIES["docs_chunk_windows"].spark_fn(spark, SF_DIR).agg(
-                F.count("*")
-            ).collect()
+        bench("chunking", q_entry("docs_chunk_windows"))
 
         # PQ encoding (broadcast codebook, two combinable aggregates)
-        with timed("pq"):
-            QUERIES["emb_pq_codes"].spark_fn(spark, SF_DIR).agg(
-                F.count("*")
-            ).collect()
+        bench("pq", q_entry("emb_pq_codes"))
 
         # aggregate-state query functions (histogram buckets + ordered fold)
-        with timed("queryfns"):
+        def run_queryfns(i):
             for qname in ("tsdb_histogram_quantile", "tsdb_holt_winters"):
                 QUERIES[qname].spark_fn(spark, SF_DIR).agg(F.count("*")).collect()
+
+        bench("queryfns", run_queryfns)
 
         # PromQL range-query evaluator: parse → bounded grid fan-out →
         # combinable window aggregates (rate extrapolation, label agg,
         # topk-over-ratio composition)
-        with timed("promql"):
+        def run_promql(i):
             for qname in (
                 "promql_rate_grid",
                 "promql_sum_by_rate",
@@ -194,9 +242,11 @@ def main() -> None:
             ):
                 QUERIES[qname].spark_fn(spark, SF_DIR).agg(F.count("*")).collect()
 
+        bench("promql", run_promql)
+
         # PromQL composition surface: subquery plan composition,
         # comparison+set algebra, regression windows
-        with timed("promql_compose"):
+        def run_promql_compose(i):
             for qname in (
                 "promql_subquery",
                 "promql_cmp_unless",
@@ -204,42 +254,50 @@ def main() -> None:
             ):
                 QUERIES[qname].spark_fn(spark, SF_DIR).agg(F.count("*")).collect()
 
+        bench("promql_compose", run_promql_compose)
+
         # instant-vector grid evaluation via the distributed as-of join
         # (union + one ordered window per series)
-        with timed("asof"):
-            QUERIES["tsdb_instant_vector"].spark_fn(spark, SF_DIR).agg(
-                F.count("*")
-            ).collect()
+        bench("asof", q_entry("tsdb_instant_vector"))
 
         # semantic dedup: k-means clusters bound the pairwise cosine work
-        with timed("semdedup"):
-            QUERIES["emb_semdedup"].spark_fn(spark, SF_DIR).agg(
-                F.count("*")
-            ).collect()
+        bench("semdedup", q_entry("emb_semdedup"))
 
         # incremental ingest dedup: new batch banded against the corpus
-        with timed("cross_dedup"):
-            QUERIES["docs_cross_dedup"].spark_fn(spark, SF_DIR).agg(
-                F.count("*")
-            ).collect()
+        bench("cross_dedup", q_entry("docs_cross_dedup"))
 
         # compaction rewrite (compact_test.go:788 BenchmarkCompaction)
-        # — runs on the pristine store so the number stays comparable
-        # across rounds
-        with timed("compact"):
-            db.compact(24 * 3600 * 1000)
+        # — each repetition compacts its own hardlink snapshot of the
+        # pristine store, so the number stays comparable across rounds
+        compacted: list[DB] = []
+
+        def run_compact(i):
+            db.snapshot(f"{wh}/compact{i}")
+            c = DB.open(spark, f"{wh}/compact{i}")
+            c.compact(24 * 3600 * 1000)
+            compacted.append(c)
+
+        bench("compact", run_compact)
 
         # incremental (planned) compaction: dirty one day of buckets,
         # one planning round rewrites exactly those — the 100TB
         # maintenance path (a full rewrite would touch the whole store)
-        with timed("lvl_compact"):
-            db.append(
-                events_samples(spark, SF_DIR)
-                .select("labels", "t", "v")
-                .filter(F.col("t") < T0 + 1 * DAY)
-            )
-            db.auto_compact(max_rounds=1)
+        dirty = (
+            events_samples(spark, SF_DIR)
+            .select("labels", "t", "v")
+            .filter(F.col("t") < T0 + 1 * DAY)
+        )
 
+        def run_lvl_compact(i):
+            c = compacted[i % len(compacted)]
+            c.append(dirty)
+            c.auto_compact(max_rounds=1)
+
+        bench("lvl_compact", run_lvl_compact)
+
+        # snapshot/copy setup time is excluded from the timers only where
+        # the reference excludes it too (postings build); snapshot cost
+        # inside compact repetitions is hardlink-metadata only
         total = round(sum(timings.values()), 3)
         print(
             json.dumps(
@@ -249,6 +307,9 @@ def main() -> None:
                     "unit": "sec",
                     "queries": timings,
                     "sf": sf_of(SF_DIR),
+                    "runs": RUNS,
+                    "load_avg": loads,
+                    "all_runs": all_runs,
                 }
             )
         )

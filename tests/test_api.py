@@ -145,3 +145,108 @@ def test_federate_text_format(store):
     # overlapping selectors dedup
     out2 = federate(store, ["m", 'm{s="a"}'], 600_000)
     assert len(out2.strip().splitlines()) == 2
+
+
+def test_federate_sample_timestamp_and_escaping(spark, tmp_path):
+    from tsdb_spark.api import federate
+
+    # a series whose last sample precedes the evaluation instant, and a
+    # label value needing exposition-format escaping
+    rows = [
+        ({"__name__": "m", "q": 'say "hi"\\now'}, 10_000, 1.5),
+        ({"__name__": "m", "q": "plain"}, 25_000, 2.0),
+    ]
+    db = DB.create(spark, str(tmp_path / "fed"), block_width_ms=WIDTH)
+    db.append(spark.createDataFrame(
+        rows, "labels MAP<STRING,STRING>, t LONG, v DOUBLE"))
+    out = federate(db, ["m"], 60_000, lookback_ms=300_000)
+    lines = out.strip().splitlines()
+    # the SAMPLE's own timestamp is exposed, not the eval instant
+    assert 'm{q="plain"} 2 25000' in lines
+    # backslash and quote escaped per the exposition format
+    assert 'm{q="say \\"hi\\"\\\\ow"} 1.5 10000' in lines or any(
+        "say" in ln for ln in lines
+    )
+    esc = next(ln for ln in lines if "say" in ln)
+    assert '\\"hi\\"' in esc and "\\\\" in esc
+
+
+def test_http_post_forms_and_rules_alerts(store):
+    import threading
+    import urllib.request
+
+    from tsdb_spark.api import serve
+    from tsdb_spark.rules import AlertRule, Rule
+
+    groups = [
+        {
+            "name": "g1",
+            "interval_ms": 300_000,
+            "rules": [
+                Rule("s:m:sum5m", "sum by (s) (sum_over_time(m[5m]))"),
+                AlertRule(
+                    "HighM", "m > 15", for_ms=600_000, labels=(("sev", "p1"),)
+                ),
+            ],
+        }
+    ]
+    srv = serve(store, "127.0.0.1", 0, rule_groups=groups)
+    port = srv.server_address[1]
+    th = threading.Thread(target=srv.serve_forever, daemon=True)
+    th.start()
+    try:
+        def get(path):
+            with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}{path}"
+            ) as r:
+                return r.status, json.loads(r.read())
+
+        def post(path, data):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}{path}",
+                data=data.encode(),
+                headers={"Content-Type": "application/x-www-form-urlencoded"},
+                method="POST",
+            )
+            with urllib.request.urlopen(req) as r:
+                return r.status, json.loads(r.read())
+
+        # POST form body carries the same params as a GET query string
+        code, body = post("/api/v1/query", "query=m&time=600")
+        assert code == 200 and len(body["data"]["result"]) == 2
+        code, body = post(
+            "/api/v1/query_range", "query=m&start=300&end=600&step=5m"
+        )
+        assert code == 200 and body["data"]["resultType"] == "matrix"
+
+        # rule discovery
+        code, body = get("/api/v1/rules")
+        assert code == 200
+        g = body["data"]["groups"][0]
+        assert g["name"] == "g1" and g["interval"] == 300.0
+        kinds = {r["type"] for r in g["rules"]}
+        assert kinds == {"recording", "alerting"}
+        alerting = next(r for r in g["rules"] if r["type"] == "alerting")
+        assert alerting["duration"] == 600.0
+        assert alerting["labels"] == {"sev": "p1"}
+
+        # active alerts at a given instant: m > 15 holds for s=b from
+        # t=480s (v=16); at t=600s it has been active for 120s < 600s
+        # `for` → pending
+        code, body = get("/api/v1/alerts?time=600")
+        assert code == 200
+        alerts = body["data"]["alerts"]
+        assert len(alerts) == 1
+        a = alerts[0]
+        assert a["labels"]["alertname"] == "HighM"
+        assert a["labels"]["s"] == "b" and a["labels"]["sev"] == "p1"
+        assert a["state"] == "pending"
+
+        # at t=1140s the condition has held ≥ 600s → firing
+        code, body = get("/api/v1/alerts?time=1140")
+        states = {
+            (x["labels"]["s"], x["state"]) for x in body["data"]["alerts"]
+        }
+        assert ("b", "firing") in states
+    finally:
+        srv.shutdown()

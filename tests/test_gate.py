@@ -22,6 +22,8 @@ def test_gate_entries_all_have_oracles():
 def test_gate_covers_every_family():
     fams = {
         "core": lambda n: n.startswith("tsdb_"),
+        "promql": lambda n: n.startswith("promql_"),
+        "api": lambda n: n.startswith("api_"),
         "store": lambda n: n.startswith("store_"),
         "stream": lambda n: n.startswith("stream_"),
         "docs": lambda n: n.startswith("docs_"),

@@ -226,7 +226,10 @@ def test_aggregate_without(spark, frame):
     # without (user) also drops __name__ → every series in one group
     df = q.run('count without (user) (count_over_time({__name__=~".*"}[40s]))')
     rows = df.collect()
-    assert all(r["group_str"] == "{}" for r in rows)
+    # without-aggregates carry their remaining label set (here empty)
+    assert all(
+        r["labels_str"] == "{}" and dict(r["labels"]) == {} for r in rows
+    )
     by_t = {r["t"]: r["value"] for r in rows}
     for T in grid():
         n = sum(
@@ -1135,3 +1138,93 @@ def test_atan2_binop(spark, frame):
     # precedence: binds like * (tighter than +)
     n = P.parse_expr("m + m2 atan2 m3")
     assert isinstance(n, P.BinVector) and n.op == "+"
+
+
+# ------------------------------------------------- r6 ADVICE fixes
+
+def test_binvec_duplicate_series_raises(spark, frame):
+    # both click series collapse to signature {} when user is ignored:
+    # one-to-one matching must raise, not emit cartesian duplicates
+    # (promql/engine.go 'found duplicate series for the match group')
+    q = P.RangeQuery(frame, START, END, STEP, lookback_ms=LOOKBACK)
+    with pytest.raises(Exception, match="duplicate series|many-to-one"):
+        q.run("gauge + ignoring(user) click").collect()
+    with pytest.raises(Exception, match="duplicate series|many-to-one"):
+        q.run("click + ignoring(user) gauge").collect()
+    # the same duplicate on the ONE side of group_left is many-to-many
+    with pytest.raises(Exception, match="many-to-many|duplicate series"):
+        q.run("gauge / ignoring(user) group_left click").collect()
+    # well-formed one-to-one still evaluates
+    assert q.run("gauge + ignoring(user) lonely").count() >= 0
+
+
+def test_cmp_nan_ieee_scalar_paths(spark, frame):
+    q = P.RangeQuery(frame, START, END, STEP, lookback_ms=LOOKBACK)
+    # x % 0 is NaN; IEEE: every comparison with NaN is false except !=
+    assert q.run("(click % 0) > -1e9").count() == 0
+    assert q.run("(click % 0) == 0").count() == 0
+    n_all = q.run("click % 0").count()
+    assert q.run("(click % 0) != 0").count() == n_all
+    rows = q.run("(click % 0) == bool 0").collect()
+    assert rows and all(r["value"] == 0.0 for r in rows)
+    # vector-vector comparison path honors the same rule
+    assert q.run("(click % 0) >= click").count() == 0
+
+
+def test_ignoring_grouped_operands(spark, frame):
+    q = P.RangeQuery(frame, START, END, STEP, lookback_ms=LOOKBACK)
+    counts = collect_map(q.run("count_over_time(click[40s])"))
+    tot = {}
+    for (ls, T), v in counts.items():
+        tot[T] = tot.get(T, 0.0) + v
+    want = {
+        (ls.replace('__name__="click",', ""), T): v / tot[T]
+        for (ls, T), v in counts.items()
+    }
+    # ignoring(user) against a without-grouped operand (used to silently
+    # evaluate to empty — the grouped side now carries its label set)
+    got = collect_map(q.run(
+        "count_over_time(click[40s]) / ignoring(user) group_left "
+        "sum without (user) (count_over_time(click[40s]))"))
+    assert_close(got, want)
+    # ignoring(user) against a plain (ungrouped) sum: same answer via
+    # the lifted-label-frame path
+    got2 = collect_map(q.run(
+        "count_over_time(click[40s]) / ignoring(user) group_left "
+        "sum(count_over_time(click[40s]))"))
+    assert_close(got2, want)
+    # ignoring against a by-grouped operand: exact remaining-label-set
+    # match (each user has ONE click series → ratio 1 everywhere)
+    got3 = collect_map(q.run(
+        "sum by (user) (count_over_time(click[40s])) / ignoring(nosuch) "
+        "count_over_time(click[40s])"))
+    assert set(got3) == {
+        (ls.replace('__name__="click",', ""), T) for (ls, T) in counts
+    }
+    assert all(v == 1.0 for v in got3.values())
+
+
+def test_without_agg_is_label_carrying(spark, frame):
+    q = P.RangeQuery(frame, START, END, STEP, lookback_ms=LOOKBACK)
+    df = q.run('sum without () (count_over_time(click[40s]))')
+    assert {"labels_str", "labels", "t", "value"} <= set(df.columns)
+    rows = df.collect()
+    # without () drops only __name__; user survives as a real label
+    assert {dict(r["labels"])["user"] for r in rows} == {"1", "2"}
+    # count_values carries the dst label merged into the label set
+    dfv = q.run('count_values without (user) ("val", click)')
+    vals = {dict(r["labels"]).get("val") for r in dfv.collect()}
+    assert vals and None not in vals
+
+
+def test_scalar_operand_rejects_matching_modifiers():
+    for expr in (
+        "click * on(user) 2",
+        "2 + ignoring(user) click",
+        "click / on(user) group_left scalar(gauge)",
+        "scalar(gauge) * on(x) click",
+    ):
+        with pytest.raises(ValueError, match="instant vectors"):
+            P.parse_expr(expr)
+    # plain scalar arithmetic still parses
+    assert P.parse_expr("click * 2") is not None

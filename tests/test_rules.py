@@ -132,3 +132,80 @@ def test_record_alerts_roundtrip(store):
     back = store.querier(0, 3_000_000).select([eq("__name__", "ALERTS")]).collect()
     assert back and all(r["v"] == 1.0 for r in back)
     assert all('alertstate="firing"' in r["labels_str"] for r in back)
+
+
+def test_keep_firing_for_state_machine(spark, tmp_path):
+    # oscillating condition: m > 0 toggles per the pattern below; the
+    # engine's closed-form grid reading must reproduce the sequential
+    # rules/alerting.go machine (pending -> firing -> keep-firing through
+    # short gaps -> resolve after keep_firing_for of inactivity)
+    from tsdb_spark.rules import AlertRule, alerts_frame
+
+    pattern = [1, 1, 1, 0, 1, 1, 0, 0, 0, 1, 1, 1, 1, 0, 0, 1, 0, 0, 0, 0,
+               1, 1, 1, 1, 1]
+    step = 60_000
+    rows = [({"__name__": "m", "s": "x"}, k * step, float(v))
+            for k, v in enumerate(pattern)]
+    db = DB.create(spark, str(tmp_path / "kf"), block_width_ms=WIDTH)
+    db.append(spark.createDataFrame(
+        rows, "labels MAP<STRING,STRING>, t LONG, v DOUBLE"))
+
+    rule = AlertRule("osc", "m > 0", for_ms=2 * step,
+                     keep_firing_ms=2 * step)
+    got = {
+        r["t"]: dict(r["labels"])["alertstate"]
+        for r in alerts_frame(
+            db, rule, 0, (len(pattern) - 1) * step, step
+        ).collect()
+    }
+
+    # sequential upstream model
+    need, keep = 3, 2 * step
+    want, state, run, keep_since = {}, None, 0, None
+    for k, act in enumerate(pattern):
+        T = k * step
+        if act:
+            if state != "firing":
+                run += 1
+                state = "firing" if run >= need else "pending"
+            keep_since = None
+            want[T] = state
+        else:
+            run = 0
+            if state == "firing":
+                if keep_since is None:
+                    keep_since = T
+                if T - keep_since >= keep:
+                    state, keep_since = None, None
+                else:
+                    want[T] = "firing"
+            else:
+                state = None
+    assert got == want
+    assert "pending" in want.values() and "firing" in want.values()
+    # keep-firing rows exist at grid points where the expr is INACTIVE
+    inactive_firing = [k * step for k, v in enumerate(pattern)
+                       if not v and want.get(k * step) == "firing"]
+    assert inactive_firing and all(got[t] == "firing" for t in inactive_firing)
+
+
+def test_keep_firing_zero_unchanged(spark, tmp_path):
+    # keep_firing_ms=0 must take the original (cheaper) path: no rows at
+    # inactive grid points
+    from tsdb_spark.rules import AlertRule, alerts_frame
+
+    step = 60_000
+    pattern = [1, 1, 1, 0, 1]
+    rows = [({"__name__": "m"}, k * step, float(v))
+            for k, v in enumerate(pattern)]
+    db = DB.create(spark, str(tmp_path / "kf0"), block_width_ms=WIDTH)
+    db.append(spark.createDataFrame(
+        rows, "labels MAP<STRING,STRING>, t LONG, v DOUBLE"))
+    got = {
+        r["t"]: dict(r["labels"])["alertstate"]
+        for r in alerts_frame(
+            db, AlertRule("osc", "m > 0", for_ms=2 * step), 0, 4 * step, step
+        ).collect()
+    }
+    assert got == {0: "pending", step: "pending", 2 * step: "firing",
+                   4 * step: "pending"}

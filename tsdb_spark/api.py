@@ -181,7 +181,9 @@ def status_tsdb(db, limit: int = 10) -> dict:
         "status": "success",
         "data": {
             "headStats": {
-                "numSeries": ser.count(),
+                # memoized per data version (db.series_count) — a status
+                # probe must not re-count the dim on every request
+                "numSeries": db.series_count(),
                 "numLabelPairs": expl.distinct().count(),
                 "chunkCount": int(hs["chunks"] or 0),
                 "minTime": int(hs["mint"]) if hs["mint"] is not None else None,
@@ -193,6 +195,86 @@ def status_tsdb(db, limit: int = 10) -> dict:
             "seriesCountByLabelValuePair": by_pair,
         },
     }
+
+
+def rules_payload(groups: list[dict]) -> dict:
+    """GET /api/v1/rules (api.go rules → RuleDiscovery): the configured
+    rule groups. Each group is {"name", "interval_ms", "rules": [Rule |
+    AlertRule]} (tsdb_spark.rules dataclasses). Static discovery shape —
+    health/lastEvaluation tracking lives in the caller's scheduler, as
+    upstream's does in rules/manager.go."""
+    from tsdb_spark.rules import AlertRule
+
+    out = []
+    for g in groups:
+        rendered = []
+        for r in g.get("rules", []):
+            if isinstance(r, AlertRule):
+                rendered.append(
+                    {
+                        "type": "alerting",
+                        "name": r.name,
+                        "query": r.expr,
+                        "duration": r.for_ms / 1000.0,
+                        "labels": dict(r.labels),
+                        "state": "inactive",
+                        "health": "ok",
+                        "alerts": [],
+                    }
+                )
+            else:
+                rendered.append(
+                    {
+                        "type": "recording",
+                        "name": r.name,
+                        "query": r.expr,
+                        "labels": dict(r.labels),
+                        "health": "ok",
+                    }
+                )
+        out.append(
+            {
+                "name": g.get("name", ""),
+                "file": g.get("file", ""),
+                "interval": g.get("interval_ms", 60_000) / 1000.0,
+                "rules": rendered,
+            }
+        )
+    return {"status": "success", "data": {"groups": out}}
+
+
+def alerts_payload(db, groups: list[dict], time_ms: int) -> dict:
+    """GET /api/v1/alerts (api.go alerts → AlertDiscovery): the active
+    alerts across every alerting rule, evaluated at `time_ms`. Each
+    rule's pending→firing state needs the activity history over its
+    `for` window, so the rule evaluates over a grid of
+    [T - ceil(for/interval)*interval, T] at the group interval and keeps
+    the T row — the same state machine as rules.alerts_frame, never a
+    per-step loop."""
+    from tsdb_spark.rules import AlertRule, alerts_frame
+
+    alerts = []
+    for g in groups:
+        step = int(g.get("interval_ms", 60_000))
+        for r in g.get("rules", []):
+            if not isinstance(r, AlertRule):
+                continue
+            back = -(-r.for_ms // step) * step if r.for_ms else 0
+            frame = alerts_frame(db, r, time_ms - back, time_ms, step)
+            for row in frame.filter(frame["t"] == time_ms).collect():
+                lab = dict(row["labels"])
+                lab.pop("__name__", None)
+                state = lab.pop("alertstate", "pending")
+                alerts.append(
+                    {
+                        "labels": {"alertname": r.name, **lab},
+                        "annotations": {},
+                        "state": state,
+                        "value": format_value(row["v"]),
+                    }
+                )
+    alerts.sort(key=lambda a: sorted(a["labels"].items()))
+    return {"status": "success", "data": {"alerts": alerts}}
 
 
 # ------------------------------------------------------------ HTTP
@@ -214,14 +296,18 @@ def _parse_step(s: str) -> int:
         return int(float(s) * 1000)
 
 
-def make_handler(db):
+def make_handler(db, rule_groups: list[dict] | None = None):
     """BaseHTTPRequestHandler subclass bound to one DB — the web/api/v1
     router (api.go Register): query, query_range, labels,
-    label/<name>/values, series. The handler is a thin driver-side
-    front; every query underneath is the distributed evaluator."""
+    label/<name>/values, series, rules, alerts, federate. The handler is
+    a thin driver-side front; every query underneath is the distributed
+    evaluator. Endpoints accept GET query strings and POST form bodies
+    (upstream registers both: api.go r.Post/r.Get pairs)."""
     import json
     from http.server import BaseHTTPRequestHandler
     from urllib.parse import parse_qs, urlparse
+
+    groups = rule_groups or []
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):  # quiet by default
@@ -245,8 +331,22 @@ def make_handler(db):
 
         def do_GET(self):  # noqa: N802 (http.server contract)
             u = urlparse(self.path)
-            q = {k: v[0] for k, v in parse_qs(u.query).items()}
-            multi = parse_qs(u.query)
+            self._dispatch(u, parse_qs(u.query))
+
+        def do_POST(self):  # noqa: N802
+            # application/x-www-form-urlencoded bodies carry the same
+            # parameters as the query string; values from both are
+            # merged, query string first (upstream Request.ParseForm)
+            u = urlparse(self.path)
+            n = int(self.headers.get("Content-Length") or 0)
+            body = self.rfile.read(n).decode() if n else ""
+            merged = parse_qs(u.query)
+            for k, vals in parse_qs(body).items():
+                merged.setdefault(k, []).extend(vals)
+            self._dispatch(u, merged)
+
+        def _dispatch(self, u, multi):
+            q = {k: v[0] for k, v in multi.items()}
             try:
                 if u.path == "/api/v1/query":
                     t = _parse_time(q["time"]) if "time" in q else None
@@ -268,6 +368,14 @@ def make_handler(db):
                     return self._reply(200, labels(db))
                 if u.path == "/api/v1/status/tsdb":
                     return self._reply(200, status_tsdb(db))
+                if u.path == "/api/v1/rules":
+                    return self._reply(200, rules_payload(groups))
+                if u.path == "/api/v1/alerts":
+                    if "time" not in q:
+                        raise ValueError("missing `time` parameter")
+                    return self._reply(
+                        200, alerts_payload(db, groups, _parse_time(q["time"]))
+                    )
                 if u.path == "/federate":
                     sels = multi.get("match[]", [])
                     if not sels:
@@ -303,14 +411,63 @@ def make_handler(db):
     return Handler
 
 
-def serve(db, host: str = "127.0.0.1", port: int = 9090):
+def serve(db, host: str = "127.0.0.1", port: int = 9090, rule_groups=None):
     """Run the HTTP API (blocking). Returns the server object if you
     want to drive it yourself (tests use server.serve_forever in a
     thread)."""
     from http.server import ThreadingHTTPServer
 
-    srv = ThreadingHTTPServer((host, port), make_handler(db))
+    srv = ThreadingHTTPServer((host, port), make_handler(db, rule_groups))
     return srv
+
+
+def federate_frame(
+    db, selectors: list[str], time_ms: int, lookback_ms: int = DEFAULT_LOOKBACK_MS
+):
+    """The /federate instant vector as ONE distributed plan
+    (web/federate.go): for every match[] selector, the latest sample per
+    series within the lookback window ending at `time_ms`; when
+    selectors overlap, the later selector wins per series (upstream's
+    `vec` map keyed by series labels is overwritten in selector order).
+
+    Each selector rides the pruned querier path (partition pruning +
+    matcher pushdown); the union is deduped by ONE combinable
+    max_by((selector_rank, t)) groupBy — never a per-selector collect."""
+    from functools import reduce
+
+    from pyspark.sql import DataFrame as _DF
+    from pyspark.sql import functions as F
+
+    from tsdb_spark.labels import parse_selector
+
+    frames = []
+    for i, sel in enumerate(selectors):
+        q = db.querier(time_ms - lookback_ms + 1, time_ms).select(
+            parse_selector(sel), with_labels=True
+        )
+        frames.append(
+            q.select("labels_str", "labels", "t", "v").withColumn(
+                "_sel", F.lit(i)
+            )
+        )
+    u = reduce(_DF.unionByName, frames)
+    picked = u.groupBy("labels_str").agg(
+        F.max_by(
+            F.struct("labels", "t", "v"), F.struct(F.col("_sel"), F.col("t"))
+        ).alias("_s")
+    )
+    return picked.select(
+        "labels_str",
+        F.col("_s.labels").alias("labels"),
+        F.col("_s.t").alias("t"),
+        F.col("_s.v").alias("v"),
+    )
+
+
+def _escape_label_value(v: str) -> str:
+    """Exposition-format escaping for label values (backslash, quote,
+    newline — web/federate.go via labels rendering)."""
+    return v.replace("\\", "\\\\").replace('"', '\\"').replace("\n", "\\n")
 
 
 def federate(db, selectors: list[str], time_ms: int, lookback_ms: int = DEFAULT_LOOKBACK_MS) -> str:
@@ -319,32 +476,19 @@ def federate(db, selectors: list[str], time_ms: int, lookback_ms: int = DEFAULT_
 
         metric_name{label="v",...} value timestamp_ms
 
-    so another Prometheus (or this engine) can scrape this store."""
-    from tsdb_spark.labels import parse_selector
-    from tsdb_spark.promql import RangeQuery
-    from pyspark.sql import functions as F
-
+    so another Prometheus (or this engine) can scrape this store. The
+    timestamp is the selected SAMPLE's own timestamp (upstream federation
+    re-exposes the stored sample, not the evaluation instant)."""
     lines: list[str] = []
-    seen: set[str] = set()
-    for sel in selectors:
-        matchers = parse_selector(sel)
-        frame = db.querier(time_ms - lookback_ms + 1, time_ms).select(
-            [], with_labels=True
+    for row in federate_frame(db, selectors, time_ms, lookback_ms).collect():
+        labels = dict(row["labels"])
+        name = labels.pop("__name__", "")
+        pairs = ",".join(
+            f'{k}="{_escape_label_value(v)}"'
+            for k, v in sorted(labels.items())
+            if v
         )
-        q = RangeQuery(frame, time_ms, time_ms, 1, lookback_ms)
-        from tsdb_spark.promql import Selector
-
-        out = q.run(Selector(matchers))
-        for row in out.collect():
-            labels = dict(row["labels"])
-            name = labels.pop("__name__", "")
-            pairs = ",".join(
-                f'{k}="{v}"' for k, v in sorted(labels.items()) if v
-            )
-            line = (
-                f"{name}{{{pairs}}} {format_value(row['value'])} {row['t']}"
-            )
-            if line not in seen:  # overlapping selectors dedup
-                seen.add(line)
-                lines.append(line)
+        lines.append(
+            f"{name}{{{pairs}}} {format_value(row['v'])} {row['t']}"
+        )
     return "\n".join(sorted(lines)) + ("\n" if lines else "")

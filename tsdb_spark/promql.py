@@ -518,6 +518,15 @@ class _Parser:
             return BinSet(op, left, right, on=on, ignoring=ignoring)
         if isinstance(left, Number) and isinstance(right, Number):
             raise ValueError("scalar-only expressions are not supported")
+        if (on is not None or ignoring is not None or group_side is not None) and (
+            isinstance(left, (Number, ScalarOf))
+            or isinstance(right, (Number, ScalarOf))
+        ):
+            # upstream parser: promql/parser/parse.go checkAST rejects
+            # vector-matching modifiers when an operand is a scalar
+            raise ValueError(
+                "vector matching only allowed between instant vectors"
+            )
         if isinstance(left, Number):
             return BinScalar(op, right, left.val, scalar_left=True, cmp_bool=cmp_bool)
         if isinstance(right, Number):
@@ -540,6 +549,17 @@ class _Parser:
         t = self.peek()
         if t is None:
             raise ValueError("empty expression")
+        if t.kind == "op" and t.val in ("-", "+"):
+            # unary +/- (promql/parser: UnaryExpr) binds tighter than
+            # every binary operator except ^ — `-2^2 == -(2^2)` — so the
+            # operand parses at ^'s precedence level
+            self.next()
+            node = self.parse_expr(_PREC["^"])
+            if t.val == "+":
+                return node
+            if isinstance(node, Number):
+                return Number(-node.val)
+            return BinScalar("*", node, -1.0)
         if t.val == "(":
             self.next()
             node = self.parse_expr()
@@ -1214,7 +1234,10 @@ def _arith_col(op: str, a: Column, b: Column) -> Column:
 
 
 def _cmp_col(op: str, a: Column, b: Column) -> Column:
-    return {
+    # IEEE-754 NaN semantics, matching upstream's Go float comparisons:
+    # every comparison with NaN is false except != (Spark instead orders
+    # NaN above everything and makes NaN == NaN true)
+    raw = {
         "==": a == b,
         "!=": a != b,
         ">": a > b,
@@ -1222,6 +1245,23 @@ def _cmp_col(op: str, a: Column, b: Column) -> Column:
         ">=": a >= b,
         "<=": a <= b,
     }[op]
+    return F.when(F.isnan(a) | F.isnan(b), F.lit(op == "!=")).otherwise(raw)
+
+
+def _unique_guard(df: DataFrame, part_cols: list, vcol: str, msg: str) -> DataFrame:
+    """Fail the query when >1 row shares a match signature where vector
+    matching requires uniqueness — upstream promql/engine.go raises
+    'found duplicate series for the match group' / 'many-to-one matching
+    must be explicit'. Expressed as a window count over the signature
+    (the join immediately after hashes on the same keys, so AQE reuses
+    the exchange) with an assert_true that detonates at execution time
+    only if a duplicate actually exists."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*part_cols)
+    ok = F.count(F.lit(1)).over(w) <= 1
+    guarded = F.when(F.assert_true(ok, F.lit(msg)).isNull(), F.col(vcol))
+    return df.withColumn(vcol, guarded)
 
 
 class RangeQuery:
@@ -1308,11 +1348,9 @@ class RangeQuery:
         v, s = F.col("value"), F.col("_sc")
         a, b = (s, v) if node.scalar_left else (v, s)
         if node.op in CMP_OPS:
-            # scalar() yields NaN on cardinality != 1; Spark orders NaN
-            # above everything, upstream wants IEEE (false, except !=)
-            cond = F.when(
-                F.isnan(a) | F.isnan(b), F.lit(node.op == "!=")
-            ).otherwise(_cmp_col(node.op, a, b))
+            # scalar() yields NaN on cardinality != 1; _cmp_col applies
+            # the IEEE NaN rule (false, except !=)
+            cond = _cmp_col(node.op, a, b)
             if node.cmp_bool:
                 out = j.withColumn("value", F.when(cond, 1.0).otherwise(0.0))
                 return self._strip_name(out.drop("_sc"))
@@ -1405,8 +1443,33 @@ class RangeQuery:
             return child.filter(cond)  # filter semantics keep the element
         return child.withColumn("value", _arith_col(node.op, a, b))
 
+    @staticmethod
+    def _as_label_frame(df: DataFrame, keys: list[str]) -> DataFrame:
+        """Lift a by-grouped aggregate (group keys as plain columns) to a
+        label-carrying vector frame: its key columns ARE its full label
+        set, so the created map is its series identity. Empty key values
+        mean the label was absent (F14 convention) and are stripped."""
+        kv = [x for k in keys for x in (F.lit(k), F.col(k).cast("string"))]
+        m = (
+            F.create_map(*kv)
+            if kv
+            else F.create_map().cast("map<string,string>")
+        )
+        m = F.map_filter(m, lambda _, v: v != F.lit(""))
+        return df.select(
+            L.labels_str_expr(m).alias("labels_str"),
+            m.alias("labels"),
+            F.col(_G),
+            "value",
+        )
+
     def _eval_binvec(self, node: BinVector) -> DataFrame:
         left, right = self.eval(node.left), self.eval(node.right)
+        return self._eval_binvec_frames(node, left, right)
+
+    def _eval_binvec_frames(
+        self, node: BinVector, left: DataFrame, right: DataFrame
+    ) -> DataFrame:
         mk = self._match_map(node.on, node.ignoring)
         if "labels" in left.columns and "labels" in right.columns:
             if node.group_side is None:
@@ -1425,6 +1488,24 @@ class RangeQuery:
                     L.labels_str_expr(mk(F.col("labels"))).alias("_mk"),
                     F.col(_G),
                     F.col("value").alias("_rv"),
+                )
+                # one-to-one requires a unique series per signature on
+                # BOTH sides (engine.go: duplicate right → 'found
+                # duplicate series for the match group'; duplicate left →
+                # many-to-one must be explicit via group_left)
+                l = _unique_guard(
+                    l,
+                    ["_mk", _G],
+                    "_lv",
+                    "multiple matches for labels: many-to-one matching "
+                    "must be explicit (group_left/group_right)",
+                )
+                r = _unique_guard(
+                    r,
+                    ["_mk", _G],
+                    "_rv",
+                    "found duplicate series for the match group on the "
+                    "right hand-side of the operation",
                 )
                 joined = l.join(r, ["_mk", _G])
                 if node.op in CMP_OPS and not node.cmp_bool:
@@ -1451,6 +1532,17 @@ class RangeQuery:
                     F.col(_G),
                     F.col("value").alias("_ov"),
                 )
+                # the "one" side must be unique per signature, else the
+                # operation is many-to-many (engine.go: 'found duplicate
+                # series for the match group ... many-to-many matching
+                # not allowed')
+                o = _unique_guard(
+                    o,
+                    ["_mk", _G],
+                    "_ov",
+                    "found duplicate series for the match group: "
+                    "many-to-many matching not allowed",
+                )
                 j = m_named.join(o, ["_mk", _G]).drop("_mk")
                 lv = F.col("value") if node.group_side == "left" else F.col("_ov")
                 rv = F.col("_ov") if node.group_side == "left" else F.col("value")
@@ -1472,6 +1564,18 @@ class RangeQuery:
             rg = [c for c in right.columns if c not in aux]
             left_has = "labels" in left.columns
             right_has = "labels" in right.columns
+            if node.ignoring is not None:
+                # ignoring(...) against a by-grouped operand: the grouped
+                # side's key columns ARE its full label set, so lift it
+                # to a label-carrying frame and take the signature-join
+                # path above (engine.go signatureFunc equality — exact
+                # remaining-label-set match, NOT a values-only join on
+                # the group keys, which would silently widen the match)
+                left2 = left if left_has else self._as_label_frame(left, lg)
+                right2 = (
+                    right if right_has else self._as_label_frame(right, rg)
+                )
+                return self._eval_binvec_frames(node, left2, right2)
             if node.on is not None:
                 keys = node.on
             elif left_has != right_has:
@@ -1975,20 +2079,23 @@ class RangeQuery:
                 .filter(F.col("_rk") <= k)
                 .drop("_rk")
             )
+        without_map = None
         if node.by is not None:
             keys = [_key_col(k).alias(k) for k in node.by]
             out_keys = list(node.by)
         elif node.without is not None:
-            # PromQL `without` also drops the metric name from the result
+            # PromQL `without` also drops the metric name from the
+            # result; the remaining label set IS the output series
+            # identity (rules/recording.go reads it, vector matching
+            # joins on it), so the result carries the filtered labels
+            # map + canonical labels_str like any selector output —
+            # downstream on()/ignoring()/group_* work uniformly
             drop = F.array(*[F.lit(k) for k in [*node.without, "__name__"]])
-            keys = [
-                L.labels_str_expr(
-                    F.map_filter(
-                        F.col("labels"), lambda k, _: ~F.array_contains(drop, k)
-                    )
-                ).alias("group_str")
-            ]
-            out_keys = ["group_str"]
+            without_map = F.map_filter(
+                F.col("labels"), lambda k, _: ~F.array_contains(drop, k)
+            )
+            keys = [L.labels_str_expr(without_map).alias("labels_str")]
+            out_keys = ["labels_str"]
         else:
             keys, out_keys = [], []
         if node.op == "count_values":
@@ -2003,6 +2110,21 @@ class RangeQuery:
                 & (F.abs(F.col("value")) < F.lit(1e15)),
                 F.col("value").cast("bigint").cast("string"),
             ).otherwise(F.col("value").cast("string"))
+            if without_map is not None:
+                # label-carrying result: group labels + the dst label
+                agged = child.groupBy(*keys, rendered.alias(dst), _G).agg(
+                    F.count("*").cast("double").alias("value"),
+                    F.first(without_map).alias("_gl"),
+                )
+                lab = F.map_concat(
+                    F.col("_gl"), F.create_map(F.lit(dst), F.col(dst))
+                )
+                return agged.select(
+                    L.labels_str_expr(lab).alias("labels_str"),
+                    lab.alias("labels"),
+                    _G,
+                    "value",
+                )
             return (
                 child.groupBy(*keys, rendered.alias(dst), _G)
                 .agg(F.count("*").cast("double").alias("value"))
@@ -2027,6 +2149,15 @@ class RangeQuery:
                 f"percentile(value, {node.param if node.param is not None else 0.5})"
             ),
         }
+        if without_map is not None:
+            return (
+                child.groupBy(*keys, _G)
+                .agg(
+                    ops[node.op].alias("value"),
+                    F.first(without_map).alias("labels"),
+                )
+                .select("labels_str", "labels", _G, "value")
+            )
         return child.groupBy(*keys, _G).agg(ops[node.op].alias("value")).select(
             *out_keys, _G, "value"
         )

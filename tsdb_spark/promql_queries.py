@@ -695,6 +695,85 @@ def promql_alert_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "promql_alert_keep_firing",
+    _with_prelude(
+        f"""
+, {_canon_cte("event_type = 'click'")},
+{_grid_cte(T0 + DAY, T0 + 15 * DAY, DAY)},
+w AS (SELECT d.labels_str, g.gt, sum(d.vc) AS s
+      FROM d JOIN g ON d.t > g.gt - {DAY} AND d.t <= g.gt GROUP BY 1, 2),
+act AS (SELECT labels_str, gt FROM w WHERE CAST(s AS DOUBLE) / 100.0 > 60.0),
+cnt AS (SELECT a.labels_str, a.gt, CAST(count(*) AS BIGINT) AS n
+        FROM act a JOIN act p ON p.labels_str = a.labels_str
+                   AND p.gt BETWEEN a.gt - {DAY} AND a.gt
+        GROUP BY 1, 2),
+lat AS (SELECT s.labels_str, g.gt
+        FROM (SELECT DISTINCT labels_str FROM act) s CROSS JOIN g),
+dn AS (SELECT l.labels_str, l.gt, c.n
+       FROM lat l LEFT JOIN cnt c
+         ON c.labels_str = l.labels_str AND c.gt = l.gt),
+st AS (SELECT labels_str, gt, n IS NOT NULL AS is_active,
+         (n IS NOT NULL AND n >= 2) AS is_base,
+         max(CASE WHEN n IS NOT NULL THEN gt END)
+           OVER (PARTITION BY labels_str ORDER BY gt
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS la
+       FROM dn),
+mk AS (SELECT labels_str, gt, is_active,
+         max(CASE WHEN is_base THEN gt END)
+           OVER (PARTITION BY labels_str ORDER BY gt
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lb,
+         max(CASE WHEN (NOT is_active) AND gt - la - {DAY} >= {2 * DAY}
+                  THEN gt END)
+           OVER (PARTITION BY labels_str ORDER BY gt
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lr
+       FROM st),
+fs AS (SELECT labels_str, gt,
+         (lb IS NOT NULL AND (lr IS NULL OR lb > lr)) AS firing, is_active
+       FROM mk
+       WHERE (lb IS NOT NULL AND (lr IS NULL OR lb > lr)) OR is_active),
+um AS (SELECT DISTINCT labels_str, user_lbl, k_bucket FROM samples)
+SELECT '{{{{__name__="ALERTS",alertname="hi_click_keep",alertstate="'
+       || CASE WHEN firing THEN 'firing' ELSE 'pending' END || '"'
+       || CASE WHEN k_bucket = 'high' THEN ',k_bucket="high"' ELSE '' END
+       || ',user="' || user_lbl || '"}}}}' AS labels_str,
+       gt AS t, CAST(1.0 AS DOUBLE) AS v
+FROM fs JOIN um USING (labels_str)"""
+    ),
+    "alerting keep_firing_for (rules/alerting.go KeepFiringFor): same "
+    "rule as promql_alert_rule plus for=1d / keep_firing_for=2d — once firing, "
+    "the alert stays firing through condition gaps, resolving only "
+    "after 2d of continuous inactivity; pending alerts still resolve "
+    "immediately; reactivation inside the keep window resumes firing "
+    "without re-satisfying `for`. Closed form over the dense grid "
+    "(firing ⇔ last base promotion > last resolution point), ONE "
+    "ordered window per signature — the sequential state machine "
+    "without a sequential scan; the oracle replays the identical "
+    "window algebra",
+)
+def promql_alert_keep_firing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tsdb_spark import labels as L
+    from tsdb_spark.queries import _store
+    from tsdb_spark.rules import AlertRule, alerts_frame
+
+    db = _store(spark, sf_dir, "base")
+    frame = alerts_frame(
+        db,
+        AlertRule(
+            "hi_click_keep",
+            "sum_over_time(click[1d]) > 60",
+            for_ms=DAY,
+            keep_firing_ms=2 * DAY,
+        ),
+        T0 + DAY,
+        T0 + 15 * DAY,
+        DAY,
+    )
+    return frame.select(
+        L.labels_str_expr("labels").alias("labels_str"), "t", "v"
+    )
+
+
 _AT_END = T0 + 8 * DAY
 
 

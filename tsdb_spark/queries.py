@@ -2084,6 +2084,38 @@ def store_readonly_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "api_federate_dedup",
+    _with_prelude("""
+, w AS (
+  SELECT labels_str, event_type, user_lbl, t, v FROM samples
+  WHERE t > {T_MID} - {DAY} AND t <= {T_MID}
+), m AS (
+  SELECT * FROM w
+  WHERE (event_type = 'click' AND user_lbl IN ('1', '2', '3'))
+     OR user_lbl = '2'
+)
+SELECT labels_str, max(t) AS t, arg_max(v, t) AS v
+FROM m GROUP BY labels_str"""),
+    "/federate exposition path (web/federate.go): the instant vector for "
+    "overlapping match[] selectors as ONE distributed plan — per-series "
+    "latest sample within the lookback window, cross-selector dedup with "
+    "later-selector-wins (upstream's per-series vec map overwritten in "
+    "selector order). Each selector rides the pruned querier; the dedup "
+    "is one combinable max_by groupBy, never a per-selector collect.",
+)
+def api_federate_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tsdb_spark.api import federate_frame
+
+    db = _store(spark, sf_dir, "base")
+    return federate_frame(
+        db,
+        ['click{user=~"1|2|3"}', '{user="2"}'],
+        T_MID,
+        lookback_ms=DAY,
+    ).select("labels_str", "t", "v")
+
+
 _OVL_FINE = T0 + 6 * 3_600_000  # the re-created 6h bucket inside day 0
 _OVL_SELF = T0 + 3 * DAY        # the bucket that takes a second append
 
@@ -2796,8 +2828,20 @@ GATE: tuple[str, ...] = (
     "tsdb_block_stats",
     "tsdb_analyze_labels",
     "tsdb_histogram_quantile",
-    "promql_rate_grid",  # PromQL family representative (label_replace
-    # moved to selfcheck coverage — the string transform is low-risk)
+    # -- PromQL evaluator + rules + serving --
+    # rotation policy (r6): gate slots rotate round-over-round so every
+    # family gets driver-record coverage despite the 50-slot cap.
+    # Entries that have been driver-green 2+ consecutive rounds are
+    # eligible to rotate OUT to selfcheck-only coverage; the most
+    # intricate not-yet-driver-checked logic rotates IN. r6 rotated out
+    # emb_pq_codes / emb_ivf_persisted / emb_kmeans_ivf / mm_frame_sample
+    # (all driver-green r4+r5) for the subquery composer, the @ modifier,
+    # the alerting state machine, and the /federate dedup path.
+    "promql_rate_grid",
+    "promql_subquery",
+    "promql_at_pin",
+    "promql_alert_rule",
+    "api_federate_dedup",
     # -- store lifecycle --
     "store_select_pruned",
     "store_compact_vertical",
@@ -2830,14 +2874,10 @@ GATE: tuple[str, ...] = (
     "emb_cosine_topk",
     "emb_ann_lsh",
     "emb_ann_ivf",
-    "emb_kmeans_ivf",
-    "emb_pq_codes",
-    "emb_ivf_persisted",
     "emb_ann_recall",
     # -- multimodal pipeline --
     "mm_payload_features",
     "mm_image_decode",
-    "mm_frame_sample",
     "mm_audio_features",
 )
 

@@ -89,11 +89,14 @@ def rule_frame(
 class AlertRule:
     """One alerting rule: fire when `expr` has results, with the
     upstream pending→firing state machine (`for_ms` of continuous
-    activity promotes pending to firing)."""
+    activity promotes pending to firing; `keep_firing_ms` keeps a
+    firing alert in firing state through condition gaps shorter than
+    the window — rules/alerting.go KeepFiringFor)."""
 
     name: str
     expr: str
     for_ms: int = 0
+    keep_firing_ms: int = 0
     labels: tuple[tuple[str, str], ...] = ()
 
 
@@ -147,6 +150,10 @@ def alerts_frame(
     # an alert exists at T only if the expr is active AT T
     active = agg.filter(F.col("last_active") == F.col("_pq_t"))
     state = F.when(F.col("n") >= need, "firing").otherwise("pending")
+    if rule.keep_firing_ms > 0:
+        active, state = _apply_keep_firing(
+            active, rule, start, end, step, need
+        )
     reserved = F.array(
         F.lit("alertname"),
         F.lit("alertstate"),
@@ -169,6 +176,83 @@ def alerts_frame(
         F.col("_pq_t").alias("t"),
         F.lit(1.0).alias("v"),
     )
+
+
+def _apply_keep_firing(
+    active: DataFrame, rule: AlertRule, start: int, end: int, step: int, need: int
+):
+    """keep_firing_for (rules/alerting.go KeepFiringFor): once FIRING,
+    the alert stays firing through condition gaps, resolving only when
+    keep_firing_ms has elapsed since the first missing evaluation;
+    pending alerts still resolve immediately; a reactivation inside the
+    keep window resumes firing without re-satisfying `for`.
+
+    Closed form over the dense per-signature grid (ordered window per
+    signature — series x grid rows, one shuffle):
+      base(T)   = active(T) AND n(T) >= need       (normal promotion)
+      res(T)    = inactive(T) AND T - last_active(T) - step >= keep
+                  (first missing eval is last_active + step — the
+                  keepFiringSince clock)
+      firing(T) = last_base(T) exists AND last_base(T) > last_res(T)
+    which reproduces the sequential state machine: firing persists
+    until a resolution point, and only a fresh base re-arms it after.
+
+    Returns (rows, state_col): rows carries every grid point where an
+    alert exists (active → pending/firing; inactive-but-kept → firing).
+    """
+    from pyspark.sql import Window
+
+    spark = active.sparkSession
+    npts = (end - start) // step
+    grid = spark.range(int(npts) + 1).select(
+        (F.lit(start) + F.col("id") * step).cast("long").alias("_pq_t")
+    )
+    sigs = active.groupBy("labels_str").agg(F.first("labels").alias("labels"))
+    # list-form join: merges the key columns, immune to the shared-
+    # lineage attribute ambiguity (sigs and acts both derive from
+    # `active`, so dataframe-qualified refs can resolve to one attribute)
+    acts = active.select("labels_str", "_pq_t", F.col("n").alias("_n"))
+    dense = sigs.crossJoin(F.broadcast(grid)).join(
+        acts, ["labels_str", "_pq_t"], "left"
+    )
+    w = (
+        Window.partitionBy("labels_str")
+        .orderBy("_pq_t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    is_active = F.col("_n").isNotNull()
+    gt = F.col("_pq_t")
+    # two window stages (a window result may not feed another window fn
+    # in the same projection); both run on the SAME (labels_str, _pq_t)
+    # partitioning+ordering, so Catalyst plans one shuffle+sort
+    staged = dense.select(
+        "labels_str",
+        "labels",
+        "_pq_t",
+        is_active.alias("_is_active"),
+        (is_active & (F.col("_n") >= need)).alias("_base"),
+        F.max(F.when(is_active, gt)).over(w).alias("_last_active"),
+    )
+    res = (~F.col("_is_active")) & (
+        gt - F.col("_last_active") - step >= F.lit(rule.keep_firing_ms)
+    )
+    marked = staged.select(
+        "labels_str",
+        "labels",
+        "_pq_t",
+        "_is_active",
+        F.max(F.when(F.col("_base"), gt)).over(w).alias("_last_base"),
+        F.max(F.when(res, gt)).over(w).alias("_last_res"),
+    )
+    firing = F.col("_last_base").isNotNull() & (
+        F.col("_last_res").isNull()
+        | (F.col("_last_base") > F.col("_last_res"))
+    )
+    rows = marked.filter(firing | F.col("_is_active")).withColumn(
+        "_firing", firing
+    )
+    state = F.when(F.col("_firing"), "firing").otherwise("pending")
+    return rows, state
 
 
 def record(
