@@ -1,0 +1,161 @@
+"""Native (exponential-bucket) histograms: construction, the
+histogram_count/sum/avg/quantile/fraction functions vs a direct Python
+model of promql/quantile.go, and the evaluator integration."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from tsdb_spark import labels as L
+from tsdb_spark import promql as P
+from tsdb_spark.nativehist import build_histograms
+
+STEP = 10_000
+
+
+@pytest.fixture(scope="module")
+def hist_frame(spark):
+    # two series, values spread over exponential buckets; window 10s
+    rows = []
+    vals = {
+        "a": [0.7, 1.5, 3.0, 3.5, 9.9, 0.0, 2.0, 4.0],
+        "b": [16.0, 20.0, 31.9, 64.0],
+    }
+    for s, vs in vals.items():
+        for i, v in enumerate(vs):
+            rows.append(({"__name__": "lat", "s": s}, 1_000 + i * 1_000, v))
+    df = spark.createDataFrame(
+        rows, "labels MAP<STRING,STRING>, t LONG, v DOUBLE"
+    ).withColumn("labels_str", L.labels_str_expr("labels"))
+    return build_histograms(df, STEP)
+
+
+def model_hist(vs, schema=0):
+    buckets = {}
+    zero = 0
+    for v in vs:
+        if v <= 0:
+            zero += 1
+        else:
+            idx = math.ceil(math.log2(v) * 2 ** schema)
+            buckets[idx] = buckets.get(idx, 0) + 1
+    return zero, dict(sorted(buckets.items()))
+
+
+def model_quantile(phi, zero, buckets, schema=0):
+    total = zero + sum(buckets.values())
+    if total == 0:
+        return float("nan")
+    rank = phi * total
+    if zero > 0 and rank <= zero:
+        return 0.0
+    cum = zero
+    for idx, c in sorted(buckets.items()):
+        if cum + c >= rank:
+            lo = 2.0 ** ((idx - 1) / 2 ** schema)
+            hi = 2.0 ** (idx / 2 ** schema)
+            return lo + (hi - lo) * (rank - cum) / c
+        cum += c
+    return float("nan")
+
+
+def test_build_histograms(hist_frame):
+    rows = {dict(r["labels"])["s"]: r for r in hist_frame.collect()}
+    assert set(rows) == {"a", "b"}
+    ha = rows["a"]["h"]
+    assert ha["count"] == 8.0 and ha["zero_count"] == 1.0
+    assert abs(ha["sum"] - sum([0.7, 1.5, 3.0, 3.5, 9.9, 0.0, 2.0, 4.0])) < 1e-9
+    got = {b["idx"]: b["c"] for b in ha["buckets"]}
+    zero, want = model_hist([0.7, 1.5, 3.0, 3.5, 9.9, 0.0, 2.0, 4.0])
+    assert got == want and zero == 1
+    # histogram stamped at the window END boundary
+    assert rows["a"]["t"] == 10_000
+
+
+@pytest.mark.parametrize("phi", [0.0, 0.1, 0.5, 0.9, 0.99, 1.0])
+def test_native_quantile_matches_model(spark, hist_frame, phi):
+    q = P.RangeQuery(hist_frame.withColumn("v", F.lit(0.0)),
+                     10_000, 10_000, STEP)
+    got = {
+        dict(r["labels"])["s"]: r["value"]
+        for r in q.run(f"histogram_quantile({phi}, lat)").collect()
+    }
+    vals = {
+        "a": [0.7, 1.5, 3.0, 3.5, 9.9, 0.0, 2.0, 4.0],
+        "b": [16.0, 20.0, 31.9, 64.0],
+    }
+    for s, vs in vals.items():
+        zero, buckets = model_hist(vs)
+        want = model_quantile(phi, zero, buckets)
+        assert math.isclose(got[s], want, rel_tol=1e-12), (s, got[s], want)
+
+
+def test_native_count_sum_avg_fraction(spark, hist_frame):
+    frame = hist_frame.withColumn("v", F.lit(0.0))
+    q = P.RangeQuery(frame, 10_000, 10_000, STEP)
+
+    def one(expr):
+        return {
+            dict(r["labels"])["s"]: r["value"] for r in q.run(expr).collect()
+        }
+
+    cnt = one("histogram_count(lat)")
+    assert cnt == {"a": 8.0, "b": 4.0}
+    sm = one("histogram_sum(lat)")
+    assert abs(sm["b"] - (16.0 + 20.0 + 31.9 + 64.0)) < 1e-9
+    avg = one("histogram_avg(lat)")
+    assert math.isclose(avg["b"], sm["b"] / 4.0, rel_tol=1e-12)
+    # fraction in [16, 32]: bucket (16,32] wholly inside except the
+    # point 16 itself sits in bucket (8,16] — interpolated overlap 0
+    fr = one("histogram_fraction(16, 32, lat)")
+    # b buckets: (8,16]:1, (16,32]:2, (32,64]:1 → inside = 2 (the
+    # (16,32] bucket) + 0 from (8,16] (zero-width overlap at 16)
+    assert math.isclose(fr["b"], 2.0 / 4.0, rel_tol=1e-12)
+    # the result labels drop __name__ (value-transform rule)
+    rows = q.run("histogram_count(lat)").collect()
+    assert all("__name__" not in dict(r["labels"]) for r in rows)
+
+
+def test_native_quantile_edges(spark, hist_frame):
+    frame = hist_frame.withColumn("v", F.lit(0.0))
+    q = P.RangeQuery(frame, 10_000, 10_000, STEP)
+    hi = q.run("histogram_quantile(1.5, lat)").collect()
+    assert all(math.isinf(r["value"]) and r["value"] > 0 for r in hi)
+    lo = q.run("histogram_quantile(-0.5, lat)").collect()
+    assert all(math.isinf(r["value"]) and r["value"] < 0 for r in lo)
+
+
+def test_parse_and_errors(spark, hist_frame):
+    n = P.parse_expr("histogram_fraction(0.5, 2, lat)")
+    assert isinstance(n, P.HistFn) and n.lo == 0.5 and n.hi == 2.0
+    n = P.parse_expr("histogram_count(lat)")
+    assert isinstance(n, P.HistFn) and n.fn == "histogram_count"
+    assert P.required_reach("histogram_count(lat offset 5m)", 60_000) == 360_000
+    # a float-only frame must reject native functions
+    frame = hist_frame.select("labels_str", "labels", "t").withColumn(
+        "v", F.lit(1.0)
+    )
+    q = P.RangeQuery(frame, 10_000, 10_000, STEP)
+    with pytest.raises(ValueError, match="native-histogram frame"):
+        q.run("histogram_count(lat)")
+    with pytest.raises(ValueError, match="instant selector"):
+        P.RangeQuery(
+            frame.withColumn("h", F.lit(None).cast("int")), 10_000, 10_000, STEP
+        ).run("histogram_count(rate(lat[1m]))")
+
+
+def test_native_offset_and_at(spark, hist_frame):
+    frame = hist_frame.withColumn("v", F.lit(0.0))
+    # offset: evaluate 10s later with offset 10s == direct at 10s
+    q2 = P.RangeQuery(frame, 20_000, 20_000, STEP)
+    off = {
+        dict(r["labels"])["s"]: r["value"]
+        for r in q2.run("histogram_count(lat offset 10s)").collect()
+    }
+    assert off == {"a": 8.0, "b": 4.0}
+    # @ pin to an absolute instant fans the constant across the grid
+    q3 = P.RangeQuery(frame, 20_000, 40_000, STEP)
+    rows = q3.run("histogram_count(lat @ 10)").collect()
+    assert {r["t"] for r in rows} == {20_000, 30_000, 40_000}
+    assert all(r["value"] in (8.0, 4.0) for r in rows)

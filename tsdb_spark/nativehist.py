@@ -1,0 +1,217 @@
+"""Native (exponential-bucket) histograms — the prometheus 3.x sample
+type the reference's float64-only chunk model cannot hold
+(chunkenc/chunk.go:59-64 knows only (t, float64); native histograms
+live in chunkenc/histogram.go upstream). Here a histogram sample is an
+optional STRUCT column `h` beside the float `v`:
+
+    h: STRUCT<count DOUBLE, sum DOUBLE, zero_count DOUBLE,
+              schema INT, buckets ARRAY<STRUCT<idx INT, c DOUBLE>>>
+
+with the upstream standard exponential mapping: at `schema` s, bucket
+`idx` covers (base^(idx-1), base^idx] where base = 2^(2^-s)
+(model/histogram/generic.go getBound). Simplifications vs upstream,
+documented as the supported subset:
+
+- positive buckets only; samples <= 0 land in the zero bucket with
+  zero_threshold == 0 (so rank-in-zero-bucket quantiles return 0);
+- no counter-reset hints / no float-vs-int distinction (counts are
+  DOUBLE, as upstream's float histograms);
+- no span encoding: buckets are a sorted sparse (idx, count) array —
+  the columnar analog of upstream's span+delta layout, which exists to
+  compress the WIRE format; Parquet already delta/dict-encodes arrays.
+
+Everything below is pure Column algebra (no UDFs): construction is two
+map-side-combinable groupBys; the quantile is one `aggregate` fold over
+the (short) bucket array inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+HIST_TYPE = (
+    "STRUCT<count: DOUBLE, sum: DOUBLE, zero_count: DOUBLE, "
+    "schema: INT, buckets: ARRAY<STRUCT<idx: INT, c: DOUBLE>>>"
+)
+
+
+def bucket_idx(v: Column, schema: int = 0) -> Column:
+    """Exponential bucket index of a positive value: the smallest idx
+    with v <= base^idx, i.e. ceil(log2(v) * 2^schema)
+    (model/histogram/generic.go mapToIndex)."""
+    return F.ceil(F.log2(v) * F.lit(float(2 ** schema))).cast("int")
+
+
+def bucket_upper(idx: Column, schema: int = 0) -> Column:
+    """Upper bound base^idx = 2^(idx / 2^schema)."""
+    return F.pow(F.lit(2.0), idx.cast("double") / F.lit(float(2 ** schema)))
+
+
+def int_bucket_idx(v: Column) -> Column:
+    """Schema-0 bucket index for POSITIVE INTEGER-VALUED samples via
+    exact integer arithmetic: ceil(log2(c)) == len(bin(c-1)) for c > 1.
+    Float log2 is correctly-rounded-ish but engine-specific at exact
+    powers of two (ulp flips change the bucket); oracle-paired entries
+    use this instead so Spark and the SQL oracle bucket identically."""
+    c = v.cast("long")
+    return F.when(c <= 1, F.lit(0)).otherwise(
+        F.length(F.bin(c - 1)).cast("int")
+    )
+
+
+def build_histograms(
+    samples: DataFrame, width_ms: int, schema: int = 0, idx_expr=None
+) -> DataFrame:
+    """Aggregate raw float samples (labels_str, labels, t, v) into one
+    native-histogram sample per (series, window): the window
+    [W, W+width) is stamped at its END boundary t = W+width (the
+    scrape-at-window-close reading). Two combinable groupBys: values →
+    per-bucket counts → per-histogram struct; nothing leaves the JVM.
+    `idx_expr` overrides the bucket-index expression (e.g.
+    int_bucket_idx for exact cross-engine bucketing of integer values).
+    """
+    idx = F.when(
+        F.col("v") > 0,
+        idx_expr if idx_expr is not None else bucket_idx(F.col("v"), schema),
+    )
+    per_bucket = (
+        samples.withColumn(
+            "_th",
+            (F.col("t") - F.pmod(F.col("t"), F.lit(width_ms)) + width_ms).cast(
+                "long"
+            ),
+        )
+        .withColumn("_idx", idx)
+        .groupBy("labels_str", "_th", "_idx")
+        .agg(
+            F.first("labels").alias("labels"),
+            F.count("*").cast("double").alias("_c"),
+            F.sum("v").alias("_s"),
+        )
+    )
+    return (
+        per_bucket.groupBy("labels_str", "_th")
+        .agg(
+            F.first("labels").alias("labels"),
+            F.sum("_c").alias("_count"),
+            F.sum("_s").alias("_sum"),
+            F.sum(F.when(F.col("_idx").isNull(), F.col("_c")).otherwise(0.0)).alias(
+                "_zero"
+            ),
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        F.col("_idx").isNotNull(),
+                        F.struct(
+                            F.col("_idx").alias("idx"), F.col("_c").alias("c")
+                        ),
+                    )
+                )
+            ).alias("_buckets"),
+        )
+        .select(
+            "labels_str",
+            "labels",
+            F.col("_th").alias("t"),
+            F.struct(
+                F.col("_count").alias("count"),
+                F.col("_sum").alias("sum"),
+                F.col("_zero").alias("zero_count"),
+                F.lit(schema).alias("schema"),
+                F.col("_buckets").alias("buckets"),
+            ).cast(HIST_TYPE).alias("h"),
+        )
+    )
+
+
+def hist_count(h: Column) -> Column:
+    """histogram_count(v) — promql/functions.go funcHistogramCount."""
+    return h.getField("count")
+
+
+def hist_sum(h: Column) -> Column:
+    """histogram_sum(v) — funcHistogramSum."""
+    return h.getField("sum")
+
+
+def hist_avg(h: Column) -> Column:
+    """histogram_avg(v) = sum/count — funcHistogramAvg."""
+    return h.getField("sum") / h.getField("count")
+
+
+def hist_quantile(phi: float, h: Column) -> Column:
+    """Native histogram_quantile(phi, v) — promql/quantile.go
+    histogramQuantile: rank = phi * count walks the cumulative buckets
+    (zero bucket first), then linear interpolation between the found
+    bucket's bounds. phi < 0 → -Inf, phi > 1 → +Inf (upstream edge
+    rules); rank inside the zero bucket → 0 (zero_threshold == 0 in
+    this engine's subset). One `aggregate` fold over the sorted sparse
+    bucket array — short, data-independent, codegen'd."""
+    if phi < 0:
+        return F.lit(float("-inf"))
+    if phi > 1:
+        return F.lit(float("inf"))
+    count = h.getField("count")
+    zero = h.getField("zero_count")
+    sch = h.getField("schema")
+    rank = F.lit(float(phi)) * count
+    two_pow_schema = F.pow(F.lit(2.0), sch.cast("double"))
+
+    def upper(idx):
+        return F.pow(F.lit(2.0), idx.cast("double") / two_pow_schema)
+
+    init = F.struct(
+        zero.alias("cum"),
+        F.when((zero > 0) & (rank <= zero), 0.0).alias("q"),
+    )
+
+    def step(acc, b):
+        cum2 = acc.getField("cum") + b.getField("c")
+        lo = upper(b.getField("idx") - 1)
+        hi = upper(b.getField("idx"))
+        interp = lo + (hi - lo) * (rank - acc.getField("cum")) / b.getField("c")
+        return F.when(acc.getField("q").isNotNull(), acc).otherwise(
+            F.struct(
+                cum2.alias("cum"),
+                F.when(cum2 >= rank, interp).alias("q"),
+            )
+        )
+
+    folded = F.aggregate(h.getField("buckets"), init, step)
+    # phi == 0 with an empty zero bucket: upstream returns the lower
+    # bound of the lowest populated bucket; the fold lands there with
+    # rank 0 → interp == lo, so only the all-empty histogram needs the
+    # NaN fallback
+    return F.when(count > 0, folded.getField("q")).otherwise(
+        F.lit(float("nan"))
+    )
+
+
+def hist_fraction(lo: float, hi: float, h: Column) -> Column:
+    """histogram_fraction(lo, hi, v) — the estimated fraction of
+    observations in [lo, hi] (promql/quantile.go histogramFraction),
+    positive-bucket subset: per bucket, the linearly-interpolated
+    overlap of [lo, hi] with the bucket's bounds, plus the zero bucket
+    when lo <= 0."""
+    count = h.getField("count")
+    zero = h.getField("zero_count")
+    sch = h.getField("schema")
+    two_pow_schema = F.pow(F.lit(2.0), sch.cast("double"))
+
+    def upper(idx):
+        return F.pow(F.lit(2.0), idx.cast("double") / two_pow_schema)
+
+    lo_c, hi_c = F.lit(float(lo)), F.lit(float(hi))
+
+    def step(acc, b):
+        bl = upper(b.getField("idx") - 1)
+        bh = upper(b.getField("idx"))
+        ov_lo = F.greatest(bl, lo_c)
+        ov_hi = F.least(bh, hi_c)
+        frac = F.greatest(F.lit(0.0), (ov_hi - ov_lo) / (bh - bl))
+        return acc + b.getField("c") * F.least(F.lit(1.0), frac)
+
+    inside = F.aggregate(h.getField("buckets"), F.lit(0.0), step)
+    inside = inside + F.when((lo_c <= 0) & (hi_c >= 0), zero).otherwise(0.0)
+    return F.when(count > 0, inside / count).otherwise(F.lit(float("nan")))

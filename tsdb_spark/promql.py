@@ -303,6 +303,22 @@ class HistQuantile:
     child: object
 
 
+@dataclass(frozen=True)
+class HistFn:
+    """Native-histogram functions over an `h`-carrying frame
+    (nativehist.py): histogram_count/sum/avg (funcHistogramCount/Sum/
+    Avg), histogram_fraction(lo, hi, e), and the native dispatch of
+    histogram_quantile (fn == "quantile", φ in `lo`). The child must be
+    an instant selector — native histogram samples don't flow through
+    float arithmetic, matching upstream's histogram-vs-float sample
+    split."""
+
+    fn: str
+    child: object
+    lo: float = 0.0
+    hi: float = 0.0
+
+
 @dataclass
 class Absent:
     """absent(v) / absent_over_time(m[r]): 1 at grid points where the
@@ -577,6 +593,10 @@ class _Parser:
             or t.val
             in (
                 "histogram_quantile",
+                "histogram_count",
+                "histogram_sum",
+                "histogram_avg",
+                "histogram_fraction",
                 "absent",
                 "absent_over_time",
                 "label_replace",
@@ -687,6 +707,18 @@ class _Parser:
             child = self.parse_expr()
             self.expect(")")
             return HistQuantile(phi, child)
+        if fn in ("histogram_count", "histogram_sum", "histogram_avg"):
+            child = self.parse_expr()
+            self.expect(")")
+            return HistFn(fn, child)
+        if fn == "histogram_fraction":
+            lo = self._next_num()
+            self.expect(",")
+            hi = self._next_num()
+            self.expect(",")
+            child = self.parse_expr()
+            self.expect(")")
+            return HistFn(fn, child, lo=lo, hi=hi)
         if fn in ("label_replace", "label_join"):
             child = self.parse_expr()
             strs: list[str] = []
@@ -1302,6 +1334,8 @@ class RangeQuery:
             return self._eval_valuefn(node)
         if isinstance(node, LabelTransform):
             return self._eval_labeltx(node)
+        if isinstance(node, HistFn):
+            return self._eval_histfn(node)
         if isinstance(node, HistQuantile):
             return self._eval_histq(node)
         if isinstance(node, Absent):
@@ -1921,7 +1955,73 @@ class RangeQuery:
         # NULL in Spark — filtered, not emitted as NaN (documented)
         return child.withColumn("value", out).filter(F.col("value").isNotNull())
 
+    def _eval_histfn(self, node: HistFn) -> DataFrame:
+        """Native-histogram instant evaluation: latest `h` per series in
+        the lookback window per grid point (ONE bounded fan-out + ONE
+        combinable max_by groupBy — the same two-shuffle skeleton as the
+        float instant path), then the pure-Column transform from
+        nativehist.py. Requires the frame's optional `h` struct column
+        (unique per (series, t), the build_histograms contract)."""
+        from tsdb_spark import nativehist as NH
+
+        if "h" not in self.frame.columns:
+            raise ValueError(
+                f"{node.fn} needs a native-histogram frame (h column); "
+                "build one with nativehist.build_histograms"
+            )
+        sel = node.child
+        if not isinstance(sel, Selector) or sel.range_ms is not None:
+            raise ValueError(
+                "native histogram functions take an instant selector"
+            )
+        if sel.at_ms is not None:
+            return self._pinned(
+                sel.at_ms, replace(node, child=replace(sel, at_ms=None))
+            )
+        reach = self.lookback_ms
+        off = sel.offset_ms
+        base = (
+            self.frame.filter(L.compile_matchers(sel.matchers))
+            .filter(F.col("h").isNotNull())
+            .filter(
+                (F.col("t") >= self.start - reach + 1 - off)
+                & (F.col("t") <= self.end - off)
+            )
+            .select(
+                "labels_str",
+                "labels",
+                (F.col("t") + off).alias("t"),
+                "h",
+            )
+        )
+        cells = _grid_explode(base, self.start, self.end, self.step, reach)
+        agg = cells.groupBy("labels_str", _G).agg(
+            F.first("labels").alias("labels"),
+            F.max_by("h", "t").alias("h"),
+        )
+        val = {
+            "histogram_count": NH.hist_count,
+            "histogram_sum": NH.hist_sum,
+            "histogram_avg": NH.hist_avg,
+            "quantile": lambda h: NH.hist_quantile(node.lo, h),
+            "histogram_fraction": lambda h: NH.hist_fraction(
+                node.lo, node.hi, h
+            ),
+        }[node.fn](F.col("h"))
+        out = agg.withColumn("value", val).drop("h")
+        return self._strip_name(out).select(
+            "labels_str", "labels", _G, "value"
+        )
+
     def _eval_histq(self, node: HistQuantile) -> DataFrame:
+        # native dispatch: an h-carrying frame + plain selector child →
+        # the exponential-bucket estimator (upstream evaluates native
+        # histogram samples through histogramQuantile, float samples
+        # through bucketQuantile — here the frame shape picks the path)
+        if "h" in self.frame.columns and isinstance(node.child, Selector):
+            return self._eval_histfn(
+                HistFn("quantile", node.child, lo=node.phi)
+            )
         child = self.eval(node.child)
         if "labels" not in child.columns:
             raise ValueError("histogram_quantile needs a le-labeled vector")
@@ -2233,7 +2333,7 @@ def required_reach(node, lookback_ms: int = DEFAULT_LOOKBACK_MS) -> int:
         )
     if isinstance(
         node,
-        (Aggregate, BinScalar, ValueFn, HistQuantile, LabelTransform, Sort, ScalarOf),
+        (Aggregate, BinScalar, ValueFn, HistQuantile, HistFn, LabelTransform, Sort, ScalarOf),
     ):
         return required_reach(node.child, lookback_ms)
     if isinstance(node, (BinVector, BinSet)):
@@ -2280,8 +2380,8 @@ def scan_bounds(
             return (min(a[0], b[0]), max(a[1], b[1]))
         if isinstance(
             n,
-            (Aggregate, BinScalar, ValueFn, HistQuantile, LabelTransform, Sort,
-             ScalarOf),
+            (Aggregate, BinScalar, ValueFn, HistQuantile, HistFn, LabelTransform,
+             Sort, ScalarOf),
         ):
             return walk(n.child, lo, hi)
         if isinstance(n, (BinVector, BinSet)):

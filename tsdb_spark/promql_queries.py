@@ -696,6 +696,86 @@ def promql_alert_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "promql_native_hist",
+    _with_prelude(
+        f"""
+, c AS (SELECT labels_str, t, round(v * 100) AS cv FROM samples
+        WHERE event_type = 'click'),
+hb AS (SELECT labels_str, t - (t % {DAY}) + {DAY} AS th, cv,
+         CASE WHEN cv > 0 THEN (CASE WHEN CAST(cv AS BIGINT) <= 1 THEN 0
+              ELSE CAST(length(bin(CAST(cv AS BIGINT) - 1)) AS INT) END)
+         END AS idx
+       FROM c),
+bk AS (SELECT labels_str, th, idx, CAST(count(*) AS DOUBLE) AS cnt,
+         sum(cv) AS sv
+       FROM hb GROUP BY 1, 2, 3),
+h AS (SELECT labels_str, th, sum(cnt) AS hcount, sum(sv) AS hsum,
+        sum(CASE WHEN idx IS NULL THEN cnt ELSE 0.0 END) AS zero
+      FROM bk GROUP BY 1, 2),
+cm AS (SELECT labels_str, th, idx, cnt,
+        sum(cnt) OVER (PARTITION BY labels_str, th ORDER BY idx
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumc
+       FROM bk WHERE idx IS NOT NULL),
+j AS (SELECT cm.*, h.hcount, h.zero, 0.9 * h.hcount AS rnk
+      FROM cm JOIN h USING (labels_str, th)),
+pk AS (SELECT labels_str, th, min(idx) AS pidx
+       FROM j WHERE zero + cumc >= rnk GROUP BY 1, 2),
+iq AS (SELECT j.labels_str, j.th,
+         pow(2.0, j.idx - 1) + (pow(2.0, j.idx) - pow(2.0, j.idx - 1))
+           * (j.rnk - (j.zero + j.cumc - j.cnt)) / j.cnt AS qi
+       FROM j JOIN pk ON pk.labels_str = j.labels_str AND pk.th = j.th
+                     AND j.idx = pk.pidx),
+qv AS (SELECT h.labels_str, h.th,
+         CASE WHEN h.zero > 0 AND 0.9 * h.hcount <= h.zero THEN 0.0
+              ELSE iq.qi END AS q90,
+         h.hcount AS cnt, h.hsum / 100.0 AS sm
+       FROM h LEFT JOIN iq ON iq.labels_str = h.labels_str
+                          AND iq.th = h.th),
+um AS (SELECT DISTINCT labels_str, user_lbl, k_bucket FROM samples)
+SELECT '{{{{' || CASE WHEN k_bucket = 'high' THEN 'k_bucket="high",' ELSE '' END
+       || 'user="' || user_lbl || '"}}}}' AS labels_str,
+       th AS t, round(q90, 9) AS q90, cnt, round(sm, 9) AS sm
+FROM qv JOIN um USING (labels_str)
+WHERE th BETWEEN {T0 + DAY} AND {T0 + 15 * DAY}"""
+    ),
+    "native (exponential-bucket) histograms — the prometheus 3.x sample "
+    "type the reference's float64-only chunks lack (chunkenc/chunk.go:"
+    "59-64; histograms live in chunkenc/histogram.go upstream): daily "
+    "schema-0 histograms built from click centi-values (two combinable "
+    "groupBys, nativehist.build_histograms), then histogram_quantile(0.9)"
+    " / histogram_count / histogram_sum evaluated on the daily grid "
+    "(promql/quantile.go histogramQuantile rank walk + linear bucket "
+    "interpolation as a codegen'd aggregate fold — no UDF). Bucket "
+    "indices use exact integer bit-length math so Spark and the oracle "
+    "bucket identically; sums stay on integer-valued doubles (exact)",
+)
+def promql_native_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tsdb_spark import labels as L
+    from tsdb_spark.nativehist import build_histograms, int_bucket_idx
+    from tsdb_spark.promql import RangeQuery
+
+    s = (
+        events_samples(spark, sf_dir)
+        .filter(L.compile_matchers([L.eq("__name__", "click")]))
+        .withColumn("v", F.round(F.col("v") * 100))
+    )
+    hf = build_histograms(s, DAY, idx_expr=int_bucket_idx(F.col("v")))
+    q = RangeQuery(hf, T0 + DAY, T0 + 15 * DAY, DAY, lookback_ms=DAY)
+    a = q.run("histogram_quantile(0.9, click)").select(
+        "labels_str", "t", F.round("value", 9).alias("q90")
+    )
+    b = q.run("histogram_count(click)").select(
+        "labels_str", "t", F.col("value").alias("cnt")
+    )
+    c = q.run("histogram_sum(click)").select(
+        "labels_str",
+        "t",
+        F.round(F.col("value") / 100.0, 9).alias("sm"),
+    )
+    return a.join(b, ["labels_str", "t"]).join(c, ["labels_str", "t"])
+
+
+@register(
     "promql_alert_keep_firing",
     _with_prelude(
         f"""
