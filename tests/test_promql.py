@@ -1228,3 +1228,56 @@ def test_scalar_operand_rejects_matching_modifiers():
             P.parse_expr(expr)
     # plain scalar arithmetic still parses
     assert P.parse_expr("click * 2") is not None
+
+
+def test_info_function(spark, frame):
+    # enrich click/gauge with target_info data labels via identifying
+    # label `job` (user relabeled to job); lonely has no matching info
+    # series and passes through unchanged
+    rows = []
+    for job, tier in (("1", "gold"), ("2", "silver")):
+        rows.append(({"__name__": "target_info", "job": job, "tier": tier},
+                     5_000, 1.0))
+    info_df = spark.createDataFrame(
+        rows, "labels MAP<STRING,STRING>, t LONG, v DOUBLE")
+    from tsdb_spark import labels as L
+
+    full = frame.unionByName(
+        info_df.withColumn("labels_str", L.labels_str_expr("labels")))
+    # LOOKBACK window: info samples at 5s reach grid points < 14s only;
+    # give every grid point an info sample by widening lookback
+    q = P.RangeQuery(full, START, END, STEP, lookback_ms=40_000)
+    base = 'label_replace(click, "job", "$1", "user", "(.+)")'
+    got = q.run(f"info({base})").collect()
+    assert got
+    for r in got:
+        lab = dict(r["labels"])
+        assert lab["tier"] == ("gold" if lab["job"] == "1" else "silver")
+        assert lab["user"] == lab["job"]  # original labels intact
+    # values identical to the un-enriched vector
+    plain = {(dict(r["labels"])["user"], r["t"]): r["value"]
+             for r in q.run(base).collect()}
+    enr = {(dict(r["labels"])["user"], r["t"]): r["value"] for r in got}
+    assert enr == plain
+    # no matching info series → sample passes through unchanged
+    got_l = q.run('info(lonely)').collect()
+    assert got_l and all("tier" not in dict(r["labels"]) for r in got_l)
+    # data-label selector: info series that don't match are skipped —
+    # their samples pass through un-enriched (promql/info.go)
+    got_f = q.run(f'info({base}, {{tier="gold"}})').collect()
+    by_job = {}
+    for r in got_f:
+        lab = dict(r["labels"])
+        by_job.setdefault(lab["job"], set()).add(lab.get("tier"))
+    assert by_job["1"] == {"gold"} and by_job["2"] == {None}
+    # v's own labels are never overwritten
+    rows2 = [({"__name__": "target_info", "job": "1", "user": "X"},
+              5_000, 1.0)]
+    full2 = frame.unionByName(
+        spark.createDataFrame(
+            rows2, "labels MAP<STRING,STRING>, t LONG, v DOUBLE"
+        ).withColumn("labels_str", L.labels_str_expr("labels")))
+    q2 = P.RangeQuery(full2, START, END, STEP, lookback_ms=40_000)
+    got2 = q2.run(f"info({base})").collect()
+    assert all(dict(r["labels"])["user"] == dict(r["labels"])["job"]
+               for r in got2)

@@ -304,6 +304,18 @@ class HistQuantile:
 
 
 @dataclass(frozen=True)
+class Info:
+    """info(v[, {data-label-selector}]) — promql/info.go (prometheus
+    3.x, promql-experimental-functions): enrich v's series with the
+    data labels of `target_info` series sharing the identifying labels
+    (instance, job). Samples with no matching info series pass through
+    unchanged; data labels never overwrite labels v already carries."""
+
+    child: object
+    matchers: tuple = ()
+
+
+@dataclass(frozen=True)
 class HistFn:
     """Native-histogram functions over an `h`-carrying frame
     (nativehist.py): histogram_count/sum/avg (funcHistogramCount/Sum/
@@ -597,6 +609,7 @@ class _Parser:
                 "histogram_sum",
                 "histogram_avg",
                 "histogram_fraction",
+                "info",
                 "absent",
                 "absent_over_time",
                 "label_replace",
@@ -707,6 +720,20 @@ class _Parser:
             child = self.parse_expr()
             self.expect(")")
             return HistQuantile(phi, child)
+        if fn == "info":
+            child = self.parse_expr()
+            ms: list = []
+            t = self.peek()
+            if t is not None and t.val == ",":
+                self.next()
+                s = self.next()
+                if s.kind != "brace":
+                    raise ValueError(
+                        "info() takes a {label-selector} second argument"
+                    )
+                ms = L.parse_selector(s.val)
+            self.expect(")")
+            return Info(child, tuple(ms))
         if fn in ("histogram_count", "histogram_sum", "histogram_avg"):
             child = self.parse_expr()
             self.expect(")")
@@ -1336,6 +1363,8 @@ class RangeQuery:
             return self._eval_labeltx(node)
         if isinstance(node, HistFn):
             return self._eval_histfn(node)
+        if isinstance(node, Info):
+            return self._eval_info(node)
         if isinstance(node, HistQuantile):
             return self._eval_histq(node)
         if isinstance(node, Absent):
@@ -2013,6 +2042,67 @@ class RangeQuery:
             "labels_str", "labels", _G, "value"
         )
 
+    #: info()'s identifying labels (promql/info.go defaultIdentifyingLabels)
+    INFO_IDENT = ("instance", "job")
+
+    def _eval_info(self, node: Info) -> DataFrame:
+        """info(): ONE equi-join on (identifying labels, T) against the
+        broadcast `target_info` instant vector — info metrics are
+        dim-scale (one series per scrape target), so the enrich never
+        shuffles the main vector."""
+        child = self.eval(node.child)
+        if "labels" not in child.columns:
+            raise ValueError("info() needs a label-carrying vector")
+        info = self._eval_instant(Selector([L.eq("__name__", "target_info")]))
+        if node.matchers:
+            info = info.filter(L.compile_matchers(list(node.matchers)))
+        drop = F.array(
+            F.lit("__name__"), *[F.lit(k) for k in self.INFO_IDENT]
+        )
+        data = F.map_filter(
+            F.col("labels"), lambda k, _: ~F.array_contains(drop, k)
+        )
+        if node.matchers:
+            # a data-label selector also SELECTS which data labels are
+            # added (promql/info.go: labels named by the selector)
+            keep = F.array(*[F.lit(m.name) for m in node.matchers])
+            data = F.map_filter(data, lambda k, _: F.array_contains(keep, k))
+        ikeys = [f"_i_{k}" for k in self.INFO_IDENT]
+
+        def ident_cols():
+            return [
+                F.coalesce(F.col("labels").getItem(k), F.lit("")).alias(a)
+                for k, a in zip(self.INFO_IDENT, ikeys)
+            ]
+
+        inf = info.select(*ident_cols(), F.col(_G), data.alias("_data"))
+        # >1 info series per identifying signature would make the added
+        # labels ambiguous — upstream errors (info.go "conflicting")
+        inf = _unique_guard(
+            inf,
+            [*ikeys, _G],
+            "_data",
+            "info(): multiple matching info series for an identifying "
+            "label set",
+        )
+        c2 = child.select(
+            "labels_str", "labels", F.col(_G), "value", *ident_cols()
+        )
+        j = c2.join(F.broadcast(inf), [*ikeys, _G], "left").drop(*ikeys)
+        empty = F.create_map().cast("map<string,string>")
+        add = F.map_filter(
+            F.coalesce(F.col("_data"), empty),
+            # v's own labels always win — never overwritten
+            lambda k, _: ~F.map_contains_key(F.col("labels"), k),
+        )
+        lab = F.map_concat(F.col("labels"), add)
+        return j.select(
+            L.labels_str_expr(lab).alias("labels_str"),
+            lab.alias("labels"),
+            F.col(_G),
+            "value",
+        )
+
     def _eval_histq(self, node: HistQuantile) -> DataFrame:
         # native dispatch: an h-carrying frame + plain selector child →
         # the exponential-bucket estimator (upstream evaluates native
@@ -2331,9 +2421,12 @@ def required_reach(node, lookback_ms: int = DEFAULT_LOOKBACK_MS) -> int:
             required_reach(node.child, lookback_ms),
             required_reach(node.scalar, lookback_ms),
         )
+    if isinstance(node, Info):
+        # info() also reads the target_info instant vector (lookback)
+        return max(required_reach(node.child, lookback_ms), lookback_ms)
     if isinstance(
         node,
-        (Aggregate, BinScalar, ValueFn, HistQuantile, HistFn, LabelTransform, Sort, ScalarOf),
+        (Aggregate, BinScalar, ValueFn, HistQuantile, HistFn, Info, LabelTransform, Sort, ScalarOf),
     ):
         return required_reach(node.child, lookback_ms)
     if isinstance(node, (BinVector, BinSet)):
@@ -2378,10 +2471,16 @@ def scan_bounds(
             if a is None or b is None:
                 return a if b is None else b
             return (min(a[0], b[0]), max(a[1], b[1]))
+        if isinstance(n, Info):
+            a = walk(n.child, lo, hi)
+            b = (lo - lookback_ms + 1, hi)  # the target_info scan
+            if a is None:
+                return b
+            return (min(a[0], b[0]), max(a[1], b[1]))
         if isinstance(
             n,
-            (Aggregate, BinScalar, ValueFn, HistQuantile, HistFn, LabelTransform,
-             Sort, ScalarOf),
+            (Aggregate, BinScalar, ValueFn, HistQuantile, HistFn, Info,
+             LabelTransform, Sort, ScalarOf),
         ):
             return walk(n.child, lo, hi)
         if isinstance(n, (BinVector, BinSet)):

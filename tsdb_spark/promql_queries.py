@@ -696,6 +696,63 @@ def promql_alert_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "promql_info_join",
+    _with_prelude(
+        f"""
+, {_canon_cte("event_type = 'click'")},
+{_grid_cte(T0 + DAY, T0 + 8 * DAY, DAY)},
+w AS (SELECT d.labels_str, g.gt, max_by(d.vc, d.t) AS vc
+      FROM d JOIN g ON d.t > g.gt - {DAY} AND d.t <= g.gt GROUP BY 1, 2),
+um AS (SELECT DISTINCT labels_str, user_lbl, k_bucket FROM samples)
+SELECT '{{{{__name__="click",job="' || user_lbl || '"'
+       || CASE WHEN k_bucket = 'high' THEN ',k_bucket="high"' ELSE '' END
+       || ',tier="'
+       || CASE WHEN CAST(user_lbl AS INT) % 2 = 0 THEN 'even' ELSE 'odd' END
+       || '",user="' || user_lbl || '"}}}}' AS labels_str,
+       gt AS t, vc / 100.0 AS value
+FROM w JOIN um USING (labels_str)"""
+    ),
+    "PromQL 3.x info() (promql/info.go, promql-experimental-functions): "
+    "`info(label_replace(click, 'job', '$1', 'user', '(.+)'))` enriches "
+    "each sample with the data labels of the `target_info` series "
+    "sharing its identifying labels (job here; target_info synthesized "
+    "per user with a parity `tier` label). Engine plan: ONE equi-join "
+    "on (identifying labels, T) against the BROADCAST info instant "
+    "vector — info metrics are dim-scale, the main vector never "
+    "reshuffles",
+)
+def promql_info_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tsdb_spark import labels as L
+    from tsdb_spark.promql import RangeQuery
+
+    s = events_samples(spark, sf_dir)
+    users = s.select(F.col("labels").getItem("user").alias("u")).distinct()
+    days = spark.range(16).select(
+        (F.lit(T0) + F.col("id") * DAY).cast("long").alias("t")
+    )
+    tier = F.when(F.col("u").cast("int") % 2 == 0, F.lit("even")).otherwise(
+        F.lit("odd")
+    )
+    info = users.crossJoin(F.broadcast(days)).select(
+        F.create_map(
+            F.lit("__name__"), F.lit("target_info"),
+            F.lit("job"), F.col("u"),
+            F.lit("tier"), tier,
+        ).alias("labels"),
+        "t",
+        F.lit(1.0).alias("v"),
+    )
+    frame = s.select("labels", "labels_str", "t", "v").unionByName(
+        info.withColumn("labels_str", L.labels_str_expr("labels"))
+    )
+    q = RangeQuery(frame, T0 + DAY, T0 + 8 * DAY, DAY, lookback_ms=DAY)
+    out = q.run(
+        'info(label_replace({__name__="click"}, "job", "$1", "user", "(.+)"))'
+    )
+    return out.select("labels_str", "t", "value")
+
+
+@register(
     "promql_native_hist",
     _with_prelude(
         f"""
