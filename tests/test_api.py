@@ -250,3 +250,53 @@ def test_http_post_forms_and_rules_alerts(store):
         assert ("b", "firing") in states
     finally:
         srv.shutdown()
+
+
+def test_parse_format_metadata_buildinfo(store):
+    import threading
+    import urllib.request
+
+    from tsdb_spark.api import serve
+
+    srv = serve(store, "127.0.0.1", 0)
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        def get(path):
+            with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}{path}"
+            ) as r:
+                return r.status, json.loads(r.read())
+
+        from urllib.parse import quote
+
+        expr = "sum by (s) (rate(m[5m]))"
+        code, body = get(f"/api/v1/parse_query?query={quote(expr)}")
+        assert code == 200
+        assert body["data"]["type"] == "Aggregate"
+        assert body["data"]["child"]["type"] == "FuncCall"
+
+        code, body = get(f"/api/v1/format_query?query={quote(expr)}")
+        assert code == 200
+        # fixed point: formatting the formatted string is stable
+        code2, body2 = get(
+            f"/api/v1/format_query?query={quote(body['data'])}"
+        )
+        assert body2["data"] == body["data"]
+
+        code, body = get("/api/v1/metadata")
+        assert code == 200 and body["data"] == {"m": []}
+
+        code, body = get("/api/v1/status/buildinfo")
+        assert code == 200 and body["data"]["application"] == "tsdb-spark"
+
+        # a bad expression is a 400, not a 500
+        import urllib.error
+
+        try:
+            get("/api/v1/parse_query?query=rate(m)")
+            raise AssertionError("expected HTTP 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        srv.shutdown()

@@ -1281,3 +1281,57 @@ def test_info_function(spark, frame):
     got2 = q2.run(f"info({base})").collect()
     assert all(dict(r["labels"])["user"] == dict(r["labels"])["job"]
                for r in got2)
+
+
+def test_render_roundtrip():
+    # parse → render → parse must be a fixed point (the format_query
+    # contract, upstream promql/parser ExprString)
+    exprs = [
+        "rate(click[5m])",
+        'sum by (user) (rate(click{user!="3"}[1h]))',
+        "count without (i, j) (count_over_time(click[40s]))",
+        "topk by (user) (2, rate(click[5m]))",
+        'count_values("lvl", round(click))',
+        "quantile_over_time(0.9, gauge[2m])",
+        "predict_linear(gauge[10m], 300)",
+        "holt_winters(gauge[10m], 0.5, 0.1)",
+        "rate(click[5m] offset 1h)",
+        "click offset -30s",
+        "click @ 25",
+        "count_over_time(click[1d] @ end())",
+        "avg_over_time((sum(rate(click[5m])))[30m:5m])",
+        "avg_over_time((rate(click[1m]))[10m:])",
+        "clamp(gauge, 0, 10)",
+        'label_replace(click, "job", "$1", "user", "(.+)")',
+        'label_join(click, "uid", "-", "user")',
+        "sort_desc(click)",
+        'sort_by_label(click, "user")',
+        "absent(nosuch{job=\"x\"})",
+        "absent_over_time(lonely[12s])",
+        "histogram_quantile(0.9, lat_bucket)",
+        "histogram_count(lat)",
+        "histogram_fraction(16, 32, lat)",
+        "info(click)",
+        'info(click, {tier="gold"})',
+        "scalar(sum(click))",
+        "vector(42)",
+        "hour()",
+        "time()",
+        "click > bool 5",
+        "2 ^ gauge",
+        "click / on (user) group_left sum by (user) (click)",
+        "gauge + ignoring (user) lonely",
+        "click and on (user) gauge",
+        "click unless gauge",
+        "click or gauge",
+        "gauge atan2 2",
+        "-click",
+        "(click % 0) != 0",
+        "scalar(gauge) * click",
+        "sum(rate(click[5m])) / max(gauge offset 1m)",
+    ]
+    for s in exprs:
+        n1 = P.parse_expr(s)
+        rendered = P.render_expr(n1)
+        n2 = P.parse_expr(rendered)
+        assert n1 == n2, (s, rendered)

@@ -47,11 +47,18 @@ def _vector(depth: int):
         base,
         st.tuples(_valuefn, inner).map(lambda t: f"{t[0]}({t[1]})"),
         st.tuples(_agg, inner).map(lambda t: f"{t[0]} by (user) ({t[1]})"),
+        st.tuples(_agg, inner).map(lambda t: f"{t[0]} without () ({t[1]})"),
         st.tuples(inner, st.sampled_from(["+", "*", "-", "atan2", "%"]), _num).map(
             lambda t: f"({t[0]}) {t[1]} {t[2]}"
         ),
+        # NaN-producing arithmetic composed with comparisons (the IEEE
+        # rule: false except !=) and unary negation
+        st.tuples(inner, st.sampled_from([">", "<=", "!="]), _num).map(
+            lambda t: f"(({t[0]}) % 0) {t[1]} bool {t[2]}"
+        ),
+        st.tuples(inner).map(lambda t: f"-({t[0]})"),
         st.tuples(inner, st.sampled_from([">", "<="]), _num).map(
-            lambda t: f"({t[0]}) {t[1]} bool {t[2]}"
+            lambda t: f"({t[0]}) {t[1]} bool -{t[2]}"
         ),
         st.tuples(inner).map(lambda t: f"sort_desc({t[0]})"),
         st.tuples(inner).map(lambda t: f'count_values("cv", {t[0]})'),

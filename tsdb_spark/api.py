@@ -197,6 +197,65 @@ def status_tsdb(db, limit: int = 10) -> dict:
     }
 
 
+def parse_query(expr: str) -> dict:
+    """GET /api/v1/parse_query (api.go parseQuery, prometheus 3.x):
+    the parsed AST as a JSON tree — node dataclasses rendered with
+    their type names, durations in ms as parsed."""
+    import dataclasses
+
+    from tsdb_spark.promql import parse_expr
+
+    def walk(n):
+        if n is None or isinstance(n, (int, float, str, bool)):
+            return n
+        if isinstance(n, (list, tuple)):
+            return [walk(x) for x in n]
+        if dataclasses.is_dataclass(n):
+            out = {"type": type(n).__name__}
+            for f in dataclasses.fields(n):
+                out[f.name] = walk(getattr(n, f.name))
+            return out
+        return str(n)
+
+    return {"status": "success", "data": walk(parse_expr(expr))}
+
+
+def format_query(expr: str) -> dict:
+    """GET /api/v1/format_query (api.go formatQuery): the expression
+    pretty-printed from its AST (promql/parser ExprString analog —
+    promql.render_expr, parse→render→parse fixed point)."""
+    from tsdb_spark.promql import parse_expr, render_expr
+
+    return {"status": "success", "data": render_expr(parse_expr(expr))}
+
+
+def metadata(db) -> dict:
+    """GET /api/v1/metadata (api.go metricMetadata): per-metric
+    metadata. This engine ingests samples, not scrape metadata, so each
+    known metric name maps to an empty list — the shape clients expect
+    when no metadata was scraped."""
+    names = [r[0] for r in db.label_values("__name__").collect()]
+    return {"status": "success", "data": {n: [] for n in sorted(names)}}
+
+
+def buildinfo() -> dict:
+    """GET /api/v1/status/buildinfo (api.go serveBuildInfo)."""
+    import pyspark
+
+    return {
+        "status": "success",
+        "data": {
+            "application": "tsdb-spark",
+            "version": "0.6.0",
+            "features": {
+                "native-histograms": "true",
+                "promql-experimental-functions": "true",
+            },
+            "spark": pyspark.__version__,
+        },
+    }
+
+
 def rules_payload(groups: list[dict]) -> dict:
     """GET /api/v1/rules (api.go rules → RuleDiscovery): the configured
     rule groups. Each group is {"name", "interval_ms", "rules": [Rule |
@@ -368,6 +427,14 @@ def make_handler(db, rule_groups: list[dict] | None = None):
                     return self._reply(200, labels(db))
                 if u.path == "/api/v1/status/tsdb":
                     return self._reply(200, status_tsdb(db))
+                if u.path == "/api/v1/parse_query":
+                    return self._reply(200, parse_query(q["query"]))
+                if u.path == "/api/v1/format_query":
+                    return self._reply(200, format_query(q["query"]))
+                if u.path == "/api/v1/metadata":
+                    return self._reply(200, metadata(db))
+                if u.path == "/api/v1/status/buildinfo":
+                    return self._reply(200, buildinfo())
                 if u.path == "/api/v1/rules":
                     return self._reply(200, rules_payload(groups))
                 if u.path == "/api/v1/alerts":

@@ -925,6 +925,169 @@ def parse_expr(s: str):
     return node
 
 
+def fmt_duration(ms: int) -> str:
+    """Compact PromQL duration rendering (promql/parser ExprString:
+    model.Duration.String) — largest units first, no zero parts."""
+    if ms == 0:
+        return "0s"
+    neg, ms = ms < 0, abs(ms)
+    parts = []
+    for unit, w in (
+        ("w", 604_800_000),
+        ("d", 86_400_000),
+        ("h", 3_600_000),
+        ("m", 60_000),
+        ("s", 1_000),
+        ("ms", 1),
+    ):
+        if ms >= w:
+            n, ms = divmod(ms, w)
+            parts.append(f"{n}{unit}")
+    return ("-" if neg else "") + "".join(parts)
+
+
+def _fmt_num(v) -> str:
+    if isinstance(v, float) and v == int(v) and abs(v) < 1e15:
+        return str(int(v))
+    return repr(v)
+
+
+def render_expr(node) -> str:
+    """Pretty-print a parsed AST back to PromQL text — the
+    /api/v1/format_query surface (upstream promql/parser ExprString).
+    Guarantee: parse_expr(render_expr(parse_expr(s))) == parse_expr(s)
+    (asserted by tests/test_promql.py::test_render_roundtrip)."""
+    R = render_expr
+
+    def esc(v: str) -> str:
+        return v.replace("\\", "\\\\").replace('"', '\\"')
+
+    def at_str(at_ms) -> str:
+        if isinstance(at_ms, str):
+            return f" @ {at_ms}"
+        return f" @ {_fmt_num(at_ms / 1000.0)}"
+
+    def modsfx(n) -> str:
+        s = ""
+        if getattr(n, "offset_ms", 0):
+            s += f" offset {fmt_duration(n.offset_ms)}"
+        if getattr(n, "at_ms", None) is not None:
+            s += at_str(n.at_ms)
+        return s
+
+    def vm(n) -> str:
+        s = ""
+        if getattr(n, "on", None) is not None:
+            s += f" on ({', '.join(n.on)})"
+        elif getattr(n, "ignoring", None) is not None:
+            s += f" ignoring ({', '.join(n.ignoring)})"
+        if getattr(n, "group_side", None) is not None:
+            s += f" group_{n.group_side}"
+        return s
+
+    if isinstance(node, Number):
+        return _fmt_num(node.val)
+    if isinstance(node, Selector):
+        name, ms = "", []
+        for m in node.matchers:
+            if m.name == "__name__" and m.type == "=" and not name:
+                name = m.value
+            else:
+                ms.append(f'{m.name}{m.type}"{esc(m.value)}"')
+        body = name + ("{" + ",".join(ms) + "}" if (ms or not name) else "")
+        if node.range_ms is not None:
+            body += f"[{fmt_duration(node.range_ms)}]"
+        return body + modsfx(node)
+    if isinstance(node, Subquery):
+        step = fmt_duration(node.step_ms) if node.step_ms else ""
+        return (
+            f"({R(node.child)})[{fmt_duration(node.range_ms)}:{step}]"
+            + modsfx(node)
+        )
+    if isinstance(node, FuncCall):
+        if node.fn == "quantile_over_time":
+            return f"{node.fn}({_fmt_num(node.param)}, {R(node.arg)})"
+        if node.fn == "predict_linear":
+            return f"{node.fn}({R(node.arg)}, {_fmt_num(node.param)})"
+        if node.fn in _HOLT_FNS and node.param is not None:
+            sf, tf = node.param
+            return f"{node.fn}({R(node.arg)}, {_fmt_num(sf)}, {_fmt_num(tf)})"
+        return f"{node.fn}({R(node.arg)})"
+    if isinstance(node, ValueFn):
+        args = "".join(f", {_fmt_num(p)}" for p in node.params)
+        return f"{node.fn}({R(node.child)}{args})"
+    if isinstance(node, Aggregate):
+        grp = ""
+        if node.by is not None:
+            grp = f" by ({', '.join(node.by)}) "
+        elif node.without is not None:
+            grp = f" without ({', '.join(node.without)}) "
+        param = ""
+        if node.param is not None:
+            param = (
+                f'"{esc(node.param)}", '
+                if isinstance(node.param, str)
+                else f"{_fmt_num(node.param)}, "
+            )
+        return f"{node.op}{grp}({param}{R(node.child)})"
+    if isinstance(node, TimeFn):
+        if node.fn == "vector":
+            return f"vector({_fmt_num(node.scalar)})"
+        if node.child is None:
+            return f"{node.fn}()"
+        return f"{node.fn}({R(node.child)})"
+    if isinstance(node, ScalarOf):
+        return f"scalar({R(node.child)})"
+    if isinstance(node, Absent):
+        if node.sel.range_ms is not None:
+            return f"absent_over_time({R(node.sel)})"
+        return f"absent({R(node.sel)})"
+    if isinstance(node, HistQuantile):
+        return f"histogram_quantile({_fmt_num(node.phi)}, {R(node.child)})"
+    if isinstance(node, HistFn):
+        if node.fn == "histogram_fraction":
+            return (
+                f"histogram_fraction({_fmt_num(node.lo)}, "
+                f"{_fmt_num(node.hi)}, {R(node.child)})"
+            )
+        fn = "histogram_quantile" if node.fn == "quantile" else node.fn
+        if node.fn == "quantile":
+            return f"{fn}({_fmt_num(node.lo)}, {R(node.child)})"
+        return f"{fn}({R(node.child)})"
+    if isinstance(node, Info):
+        if node.matchers:
+            ms = ",".join(
+                f'{m.name}{m.type}"{esc(m.value)}"' for m in node.matchers
+            )
+            return f"info({R(node.child)}, {{{ms}}})"
+        return f"info({R(node.child)})"
+    if isinstance(node, LabelTransform):
+        args = "".join(f', "{esc(a)}"' for a in node.args)
+        return f"{node.fn}({R(node.child)}{args})"
+    if isinstance(node, Sort):
+        if node.by_labels is not None:
+            fn = "sort_by_label_desc" if node.desc else "sort_by_label"
+            labs = "".join(f', "{esc(s)}"' for s in node.by_labels)
+            return f"{fn}({R(node.child)}{labs})"
+        return f"{'sort_desc' if node.desc else 'sort'}({R(node.child)})"
+    if isinstance(node, BinScalar):
+        b = " bool" if node.cmp_bool else ""
+        a, c = f"({R(node.child)})", _fmt_num(node.scalar)
+        lhs, rhs = (c, a) if node.scalar_left else (a, c)
+        return f"{lhs} {node.op}{b} {rhs}"
+    if isinstance(node, BinDynScalar):
+        b = " bool" if node.cmp_bool else ""
+        a, c = f"({R(node.child)})", R(node.scalar)
+        lhs, rhs = (c, a) if node.scalar_left else (a, c)
+        return f"{lhs} {node.op}{b} {rhs}"
+    if isinstance(node, BinVector):
+        b = " bool" if node.cmp_bool else ""
+        return f"({R(node.left)}) {node.op}{b}{vm(node)} ({R(node.right)})"
+    if isinstance(node, BinSet):
+        return f"({R(node.left)}) {node.op}{vm(node)} ({R(node.right)})"
+    raise TypeError(f"cannot render {node!r}")
+
+
 def resolve_at(node, start: int, end: int):
     """Resolve `@ start()` / `@ end()` sentinels against the OUTERMOST
     query bounds (the upstream contract — a sentinel inside a subquery
