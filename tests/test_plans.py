@@ -373,3 +373,81 @@ def test_dynamic_scalar_broadcasts_grid_side(store):
     plan = _executed(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_info_join_broadcasts_info_side(spark):
+    # info() must enrich via a BROADCAST join on (identifying labels, T)
+    # — the main vector never reshuffles for a dim-scale info metric
+    from tsdb_spark import labels as L
+    from tsdb_spark.promql import RangeQuery
+
+    rows = [
+        ({"__name__": "m", "job": "a"}, 10_000, 1.0),
+        ({"__name__": "m", "job": "b"}, 10_000, 2.0),
+        ({"__name__": "target_info", "job": "a", "tier": "x"}, 5_000, 1.0),
+    ]
+    frame = spark.createDataFrame(
+        rows, "labels MAP<STRING,STRING>, t LONG, v DOUBLE"
+    ).withColumn("labels_str", L.labels_str_expr("labels"))
+    q = RangeQuery(frame, 10_000, 30_000, 10_000, lookback_ms=30_000)
+    plan = _executed(q.run("info(m)"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_native_hist_is_pure_jvm(spark):
+    # the native-histogram path (construction + quantile fold) must stay
+    # inside whole-stage codegen: no Python evaluation, no cartesian
+    from tsdb_spark import labels as L
+    from tsdb_spark.nativehist import build_histograms
+    from tsdb_spark.promql import RangeQuery
+
+    rows = [({"__name__": "h", "s": "a"}, 1_000 + i * 500, float(i % 7 + 1))
+            for i in range(40)]
+    df = spark.createDataFrame(
+        rows, "labels MAP<STRING,STRING>, t LONG, v DOUBLE"
+    ).withColumn("labels_str", L.labels_str_expr("labels"))
+    hf = build_histograms(df, 10_000)
+    q = RangeQuery(hf, 10_000, 30_000, 10_000, lookback_ms=10_000)
+    plan = _executed(q.run("histogram_quantile(0.9, h)"))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    # AQE renders codegen stages as "*(n)" markers
+    assert "*(" in plan, "native-hist plan fell out of whole-stage codegen"
+
+
+def test_keep_firing_lattice_is_broadcast_only(spark, tmp_path):
+    # the dense signature x grid lattice is a broadcast of the TINY grid
+    # frame; the only nested loop allowed is that broadcast cross join
+    from tsdb_spark.rules import AlertRule, alerts_frame
+
+    db = DB.create(spark, str(tmp_path / "kfplan"), block_width_ms=WIDTH)
+    db.append(_rows(spark, "m", 0, 60))
+    frame = alerts_frame(
+        db,
+        AlertRule("a", "m > 5", for_ms=120_000, keep_firing_ms=120_000),
+        0,
+        1_800_000,
+        60_000,
+    )
+    plan = _executed(frame)
+    assert "CartesianProduct" not in plan
+    # AQE toString repeats operators in the "Initial Plan" section —
+    # count nested loops in the final plan only
+    final = plan.split("== Initial Plan ==")[0]
+    bnlj = final.count("BroadcastNestedLoopJoin")
+    assert bnlj <= 1, f"unexpected nested loops: {bnlj}"
+
+
+def test_federate_is_pruned_and_one_shuffle(spark, store):
+    # each selector rides the pruned querier; the cross-selector dedup
+    # is ONE combinable groupBy — no cartesian, partition prune intact
+    from tsdb_spark.api import federate_frame
+
+    df = federate_frame(store, ["m", 'm{__name__="m"}'], 2 * WIDTH)
+    plan = _executed(df)
+    assert "CartesianProduct" not in plan
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and any("t_bucket" in ln for ln in pf), (
+        "federate lost the t_bucket partition prune"
+    )
