@@ -159,3 +159,36 @@ def test_native_offset_and_at(spark, hist_frame):
     rows = q3.run("histogram_count(lat @ 10)").collect()
     assert {r["t"] for r in rows} == {20_000, 30_000, 40_000}
     assert all(r["value"] in (8.0, 4.0) for r in rows)
+
+
+def test_store_histograms_roundtrip(spark, tmp_path, hist_frame):
+    from tsdb_spark import DB
+
+    db = DB.create(spark, str(tmp_path / "hdb"), block_width_ms=60_000)
+    db.append_histograms(hist_frame.select("labels", "t", "h"))
+    back = db.hist_frame(0, 100_000)
+    rows = {dict(r["labels"])["s"]: r for r in back.collect()}
+    assert set(rows) == {"a", "b"}
+    assert rows["a"]["h"]["count"] == 8.0
+    # the histogram series landed in the shared dim
+    names = {r[0] for r in db.label_values("__name__").collect()}
+    assert "lat" in names
+    # time pruning excludes out-of-range histograms
+    assert db.hist_frame(50_000, 100_000).count() == 0
+    # (series, t) collision keeps the max-(count, sum) histogram
+    db2 = DB.create(spark, str(tmp_path / "hdb2"), block_width_ms=60_000)
+    both = hist_frame.select("labels", "t", "h").unionByName(
+        hist_frame.select(
+            "labels", "t", F.col("h").withField("count", F.lit(99.0)).alias("h")
+        )
+    )
+    db2.append_histograms(both)
+    back2 = db2.hist_frame(0, 100_000)
+    assert all(r["h"]["count"] == 99.0 for r in back2.collect())
+    # native evaluation straight off the store frame
+    q = P.RangeQuery(db.hist_frame(0, 100_000), 10_000, 10_000, STEP)
+    got = {
+        dict(r["labels"])["s"]: r["value"]
+        for r in q.run("histogram_count(lat)").collect()
+    }
+    assert got == {"a": 8.0, "b": 4.0}

@@ -600,36 +600,7 @@ class DB:
             # series upsert (J12) last: a failed samples job must not leave
             # phantom dim entries (commit-ordering note in the docstring).
             # Reads the CACHED batch — dedup + anti-join, no re-decode.
-            existing = self.series().select("series_id")
-            if self.series_count() <= getattr(
-                self, "broadcast_series_limit", 5_000_000
-            ):
-                # dim-scale guard (see select): past the limit the
-                # anti-join shuffles batch-candidates vs dim ids — both
-                # id-only relations — instead of shipping the dim around
-                existing = F.broadcast(existing)
-            stripped = L.strip_empty_labels("labels")
-            new_series = (
-                rows.select("series_id", "labels")
-                .dropDuplicates(["series_id"])
-                .join(existing, "series_id", "left_anti")
-                # strip + canonical render happen HERE, on dim-scale rows
-                # (post-dedup, post-anti-join) — never per sample
-                .select(
-                    "series_id",
-                    stripped.alias("labels"),
-                    L.labels_str_expr(stripped).alias("labels_str"),
-                )
-            )
-            if report:
-                new_series = new_series.cache()
-                rep.new_series = new_series.count()
-            (
-                # repartition, not coalesce: coalesce(1) would collapse the
-                # dedup+anti-join into one task; this keeps the compute
-                # parallel and only the (small) result lands on one writer
-                new_series.repartition(1).write.mode("append").parquet(self._series_path)
-            )
+            rep.new_series = self._upsert_series(rows, report)
         finally:
             rows.unpersist()
         self.meta["next_ingest_seq"] = seq + seq_advance
@@ -644,6 +615,142 @@ class DB:
             # dominates (StreamIngestor passes warm_index=False).
             self.series().count()
         return rep
+
+    def _upsert_series(self, rows: DataFrame, report: bool = False) -> int:
+        """getOrCreate dim upsert (J12, head.go:1371-1415): dedup the
+        batch's (series_id, labels), anti-join against the dim, write
+        the new entries. Returns the new-series count when `report`,
+        else -1 (no counting job)."""
+        existing = self.series().select("series_id")
+        if self.series_count() <= getattr(
+            self, "broadcast_series_limit", 5_000_000
+        ):
+            # dim-scale guard (see select): past the limit the
+            # anti-join shuffles batch-candidates vs dim ids — both
+            # id-only relations — instead of shipping the dim around
+            existing = F.broadcast(existing)
+        stripped = L.strip_empty_labels("labels")
+        new_series = (
+            rows.select("series_id", "labels")
+            .dropDuplicates(["series_id"])
+            .join(existing, "series_id", "left_anti")
+            # strip + canonical render happen HERE, on dim-scale rows
+            # (post-dedup, post-anti-join) — never per sample
+            .select(
+                "series_id",
+                stripped.alias("labels"),
+                L.labels_str_expr(stripped).alias("labels_str"),
+            )
+        )
+        n = -1
+        if report:
+            new_series = new_series.cache()
+            n = new_series.count()
+        (
+            # repartition, not coalesce: coalesce(1) would collapse the
+            # dedup+anti-join into one task; this keeps the compute
+            # parallel and only the (small) result lands on one writer
+            new_series.repartition(1).write.mode("append").parquet(self._series_path)
+        )
+        return n
+
+    # -------- native histograms (batch path; nativehist.py model) -----
+
+    @property
+    def _hist_path(self) -> str:
+        return os.path.join(self.path, "histograms")
+
+    def append_histograms(self, rows: DataFrame) -> None:
+        """Batch ingest of native-histogram samples rows(labels MAP,
+        t LONG, h STRUCT<nativehist.HIST_TYPE>) into the store's
+        `histograms` table — the prometheus 3.x sample type the
+        reference's float64-only chunk model cannot hold
+        (chunkenc/chunk.go:59-64; chunkenc/histogram.go upstream).
+
+        Same disciplines as the float append: series identity hashed
+        from sorted entries, dim upsert shared (_upsert_series), bucketed
+        layout with range-partitioned sorted files. A (series, t)
+        collision keeps the deterministic max-(count, sum) histogram —
+        a re-scrape superseding a partial window. Batch path only (no
+        streaming ingest for histograms yet); maintenance ops
+        (compact/retention/delete) do not yet rewrite the histograms
+        table — both documented as the supported subset."""
+        self._check_writable()
+        seq = self.meta["next_ingest_seq"]
+        width = self.block_width_ms
+        rows = rows.select(
+            "labels", F.col("t").cast("long").alias("t"), "h"
+        ).withColumn("series_id", L.series_id_expr("labels"))
+        rows = rows.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            clean = (
+                rows.select("series_id", "t", "h")
+                .groupBy("series_id", "t")
+                .agg(
+                    F.max_by(
+                        "h",
+                        F.struct(
+                            F.col("h.count").alias("c"),
+                            F.col("h.sum").alias("s"),
+                        ),
+                    ).alias("h")
+                )
+            )
+            out = (
+                clean.withColumn("ingest_seq", F.lit(seq).cast("long"))
+                .withColumn(
+                    "t_bucket",
+                    F.col("t") - F.pmod(F.col("t"), F.lit(width)),
+                )
+                .select("series_id", "t", "h", "ingest_seq", "t_bucket")
+            )
+            (
+                out.repartitionByRange("t_bucket", "series_id")
+                .sortWithinPartitions("t_bucket", "series_id", "t")
+                .write.mode("append")
+                .option("compression", "lz4_raw")
+                .partitionBy("t_bucket")
+                .parquet(self._hist_path)
+            )
+            self._upsert_series(rows)
+        finally:
+            rows.unpersist()
+        self.meta["next_ingest_seq"] = seq + 1
+        self._write_meta()
+
+    def hist_frame(
+        self, mint: int, maxt: int, matchers: list | None = None
+    ) -> DataFrame:
+        """Pruned native-histogram read: (labels_str, labels, t, h) for
+        [mint, maxt] — RangeQuery-ready (the `h` column routes
+        histogram_* functions to the native path). Partition-pruned on
+        t_bucket exactly like the samples querier; the matcher-filtered
+        dim broadcasts under the same guard."""
+        from tsdb_spark.nativehist import HIST_TYPE
+
+        ddl = (
+            f"series_id LONG, t LONG, h {HIST_TYPE}, "
+            "ingest_seq LONG, t_bucket LONG"
+        )
+        h = self._read_or_empty(self._hist_path, ddl)
+        width = self.max_bucket_width
+        lo_bucket = (mint // width) * width
+        h = h.filter(
+            (F.col("t_bucket") >= F.lit(lo_bucket))
+            & (F.col("t_bucket") <= F.lit(maxt))
+            & (F.col("t") >= F.lit(mint))
+            & (F.col("t") <= F.lit(maxt))
+        )
+        dim = self.series()
+        if matchers:
+            dim = dim.filter(L.compile_matchers(matchers))
+        if self.series_count() <= getattr(
+            self, "broadcast_series_limit", 5_000_000
+        ):
+            dim = F.broadcast(dim)
+        return h.join(dim, "series_id").select(
+            "labels_str", "labels", "t", "h"
+        )
 
     def _bucket_dirs(self) -> set:
         if not os.path.isdir(self._samples_path):

@@ -752,6 +752,24 @@ def promql_info_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("labels_str", "t", "value")
 
 
+def _native_hist_result(q) -> DataFrame:
+    """quantile/count/sum over an h-carrying frame, joined per
+    (series, T) — shared by the frame-level and store-level entries."""
+    a = q.run("histogram_quantile(0.9, click)").select(
+        "labels_str", "t", F.round("value", 9).alias("q90")
+    )
+    b = q.run("histogram_count(click)").select(
+        "labels_str", "t", F.col("value").alias("cnt")
+    )
+    c = q.run("histogram_sum(click)").select(
+        "labels_str",
+        "t",
+        F.round(F.col("value") / 100.0, 9).alias("sm"),
+    )
+    return a.join(b, ["labels_str", "t"]).join(c, ["labels_str", "t"])
+
+
+
 @register(
     "promql_native_hist",
     _with_prelude(
@@ -818,18 +836,32 @@ def promql_native_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hf = build_histograms(s, DAY, idx_expr=int_bucket_idx(F.col("v")))
     q = RangeQuery(hf, T0 + DAY, T0 + 15 * DAY, DAY, lookback_ms=DAY)
-    a = q.run("histogram_quantile(0.9, click)").select(
-        "labels_str", "t", F.round("value", 9).alias("q90")
-    )
-    b = q.run("histogram_count(click)").select(
-        "labels_str", "t", F.col("value").alias("cnt")
-    )
-    c = q.run("histogram_sum(click)").select(
-        "labels_str",
-        "t",
-        F.round(F.col("value") / 100.0, 9).alias("sm"),
-    )
-    return a.join(b, ["labels_str", "t"]).join(c, ["labels_str", "t"])
+    return _native_hist_result(q)
+
+
+@register(
+    "store_native_hist",
+    None,  # oracle assigned below — identical to promql_native_hist
+    "native histograms THROUGH THE STORE: the same daily click "
+    "histograms appended to the store's `histograms` table "
+    "(DB.append_histograms — bucketed, range-partitioned sorted files, "
+    "shared series dim) and read back through the pruned hist_frame "
+    "path, then the same quantile/count/sum evaluation. The persisted "
+    "round trip must answer exactly like the in-memory build",
+)
+def store_native_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tsdb_spark.promql import RangeQuery
+    from tsdb_spark.queries import _store
+
+    db = _store(spark, sf_dir, "hist")
+    frame = db.hist_frame(T0, T0 + 16 * DAY)
+    q = RangeQuery(frame, T0 + DAY, T0 + 15 * DAY, DAY, lookback_ms=DAY)
+    return _native_hist_result(q)
+
+
+from tsdb_spark.queries import QUERIES as _QQ  # noqa: E402
+
+_QQ["store_native_hist"].oracle = _QQ["promql_native_hist"].oracle
 
 
 @register(

@@ -546,6 +546,18 @@ def _store(spark: SparkSession, sf_dir: str, scenario: str) -> DB:
         db.append(extra)
         rewritten = db.refresh_rollup(3_600_000)
         assert rewritten, "refresh must be incremental, not a rebuild"
+    elif scenario == "hist":
+        # native histograms: daily schema-0 histograms of click
+        # centi-values appended to the store's histograms table
+        from tsdb_spark.nativehist import build_histograms, int_bucket_idx
+
+        cents = (
+            events_samples(spark, sf_dir)
+            .filter(L.compile_matchers([L.eq("__name__", "click")]))
+            .withColumn("v", F.round(F.col("v") * 100))
+        )
+        hf = build_histograms(cents, DAY, idx_expr=int_bucket_idx(F.col("v")))
+        db.append_histograms(hf.select("labels", "t", "h"))
     elif scenario == "rules":
         # recording rules: two layered rules — the second reads the
         # first's output (rule-group sequential eval) — recorded back
