@@ -228,6 +228,7 @@ def test_http_post_forms_and_rules_alerts(store):
         assert kinds == {"recording", "alerting"}
         alerting = next(r for r in g["rules"] if r["type"] == "alerting")
         assert alerting["duration"] == 600.0
+        assert alerting["keepFiringFor"] == 0.0
         assert alerting["labels"] == {"sev": "p1"}
 
         # active alerts at a given instant: m > 15 holds for s=b from

@@ -275,6 +275,8 @@ def rules_payload(groups: list[dict]) -> dict:
                         "name": r.name,
                         "query": r.expr,
                         "duration": r.for_ms / 1000.0,
+                        "keepFiringFor": getattr(r, "keep_firing_ms", 0)
+                        / 1000.0,
                         "labels": dict(r.labels),
                         "state": "inactive",
                         "health": "ok",
@@ -318,7 +320,10 @@ def alerts_payload(db, groups: list[dict], time_ms: int) -> dict:
         for r in g.get("rules", []):
             if not isinstance(r, AlertRule):
                 continue
-            back = -(-r.for_ms // step) * step if r.for_ms else 0
+            # the state at T depends on activity over the `for` window,
+            # extended by keep_firing_for history when set
+            hist = r.for_ms + getattr(r, "keep_firing_ms", 0)
+            back = -(-hist // step) * step if hist else 0
             frame = alerts_frame(db, r, time_ms - back, time_ms, step)
             for row in frame.filter(frame["t"] == time_ms).collect():
                 lab = dict(row["labels"])
