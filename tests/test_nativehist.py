@@ -192,3 +192,48 @@ def test_store_histograms_roundtrip(spark, tmp_path, hist_frame):
         for r in q.run("histogram_count(lat)").collect()
     }
     assert got == {"a": 8.0, "b": 4.0}
+
+
+def test_native_stddev_stdvar(spark, hist_frame):
+    frame = hist_frame.withColumn("v", F.lit(0.0))
+    q = P.RangeQuery(frame, 10_000, 10_000, STEP)
+    got_var = {
+        dict(r["labels"])["s"]: r["value"]
+        for r in q.run("histogram_stdvar(lat)").collect()
+    }
+    got_dev = {
+        dict(r["labels"])["s"]: r["value"]
+        for r in q.run("histogram_stddev(lat)").collect()
+    }
+    vals = {
+        "a": [0.7, 1.5, 3.0, 3.5, 9.9, 0.0, 2.0, 4.0],
+        "b": [16.0, 20.0, 31.9, 64.0],
+    }
+    for s, vs in vals.items():
+        zero, buckets = model_hist(vs)
+        count = zero + sum(buckets.values())
+        mean = sum(vs) / count
+        dev = zero * mean * mean
+        for idx, c in buckets.items():
+            mid = (2.0 ** (idx - 1) + 2.0 ** idx) / 2.0
+            dev += c * (mid - mean) ** 2
+        want = dev / count
+        assert math.isclose(got_var[s], want, rel_tol=1e-12), (s,)
+        assert math.isclose(got_dev[s], math.sqrt(want), rel_tol=1e-12)
+
+
+def test_retention_drops_histogram_buckets(spark, tmp_path, hist_frame):
+    from tsdb_spark import DB
+
+    db = DB.create(spark, str(tmp_path / "hret"), block_width_ms=10_000)
+    db.append_histograms(hist_frame.select("labels", "t", "h"))
+    # also some float samples so retention has its normal work
+    rows = [({"__name__": "f"}, t, 1.0) for t in (5_000, 15_000, 25_000)]
+    db.append(spark.createDataFrame(
+        rows, "labels MAP<STRING,STRING>, t LONG, v DOUBLE"))
+    assert db.hist_frame(0, 100_000).count() == 2
+    db.retain_after(20_000)
+    # histograms at t=10_000 (bucket [10_000, 20_000)) are gone with
+    # their bucket; the float samples below the cutoff went too
+    assert db.hist_frame(0, 100_000).count() == 0
+    assert db.samples().count() == 1

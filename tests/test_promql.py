@@ -1311,6 +1311,8 @@ def test_render_roundtrip():
         "histogram_quantile(0.9, lat_bucket)",
         "histogram_count(lat)",
         "histogram_fraction(16, 32, lat)",
+        "histogram_stddev(lat)",
+        "histogram_stdvar(lat)",
         "info(click)",
         'info(click, {tier="gold"})',
         "scalar(sum(click))",

@@ -672,9 +672,10 @@ class DB:
         layout with range-partitioned sorted files. A (series, t)
         collision keeps the deterministic max-(count, sum) histogram —
         a re-scrape superseding a partial window. Batch path only (no
-        streaming ingest for histograms yet); maintenance ops
-        (compact/retention/delete) do not yet rewrite the histograms
-        table — both documented as the supported subset."""
+        streaming ingest for histograms yet); time retention drops
+        histogram buckets on the same clock as samples, while
+        compaction / tombstone deletes do not yet rewrite the
+        histograms table — documented as the supported subset."""
         self._check_writable()
         seq = self.meta["next_ingest_seq"]
         width = self.block_width_ms
@@ -1252,6 +1253,15 @@ class DB:
             if lo + widths.get(lo, base) <= cutoff_ms:
                 shutil.rmtree(os.path.join(self._samples_path, d))
                 dropped += 1
+        # the histograms table retains by the same clock (its buckets
+        # are always base-width — histograms never level-promote)
+        if os.path.isdir(self._hist_path):
+            for d in sorted(os.listdir(self._hist_path)):
+                if not d.startswith("t_bucket="):
+                    continue
+                lo = int(d.split("=")[1])
+                if lo + base <= cutoff_ms:
+                    shutil.rmtree(os.path.join(self._hist_path, d))
         self._forget_dropped_buckets()
         if dropped:
             self._bump_data_seq()

@@ -188,6 +188,35 @@ def hist_quantile(phi: float, h: Column) -> Column:
     )
 
 
+def hist_stdvar(h: Column) -> Column:
+    """histogram_stdvar(v) — promql/functions.go funcHistogramStdDev/
+    StdVar: the estimated variance of the observations, each bucket's
+    mass placed at its ARITHMETIC bucket midpoint (upstream uses the
+    geometric mean for wide buckets post-3.0-beta; the stable released
+    rule is (lower+upper)/2, used here), the zero bucket at 0. One
+    aggregate fold: Σ c·(mid − mean)² / count with mean = sum/count."""
+    count = h.getField("count")
+    mean = h.getField("sum") / count
+    sch = h.getField("schema")
+    two_pow_schema = F.pow(F.lit(2.0), sch.cast("double"))
+
+    def upper(idx):
+        return F.pow(F.lit(2.0), idx.cast("double") / two_pow_schema)
+
+    def step(acc, b):
+        mid = (upper(b.getField("idx") - 1) + upper(b.getField("idx"))) / 2.0
+        return acc + b.getField("c") * (mid - mean) * (mid - mean)
+
+    dev = F.aggregate(h.getField("buckets"), F.lit(0.0), step)
+    dev = dev + h.getField("zero_count") * mean * mean  # zero bucket at 0
+    return F.when(count > 0, dev / count).otherwise(F.lit(float("nan")))
+
+
+def hist_stddev(h: Column) -> Column:
+    """histogram_stddev(v) = sqrt(histogram_stdvar(v))."""
+    return F.sqrt(hist_stdvar(h))
+
+
 def hist_fraction(lo: float, hi: float, h: Column) -> Column:
     """histogram_fraction(lo, hi, v) — the estimated fraction of
     observations in [lo, hi] (promql/quantile.go histogramFraction),

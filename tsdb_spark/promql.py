@@ -609,6 +609,8 @@ class _Parser:
                 "histogram_sum",
                 "histogram_avg",
                 "histogram_fraction",
+                "histogram_stddev",
+                "histogram_stdvar",
                 "info",
                 "absent",
                 "absent_over_time",
@@ -734,7 +736,13 @@ class _Parser:
                 ms = L.parse_selector(s.val)
             self.expect(")")
             return Info(child, tuple(ms))
-        if fn in ("histogram_count", "histogram_sum", "histogram_avg"):
+        if fn in (
+            "histogram_count",
+            "histogram_sum",
+            "histogram_avg",
+            "histogram_stddev",
+            "histogram_stdvar",
+        ):
             child = self.parse_expr()
             self.expect(")")
             return HistFn(fn, child)
@@ -2195,6 +2203,8 @@ class RangeQuery:
             "histogram_count": NH.hist_count,
             "histogram_sum": NH.hist_sum,
             "histogram_avg": NH.hist_avg,
+            "histogram_stddev": NH.hist_stddev,
+            "histogram_stdvar": NH.hist_stdvar,
             "quantile": lambda h: NH.hist_quantile(node.lo, h),
             "histogram_fraction": lambda h: NH.hist_fraction(
                 node.lo, node.hi, h
