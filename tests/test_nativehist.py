@@ -140,9 +140,11 @@ def test_parse_and_errors(spark, hist_frame):
     with pytest.raises(ValueError, match="native-histogram frame"):
         q.run("histogram_count(lat)")
     with pytest.raises(ValueError, match="instant selector"):
+        # an aggregate child is not a selector (rate/increase/delta over
+        # a matrix selector ARE supported since the cumulative build)
         P.RangeQuery(
             frame.withColumn("h", F.lit(None).cast("int")), 10_000, 10_000, STEP
-        ).run("histogram_count(rate(lat[1m]))")
+        ).run("histogram_count(sum(lat))")
 
 
 def test_native_offset_and_at(spark, hist_frame):
@@ -237,3 +239,54 @@ def test_retention_drops_histogram_buckets(spark, tmp_path, hist_frame):
     # their bucket; the float samples below the cutoff went too
     assert db.hist_frame(0, 100_000).count() == 0
     assert db.samples().count() == 1
+
+
+@pytest.fixture(scope="module")
+def cum_frame(spark):
+    # three 10s windows for one series: counter histograms accumulate
+    pts = [(1_000, 1.5), (2_000, 3.0),           # w1 → th=10k
+           (11_000, 1.5),                        # w2 → th=20k
+           (21_000, 3.0), (22_000, 7.0), (23_000, 0.0)]  # w3 → th=30k
+    rows = [({"__name__": "lat", "s": "x"}, t, v) for t, v in pts]
+    df = spark.createDataFrame(
+        rows, "labels MAP<STRING,STRING>, t LONG, v DOUBLE"
+    ).withColumn("labels_str", L.labels_str_expr("labels"))
+    return build_histograms(df, STEP, cumulative=True)
+
+
+def test_cumulative_histograms(cum_frame):
+    hs = {r["t"]: r["h"] for r in cum_frame.collect()}
+    assert set(hs) == {10_000, 20_000, 30_000}
+    assert hs[10_000]["count"] == 2.0 and hs[10_000]["zero_count"] == 0.0
+    assert hs[20_000]["count"] == 3.0
+    assert hs[30_000]["count"] == 6.0 and hs[30_000]["zero_count"] == 1.0
+    assert abs(hs[30_000]["sum"] - 16.0) < 1e-9
+    b3 = {b["idx"]: b["c"] for b in hs[30_000]["buckets"]}
+    assert b3 == {1: 2.0, 2: 2.0, 3: 1.0}
+    b2 = {b["idx"]: b["c"] for b in hs[20_000]["buckets"]}
+    assert b2 == {1: 2.0, 2: 1.0}
+
+
+def test_native_hist_rate(spark, cum_frame):
+    q = P.RangeQuery(cum_frame, 30_000, 30_000, STEP)
+    one = lambda e: q.run(e).collect()[0]["value"]  # noqa: E731
+    # boundary difference over (5k, 30k]: last=30k hist, first=10k hist
+    assert math.isclose(one("histogram_count(rate(lat[25s]))"),
+                        (6.0 - 2.0) * 1000 / 25_000, rel_tol=1e-12)
+    assert math.isclose(one("histogram_sum(rate(lat[25s]))"),
+                        (16.0 - 4.5) * 0.04, rel_tol=1e-12)
+    assert math.isclose(one("histogram_count(increase(lat[25s]))"), 4.0)
+    assert math.isclose(one("histogram_count(delta(lat[25s]))"), 4.0)
+    # quantile over the rate histogram: diff buckets idx 1,2,3 (bounds
+    # (1,2], (2,4], (4,8]) with equal mass + the zero bucket; rank
+    # 0.5*count lands exactly at bucket (1,2]'s cumulative upper edge →
+    # interpolates to its upper bound 2.0
+    assert math.isclose(one("histogram_quantile(0.5, rate(lat[25s]))"),
+                        2.0, rel_tol=1e-12)
+    # a one-histogram window yields no rate row (needs 2 boundaries)
+    assert q.run("histogram_count(rate(lat[10s]))").count() == 0
+    # offset composes with the matrix form
+    q2 = P.RangeQuery(cum_frame, 40_000, 40_000, STEP)
+    assert math.isclose(
+        q2.run("histogram_count(rate(lat[25s] offset 10s))").collect()[0]["value"],
+        0.16, rel_tol=1e-12)

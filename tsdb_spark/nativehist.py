@@ -61,7 +61,11 @@ def int_bucket_idx(v: Column) -> Column:
 
 
 def build_histograms(
-    samples: DataFrame, width_ms: int, schema: int = 0, idx_expr=None
+    samples: DataFrame,
+    width_ms: int,
+    schema: int = 0,
+    idx_expr=None,
+    cumulative: bool = False,
 ) -> DataFrame:
     """Aggregate raw float samples (labels_str, labels, t, v) into one
     native-histogram sample per (series, window): the window
@@ -70,7 +74,14 @@ def build_histograms(
     per-bucket counts → per-histogram struct; nothing leaves the JVM.
     `idx_expr` overrides the bucket-index expression (e.g.
     int_bucket_idx for exact cross-engine bucketing of integer values).
-    """
+
+    `cumulative=True` emits COUNTER histograms — each window's struct
+    carries the running totals since the series' first window, the
+    upstream scrape semantics that make rate/increase boundary
+    differences correct. Implemented as a densified per-bucket running
+    sum: (series windows × series buckets) lattice, one ordered window
+    per (series, bucket) — rows ∝ histograms × buckets-per-series,
+    never a re-scan of earlier samples."""
     idx = F.when(
         F.col("v") > 0,
         idx_expr if idx_expr is not None else bucket_idx(F.col("v"), schema),
@@ -90,6 +101,40 @@ def build_histograms(
             F.sum("v").alias("_s"),
         )
     )
+    if cumulative:
+        from pyspark.sql import Window
+
+        # the zero bucket's NULL idx never matches a join key — ride a
+        # sentinel through the lattice and decode after
+        sent = -(2**31)
+        pb = per_bucket.withColumn(
+            "_ik", F.coalesce(F.col("_idx"), F.lit(sent))
+        )
+        wins = pb.select("labels_str", "_th").distinct()
+        bkts = pb.select("labels_str", "_ik").distinct()
+        lab = pb.groupBy("labels_str").agg(F.first("labels").alias("labels"))
+        dense = (
+            wins.join(bkts, "labels_str")
+            .join(
+                pb.select("labels_str", "_th", "_ik", "_c", "_s"),
+                ["labels_str", "_th", "_ik"],
+                "left",
+            )
+            .join(lab, "labels_str")
+        )
+        w = (
+            Window.partitionBy("labels_str", "_ik")
+            .orderBy("_th")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        per_bucket = dense.select(
+            "labels_str",
+            "_th",
+            F.nullif(F.col("_ik"), F.lit(sent)).alias("_idx"),
+            "labels",
+            F.sum(F.coalesce(F.col("_c"), F.lit(0.0))).over(w).alias("_c"),
+            F.sum(F.coalesce(F.col("_s"), F.lit(0.0))).over(w).alias("_s"),
+        ).filter(F.col("_c") > 0)
     return (
         per_bucket.groupBy("labels_str", "_th")
         .agg(
@@ -185,6 +230,60 @@ def hist_quantile(phi: float, h: Column) -> Column:
     # NaN fallback
     return F.when(count > 0, folded.getField("q")).otherwise(
         F.lit(float("nan"))
+    )
+
+
+def hist_sub(last: Column, first: Column, factor) -> Column:
+    """The component-wise histogram difference (last − first) · factor —
+    the native-histogram rate/increase/delta kernel (promql/functions.go
+    histogramRate, simplified: boundary difference over the full window,
+    no extrapolation and no counter-reset rewind — documented subset).
+    Bucket subtraction is a map_zip_with over the UNION of bucket
+    indices (sparse arrays → maps → zip − → sorted sparse array), all
+    inside codegen."""
+    fac = F.lit(float(factor)) if not isinstance(factor, Column) else factor
+
+    def as_map(h):
+        return F.map_from_entries(
+            F.transform(
+                h.getField("buckets"),
+                lambda b: F.struct(
+                    b.getField("idx").alias("idx"), b.getField("c").alias("c")
+                ),
+            )
+        )
+
+    diff = F.map_zip_with(
+        as_map(last),
+        as_map(first),
+        lambda _, c2, c1: (
+            F.coalesce(c2, F.lit(0.0)) - F.coalesce(c1, F.lit(0.0))
+        )
+        * fac,
+    )
+    buckets = F.array_sort(
+        F.filter(
+            F.transform(
+                F.map_entries(diff),
+                lambda e: F.struct(
+                    e.getField("key").alias("idx"),
+                    e.getField("value").alias("c"),
+                ),
+            ),
+            lambda b: b.getField("c") != 0.0,
+        )
+    )
+    return F.struct(
+        ((last.getField("count") - first.getField("count")) * fac).alias(
+            "count"
+        ),
+        ((last.getField("sum") - first.getField("sum")) * fac).alias("sum"),
+        (
+            (last.getField("zero_count") - first.getField("zero_count"))
+            * fac
+        ).alias("zero_count"),
+        last.getField("schema").alias("schema"),
+        buckets.alias("buckets"),
     )
 
 

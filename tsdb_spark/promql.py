@@ -2169,16 +2169,32 @@ class RangeQuery:
                 f"{node.fn} needs a native-histogram frame (h column); "
                 "build one with nativehist.build_histograms"
             )
+        rate_fn = None
         sel = node.child
-        if not isinstance(sel, Selector) or sel.range_ms is not None:
+        if (
+            isinstance(sel, FuncCall)
+            and sel.fn in ("rate", "increase", "delta")
+            and isinstance(sel.arg, Selector)
+        ):
+            # histogram_quantile(0.9, rate(latency[5m])) — the canonical
+            # native-histogram query: the window's boundary histograms
+            # subtracted component-wise (nativehist.hist_sub), scaled to
+            # per-second for rate
+            rate_fn, sel = sel.fn, sel.arg
+        if not isinstance(sel, Selector) or (
+            (sel.range_ms is not None) != (rate_fn is not None)
+        ):
             raise ValueError(
-                "native histogram functions take an instant selector"
+                "native histogram functions take an instant selector or "
+                "rate/increase/delta over a matrix selector"
             )
         if sel.at_ms is not None:
-            return self._pinned(
-                sel.at_ms, replace(node, child=replace(sel, at_ms=None))
+            stripped = replace(sel, at_ms=None)
+            child = (
+                FuncCall(rate_fn, stripped) if rate_fn is not None else stripped
             )
-        reach = self.lookback_ms
+            return self._pinned(sel.at_ms, replace(node, child=child))
+        reach = sel.range_ms if rate_fn is not None else self.lookback_ms
         off = sel.offset_ms
         base = (
             self.frame.filter(L.compile_matchers(sel.matchers))
@@ -2195,10 +2211,27 @@ class RangeQuery:
             )
         )
         cells = _grid_explode(base, self.start, self.end, self.step, reach)
-        agg = cells.groupBy("labels_str", _G).agg(
-            F.first("labels").alias("labels"),
-            F.max_by("h", "t").alias("h"),
-        )
+        if rate_fn is not None:
+            factor = 1000.0 / reach if rate_fn == "rate" else 1.0
+            agg = (
+                cells.groupBy("labels_str", _G)
+                .agg(
+                    F.first("labels").alias("labels"),
+                    F.count(F.lit(1)).alias("_n"),
+                    F.min_by("h", "t").alias("_h1"),
+                    F.max_by("h", "t").alias("_h2"),
+                )
+                .filter(F.col("_n") >= 2)
+                .withColumn(
+                    "h", NH.hist_sub(F.col("_h2"), F.col("_h1"), factor)
+                )
+                .drop("_n", "_h1", "_h2")
+            )
+        else:
+            agg = cells.groupBy("labels_str", _G).agg(
+                F.first("labels").alias("labels"),
+                F.max_by("h", "t").alias("h"),
+            )
         val = {
             "histogram_count": NH.hist_count,
             "histogram_sum": NH.hist_sum,
@@ -2277,11 +2310,17 @@ class RangeQuery:
         )
 
     def _eval_histq(self, node: HistQuantile) -> DataFrame:
-        # native dispatch: an h-carrying frame + plain selector child →
-        # the exponential-bucket estimator (upstream evaluates native
-        # histogram samples through histogramQuantile, float samples
-        # through bucketQuantile — here the frame shape picks the path)
-        if "h" in self.frame.columns and isinstance(node.child, Selector):
+        # native dispatch: an h-carrying frame + a selector child (or
+        # rate/increase/delta over one) → the exponential-bucket
+        # estimator (upstream evaluates native histogram samples through
+        # histogramQuantile, float samples through bucketQuantile —
+        # here the frame shape picks the path)
+        native_child = isinstance(node.child, Selector) or (
+            isinstance(node.child, FuncCall)
+            and node.child.fn in ("rate", "increase", "delta")
+            and isinstance(node.child.arg, Selector)
+        )
+        if "h" in self.frame.columns and native_child:
             return self._eval_histfn(
                 HistFn("quantile", node.child, lo=node.phi)
             )

@@ -865,6 +865,102 @@ _QQ["store_native_hist"].oracle = _QQ["promql_native_hist"].oracle
 
 
 @register(
+    "promql_native_hist_rate",
+    _with_prelude(
+        f"""
+, c AS (SELECT labels_str, t, round(v * 100) AS cv FROM samples
+        WHERE event_type = 'click'),
+hb AS (SELECT labels_str, t - (t % {DAY}) + {DAY} AS th,
+         CASE WHEN cv > 0 THEN (CASE WHEN CAST(cv AS BIGINT) <= 1 THEN 0
+              ELSE CAST(length(bin(CAST(cv AS BIGINT) - 1)) AS INT) END)
+              ELSE -9999 END AS ik
+       FROM c),
+ths AS (SELECT DISTINCT labels_str, th FROM hb),
+cum AS (SELECT t1.labels_str, t1.th, h.ik, CAST(count(*) AS DOUBLE) AS c
+        FROM ths t1 JOIN hb h
+          ON h.labels_str = t1.labels_str AND h.th <= t1.th
+        GROUP BY 1, 2, 3),
+{_grid_cte(T0 + 2 * DAY, T0 + 15 * DAY, DAY)},
+bounds AS (SELECT t.labels_str, g.gt, min(t.th) AS th1, max(t.th) AS th2,
+             count(*) AS n
+           FROM ths t JOIN g ON t.th > g.gt - {2 * DAY} AND t.th <= g.gt
+           GROUP BY 1, 2
+           HAVING count(*) >= 2),
+d2 AS (SELECT b.labels_str, b.gt, c.ik, c.c
+       FROM bounds b JOIN cum c
+         ON c.labels_str = b.labels_str AND c.th = b.th2),
+d1 AS (SELECT b.labels_str, b.gt, c.ik, c.c
+       FROM bounds b JOIN cum c
+         ON c.labels_str = b.labels_str AND c.th = b.th1),
+diff AS (SELECT d2.labels_str, d2.gt, d2.ik,
+           d2.c - coalesce(d1.c, 0.0) AS dc
+         FROM d2 LEFT JOIN d1
+           ON d1.labels_str = d2.labels_str AND d1.gt = d2.gt
+          AND d1.ik = d2.ik),
+tot AS (SELECT labels_str, gt, sum(dc) AS cnt,
+          sum(CASE WHEN ik = -9999 THEN dc ELSE 0.0 END) AS zero
+        FROM diff GROUP BY 1, 2),
+cw AS (SELECT labels_str, gt, ik, dc,
+         sum(dc) OVER (PARTITION BY labels_str, gt ORDER BY ik
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cumc
+       FROM diff WHERE ik != -9999 AND dc > 0),
+j AS (SELECT cw.*, t.cnt, t.zero, 0.9 * t.cnt AS rnk
+      FROM cw JOIN tot t USING (labels_str, gt)),
+pk AS (SELECT labels_str, gt, min(ik) AS pidx
+       FROM j WHERE zero + cumc >= rnk GROUP BY 1, 2),
+iq AS (SELECT j.labels_str, j.gt,
+         pow(2.0, j.ik - 1) + (pow(2.0, j.ik) - pow(2.0, j.ik - 1))
+           * (j.rnk - (j.zero + j.cumc - j.dc)) / j.dc AS qi
+       FROM j JOIN pk ON pk.labels_str = j.labels_str AND pk.gt = j.gt
+                     AND j.ik = pk.pidx),
+qv AS (SELECT t.labels_str, t.gt,
+         CASE WHEN t.zero > 0 AND 0.9 * t.cnt <= t.zero THEN 0.0
+              ELSE iq.qi END AS q90,
+         t.cnt
+       FROM tot t LEFT JOIN iq
+         ON iq.labels_str = t.labels_str AND iq.gt = t.gt),
+um AS (SELECT DISTINCT labels_str, user_lbl, k_bucket FROM samples)
+SELECT '{{{{' || CASE WHEN k_bucket = 'high' THEN 'k_bucket="high",' ELSE '' END
+       || 'user="' || user_lbl || '"}}}}' AS labels_str,
+       gt AS t, round(q90, 9) AS q90, cnt
+FROM qv JOIN um USING (labels_str)"""
+    ),
+    "the canonical native-histogram query: `histogram_quantile(0.9, "
+    "increase(click[2d]))` over CUMULATIVE (counter) histograms — the "
+    "upstream scrape semantics (promql/functions.go histogramRate "
+    "kernel, simplified to the boundary difference): the window's "
+    "first/last histograms subtracted component-wise (map_zip_with over "
+    "the sparse bucket union, codegen'd), then the quantile rank walk "
+    "on the difference histogram. increase keeps every count integral "
+    "so the oracle comparison is exact; the cumulative build is a "
+    "densified per-(series, bucket) running sum, never a re-scan of "
+    "earlier samples",
+)
+def promql_native_hist_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tsdb_spark import labels as L
+    from tsdb_spark.nativehist import build_histograms, int_bucket_idx
+    from tsdb_spark.promql import RangeQuery
+
+    s = (
+        events_samples(spark, sf_dir)
+        .filter(L.compile_matchers([L.eq("__name__", "click")]))
+        .withColumn("v", F.round(F.col("v") * 100))
+    )
+    hf = build_histograms(
+        s, DAY, idx_expr=int_bucket_idx(F.col("v")), cumulative=True
+    )
+    q = RangeQuery(hf, T0 + 2 * DAY, T0 + 15 * DAY, DAY)
+    a = q.run("histogram_quantile(0.9, increase(click[2d]))").select(
+        "labels_str", "t", F.round("value", 9).alias("q90")
+    )
+    b = q.run("histogram_count(increase(click[2d]))").select(
+        "labels_str", "t", F.col("value").alias("cnt")
+    )
+    return a.join(b, ["labels_str", "t"])
+
+
+@register(
     "promql_alert_keep_firing",
     _with_prelude(
         f"""
