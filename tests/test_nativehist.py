@@ -140,11 +140,11 @@ def test_parse_and_errors(spark, hist_frame):
     with pytest.raises(ValueError, match="native-histogram frame"):
         q.run("histogram_count(lat)")
     with pytest.raises(ValueError, match="instant selector"):
-        # an aggregate child is not a selector (rate/increase/delta over
-        # a matrix selector ARE supported since the cumulative build)
+        # only selector / rate-family / sum() children are native —
+        # avg() is not
         P.RangeQuery(
             frame.withColumn("h", F.lit(None).cast("int")), 10_000, 10_000, STEP
-        ).run("histogram_count(sum(lat))")
+        ).run("histogram_count(avg(lat))")
 
 
 def test_native_offset_and_at(spark, hist_frame):
@@ -290,3 +290,44 @@ def test_native_hist_rate(spark, cum_frame):
     assert math.isclose(
         q2.run("histogram_count(rate(lat[25s] offset 10s))").collect()[0]["value"],
         0.16, rel_tol=1e-12)
+
+
+def test_native_hist_sum_aggregation(spark, hist_frame):
+    # sum() across series: components add, buckets union-sum
+    frame = hist_frame.withColumn("v", F.lit(0.0))
+    q = P.RangeQuery(frame, 10_000, 10_000, STEP)
+    rows = q.run("histogram_count(sum(lat))").collect()
+    assert len(rows) == 1 and rows[0]["value"] == 12.0
+    assert dict(rows[0]["labels"]) == {}
+    # grouped: per-s sums equal the per-series histograms
+    got = {
+        dict(r["labels"])["s"]: r["value"]
+        for r in q.run("histogram_count(sum by (s) (lat))").collect()
+    }
+    assert got == {"a": 8.0, "b": 4.0}
+    # quantile over the summed histogram vs a direct model
+    v = q.run("histogram_quantile(0.9, sum(lat))").collect()[0]["value"]
+    vals = [0.7, 1.5, 3.0, 3.5, 9.9, 0.0, 2.0, 4.0,
+            16.0, 20.0, 31.9, 64.0]
+    zero, buckets = model_hist(vals)
+    want = model_quantile(0.9, zero, buckets)
+    assert math.isclose(v, want, rel_tol=1e-12)
+    # the full production pattern: quantile of a summed rate
+    # (single-series here, so it must equal the ungrouped rate)
+    n = P.parse_expr("histogram_quantile(0.9, sum by (s) (rate(lat[25s])))")
+    assert isinstance(n, P.HistQuantile)
+
+
+def test_native_hist_sum_rate(spark, cum_frame):
+    q = P.RangeQuery(cum_frame, 30_000, 30_000, STEP)
+    direct = q.run("histogram_count(increase(lat[25s]))").collect()[0]["value"]
+    summed = q.run(
+        "histogram_count(sum by (s) (increase(lat[25s])))"
+    ).collect()[0]
+    assert summed["value"] == direct == 4.0
+    assert dict(summed["labels"]) == {"s": "x"}
+    qd = q.run("histogram_quantile(0.9, increase(lat[25s]))").collect()[0]["value"]
+    qs = q.run(
+        "histogram_quantile(0.9, sum(increase(lat[25s])))"
+    ).collect()[0]["value"]
+    assert math.isclose(qs, qd, rel_tol=1e-12)

@@ -2171,6 +2171,19 @@ class RangeQuery:
             )
         rate_fn = None
         sel = node.child
+        agg_node = None
+        if isinstance(sel, Aggregate) and sel.op == "sum":
+            # sum-aggregation of native histograms across series —
+            # `histogram_quantile(0.9, sum by (k) (rate(h[5m])))`, the
+            # production fleet-wide-latency pattern (upstream aggregates
+            # histogram samples component-wise). `by` grouping only
+            # (`without` raises); the component sums + bucket union-sum
+            # are two combinable groupBys below.
+            if sel.without is not None:
+                raise ValueError(
+                    "native histogram sum supports by() grouping only"
+                )
+            agg_node, sel = sel, sel.child
         if (
             isinstance(sel, FuncCall)
             and sel.fn in ("rate", "increase", "delta")
@@ -2193,6 +2206,8 @@ class RangeQuery:
             child = (
                 FuncCall(rate_fn, stripped) if rate_fn is not None else stripped
             )
+            if agg_node is not None:
+                child = replace(agg_node, child=child)
             return self._pinned(sel.at_ms, replace(node, child=child))
         reach = sel.range_ms if rate_fn is not None else self.lookback_ms
         off = sel.offset_ms
@@ -2232,6 +2247,8 @@ class RangeQuery:
                 F.first("labels").alias("labels"),
                 F.max_by("h", "t").alias("h"),
             )
+        if agg_node is not None:
+            agg = self._hist_group_sum(agg, list(agg_node.by or []))
         val = {
             "histogram_count": NH.hist_count,
             "histogram_sum": NH.hist_sum,
@@ -2309,18 +2326,82 @@ class RangeQuery:
             "value",
         )
 
+    @staticmethod
+    def _hist_group_sum(frame: DataFrame, by: list[str]) -> DataFrame:
+        """Component-wise sum of native histograms per (by-keys, T):
+        count/sum/zero as ONE combinable groupBy; buckets as a sparse
+        union-sum (explode → groupBy idx → reassemble) — a second
+        combinable groupBy whose group space is buckets-per-group, never
+        samples. Result is a label-carrying h frame (by-keys as the
+        label set), so the downstream quantile/count/sum transforms and
+        vector matching work unchanged."""
+        keys = [
+            F.coalesce(F.col("labels").getItem(k), F.lit("")).alias(k)
+            for k in by
+        ]
+        flat = frame.select(*keys, F.col(_G), F.col("h"))
+        comps = flat.groupBy(*by, _G).agg(
+            F.sum("h.count").alias("_count"),
+            F.sum("h.sum").alias("_sum"),
+            F.sum("h.zero_count").alias("_zero"),
+            F.first("h.schema").alias("_schema"),
+        )
+        ex = flat.select(*by, F.col(_G), F.explode("h.buckets").alias("_b"))
+        bk = (
+            ex.groupBy(*by, _G, F.col("_b.idx").alias("_idx"))
+            .agg(F.sum("_b.c").alias("_c"))
+            .groupBy(*by, _G)
+            .agg(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("_idx").alias("idx"), F.col("_c").alias("c")
+                        )
+                    )
+                ).alias("_buckets")
+            )
+        )
+        j = comps.join(bk, [*by, _G], "left")
+        empty_b = F.array().cast("array<struct<idx:int,c:double>>")
+        h = F.struct(
+            F.col("_count").alias("count"),
+            F.col("_sum").alias("sum"),
+            F.col("_zero").alias("zero_count"),
+            F.col("_schema").alias("schema"),
+            F.coalesce(F.col("_buckets"), empty_b).alias("buckets"),
+        )
+        kv = [x for k in by for x in (F.lit(k), F.col(k).cast("string"))]
+        m = (
+            F.create_map(*kv)
+            if kv
+            else F.create_map().cast("map<string,string>")
+        )
+        m = F.map_filter(m, lambda _, v: v != F.lit(""))
+        return j.select(
+            L.labels_str_expr(m).alias("labels_str"),
+            m.alias("labels"),
+            F.col(_G),
+            h.alias("h"),
+        )
+
     def _eval_histq(self, node: HistQuantile) -> DataFrame:
         # native dispatch: an h-carrying frame + a selector child (or
         # rate/increase/delta over one) → the exponential-bucket
         # estimator (upstream evaluates native histogram samples through
         # histogramQuantile, float samples through bucketQuantile —
         # here the frame shape picks the path)
-        native_child = isinstance(node.child, Selector) or (
-            isinstance(node.child, FuncCall)
-            and node.child.fn in ("rate", "increase", "delta")
-            and isinstance(node.child.arg, Selector)
-        )
-        if "h" in self.frame.columns and native_child:
+        def native(n) -> bool:
+            if isinstance(n, Selector):
+                return True
+            if isinstance(n, FuncCall) and n.fn in (
+                "rate", "increase", "delta",
+            ):
+                return isinstance(n.arg, Selector)
+            if isinstance(n, Aggregate) and n.op == "sum":
+                return native(n.child)
+            return False
+
+        if "h" in self.frame.columns and native(node.child):
             return self._eval_histfn(
                 HistFn("quantile", node.child, lo=node.phi)
             )
