@@ -2573,10 +2573,36 @@ class RangeQuery:
             # joins on it), so the result carries the filtered labels
             # map + canonical labels_str like any selector output —
             # downstream on()/ignoring()/group_* work uniformly
-            drop = F.array(*[F.lit(k) for k in [*node.without, "__name__"]])
-            without_map = F.map_filter(
-                F.col("labels"), lambda k, _: ~F.array_contains(drop, k)
-            )
+            if has_labels:
+                drop = F.array(
+                    *[F.lit(k) for k in [*node.without, "__name__"]]
+                )
+                without_map = F.map_filter(
+                    F.col("labels"), lambda k, _: ~F.array_contains(drop, k)
+                )
+            else:
+                # a grouped child's key columns ARE its full label set
+                # (count_values / by-aggregates): build the map from the
+                # kept keys, empty values meaning absent (F14)
+                gkeys = [
+                    c
+                    for c in child.columns
+                    if c not in (_G, "value", "labels", "labels_str")
+                    and c not in node.without
+                ]
+                kv = [
+                    x
+                    for k in gkeys
+                    for x in (F.lit(k), F.col(k).cast("string"))
+                ]
+                without_map = (
+                    F.create_map(*kv)
+                    if kv
+                    else F.create_map().cast("map<string,string>")
+                )
+                without_map = F.map_filter(
+                    without_map, lambda _, v: v != F.lit("")
+                )
             keys = [L.labels_str_expr(without_map).alias("labels_str")]
             out_keys = ["labels_str"]
         else:
