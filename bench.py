@@ -50,6 +50,20 @@ def main() -> None:
     all_runs: dict[str, list[float]] = {}
     loads: dict[str, float] = {}
 
+    # machine-state calibration: a fixed data-independent JVM job, timed
+    # warm. On this VM class a whole SESSION can run 2-3x slow (thin-
+    # provisioned memory — SCALE.md r5/r6 notes) with a LOW load
+    # average, so the load sentinel alone can't flag it; a calibration
+    # constant lets a reader normalize a degraded run instead of
+    # misreading it as a code regression. Healthy reference: ~0.2-0.6s.
+    def _cal() -> float:
+        t0 = time.time()
+        spark.range(200_000_000).selectExpr("sum(id * 2)").collect()
+        return round(time.time() - t0, 3)
+
+    _cal()  # JIT warm-up, untimed
+    calibration = min(_cal(), _cal())
+
     def bench(name: str, fn, runs: int = RUNS) -> None:
         """Median-of-N timing. `fn` takes the 0-based run index so
         mutating entries can target a fresh copy per repetition."""
@@ -309,6 +323,7 @@ def main() -> None:
                     "sf": sf_of(SF_DIR),
                     "runs": RUNS,
                     "load_avg": loads,
+                    "calibration_sec": calibration,
                     "all_runs": all_runs,
                 }
             )
