@@ -331,3 +331,13 @@ def test_native_hist_sum_rate(spark, cum_frame):
         "histogram_quantile(0.9, sum(increase(lat[25s])))"
     ).collect()[0]["value"]
     assert math.isclose(qs, qd, rel_tol=1e-12)
+
+
+def test_fraction_and_stddev_over_rate(spark, cum_frame):
+    # every histogram transform composes with the rate-family child
+    q = P.RangeQuery(cum_frame, 30_000, 30_000, STEP)
+    fr = q.run("histogram_fraction(1, 8, increase(lat[25s]))").collect()
+    # diff buckets (1,2],(2,4],(4,8] each 1 + zero 1 → 3/4 inside [1,8]
+    assert len(fr) == 1 and math.isclose(fr[0]["value"], 0.75, rel_tol=1e-12)
+    sv = q.run("histogram_stdvar(increase(lat[25s]))").collect()
+    assert len(sv) == 1 and sv[0]["value"] > 0

@@ -451,3 +451,25 @@ def test_federate_is_pruned_and_one_shuffle(spark, store):
     assert pf and any("t_bucket" in ln for ln in pf), (
         "federate lost the t_bucket partition prune"
     )
+
+
+def test_hist_group_sum_is_combinable_no_python(spark):
+    # the histogram sum aggregation must stay JVM-side with combinable
+    # (partial) aggregates — no Python eval, no cartesian
+    from tsdb_spark import labels as L
+    from tsdb_spark.nativehist import build_histograms
+    from tsdb_spark.promql import RangeQuery
+
+    rows = [({"__name__": "h", "s": str(i % 3)}, 1_000 + i * 500,
+             float(i % 7 + 1)) for i in range(60)]
+    df = spark.createDataFrame(
+        rows, "labels MAP<STRING,STRING>, t LONG, v DOUBLE"
+    ).withColumn("labels_str", L.labels_str_expr("labels"))
+    hf = build_histograms(df, 10_000)
+    q = RangeQuery(hf, 10_000, 30_000, 10_000, lookback_ms=10_000)
+    plan = _executed(
+        q.run("histogram_quantile(0.9, sum by (s) (h))")
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_" in plan  # map-side combine on the component sums

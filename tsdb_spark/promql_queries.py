@@ -937,19 +937,24 @@ FROM qv JOIN um USING (labels_str)"""
     "densified per-(series, bucket) running sum, never a re-scan of "
     "earlier samples",
 )
-def promql_native_hist_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _cum_click_hist(spark: SparkSession, sf_dir: str):
     from tsdb_spark import labels as L
     from tsdb_spark.nativehist import build_histograms, int_bucket_idx
-    from tsdb_spark.promql import RangeQuery
 
     s = (
         events_samples(spark, sf_dir)
         .filter(L.compile_matchers([L.eq("__name__", "click")]))
         .withColumn("v", F.round(F.col("v") * 100))
     )
-    hf = build_histograms(
+    return build_histograms(
         s, DAY, idx_expr=int_bucket_idx(F.col("v")), cumulative=True
     )
+
+
+def promql_native_hist_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tsdb_spark.promql import RangeQuery
+
+    hf = _cum_click_hist(spark, sf_dir)
     q = RangeQuery(hf, T0 + 2 * DAY, T0 + 15 * DAY, DAY)
     a = q.run("histogram_quantile(0.9, increase(click[2d]))").select(
         "labels_str", "t", F.round("value", 9).alias("q90")
@@ -957,6 +962,85 @@ def promql_native_hist_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = q.run("histogram_count(increase(click[2d]))").select(
         "labels_str", "t", F.col("value").alias("cnt")
     )
+    return a.join(b, ["labels_str", "t"])
+
+
+@register(
+    "promql_native_hist_sum",
+    _with_prelude(
+        f"""
+, c AS (SELECT labels_str, t, round(v * 100) AS cv FROM samples
+        WHERE event_type = 'click'),
+hb AS (SELECT labels_str, t - (t % {DAY}) + {DAY} AS th,
+         CASE WHEN cv > 0 THEN (CASE WHEN CAST(cv AS BIGINT) <= 1 THEN 0
+              ELSE CAST(length(bin(CAST(cv AS BIGINT) - 1)) AS INT) END)
+              ELSE -9999 END AS ik
+       FROM c),
+ths AS (SELECT DISTINCT labels_str, th FROM hb),
+cum AS (SELECT t1.labels_str, t1.th, h.ik, CAST(count(*) AS DOUBLE) AS c
+        FROM ths t1 JOIN hb h
+          ON h.labels_str = t1.labels_str AND h.th <= t1.th
+        GROUP BY 1, 2, 3),
+{_grid_cte(T0 + 2 * DAY, T0 + 15 * DAY, DAY)},
+bounds AS (SELECT t.labels_str, g.gt, min(t.th) AS th1, max(t.th) AS th2
+           FROM ths t JOIN g ON t.th > g.gt - {2 * DAY} AND t.th <= g.gt
+           GROUP BY 1, 2
+           HAVING count(*) >= 2),
+d2 AS (SELECT b.labels_str, b.gt, c.ik, c.c
+       FROM bounds b JOIN cum c
+         ON c.labels_str = b.labels_str AND c.th = b.th2),
+d1 AS (SELECT b.labels_str, b.gt, c.ik, c.c
+       FROM bounds b JOIN cum c
+         ON c.labels_str = b.labels_str AND c.th = b.th1),
+diff AS (SELECT d2.labels_str, d2.gt, d2.ik,
+           d2.c - coalesce(d1.c, 0.0) AS dc
+         FROM d2 LEFT JOIN d1
+           ON d1.labels_str = d2.labels_str AND d1.gt = d2.gt
+          AND d1.ik = d2.ik),
+um AS (SELECT DISTINCT labels_str, user_lbl FROM samples),
+dg AS (SELECT um.user_lbl AS u, d.gt, d.ik, sum(d.dc) AS dc
+       FROM diff d JOIN um ON um.labels_str = d.labels_str
+       GROUP BY 1, 2, 3),
+tot AS (SELECT u, gt, sum(dc) AS cnt,
+          sum(CASE WHEN ik = -9999 THEN dc ELSE 0.0 END) AS zero
+        FROM dg GROUP BY 1, 2),
+cw AS (SELECT u, gt, ik, dc,
+         sum(dc) OVER (PARTITION BY u, gt ORDER BY ik
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cumc
+       FROM dg WHERE ik != -9999 AND dc > 0),
+j AS (SELECT cw.*, t.cnt, t.zero, 0.9 * t.cnt AS rnk
+      FROM cw JOIN tot t ON t.u = cw.u AND t.gt = cw.gt),
+pk AS (SELECT u, gt, min(ik) AS pidx
+       FROM j WHERE zero + cumc >= rnk GROUP BY 1, 2),
+iq AS (SELECT j.u, j.gt,
+         pow(2.0, j.ik - 1) + (pow(2.0, j.ik) - pow(2.0, j.ik - 1))
+           * (j.rnk - (j.zero + j.cumc - j.dc)) / j.dc AS qi
+       FROM j JOIN pk ON pk.u = j.u AND pk.gt = j.gt AND j.ik = pk.pidx)
+SELECT '{{{{user="' || t.u || '"}}}}' AS labels_str, t.gt AS t,
+       round(CASE WHEN t.zero > 0 AND 0.9 * t.cnt <= t.zero THEN 0.0
+                  ELSE iq.qi END, 9) AS q90,
+       t.cnt
+FROM tot t LEFT JOIN iq ON iq.u = t.u AND iq.gt = t.gt"""
+    ),
+    "the grouped fleet-wide form: `histogram_quantile(0.9, sum by "
+    "(user) (increase(click[2d])))` — per-series boundary-difference "
+    "histograms summed component-wise per user (two combinable "
+    "groupBys: component sums + sparse bucket union-sum), then the "
+    "quantile walk on the group histogram. All counts integral, exact "
+    "cross-engine",
+)
+def promql_native_hist_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tsdb_spark.promql import RangeQuery
+
+    hf = _cum_click_hist(spark, sf_dir)
+    q = RangeQuery(hf, T0 + 2 * DAY, T0 + 15 * DAY, DAY)
+    a = q.run(
+        "histogram_quantile(0.9, sum by (user) (increase(click[2d])))"
+    ).select("labels_str", "t", F.round("value", 9).alias("q90"))
+    b = q.run(
+        "histogram_count(sum by (user) (increase(click[2d])))"
+    ).select("labels_str", "t", F.col("value").alias("cnt"))
     return a.join(b, ["labels_str", "t"])
 
 
