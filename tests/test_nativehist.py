@@ -341,3 +341,21 @@ def test_fraction_and_stddev_over_rate(spark, cum_frame):
     assert len(fr) == 1 and math.isclose(fr[0]["value"], 0.75, rel_tol=1e-12)
     sv = q.run("histogram_stdvar(increase(lat[25s]))").collect()
     assert len(sv) == 1 and sv[0]["value"] > 0
+
+
+def test_eval_hist_range_db(spark, tmp_path, hist_frame):
+    from tsdb_spark import DB
+    from tsdb_spark.promql import eval_hist_range_db
+
+    db = DB.create(spark, str(tmp_path / "ehdb"), block_width_ms=60_000)
+    db.append_histograms(hist_frame.select("labels", "t", "h"))
+    out = eval_hist_range_db(
+        db, "histogram_count(lat)", 10_000, 10_000, STEP
+    )
+    got = {dict(r["labels"])["s"]: r["value"] for r in out.collect()}
+    assert got == {"a": 8.0, "b": 4.0}
+    # the scan is partition-pruned (t_bucket filter reaches the scan)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and any("t_bucket" in ln for ln in pf)

@@ -2830,3 +2830,22 @@ def eval_range_db(
     mint, maxt = scan_bounds(node, start, end, lookback_ms)
     frame = db.querier(mint, maxt).select([], with_labels=True)
     return RangeQuery(frame, start, end, step, lookback_ms).run(node)
+
+
+def eval_hist_range_db(
+    db,
+    expr: str,
+    start: int,
+    end: int,
+    step: int,
+    lookback_ms: int = DEFAULT_LOOKBACK_MS,
+) -> DataFrame:
+    """Evaluate a native-histogram expression against a DB store's
+    histograms table: the scan-bounded, partition-pruned hist_frame
+    feeds the grid evaluator (the eval_range_db arrangement for the
+    prometheus 3.x sample type the reference's float64-only chunks
+    lack)."""
+    node = parse_expr(expr)
+    mint, maxt = scan_bounds(node, start, end, lookback_ms)
+    frame = db.hist_frame(mint, maxt)
+    return RangeQuery(frame, start, end, step, lookback_ms).run(node)
