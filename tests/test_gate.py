@@ -37,3 +37,15 @@ def test_gate_covers_every_family():
 def test_everything_past_the_gate_is_still_registered():
     # the long tail stays selfcheck-verified — nothing is dropped
     assert len(QUERIES) >= 90
+
+
+def test_registry_names_match_their_functions():
+    # every entry's spark_fn must be the function NAMED for it — a
+    # misplaced helper between @register and its def silently rebinds
+    # the entry to the wrong callable (bit twice in r6)
+    mismatched = [
+        (name, q.spark_fn.__name__)
+        for name, q in QUERIES.items()
+        if q.spark_fn.__name__ != name
+    ]
+    assert not mismatched, mismatched

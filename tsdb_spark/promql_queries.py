@@ -864,6 +864,21 @@ from tsdb_spark.queries import QUERIES as _QQ  # noqa: E402
 _QQ["store_native_hist"].oracle = _QQ["promql_native_hist"].oracle
 
 
+def _cum_click_hist(spark: SparkSession, sf_dir: str):
+    from tsdb_spark import labels as L
+    from tsdb_spark.nativehist import build_histograms, int_bucket_idx
+
+    s = (
+        events_samples(spark, sf_dir)
+        .filter(L.compile_matchers([L.eq("__name__", "click")]))
+        .withColumn("v", F.round(F.col("v") * 100))
+    )
+    return build_histograms(
+        s, DAY, idx_expr=int_bucket_idx(F.col("v")), cumulative=True
+    )
+
+
+
 @register(
     "promql_native_hist_rate",
     _with_prelude(
@@ -937,20 +952,6 @@ FROM qv JOIN um USING (labels_str)"""
     "densified per-(series, bucket) running sum, never a re-scan of "
     "earlier samples",
 )
-def _cum_click_hist(spark: SparkSession, sf_dir: str):
-    from tsdb_spark import labels as L
-    from tsdb_spark.nativehist import build_histograms, int_bucket_idx
-
-    s = (
-        events_samples(spark, sf_dir)
-        .filter(L.compile_matchers([L.eq("__name__", "click")]))
-        .withColumn("v", F.round(F.col("v") * 100))
-    )
-    return build_histograms(
-        s, DAY, idx_expr=int_bucket_idx(F.col("v")), cumulative=True
-    )
-
-
 def promql_native_hist_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tsdb_spark.promql import RangeQuery
 
