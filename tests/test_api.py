@@ -301,3 +301,53 @@ def test_parse_format_metadata_buildinfo(store):
             assert e.code == 400
     finally:
         srv.shutdown()
+
+
+def test_query_histogram_wire_shape(spark, tmp_path):
+    from tsdb_spark.api import query_histogram
+    from tsdb_spark import labels as L
+    from tsdb_spark.nativehist import build_histograms
+
+    rows = [({"__name__": "lat", "s": "a"}, 1_000 + i * 1_000, v)
+            for i, v in enumerate([0.7, 1.5, 3.0, 0.0])]
+    df = spark.createDataFrame(
+        rows, "labels MAP<STRING,STRING>, t LONG, v DOUBLE"
+    ).withColumn("labels_str", L.labels_str_expr("labels"))
+    db = DB.create(spark, str(tmp_path / "qh"), block_width_ms=60_000)
+    db.append_histograms(build_histograms(df, 10_000).select(
+        "labels", "t", "h"))
+
+    resp = query_histogram(db, 'lat{s="a"}', 30_000, lookback_ms=60_000)
+    assert resp["data"]["resultType"] == "vector"
+    (e,) = resp["data"]["result"]
+    assert e["metric"] == {"__name__": "lat", "s": "a"}
+    ts, h = e["histogram"]
+    assert ts == 30.0  # the eval instant, upstream /query semantics
+    assert h["count"] == "4" and abs(float(h["sum"]) - 5.2) < 1e-9
+    # zero bucket closed-both at [0,0], exponential buckets open-left
+    assert h["buckets"][0] == [3, "0", "0", "1"]
+    assert [b[0] for b in h["buckets"][1:]] == [0, 0, 0]
+    assert h["buckets"][1][1:] == ["0.5", "1", "1"]   # (0.5,1]: 0.7
+    assert h["buckets"][2][1:] == ["1", "2", "1"]     # (1,2]: 1.5
+    assert h["buckets"][3][1:] == ["2", "4", "1"]     # (2,4]: 3.0
+    json.dumps(resp)
+
+    # served over HTTP too
+    import threading
+    import urllib.request
+    from urllib.parse import quote
+
+    from tsdb_spark.api import serve
+
+    srv = serve(db, "127.0.0.1", 0)
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/api/v1/query_histogram"
+            f"?time=30&match[]={quote('lat')}"
+        ) as r:
+            body = json.loads(r.read())
+        assert body["data"]["result"][0]["histogram"][1]["count"] == "4"
+    finally:
+        srv.shutdown()

@@ -95,6 +95,68 @@ def query(
     }
 
 
+def query_histogram(
+    db, selector: str, time_ms: int, lookback_ms: int = DEFAULT_LOOKBACK_MS
+) -> dict:
+    """GET /api/v1/query_histogram — the instant vector of NATIVE
+    histogram samples in the upstream wire shape (api.go + model:
+    resultType "vector" with a `histogram` field instead of `value`):
+
+        {"metric": {...}, "histogram": [ts, {"count": "6", "sum": "16",
+         "buckets": [[3, "0", "0", "1"], [0, "1", "2", "2"], ...]}]}
+
+    bucket boundary rules per upstream: 0 = open-left (the exponential
+    positive buckets), 3 = closed-both (the zero bucket, [0, 0] in this
+    engine's zero-threshold-0 subset). Upstream serves histograms
+    through the same /query route when the samples ARE histograms; this
+    engine's float/histogram table split makes that ambiguous, so the
+    dedicated route is the documented seam."""
+    from pyspark.sql import functions as F
+
+    from tsdb_spark.labels import parse_selector
+
+    matchers = parse_selector(selector)
+    frame = db.hist_frame(
+        time_ms - lookback_ms + 1, time_ms, matchers=matchers
+    )
+    out = frame.groupBy("labels_str").agg(
+        F.first("labels").alias("labels"),
+        F.max_by("h", "t").alias("h"),
+        F.lit(time_ms).alias("t"),  # upstream stamps the eval instant
+    )
+    result = []
+    for row in out.collect():
+        h = row["h"]
+        buckets = [
+            [3, "0", "0", format_value(h["zero_count"])]
+        ] if h["zero_count"] else []
+        base = 2.0 ** (2.0 ** -h["schema"])
+        for b in h["buckets"]:
+            lo, hi = base ** (b["idx"] - 1), base ** b["idx"]
+            buckets.append(
+                [0, format_value(lo), format_value(hi), format_value(b["c"])]
+            )
+        metric = {k: v for k, v in dict(row["labels"]).items() if v}
+        result.append(
+            {
+                "metric": metric,
+                "histogram": [
+                    row["t"] / 1000.0,
+                    {
+                        "count": format_value(h["count"]),
+                        "sum": format_value(h["sum"]),
+                        "buckets": buckets,
+                    },
+                ],
+            }
+        )
+    result.sort(key=lambda e: sorted(e["metric"].items()))
+    return {
+        "status": "success",
+        "data": {"resultType": "vector", "result": result},
+    }
+
+
 def labels(db) -> dict:
     """GET /api/v1/labels (api.go labelNames → the engine's A2
     LabelNames)."""
@@ -432,6 +494,14 @@ def make_handler(db, rule_groups: list[dict] | None = None):
                     return self._reply(200, labels(db))
                 if u.path == "/api/v1/status/tsdb":
                     return self._reply(200, status_tsdb(db))
+                if u.path == "/api/v1/query_histogram":
+                    t = _parse_time(q["time"]) if "time" in q else None
+                    if t is None:
+                        raise ValueError("missing `time` parameter")
+                    sel = multi.get("match[]", [q.get("query")])[0]
+                    if sel is None:
+                        raise ValueError("missing `match[]`/`query` selector")
+                    return self._reply(200, query_histogram(db, sel, t))
                 if u.path == "/api/v1/parse_query":
                     return self._reply(200, parse_query(q["query"]))
                 if u.path == "/api/v1/format_query":
