@@ -359,3 +359,18 @@ def test_eval_hist_range_db(spark, tmp_path, hist_frame):
     plan = out._jdf.queryExecution().executedPlan().toString()
     pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
     assert pf and any("t_bucket" in ln for ln in pf)
+
+
+def test_cross_append_later_ingest_wins(spark, tmp_path, hist_frame):
+    from tsdb_spark import DB
+
+    db = DB.create(spark, str(tmp_path / "xad"), block_width_ms=60_000)
+    db.append_histograms(hist_frame.select("labels", "t", "h"))
+    # a SECOND append re-delivers the same (series, t) with amended
+    # counts: the read must resolve later-ingest-wins (J6)
+    db.append_histograms(hist_frame.select(
+        "labels", "t",
+        F.col("h").withField("count", F.lit(77.0)).alias("h")))
+    back = db.hist_frame(0, 100_000).collect()
+    assert len(back) == 2  # one histogram per series, no duplicates
+    assert all(r["h"]["count"] == 77.0 for r in back)

@@ -742,6 +742,22 @@ class DB:
             & (F.col("t") >= F.lit(mint))
             & (F.col("t") <= F.lit(maxt))
         )
+        # vertical dedup (J6): a second append to the same bucket can
+        # carry the same (series, t) — later ingest wins, count as the
+        # deterministic tiebreak. One combinable groupBy over the
+        # (histogram-table-sized) pruned scan; unlike the samples path
+        # this is not overlap-scoped — histogram tables are orders of
+        # magnitude smaller than their sample sources (one row per
+        # series-window, not per observation)
+        h = h.groupBy("series_id", "t").agg(
+            F.max_by(
+                "h",
+                F.struct(
+                    F.col("ingest_seq").alias("s"),
+                    F.col("h.count").alias("c"),
+                ),
+            ).alias("h")
+        )
         dim = self.series()
         if matchers:
             dim = dim.filter(L.compile_matchers(matchers))
