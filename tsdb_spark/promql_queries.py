@@ -864,6 +864,57 @@ from tsdb_spark.queries import QUERIES as _QQ  # noqa: E402
 _QQ["store_native_hist"].oracle = _QQ["promql_native_hist"].oracle
 
 
+@register(
+    "promql_native_hist_fraction",
+    _with_prelude(
+        f"""
+, c AS (SELECT labels_str, t, round(v * 100) AS cv FROM samples
+        WHERE event_type = 'click'),
+hb AS (SELECT labels_str, t - (t % {DAY}) + {DAY} AS th,
+         CASE WHEN cv > 0 THEN (CASE WHEN CAST(cv AS BIGINT) <= 1 THEN 0
+              ELSE CAST(length(bin(CAST(cv AS BIGINT) - 1)) AS INT) END)
+         END AS idx
+       FROM c),
+h AS (SELECT labels_str, th, CAST(count(*) AS DOUBLE) AS cnt,
+        CAST(sum(CASE WHEN idx BETWEEN 10 AND 13 THEN 1 ELSE 0 END)
+          AS DOUBLE) AS inside
+      FROM hb GROUP BY 1, 2),
+um AS (SELECT DISTINCT labels_str, user_lbl, k_bucket FROM samples)
+SELECT '{{{{' || CASE WHEN k_bucket = 'high' THEN 'k_bucket="high",' ELSE '' END
+       || 'user="' || user_lbl || '"}}}}' AS labels_str,
+       th AS t, round(inside / cnt, 9) AS frac, cnt
+FROM h JOIN um USING (labels_str)
+WHERE th BETWEEN {T0 + DAY} AND {T0 + 15 * DAY}"""
+    ),
+    "histogram_fraction(512, 8192, click) over daily native histograms "
+    "(promql/quantile.go histogramFraction): the estimated share of "
+    "observations in [512, 8192]. The bounds are powers of two aligned "
+    "with the schema-0 bucket boundaries, so every bucket's "
+    "interpolated overlap is exactly 0 or 1 (buckets idx 10..13 wholly "
+    "inside) — the engine's per-bucket linear-overlap fold and the "
+    "oracle's integer count agree bit-for-bit, one final division",
+)
+def promql_native_hist_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tsdb_spark import labels as L
+    from tsdb_spark.nativehist import build_histograms, int_bucket_idx
+    from tsdb_spark.promql import RangeQuery
+
+    s = (
+        events_samples(spark, sf_dir)
+        .filter(L.compile_matchers([L.eq("__name__", "click")]))
+        .withColumn("v", F.round(F.col("v") * 100))
+    )
+    hf = build_histograms(s, DAY, idx_expr=int_bucket_idx(F.col("v")))
+    q = RangeQuery(hf, T0 + DAY, T0 + 15 * DAY, DAY, lookback_ms=DAY)
+    a = q.run("histogram_fraction(512, 8192, click)").select(
+        "labels_str", "t", F.round("value", 9).alias("frac")
+    )
+    b = q.run("histogram_count(click)").select(
+        "labels_str", "t", F.col("value").alias("cnt")
+    )
+    return a.join(b, ["labels_str", "t"])
+
+
 def _cum_click_hist(spark: SparkSession, sf_dir: str):
     from tsdb_spark import labels as L
     from tsdb_spark.nativehist import build_histograms, int_bucket_idx
