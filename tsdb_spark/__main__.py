@@ -8,6 +8,7 @@ command table: bench write / ls / analyze / dump).
     python -m tsdb_spark explain  <store> '<promql selector>' [--mint --maxt]
     python -m tsdb_spark dump     <store> [--mint MS] [--maxt MS] [--out DIR]
     python -m tsdb_spark bench-write <store> --events DIR [--width MS]
+    python -m tsdb_spark create-blocks-from <input> <store> [--timestamps U]
     python -m tsdb_spark stream   <store> --source DIR --checkpoint DIR
     python -m tsdb_spark plan     <store>
     python -m tsdb_spark compact  <store> [--width MS]
@@ -131,6 +132,21 @@ def main(argv: list[str] | None = None) -> int:
     p_bw.add_argument("store")
     p_bw.add_argument("--events", required=True, help="sf dir with events.parquet")
     p_bw.add_argument("--width", type=int, default=2 * 3600 * 1000)
+
+    p_cb = sub.add_parser(
+        "create-blocks-from",
+        help="backfill: parse an OpenMetrics/exposition text dump and "
+        "append it into a (new or existing) store — the `promtool tsdb "
+        "create-blocks-from openmetrics` flow as one distributed parse",
+    )
+    p_cb.add_argument("input", help="text file / dir / glob of exposition lines")
+    p_cb.add_argument("store")
+    p_cb.add_argument("--timestamps", choices=("openmetrics", "ms"),
+                      default="openmetrics",
+                      help="stamp unit: OpenMetrics seconds (default) or "
+                      "classic-exposition / `dump` milliseconds")
+    p_cb.add_argument("--width", type=int, default=2 * 3600 * 1000,
+                      help="block width for a NEW store (backfill.go cuts 2h)")
 
     p_st = sub.add_parser(
         "stream",
@@ -280,6 +296,14 @@ def main(argv: list[str] | None = None) -> int:
         dt = time.time() - t0
         n = db.samples().count()
         print(f"ingested {n} samples in {dt:.2f}s = {n / dt:,.0f} samples/sec")
+    elif args.cmd == "create-blocks-from":
+        from tsdb_spark.sources.openmetrics import create_blocks_from
+
+        db = create_blocks_from(
+            spark, args.input, args.store,
+            block_width_ms=args.width, timestamps=args.timestamps,
+        )
+        print(f"backfilled {db.samples().count()} samples into {args.store}")
     elif args.cmd == "stream":
         import os as _os
 

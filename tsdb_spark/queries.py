@@ -885,6 +885,54 @@ def store_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "store_openmetrics_backfill",
+    _with_prelude("""
+, d AS (SELECT labels_str, t, min(v) AS v FROM samples
+        WHERE t < {T0} + 7*{DAY} GROUP BY 1, 2)
+SELECT labels_str, CAST(count(*) AS BIGINT) AS n, ROUND(sum(v), 2) AS sum_v,
+       min(t) AS min_t, max(t) AS max_t
+FROM d GROUP BY labels_str"""),
+    "OpenMetrics backfill roundtrip (`promtool tsdb create-blocks-from "
+    "openmetrics`, prometheus/prometheus cmd/promtool/backfill.go — the "
+    "bulk-import layer above the reference, like PromQL/rules/API): week-1 "
+    "samples render to exposition text (escaped label values, fractional-"
+    "second stamps), hit disk as a text dump, re-parse through the "
+    "JVM-side reader (sources/openmetrics.py — regexp projection, no "
+    "Python row path), append into a fresh store, and read back through "
+    "the pruned querier. Per-series count/sum/extent must equal never "
+    "having left the store — format→parse→ingest is lossless",
+)
+def store_openmetrics_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tsdb_spark.sources.openmetrics import create_blocks_from, format_openmetrics
+
+    key = ("openmetrics", id(spark), sf_dir)
+    if key not in _STORES:
+        root = tempfile.mkdtemp(prefix="tsdb_q_om_")
+        src = (
+            events_samples(spark, sf_dir)
+            .filter(F.col("t") < T0 + 7 * DAY)
+            .groupBy("labels_str", "t")
+            .agg(F.min("v").alias("v"), F.first("labels").alias("labels"))
+        )
+        format_openmetrics(src.select("labels", "t", "v")).write.mode(
+            "overwrite"
+        ).text(f"{root}/dump")
+        _STORES[key] = create_blocks_from(spark, f"{root}/dump", f"{root}/db")
+    return (
+        _STORES[key]
+        .querier(T0, T0 + 31 * DAY)
+        .select([], with_labels=False)
+        .groupBy("labels_str")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.sum("v"), 2).alias("sum_v"),
+            F.min("t").alias("min_t"),
+            F.max("t").alias("max_t"),
+        )
+    )
+
+
+@register(
     "store_checkpoint",
     _with_prelude("""
 , d AS (SELECT labels_str, user_lbl, t, min(v) AS v FROM samples GROUP BY 1, 2, 3)
