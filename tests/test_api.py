@@ -351,3 +351,113 @@ def test_query_histogram_wire_shape(spark, tmp_path):
         assert body["data"]["result"][0]["histogram"][1]["count"] == "4"
     finally:
         srv.shutdown()
+
+
+def test_admin_api(spark, tmp_path):
+    """/api/v1/admin/tsdb/* (api.go deleteSeries/cleanTombstones/
+    snapshot): gated off by default (503), POST-only (405), and the
+    delete → clean → snapshot flow mutates the store for real."""
+    import os
+    import threading
+    import urllib.error
+    import urllib.request
+    from urllib.parse import quote
+
+    from tsdb_spark.api import serve
+
+    rows = []
+    for s in ("a", "b"):
+        for i in range(20):
+            rows.append(({"__name__": "m", "s": s}, i * 60_000, float(i)))
+    db = DB.create(spark, str(tmp_path / "admin_db"), block_width_ms=WIDTH)
+    db.append(spark.createDataFrame(
+        rows, "labels MAP<STRING,STRING>, t LONG, v DOUBLE"))
+
+    def call(port, path, method="POST", want_err=None):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}{path}", method=method, data=b""
+        )
+        try:
+            with urllib.request.urlopen(req) as r:
+                return r.status, r.read()
+        except urllib.error.HTTPError as e:
+            assert want_err == e.code, (path, e.code, e.read())
+            return e.code, e.read()
+
+    # disabled by default → 503 admin APIs disabled (adminDisabled)
+    srv = serve(db, "127.0.0.1", 0)
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        code, body = call(
+            port, "/api/v1/admin/tsdb/clean_tombstones", want_err=503
+        )
+        assert b"admin APIs disabled" in body
+    finally:
+        srv.shutdown()
+
+    srv = serve(db, "127.0.0.1", 0, enable_admin=True)
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        # GET on an admin route → 405 (upstream registers POST/PUT only)
+        code, _ = call(
+            port, "/api/v1/admin/tsdb/snapshot", method="GET", want_err=405
+        )
+        # missing match[] → 400
+        code, _ = call(
+            port, "/api/v1/admin/tsdb/delete_series", want_err=400
+        )
+        # delete series s="a" within [60s, 300s] → 204, reads shrink
+        before = db.querier(0, 10**9).select([]).count()
+        code, _ = call(
+            port,
+            "/api/v1/admin/tsdb/delete_series?match[]="
+            + quote('m{s="a"}') + "&start=60&end=300",
+        )
+        assert code == 204
+        after = db.querier(0, 10**9).select([]).count()
+        assert after == before - 5  # t=60..300s inclusive, 5 samples
+
+        code, _ = call(port, "/api/v1/admin/tsdb/clean_tombstones")
+        assert code == 204
+        assert db.querier(0, 10**9).select([]).count() == after
+
+        code, raw = call(port, "/api/v1/admin/tsdb/snapshot")
+        assert code == 200
+        name = json.loads(raw)["data"]["name"]
+        snap = os.path.join(db.path, "snapshots", name)
+        assert os.path.isdir(snap)
+        snap_db = DB.open(spark, snap)
+        assert snap_db.querier(0, 10**9).select([]).count() == after
+    finally:
+        srv.shutdown()
+
+
+def test_admin_api_readonly_store_forbidden(spark, tmp_path):
+    import threading
+    import urllib.error
+    import urllib.request
+
+    from tsdb_spark.api import serve
+
+    db = DB.create(spark, str(tmp_path / "ro_db"), block_width_ms=WIDTH)
+    db.append(spark.createDataFrame(
+        [({"__name__": "m"}, 0, 1.0)],
+        "labels MAP<STRING,STRING>, t LONG, v DOUBLE"))
+    ro = DB.open_readonly(spark, db.path)
+    srv = serve(ro, "127.0.0.1", 0, enable_admin=True)
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/api/v1/admin/tsdb/clean_tombstones",
+            method="POST", data=b"",
+        )
+        try:
+            urllib.request.urlopen(req)
+            raise AssertionError("read-only mutation must 403")
+        except urllib.error.HTTPError as e:
+            assert e.code == 403
+    finally:
+        srv.shutdown()

@@ -99,6 +99,13 @@ def main(argv: list[str] | None = None) -> int:
     p_sv.add_argument("store")
     p_sv.add_argument("--host", default="127.0.0.1")
     p_sv.add_argument("--port", type=int, default=9090)
+    p_sv.add_argument(
+        "--enable-admin",
+        action="store_true",
+        help="unlock /api/v1/admin/tsdb/* (delete_series, "
+        "clean_tombstones, snapshot) — opens the store WRITABLE; the "
+        "upstream --web.enable-admin-api flag",
+    )
 
     p_rr = sub.add_parser(
         "record",
@@ -263,8 +270,12 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "serve":
         from tsdb_spark.api import serve
 
-        db = DB.open_readonly(spark, args.store)
-        srv = serve(db, args.host, args.port)
+        db = (
+            DB.open(spark, args.store)
+            if args.enable_admin
+            else DB.open_readonly(spark, args.store)
+        )
+        srv = serve(db, args.host, args.port, enable_admin=args.enable_admin)
         print(f"serving /api/v1 on http://{args.host}:{args.port}")
         try:
             srv.serve_forever()

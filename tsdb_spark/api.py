@@ -422,13 +422,49 @@ def _parse_step(s: str) -> int:
         return int(float(s) * 1000)
 
 
-def make_handler(db, rule_groups: list[dict] | None = None):
+def admin_delete_series(db, selectors: list[str], mint: int, maxt: int) -> int:
+    """POST /api/v1/admin/tsdb/delete_series (api.go deleteSeries):
+    record delete intervals for every match[] selector over [start, end].
+    Tombstone-based like upstream — data disappears from reads now and
+    from disk at the next clean_tombstones/compaction. Returns the number
+    of series tombstoned (upstream replies 204 with no body)."""
+    from tsdb_spark.labels import parse_selector
+
+    total = 0
+    for sel in selectors:
+        total += db.delete(mint, maxt, parse_selector(sel))
+    return total
+
+
+def admin_snapshot(db) -> dict:
+    """POST /api/v1/admin/tsdb/snapshot (api.go snapshot): hardlink the
+    store into <data-dir>/snapshots/<name> and return the name, upstream's
+    `{"name": "20240101T000000Z-<hex>"}` wire shape. skip_head has no
+    analog here — every append is already durably on disk (S8/S9 map to
+    the job-commit protocol), so a snapshot is always 'with head'."""
+    import os
+    import time
+    import uuid
+
+    name = time.strftime("%Y%m%dT%H%M%SZ", time.gmtime()) + "-" + uuid.uuid4().hex[:9]
+    dest = os.path.join(db.path, "snapshots", name)
+    os.makedirs(os.path.dirname(dest), exist_ok=True)
+    db.snapshot(dest)
+    return {"status": "success", "data": {"name": name}}
+
+
+def make_handler(db, rule_groups: list[dict] | None = None, enable_admin: bool = False):
     """BaseHTTPRequestHandler subclass bound to one DB — the web/api/v1
     router (api.go Register): query, query_range, labels,
     label/<name>/values, series, rules, alerts, federate. The handler is
     a thin driver-side front; every query underneath is the distributed
     evaluator. Endpoints accept GET query strings and POST form bodies
-    (upstream registers both: api.go r.Post/r.Get pairs)."""
+    (upstream registers both: api.go r.Post/r.Get pairs).
+
+    `enable_admin` unlocks the destructive /api/v1/admin/tsdb/* routes
+    (delete_series / clean_tombstones / snapshot), off by default exactly
+    like upstream's --web.enable-admin-api flag; when off they answer
+    503 'admin APIs disabled' (api.go adminDisabled, errorUnavailable)."""
     import json
     from http.server import BaseHTTPRequestHandler
     from urllib.parse import parse_qs, urlparse
@@ -455,9 +491,14 @@ def make_handler(db, rule_groups: list[dict] | None = None):
             self.end_headers()
             self.wfile.write(body)
 
+        def _reply_empty(self, code: int) -> None:
+            self.send_response(code)
+            self.send_header("Content-Length", "0")
+            self.end_headers()
+
         def do_GET(self):  # noqa: N802 (http.server contract)
             u = urlparse(self.path)
-            self._dispatch(u, parse_qs(u.query))
+            self._dispatch(u, parse_qs(u.query), "GET")
 
         def do_POST(self):  # noqa: N802
             # application/x-www-form-urlencoded bodies carry the same
@@ -469,11 +510,15 @@ def make_handler(db, rule_groups: list[dict] | None = None):
             merged = parse_qs(u.query)
             for k, vals in parse_qs(body).items():
                 merged.setdefault(k, []).extend(vals)
-            self._dispatch(u, merged)
+            self._dispatch(u, merged, "POST")
 
-        def _dispatch(self, u, multi):
+        do_PUT = do_POST  # upstream registers PUT alongside POST (api.go)
+
+        def _dispatch(self, u, multi, method="GET"):
             q = {k: v[0] for k, v in multi.items()}
             try:
+                if u.path.startswith("/api/v1/admin/tsdb/"):
+                    return self._admin(u, multi, q, method)
                 if u.path == "/api/v1/query":
                     t = _parse_time(q["time"]) if "time" in q else None
                     if t is None:
@@ -549,17 +594,62 @@ def make_handler(db, rule_groups: list[dict] | None = None):
                     {"status": "error", "errorType": "bad_data",
                      "error": str(e)},
                 )
+            except PermissionError as e:
+                # read-only store handle (DBReadOnly, db.go:265-429)
+                return self._reply(
+                    403,
+                    {"status": "error", "errorType": "forbidden",
+                     "error": str(e)},
+                )
+
+        def _admin(self, u, multi, q, method):
+            """/api/v1/admin/tsdb/* (api.go deleteSeries /
+            cleanTombstones / snapshot): destructive store maintenance,
+            POST/PUT only, gated like --web.enable-admin-api."""
+            if not enable_admin:
+                return self._reply(
+                    503,
+                    {"status": "error", "errorType": "unavailable",
+                     "error": "admin APIs disabled"},
+                )
+            if method not in ("POST", "PUT"):
+                return self._reply(
+                    405,
+                    {"status": "error", "errorType": "method_not_allowed",
+                     "error": "only POST/PUT allowed"},
+                )
+            if u.path == "/api/v1/admin/tsdb/delete_series":
+                sels = multi.get("match[]", [])
+                if not sels:
+                    raise ValueError("no match[] parameter provided")
+                mint = _parse_time(q.get("start", "-9e9"))
+                maxt = _parse_time(q.get("end", "9e9"))
+                admin_delete_series(db, sels, mint, maxt)
+                return self._reply_empty(204)
+            if u.path == "/api/v1/admin/tsdb/clean_tombstones":
+                db.clean_tombstones()
+                return self._reply_empty(204)
+            if u.path == "/api/v1/admin/tsdb/snapshot":
+                return self._reply(200, admin_snapshot(db))
+            return self._reply(
+                404,
+                {"status": "error", "errorType": "not_found",
+                 "error": f"unknown path {u.path}"},
+            )
 
     return Handler
 
 
-def serve(db, host: str = "127.0.0.1", port: int = 9090, rule_groups=None):
+def serve(db, host: str = "127.0.0.1", port: int = 9090, rule_groups=None,
+          enable_admin: bool = False):
     """Run the HTTP API (blocking). Returns the server object if you
     want to drive it yourself (tests use server.serve_forever in a
     thread)."""
     from http.server import ThreadingHTTPServer
 
-    srv = ThreadingHTTPServer((host, port), make_handler(db, rule_groups))
+    srv = ThreadingHTTPServer(
+        (host, port), make_handler(db, rule_groups, enable_admin=enable_admin)
+    )
     return srv
 
 
