@@ -461,3 +461,76 @@ def test_admin_api_readonly_store_forbidden(spark, tmp_path):
             assert e.code == 403
     finally:
         srv.shutdown()
+
+
+def test_query_exemplars(spark, tmp_path):
+    """Exemplar storage (upstream tsdb/exemplar.go CircularExemplarStorage
+    + api.go queryExemplars): append → pruned select → wire shape; exact
+    duplicates collapse across appends; retention drops by the same
+    clock as samples."""
+    import threading
+    import urllib.request
+    from urllib.parse import quote
+
+    from tsdb_spark.api import query_exemplars, serve
+
+    db = DB.create(spark, str(tmp_path / "ex_db"), block_width_ms=WIDTH)
+    db.append(spark.createDataFrame(
+        [({"__name__": "http_req", "job": "api"}, 0, 1.0),
+         ({"__name__": "http_req", "job": "web"}, 0, 2.0)],
+        "labels MAP<STRING,STRING>, t LONG, v DOUBLE"))
+    ex_rows = [
+        ({"__name__": "http_req", "job": "api"}, 60_000, 6.0,
+         {"trace_id": "abc"}),
+        ({"__name__": "http_req", "job": "api"}, 120_000, 7.5,
+         {"trace_id": "def"}),
+        ({"__name__": "http_req", "job": "web"}, 60_000, 3.0,
+         {"trace_id": "xyz"}),
+        # far-future exemplar for the retention check (2nd bucket)
+        ({"__name__": "http_req", "job": "web"}, WIDTH + 60_000, 4.0,
+         {"trace_id": "late"}),
+    ]
+    schema = ("labels MAP<STRING,STRING>, t LONG, v DOUBLE, "
+              "exemplar MAP<STRING,STRING>")
+    db.append_exemplars(spark.createDataFrame(ex_rows, schema))
+    # a second append carrying ONE exact duplicate → must collapse
+    db.append_exemplars(spark.createDataFrame([ex_rows[0]], schema))
+
+    resp = query_exemplars(db, 'http_req{job="api"}', 0, 10**9)
+    assert resp["status"] == "success"
+    (s,) = resp["data"]
+    assert s["seriesLabels"] == {"__name__": "http_req", "job": "api"}
+    assert s["exemplars"] == [
+        {"labels": {"trace_id": "abc"}, "value": "6", "timestamp": 60.0},
+        {"labels": {"trace_id": "def"}, "value": "7.5", "timestamp": 120.0},
+    ]
+    json.dumps(resp)
+
+    # time-scoped: end=90s keeps only the first exemplar
+    resp = query_exemplars(db, "http_req", 0, 90_000)
+    assert [len(s["exemplars"]) for s in resp["data"]] == [1, 1]
+
+    # over HTTP
+    srv = serve(db, "127.0.0.1", 0)
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/api/v1/query_exemplars"
+            f"?query={quote('http_req{job=%22web%22}'.replace('%22', chr(34)))}"
+            f"&start=0&end=1000000"
+        ) as r:
+            body = json.loads(r.read())
+        (s,) = body["data"]
+        assert s["seriesLabels"]["job"] == "web"
+        assert [e["labels"]["trace_id"] for e in s["exemplars"]] == [
+            "xyz", "late"
+        ]
+    finally:
+        srv.shutdown()
+
+    # retention drops the first bucket's exemplars with the samples
+    db.retain_after(WIDTH)
+    resp = query_exemplars(db, "http_req", 0, 10**9)
+    assert [e["labels"]["trace_id"]
+            for s in resp["data"] for e in s["exemplars"]] == ["late"]

@@ -157,6 +157,55 @@ def query_histogram(
     }
 
 
+def query_exemplars(db, selector: str, mint: int, maxt: int) -> dict:
+    """GET /api/v1/query_exemplars (api.go queryExemplars →
+    ExemplarQuerier.Select, prometheus 2.26+): exemplars attached to
+    series matching the query's selector within [start, end], grouped
+    per series in the upstream wire shape:
+
+        {"seriesLabels": {...}, "exemplars": [
+            {"labels": {"trace_id": ...}, "value": "6",
+             "timestamp": 1600096945.479}, ...]}
+
+    One pruned scan of the exemplars side table joined to the filtered
+    dim (db.exemplars_frame); the per-series grouping happens in the
+    same job via collect_list after an in-partition sort, driver-side
+    work is just JSON rendering."""
+    from pyspark.sql import functions as F
+
+    from tsdb_spark.labels import parse_selector
+
+    frame = db.exemplars_frame(mint, maxt, matchers=parse_selector(selector))
+    grouped = (
+        frame.sort("labels_str", "t")
+        .groupBy("labels_str")
+        .agg(
+            F.first("labels").alias("labels"),
+            F.collect_list(F.struct("t", "v", "exemplar")).alias("exs"),
+        )
+    )
+    data = []
+    for row in grouped.collect():
+        exs = sorted(row["exs"], key=lambda e: (e["t"], e["v"]))
+        data.append(
+            {
+                "seriesLabels": {
+                    k: v for k, v in dict(row["labels"]).items() if v
+                },
+                "exemplars": [
+                    {
+                        "labels": dict(e["exemplar"]),
+                        "value": format_value(e["v"]),
+                        "timestamp": e["t"] / 1000.0,
+                    }
+                    for e in exs
+                ],
+            }
+        )
+    data.sort(key=lambda s: sorted(s["seriesLabels"].items()))
+    return {"status": "success", "data": data}
+
+
 def labels(db) -> dict:
     """GET /api/v1/labels (api.go labelNames → the engine's A2
     LabelNames)."""
@@ -547,6 +596,19 @@ def make_handler(db, rule_groups: list[dict] | None = None, enable_admin: bool =
                     if sel is None:
                         raise ValueError("missing `match[]`/`query` selector")
                     return self._reply(200, query_histogram(db, sel, t))
+                if u.path == "/api/v1/query_exemplars":
+                    sel = multi.get("query", [None])[0]
+                    if sel is None:
+                        raise ValueError("missing `query` parameter")
+                    return self._reply(
+                        200,
+                        query_exemplars(
+                            db,
+                            sel,
+                            _parse_time(q.get("start", "-9e9")),
+                            _parse_time(q.get("end", "9e9")),
+                        ),
+                    )
                 if u.path == "/api/v1/parse_query":
                     return self._reply(200, parse_query(q["query"]))
                 if u.path == "/api/v1/format_query":

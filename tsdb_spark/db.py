@@ -769,6 +769,111 @@ class DB:
             "labels_str", "labels", "t", "h"
         )
 
+    # -------- exemplars (upstream tsdb/exemplar.go; batch path) -------
+
+    @property
+    def _exemplar_path(self) -> str:
+        return os.path.join(self.path, "exemplars")
+
+    def append_exemplars(self, rows: DataFrame) -> None:
+        """Batch ingest of exemplars rows(labels MAP series labels,
+        t LONG, v DOUBLE, exemplar MAP<STRING,STRING> — e.g.
+        {trace_id: ...}) into the store's `exemplars` table.
+
+        Upstream keeps exemplars in a bounded in-memory circular buffer
+        keyed by series (tsdb/exemplar.go CircularExemplarStorage,
+        prometheus 2.26+ — a layer the reference repo predates); here
+        they land in a t_bucket-partitioned side table like histograms,
+        so retention and partition pruning ride the same clock as
+        samples. Upstream's duplicate rule (AddExemplar drops an
+        exemplar equal to the last seen one) maps to an exact-dup
+        groupBy on (series, t, v, rendered exemplar labels); its
+        out-of-order rejection doesn't apply — the table is sorted at
+        rest, so arrival order is immaterial."""
+        self._check_writable()
+        seq = self.meta["next_ingest_seq"]
+        width = self.block_width_ms
+        rows = rows.select(
+            "labels",
+            F.col("t").cast("long").alias("t"),
+            F.col("v").cast("double").alias("v"),
+            "exemplar",
+        ).withColumn("series_id", L.series_id_expr("labels"))
+        rows = rows.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            clean = (
+                rows.select(
+                    "series_id",
+                    "t",
+                    "v",
+                    "exemplar",
+                    L.labels_str_expr("exemplar").alias("_ex_str"),
+                )
+                .groupBy("series_id", "t", "v", "_ex_str")
+                .agg(F.first("exemplar").alias("exemplar"))
+            )
+            out = (
+                clean.withColumn("ingest_seq", F.lit(seq).cast("long"))
+                .withColumn(
+                    "t_bucket",
+                    F.col("t") - F.pmod(F.col("t"), F.lit(width)),
+                )
+                .select(
+                    "series_id", "t", "v", "exemplar", "_ex_str",
+                    "ingest_seq", "t_bucket",
+                )
+            )
+            (
+                out.repartitionByRange("t_bucket", "series_id")
+                .sortWithinPartitions("t_bucket", "series_id", "t")
+                .write.mode("append")
+                .option("compression", "lz4_raw")
+                .partitionBy("t_bucket")
+                .parquet(self._exemplar_path)
+            )
+            self._upsert_series(rows)
+        finally:
+            rows.unpersist()
+        self.meta["next_ingest_seq"] = seq + 1
+        self._write_meta()
+
+    def exemplars_frame(
+        self, mint: int, maxt: int, matchers: list | None = None
+    ) -> DataFrame:
+        """Pruned exemplar read: (labels_str, labels, t, v, exemplar)
+        for [mint, maxt] — the /api/v1/query_exemplars scan
+        (web/api/v1/api.go queryExemplars → ExemplarQuerier.Select).
+        Partition-pruned on t_bucket like the samples querier; cross-
+        append exact duplicates collapse (upstream's duplicate rule
+        applied at read so immutable appends stay append-only)."""
+        ddl = (
+            "series_id LONG, t LONG, v DOUBLE, "
+            "exemplar MAP<STRING,STRING>, _ex_str STRING, "
+            "ingest_seq LONG, t_bucket LONG"
+        )
+        ex = self._read_or_empty(self._exemplar_path, ddl)
+        width = self.max_bucket_width
+        lo_bucket = (mint // width) * width
+        ex = ex.filter(
+            (F.col("t_bucket") >= F.lit(lo_bucket))
+            & (F.col("t_bucket") <= F.lit(maxt))
+            & (F.col("t") >= F.lit(mint))
+            & (F.col("t") <= F.lit(maxt))
+        )
+        ex = ex.groupBy("series_id", "t", "v", "_ex_str").agg(
+            F.first("exemplar").alias("exemplar")
+        )
+        dim = self.series()
+        if matchers:
+            dim = dim.filter(L.compile_matchers(matchers))
+        if self.series_count() <= getattr(
+            self, "broadcast_series_limit", 5_000_000
+        ):
+            dim = F.broadcast(dim)
+        return ex.join(dim, "series_id").select(
+            "labels_str", "labels", "t", "v", "exemplar"
+        )
+
     def _bucket_dirs(self) -> set:
         if not os.path.isdir(self._samples_path):
             return set()
@@ -1269,15 +1374,17 @@ class DB:
             if lo + widths.get(lo, base) <= cutoff_ms:
                 shutil.rmtree(os.path.join(self._samples_path, d))
                 dropped += 1
-        # the histograms table retains by the same clock (its buckets
-        # are always base-width — histograms never level-promote)
-        if os.path.isdir(self._hist_path):
-            for d in sorted(os.listdir(self._hist_path)):
-                if not d.startswith("t_bucket="):
-                    continue
-                lo = int(d.split("=")[1])
-                if lo + base <= cutoff_ms:
-                    shutil.rmtree(os.path.join(self._hist_path, d))
+        # the histograms and exemplars tables retain by the same clock
+        # (their buckets are always base-width — side tables never
+        # level-promote)
+        for side in (self._hist_path, self._exemplar_path):
+            if os.path.isdir(side):
+                for d in sorted(os.listdir(side)):
+                    if not d.startswith("t_bucket="):
+                        continue
+                    lo = int(d.split("=")[1])
+                    if lo + base <= cutoff_ms:
+                        shutil.rmtree(os.path.join(side, d))
         self._forget_dropped_buckets()
         if dropped:
             self._bump_data_seq()

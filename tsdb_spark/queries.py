@@ -933,6 +933,57 @@ def store_openmetrics_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "store_exemplars",
+    _with_prelude("""
+, d AS (SELECT labels_str, event_type, k_bucket, t, min(v) AS v FROM samples
+        WHERE t < {T0} + 7*{DAY} GROUP BY 1, 2, 3, 4)
+SELECT labels_str, t, v,
+       md5(labels_str || '/' || CAST(t AS VARCHAR)) AS trace_id
+FROM d
+WHERE event_type = 'click' AND k_bucket = 'high'
+  AND t BETWEEN {T0} + 2*{DAY} AND {T0} + 5*{DAY}"""),
+    "exemplar storage (upstream tsdb/exemplar.go + api.go queryExemplars, "
+    "prometheus 2.26+ — beyond the reference repo like native histograms): "
+    "week-1 samples each carry a deterministic trace_id exemplar into the "
+    "t_bucket-partitioned side table; /api/v1/query_exemplars' scan "
+    "(exemplars_frame: pruned partitions + matcher-filtered broadcast dim) "
+    "must return exactly the matching selector's exemplars in [start, end]",
+)
+def store_exemplars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = ("exemplars", id(spark), sf_dir)
+    if key not in _STORES:
+        root = tempfile.mkdtemp(prefix="tsdb_q_ex_")
+        db = DB.create(spark, f"{root}/db", block_width_ms=STORE_WIDTH_MS)
+        src = (
+            events_samples(spark, sf_dir)
+            .filter(F.col("t") < T0 + 7 * DAY)
+            .groupBy("labels_str", "t")
+            .agg(F.min("v").alias("v"), F.first("labels").alias("labels"))
+        )
+        ex = src.select(
+            "labels",
+            "t",
+            "v",
+            F.create_map(
+                F.lit("trace_id"),
+                F.md5(F.concat(F.col("labels_str"), F.lit("/"), F.col("t").cast("string"))),
+            ).alias("exemplar"),
+        )
+        db.append_exemplars(ex)
+        _STORES[key] = db
+    return _STORES[key].exemplars_frame(
+        T0 + 2 * DAY,
+        T0 + 5 * DAY,
+        matchers=[L.eq("__name__", "click"), L.eq("k_bucket", "high")],
+    ).select(
+        "labels_str",
+        "t",
+        "v",
+        F.element_at("exemplar", "trace_id").alias("trace_id"),
+    )
+
+
+@register(
     "store_checkpoint",
     _with_prelude("""
 , d AS (SELECT labels_str, user_lbl, t, min(v) AS v FROM samples GROUP BY 1, 2, 3)
