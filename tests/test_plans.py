@@ -473,3 +473,35 @@ def test_hist_group_sum_is_combinable_no_python(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "partial_" in plan  # map-side combine on the component sums
+
+
+def test_exemplars_frame_is_pruned_and_broadcast(spark, store):
+    # the /api/v1/query_exemplars scan: t_bucket partition prune reaches
+    # the exemplars parquet scan, the dim joins BROADCAST, and the only
+    # shuffle is the read-time exact-dup groupBy (exemplar-table-sized,
+    # never the samples table)
+    ex = spark.createDataFrame(
+        [({"__name__": "m"}, WIDTH + 1_000, 1.0, {"trace_id": "t1"})],
+        "labels MAP<STRING,STRING>, t LONG, v DOUBLE, "
+        "exemplar MAP<STRING,STRING>",
+    )
+    store.append_exemplars(ex)
+    plan = _executed(store.exemplars_frame(WIDTH, 2 * WIDTH - 1, [eq("__name__", "m")]))
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert any("t_bucket" in ln for ln in pf), "exemplar scan lost its t_bucket prune"
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_openmetrics_parse_is_pure_jvm_projection(spark):
+    # the backfill parser must be scan+project only: no Python, no
+    # shuffle — a 100 TB text dump parses embarrassingly parallel
+    from tsdb_spark.sources.openmetrics import parse_openmetrics
+
+    lines = spark.createDataFrame(
+        [('m{a="b"} 1.5 1704067200.000',), ("# EOF",)], "line string"
+    )
+    df = parse_openmetrics(spark, lines=lines)
+    plan = _executed(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Exchange" not in plan, "parse must not shuffle"

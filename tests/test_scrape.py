@@ -1,0 +1,159 @@
+"""Scrape loop (scrape.py — the scrape/scrape.go acquisition layer):
+target-label attachment, up/down bookkeeping, scrape-time stamping, and
+true federation — instance B scrapes instance A's /federate and ends up
+with A's samples."""
+
+import threading
+
+import pytest
+from pyspark.sql import functions as F
+
+from tsdb_spark import DB
+from tsdb_spark.scrape import Target, scrape_pass
+
+WIDTH = 3_600_000
+T0 = 1_704_067_200_000
+
+
+def _serve(db):
+    from tsdb_spark.api import serve
+
+    srv = serve(db, "127.0.0.1", 0)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    return srv, srv.server_address[1]
+
+
+@pytest.fixture()
+def upstream(spark, tmp_path):
+    rows = []
+    for s in ("a", "b"):
+        for i in range(5):
+            rows.append(
+                ({"__name__": "m", "s": s}, T0 + i * 60_000, float(i))
+            )
+    db = DB.create(spark, str(tmp_path / "up_db"), block_width_ms=WIDTH)
+    db.append(spark.createDataFrame(
+        rows, "labels MAP<STRING,STRING>, t LONG, v DOUBLE"))
+    return db
+
+
+def test_federation_roundtrip(spark, tmp_path, upstream):
+    """B scrapes A's /federate: every series arrives with its own
+    sample timestamp (ms stamps in the exposition body), plus target
+    labels and the `up` marker."""
+    from urllib.parse import quote
+
+    srv, port = _serve(upstream)
+    try:
+        url = (f"http://127.0.0.1:{port}/federate?match[]="
+               + quote('{__name__="m"}') + f"&time={(T0 + 270_000) // 1000}")
+        dst = DB.create(spark, str(tmp_path / "dn_db"), block_width_ms=WIDTH)
+        ok = scrape_pass(
+            spark, dst,
+            [Target(url=url, job="fed", instance="a:9090")],
+            scrape_time_ms=T0 + 270_000,
+        )
+        assert ok == 1
+    finally:
+        srv.shutdown()
+
+    got = dst.querier(0, 2 * T0).select([]).select("labels", "t", "v").collect()
+    by_name = {}
+    for r in got:
+        by_name.setdefault(r["labels"]["__name__"], []).append(r)
+    # /federate serves the latest sample per series (t = T0+4min)
+    assert sorted(
+        (r["labels"]["s"], r["t"], r["v"]) for r in by_name["m"]
+    ) == [("a", T0 + 240_000, 4.0), ("b", T0 + 240_000, 4.0)]
+    # target labels attached; up=1 stamped at scrape time
+    assert all(
+        r["labels"]["job"] == "fed" and r["labels"]["instance"] == "a:9090"
+        for r in got
+    )
+    (up,) = by_name["up"]
+    assert up["v"] == 1.0 and up["t"] == T0 + 270_000
+
+
+def test_down_target_records_up_zero(spark, tmp_path):
+    dst = DB.create(spark, str(tmp_path / "down_db"), block_width_ms=WIDTH)
+    ok = scrape_pass(
+        spark, dst,
+        [Target(url="http://127.0.0.1:1/metrics", job="j", instance="i")],
+        scrape_time_ms=T0,
+    )
+    assert ok == 0
+    (row,) = dst.querier(0, 2 * T0).select([]).select("labels", "v").collect()
+    assert row["labels"]["__name__"] == "up" and row["v"] == 0.0
+    assert row["labels"]["job"] == "j" and row["labels"]["instance"] == "i"
+
+
+def test_label_conflict_rules(spark, tmp_path, upstream):
+    """scrape.go mutateSampleLabels: by default the target's job/instance
+    win and the sample's conflicting label becomes exported_<name>;
+    honor_labels=True keeps the sample's own."""
+    from urllib.parse import quote
+
+    # upstream samples already carry job=inner via a static label
+    upstream.append(spark.createDataFrame(
+        [({"__name__": "q", "job": "inner"}, T0, 7.0)],
+        "labels MAP<STRING,STRING>, t LONG, v DOUBLE"))
+    srv, port = _serve(upstream)
+    try:
+        url = (f"http://127.0.0.1:{port}/federate?match[]="
+               + quote("q") + f"&time={T0 // 1000 + 60}")
+        dflt = DB.create(spark, str(tmp_path / "c1"), block_width_ms=WIDTH)
+        scrape_pass(spark, dflt, [Target(url=url, job="outer", instance="x")],
+                    scrape_time_ms=T0 + 60_000)
+        honor = DB.create(spark, str(tmp_path / "c2"), block_width_ms=WIDTH)
+        scrape_pass(spark, honor, [Target(url=url, job="outer", instance="x")],
+                    scrape_time_ms=T0 + 60_000, honor_labels=True)
+    finally:
+        srv.shutdown()
+
+    (r1,) = [r for r in dflt.querier(0, 2 * T0).select([]).select("labels").collect()
+             if r["labels"]["__name__"] == "q"]
+    assert r1["labels"]["job"] == "outer"
+    assert r1["labels"]["exported_job"] == "inner"
+    (r2,) = [r for r in honor.querier(0, 2 * T0).select([]).select("labels").collect()
+             if r["labels"]["__name__"] == "q"]
+    assert r2["labels"]["job"] == "inner"
+    assert "exported_job" not in r2["labels"]
+    assert r2["labels"]["instance"] == "x"  # absent key still filled
+
+
+def test_untimestamped_metrics_get_scrape_time(spark, tmp_path):
+    """A plain /metrics body (no stamps) lands at the scrape instant —
+    served here by a stub HTTP server emitting exposition text."""
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    body = b'cpu_seconds_total{core="0"} 12.5\ncpu_seconds_total{core="1"} 13\n'
+
+    class H(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), H)
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        dst = DB.create(spark, str(tmp_path / "m_db"), block_width_ms=WIDTH)
+        scrape_pass(
+            spark, dst,
+            [Target(url=f"http://127.0.0.1:{port}/metrics", job="node",
+                    instance="n1", timestamps="openmetrics")],
+            scrape_time_ms=T0 + 1234,
+        )
+    finally:
+        srv.shutdown()
+    rows = dst.querier(0, 2 * T0).select([]).select("labels", "t", "v").collect()
+    cpu = sorted(
+        (r["labels"]["core"], r["t"], r["v"])
+        for r in rows if r["labels"]["__name__"] == "cpu_seconds_total"
+    )
+    assert cpu == [("0", T0 + 1234, 12.5), ("1", T0 + 1234, 13.0)]

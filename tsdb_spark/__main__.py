@@ -9,6 +9,7 @@ command table: bench write / ls / analyze / dump).
     python -m tsdb_spark dump     <store> [--mint MS] [--maxt MS] [--out DIR]
     python -m tsdb_spark bench-write <store> --events DIR [--width MS]
     python -m tsdb_spark create-blocks-from <input> <store> [--timestamps U]
+    python -m tsdb_spark scrape   <store> --url URL [--interval MS --passes N]
     python -m tsdb_spark stream   <store> --source DIR --checkpoint DIR
     python -m tsdb_spark plan     <store>
     python -m tsdb_spark compact  <store> [--width MS]
@@ -167,6 +168,22 @@ def main(argv: list[str] | None = None) -> int:
     p_st.add_argument("--compact-every", type=int, default=0)
     p_st.add_argument("--follow", action="store_true",
                       help="keep running (default: drain available files and stop)")
+
+    p_sc = sub.add_parser(
+        "scrape",
+        help="pull exposition text from HTTP target(s) into the store "
+        "on a fixed interval — the scrape/scrape.go loop; point it at "
+        "another instance's /federate URL to federate two stores",
+    )
+    p_sc.add_argument("store")
+    p_sc.add_argument("--url", action="append", required=True,
+                      help="target URL (repeatable)")
+    p_sc.add_argument("--job", default="scrape")
+    p_sc.add_argument("--interval", type=int, default=15_000, help="ms between passes")
+    p_sc.add_argument("--passes", type=int, default=1,
+                      help="number of passes (0 = run forever)")
+    p_sc.add_argument("--timestamps", choices=("ms", "openmetrics"), default="ms")
+    p_sc.add_argument("--honor-labels", action="store_true")
 
     p_pl = sub.add_parser("plan", help="show the next compaction step without running it")
     p_pl.add_argument("store")
@@ -334,6 +351,28 @@ def main(argv: list[str] | None = None) -> int:
         q = ing.start(stream, args.checkpoint, trigger=trigger)
         q.awaitTermination()
         print(f"ingested through epoch {db.meta.get('last_stream_epoch')}")
+    elif args.cmd == "scrape":
+        import os as _os
+
+        from tsdb_spark.scrape import Target, scrape_loop
+
+        db = (
+            DB.open(spark, args.store)
+            if _os.path.exists(f"{args.store}/_meta.json")
+            else DB.create(spark, args.store)
+        )
+        targets = [
+            Target(url=u, job=args.job, timestamps=args.timestamps)
+            for u in args.url
+        ]
+        scrape_loop(
+            spark, db, targets,
+            interval_ms=args.interval,
+            passes=None if args.passes == 0 else args.passes,
+            honor_labels=args.honor_labels,
+        )
+        print(f"scraped {len(targets)} target(s); store now holds "
+              f"{db.samples().count()} samples")
     elif args.cmd == "plan":
         db = DB.open_readonly(spark, args.store)
         buckets, width = db.compact_plan()

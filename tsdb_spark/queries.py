@@ -2954,13 +2954,17 @@ GATE: tuple[str, ...] = (
     "promql_alert_rule",
     "api_federate_dedup",
     # -- store lifecycle --
+    # r6 late rotation: store_readonly_select / store_overlap_report
+    # (driver-green r4+r5, both also pinned by pytest + the API suite)
+    # rotate out for the two new store surfaces — the OpenMetrics
+    # backfill roundtrip and the exemplars side table.
     "store_select_pruned",
     "store_compact_vertical",
     "store_checkpoint",
     "store_first_wins_amend",
     "store_size_retention",
-    "store_readonly_select",
-    "store_overlap_report",
+    "store_openmetrics_backfill",
+    "store_exemplars",
     # -- streaming --
     "stream_ingest_restart",
     "stream_windowed_rollup",

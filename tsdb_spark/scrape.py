@@ -1,0 +1,149 @@
+"""Scrape loop: pull exposition text from HTTP targets into the store.
+
+Prometheus's acquisition path (scrape/scrape.go: the scrapeLoop GETs a
+target's /metrics, parses, stamps un-timestamped samples with the scrape
+time, attaches target labels, appends) — the layer above the reference
+library, same footing as PromQL/rules/API here. Combined with this
+engine's own /federate endpoint (api.py), two stores FEDERATE: instance
+B scrapes instance A's /federate and serves the same answers.
+
+Spark split: the HTTP GET is driver-side (one small text body per
+target per pass — acquisition is IO-bound, not compute-bound), but
+parsing and ingest are the distributed openmetrics path; a pass over
+many targets parallelizes as one union-of-lines DataFrame feeding ONE
+transactional append, so a 10k-target pass is one Spark job, not 10k.
+
+Label rules (scrape.go mutateSampleLabels): every sample gets the
+target's `instance`/`job` (+ any extra static labels); with
+honor_labels=True a label already on the sample wins, otherwise the
+sample's conflicting label is renamed `exported_<name>` and the
+target's value takes the slot.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tsdb_spark.sources.openmetrics import parse_openmetrics
+
+
+@dataclass(frozen=True)
+class Target:
+    """One scrape target (scrape.go Target): where to GET and which
+    labels to attach. `timestamps` is the stamp unit the endpoint emits
+    ("ms" for this engine's /federate and classic exposition;
+    "openmetrics" for OpenMetrics endpoints)."""
+
+    url: str
+    job: str
+    instance: str = ""
+    labels: tuple[tuple[str, str], ...] = field(default_factory=tuple)
+    timestamps: str = "ms"
+
+    def target_labels(self) -> dict[str, str]:
+        out = {"job": self.job, "instance": self.instance or self.url}
+        out.update(dict(self.labels))
+        return out
+
+
+def fetch_text(url: str, timeout_s: float = 10.0) -> str:
+    """Driver-side GET of one target's exposition body."""
+    import urllib.request
+
+    with urllib.request.urlopen(url, timeout=timeout_s) as r:
+        return r.read().decode()
+
+
+def _apply_target_labels(
+    df: DataFrame, tgt_labels: dict[str, str], honor_labels: bool
+) -> DataFrame:
+    """scrape.go mutateSampleLabels as one map expression. Target labels
+    are a handful of literals, so this stays a pure projection."""
+    tgt = F.create_map(
+        *[F.lit(x) for kv in sorted(tgt_labels.items()) for x in kv]
+    )
+    if honor_labels:
+        # sample labels win; target fills only the absent keys
+        merged = F.map_concat(
+            F.map_filter(tgt, lambda k, _: ~F.array_contains(F.map_keys("labels"), k)),
+            F.col("labels"),
+        )
+    else:
+        # target wins; conflicting sample labels move to exported_<name>
+        conflict_renamed = F.transform_keys(
+            F.col("labels"),
+            lambda k, _: F.when(
+                F.array_contains(F.map_keys(tgt), k), F.concat(F.lit("exported_"), k)
+            ).otherwise(k),
+        )
+        merged = F.map_concat(conflict_renamed, tgt)
+    return df.withColumn("labels", merged)
+
+
+def scrape_pass(
+    spark: SparkSession,
+    db,
+    targets: list[Target],
+    scrape_time_ms: int | None = None,
+    honor_labels: bool = False,
+) -> int:
+    """One scrape pass over every target: GET each body (driver-side,
+    IO-bound), parse + label + append as ONE distributed job. Returns
+    the number of targets successfully fetched; a down target is
+    skipped (scrape.go records `up 0` — mirrored here by appending an
+    `up` sample per target, 1/0, at the scrape time)."""
+    from functools import reduce
+
+    now = int(time.time() * 1000) if scrape_time_ms is None else int(scrape_time_ms)
+    frames: list[DataFrame] = []
+    ok = 0
+    up_rows: list[tuple] = []
+    for tgt in targets:
+        tl = tgt.target_labels()
+        try:
+            text = fetch_text(tgt.url)
+        except OSError:
+            up_rows.append(({"__name__": "up", **tl}, now, 0.0))
+            continue
+        ok += 1
+        up_rows.append(({"__name__": "up", **tl}, now, 1.0))
+        lines = spark.createDataFrame(
+            [(ln,) for ln in text.splitlines()] or [("",)], "line string"
+        )
+        parsed = parse_openmetrics(
+            spark, lines=lines, timestamps=tgt.timestamps, default_time_ms=now
+        )
+        frames.append(_apply_target_labels(parsed, tl, honor_labels))
+    up = spark.createDataFrame(
+        up_rows, "labels MAP<STRING,STRING>, t LONG, v DOUBLE"
+    )
+    batch = reduce(DataFrame.unionByName, frames, up)
+    db.append(batch)
+    return ok
+
+
+def scrape_loop(
+    spark: SparkSession,
+    db,
+    targets: list[Target],
+    interval_ms: int = 15_000,
+    passes: int | None = None,
+    honor_labels: bool = False,
+) -> None:
+    """Fixed-interval scrape loop (scrape.go scrapeLoop.run): aligned
+    ticks, one pass per tick. `passes` bounds the loop for CLI/test use
+    (upstream runs forever)."""
+    n = 0
+    while passes is None or n < passes:
+        t0 = time.time()
+        scrape_pass(spark, db, targets, honor_labels=honor_labels)
+        n += 1
+        if passes is not None and n >= passes:
+            break
+        sleep = interval_ms / 1000.0 - (time.time() - t0)
+        if sleep > 0:
+            time.sleep(sleep)

@@ -70,6 +70,7 @@ def parse_openmetrics(
     path: str | None = None,
     lines: DataFrame | None = None,
     timestamps: str = "openmetrics",
+    default_time_ms: int | None = None,
 ) -> DataFrame:
     """Exposition text → samples(labels MAP<STRING,STRING>, t LONG,
     v DOUBLE) — db.append's input contract.
@@ -78,6 +79,11 @@ def parse_openmetrics(
     alternatively pass a one-string-column DataFrame as `lines`.
     `timestamps`: "openmetrics" (seconds, fractional ok — backfill.go)
     or "ms" (classic exposition / the `dump` CLI output).
+    `default_time_ms` stamps timestamp-LESS lines (`name{...} value`,
+    the common /metrics shape) with the given instant — the scrape-time
+    rule (scrape/scrape.go append: un-timestamped samples get the
+    scrape timestamp). Without it, such lines are dropped like any
+    other malformed line (backfill.go requires explicit stamps).
     """
     if timestamps not in ("openmetrics", "ms"):
         raise ValueError(f"timestamps must be 'openmetrics' or 'ms', got {timestamps!r}")
@@ -91,15 +97,16 @@ def parse_openmetrics(
         (F.length("ln") > 0) & ~F.col("ln").startswith("#")
     )
 
-    # value+timestamp are the two tokens after the brace block (or after
-    # the bare name). The brace match is GREEDY to the last '}', so label
-    # values containing '}' or spaces stay inside `braces`.
+    # value [timestamp] are the tokens after the brace block (or after
+    # the bare name); the timestamp group is optional. The brace match
+    # is GREEDY to the last '}', so label values containing '}' or
+    # spaces stay inside `braces`.
     has_braces = F.col("ln").rlike(r"^[A-Za-z_:][A-Za-z0-9_:]*\{")
     braces = F.when(
         has_braces, F.regexp_extract("ln", r"\{(.*)\}", 1)
     ).otherwise(F.lit(""))
-    tail_re_braced = r"\}\s+(\S+)\s+(\S+)\s*$"
-    tail_re_bare = r"^[A-Za-z_:][A-Za-z0-9_:]*\s+(\S+)\s+(\S+)\s*$"
+    tail_re_braced = r"\}\s+(\S+)(?:\s+(\S+))?\s*$"
+    tail_re_bare = r"^[A-Za-z_:][A-Za-z0-9_:]*\s+(\S+)(?:\s+(\S+))?\s*$"
     val_s = F.when(
         has_braces, F.regexp_extract("ln", tail_re_braced, 1)
     ).otherwise(F.regexp_extract("ln", tail_re_bare, 1))
@@ -112,7 +119,9 @@ def parse_openmetrics(
         braces.alias("braces"),
         val_s.alias("val_s"),
         ts_s.alias("ts_s"),
-    ).filter((F.col("name") != "") & (F.col("val_s") != "") & (F.col("ts_s") != ""))
+    ).filter((F.col("name") != "") & (F.col("val_s") != ""))
+    if default_time_ms is None:
+        parsed = parsed.filter(F.col("ts_s") != "")
 
     keys = F.regexp_extract_all("braces", F.lit(_PAIR_RE), 1)
     vals = F.transform(
@@ -136,6 +145,8 @@ def parse_openmetrics(
         t = (F.col("ts_s").try_cast("decimal(20,3)") * 1000).try_cast("long")
     else:
         t = F.col("ts_s").try_cast("long")
+    if default_time_ms is not None:
+        t = F.when(F.col("ts_s") == "", F.lit(int(default_time_ms))).otherwise(t)
     return parsed.select(
         L.strip_empty_labels(labels).alias("labels"),
         t.alias("t"),
