@@ -534,3 +534,34 @@ def test_query_exemplars(spark, tmp_path):
     resp = query_exemplars(db, "http_req", 0, 10**9)
     assert [e["labels"]["trace_id"]
             for s in resp["data"] for e in s["exemplars"]] == ["late"]
+
+
+def test_status_routes(spark, tmp_path):
+    """status/runtimeinfo, status/flags, status/config (api.go
+    serveRuntimeInfo/serveFlags/serveConfig): present, JSON-wired, and
+    success-shaped."""
+    import threading
+    import urllib.request
+
+    from tsdb_spark.api import serve
+
+    db = DB.create(spark, str(tmp_path / "st_db"), block_width_ms=WIDTH)
+    db.append(spark.createDataFrame(
+        [({"__name__": "m"}, 0, 1.0)],
+        "labels MAP<STRING,STRING>, t LONG, v DOUBLE"))
+    srv = serve(db, "127.0.0.1", 0)
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        def get(path):
+            with urllib.request.urlopen(f"http://127.0.0.1:{port}{path}") as r:
+                return json.loads(r.read())
+
+        ri = get("/api/v1/status/runtimeinfo")
+        assert ri["status"] == "success" and "startTime" in ri["data"]
+        fl = get("/api/v1/status/flags")
+        assert fl["data"]["query.lookback-delta"] == "5m"
+        cf = get("/api/v1/status/config")
+        assert "yaml" in cf["data"]
+    finally:
+        srv.shutdown()

@@ -367,6 +367,60 @@ def buildinfo() -> dict:
     }
 
 
+def runtimeinfo(db) -> dict:
+    """GET /api/v1/status/runtimeinfo (api.go serveRuntimeInfo): process
+    facts an operator dashboards against. Storage retention comes from
+    the store's meta; the reload/config rows have no analog (no config
+    file), reported as the zero values upstream uses before first
+    load."""
+    import os
+    import time
+
+    return {
+        "status": "success",
+        "data": {
+            "startTime": time.strftime(
+                "%Y-%m-%dT%H:%M:%SZ", time.gmtime(_PROCESS_START)
+            ),
+            "CWD": os.getcwd(),
+            "reloadConfigSuccess": True,
+            "lastConfigTime": "1970-01-01T00:00:00Z",
+            "corruptionCount": 0,
+            "goroutineCount": 0,
+            "storageRetention": str(
+                db.meta.get("retention_ms", 0) or 0
+            ) + "ms",
+        },
+    }
+
+
+_PROCESS_START = __import__("time").time()
+
+
+def flags() -> dict:
+    """GET /api/v1/status/flags (api.go serveFlags): the runtime knobs a
+    user would set as upstream CLI flags, valued from this engine's
+    session/store defaults."""
+    import os
+
+    return {
+        "status": "success",
+        "data": {
+            "web.enable-admin-api": "false",
+            "query.lookback-delta": "5m",
+            "storage.tsdb.directory": "",
+            "spark.master": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+        },
+    }
+
+
+def config() -> dict:
+    """GET /api/v1/status/config (api.go serveConfig): upstream returns
+    the loaded YAML; this engine is configured programmatically, so the
+    canonical empty config is served (upstream's shape: {"yaml": ...})."""
+    return {"status": "success", "data": {"yaml": "# configured programmatically\n"}}
+
+
 def rules_payload(groups: list[dict]) -> dict:
     """GET /api/v1/rules (api.go rules → RuleDiscovery): the configured
     rule groups. Each group is {"name", "interval_ms", "rules": [Rule |
@@ -617,6 +671,12 @@ def make_handler(db, rule_groups: list[dict] | None = None, enable_admin: bool =
                     return self._reply(200, metadata(db))
                 if u.path == "/api/v1/status/buildinfo":
                     return self._reply(200, buildinfo())
+                if u.path == "/api/v1/status/runtimeinfo":
+                    return self._reply(200, runtimeinfo(db))
+                if u.path == "/api/v1/status/flags":
+                    return self._reply(200, flags())
+                if u.path == "/api/v1/status/config":
+                    return self._reply(200, config())
                 if u.path == "/api/v1/rules":
                     return self._reply(200, rules_payload(groups))
                 if u.path == "/api/v1/alerts":
