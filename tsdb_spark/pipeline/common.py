@@ -45,7 +45,18 @@ def materialize(df):
     one misses the still-empty cache — the expensive sketch expression
     then runs once per scan. One eager pass populates the cache before
     the fan-out; at cluster scale this is the same pattern as
-    checkpointing a shared intermediate."""
-    df = df.persist()
+    checkpointing a shared intermediate.
+
+    SERIALIZED storage, not the DataFrame default (deserialized): these
+    frames carry corpus-scale array columns (shingle sets, signatures),
+    and a deserialized cache block must unroll a whole partition as JVM
+    objects in one piece — the 64x soak OOMed exactly there
+    (MemoryStore.putIteratorAsValues, SCALE.md r6). Serialized blocks
+    unroll incrementally against the unified-memory watermark and spill
+    to disk instead of dying; the decode cost on re-scan is noise next
+    to the sketch expression being cached away."""
+    from pyspark import StorageLevel
+
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
     df.count()
     return df
