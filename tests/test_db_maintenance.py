@@ -752,3 +752,54 @@ def test_refresh_rollup_scan_is_partition_pruned(spark, tmp_path):
     rewritten = db.refresh_rollup(W)
     assert rewritten == [5 * W], rewritten
     assert db.fresh_rollup_widths() == [W]
+
+
+def test_tombstones_mask_side_tables_and_clean_rewrites(spark, tmp_path):
+    """delete() masks histogram and exemplar rows at read like samples
+    (F12); clean_tombstones rewrites the side tables too, so dropping
+    the tombstones file never resurrects masked rows."""
+    from tsdb_spark.nativehist import build_histograms
+
+    db = _mkdb(spark, tmp_path, "side", width=1000)
+    db.append(_df(spark, [
+        ({"__name__": "m", "s": "a"}, 100, 1.0),
+        ({"__name__": "m", "s": "a"}, 1500, 2.0),
+        ({"__name__": "m", "s": "b"}, 100, 3.0),
+    ]))
+    obs = spark.createDataFrame(
+        [({"__name__": "m", "s": "a"}, 100, 0.5),
+         ({"__name__": "m", "s": "a"}, 1500, 1.5),
+         ({"__name__": "m", "s": "b"}, 100, 2.5)],
+        "labels MAP<STRING,STRING>, t LONG, v DOUBLE",
+    ).withColumn("labels_str", L.labels_str_expr("labels"))
+    db.append_histograms(
+        build_histograms(obs, 1000).select("labels", "t", "h"))
+    db.append_exemplars(spark.createDataFrame(
+        [({"__name__": "m", "s": "a"}, 100, 1.0, {"trace_id": "t1"}),
+         ({"__name__": "m", "s": "a"}, 1500, 2.0, {"trace_id": "t2"}),
+         ({"__name__": "m", "s": "b"}, 100, 3.0, {"trace_id": "t3"})],
+        "labels MAP<STRING,STRING>, t LONG, v DOUBLE, "
+        "exemplar MAP<STRING,STRING>"))
+
+    def hist_ts():
+        return sorted(
+            (r["labels"]["s"], r["t"])
+            for r in db.hist_frame(0, 10_000).collect())
+
+    def ex_ids():
+        return sorted(
+            r["exemplar"]["trace_id"]
+            for r in db.exemplars_frame(0, 10_000).collect())
+
+    # delete series s=a within [0, 1000]: masks the first hist window
+    # (stamped at its END boundary t=1000) and the t1 exemplar; keeps
+    # the later window/exemplar and everything of s=b
+    db.delete(0, 1000, [L.eq("s", "a")])
+    assert hist_ts() == [("a", 2000), ("b", 1000)]
+    assert ex_ids() == ["t2", "t3"]
+
+    # clean: tombstones file goes away, the masked rows must NOT return
+    db.clean_tombstones()
+    assert not os.path.isdir(db._tombstones_path)
+    assert hist_ts() == [("a", 2000), ("b", 1000)]
+    assert ex_ids() == ["t2", "t3"]

@@ -15,7 +15,9 @@ command table: bench write / ls / analyze / dump).
     python -m tsdb_spark compact  <store> [--width MS]
     python -m tsdb_spark rollup   <store> [--width MS | --serve-step MS]
     python -m tsdb_spark vacuum   <store>
-    python -m tsdb_spark serve    <store> [--host H] [--port P]
+    python -m tsdb_spark serve    <store> [--host H] [--port P] [--rules F]
+    python -m tsdb_spark check-rules <rules.yml>...
+    python -m tsdb_spark test-rules  <tests.yml>...
     python -m tsdb_spark alerts   <store> <name> '<expr>' [--for MS] --start --end --step
 
 Every command opens one SparkSession sized from $SPARK_GRAFT_CPUS and
@@ -45,6 +47,12 @@ def main(argv: list[str] | None = None) -> int:
     p_du.add_argument("--mint", type=int, default=-(2**62))
     p_du.add_argument("--maxt", type=int, default=2**62)
     p_du.add_argument("--out", help="write CSV here instead of stdout")
+    p_du.add_argument(
+        "--openmetrics",
+        action="store_true",
+        help="emit/write exposition text instead (ms stamps) — directly "
+        "re-importable via `create-blocks-from --timestamps ms`",
+    )
 
     p_se = sub.add_parser(
         "select", help='query samples by PromQL-style selector, e.g. \'click{user="7"}\''
@@ -100,6 +108,11 @@ def main(argv: list[str] | None = None) -> int:
     p_sv.add_argument("store")
     p_sv.add_argument("--host", default="127.0.0.1")
     p_sv.add_argument("--port", type=int, default=9090)
+    p_sv.add_argument(
+        "--rules",
+        help="rule file (YAML, model/rulefmt) served at /api/v1/rules "
+        "and evaluated by /api/v1/alerts",
+    )
     p_sv.add_argument(
         "--enable-admin",
         action="store_true",
@@ -185,6 +198,21 @@ def main(argv: list[str] | None = None) -> int:
     p_sc.add_argument("--timestamps", choices=("ms", "openmetrics"), default="ms")
     p_sc.add_argument("--honor-labels", action="store_true")
 
+    p_cr = sub.add_parser(
+        "check-rules",
+        help="validate rule files (promtool check rules): YAML shape, "
+        "names, duplicates, and every expression parses",
+    )
+    p_cr.add_argument("files", nargs="+")
+
+    p_tr = sub.add_parser(
+        "test-rules",
+        help="run rule unit-test files (promtool test rules, "
+        "cmd/promtool/unittest.go): input_series + promql_expr_test + "
+        "alert_rule_test",
+    )
+    p_tr.add_argument("files", nargs="+")
+
     p_pl = sub.add_parser("plan", help="show the next compaction step without running it")
     p_pl.add_argument("store")
 
@@ -211,11 +239,46 @@ def main(argv: list[str] | None = None) -> int:
 
     args = ap.parse_args(argv)
 
+    if args.cmd == "check-rules":
+        # static validation — no SparkSession needed (promtool parity:
+        # check rules is an offline lint)
+        from tsdb_spark.promtool import check_rules
+
+        bad = 0
+        for path in args.files:
+            errs = check_rules(path)
+            if errs:
+                bad += 1
+                print(f"FAILED {path}:")
+                for e in errs:
+                    print(f"  {e}")
+            else:
+                from tsdb_spark.promtool import load_rule_file
+
+                n = sum(len(g["rules"]) for g in load_rule_file(path))
+                print(f"SUCCESS {path}: {n} rules found")
+        return 1 if bad else 0
+
     from tsdb_spark.db import DB
     from tsdb_spark.session import get_spark
 
     spark = get_spark(f"tsdb-{args.cmd}")
     spark.sparkContext.setLogLevel("ERROR")
+
+    if args.cmd == "test-rules":
+        from tsdb_spark.promtool import run_rule_tests
+
+        bad = 0
+        for path in args.files:
+            fails = run_rule_tests(spark, path)
+            if fails:
+                bad += 1
+                print(f"FAILED {path}:")
+                for e in fails:
+                    print(f"  {e}")
+            else:
+                print(f"SUCCESS {path}")
+        return 1 if bad else 0
 
     if args.cmd == "ls":
         DB.open_readonly(spark, args.store).ls().show(1000, truncate=False)
@@ -231,7 +294,19 @@ def main(argv: list[str] | None = None) -> int:
         analyze_metrics(smp.join(ser, "series_id")).show(args.limit, truncate=False)
     elif args.cmd == "dump":
         df = DB.open_readonly(spark, args.store).dump(args.mint, args.maxt)
-        if args.out:
+        if args.openmetrics:
+            from tsdb_spark.sources.openmetrics import format_openmetrics
+
+            lines = format_openmetrics(
+                df.select("labels", "t", "v"), timestamps="ms"
+            )
+            if args.out:
+                lines.write.mode("overwrite").text(args.out)
+                print(f"wrote {args.out}")
+            else:
+                for row in lines.toLocalIterator():
+                    print(row["line"])
+        elif args.out:
             # CSV has no MAP type — export the canonical rendering
             df.select("labels_str", "t", "v").write.mode("overwrite").option(
                 "header", True
@@ -287,12 +362,18 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "serve":
         from tsdb_spark.api import serve
 
+        groups = None
+        if args.rules:
+            from tsdb_spark.promtool import load_rule_file
+
+            groups = load_rule_file(args.rules)
         db = (
             DB.open(spark, args.store)
             if args.enable_admin
             else DB.open_readonly(spark, args.store)
         )
-        srv = serve(db, args.host, args.port, enable_admin=args.enable_admin)
+        srv = serve(db, args.host, args.port, rule_groups=groups,
+                    enable_admin=args.enable_admin)
         print(f"serving /api/v1 on http://{args.host}:{args.port}")
         try:
             srv.serve_forever()

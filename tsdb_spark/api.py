@@ -443,6 +443,7 @@ def rules_payload(groups: list[dict]) -> dict:
                         "keepFiringFor": getattr(r, "keep_firing_ms", 0)
                         / 1000.0,
                         "labels": dict(r.labels),
+                        "annotations": dict(getattr(r, "annotations", ())),
                         "state": "inactive",
                         "health": "ok",
                         "alerts": [],

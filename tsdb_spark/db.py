@@ -673,9 +673,11 @@ class DB:
         collision keeps the deterministic max-(count, sum) histogram —
         a re-scrape superseding a partial window. Batch path only (no
         streaming ingest for histograms yet); time retention drops
-        histogram buckets on the same clock as samples, while
-        compaction / tombstone deletes do not yet rewrite the
-        histograms table — documented as the supported subset."""
+        histogram buckets on the same clock as samples; tombstone
+        deletes mask at read (hist_frame) and clean_tombstones rewrites
+        this table alongside samples. Compaction leaves it untouched by
+        design — side buckets stay base-width (cross-append duplicates
+        resolve at read), so there is nothing to merge."""
         self._check_writable()
         seq = self.meta["next_ingest_seq"]
         width = self.block_width_ms
@@ -758,6 +760,10 @@ class DB:
                 ),
             ).alias("h")
         )
+        # tombstones mask histogram rows like samples (F12 deleted-
+        # iterator semantics; clean_tombstones rewrites this table too)
+        if os.path.isdir(self._tombstones_path):
+            h = subtract_intervals(h, self.tombstones())
         dim = self.series()
         if matchers:
             dim = dim.filter(L.compile_matchers(matchers))
@@ -863,6 +869,10 @@ class DB:
         ex = ex.groupBy("series_id", "t", "v", "_ex_str").agg(
             F.first("exemplar").alias("exemplar")
         )
+        # delete_series drops a series' exemplars with its samples
+        # (upstream's admin delete reaches exemplar storage the same way)
+        if os.path.isdir(self._tombstones_path):
+            ex = subtract_intervals(ex, self.tombstones())
         dim = self.series()
         if matchers:
             dim = dim.filter(L.compile_matchers(matchers))
@@ -962,10 +972,57 @@ class DB:
         if targets:
             df = self.samples().filter(F.col("t_bucket").isin(targets))
             self._rewrite_buckets(subtract_intervals(df, tombs), targets, "clean")
+        self._clean_side_tables(tombs, intervals)
         if os.path.isdir(self._tombstones_path):
             shutil.rmtree(self._tombstones_path)
         self.meta.pop("ts_clean_buckets", None)
         self._write_meta()
+
+    def _clean_side_tables(self, tombs: DataFrame, intervals: list[tuple]) -> None:
+        """The histograms/exemplars side tables drop tombstoned rows in
+        the same clean pass: their reads (hist_frame / exemplars_frame)
+        mask tombstones lazily, so clearing the tombstones file without
+        rewriting them would resurrect masked rows — the exact hazard
+        clean_tombstones guards against on the samples path. Same
+        write-then-swap choreography, scoped to affected buckets (side
+        buckets are always base-width; they never level-promote)."""
+        base = self.block_width_ms
+        for side in (self._hist_path, self._exemplar_path):
+            if not os.path.isdir(side):
+                continue
+            dirs = {
+                int(d.split("=")[1])
+                for d in os.listdir(side)
+                if d.startswith("t_bucket=")
+            }
+            affected = sorted(
+                lo
+                for lo in dirs
+                if any(m < lo + base and x >= lo for m, x in intervals)
+            )
+            if not affected:
+                continue
+            kept = subtract_intervals(
+                self.spark.read.parquet(side).filter(
+                    F.col("t_bucket").isin(affected)
+                ),
+                tombs,
+            )
+            tmp = side + f".clean.{uuid.uuid4().hex}"
+            (
+                kept.repartitionByRange("t_bucket", "series_id")
+                .sortWithinPartitions("t_bucket", "series_id", "t")
+                .write.mode("overwrite")
+                .partitionBy("t_bucket")
+                .parquet(tmp)
+            )
+            for lo in affected:
+                src = os.path.join(tmp, f"t_bucket={lo}")
+                self._swap_dir(
+                    src if os.path.isdir(src) else None,
+                    os.path.join(side, f"t_bucket={lo}"),
+                )
+            shutil.rmtree(tmp, ignore_errors=True)
 
     def _rewrite_buckets(self, frame: DataFrame, targets: list[int], tag: str) -> set[int]:
         """Shared write-then-swap choreography for every partition

@@ -98,6 +98,10 @@ class AlertRule:
     for_ms: int = 0
     keep_firing_ms: int = 0
     labels: tuple[tuple[str, str], ...] = ()
+    #: static annotation strings (rules/alerting.go Annotations). Plain
+    #: values only — upstream's Go template rendering ({{ $labels.x }})
+    #: is out of scope; templates pass through verbatim.
+    annotations: tuple[tuple[str, str], ...] = ()
 
 
 def alerts_frame(
