@@ -565,3 +565,39 @@ def test_status_routes(spark, tmp_path):
         assert "yaml" in cf["data"]
     finally:
         srv.shutdown()
+
+
+def test_match_and_limit_params(spark, tmp_path):
+    """3.x surface: repeated match[] union-scopes labels/label_values/
+    series; `limit` truncates sorted results with the upstream warning."""
+    from tsdb_spark.api import label_values, labels, query_range, series
+
+    rows = []
+    for i in range(5):
+        rows.append(({"__name__": "m", "s": f"s{i}", "only_m": "1"}, 0, float(i)))
+        rows.append(({"__name__": "n", "s": f"s{i}"}, 0, float(i)))
+    db = DB.create(spark, str(tmp_path / "ml_db"), block_width_ms=WIDTH)
+    db.append(spark.createDataFrame(
+        rows, "labels MAP<STRING,STRING>, t LONG, v DOUBLE"))
+
+    # match[] scoping: only_m appears only under the m selector
+    assert "only_m" in labels(db, ["m"])["data"]
+    assert "only_m" not in labels(db, ["n"])["data"]
+    # union across repeated match[]
+    assert "only_m" in labels(db, ["n", "m"])["data"]
+
+    lv = label_values(db, "s", ["m"], limit=2)
+    assert lv["data"] == ["s0", "s1"]
+    assert lv["warnings"] == ["results truncated due to limit"]
+
+    sr = series(db, ["m", "n"], 0, 10**9)
+    assert len(sr["data"]) == 10
+    sr2 = series(db, ["m"], 0, 10**9, limit=3)
+    assert len(sr2["data"]) == 3 and "warnings" in sr2
+
+    qr = query_range(db, "m", 0, 60_000, 60_000)
+    assert len(qr["data"]["result"]) == 5
+    from tsdb_spark.api import _limit_query
+
+    t = _limit_query(qr, 2)
+    assert len(t["data"]["result"]) == 2 and "warnings" in t

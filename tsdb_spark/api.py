@@ -206,38 +206,88 @@ def query_exemplars(db, selector: str, mint: int, maxt: int) -> dict:
     return {"status": "success", "data": data}
 
 
-def labels(db) -> dict:
+def _limited(payload: dict, data: list, limit: int) -> dict:
+    """The 3.x `limit` parameter: truncate sorted results and surface
+    the upstream warning (api.go truncates + appends to warnings)."""
+    if limit and limit > 0 and len(data) > limit:
+        payload["data"] = data[:limit]
+        payload["warnings"] = ["results truncated due to limit"]
+    return payload
+
+
+def labels(db, selectors: list[str] | None = None, limit: int = 0) -> dict:
     """GET /api/v1/labels (api.go labelNames → the engine's A2
-    LabelNames)."""
-    vals = [r[0] for r in db.label_names().collect()]
-    return {"status": "success", "data": sorted(vals)}
+    LabelNames). Repeated match[] selectors scope the names to series
+    matching ANY selector (upstream's union semantics); `limit`
+    truncates with a warning (3.x)."""
+    from functools import reduce
 
+    from pyspark.sql import DataFrame as _DF
 
-def label_values(db, name: str) -> dict:
-    """GET /api/v1/label/<name>/values (api.go labelValues → the
-    engine's A1 LabelValues)."""
-    vals = [r[0] for r in db.label_values(name).collect()]
-    return {"status": "success", "data": sorted(vals)}
-
-
-def series(db, selector: str, mint: int, maxt: int) -> dict:
-    """GET /api/v1/series — the label sets matching a selector in a
-    range (api.go series → Querier.Select with label projection)."""
     from tsdb_spark.labels import parse_selector
 
+    if selectors:
+        df = reduce(
+            _DF.union,
+            [db.label_names(parse_selector(s)) for s in selectors],
+        ).distinct()
+    else:
+        df = db.label_names()
+    vals = sorted(r[0] for r in df.collect())
+    return _limited({"status": "success", "data": vals}, vals, limit)
+
+
+def label_values(
+    db, name: str, selectors: list[str] | None = None, limit: int = 0
+) -> dict:
+    """GET /api/v1/label/<name>/values (api.go labelValues → the
+    engine's A1 LabelValues). match[] scoping and `limit` as on
+    /api/v1/labels."""
+    from functools import reduce
+
+    from pyspark.sql import DataFrame as _DF
+
+    from tsdb_spark.labels import parse_selector
+
+    if selectors:
+        df = reduce(
+            _DF.union,
+            [db.label_values(name, parse_selector(s)) for s in selectors],
+        ).distinct()
+    else:
+        df = db.label_values(name)
+    vals = sorted(r[0] for r in df.collect())
+    return _limited({"status": "success", "data": vals}, vals, limit)
+
+
+def series(
+    db, selectors: list[str] | str, mint: int, maxt: int, limit: int = 0
+) -> dict:
+    """GET /api/v1/series — the label sets matching any match[]
+    selector in a range (api.go series → Querier.Select with label
+    projection; repeated match[] union per upstream)."""
+    from functools import reduce
+
+    from pyspark.sql import DataFrame as _DF
+
+    from tsdb_spark.labels import parse_selector
+
+    if isinstance(selectors, str):
+        selectors = [selectors]
     # Spark cannot set-op on MAP columns; dedup on the canonical
     # labels_str key and keep one map per series.
-    dim = (
+    frames = [
         db.querier(mint, maxt)
-        .select(parse_selector(selector), with_labels=True)
+        .select(parse_selector(s), with_labels=True)
         .select("labels_str", "labels")
-        .dropDuplicates(["labels_str"])
-    )
+        for s in selectors
+    ]
+    dim = reduce(_DF.unionByName, frames).dropDuplicates(["labels_str"])
     data = sorted(
         (dict(r["labels"]) for r in dim.collect()),
         key=lambda m: sorted(m.items()),
     )
-    return {"status": "success", "data": data}
+    return _limited({"status": "success", "data": data}, data, limit)
 
 
 def status_tsdb(db, limit: int = 10) -> dict:
@@ -510,6 +560,18 @@ def alerts_payload(db, groups: list[dict], time_ms: int) -> dict:
 # ------------------------------------------------------------ HTTP
 
 
+def _limit_query(payload: dict, limit: int) -> dict:
+    """3.x `limit` on the query endpoints: cap the number of returned
+    SERIES (result entries), warning on truncation like api.go."""
+    res = payload.get("data", {}).get("result")
+    if limit and limit > 0 and isinstance(res, list) and len(res) > limit:
+        payload["data"]["result"] = res[:limit]
+        payload.setdefault("warnings", []).append(
+            "results truncated due to limit"
+        )
+    return payload
+
+
 def _parse_time(s: str) -> int:
     """Unix seconds (float ok) → epoch ms, the API's time params."""
     return int(float(s) * 1000)
@@ -623,24 +685,32 @@ def make_handler(db, rule_groups: list[dict] | None = None, enable_admin: bool =
             try:
                 if u.path.startswith("/api/v1/admin/tsdb/"):
                     return self._admin(u, multi, q, method)
+                limit = int(q.get("limit", "0") or 0)
                 if u.path == "/api/v1/query":
                     t = _parse_time(q["time"]) if "time" in q else None
                     if t is None:
                         raise ValueError("missing `time` parameter")
-                    return self._reply(200, query(db, q["query"], t))
+                    return self._reply(
+                        200, _limit_query(query(db, q["query"], t), limit)
+                    )
                 if u.path == "/api/v1/query_range":
                     return self._reply(
                         200,
-                        query_range(
-                            db,
-                            q["query"],
-                            _parse_time(q["start"]),
-                            _parse_time(q["end"]),
-                            _parse_step(q["step"]),
+                        _limit_query(
+                            query_range(
+                                db,
+                                q["query"],
+                                _parse_time(q["start"]),
+                                _parse_time(q["end"]),
+                                _parse_step(q["step"]),
+                            ),
+                            limit,
                         ),
                     )
                 if u.path == "/api/v1/labels":
-                    return self._reply(200, labels(db))
+                    return self._reply(
+                        200, labels(db, multi.get("match[]"), limit)
+                    )
                 if u.path == "/api/v1/status/tsdb":
                     return self._reply(200, status_tsdb(db))
                 if u.path == "/api/v1/query_histogram":
@@ -698,14 +768,16 @@ def make_handler(db, rule_groups: list[dict] | None = None, enable_admin: bool =
                     "/values"
                 ):
                     name = u.path[len("/api/v1/label/"):-len("/values")]
-                    return self._reply(200, label_values(db, name))
+                    return self._reply(
+                        200, label_values(db, name, multi.get("match[]"), limit)
+                    )
                 if u.path == "/api/v1/series":
-                    sel = multi.get("match[]", [None])[0]
-                    if sel is None:
+                    sels = multi.get("match[]", [])
+                    if not sels:
                         raise ValueError("missing `match[]` parameter")
                     mint = _parse_time(q.get("start", "-9e9"))
                     maxt = _parse_time(q.get("end", "9e9"))
-                    return self._reply(200, series(db, sel, mint, maxt))
+                    return self._reply(200, series(db, sels, mint, maxt, limit))
                 return self._reply(
                     404,
                     {"status": "error", "errorType": "not_found",
