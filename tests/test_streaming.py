@@ -169,3 +169,64 @@ def test_stream_shuffle_partitions_restores_on_error(spark):
             assert spark.conf.get(key) == "3"
             raise RuntimeError("stream failed")
     assert spark.conf.get(key) == before
+
+
+def test_hist_ingest_stream(spark, tmp_path):
+    """Streaming native-histogram ingest (hist_ingest_stream): complete
+    watermark-finalized windows land in the histograms table; a second
+    drain over new data continues; the final window (not yet passed by
+    the watermark) stays pending — partial windows can never land."""
+    from tsdb_spark.nativehist import int_bucket_idx
+    from tsdb_spark.streaming import hist_ingest_stream, stream_shuffle_partitions
+
+    src = str(tmp_path / "hsrc")
+    ckpt = str(tmp_path / "hckpt")
+    os.makedirs(src)
+    db = DB.create(spark, str(tmp_path / "hstore"), block_width_ms=60_000)
+
+    # window width 60s, watermark delay 0: a window emits once a later
+    # sample moves event time past its end
+    rows = [
+        ({"__name__": "lat", "s": "a"}, 1_000, 3.0),     # w[0,60s)
+        ({"__name__": "lat", "s": "a"}, 2_000, 0.0),     # zero bucket
+        ({"__name__": "lat", "s": "a"}, 61_000, 7.0),    # w[60s,120s)
+        ({"__name__": "lat", "s": "a"}, 121_000, 1.0),   # w[120s,...) pending
+    ]
+    _write_chunk(spark, src, rows, "h0")
+
+    def drain():
+        with stream_shuffle_partitions(spark):
+            stream = spark.readStream.schema(ROWS_SCHEMA).parquet(src + "/*")
+            q = hist_ingest_stream(
+                db, stream, ckpt, width_ms=60_000, delay_ms=0,
+                idx_expr=int_bucket_idx(F.col("v")),
+                trigger={"availableNow": True},
+            )
+            q.awaitTermination(120)
+            assert not q.isActive
+
+    drain()
+    got = {
+        r["t"]: r["h"]
+        for r in db.hist_frame(0, 10**9).collect()
+    }
+    # availableNow's final batch advances the watermark to max event
+    # time (121s): windows ending 60s and 120s emit, the 121s sample's
+    # own window [120s,180s) stays PENDING in state — never half-landed
+    assert set(got) == {60_000, 120_000}
+    h = got[60_000]
+    assert h["count"] == 2.0 and h["sum"] == 3.0 and h["zero_count"] == 1.0
+    assert [(b["idx"], b["c"]) for b in h["buckets"]] == [(2, 1.0)]
+    h2 = got[120_000]
+    assert h2["count"] == 1.0 and h2["sum"] == 7.0
+    assert [(b["idx"], b["c"]) for b in h2["buckets"]] == [(3, 1.0)]
+
+    # restart-continue: a later sample pushes the watermark past the
+    # pending window, which lands COMPLETE with its checkpointed state
+    _write_chunk(spark, src, [({"__name__": "lat", "s": "a"}, 200_000, 2.0)], "h1")
+    drain()
+    got = {r["t"]: r["h"] for r in db.hist_frame(0, 10**9).collect()}
+    assert set(got) == {60_000, 120_000, 180_000}
+    h3 = got[180_000]
+    assert h3["count"] == 1.0 and h3["sum"] == 1.0
+    assert [(b["idx"], b["c"]) for b in h3["buckets"]] == [(0, 1.0)]

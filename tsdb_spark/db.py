@@ -671,8 +671,9 @@ class DB:
         from sorted entries, dim upsert shared (_upsert_series), bucketed
         layout with range-partitioned sorted files. A (series, t)
         collision keeps the deterministic max-(count, sum) histogram —
-        a re-scrape superseding a partial window. Batch path only (no
-        streaming ingest for histograms yet); time retention drops
+        a re-scrape superseding a partial window. Streaming ingest runs
+        through streaming.hist_ingest_stream (watermarked windowed agg,
+        complete windows only); time retention drops
         histogram buckets on the same clock as samples; tombstone
         deletes mask at read (hist_frame) and clean_tombstones rewrites
         this table alongside samples. Compaction leaves it untouched by

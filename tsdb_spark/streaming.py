@@ -261,6 +261,126 @@ def windowed_rollup(
     )
 
 
+def hist_ingest_stream(
+    db: DB,
+    stream: DataFrame,
+    checkpoint_dir: str,
+    width_ms: int = 60_000,
+    delay_ms: int = 120_000,
+    idx_expr=None,
+    trigger: dict | None = None,
+):
+    """STREAMING native-histogram ingest — closes the batch-only gap
+    documented on DB.append_histograms: raw float samples (labels MAP,
+    t LONG, v DOUBLE) aggregate into exponential-bucket histogram
+    windows as a true watermarked Structured Streaming aggregation, and
+    each COMPLETE window lands in the store's histograms table.
+
+    Shape: ONE streaming groupBy((series, window, bucket_idx)) keeps
+    per-bucket count/sum state in the checkpoint; APPEND output mode
+    means a window's bucket rows emit exactly once, when the watermark
+    (`delay_ms` behind max event time) passes window end — so the
+    foreachBatch body always sees complete windows and only assembles
+    structs (bounded, emitted-rows-sized) before one transactional
+    `append_histograms`. Samples later than the watermark are dropped
+    by the engine (T1's bounded lateness), partial windows can never
+    land, and a replayed batch re-appends identical histograms that
+    hist_frame's later-ingest-wins dedup collapses (J6) — the same
+    crash-window story as StreamIngestor.process_batch. An epoch guard
+    in store meta (`last_hist_epoch`) skips already-committed batches
+    on restart (T5)."""
+    from tsdb_spark.nativehist import bucket_idx
+
+    sec = lambda ms: f"{ms // 1000} seconds"  # noqa: E731
+    idx = F.when(
+        F.col("v") > 0,
+        idx_expr if idx_expr is not None else bucket_idx(F.col("v"), 0),
+    )
+    agg = (
+        stream.withColumn("labels_str", _labels_str())
+        .select(
+            "labels_str",
+            "labels",
+            F.timestamp_millis(F.col("t")).alias("ts"),
+            idx.alias("_idx"),
+            "v",
+        )
+        .withWatermark("ts", sec(delay_ms))
+        .groupBy(F.window("ts", sec(width_ms)), "labels_str", "_idx")
+        .agg(
+            F.first("labels").alias("labels"),
+            F.count("*").cast("double").alias("_c"),
+            F.sum("v").alias("_s"),
+        )
+        .select(
+            "labels_str",
+            "labels",
+            (F.unix_timestamp(F.col("window.end")) * 1000).alias("t"),
+            "_idx",
+            "_c",
+            "_s",
+        )
+    )
+
+    def land(batch: DataFrame, epoch_id: int) -> None:
+        if epoch_id <= db.meta.get("last_hist_epoch", -1):
+            return  # replayed batch after restart — already committed
+        if not batch.head(1):
+            return  # no window finalized this trigger — nothing to land
+        hists = (
+            batch.groupBy("labels_str", "t")
+            .agg(
+                F.first("labels").alias("labels"),
+                F.sum("_c").alias("_count"),
+                F.sum("_s").alias("_sum"),
+                F.sum(
+                    F.when(F.col("_idx").isNull(), F.col("_c")).otherwise(0.0)
+                ).alias("_zero"),
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("_idx").isNotNull(),
+                            F.struct(
+                                F.col("_idx").alias("idx"),
+                                F.col("_c").alias("c"),
+                            ),
+                        )
+                    )
+                ).alias("_buckets"),
+            )
+            .select(
+                "labels",
+                "t",
+                F.struct(
+                    F.col("_count").alias("count"),
+                    F.col("_sum").alias("sum"),
+                    F.col("_zero").alias("zero_count"),
+                    F.lit(0).alias("schema"),
+                    F.col("_buckets").alias("buckets"),
+                ).alias("h"),
+            )
+        )
+        db.append_histograms(hists)
+        db.meta["last_hist_epoch"] = epoch_id
+        db._write_meta()
+
+    writer = (
+        agg.writeStream.queryName("tsdb-hist-ingest")
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(land)
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()
+
+
+def _labels_str():
+    from tsdb_spark import labels as L
+
+    return L.labels_str_expr("labels")
+
+
 def exact_dedup_stream(
     stream: DataFrame,
     out_dir: str,
