@@ -1209,6 +1209,63 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_hist_ingest",
+    _with_prelude("""
+, d AS (SELECT labels_str, t, min(v) AS v FROM samples
+        WHERE t < {T0} + 2*{DAY} GROUP BY 1, 2)
+SELECT labels_str, (t // 21600000) * 21600000 + 21600000 AS wt,
+       CAST(count(*) AS DOUBLE) AS cnt, ROUND(sum(v), 2) AS sum_v,
+       CAST(sum(CASE WHEN v <= 0 THEN 1 ELSE 0 END) AS DOUBLE) AS zero_c
+FROM d GROUP BY 1, 2"""),
+    "streaming native-histogram ingest (hist_ingest_stream): two days of "
+    "samples stream through the watermarked windowed aggregation into "
+    "the store's histograms table; every 6h window's count/sum/"
+    "zero_count must equal the batch aggregation — complete windows "
+    "only, finalized by the watermark (a far-future sentinel flushes "
+    "the last real window and is excluded from the read)",
+)
+def stream_hist_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tsdb_spark.streaming import hist_ingest_stream, stream_shuffle_partitions
+
+    key = ("hist_ingest", id(spark), sf_dir)
+    if key not in _ROLLUPS:
+        root = tempfile.mkdtemp(prefix="tsdb_q_shist_")
+        src, ckpt = f"{root}/src", f"{root}/ckpt"
+        db = DB.create(spark, f"{root}/db", block_width_ms=STORE_WIDTH_MS)
+        ev = (
+            events_samples(spark, sf_dir)
+            .filter(F.col("t") < T0 + 2 * DAY)
+            .groupBy("labels_str", "t")
+            .agg(F.min("v").alias("v"), F.first("labels").alias("labels"))
+            .select("labels", "t", "v")
+        )
+        ev.write.parquet(f"{src}/chunk0")
+        sentinel = spark.createDataFrame(
+            [({"__name__": "_sentinel"}, T0 + 10 * DAY, 1.0)],
+            "labels MAP<STRING,STRING>, t LONG, v DOUBLE",
+        )
+        sentinel.write.parquet(f"{src}/chunk1")
+        with stream_shuffle_partitions(spark):
+            stream = spark.readStream.schema(
+                "labels MAP<STRING,STRING>, t LONG, v DOUBLE"
+            ).parquet(src + "/*")
+            q = hist_ingest_stream(
+                db, stream, ckpt,
+                width_ms=STORE_WIDTH_MS, delay_ms=0,
+                trigger={"availableNow": True},
+            )
+            q.awaitTermination(300)
+        _ROLLUPS[key] = db
+    return _ROLLUPS[key].hist_frame(0, T0 + 3 * DAY).select(
+        "labels_str",
+        F.col("t").alias("wt"),
+        F.col("h.count").alias("cnt"),
+        F.round(F.col("h.sum"), 2).alias("sum_v"),
+        F.col("h.zero_count").alias("zero_c"),
+    )
+
+
+@register(
     "tsdb_retention",
     _with_prelude("""
 SELECT (t // 21600000) * 21600000 AS t_bucket, CAST(count(*) AS BIGINT) AS num_samples
