@@ -601,3 +601,32 @@ def test_match_and_limit_params(spark, tmp_path):
 
     t = _limit_query(qr, 2)
     assert len(t["data"]["result"]) == 2 and "warnings" in t
+
+
+def test_query_exemplars_full_promql_expr(spark, tmp_path):
+    """queryExemplars accepts a full PromQL expression and extracts its
+    selectors (parser.ExtractSelectors): exemplars of every selector in
+    the expr, unioned and deduped."""
+    from tsdb_spark.api import query_exemplars
+
+    db = DB.create(spark, str(tmp_path / "exq_db"), block_width_ms=WIDTH)
+    db.append(spark.createDataFrame(
+        [({"__name__": "a", "j": "x"}, 0, 1.0),
+         ({"__name__": "b", "j": "x"}, 0, 2.0),
+         ({"__name__": "c", "j": "x"}, 0, 3.0)],
+        "labels MAP<STRING,STRING>, t LONG, v DOUBLE"))
+    db.append_exemplars(spark.createDataFrame(
+        [({"__name__": "a", "j": "x"}, 60_000, 1.0, {"trace_id": "ta"}),
+         ({"__name__": "b", "j": "x"}, 60_000, 2.0, {"trace_id": "tb"}),
+         ({"__name__": "c", "j": "x"}, 60_000, 3.0, {"trace_id": "tc"})],
+        "labels MAP<STRING,STRING>, t LONG, v DOUBLE, "
+        "exemplar MAP<STRING,STRING>"))
+
+    resp = query_exemplars(
+        db, 'sum(rate(a[5m])) / on() sum(rate(b[5m]))', 0, 10**9)
+    names = sorted(s["seriesLabels"]["__name__"] for s in resp["data"])
+    assert names == ["a", "b"]  # c's exemplars not selected
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        query_exemplars(db, "1 + 2", 0, 10**9)

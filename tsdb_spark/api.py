@@ -157,11 +157,41 @@ def query_histogram(
     }
 
 
+def _selectors_of(expr: str) -> list:
+    """Every vector/matrix selector's matcher list inside a full PromQL
+    expression — upstream queryExemplars accepts any expression and
+    extracts its selectors (parser.ExtractSelectors). Walks the parsed
+    AST generically over dataclass fields."""
+    import dataclasses
+
+    from tsdb_spark.promql import Selector, parse_expr
+
+    out: list = []
+    seen: set[int] = set()
+
+    def walk(node):
+        if node is None or id(node) in seen or not dataclasses.is_dataclass(node):
+            return
+        seen.add(id(node))
+        if isinstance(node, Selector):
+            out.append(node.matchers)
+        for f in dataclasses.fields(node):
+            v = getattr(node, f.name)
+            for item in v if isinstance(v, (list, tuple)) else [v]:
+                walk(item)
+
+    walk(parse_expr(expr))
+    if not out:
+        raise ValueError(f"expression has no selector: {expr!r}")
+    return out
+
+
 def query_exemplars(db, selector: str, mint: int, maxt: int) -> dict:
     """GET /api/v1/query_exemplars (api.go queryExemplars →
     ExemplarQuerier.Select, prometheus 2.26+): exemplars attached to
-    series matching the query's selector within [start, end], grouped
-    per series in the upstream wire shape:
+    series matching ANY selector inside the query expression (a bare
+    selector or a full PromQL expr — parser.ExtractSelectors semantics)
+    within [start, end], grouped per series in the upstream wire shape:
 
         {"seriesLabels": {...}, "exemplars": [
             {"labels": {"trace_id": ...}, "value": "6",
@@ -171,11 +201,18 @@ def query_exemplars(db, selector: str, mint: int, maxt: int) -> dict:
     dim (db.exemplars_frame); the per-series grouping happens in the
     same job via collect_list after an in-partition sort, driver-side
     work is just JSON rendering."""
+    from functools import reduce
+
+    from pyspark.sql import DataFrame as _DF
     from pyspark.sql import functions as F
 
-    from tsdb_spark.labels import parse_selector
-
-    frame = db.exemplars_frame(mint, maxt, matchers=parse_selector(selector))
+    frames = [
+        db.exemplars_frame(mint, maxt, matchers=ms)
+        for ms in _selectors_of(selector)
+    ]
+    frame = reduce(_DF.unionByName, frames)
+    if len(frames) > 1:
+        frame = frame.dropDuplicates(["labels_str", "t", "v"])
     grouped = (
         frame.sort("labels_str", "t")
         .groupBy("labels_str")
