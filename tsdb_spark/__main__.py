@@ -114,6 +114,23 @@ def main(argv: list[str] | None = None) -> int:
         "and evaluated by /api/v1/alerts",
     )
     p_sv.add_argument(
+        "--eval-rules",
+        action="store_true",
+        help="with --rules: evaluate the groups on their intervals and "
+        "record the results (incl. ALERTS series) back into the store — "
+        "rules/manager.go; opens the store WRITABLE",
+    )
+    p_sv.add_argument(
+        "--scrape-url",
+        action="append",
+        default=[],
+        help="also scrape this target into the served store on "
+        "--scrape-interval (repeatable) — the full mini-Prometheus: "
+        "scrape -> store -> rules -> query API in one process; opens "
+        "the store WRITABLE",
+    )
+    p_sv.add_argument("--scrape-interval", type=int, default=15_000)
+    p_sv.add_argument(
         "--enable-admin",
         action="store_true",
         help="unlock /api/v1/admin/tsdb/* (delete_series, "
@@ -367,17 +384,55 @@ def main(argv: list[str] | None = None) -> int:
             from tsdb_spark.promtool import load_rule_file
 
             groups = load_rule_file(args.rules)
-        db = (
-            DB.open(spark, args.store)
-            if args.enable_admin
-            else DB.open_readonly(spark, args.store)
+        import os as _os
+
+        writable = args.enable_admin or args.scrape_url or (
+            args.eval_rules and groups
         )
+        if writable and not _os.path.exists(f"{args.store}/_meta.json"):
+            db = DB.create(spark, args.store)  # fresh scrape-into store
+        elif writable:
+            db = DB.open(spark, args.store)
+        else:
+            db = DB.open_readonly(spark, args.store)
         srv = serve(db, args.host, args.port, rule_groups=groups,
                     enable_admin=args.enable_admin)
+        import threading
+
+        stop = threading.Event()
+        if args.eval_rules and groups:
+            from tsdb_spark.manager import Manager
+
+            mgr = Manager(db, groups)
+            threading.Thread(
+                target=mgr.loop, args=(stop,), daemon=True
+            ).start()
+            print(f"evaluating {sum(len(g['rules']) for g in groups)} rule(s)")
+        if args.scrape_url:
+            from tsdb_spark.scrape import Target
+
+            targets = [Target(url=u, job="scrape") for u in args.scrape_url]
+
+            def _scrape():
+                while not stop.is_set():
+                    import time as _t
+
+                    t0 = _t.time()
+                    try:
+                        from tsdb_spark.scrape import scrape_pass
+
+                        scrape_pass(spark, db, targets)
+                    except Exception as e:  # keep serving on scrape errors
+                        print(f"scrape pass failed: {e}")
+                    stop.wait(max(0.0, args.scrape_interval / 1000.0 - (_t.time() - t0)))
+
+            threading.Thread(target=_scrape, daemon=True).start()
+            print(f"scraping {len(targets)} target(s) every {args.scrape_interval}ms")
         print(f"serving /api/v1 on http://{args.host}:{args.port}")
         try:
             srv.serve_forever()
         except KeyboardInterrupt:
+            stop.set()
             srv.shutdown()
     elif args.cmd == "record":
         from tsdb_spark.rules import Rule, record

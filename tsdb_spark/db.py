@@ -65,11 +65,34 @@ class AppendReport:
     out_of_bounds_rejected: int = 0  # t < min valid time (head.go:773-783)
 
 
+def _locked(fn):
+    """Serialize store mutations within this driver process. Two
+    concurrent Spark write jobs into the same table directory share the
+    Hadoop committer's `_temporary/0` staging dir and corrupt each
+    other's commit (found live: the serve process's scrape thread and
+    rule-manager thread appending together). The reference's head is
+    single-writer for the same reason (db.go's mtx around Appender
+    commit); an RLock keeps nested mutators (record → append) safe."""
+    import functools
+
+    @functools.wraps(fn)
+    def inner(self, *a, **k):
+        with self._mutex:
+            return fn(self, *a, **k)
+
+    return inner
+
+
 @dataclass
 class DB:
     spark: SparkSession
     path: str
     meta: dict = field(default_factory=dict)
+    _mutex: "threading.RLock" = field(
+        default_factory=lambda: __import__("threading").RLock(),
+        repr=False,
+        compare=False,
+    )
 
     # ---------------- lifecycle ----------------
 
@@ -288,6 +311,7 @@ class DB:
 
     # ---------------- ingest (S7/J12/T2 as batch rules) ----------------
 
+    @_locked
     def append(
         self,
         rows: DataFrame,
@@ -660,6 +684,7 @@ class DB:
     def _hist_path(self) -> str:
         return os.path.join(self.path, "histograms")
 
+    @_locked
     def append_histograms(self, rows: DataFrame) -> None:
         """Batch ingest of native-histogram samples rows(labels MAP,
         t LONG, h STRUCT<nativehist.HIST_TYPE>) into the store's
@@ -782,6 +807,7 @@ class DB:
     def _exemplar_path(self) -> str:
         return os.path.join(self.path, "exemplars")
 
+    @_locked
     def append_exemplars(self, rows: DataFrame) -> None:
         """Batch ingest of exemplars rows(labels MAP series labels,
         t LONG, v DOUBLE, exemplar MAP<STRING,STRING> — e.g.
@@ -923,6 +949,7 @@ class DB:
 
     # ---------------- deletes (tombstones) ----------------
 
+    @_locked
     def delete(self, mint: int, maxt: int, matchers: list[L.Matcher]) -> int:
         """Record delete intervals for matching series (head.Delete analog,
         head.go:954-1002): append (series_id, mint, maxt) tombstones,
@@ -947,6 +974,7 @@ class DB:
         self._bump_data_seq()  # rollup artifacts built pre-delete are stale
         return n
 
+    @_locked
     def clean_tombstones(self) -> None:
         """Rewrite affected partitions dropping tombstoned samples, then
         clear tombstones (db.go:1226-1259 CleanTombstones). Only buckets
@@ -1058,6 +1086,7 @@ class DB:
 
     # ---------------- compaction & retention ----------------
 
+    @_locked
     def compact(self, target_width_ms: int | None = None) -> None:
         """Rewrite the store at a coarser block width: union partitions,
         apply tombstones, resolve vertical duplicates, re-partition sorted
@@ -1295,6 +1324,7 @@ class DB:
         self._forget_dropped_buckets()
         self._write_meta()
 
+    @_locked
     def vacuum(self, max_files_per_bucket: int = 8) -> list[int]:
         """Rewrite partitions fragmented into more than
         `max_files_per_bucket` data files — the small-file maintenance
@@ -1330,6 +1360,7 @@ class DB:
         self._rewrite_buckets(s, frag, "vac")
         return frag
 
+    @_locked
     def auto_compact(self, max_rounds: int = 32) -> list[list[int]]:
         """Run planning rounds until the planner is satisfied (the
         reference's db.compact loop, db.go:701-759). Returns the executed
@@ -1419,6 +1450,7 @@ class DB:
             "tombstones_dropped": tombs_trimmed,
         }
 
+    @_locked
     def retain_after(self, cutoff_ms: int) -> int:
         """Drop whole partitions entirely below the cutoff —
         beyondTimeRetention (db.go:865-884) as partition deletes. A bucket
@@ -1464,6 +1496,7 @@ class DB:
             )
         return out
 
+    @_locked
     def retain_max_bytes(self, max_bytes: int) -> int:
         """Size-based retention — beyondSizeRetention (db.go:886-906):
         walk blocks newest-first accumulating on-disk size; once the
@@ -1596,6 +1629,7 @@ class DB:
             )
         )
 
+    @_locked
     def materialize_rollup(self, width_ms: int = 3_600_000) -> None:
         """Write the per-series tumbling rollup (n, min/max/sum) at
         `width_ms` as a derived partitioned Parquet table — the
