@@ -126,6 +126,26 @@ def main() -> None:
 
         bench("matchers", run_matchers)
 
+        # OpenMetrics backfill parse path (r6, promtool
+        # create-blocks-from): the store's full sample set rendered to
+        # exposition text once (untimed), then each rep runs the
+        # distributed text parse end-to-end — the throughput of the
+        # bulk-import scan (sources/openmetrics.py, pure-JVM regexp
+        # projection)
+        from tsdb_spark.sources.openmetrics import (
+            format_openmetrics,
+            parse_openmetrics,
+        )
+
+        dump_dir = f"{wh}/omdump"
+        format_openmetrics(
+            db.querier(T0, T0 + 31 * DAY).select([]).select("labels", "t", "v")
+        ).write.text(dump_dir)
+
+        bench("backfill", lambda i: drain(
+            parse_openmetrics(spark, dump_dir).select("labels", "t", "v")
+        ))
+
         # set-regex (querier_test.go:1645 BenchmarkSetMatcher)
         bench("setregex", lambda i: drain(
             db.querier(T0, T0 + 31 * DAY).select(

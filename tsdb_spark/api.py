@@ -213,13 +213,12 @@ def query_exemplars(db, selector: str, mint: int, maxt: int) -> dict:
     frame = reduce(_DF.unionByName, frames)
     if len(frames) > 1:
         frame = frame.dropDuplicates(["labels_str", "t", "v"])
-    grouped = (
-        frame.sort("labels_str", "t")
-        .groupBy("labels_str")
-        .agg(
-            F.first("labels").alias("labels"),
-            F.collect_list(F.struct("t", "v", "exemplar")).alias("exs"),
-        )
+    # no pre-groupBy sort: a global sort would just be shuffled away by
+    # the aggregation; ordering is applied on the collected (per-series,
+    # bounded) exemplar lists driver-side
+    grouped = frame.groupBy("labels_str").agg(
+        F.first("labels").alias("labels"),
+        F.collect_list(F.struct("t", "v", "exemplar")).alias("exs"),
     )
     data = []
     for row in grouped.collect():
@@ -585,7 +584,7 @@ def alerts_payload(db, groups: list[dict], time_ms: int) -> dict:
                 alerts.append(
                     {
                         "labels": {"alertname": r.name, **lab},
-                        "annotations": {},
+                        "annotations": dict(getattr(r, "annotations", ())),
                         "state": state,
                         "value": format_value(row["v"]),
                     }
