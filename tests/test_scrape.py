@@ -157,3 +157,47 @@ def test_untimestamped_metrics_get_scrape_time(spark, tmp_path):
         for r in rows if r["labels"]["__name__"] == "cpu_seconds_total"
     )
     assert cpu == [("0", T0 + 1234, 12.5), ("1", T0 + 1234, 13.0)]
+
+
+def test_targets_payload_and_route(spark, tmp_path, upstream):
+    """/api/v1/targets (api.go TargetDiscovery): per-target health from
+    the scrape loop's status dict — up/down, lastScrape, lastError."""
+    import json
+    import urllib.request
+
+    from tsdb_spark.api import serve, targets_payload
+
+    srv, port = _serve(upstream)
+    try:
+        good = Target(url=f"http://127.0.0.1:{port}/federate?match[]=m"
+                      f"&time={(T0 + 270_000) // 1000}", job="fed")
+        bad = Target(url="http://127.0.0.1:1/metrics", job="fed")
+        dst = DB.create(spark, str(tmp_path / "tg_db"), block_width_ms=WIDTH)
+        status = {}
+        scrape_pass(spark, dst, [good, bad],
+                    scrape_time_ms=T0 + 270_000, status=status)
+    finally:
+        srv.shutdown()
+
+    payload = targets_payload([good, bad], status)
+    by_url = {a["scrapeUrl"]: a for a in payload["data"]["activeTargets"]}
+    assert by_url[good.url]["health"] == "up"
+    assert by_url[good.url]["lastScrape"] == (T0 + 270_000) / 1000.0
+    assert by_url[bad.url]["health"] == "down"
+    assert by_url[bad.url]["lastError"]
+
+    # the route serves it (empty active set without a scrape loop)
+    srv2 = serve(dst, "127.0.0.1", 0, scrape_targets=[good, bad],
+                 scrape_status=status)
+    port2 = srv2.server_address[1]
+    import threading as _th
+    _th.Thread(target=srv2.serve_forever, daemon=True).start()
+    try:
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port2}/api/v1/targets"
+        ) as r:
+            body = json.loads(r.read())
+        assert len(body["data"]["activeTargets"]) == 2
+        assert body["data"]["droppedTargets"] == []
+    finally:
+        srv2.shutdown()

@@ -395,8 +395,14 @@ def main(argv: list[str] | None = None) -> int:
             db = DB.open(spark, args.store)
         else:
             db = DB.open_readonly(spark, args.store)
+        targets, scrape_status = [], {}
+        if args.scrape_url:
+            from tsdb_spark.scrape import Target
+
+            targets = [Target(url=u, job="scrape") for u in args.scrape_url]
         srv = serve(db, args.host, args.port, rule_groups=groups,
-                    enable_admin=args.enable_admin)
+                    enable_admin=args.enable_admin,
+                    scrape_targets=targets, scrape_status=scrape_status)
         import threading
 
         stop = threading.Event()
@@ -409,9 +415,6 @@ def main(argv: list[str] | None = None) -> int:
             ).start()
             print(f"evaluating {sum(len(g['rules']) for g in groups)} rule(s)")
         if args.scrape_url:
-            from tsdb_spark.scrape import Target
-
-            targets = [Target(url=u, job="scrape") for u in args.scrape_url]
 
             def _scrape():
                 while not stop.is_set():
@@ -421,7 +424,7 @@ def main(argv: list[str] | None = None) -> int:
                     try:
                         from tsdb_spark.scrape import scrape_pass
 
-                        scrape_pass(spark, db, targets)
+                        scrape_pass(spark, db, targets, status=scrape_status)
                     except Exception as e:  # keep serving on scrape errors
                         print(f"scrape pass failed: {e}")
                     stop.wait(max(0.0, args.scrape_interval / 1000.0 - (_t.time() - t0)))

@@ -655,7 +655,38 @@ def admin_snapshot(db) -> dict:
     return {"status": "success", "data": {"name": name}}
 
 
-def make_handler(db, rule_groups: list[dict] | None = None, enable_admin: bool = False):
+def targets_payload(targets: list, status: dict | None = None) -> dict:
+    """GET /api/v1/targets (api.go targets → TargetDiscovery): the
+    scrape targets this process owns, with per-target health from the
+    scrape loop's status dict (scrape.scrape_pass `status=`). A serve
+    process without a scrape loop reports an empty active set like a
+    Prometheus with no scrape configs."""
+    status = status or {}
+    active = []
+    for t in targets or []:
+        st = status.get(t.url, {})
+        active.append(
+            {
+                "discoveredLabels": {"__address__": t.url, "job": t.job},
+                "labels": t.target_labels(),
+                "scrapePool": t.job,
+                "scrapeUrl": t.url,
+                "health": st.get("health", "unknown"),
+                "lastScrape": (
+                    st["lastScrapeMs"] / 1000.0 if "lastScrapeMs" in st else None
+                ),
+                "lastError": st.get("lastError", ""),
+            }
+        )
+    active.sort(key=lambda a: a["scrapeUrl"])
+    return {
+        "status": "success",
+        "data": {"activeTargets": active, "droppedTargets": []},
+    }
+
+
+def make_handler(db, rule_groups: list[dict] | None = None, enable_admin: bool = False,
+                 scrape_targets: list | None = None, scrape_status: dict | None = None):
     """BaseHTTPRequestHandler subclass bound to one DB — the web/api/v1
     router (api.go Register): query, query_range, labels,
     label/<name>/values, series, rules, alerts, federate. The handler is
@@ -778,6 +809,10 @@ def make_handler(db, rule_groups: list[dict] | None = None, enable_admin: bool =
                     return self._reply(200, metadata(db))
                 if u.path == "/api/v1/status/buildinfo":
                     return self._reply(200, buildinfo())
+                if u.path == "/api/v1/targets":
+                    return self._reply(
+                        200, targets_payload(scrape_targets, scrape_status)
+                    )
                 if u.path == "/api/v1/status/runtimeinfo":
                     return self._reply(200, runtimeinfo(db))
                 if u.path == "/api/v1/status/flags":
@@ -872,14 +907,18 @@ def make_handler(db, rule_groups: list[dict] | None = None, enable_admin: bool =
 
 
 def serve(db, host: str = "127.0.0.1", port: int = 9090, rule_groups=None,
-          enable_admin: bool = False):
+          enable_admin: bool = False, scrape_targets=None, scrape_status=None):
     """Run the HTTP API (blocking). Returns the server object if you
     want to drive it yourself (tests use server.serve_forever in a
     thread)."""
     from http.server import ThreadingHTTPServer
 
     srv = ThreadingHTTPServer(
-        (host, port), make_handler(db, rule_groups, enable_admin=enable_admin)
+        (host, port),
+        make_handler(
+            db, rule_groups, enable_admin=enable_admin,
+            scrape_targets=scrape_targets, scrape_status=scrape_status,
+        ),
     )
     return srv
 

@@ -90,6 +90,7 @@ def scrape_pass(
     targets: list[Target],
     scrape_time_ms: int | None = None,
     honor_labels: bool = False,
+    status: dict | None = None,
 ) -> int:
     """One scrape pass over every target: GET each body (driver-side,
     IO-bound), parse + label + append as ONE distributed job. Returns
@@ -106,11 +107,19 @@ def scrape_pass(
         tl = tgt.target_labels()
         try:
             text = fetch_text(tgt.url)
-        except OSError:
+        except OSError as e:
             up_rows.append(({"__name__": "up", **tl}, now, 0.0))
+            if status is not None:
+                status[tgt.url] = {
+                    "health": "down", "lastScrapeMs": now, "lastError": str(e),
+                }
             continue
         ok += 1
         up_rows.append(({"__name__": "up", **tl}, now, 1.0))
+        if status is not None:
+            status[tgt.url] = {
+                "health": "up", "lastScrapeMs": now, "lastError": "",
+            }
         lines = spark.createDataFrame(
             [(ln,) for ln in text.splitlines()] or [("",)], "line string"
         )
