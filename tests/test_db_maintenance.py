@@ -803,3 +803,36 @@ def test_tombstones_mask_side_tables_and_clean_rewrites(spark, tmp_path):
     assert not os.path.isdir(db._tombstones_path)
     assert hist_ts() == [("a", 2000), ("b", 1000)]
     assert ex_ids() == ["t2", "t3"]
+
+
+def test_concurrent_appends_are_serialized(spark, tmp_path):
+    """Two driver threads appending to one store concurrently used to
+    corrupt each other's Hadoop committer staging dir (TASK_WRITE_FAILED
+    observed live in the scrape+rules serve mode); the store's _mutex
+    serializes mutators, so every batch lands and reads agree."""
+    import threading
+
+    db = _mkdb(spark, tmp_path, "conc", width=1000)
+    errs = []
+
+    def writer(tag, n):
+        try:
+            for i in range(n):
+                db.append(_df(spark, [
+                    ({"m": tag}, i * 100, float(i)),
+                ]))
+        except Exception as e:  # noqa: BLE001 — the test asserts none
+            errs.append(e)
+
+    threads = [
+        threading.Thread(target=writer, args=("a", 4)),
+        threading.Thread(target=writer, args=("b", 4)),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs, errs
+    rows = db.querier(-(10**9), 10**9).select([]).collect()
+    got = {(r["labels_str"], r["t"]) for r in rows}
+    assert len(got) == 8
