@@ -215,6 +215,16 @@ def main(argv: list[str] | None = None) -> int:
     p_sc.add_argument("--timestamps", choices=("ms", "openmetrics"), default="ms")
     p_sc.add_argument("--honor-labels", action="store_true")
 
+    p_em = sub.add_parser(
+        "exemplars",
+        help="print exemplars for series matching a selector (or any "
+        "PromQL expr) in a range — the /api/v1/query_exemplars payload",
+    )
+    p_em.add_argument("store")
+    p_em.add_argument("expr")
+    p_em.add_argument("--start", type=int, default=-(2**62), help="ms")
+    p_em.add_argument("--end", type=int, default=2**62, help="ms")
+
     p_cr = sub.add_parser(
         "check-rules",
         help="validate rule files (promtool check rules): YAML shape, "
@@ -463,6 +473,13 @@ def main(argv: list[str] | None = None) -> int:
         dt = time.time() - t0
         n = db.samples().count()
         print(f"ingested {n} samples in {dt:.2f}s = {n / dt:,.0f} samples/sec")
+    elif args.cmd == "exemplars":
+        import json as _json
+
+        from tsdb_spark.api import query_exemplars
+
+        db = DB.open_readonly(spark, args.store)
+        print(_json.dumps(query_exemplars(db, args.expr, args.start, args.end)))
     elif args.cmd == "create-blocks-from":
         from tsdb_spark.sources.openmetrics import create_blocks_from
 
