@@ -158,3 +158,64 @@ def test_cli_alerts_and_query_json(spark, tmp_path, capsys):
     assert body["status"] == "success"
     assert body["data"]["resultType"] == "matrix"
     assert body["data"]["result"], "query --json returned no series"
+
+
+def test_cli_r6_subcommands(spark, tmp_path, capsys):
+    """Round-6 CLI additions end to end: exemplars, dump --openmetrics →
+    create-blocks-from roundtrip, check-rules, test-rules."""
+    import json
+    import textwrap
+
+    path = _store(spark, tmp_path)
+    db = DB.open(spark, path)
+    db.append_exemplars(spark.createDataFrame(
+        [({"__name__": "m", "i": "0"}, 0, 0.0, {"trace_id": "t0"})],
+        "labels MAP<STRING,STRING>, t LONG, v DOUBLE, "
+        "exemplar MAP<STRING,STRING>"))
+
+    assert main(["exemplars", path, 'm{i="0"}', "--start", "0",
+                 "--end", "100"]) == 0
+    payload = json.loads(capsys.readouterr().out)
+    assert payload["data"][0]["exemplars"][0]["labels"] == {"trace_id": "t0"}
+
+    om = str(tmp_path / "om")
+    assert main(["dump", path, "--openmetrics", "--out", om]) == 0
+    capsys.readouterr()
+    dst = str(tmp_path / "db2")
+    assert main(["create-blocks-from", om, dst, "--timestamps", "ms"]) == 0
+    assert "backfilled 120 samples" in capsys.readouterr().out
+
+    rules = tmp_path / "rules.yml"
+    rules.write_text(textwrap.dedent("""
+        groups:
+          - name: g
+            interval: 1m
+            rules:
+              - record: m:sum
+                expr: sum(m)
+    """))
+    assert main(["check-rules", str(rules)]) == 0
+    assert "SUCCESS" in capsys.readouterr().out
+    bad = tmp_path / "bad.yml"
+    bad.write_text("groups:\n  - name: g\n    rules:\n      - record: r\n        expr: 'sum by ((m)'\n")
+    assert main(["check-rules", str(bad)]) == 1
+    capsys.readouterr()
+
+    tests_yml = tmp_path / "t.yml"
+    tests_yml.write_text(textwrap.dedent("""
+        rule_files: [rules.yml]
+        evaluation_interval: 1m
+        tests:
+          - interval: 1m
+            input_series:
+              - series: 'm{}'
+                values: '1 2 3'
+            promql_expr_test:
+              - expr: m:sum
+                eval_time: 2m
+                exp_samples:
+                  - labels: 'm:sum'
+                    value: 3
+    """))
+    assert main(["test-rules", str(tests_yml)]) == 0
+    assert "SUCCESS" in capsys.readouterr().out
