@@ -39,7 +39,8 @@ def test_query_range_matrix(store):
     result = resp["data"]["result"]
     assert len(result) == 2
     for s in result:
-        assert s["metric"]["__name__"] == "m" and s["metric"]["s"] in ("a", "b")
+        # the range fn drops __name__ (upstream shouldDropMetricName)
+        assert "__name__" not in s["metric"] and s["metric"]["s"] in ("a", "b")
         for ts, v in s["values"]:
             assert isinstance(ts, float) and isinstance(v, str)
         assert [p[0] for p in s["values"]] == sorted(p[0] for p in s["values"])

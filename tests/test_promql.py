@@ -180,7 +180,13 @@ def test_range_functions_match_model(spark, frame, fn):
     for (name, user), pts in SERIES.items():
         if name != "click":
             continue
-        ls = f'{{__name__="click",user="{user}"}}'
+        # every range fn drops __name__ except last_over_time (upstream
+        # promql/functions.go shouldDropMetricName)
+        ls = (
+            f'{{__name__="click",user="{user}"}}'
+            if fn == "last_over_time"
+            else f'{{user="{user}"}}'
+        )
         for T in grid():
             v = model_fn(fn, pts, T, R)
             if v is not None:
@@ -372,8 +378,14 @@ def test_parse_precedence_and_modifiers():
     assert isinstance(n, P.HistQuantile) and n.phi == 0.5
     n = P.parse_expr('absent(up{job="x"})')
     assert isinstance(n, P.Absent)
+    # scalar/scalar constant-folds to a scalar-typed query; comparisons
+    # between scalars need the bool modifier (parse.go checkAST)
+    n = P.parse_expr("2 + 3")
+    assert isinstance(n, P.Number) and n.val == 5.0
+    n = P.parse_expr("2 > bool 3")
+    assert isinstance(n, P.Number) and n.val == 0.0
     with pytest.raises(ValueError):
-        P.parse_expr("2 + 3")  # scalar-only
+        P.parse_expr("2 > 3")  # scalar comparison without bool
     with pytest.raises(ValueError):
         P.parse_expr("clamp(a, 1)")  # arity
 
@@ -435,7 +447,7 @@ def test_new_range_functions_match_model(spark, frame, fn, param):
     for (name, user), pts in SERIES.items():
         if name != "click":
             continue
-        ls = f'{{__name__="click",user="{user}"}}'
+        ls = f'{{user="{user}"}}'  # range fns drop __name__
         for T in grid():
             v = model(fn, pts, T, R, param)
             if v is not None:
@@ -639,7 +651,7 @@ def test_subquery_matches_model(spark, frame):
     for (name, user), pts in SERIES.items():
         if name != "click":
             continue
-        ls = f'{{__name__="click",user="{user}"}}'
+        ls = f'{{user="{user}"}}'  # the outer range fn drops __name__
         # inner grid: aligned points covering (START - R, END]
         inner = {}
         p = (START - R) // S * S
@@ -898,7 +910,7 @@ def test_holt_winters_matches_model(spark, frame):
     for (name, user), pts in SERIES.items():
         if name != "click":
             continue
-        ls = f'{{__name__="click",user="{user}"}}'
+        ls = f'{{user="{user}"}}'  # range fns drop __name__
         for T in grid():
             w = [round(v * 100) / 100.0 for t, v in pts if T - 20_000 < t <= T]
             if len(w) >= 2:
@@ -962,11 +974,13 @@ def test_scalar_dynamic_binop(spark, frame):
     tot = {}
     for (_ls, t), v in inst.items():
         tot[t] = tot.get(t, 0.0) + v
-    # m / scalar(sum(m)): per-series share of the per-step total
+    # m / scalar(sum(m)): per-series share of the per-step total;
+    # arithmetic drops __name__ (upstream shouldDropMetricName)
+    strip = lambda ls: ls.replace('__name__="click",', "")  # noqa: E731
     got = collect_map(q.run("click / scalar(sum(click))"))
-    assert set(got) == set(inst)
-    for (ls, t), v in got.items():
-        assert math.isclose(v, inst[(ls, t)] / tot[t], rel_tol=1e-9)
+    assert set(got) == {(strip(ls), t) for ls, t in inst}
+    for (ls, t), v in inst.items():
+        assert math.isclose(got[(strip(ls), t)], v / tot[t], rel_tol=1e-9)
     # scalar of a >1-element vector is NaN → every comparison false
     assert collect_map(q.run("click > scalar(click)")) == {}
     # ...except != (IEEE semantics, not Spark's NaN ordering)
@@ -1088,7 +1102,7 @@ def test_mad_over_time_matches_model(spark, frame):
     for (name, user), pts in SERIES.items():
         if name != "click":
             continue
-        ls = f'{{__name__="click",user="{user}"}}'
+        ls = f'{{user="{user}"}}'  # range fns drop __name__
         for T in grid():
             w = [round(v * 100) for t, v in pts if T - 20_000 < t <= T]
             if w:
@@ -1108,7 +1122,7 @@ def test_ts_of_over_time(spark, frame):
         for (name, user), pts in SERIES.items():
             if name != "click":
                 continue
-            ls = f'{{__name__="click",user="{user}"}}'
+            ls = f'{{user="{user}"}}'  # range fns drop __name__
             for T in grid():
                 w = [(round(v * 100), t) for t, v in pts if T - 20_000 < t <= T]
                 if w:
@@ -1127,9 +1141,10 @@ def test_atan2_binop(spark, frame):
     q = P.RangeQuery(frame, START, END, STEP, lookback_ms=LOOKBACK)
     inst = collect_map(q.run("gauge"))
     got = collect_map(q.run("gauge atan2 2"))
-    assert set(got) == set(inst)
-    for k, v in got.items():
-        assert math.isclose(v, math.atan2(inst[k], 2.0), rel_tol=1e-12)
+    strip = lambda ls: ls.replace('__name__="gauge",', "")  # noqa: E731
+    assert set(got) == {(strip(ls), t) for ls, t in inst}
+    for (ls, t), v in inst.items():
+        assert math.isclose(got[(strip(ls), t)], math.atan2(v, 2.0), rel_tol=1e-12)
     # vector-vector atan2 matches one-to-one like other arithmetic
     vv = collect_map(q.run("gauge atan2 gauge"))
     for k, v in vv.items():

@@ -35,8 +35,10 @@ def test_rule_roundtrip_matches_direct_eval(store):
         .select("labels_str", "t", "v")
         .collect()
     }
+    # the range fn drops __name__ (upstream semantics); the recording
+    # rule stamps the rule name back on, so re-insert it for comparison
     direct = {
-        (r["labels_str"].replace('__name__="m"', '__name__="job:m:sum10m"'), r["t"]): r["value"]
+        (r["labels_str"].replace("{", '{__name__="job:m:sum10m",', 1), r["t"]): r["value"]
         for r in eval_range_db(store, "sum_over_time(m[10m])", 600_000, 2_000_000, 300_000).collect()
     }
     assert back == direct and back

@@ -18,6 +18,7 @@ command table: bench write / ls / analyze / dump).
     python -m tsdb_spark serve    <store> [--host H] [--port P] [--rules F]
     python -m tsdb_spark check-rules <rules.yml>...
     python -m tsdb_spark test-rules  <tests.yml>...
+    python -m tsdb_spark test-promql <file.test>...
     python -m tsdb_spark alerts   <store> <name> '<expr>' [--for MS] --start --end --step
 
 Every command opens one SparkSession sized from $SPARK_GRAFT_CPUS and
@@ -240,6 +241,14 @@ def main(argv: list[str] | None = None) -> int:
     )
     p_tr.add_argument("files", nargs="+")
 
+    p_tp = sub.add_parser(
+        "test-promql",
+        help="run promqltest script files (the upstream PromQL "
+        "conformance format, promql/promqltest/test.go): load / "
+        "eval instant|range / eval_fail / eval_ordered / clear",
+    )
+    p_tp.add_argument("files", nargs="+")
+
     p_pl = sub.add_parser("plan", help="show the next compaction step without running it")
     p_pl.add_argument("store")
 
@@ -292,12 +301,13 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark(f"tsdb-{args.cmd}")
     spark.sparkContext.setLogLevel("ERROR")
 
-    if args.cmd == "test-rules":
-        from tsdb_spark.promtool import run_rule_tests
+    if args.cmd in ("test-rules", "test-promql"):
+        from tsdb_spark.promtool import run_promql_tests, run_rule_tests
 
+        runner = run_rule_tests if args.cmd == "test-rules" else run_promql_tests
         bad = 0
         for path in args.files:
-            fails = run_rule_tests(spark, path)
+            fails = runner(spark, path)
             if fails:
                 bad += 1
                 print(f"FAILED {path}:")

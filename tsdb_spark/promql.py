@@ -220,7 +220,11 @@ _PREC = {
 
 
 def parse_duration(s: str) -> int:
-    """'5m' / '1h30m' / '250ms' → milliseconds."""
+    """'5m' / '1h30m' / '250ms' → milliseconds. '0' (any unit, or bare)
+    is a valid zero duration, like upstream model.ParseDuration; range
+    brackets reject zero at their own parse sites."""
+    if s == "0":
+        return 0
     pos, total = 0, 0
     while pos < len(s):
         m = _DUR_RE.match(s, pos)
@@ -228,7 +232,7 @@ def parse_duration(s: str) -> int:
             raise ValueError(f"invalid duration: {s!r}")
         total += int(m.group(1)) * _DUR_MS[m.group(2)]
         pos = m.end()
-    if total <= 0:
+    if pos == 0:
         raise ValueError(f"empty duration: {s!r}")
     return total
 
@@ -545,7 +549,14 @@ class _Parser:
                 raise ValueError(f"set operator {op!r} needs vector operands")
             return BinSet(op, left, right, on=on, ignoring=ignoring)
         if isinstance(left, Number) and isinstance(right, Number):
-            raise ValueError("scalar-only expressions are not supported")
+            # scalar/scalar: constant-fold at parse time (upstream's
+            # engine evaluates these as scalar-typed expressions;
+            # comparisons require the bool modifier — parse.go checkAST)
+            if op in CMP_OPS and not cmp_bool:
+                raise ValueError(
+                    "comparisons between scalars must use BOOL modifier"
+                )
+            return Number(_scalar_arith(op, left.val, right.val, cmp_bool))
         if (on is not None or ignoring is not None or group_side is not None) and (
             isinstance(left, (Number, ScalarOf))
             or isinstance(right, (Number, ScalarOf))
@@ -893,6 +904,8 @@ class _Parser:
         rng_txt, step_txt = self.next().val[1:-1].split(":", 1)
         range_ms = parse_duration(rng_txt)
         step_ms = parse_duration(step_txt) if step_txt else None
+        if range_ms <= 0 or (step_ms is not None and step_ms <= 0):
+            raise ValueError("subquery range and step must be > 0")
         offset_ms, at_ms = self._parse_modifiers()
         return Subquery(node, range_ms, step_ms, offset_ms, at_ms)
 
@@ -914,6 +927,8 @@ class _Parser:
         # colon-durs are subquery brackets — left for the caller
         if t is not None and t.kind == "dur" and ":" not in t.val:
             range_ms = parse_duration(self.next().val[1:-1])
+            if range_ms <= 0:
+                raise ValueError("matrix selector range must be > 0")
         if require_range and range_ms is None:
             raise ValueError("range function needs a [duration] selector")
         if not (require_range or allow_range) and range_ms is not None:
@@ -928,8 +943,8 @@ def parse_expr(s: str):
     node = p.parse_expr()
     if p.peek() is not None:
         raise ValueError(f"trailing input: {p.peek().val!r}")
-    if isinstance(node, Number):
-        raise ValueError("scalar-only expressions are not supported")
+    # top-level Number = a scalar-typed query (e.g. `pi()`, `1+1`):
+    # evaluates to one value per grid step, like upstream's Scalar type
     return node
 
 
@@ -1463,6 +1478,38 @@ def _arith_col(op: str, a: Column, b: Column) -> Column:
     }[op]
 
 
+def _scalar_arith(op: str, a: float, b: float, cmp_bool: bool = False) -> float:
+    """Python-side twin of _arith_col/_cmp_col for scalar/scalar
+    constant folding (same IEEE zero-divisor and NaN rules)."""
+    if op in CMP_OPS:
+        if math.isnan(a) or math.isnan(b):
+            return 1.0 if op == "!=" else 0.0
+        ok = {
+            "==": a == b,
+            "!=": a != b,
+            ">": a > b,
+            "<": a < b,
+            ">=": a >= b,
+            "<=": a <= b,
+        }[op]
+        return 1.0 if ok else 0.0
+    if op == "/":
+        if b == 0:
+            if math.isnan(a) or a == 0:
+                return float("nan")
+            return float("inf") if a > 0 else float("-inf")
+        return a / b
+    if op == "%":
+        if b == 0 or math.isnan(a) or math.isnan(b) or math.isinf(a):
+            return float("nan")
+        return math.fmod(a, b)  # Go math.Mod: sign of the dividend
+    if op == "^":
+        return math.pow(a, b)
+    if op == "atan2":
+        return math.atan2(a, b)
+    return {"+": a + b, "-": a - b, "*": a * b}[op]
+
+
 def _cmp_col(op: str, a: Column, b: Column) -> Column:
     # IEEE-754 NaN semantics, matching upstream's Go float comparisons:
     # every comparison with NaN is false except != (Spark instead orders
@@ -1518,6 +1565,11 @@ class RangeQuery:
     # each node evaluates to a DataFrame with:
     #   grouping columns (labels_str, labels | by-columns), _pq_t, value
     def eval(self, node) -> DataFrame:
+        if isinstance(node, Number):
+            # scalar-typed query: one row per grid step, no labels
+            return self._grid_frame().select(
+                F.col(_G), F.lit(float(node.val)).alias("value")
+            )
         if isinstance(node, BinScalar):
             return self._eval_binscalar(node)
         if isinstance(node, BinVector):
@@ -1589,7 +1641,9 @@ class RangeQuery:
                 out = j.withColumn("value", F.when(cond, 1.0).otherwise(0.0))
                 return self._strip_name(out.drop("_sc"))
             return j.filter(cond).drop("_sc")
-        return j.withColumn("value", _arith_col(node.op, a, b)).drop("_sc")
+        return self._strip_name(
+            j.withColumn("value", _arith_col(node.op, a, b)).drop("_sc")
+        )
 
     def _eval_timefn(self, node: TimeFn) -> DataFrame:
         empty = F.create_map().cast("map<string,string>")
@@ -1675,7 +1729,10 @@ class RangeQuery:
                 )
                 return self._strip_name(out)
             return child.filter(cond)  # filter semantics keep the element
-        return child.withColumn("value", _arith_col(node.op, a, b))
+        # arithmetic drops the metric name (upstream shouldDropMetricName)
+        return self._strip_name(
+            child.withColumn("value", _arith_col(node.op, a, b))
+        )
 
     @staticmethod
     def _as_label_frame(df: DataFrame, keys: list[str]) -> DataFrame:
@@ -1960,12 +2017,19 @@ class RangeQuery:
             )
         if isinstance(node.arg, Subquery):
             sq = node.arg
-            return self._windowed(
+            out = self._windowed(
                 self._subquery_base(sq), node.fn, sq.range_ms, node.param
             )
-        rng = node.arg.range_ms
-        base = self._base(node.arg.matchers, rng, node.arg.offset_ms)
-        return self._windowed(base, node.fn, rng, node.param)
+        else:
+            rng = node.arg.range_ms
+            base = self._base(node.arg.matchers, rng, node.arg.offset_ms)
+            out = self._windowed(base, node.fn, rng, node.param)
+        # every range function drops the metric name except
+        # last_over_time (promql/functions.go shouldDropMetricName /
+        # funcLastOverTime keeping the full label set)
+        if node.fn == "last_over_time":
+            return out
+        return self._strip_name(out)
 
     def _subquery_base(self, sq: Subquery) -> DataFrame:
         """Evaluate the inner expression on its own absolute-S-aligned

@@ -37,6 +37,14 @@ def _grid_cte(start: int, end: int, step: int) -> str:
     return f"g AS (SELECT unnest(generate_series({start}, {end}, {step})) AS gt)"
 
 
+#: upstream drops the metric name from range-function and scalar-
+#: arithmetic outputs (promql/functions.go shouldDropMetricName), and
+#: the engine follows; every series in this dataset carries more labels
+#: than __name__ (user is always present), so the oracle strip is a
+#: plain leading-pair removal from the canonical labels_str
+_NONAME = """regexp_replace(labels_str, '__name__="[^"]*",', '')"""
+
+
 _RATE_START, _RATE_END = T0 + DAY, T0 + 8 * DAY
 
 _RATE_TAIL = f"""
@@ -79,7 +87,7 @@ FROM x)
 , {_canon_cte("event_type = 'click'")},
 {_grid_cte(_RATE_START, _RATE_END, _H3)},
 {_RATE_TAIL}
-SELECT labels_str, t, round(value, 9) AS value FROM rate"""
+SELECT {_NONAME} AS labels_str, t, round(value, 9) AS value FROM rate"""
     ),
     "PromQL range query `rate(click[6h])` at a 3h step: per grid point "
     "T, the counter rate over (T-6h, T] with Prometheus's boundary "
@@ -166,7 +174,7 @@ def promql_instant_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
 {_grid_cte(T0 + DAY, T0 + 31 * DAY, DAY)},
 w AS (SELECT d.labels_str, g.gt, d.t, d.vc
       FROM d JOIN g ON d.t > g.gt - {2 * DAY} AND d.t <= g.gt)
-SELECT labels_str, gt AS t,
+SELECT {_NONAME} AS labels_str, gt AS t,
   CAST(sum(vc) AS DOUBLE) / count(*) / 100.0 AS value
 FROM w GROUP BY 1, 2"""
     ),
@@ -202,7 +210,7 @@ a AS (SELECT labels_str, gt AS t,
           - min_by(CASE WHEN pvc IS NOT NULL AND vc < pvc THEN 1 ELSE 0 END, t)
           AS DOUBLE) AS resets
       FROM w GROUP BY 1, 2)
-SELECT labels_str, t, changes, resets FROM a""",
+SELECT {_NONAME} AS labels_str, t, changes, resets FROM a""",
     ),
     "PromQL `changes(click[3d])` and `resets(click[3d])` daily — "
     "adjacent-pair events counted inside each sliding window by summing "
@@ -283,7 +291,7 @@ s AS (SELECT labels_str, gt, n, sx, sy,
         CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE) AS num,
         CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE) AS den
       FROM a WHERE n >= 2)
-SELECT labels_str, gt AS t,
+SELECT {_NONAME} AS labels_str, gt AS t,
   round(num / den * 1000.0 / 100.0, 9) AS deriv,
   round(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) / 100.0
         + num / den / 100.0 * (86400000.0 - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)), 9)
@@ -324,7 +332,7 @@ a AS (SELECT labels_str, gt, CAST(count(*) AS BIGINT) AS n,
         sum(vc) AS s, sum(vc * vc) AS ss,
         quantile_cont(vc, 0.9) AS q
       FROM w GROUP BY 1, 2)
-SELECT labels_str, gt AS t,
+SELECT {_NONAME} AS labels_str, gt AS t,
   round(CAST(n * ss - s * s AS DOUBLE) / CAST(n AS DOUBLE) / CAST(n AS DOUBLE)
         / 10000.0, 9) AS stdvar,
   round(sqrt(CAST(n * ss - s * s AS DOUBLE) / CAST(n AS DOUBLE)
@@ -377,7 +385,8 @@ rw AS (SELECT cv.labels_str, g.gt, max(cv.vc) AS m
 ru AS (SELECT DISTINCT um.user_lbl, rw.gt
        FROM rw JOIN um USING (labels_str)
        WHERE CAST(rw.m AS DOUBLE) / 100.0 > 200.0)
-SELECT lhs.labels_str, lhs.gt AS t, round(lhs.value, 9) AS value
+SELECT regexp_replace(lhs.labels_str, '__name__="[^"]*",', '') AS labels_str,
+  lhs.gt AS t, round(lhs.value, 9) AS value
 FROM lhs JOIN um USING (labels_str)
 WHERE NOT EXISTS (SELECT 1 FROM ru
                   WHERE ru.user_lbl = um.user_lbl AND ru.gt = lhs.gt)"""
@@ -385,7 +394,8 @@ WHERE NOT EXISTS (SELECT 1 FROM ru
     "PromQL comparison filters + set algebra: "
     "`sum_over_time(click[2d]) > 60 unless on (user) "
     "(max_over_time(view[2d]) > 200)` daily — the > filters keep LHS "
-    "elements untouched (metric name intact), then `unless on (user)` "
+    "elements untouched (the window fn already dropped the metric "
+    "name, as upstream does), then `unless on (user)` "
     "anti-joins away every series whose user had a high view spike at "
     "that instant. Engine plan: two window aggregates + one "
     "signature-keyed anti join; all values exact centi-unit sums",
@@ -538,7 +548,7 @@ iv AS (SELECT labels_str, it,
 {_grid_cte(T0 + 2 * DAY, T0 + 16 * DAY, DAY)},
 ow AS (SELECT iv.labels_str, g.gt, iv.ivc
        FROM iv JOIN g ON iv.it > g.gt - {7 * DAY} AND iv.it <= g.gt)
-SELECT labels_str, gt AS t, max(ivc) / 100.0 AS value
+SELECT {_NONAME} AS labels_str, gt AS t, max(ivc) / 100.0 AS value
 FROM ow GROUP BY 1, 2"""
     ),
     "PromQL subquery `max_over_time(sum_over_time(click[2d])[7d:1d])` "
@@ -1186,7 +1196,8 @@ _AT_END = T0 + 8 * DAY
 {_grid_cte(T0 + DAY, _AT_END, DAY)},
 c AS (SELECT labels_str, CAST(count(*) AS DOUBLE) AS value FROM d
       WHERE t > {_AT_END - DAY} AND t <= {_AT_END} GROUP BY 1)
-SELECT c.labels_str, g.gt AS t, c.value FROM c CROSS JOIN g"""
+SELECT regexp_replace(c.labels_str, '__name__="[^"]*",', '') AS labels_str,
+  g.gt AS t, c.value FROM c CROSS JOIN g"""
     ),
     "PromQL `@` modifier: `count_over_time(click[1d] @ end())` — the "
     "window is pinned to the query end (promql/parser StartOrEnd "
@@ -1254,7 +1265,7 @@ f AS (SELECT labels_str, gt, len(vs) AS n,
                      0.6 * ((0.3 * x[1] + 0.7 * (a[1] + a[2])) - a[1]) + 0.4 * a[2]]
         ) AS sb
       FROM w WHERE len(vs) >= 2)
-SELECT labels_str, gt AS t, round(sb[1], 9) AS value FROM f""",
+SELECT {_NONAME} AS labels_str, gt AS t, round(sb[1], 9) AS value FROM f""",
     ),
     "PromQL `holt_winters(view[1d], 0.3, 0.6)` on a daily grid: the "
     "double-exponential-smoothing recurrence as an ORDERED F.aggregate "
@@ -1313,7 +1324,8 @@ w AS (SELECT d.labels_str, g.gt, max_by(d.vc, d.t) AS vc
 n AS (SELECT gt, CAST(count(*) AS DOUBLE) AS nn FROM w GROUP BY gt),
 c AS (SELECT labels_str, gt, vc FROM w
       WHERE labels_str LIKE '%__name__="click"%')
-SELECT c.labels_str, c.gt AS t,
+SELECT regexp_replace(c.labels_str, '__name__="[^"]*",', '') AS labels_str,
+  c.gt AS t,
   round((c.vc / 100.0) / n.nn, 9) AS value
 FROM c JOIN n USING (gt)""",
     ),
@@ -1380,7 +1392,8 @@ w AS (SELECT d.labels_str, g.gt, d.vc
       FROM d JOIN g ON d.t > g.gt - {DAY} AND d.t <= g.gt),
 m AS (SELECT labels_str, gt, quantile_cont(vc, 0.5) AS med
       FROM w GROUP BY 1, 2)
-SELECT w.labels_str, w.gt AS t,
+SELECT regexp_replace(w.labels_str, '__name__="[^"]*",', '') AS labels_str,
+  w.gt AS t,
   quantile_cont(abs(w.vc - m.med), 0.5) / 100.0 AS value
 FROM w JOIN m USING (labels_str, gt)
 GROUP BY w.labels_str, w.gt, m.med""",
@@ -1412,7 +1425,8 @@ def promql_mad_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
 w AS (SELECT d.labels_str, g.gt, d.t, d.vc
       FROM d JOIN g ON d.t > g.gt - {DAY} AND d.t <= g.gt),
 mx AS (SELECT labels_str, gt, max(vc) AS m FROM w GROUP BY 1, 2)
-SELECT w.labels_str, w.gt AS t, max(w.t) / 1000.0 AS value
+SELECT regexp_replace(w.labels_str, '__name__="[^"]*",', '') AS labels_str,
+  w.gt AS t, max(w.t) / 1000.0 AS value
 FROM w JOIN mx ON w.labels_str = mx.labels_str AND w.gt = mx.gt
               AND w.vc = mx.m
 GROUP BY 1, 2""",

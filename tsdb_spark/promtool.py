@@ -325,3 +325,263 @@ def run_rule_tests(spark, path: str, tmp_dir: str | None = None) -> list[str]:
                     f"got {sorted(firing, key=key)}, want {sorted(want_alerts, key=key)}"
                 )
     return failures
+
+
+# --------------------------------------- promqltest script-format runner
+#
+# Upstream keeps a second, older test format next to the YAML rule
+# tests: the promqltest script files (prometheus/prometheus
+# promql/promqltest/test.go, *.test) that the PromQL engine's own
+# conformance suite is written in. Commands start at column 0,
+# expectations/series are indented:
+#
+#   load 5m
+#       http_requests{job="api", group="canary"}  0+10x10
+#
+#   eval instant at 50m sum by (group) (http_requests)
+#       {group="canary"} 100
+#
+#   eval range from 0 to 10m step 5m sum(http_requests)
+#       {} 0 50 100
+#
+#   eval_fail instant at 1m http_requests + on(job) http_requests
+#       expected_fail_regexp (duplicate|many-to-many)
+#
+#   eval_ordered instant at 50m sort(http_requests)
+#       ...expectations in required order...
+#
+#   clear
+#
+# Values use the same expanding notation as the rule tests
+# (parse_series_values). Comparison is upstream's almostEqual, with
+# NaN==NaN and exact ±Inf.
+
+_EVAL_CMD_RE = re.compile(
+    r"^(?P<cmd>eval_fail|eval_ordered|eval)\s+"
+    r"(?:instant\s+at\s+(?P<at>\S+)"
+    r"|range\s+from\s+(?P<from>\S+)\s+to\s+(?P<to>\S+)\s+step\s+(?P<step>\S+))"
+    r"\s+(?P<expr>.+)$"
+)
+
+
+def _split_series_line(line: str) -> tuple[str, str]:
+    """'m{a="b c"} 1 2' → ('m{a="b c"}', '1 2'): the label set may hold
+    spaces inside quoted values, so split after the matching '}'."""
+    line = line.strip()
+    head = line.split(None, 1)[0]
+    if "{" not in head and not line.startswith("{"):
+        parts = line.split(None, 1)
+        return parts[0], (parts[1] if len(parts) > 1 else "")
+    in_q = False
+    for i, ch in enumerate(line):
+        if ch == '"' and (i == 0 or line[i - 1] != "\\"):
+            in_q = not in_q
+        elif not in_q and ch == "}":
+            return line[: i + 1], line[i + 1 :].strip()
+    raise ValueError(f"unterminated label set: {line!r}")
+
+
+def _desc_key(desc: str) -> tuple:
+    if desc in ("", "{}"):
+        return ()
+    return _labels_key(parse_series_labels(desc))
+
+
+def _row_key(row, cols) -> tuple:
+    if "labels" in cols:
+        return _labels_key(dict(row["labels"]))
+    return _labels_key(
+        {
+            c: str(row[c])
+            for c in cols
+            if c not in ("t", "value", "labels_str") and row[c] is not None
+        }
+    )
+
+
+def _fmt_key(key: tuple) -> str:
+    return "{" + ",".join(f'{k}="{v}"' for k, v in key) + "}"
+
+
+def _almost_equal(a: float, b: float) -> bool:
+    import math
+
+    if math.isnan(a) or math.isnan(b):
+        return math.isnan(a) and math.isnan(b)
+    if math.isinf(a) or math.isinf(b):
+        return a == b
+    return math.isclose(a, b, rel_tol=1e-6, abs_tol=1e-9)
+
+
+def run_promql_tests(spark, path: str, tmp_dir: str | None = None) -> list[str]:
+    """Run one promqltest script file against the engine; returns
+    failure strings (empty = pass). Each `load` appends to the current
+    store; `clear` starts a fresh one; every eval is a bounded
+    eval_range_db plan — the exact production read path."""
+    import math  # noqa: F401  (used via _almost_equal)
+    import tempfile
+
+    from tsdb_spark.db import DB
+    from tsdb_spark.promql import eval_range_db
+
+    with open(path) as f:
+        raw = f.read().splitlines()
+
+    # group into (lineno, command, [body lines])
+    blocks: list[tuple[int, str, list[str]]] = []
+    for ln, line in enumerate(raw, 1):
+        if not line.strip() or line.lstrip().startswith("#"):
+            continue
+        if line[0] not in (" ", "\t"):
+            blocks.append((ln, line.strip(), []))
+        else:
+            if not blocks:
+                raise ValueError(f"{path}:{ln}: body line before any command")
+            blocks[-1][2].append(line.strip())
+
+    root = tempfile.mkdtemp(prefix="promqltest_", dir=tmp_dir)
+    n_db = 0
+    db = DB.create(spark, os.path.join(root, f"db{n_db}"), block_width_ms=3_600_000)
+    failures: list[str] = []
+
+    for ln, cmd_line, body in blocks:
+        where = f"{os.path.basename(path)}:{ln}"
+        if cmd_line == "clear":
+            n_db += 1
+            db = DB.create(
+                spark, os.path.join(root, f"db{n_db}"), block_width_ms=3_600_000
+            )
+            continue
+        if cmd_line.startswith("load"):
+            interval = _duration_ms(cmd_line.split(None, 1)[1])
+            rows = []
+            for b in body:
+                desc, vals = _split_series_line(b)
+                labels = parse_series_labels(desc)
+                for i, v in enumerate(parse_series_values(vals)):
+                    if v is None:
+                        continue
+                    rows.append((labels, i * interval, float(v)))
+            if rows:
+                db.append(
+                    spark.createDataFrame(
+                        rows, "labels MAP<STRING,STRING>, t LONG, v DOUBLE"
+                    )
+                )
+            continue
+        m = _EVAL_CMD_RE.match(cmd_line)
+        if m is None:
+            raise ValueError(f"{where}: unrecognized command: {cmd_line!r}")
+        cmd, expr = m.group("cmd"), m.group("expr").strip()
+        if m.group("at") is not None:
+            start = end = _duration_ms(m.group("at"))
+            step = 60_000
+        else:
+            start = _duration_ms(m.group("from"))
+            end = _duration_ms(m.group("to"))
+            step = max(_duration_ms(m.group("step")), 1)
+        grid = list(range(start, end + 1, step))
+
+        try:
+            out = eval_range_db(db, expr, start, end, step)
+            rows = out.collect()
+        except Exception as e:  # noqa: BLE001 — eval_fail asserts on this
+            if cmd == "eval_fail":
+                msg = str(e)
+                for b in body:
+                    if b.startswith("expected_fail_message"):
+                        want = b.split(None, 1)[1]
+                        if want not in msg:
+                            failures.append(
+                                f"{where}: fail message {msg!r} "
+                                f"does not contain {want!r}"
+                            )
+                    elif b.startswith("expected_fail_regexp"):
+                        want = b.split(None, 1)[1]
+                        if re.search(want, msg) is None:
+                            failures.append(
+                                f"{where}: fail message {msg!r} "
+                                f"does not match /{want}/"
+                            )
+                continue
+            failures.append(f"{where}: {expr!r} raised {e!r}")
+            continue
+        if cmd == "eval_fail":
+            failures.append(f"{where}: {expr!r} succeeded, expected failure")
+            continue
+
+        cols = out.columns
+        if cmd == "eval_ordered":
+            got_seq = [(_row_key(r, cols), float(r["value"])) for r in rows]
+            want_seq = []
+            for b in body:
+                desc, vals = _split_series_line(b)
+                v = parse_series_values(vals)
+                if len(v) != 1 or v[0] is None:
+                    raise ValueError(f"{where}: instant expects one value: {b!r}")
+                want_seq.append((_desc_key(desc), v[0]))
+            ok = len(got_seq) == len(want_seq) and all(
+                g[0] == w[0] and _almost_equal(g[1], w[1])
+                for g, w in zip(got_seq, want_seq)
+            )
+            if not ok:
+                failures.append(
+                    f"{where}: {expr!r} ordered mismatch: "
+                    f"got {[(_fmt_key(k), v) for k, v in got_seq]}, "
+                    f"want {[(_fmt_key(k), v) for k, v in want_seq]}"
+                )
+            continue
+
+        # unordered instant/range compare over the grid
+        got: dict[tuple, dict[int, float]] = {}
+        for r in rows:
+            got.setdefault(_row_key(r, cols), {})[int(r["t"])] = float(r["value"])
+        want: dict[tuple, list[float | None]] = {}
+        for b in body:
+            desc, vals = _split_series_line(b)
+            # bare scalar expectation: `7` with no label set
+            if desc not in ("", "{}") and "{" not in desc:
+                try:
+                    num = float(desc)
+                except ValueError:
+                    num = None
+                if num is not None:
+                    want.setdefault((), []).append(num)
+                    continue
+            want[_desc_key(desc)] = parse_series_values(vals)
+        if start == end:
+            for k, v in want.items():
+                if len(v) != 1:
+                    failures.append(f"{where}: instant expects one value per series")
+        extra = set(got) - set(want)
+        missing = set(want) - set(got)
+        if extra or missing:
+            failures.append(
+                f"{where}: {expr!r} series mismatch: unexpected "
+                f"{[_fmt_key(k) for k in sorted(extra)]}, missing "
+                f"{[_fmt_key(k) for k in sorted(missing)]} "
+                f"(got {[(_fmt_key(k), got[k]) for k in sorted(got)]})"
+            )
+            continue
+        for k, exp_vals in want.items():
+            series = got.get(k, {})
+            padded = list(exp_vals) + [None] * (len(grid) - len(exp_vals))
+            for idx, t in enumerate(grid):
+                ev = padded[idx]
+                if ev is None:
+                    if t in series:
+                        failures.append(
+                            f"{where}: {expr!r} {_fmt_key(k)} @ {t}ms: "
+                            f"unexpected sample {series[t]}"
+                        )
+                elif t not in series:
+                    failures.append(
+                        f"{where}: {expr!r} {_fmt_key(k)} @ {t}ms: "
+                        f"missing sample, want {ev}"
+                    )
+                elif not _almost_equal(series[t], ev):
+                    failures.append(
+                        f"{where}: {expr!r} {_fmt_key(k)} @ {t}ms: "
+                        f"got {series[t]}, want {ev}"
+                    )
+    return failures
