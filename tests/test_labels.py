@@ -263,3 +263,31 @@ def test_series_id_strip_invariant_and_structural(spark):
     )
     sids = [r["sid"] for r in df.select(L.series_id_expr("labels").alias("sid")).collect()]
     assert sids[0] == sids[1] != sids[2]
+
+
+def test_parse_selector_utf8_quoted_names():
+    # Prometheus 3.x quoted-name grammar (model/labels + promql/parser):
+    # a bare quoted string in the braces is the metric name; quoted
+    # matcher LHS is an arbitrary UTF-8 label name
+    import pytest
+
+    from tsdb_spark import labels as L
+    from tsdb_spark.labels import parse_selector
+
+    assert parse_selector('{"my.metric"}') == [L.eq("__name__", "my.metric")]
+    assert parse_selector('{"metric with spaces", "label name"="v"}') == [
+        L.eq("__name__", "metric with spaces"),
+        L.eq("label name", "v"),
+    ]
+    assert parse_selector('foo{"a.b"=~"x.*"}') == [
+        L.eq("__name__", "foo"),
+        L.re_match("a.b", "x.*"),
+    ]
+    # escapes inside quoted names
+    assert parse_selector('{"m\\"q"}') == [L.eq("__name__", 'm"q')]
+    # the metric name must not be set twice (upstream parse error)
+    for bad in ('{"a", "b"}', 'foo{"bar"}'):
+        with pytest.raises(ValueError):
+            parse_selector(bad)
+    with pytest.raises(ValueError):
+        parse_selector('{""="v"}')  # empty label name

@@ -291,7 +291,16 @@ def series_id_expr(labels_col: str | Column = "labels") -> Column:
 # ---------------------------------------------------------------- parsing
 
 _SELECTOR_RE = __import__("re").compile(
-    r'\s*([a-zA-Z_][a-zA-Z0-9_.]*)\s*(=~|!~|!=|=)\s*"((?:[^"\\]|\\.)*)"\s*(,|\})'
+    r'\s*([a-zA-Z_][a-zA-Z0-9_.]*|"(?:[^"\\]|\\.)*")'
+    r'\s*(=~|!~|!=|=)\s*"((?:[^"\\]|\\.)*)"\s*(,|\})'
+)
+
+# Prometheus 3.x UTF-8 names: a bare quoted string inside the braces is
+# the metric name ({"my.metric", "l w s"="v"} ≡ __name__="my.metric");
+# quoted strings on the matcher's left are arbitrary UTF-8 label names
+# (model/labels + promql/parser 3.x quoted-name grammar)
+_QUOTED_NAME_RE = __import__("re").compile(
+    r'\s*"((?:[^"\\]|\\.)*)"\s*(,|\})'
 )
 
 # PromQL metric-name grammar (colons included: recording-rule names)
@@ -334,23 +343,45 @@ def parse_selector(s: str) -> list[Matcher]:
             raise ValueError("empty selector")
         return out
     ops = {"=": eq, "!=": neq, "=~": re_match, "!~": re_not_match}
+
+    def _unescape(raw: str) -> str:
+        # single-pass unescape: sequential str.replace would mis-handle
+        # runs like \\n (escaped backslash followed by a literal n)
+        return __import__("re").sub(
+            r"\\(.)",
+            lambda e: {"n": "\n", "t": "\t"}.get(e.group(1), e.group(1)),
+            raw,
+        )
+
     pos = 0
     while True:
         m = _SELECTOR_RE.match(body, pos)
         if m is None:
+            # Prometheus 3.x quoted metric name: {"my.metric", ...}
+            qm = _QUOTED_NAME_RE.match(body, pos)
+            if qm is not None:
+                if any(x.name == "__name__" for x in out):
+                    raise ValueError("metric name must not be set twice")
+                out.append(eq("__name__", _unescape(qm.group(1))))
+                pos = qm.end()
+                if qm.group(2) == "}":
+                    if body[pos:].strip():
+                        raise ValueError(
+                            f"trailing input after '}}': {body[pos:]!r}"
+                        )
+                    return out
+                continue
             # PromQL allows one trailing comma before '}'
             if out and body[pos:].strip() == "}":
                 return out
             raise ValueError(f"bad selector syntax at {body[pos:]!r}")
         lname, op, raw, delim = m.groups()
-        # single-pass unescape: sequential str.replace would mis-handle
-        # runs like \\n (escaped backslash followed by a literal n)
-        value = __import__("re").sub(
-            r"\\(.)",
-            lambda e: {"n": "\n", "t": "\t"}.get(e.group(1), e.group(1)),
-            raw,
-        )
-        out.append(ops[op](lname, value))
+        if lname.startswith('"'):
+            # 3.x quoted (UTF-8) label name
+            lname = _unescape(lname[1:-1])
+            if not lname:
+                raise ValueError("empty label name in selector")
+        out.append(ops[op](lname, _unescape(raw)))
         pos = m.end()
         if delim == "}":
             if body[pos:].strip():

@@ -649,6 +649,19 @@ class _Parser:
                 break
             if t.val == ",":
                 continue
+            if t.kind == "qstr":
+                # Prometheus 3.x quoted (UTF-8) label names in grouping
+                # clauses: by ("label.with.dots")
+                names.append(
+                    re.sub(
+                        r"\\(.)",
+                        lambda e: {"n": "\n", "t": "\t"}.get(
+                            e.group(1), e.group(1)
+                        ),
+                        t.val[1:-1],
+                    )
+                )
+                continue
             if t.kind != "name":
                 raise ValueError(f"bad grouping label {t.val!r}")
             names.append(t.val)
@@ -1478,6 +1491,13 @@ def _arith_col(op: str, a: Column, b: Column) -> Column:
     }[op]
 
 
+
+def _colref(name: str) -> Column:
+    """Column reference that survives arbitrary (UTF-8) label names as
+    plain column names — dots in F.col() otherwise parse as struct
+    access (backtick-quoted, with backticks doubled)."""
+    return F.col("`" + name.replace("`", "``") + "`")
+
 def _scalar_arith(op: str, a: float, b: float, cmp_bool: bool = False) -> float:
     """Python-side twin of _arith_col/_cmp_col for scalar/scalar
     constant folding (same IEEE zero-divisor and NaN rules)."""
@@ -1740,7 +1760,7 @@ class RangeQuery:
         label-carrying vector frame: its key columns ARE its full label
         set, so the created map is its series identity. Empty key values
         mean the label was absent (F14 convention) and are stripped."""
-        kv = [x for k in keys for x in (F.lit(k), F.col(k).cast("string"))]
+        kv = [x for k in keys for x in (F.lit(k), _colref(k).cast("string"))]
         m = (
             F.create_map(*kv)
             if kv
@@ -1895,7 +1915,8 @@ class RangeQuery:
                     *[label_key(k) for k in keys],
                 )
                 o = odf.select(
-                    *([label_key(k) for k in keys] if o_has else keys),
+                    *([label_key(k) for k in keys] if o_has
+                      else [_colref(k).alias(k) for k in keys]),
                     F.col(_G),
                     F.col("value").alias("_ov"),
                 )
@@ -1911,12 +1932,14 @@ class RangeQuery:
                 )
             else:
                 l = left.select(
-                    *([label_key(k) for k in keys] if left_has else keys),
+                    *([label_key(k) for k in keys] if left_has
+                      else [_colref(k).alias(k) for k in keys]),
                     F.col(_G),
                     F.col("value").alias("_lv"),
                 )
                 r = right.select(
-                    *([label_key(k) for k in keys] if right_has else keys),
+                    *([label_key(k) for k in keys] if right_has
+                      else [_colref(k).alias(k) for k in keys]),
                     F.col(_G),
                     F.col("value").alias("_rv"),
                 )
@@ -2051,7 +2074,7 @@ class RangeQuery:
             # grouped child: rebuild a label map from its key columns so
             # the window tail (and any by/without above) sees series
             keys = [c for c in df.columns if c not in (_G, "value")]
-            kv = [x for k in keys for x in (F.lit(k), F.col(k))]
+            kv = [x for k in keys for x in (F.lit(k), _colref(k))]
             lab = (
                 F.create_map(*kv)
                 if kv
@@ -2434,7 +2457,7 @@ class RangeQuery:
             F.col("_schema").alias("schema"),
             F.coalesce(F.col("_buckets"), empty_b).alias("buckets"),
         )
-        kv = [x for k in by for x in (F.lit(k), F.col(k).cast("string"))]
+        kv = [x for k in by for x in (F.lit(k), _colref(k).cast("string"))]
         m = (
             F.create_map(*kv)
             if kv
@@ -2541,7 +2564,7 @@ class RangeQuery:
             # selector/function child carries the labels map
             if has_labels:
                 return F.coalesce(F.col("labels").getItem(k), F.lit(""))
-            return F.col(k)
+            return _colref(k)
 
         def _ident() -> Column:
             # stable per-series identity for the sampling aggregations:
@@ -2552,7 +2575,7 @@ class RangeQuery:
             keys_ = [
                 c for c in child.columns if c not in (_G, "value", "labels")
             ]
-            return F.concat_ws("\x1f", *[F.col(c) for c in keys_])
+            return F.concat_ws("\x1f", *[_colref(c) for c in keys_])
 
         if node.op == "limit_ratio":
             # deterministic ratio sampling of series (promql 3.x
@@ -2657,7 +2680,7 @@ class RangeQuery:
                 kv = [
                     x
                     for k in gkeys
-                    for x in (F.lit(k), F.col(k).cast("string"))
+                    for x in (F.lit(k), _colref(k).cast("string"))
                 ]
                 without_map = (
                     F.create_map(*kv)
@@ -2701,7 +2724,12 @@ class RangeQuery:
             return (
                 child.groupBy(*keys, rendered.alias(dst), _G)
                 .agg(F.count("*").cast("double").alias("value"))
-                .select(*out_keys, dst, _G, "value")
+                .select(
+                    *[_colref(k).alias(k) for k in out_keys],
+                    _colref(dst).alias(dst),
+                    _G,
+                    "value",
+                )
             )
         ops = {
             "sum": F.sum("value"),
@@ -2732,7 +2760,7 @@ class RangeQuery:
                 .select("labels_str", "labels", _G, "value")
             )
         return child.groupBy(*keys, _G).agg(ops[node.op].alias("value")).select(
-            *out_keys, _G, "value"
+            *[_colref(k).alias(k) for k in out_keys], _G, "value"
         )
 
     def run(self, node_or_text) -> DataFrame:
@@ -2747,7 +2775,7 @@ class RangeQuery:
                     (
                         F.col("labels").getItem(k)
                         if "labels" in out.columns
-                        else F.col(k)
+                        else _colref(k)
                     )
                     for k in node.by_labels
                 ]
