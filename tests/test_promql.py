@@ -362,6 +362,16 @@ def test_parse_precedence_and_modifiers():
     assert isinstance(n, P.BinScalar) and n.cmp_bool
     n = P.parse_expr("a / on (user) group_left b")
     assert isinstance(n, P.BinVector) and n.on == ["user"] and n.group_side == "left"
+    # include labels: copied from the one side (engine.go resultMetric)
+    n = P.parse_expr("a / on (user) group_left (tier, ver) b")
+    assert n.group_labels == ["tier", "ver"]
+    n = P.parse_expr("a / on (user) group_left () (b * c)")
+    assert n.group_labels is None and isinstance(n.right, P.BinVector)
+    with pytest.raises(ValueError):
+        P.parse_expr("a / on (user) group_left (user) b")  # in ON list
+    # function names are not reserved words: a bare name is a selector
+    n = P.parse_expr("a * on (job) group_right () info")
+    assert isinstance(n.right, P.Selector)
     n = P.parse_expr("a and ignoring (mode) b")
     assert isinstance(n, P.BinSet) and n.ignoring == ["mode"]
     # parenthesized grouping overrides precedence
@@ -1337,6 +1347,7 @@ def test_render_roundtrip():
         "click > bool 5",
         "2 ^ gauge",
         "click / on (user) group_left sum by (user) (click)",
+        "req / on (job) group_left (tier) lim",
         "gauge + ignoring (user) lonely",
         "click and on (user) gauge",
         "click unless gauge",

@@ -422,6 +422,10 @@ class BinVector:
     on: list[str] | None = None
     ignoring: list[str] | None = None
     group_side: str | None = None  # "left" | "right"
+    #: group_left(lbl,...) / group_right(lbl,...): labels COPIED from
+    #: the "one" side onto the result (promql/engine.go resultMetric —
+    #: an included label absent on the one side is dropped)
+    group_labels: list[str] | None = None
 
 
 @dataclass
@@ -529,19 +533,39 @@ class _Parser:
                     on = names
                 else:
                     ignoring = names
-            group_side = None
+            group_side = group_labels = None
             t = self.peek()
             if t is not None and t.kind == "name" and t.val in (
                 "group_left",
                 "group_right",
             ):
                 group_side = self.next().val.removeprefix("group_")
+                # optional include-label list: group_left(lbl, ...) —
+                # a '(' directly after group_* is ALWAYS the label list
+                # (the upstream parser's documented ambiguity rule;
+                # parenthesize the RHS differently if you meant an expr)
+                t = self.peek()
+                if t is not None and t.val == "(":
+                    # empty parens are legal upstream (maybe_grouping_
+                    # labels) and mean "no include labels"
+                    group_labels = self._parse_label_list() or None
+                    bad = [g for g in (group_labels or []) if on and g in on]
+                    if bad:
+                        raise ValueError(
+                            f"label {bad[0]!r} must not occur in ON and "
+                            "group_* lists at the same time"
+                        )
             # ^ is right-associative; everything else left-associative
             rhs = self.parse_expr(_PREC[op] + (0 if op == "^" else 1))
-            node = self._mk_binop(op, node, rhs, cmp_bool, on, ignoring, group_side)
+            node = self._mk_binop(
+                op, node, rhs, cmp_bool, on, ignoring, group_side, group_labels
+            )
         return node
 
-    def _mk_binop(self, op, left, right, cmp_bool, on, ignoring, group_side):
+    def _mk_binop(
+        self, op, left, right, cmp_bool, on, ignoring, group_side,
+        group_labels=None,
+    ):
         if op in SET_OPS:
             if isinstance(left, (Number, ScalarOf)) or isinstance(
                 right, (Number, ScalarOf)
@@ -582,6 +606,7 @@ class _Parser:
             on=on,
             ignoring=ignoring,
             group_side=group_side,
+            group_labels=group_labels,
         )
 
     def parse_unary(self):
@@ -607,9 +632,17 @@ class _Parser:
         if t.kind == "num":
             self.next()
             return Number(float(t.val))
-        if t.kind == "name" and t.val in AGG_OPS + PARAM_AGGS:
+        def _next_is_paren() -> bool:
+            # function/aggregation names are NOT reserved words: a bare
+            # `info` or `sum` without a following '(' (or the agg's
+            # trailing by/without) is an ordinary metric selector, as in
+            # upstream promql/parser
+            nxt = self.toks[self.i + 1] if self.i + 1 < len(self.toks) else None
+            return nxt is not None and nxt.val in ("(", "by", "without")
+
+        if t.kind == "name" and t.val in AGG_OPS + PARAM_AGGS and _next_is_paren():
             return self.parse_aggregate()
-        if t.kind == "name" and (
+        if t.kind == "name" and _next_is_paren() and (
             t.val in RANGE_FNS
             or t.val in VALUE_FNS
             or t.val in TIME_FNS
@@ -1018,7 +1051,12 @@ def render_expr(node) -> str:
         elif getattr(n, "ignoring", None) is not None:
             s += f" ignoring ({', '.join(n.ignoring)})"
         if getattr(n, "group_side", None) is not None:
-            s += f" group_{n.group_side}"
+            # always render the (possibly empty) include list: a bare
+            # `group_left (` would otherwise swallow a parenthesized
+            # RHS as its label list on re-parse (the upstream grammar's
+            # documented ambiguity — '(' after group_* IS the list)
+            incl = ", ".join(getattr(n, "group_labels", None) or [])
+            s += f" group_{n.group_side} ({incl})"
         return s
 
     if isinstance(node, Number):
@@ -1838,10 +1876,26 @@ class RangeQuery:
                 m_named = self._strip_name(many).withColumn(
                     "_mk", L.labels_str_expr(mk(F.col("labels")))
                 )
+                gl = node.group_labels or []
                 o = one.select(
                     L.labels_str_expr(mk(F.col("labels"))).alias("_mk"),
                     F.col(_G),
                     F.col("value").alias("_ov"),
+                    *(
+                        [
+                            F.map_filter(
+                                F.map_filter(
+                                    F.col("labels"),
+                                    lambda k, _: F.array_contains(
+                                        F.array(*[F.lit(g) for g in gl]), k
+                                    ),
+                                ),
+                                lambda _, v: v != F.lit(""),
+                            ).alias("_gl")
+                        ]
+                        if gl
+                        else []
+                    ),
                 )
                 # the "one" side must be unique per signature, else the
                 # operation is many-to-many (engine.go: 'found duplicate
@@ -1855,6 +1909,33 @@ class RangeQuery:
                     "many-to-many matching not allowed",
                 )
                 j = m_named.join(o, ["_mk", _G]).drop("_mk")
+                if gl:
+                    # group_left(lbl,...): the listed labels are COPIED
+                    # from the one side, replacing (or, when absent
+                    # there, removing) the many side's values
+                    # (engine.go resultMetric include handling)
+                    drop = F.array(*[F.lit(g) for g in gl])
+                    new_lab = F.map_concat(
+                        F.map_filter(
+                            F.col("labels"),
+                            lambda k, _: ~F.array_contains(drop, k),
+                        ),
+                        F.col("_gl"),
+                    )
+                    j = (
+                        j.withColumn("labels", new_lab)
+                        .withColumn("labels_str", L.labels_str_expr(F.col("labels")))
+                        .drop("_gl")
+                    )
+                    # copied labels may collapse distinct many-side
+                    # series onto one output identity — upstream errors
+                    j = _unique_guard(
+                        j,
+                        ["labels_str", _G],
+                        "_ov",
+                        "multiple matches for labels: grouping labels "
+                        "must ensure unique matches",
+                    )
                 lv = F.col("value") if node.group_side == "left" else F.col("_ov")
                 rv = F.col("_ov") if node.group_side == "left" else F.col("value")
                 joined = j.select(
@@ -1875,11 +1956,12 @@ class RangeQuery:
             rg = [c for c in right.columns if c not in aux]
             left_has = "labels" in left.columns
             right_has = "labels" in right.columns
-            if node.ignoring is not None:
-                # ignoring(...) against a by-grouped operand: the grouped
-                # side's key columns ARE its full label set, so lift it
-                # to a label-carrying frame and take the signature-join
-                # path above (engine.go signatureFunc equality — exact
+            if node.ignoring is not None or node.group_labels:
+                # ignoring(...) or group_left(lbl,...) against a
+                # by-grouped operand: the grouped side's key columns ARE
+                # its full label set, so lift it to a label-carrying
+                # frame and take the signature-join path above
+                # (engine.go signatureFunc equality — exact
                 # remaining-label-set match, NOT a values-only join on
                 # the group keys, which would silently widen the match)
                 left2 = left if left_has else self._as_label_frame(left, lg)
