@@ -631,3 +631,23 @@ def test_query_exemplars_full_promql_expr(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         query_exemplars(db, "1 + 2", 0, 10**9)
+
+
+def test_query_scalar_result_type(store):
+    # upstream /api/v1/query returns resultType "scalar" for
+    # scalar-typed expressions (web/api/v1 promql.Scalar rendering)
+    resp = query(store, "2 + 3", 600_000)
+    assert resp["data"]["resultType"] == "scalar"
+    assert resp["data"]["result"] == [600.0, "5"]
+    resp = query(store, "time()", 600_000)
+    assert resp["data"]["resultType"] == "scalar"
+    assert resp["data"]["result"] == [600.0, "600"]
+    resp = query(store, "scalar(sum(m))", 600_000)
+    assert resp["data"]["resultType"] == "scalar"
+    assert resp["data"]["result"][1] == "30"
+    # vector(5) stays a vector; range queries stay matrices
+    assert query(store, "vector(5)", 600_000)["data"]["resultType"] == "vector"
+    rr = query_range(store, "2 + 3", 300_000, 600_000, 300_000)
+    assert rr["data"]["resultType"] == "matrix"
+    assert rr["data"]["result"][0]["metric"] == {}
+    assert [v for _, v in rr["data"]["result"][0]["values"]] == ["5", "5"]

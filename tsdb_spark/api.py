@@ -83,8 +83,28 @@ def query(
     time_ms: int,
     lookback_ms: int = DEFAULT_LOOKBACK_MS,
 ) -> dict:
-    """GET /api/v1/query — one-point grid, resultType "vector"."""
+    """GET /api/v1/query — one-point grid, resultType "vector"; a
+    scalar-typed expression (`2+3`, `scalar(...)`, `time()`) returns
+    resultType "scalar" with one [ts, value] pair, as upstream
+    (web/api/v1 promql.Scalar rendering). Range queries keep "matrix"
+    for scalars too — the upstream engine returns a Matrix with one
+    metricless series there."""
+    from tsdb_spark.promql import Number, ScalarOf, TimeFn, parse_expr
+
     df = eval_range_db(db, expr, time_ms, time_ms, 1, lookback_ms)
+    node = parse_expr(expr)
+    if isinstance(node, (Number, ScalarOf)) or (
+        isinstance(node, TimeFn) and node.fn == "time"
+    ):
+        rows = df.collect()
+        val = format_value(rows[0]["value"]) if rows else "NaN"
+        return {
+            "status": "success",
+            "data": {
+                "resultType": "scalar",
+                "result": [time_ms / 1000.0, val],
+            },
+        }
     result = [
         {"metric": s["metric"], "value": s["values"][-1]}
         for s in _series_rows(df)
