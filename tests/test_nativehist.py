@@ -270,13 +270,17 @@ def test_cumulative_histograms(cum_frame):
 def test_native_hist_rate(spark, cum_frame):
     q = P.RangeQuery(cum_frame, 30_000, 30_000, STEP)
     one = lambda e: q.run(e).collect()[0]["value"]  # noqa: E731
-    # boundary difference over (5k, 30k]: last=30k hist, first=10k hist
+    # boundary difference over (5k, 30k] (last=30k hist, first=10k
+    # hist) times the float path's extrapolation factor
+    # (extrapolatedRate): samples at 10/20/30k, avg gap 10k, window
+    # start 5k away (< 1.1*avg -> extend fully), end exact ->
+    # factor = (20k + 5k + 0) / 20k = 1.25
     assert math.isclose(one("histogram_count(rate(lat[25s]))"),
-                        (6.0 - 2.0) * 1000 / 25_000, rel_tol=1e-12)
+                        (6.0 - 2.0) * 1.25 * 1000 / 25_000, rel_tol=1e-12)
     assert math.isclose(one("histogram_sum(rate(lat[25s]))"),
-                        (16.0 - 4.5) * 0.04, rel_tol=1e-12)
-    assert math.isclose(one("histogram_count(increase(lat[25s]))"), 4.0)
-    assert math.isclose(one("histogram_count(delta(lat[25s]))"), 4.0)
+                        (16.0 - 4.5) * 1.25 * 0.04, rel_tol=1e-12)
+    assert math.isclose(one("histogram_count(increase(lat[25s]))"), 5.0)
+    assert math.isclose(one("histogram_count(delta(lat[25s]))"), 5.0)
     # quantile over the rate histogram: diff buckets idx 1,2,3 (bounds
     # (1,2], (2,4], (4,8]) with equal mass + the zero bucket; rank
     # 0.5*count lands exactly at bucket (1,2]'s cumulative upper edge →
@@ -289,7 +293,7 @@ def test_native_hist_rate(spark, cum_frame):
     q2 = P.RangeQuery(cum_frame, 40_000, 40_000, STEP)
     assert math.isclose(
         q2.run("histogram_count(rate(lat[25s] offset 10s))").collect()[0]["value"],
-        0.16, rel_tol=1e-12)
+        0.2, rel_tol=1e-12)
 
 
 def test_native_hist_sum_aggregation(spark, hist_frame):
@@ -324,7 +328,7 @@ def test_native_hist_sum_rate(spark, cum_frame):
     summed = q.run(
         "histogram_count(sum by (s) (increase(lat[25s])))"
     ).collect()[0]
-    assert summed["value"] == direct == 4.0
+    assert summed["value"] == direct == 5.0  # 4 observed x factor 1.25
     assert dict(summed["labels"]) == {"s": "x"}
     qd = q.run("histogram_quantile(0.9, increase(lat[25s]))").collect()[0]["value"]
     qs = q.run(

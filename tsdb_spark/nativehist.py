@@ -236,8 +236,10 @@ def hist_quantile(phi: float, h: Column) -> Column:
 def hist_sub(last: Column, first: Column, factor) -> Column:
     """The component-wise histogram difference (last − first) · factor —
     the native-histogram rate/increase/delta kernel (promql/functions.go
-    histogramRate, simplified: boundary difference over the full window,
-    no extrapolation and no counter-reset rewind — documented subset).
+    histogramRate). The caller supplies the boundary-extrapolation
+    factor (the float path's extrapolatedRate rule; histograms skip the
+    float-only zero-crossing cap, as upstream does). No counter-reset
+    rewind — documented subset.
     Bucket subtraction is a map_zip_with over the UNION of bucket
     indices (sparse arrays → maps → zip − → sorted sparse array), all
     inside codegen."""

@@ -2396,21 +2396,45 @@ class RangeQuery:
         )
         cells = _grid_explode(base, self.start, self.end, self.step, reach)
         if rate_fn is not None:
-            factor = 1000.0 / reach if rate_fn == "rate" else 1.0
+            # the same boundary extrapolation as the float path
+            # (promql/functions.go extrapolatedRate) — histograms skip
+            # only the float-specific zero-crossing cap, which upstream
+            # guards on samples.Floats
             agg = (
                 cells.groupBy("labels_str", _G)
                 .agg(
                     F.first("labels").alias("labels"),
                     F.count(F.lit(1)).alias("_n"),
+                    F.min("t").alias("_t1"),
+                    F.max("t").alias("_t2"),
                     F.min_by("h", "t").alias("_h1"),
                     F.max_by("h", "t").alias("_h2"),
                 )
                 .filter(F.col("_n") >= 2)
-                .withColumn(
-                    "h", NH.hist_sub(F.col("_h2"), F.col("_h1"), factor)
-                )
-                .drop("_n", "_h1", "_h2")
             )
+            # denominators guarded with when(): ANSI division may be
+            # evaluated before the n>=2 filter when Catalyst collapses
+            # projections, and a 1-sample window must yield NULL, not
+            # DIVIDE_BY_ZERO
+            sampled = F.when(
+                F.col("_t2") > F.col("_t1"),
+                (F.col("_t2") - F.col("_t1")).cast("double"),
+            )
+            dstart = (F.col("_t1") - (F.col(_G) - F.lit(reach))).cast("double")
+            dend = (F.col(_G) - F.col("_t2")).cast("double")
+            avg_dur = sampled / F.when(
+                F.col("_n") >= 2, (F.col("_n") - 1).cast("double")
+            )
+            ext = (
+                sampled
+                + F.when(dstart < avg_dur * 1.1, dstart).otherwise(avg_dur / 2)
+                + F.when(dend < avg_dur * 1.1, dend).otherwise(avg_dur / 2)
+            ) / sampled
+            if rate_fn == "rate":
+                ext = ext * F.lit(1000.0 / reach)
+            agg = agg.withColumn(
+                "h", NH.hist_sub(F.col("_h2"), F.col("_h1"), ext)
+            ).drop("_n", "_t1", "_t2", "_h1", "_h2")
         else:
             agg = cells.groupBy("labels_str", _G).agg(
                 F.first("labels").alias("labels"),

@@ -962,6 +962,23 @@ bounds AS (SELECT t.labels_str, g.gt, min(t.th) AS th1, max(t.th) AS th2,
            FROM ths t JOIN g ON t.th > g.gt - {2 * DAY} AND t.th <= g.gt
            GROUP BY 1, 2
            HAVING count(*) >= 2),
+-- the float path's boundary extrapolation (extrapolatedRate), now
+-- applied to histograms too (histograms skip only the float-specific
+-- zero-crossing cap). With day-aligned stamps and a 2d left-open
+-- window every surviving window has n=2 samples a day apart, so f is
+-- EXACTLY 2.0 and all scaled counts stay exact doubles
+fb AS (SELECT labels_str, gt,
+         (CAST(th2 - th1 AS DOUBLE)
+          + CASE WHEN CAST(th1 - (gt - 172800000) AS DOUBLE)
+                      < CAST(th2 - th1 AS DOUBLE) / (n - 1) * 1.1
+                 THEN CAST(th1 - (gt - 172800000) AS DOUBLE)
+                 ELSE CAST(th2 - th1 AS DOUBLE) / (n - 1) / 2 END
+          + CASE WHEN CAST(gt - th2 AS DOUBLE)
+                      < CAST(th2 - th1 AS DOUBLE) / (n - 1) * 1.1
+                 THEN CAST(gt - th2 AS DOUBLE)
+                 ELSE CAST(th2 - th1 AS DOUBLE) / (n - 1) / 2 END)
+         / CAST(th2 - th1 AS DOUBLE) AS f
+       FROM bounds),
 d2 AS (SELECT b.labels_str, b.gt, c.ik, c.c
        FROM bounds b JOIN cum c
          ON c.labels_str = b.labels_str AND c.th = b.th2),
@@ -969,10 +986,11 @@ d1 AS (SELECT b.labels_str, b.gt, c.ik, c.c
        FROM bounds b JOIN cum c
          ON c.labels_str = b.labels_str AND c.th = b.th1),
 diff AS (SELECT d2.labels_str, d2.gt, d2.ik,
-           d2.c - coalesce(d1.c, 0.0) AS dc
+           (d2.c - coalesce(d1.c, 0.0)) * fb.f AS dc
          FROM d2 LEFT JOIN d1
            ON d1.labels_str = d2.labels_str AND d1.gt = d2.gt
-          AND d1.ik = d2.ik),
+          AND d1.ik = d2.ik
+         JOIN fb ON fb.labels_str = d2.labels_str AND fb.gt = d2.gt),
 tot AS (SELECT labels_str, gt, sum(dc) AS cnt,
           sum(CASE WHEN ik = -9999 THEN dc ELSE 0.0 END) AS zero
         FROM diff GROUP BY 1, 2),
@@ -1004,14 +1022,16 @@ FROM qv JOIN um USING (labels_str)"""
     ),
     "the canonical native-histogram query: `histogram_quantile(0.9, "
     "increase(click[2d]))` over CUMULATIVE (counter) histograms — the "
-    "upstream scrape semantics (promql/functions.go histogramRate "
-    "kernel, simplified to the boundary difference): the window's "
-    "first/last histograms subtracted component-wise (map_zip_with over "
-    "the sparse bucket union, codegen'd), then the quantile rank walk "
-    "on the difference histogram. increase keeps every count integral "
-    "so the oracle comparison is exact; the cumulative build is a "
-    "densified per-(series, bucket) running sum, never a re-scan of "
-    "earlier samples",
+    "upstream scrape semantics (promql/functions.go histogramRate + "
+    "extrapolatedRate): the window's first/last histograms subtracted "
+    "component-wise (map_zip_with over the sparse bucket union, "
+    "codegen'd) and scaled by the float path's boundary-extrapolation "
+    "factor (histograms skip only the float-only zero-crossing cap), "
+    "then the quantile rank walk on the difference histogram. The "
+    "day-aligned geometry makes the factor exactly 2.0, keeping every "
+    "scaled count an exact double; the cumulative build is a densified "
+    "per-(series, bucket) running sum, never a re-scan of earlier "
+    "samples",
 )
 def promql_native_hist_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tsdb_spark.promql import RangeQuery
@@ -1044,10 +1064,28 @@ cum AS (SELECT t1.labels_str, t1.th, h.ik, CAST(count(*) AS DOUBLE) AS c
           ON h.labels_str = t1.labels_str AND h.th <= t1.th
         GROUP BY 1, 2, 3),
 {_grid_cte(T0 + 2 * DAY, T0 + 15 * DAY, DAY)},
-bounds AS (SELECT t.labels_str, g.gt, min(t.th) AS th1, max(t.th) AS th2
+bounds AS (SELECT t.labels_str, g.gt, min(t.th) AS th1, max(t.th) AS th2,
+             count(*) AS n
            FROM ths t JOIN g ON t.th > g.gt - {2 * DAY} AND t.th <= g.gt
            GROUP BY 1, 2
            HAVING count(*) >= 2),
+-- the float path's boundary extrapolation (extrapolatedRate), now
+-- applied to histograms too (histograms skip only the float-specific
+-- zero-crossing cap). With day-aligned stamps and a 2d left-open
+-- window every surviving window has n=2 samples a day apart, so f is
+-- EXACTLY 2.0 and all scaled counts stay exact doubles
+fb AS (SELECT labels_str, gt,
+         (CAST(th2 - th1 AS DOUBLE)
+          + CASE WHEN CAST(th1 - (gt - 172800000) AS DOUBLE)
+                      < CAST(th2 - th1 AS DOUBLE) / (n - 1) * 1.1
+                 THEN CAST(th1 - (gt - 172800000) AS DOUBLE)
+                 ELSE CAST(th2 - th1 AS DOUBLE) / (n - 1) / 2 END
+          + CASE WHEN CAST(gt - th2 AS DOUBLE)
+                      < CAST(th2 - th1 AS DOUBLE) / (n - 1) * 1.1
+                 THEN CAST(gt - th2 AS DOUBLE)
+                 ELSE CAST(th2 - th1 AS DOUBLE) / (n - 1) / 2 END)
+         / CAST(th2 - th1 AS DOUBLE) AS f
+       FROM bounds),
 d2 AS (SELECT b.labels_str, b.gt, c.ik, c.c
        FROM bounds b JOIN cum c
          ON c.labels_str = b.labels_str AND c.th = b.th2),
@@ -1055,10 +1093,11 @@ d1 AS (SELECT b.labels_str, b.gt, c.ik, c.c
        FROM bounds b JOIN cum c
          ON c.labels_str = b.labels_str AND c.th = b.th1),
 diff AS (SELECT d2.labels_str, d2.gt, d2.ik,
-           d2.c - coalesce(d1.c, 0.0) AS dc
+           (d2.c - coalesce(d1.c, 0.0)) * fb.f AS dc
          FROM d2 LEFT JOIN d1
            ON d1.labels_str = d2.labels_str AND d1.gt = d2.gt
-          AND d1.ik = d2.ik),
+          AND d1.ik = d2.ik
+         JOIN fb ON fb.labels_str = d2.labels_str AND fb.gt = d2.gt),
 um AS (SELECT DISTINCT labels_str, user_lbl FROM samples),
 dg AS (SELECT um.user_lbl AS u, d.gt, d.ik, sum(d.dc) AS dc
        FROM diff d JOIN um ON um.labels_str = d.labels_str
@@ -1087,9 +1126,10 @@ FROM tot t LEFT JOIN iq ON iq.u = t.u AND iq.gt = t.gt"""
     ),
     "the grouped fleet-wide form: `histogram_quantile(0.9, sum by "
     "(user) (increase(click[2d])))` — per-series boundary-difference "
-    "histograms summed component-wise per user (two combinable "
-    "groupBys: component sums + sparse bucket union-sum), then the "
-    "quantile walk on the group histogram. All counts integral, exact "
+    "histograms, each scaled by its window's extrapolation factor "
+    "(exactly 2.0 in this geometry), summed component-wise per user "
+    "(two combinable groupBys: component sums + sparse bucket "
+    "union-sum), then the quantile walk on the group histogram. Exact "
     "cross-engine",
 )
 def promql_native_hist_sum(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -413,6 +413,46 @@ def _almost_equal(a: float, b: float) -> bool:
     return math.isclose(a, b, rel_tol=1e-6, abs_tol=1e-9)
 
 
+# upstream promqltest's native-histogram literal, e.g.
+#   {{schema:0 sum:12 count:4 z_bucket:1 offset:0 buckets:[1 2 1]}}x5
+_HIST_TOK_RE = re.compile(r"\{\{[^}]*\}\}(?:x\d+)?|\S+")
+
+
+def _parse_hist_literal(tok: str) -> tuple[dict, int]:
+    """'{{schema:0 sum:12 count:4 buckets:[1 2 1]}}x5' → (h struct dict,
+    repeat count). Supported fields (the engine's positive-bucket
+    subset, nativehist.py): schema, sum, count, z_bucket (zero_count),
+    offset (index of the first bucket), buckets:[...]."""
+    m = re.fullmatch(r"\{\{([^}]*)\}\}(?:x(\d+))?", tok)
+    if m is None:
+        raise ValueError(f"bad histogram literal: {tok!r}")
+    # like the float expanding notation, xN emits N+1 samples
+    body, rep = m.group(1), int(m.group(2) or 0) + 1
+    h = {"count": 0.0, "sum": 0.0, "zero_count": 0.0, "schema": 0}
+    buckets: list[float] = []
+    offset = 0
+    for fm in re.finditer(r"(\w+):(\[[^\]]*\]|\S+)", body):
+        key, val = fm.group(1), fm.group(2)
+        if key == "buckets":
+            buckets = [float(x) for x in val[1:-1].split()]
+        elif key == "schema":
+            h["schema"] = int(val)
+        elif key == "offset":
+            offset = int(val)
+        elif key == "sum":
+            h["sum"] = float(val)
+        elif key == "count":
+            h["count"] = float(val)
+        elif key == "z_bucket":
+            h["zero_count"] = float(val)
+        else:
+            raise ValueError(f"unsupported histogram field {key!r} in {tok!r}")
+    h["buckets"] = [
+        (offset + k, c) for k, c in enumerate(buckets) if c != 0.0
+    ]
+    return h, rep
+
+
 def run_promql_tests(spark, path: str, tmp_dir: str | None = None) -> list[str]:
     """Run one promqltest script file against the engine; returns
     failure strings (empty = pass). Each `load` appends to the current
@@ -422,7 +462,7 @@ def run_promql_tests(spark, path: str, tmp_dir: str | None = None) -> list[str]:
     import tempfile
 
     from tsdb_spark.db import DB
-    from tsdb_spark.promql import eval_range_db
+    from tsdb_spark.promql import eval_hist_range_db, eval_range_db
 
     with open(path) as f:
         raw = f.read().splitlines()
@@ -443,6 +483,10 @@ def run_promql_tests(spark, path: str, tmp_dir: str | None = None) -> list[str]:
     n_db = 0
     db = DB.create(spark, os.path.join(root, f"db{n_db}"), block_width_ms=3_600_000)
     failures: list[str] = []
+    # stores that received native-histogram samples evaluate through
+    # the histograms table (eval_hist_range_db); float and histogram
+    # series don't mix within one store section
+    has_hist: set[int] = set()
 
     for ln, cmd_line, body in blocks:
         where = f"{os.path.basename(path)}:{ln}"
@@ -455,19 +499,50 @@ def run_promql_tests(spark, path: str, tmp_dir: str | None = None) -> list[str]:
         if cmd_line.startswith("load"):
             interval = _duration_ms(cmd_line.split(None, 1)[1])
             rows = []
+            hrows = []
             for b in body:
                 desc, vals = _split_series_line(b)
                 labels = parse_series_labels(desc)
-                for i, v in enumerate(parse_series_values(vals)):
-                    if v is None:
+                i = 0
+                for tok in _HIST_TOK_RE.findall(vals):
+                    if tok.startswith("{{"):
+                        h, rep = _parse_hist_literal(tok)
+                        for _ in range(rep):
+                            hrows.append(
+                                (
+                                    labels,
+                                    i * interval,
+                                    (
+                                        h["count"],
+                                        h["sum"],
+                                        h["zero_count"],
+                                        h["schema"],
+                                        h["buckets"],
+                                    ),
+                                )
+                            )
+                            i += 1
                         continue
-                    rows.append((labels, i * interval, float(v)))
+                    for v in parse_series_values(tok):
+                        if v is not None:
+                            rows.append((labels, i * interval, float(v)))
+                        i += 1
             if rows:
                 db.append(
                     spark.createDataFrame(
                         rows, "labels MAP<STRING,STRING>, t LONG, v DOUBLE"
                     )
                 )
+            if hrows:
+                from tsdb_spark.nativehist import HIST_TYPE
+
+                db.append_histograms(
+                    spark.createDataFrame(
+                        hrows,
+                        f"labels MAP<STRING,STRING>, t LONG, h {HIST_TYPE}",
+                    )
+                )
+                has_hist.add(id(db))
             continue
         m = _EVAL_CMD_RE.match(cmd_line)
         if m is None:
@@ -483,7 +558,8 @@ def run_promql_tests(spark, path: str, tmp_dir: str | None = None) -> list[str]:
         grid = list(range(start, end + 1, step))
 
         try:
-            out = eval_range_db(db, expr, start, end, step)
+            ev = eval_hist_range_db if id(db) in has_hist else eval_range_db
+            out = ev(db, expr, start, end, step)
             rows = out.collect()
         except Exception as e:  # noqa: BLE001 — eval_fail asserts on this
             if cmd == "eval_fail":
