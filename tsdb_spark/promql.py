@@ -2230,7 +2230,11 @@ class RangeQuery:
     def _eval_labeltx(self, node: LabelTransform) -> DataFrame:
         child = self.eval(node.child)
         if "labels" not in child.columns:
-            raise ValueError(f"{node.fn} needs a label-carrying vector")
+            # a by-grouped child exposes its keys as plain columns; its
+            # key set IS its full label set (upstream label_replace/
+            # label_join accept any instant vector), so lift it
+            keys = [c for c in child.columns if c not in (_G, "value")]
+            child = self._as_label_frame(child, keys)
         m = F.col("labels")
         if node.fn == "label_replace":
             dst, repl, src, regex = node.args

@@ -1486,3 +1486,53 @@ def promql_ts_of_max(spark: SparkSession, sf_dir: str) -> DataFrame:
         DAY,
     )
     return out.select("labels_str", "t", "value")
+
+
+@register(
+    "promql_group_left_include",
+    _with_prelude(
+        f"""
+, {_grid_cte(T0 + DAY, T0 + 15 * DAY, DAY)},
+cc AS (SELECT user_lbl, k_bucket, t, CAST(round(min(v) * 100) AS BIGINT) AS vc
+       FROM samples WHERE event_type = 'click' GROUP BY 1, 2, 3),
+vv AS (SELECT labels_str, user_lbl, t, CAST(round(min(v) * 100) AS BIGINT) AS vc
+       FROM samples WHERE event_type = 'view' GROUP BY 1, 2, 3),
+lw AS (SELECT cc.user_lbl, cc.k_bucket, g.gt, max_by(cc.vc, cc.t) AS c
+       FROM cc JOIN g ON cc.t > g.gt - {DAY} AND cc.t <= g.gt
+       GROUP BY 1, 2, 3),
+-- instant value per view SERIES, then max by (user) across the user's
+-- (possibly two: k_bucket split) series — the grouped one side
+iv AS (SELECT vv.labels_str, vv.user_lbl, g.gt, max_by(vv.vc, vv.t) AS v
+       FROM vv JOIN g ON vv.t > g.gt - {DAY} AND vv.t <= g.gt
+       GROUP BY 1, 2, 3),
+rw AS (SELECT user_lbl, gt, max(v) AS v FROM iv GROUP BY 1, 2)
+SELECT '{{{{' || CASE WHEN lw.k_bucket = 'high' THEN 'k_bucket="high",' ELSE '' END
+       || 'src="viewside",user="' || lw.user_lbl || '"}}}}' AS labels_str,
+  lw.gt AS t,
+  round((CAST(lw.c AS DOUBLE) / 100.0) + (CAST(rw.v AS DOUBLE) / 100.0), 9)
+    AS value
+FROM lw JOIN rw ON rw.user_lbl = lw.user_lbl AND rw.gt = lw.gt"""
+    ),
+    "PromQL many-to-one vector matching with INCLUDE labels: `click + "
+    "on(user) group_left(src) label_replace(max by (user) (view), "
+    "\"src\", \"viewside\", \"\", \"\")` at a 1d step — the many side "
+    "keeps its label set minus __name__ and the listed `src` label is "
+    "COPIED from the one side (promql/engine.go resultMetric include "
+    "handling); the one side aggregates per user first (a user's view "
+    "series can split on k_bucket, which on(user) alone would reject "
+    "as many-to-many, as upstream does). Engine plan: one signature equi-join per step with a "
+    "uniqueness window guard on the one side — never a cartesian; the "
+    "include labels ride the join as one map column. Values are "
+    "centi-unit doubles added once, bit-exact across engines",
+)
+def promql_group_left_include(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = eval_range(
+        events_samples(spark, sf_dir),
+        'click + on(user) group_left(src) '
+        'label_replace(max by (user) (view), "src", "viewside", "", "")',
+        T0 + DAY,
+        T0 + 15 * DAY,
+        DAY,
+        lookback_ms=DAY,
+    )
+    return out.select("labels_str", "t", F.round("value", 9).alias("value"))

@@ -3005,10 +3005,14 @@ GATE: tuple[str, ...] = (
     # emb_pq_codes / emb_ivf_persisted / emb_kmeans_ivf / mm_frame_sample
     # (all driver-green r4+r5) for the subquery composer, the @ modifier,
     # the alerting state machine, and the /federate dedup path.
+    # r6 session rotation: docs_keywords (driver-green r3-r5, tf-idf
+    # rollup also pinned by pytest) rotates out for the brand-new
+    # group_left include-label matching path (engine.go resultMetric)
     "promql_rate_grid",
     "promql_subquery",
     "promql_at_pin",
     "promql_alert_rule",
+    "promql_group_left_include",
     "api_federate_dedup",
     # -- store lifecycle --
     # r6 late rotation: store_readonly_select / store_overlap_report
@@ -3034,7 +3038,6 @@ GATE: tuple[str, ...] = (
     "docs_source_report",
     "docs_fingerprints",
     "docs_chunk_windows",
-    "docs_keywords",
     "docs_sample_stratified",
     "docs_decontaminate",
     "docs_dedup_exact",
