@@ -651,3 +651,21 @@ def test_query_scalar_result_type(store):
     assert rr["data"]["resultType"] == "matrix"
     assert rr["data"]["result"][0]["metric"] == {}
     assert [v for _, v in rr["data"]["result"][0]["values"]] == ["5", "5"]
+
+
+def test_federate_utf8_names(spark, tmp_path):
+    # 3.x exposition: UTF-8 metric/label names render quoted inside the
+    # braces, the metric name as the first term
+    from tsdb_spark.api import federate
+
+    rows = [
+        ({"__name__": "my.metric", "label with space": "v1"}, 10_000, 1.0),
+        ({"__name__": "plain", "ok_name": "v2"}, 10_000, 2.0),
+    ]
+    db = DB.create(spark, str(tmp_path / "utf8"), block_width_ms=WIDTH)
+    db.append(spark.createDataFrame(
+        rows, "labels MAP<STRING,STRING>, t LONG, v DOUBLE"))
+    lines = federate(db, ['{ok_name="v2"}', '{"my.metric"}'],
+                     60_000, lookback_ms=300_000).strip().splitlines()
+    assert '{"my.metric","label with space"="v1"} 1 10000' in lines
+    assert 'plain{ok_name="v2"} 2 10000' in lines

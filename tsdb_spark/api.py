@@ -22,6 +22,7 @@ same volume upstream marshals), never raw samples.
 from __future__ import annotations
 
 import math
+import re
 
 from tsdb_spark.promql import DEFAULT_LOOKBACK_MS, eval_range_db
 
@@ -992,6 +993,18 @@ def _escape_label_value(v: str) -> str:
     return v.replace("\\", "\\\\").replace('"', '\\"').replace("\n", "\\n")
 
 
+_LEGACY_NAME_RE = re.compile(r"[a-zA-Z_:][a-zA-Z0-9_:]*")
+
+
+def _render_label_name(k: str) -> str:
+    """Prometheus 3.x UTF-8 exposition: a label name outside the legacy
+    charset renders quoted+escaped ("my.label"="v"), legacy names bare
+    (model/labels 3.x quoted-name rendering)."""
+    if _LEGACY_NAME_RE.fullmatch(k):
+        return k
+    return f'"{_escape_label_value(k)}"'
+
+
 def federate(db, selectors: list[str], time_ms: int, lookback_ms: int = DEFAULT_LOOKBACK_MS) -> str:
     """GET /federate — the instant vector for each match[] selector in
     the Prometheus exposition text format (web/federate.go):
@@ -1005,11 +1018,17 @@ def federate(db, selectors: list[str], time_ms: int, lookback_ms: int = DEFAULT_
     for row in federate_frame(db, selectors, time_ms, lookback_ms).collect():
         labels = dict(row["labels"])
         name = labels.pop("__name__", "")
-        pairs = ",".join(
-            f'{k}="{_escape_label_value(v)}"'
+        pair_list = [
+            f'{_render_label_name(k)}="{_escape_label_value(v)}"'
             for k, v in sorted(labels.items())
             if v
-        )
+        ]
+        # UTF-8 metric names move inside the braces, quoted, as the
+        # first term ({"my.metric", ...} — 3.x exposition syntax)
+        if name and not _LEGACY_NAME_RE.fullmatch(name):
+            pair_list.insert(0, f'"{_escape_label_value(name)}"')
+            name = ""
+        pairs = ",".join(pair_list)
         lines.append(
             f"{name}{{{pairs}}} {format_value(row['v'])} {row['t']}"
         )
