@@ -131,3 +131,31 @@ def test_create_blocks_from_cli_path(spark, tmp_path):
     format_openmetrics(more).write.text(f"{tmp_path}/dump2")
     db2 = create_blocks_from(spark, f"{tmp_path}/dump2", f"{tmp_path}/db")
     assert db2.samples().count() == df.count() + 1
+
+
+def test_utf8_names_roundtrip(spark):
+    # 3.x quoted-name exposition: UTF-8 metric/label names render quoted
+    # ({"my.metric","l w s"="v",legacy="x"}) and parse back exactly
+    from tsdb_spark.sources.openmetrics import (
+        format_openmetrics,
+        parse_openmetrics,
+    )
+
+    rows = [
+        ({"__name__": "my.metric", "label with space": "v 1", "ok": "x"},
+         1_000, 1.5),
+        ({"__name__": "plain", "ok": 'q"uote\\slash'}, 2_000, 2.0),
+        ({"__name__": "m.n"}, 3_000, 3.0),
+    ]
+    df = spark.createDataFrame(rows, "labels MAP<STRING,STRING>, t LONG, v DOUBLE")
+    lines = format_openmetrics(df, timestamps="ms")
+    txt = {r["line"] for r in lines.collect()}
+    assert '{"my.metric","label with space"="v 1",ok="x"} 1.5 1000' in txt
+    assert '{"m.n"} 3.0 3000' in txt
+    back = parse_openmetrics(spark, lines=lines, timestamps="ms")
+    got = sorted(
+        (tuple(sorted(dict(r["labels"]).items())), r["t"], r["v"])
+        for r in back.collect()
+    )
+    want = sorted((tuple(sorted(l.items())), t, v) for l, t, v in rows)
+    assert got == want

@@ -39,9 +39,15 @@ from tsdb_spark import labels as L
 
 #: metric names: [a-zA-Z_:][a-zA-Z0-9_:]*; label names: no colon
 _NAME_RE = r"^([A-Za-z_:][A-Za-z0-9_:]*)"
-#: one label pair inside the braces: name="value" where value is any run
-#: of non-quote/non-backslash chars or backslash escapes (\\ \" \n)
-_PAIR_RE = r'([A-Za-z_][A-Za-z0-9_]*)="((?:\\.|[^"\\])*)"'
+#: one label pair inside the braces: name="value" where the name is
+#: bare (legacy charset) or quoted (3.x UTF-8 names) and the value is
+#: any run of non-quote/non-backslash chars or backslash escapes
+#: (\\ \" \n)
+_PAIR_RE = r'("(?:\\.|[^"\\])*"|[A-Za-z_][A-Za-z0-9_]*)="((?:\\.|[^"\\])*)"'
+#: 3.x UTF-8 metric name: the leading bare quoted term in the braces
+#: ({"my.metric", ...}) — quoted string followed by ',' or the end,
+#: NOT by '=' (that would be a quoted label name)
+_QNAME_RE = r'^\s*"((?:\\.|[^"\\])*)"\s*(?:,|$)'
 #: NUL sentinel for the two-phase backslash unescape (can't appear in
 #: exposition text — it's a line-oriented ASCII format)
 _SENTINEL = "\x00"
@@ -100,8 +106,12 @@ def parse_openmetrics(
     # value [timestamp] are the tokens after the brace block (or after
     # the bare name); the timestamp group is optional. The brace match
     # is GREEDY to the last '}', so label values containing '}' or
-    # spaces stay inside `braces`.
-    has_braces = F.col("ln").rlike(r"^[A-Za-z_:][A-Za-z0-9_:]*\{")
+    # spaces stay inside `braces`. A line may also START with '{' —
+    # the 3.x UTF-8 form where the quoted metric name is the first
+    # brace term ({"my.metric", ...}).
+    has_braces = F.col("ln").rlike(
+        r"^[A-Za-z_:][A-Za-z0-9_:]*\{"
+    ) | F.col("ln").startswith("{")
     braces = F.when(
         has_braces, F.regexp_extract("ln", r"\{(.*)\}", 1)
     ).otherwise(F.lit(""))
@@ -114,8 +124,10 @@ def parse_openmetrics(
         has_braces, F.regexp_extract("ln", tail_re_braced, 2)
     ).otherwise(F.regexp_extract("ln", tail_re_bare, 2))
 
+    bare_name = F.regexp_extract("ln", _NAME_RE, 1)
+    qname = _unescape(F.regexp_extract(braces, _QNAME_RE, 1))
     parsed = rows.select(
-        F.regexp_extract("ln", _NAME_RE, 1).alias("name"),
+        F.when(bare_name != "", bare_name).otherwise(qname).alias("name"),
         braces.alias("braces"),
         val_s.alias("val_s"),
         ts_s.alias("ts_s"),
@@ -123,7 +135,15 @@ def parse_openmetrics(
     if default_time_ms is None:
         parsed = parsed.filter(F.col("ts_s") != "")
 
-    keys = F.regexp_extract_all("braces", F.lit(_PAIR_RE), 1)
+    # quoted label names carry their quotes through the regex group;
+    # strip + unescape them (legacy bare names pass through)
+    keys = F.transform(
+        F.regexp_extract_all("braces", F.lit(_PAIR_RE), 1),
+        lambda k: F.when(
+            k.startswith('"'),
+            _unescape(k.substr(F.lit(2), F.length(k) - 2)),
+        ).otherwise(k),
+    )
     vals = F.transform(
         F.regexp_extract_all("braces", F.lit(_PAIR_RE), 2), _unescape
     )
@@ -163,13 +183,22 @@ def format_openmetrics(samples: DataFrame, timestamps: str = "openmetrics") -> D
     exactly 3 decimals so the DECIMAL(20,3) parse is lossless)."""
     if timestamps not in ("openmetrics", "ms"):
         raise ValueError(f"timestamps must be 'openmetrics' or 'ms', got {timestamps!r}")
+    legacy = r"^[A-Za-z_][A-Za-z0-9_]*$"
     pairs = F.array_sort(
         F.filter(F.map_entries("labels"), lambda e: e["key"] != "__name__")
     )
     rendered = F.array_join(
         F.transform(
             pairs,
-            lambda e: F.concat(e["key"], F.lit('="'), _escape(e["value"]), F.lit('"')),
+            lambda e: F.concat(
+                # 3.x UTF-8 label names render quoted; legacy ones bare
+                F.when(e["key"].rlike(legacy), e["key"]).otherwise(
+                    F.concat(F.lit('"'), _escape(e["key"]), F.lit('"'))
+                ),
+                F.lit('="'),
+                _escape(e["value"]),
+                F.lit('"'),
+            ),
         ),
         ",",
     )
@@ -186,10 +215,26 @@ def format_openmetrics(samples: DataFrame, timestamps: str = "openmetrics") -> D
         )
     else:
         ts = F.col("t").cast("string")
+    name = F.coalesce(F.element_at("labels", "__name__"), F.lit(""))
+    legacy_name = name.rlike(r"^[A-Za-z_:][A-Za-z0-9_:]*$")
+    # UTF-8 metric names move inside the braces as the first quoted
+    # term ({"my.metric", ...} — the 3.x exposition syntax)
+    prefix = F.when(legacy_name, name).otherwise(F.lit(""))
+    qterm = F.when(
+        legacy_name | (name == ""), F.lit("")
+    ).otherwise(
+        F.concat(
+            F.lit('"'),
+            _escape(name),
+            F.lit('"'),
+            F.when(rendered != "", F.lit(",")).otherwise(F.lit("")),
+        )
+    )
     return samples.select(
         F.concat(
-            F.element_at("labels", "__name__"),
+            prefix,
             F.lit("{"),
+            qterm,
             rendered,
             F.lit("}"),
             F.lit(" "),
