@@ -505,3 +505,18 @@ def test_openmetrics_parse_is_pure_jvm_projection(spark):
     plan = _executed(df)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Exchange" not in plan, "parse must not shuffle"
+
+
+def test_group_left_include_is_equi_join_never_nested_loop(spark):
+    # the include-label copy (group_left(src)) must ride the signature
+    # equi-join as one map column — a nested loop here would be
+    # many x one per step
+    from tsdb_spark.queries import QUERIES
+
+    df = QUERIES["promql_group_left_include"].spark_fn(
+        spark, "/root/testdata/sf0.001"
+    )
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

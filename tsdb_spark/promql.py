@@ -338,9 +338,11 @@ class HistFn:
 @dataclass
 class Absent:
     """absent(v) / absent_over_time(m[r]): 1 at grid points where the
-    selector matches nothing; labels derived from its eq matchers."""
+    argument yields nothing; labels derived from a plain selector's eq
+    matchers (createLabelsForAbsentFunction) — any other expression
+    form yields the empty label set, as upstream."""
 
-    sel: Selector
+    sel: object  # Selector, or any instant-vector expression node
 
 
 @dataclass
@@ -869,9 +871,13 @@ class _Parser:
             self.expect(")")
             return TimeFn(fn, child)
         if fn == "absent":
-            sel = self.parse_selector_expr()
+            # any instant-vector expression (upstream funcAbsent);
+            # labels are inferred only for the plain-selector form
+            child = self.parse_expr()
             self.expect(")")
-            return Absent(sel)
+            if isinstance(child, Number):
+                raise ValueError("absent() needs an instant vector")
+            return Absent(child)
         if fn == "absent_over_time":
             sel = self.parse_selector_expr(require_range=True)
             self.expect(")")
@@ -1113,7 +1119,7 @@ def render_expr(node) -> str:
     if isinstance(node, ScalarOf):
         return f"scalar({R(node.child)})"
     if isinstance(node, Absent):
-        if node.sel.range_ms is not None:
+        if getattr(node.sel, "range_ms", None) is not None:
             return f"absent_over_time({R(node.sel)})"
         return f"absent({R(node.sel)})"
     if isinstance(node, HistQuantile):
@@ -2188,6 +2194,19 @@ class RangeQuery:
 
     def _eval_absent(self, node: Absent) -> DataFrame:
         sel = node.sel
+        if not isinstance(sel, Selector):
+            # absent(<any expr>): 1 wherever the evaluated child has no
+            # element at the grid point; empty label set (upstream
+            # infers labels only from the plain-selector form)
+            present = self.eval(sel).select(_G).distinct()
+            missing = self._grid_frame().join(present, _G, "left_anti")
+            empty = F.create_map().cast("map<string,string>")
+            return missing.select(
+                F.lit("{}").alias("labels_str"),
+                empty.alias("labels"),
+                F.col(_G),
+                F.lit(1.0).alias("value"),
+            )
         if sel.at_ms is not None:
             return self._pinned(sel.at_ms, Absent(replace(sel, at_ms=None)))
         reach = sel.range_ms if sel.range_ms is not None else self.lookback_ms
