@@ -859,9 +859,14 @@ class _Parser:
         if fn == "vector":
             inner = self.parse_expr()
             self.expect(")")
-            if not isinstance(inner, Number):
-                raise ValueError("vector() takes a scalar literal")
-            return TimeFn("vector", scalar=inner.val)
+            if isinstance(inner, Number):
+                return TimeFn("vector", scalar=inner.val)
+            # vector(<scalar expr>): time()/scalar(...) and arithmetic
+            # over them (upstream funcVector) — type-checked at parse,
+            # like upstream's checkAST
+            if not _scalar_typed(inner):
+                raise ValueError("vector() takes a scalar-typed expression")
+            return TimeFn("vector", child=inner)
         if fn in TIME_FNS:
             t = self.peek()
             if t is not None and t.val == ")":
@@ -1536,6 +1541,20 @@ def _arith_col(op: str, a: Column, b: Column) -> Column:
 
 
 
+def _scalar_typed(n) -> bool:
+    """Parse-time scalar typing for vector() (upstream checkAST):
+    numbers, scalar(), time(), and scalar arithmetic over them."""
+    if isinstance(n, (Number, ScalarOf)):
+        return True
+    if isinstance(n, TimeFn):
+        return n.fn == "time" and n.child is None
+    if isinstance(n, BinScalar):
+        return _scalar_typed(n.child)
+    if isinstance(n, BinDynScalar):
+        return _scalar_typed(n.child) and _scalar_typed(n.scalar)
+    return False
+
+
 def _colref(name: str) -> Column:
     """Column reference that survives arbitrary (UTF-8) label names as
     plain column names — dots in F.col() otherwise parse as struct
@@ -1712,6 +1731,17 @@ class RangeQuery:
     def _eval_timefn(self, node: TimeFn) -> DataFrame:
         empty = F.create_map().cast("map<string,string>")
         if node.fn == "vector":
+            if node.child is not None:
+                # vector(<scalar expr>) — the child was type-checked at
+                # parse; stamp the empty label set on its grid values
+                # (time() already evaluates to that shape here)
+                out = self.eval(node.child)
+                return out.select(
+                    F.lit("{}").alias("labels_str"),
+                    empty.alias("labels"),
+                    F.col(_G),
+                    "value",
+                )
             return self._grid_frame().select(
                 F.lit("{}").alias("labels_str"),
                 empty.alias("labels"),
