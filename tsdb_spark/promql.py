@@ -1541,6 +1541,35 @@ def _arith_col(op: str, a: Column, b: Column) -> Column:
 
 
 
+
+#: sentinel centi-values for the non-finite sample values the integer
+#: canonicalization cannot carry (NaN is a VALID, distinguishable
+#: sample value upstream — head.go amend-detection compares
+#: math.Float64bits). The instant read path decodes them back; window
+#: functions over non-finite samples are outside the exact centi-unit
+#: design and fail loudly (ANSI overflow) rather than silently skewing.
+_VC_NAN = -(1 << 61)
+_VC_PINF = 1 << 61
+_VC_NINF = -(1 << 61) - 1
+
+
+def _vc_encode(v: Column) -> Column:
+    return (
+        F.when(F.isnan(v), F.lit(_VC_NAN))
+        .when(v == float("inf"), F.lit(_VC_PINF))
+        .when(v == float("-inf"), F.lit(_VC_NINF))
+        .otherwise(F.round(v * 100).cast("long"))
+    )
+
+
+def _vc_decode(vc: Column) -> Column:
+    return (
+        F.when(vc == _VC_NAN, F.lit(float("nan")))
+        .when(vc == _VC_PINF, F.lit(float("inf")))
+        .when(vc == _VC_NINF, F.lit(float("-inf")))
+        .otherwise(vc / 100.0)
+    )
+
 def _scalar_typed(n) -> bool:
     """Parse-time scalar typing for vector() (upstream checkAST):
     numbers, scalar(), time(), and scalar arithmetic over them."""
@@ -2115,7 +2144,7 @@ class RangeQuery:
             .groupBy("labels_str", (F.col("t") + offset_ms).alias("t"))
             .agg(
                 F.first("labels").alias("labels"),
-                F.min(F.round(F.col("v") * 100).cast("long")).alias("vc"),
+                F.min(_vc_encode(F.col("v"))).alias("vc"),
             )
         )
 
@@ -2132,7 +2161,7 @@ class RangeQuery:
         )
         return cells.groupBy("labels_str", _G).agg(
             F.first("labels").alias("labels"),
-            (F.max_by("vc", "t") / 100.0).alias("value"),
+            _vc_decode(F.max_by("vc", "t")).alias("value"),
         )
 
     def _windowed(self, base: DataFrame, fn: str, rng: int, param) -> DataFrame:
@@ -2208,7 +2237,7 @@ class RangeQuery:
             "labels_str",
             "labels",
             (F.col(_G) + sq.offset_ms).alias("t"),
-            F.round(F.col("value") * 100).cast("long").alias("vc"),
+            _vc_encode(F.col("value")).alias("vc"),
         )
 
     def _grid_frame(self) -> DataFrame:
@@ -2800,8 +2829,12 @@ class RangeQuery:
                 if "labels_str" in child.columns
                 else F.lit(0)
             )
+            # upstream de-prioritizes NaN on BOTH forms (engine.go topk/
+            # bottomk heaps evict NaN for any number; Spark would
+            # instead order NaN above every double)
+            nan_last = F.when(F.isnan("value"), 1).otherwise(0).asc()
             val = F.col("value").desc() if node.op == "topk" else F.col("value").asc()
-            w = Window.partitionBy(*part).orderBy(val, tie)
+            w = Window.partitionBy(*part).orderBy(nan_last, val, tie)
             k = int(node.param if node.param is not None else 1)
             return (
                 child.withColumn("_rk", F.row_number().over(w))
@@ -2893,8 +2926,15 @@ class RangeQuery:
         ops = {
             "sum": F.sum("value"),
             "avg": F.avg("value"),
+            # upstream min/max ignore NaN unless every value is NaN
+            # (engine.go: a NaN group-max is replaced by any number).
+            # Spark's NaN-is-greatest ordering already gives min that
+            # behavior; max needs the explicit non-NaN pass + fallback
             "min": F.min("value"),
-            "max": F.max("value"),
+            "max": F.coalesce(
+                F.max(F.when(~F.isnan("value"), F.col("value"))),
+                F.max("value"),
+            ),
             "count": F.count("value").cast("double"),
             "group": F.lit(1.0),
             # population stddev/stdvar over the (few) series per group —
@@ -2940,8 +2980,13 @@ class RangeQuery:
                 ]
                 keys = [c.desc() if node.desc else c.asc() for c in keys]
                 return out.orderBy("t", *keys)
+            # upstream sort()/sort_desc() place NaN LAST in both
+            # directions (Spark's NaN-is-greatest would front-load NaN
+            # under desc)
+            nan_last = F.when(F.isnan("value"), 1).otherwise(0).asc()
             return out.orderBy(
                 "t",
+                nan_last,
                 F.col("value").desc() if node.desc else F.col("value").asc(),
             )
         return out.orderBy("t")
