@@ -65,6 +65,19 @@ def _vector(depth: int):
         st.tuples(inner, inner).map(
             lambda t: f"({t[0]}) / scalar(sum({t[1]}))"
         ),
+        # r6 surfaces: quoted (UTF-8) grouping names, absent() over
+        # arbitrary expressions, vector(<scalar expr>), group_left
+        # include labels against a label_replace'd grouped one side
+        st.tuples(inner).map(lambda t: f'sum by ("user") ({t[0]})'),
+        st.tuples(inner).map(lambda t: f"absent({t[0]})"),
+        st.tuples(inner, inner).map(
+            lambda t: f"vector(scalar(sum({t[0]}))) + on() "
+            f"vector(scalar(count({t[1]})))"
+        ),
+        st.tuples(_sel, inner).map(
+            lambda t: f"({t[0]}) + on(user) group_left(zz) "
+            f'label_replace(max by (user) ({t[1]}), "zz", "1", "", "")'
+        ),
     )
 
 
