@@ -374,6 +374,8 @@ def test_parse_precedence_and_modifiers():
     assert isinstance(n.right, P.Selector)
     n = P.parse_expr("a and ignoring (mode) b")
     assert isinstance(n, P.BinSet) and n.ignoring == ["mode"]
+    with pytest.raises(ValueError):
+        P.parse_expr("a and on(x) group_left b")  # no grouping on set ops
     # parenthesized grouping overrides precedence
     n = P.parse_expr("(rate(a[5m]) + rate(b[5m])) * 2")
     assert isinstance(n, P.BinScalar) and n.op == "*"

@@ -74,7 +74,12 @@ def _vector(depth: int):
             lambda t: f"vector(scalar(sum({t[0]}))) + on() "
             f"vector(scalar(count({t[1]})))"
         ),
-        st.tuples(_sel, inner).map(
+        # the many side must keep unique output identities after the
+        # name drop + include copy — a multi-metric selector would
+        # (correctly, like upstream) raise 'must ensure unique matches'
+        st.tuples(
+            st.sampled_from(["click", 'click{user="1"}', "gauge"]), inner
+        ).map(
             lambda t: f"({t[0]}) + on(user) group_left(zz) "
             f'label_replace(max by (user) ({t[1]}), "zz", "1", "", "")'
         ),

@@ -573,6 +573,11 @@ class _Parser:
                 right, (Number, ScalarOf)
             ):
                 raise ValueError(f"set operator {op!r} needs vector operands")
+            if group_side is not None:
+                # parse.go checkAST: no grouping allowed for and/or/unless
+                raise ValueError(
+                    f"no grouping allowed for {op!r} operation"
+                )
             return BinSet(op, left, right, on=on, ignoring=ignoring)
         if isinstance(left, Number) and isinstance(right, Number):
             # scalar/scalar: constant-fold at parse time (upstream's
