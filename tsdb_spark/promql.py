@@ -2302,13 +2302,26 @@ class RangeQuery:
     @staticmethod
     def _strip_name(df: DataFrame) -> DataFrame:
         """Drop __name__ from the label set (PromQL rule for value
-        transforms and bool comparisons)."""
+        transforms, range functions, arithmetic, bool comparisons).
+
+        labels_str is derived from the EXISTING canonical string with
+        two anchored regexes instead of re-rendering the map
+        (sort+escape+concat) — this runs on every range-fn/binop output
+        row, and the string already is the injective render, where the
+        __name__ pair can only appear after '{' or ',' with every
+        in-value quote escaped."""
         if "labels" not in df.columns:
             return df
+        s = F.regexp_replace(
+            F.col("labels_str"),
+            r'(?<=[{,])__name__="(?:\\.|[^"\\])*",?',
+            "",
+        )
+        s = F.regexp_replace(s, r",\}$", "}")
         return df.withColumn(
             "labels",
             F.map_filter(F.col("labels"), lambda k, _: k != F.lit("__name__")),
-        ).withColumn("labels_str", L.labels_str_expr(F.col("labels")))
+        ).withColumn("labels_str", s)
 
     def _eval_labeltx(self, node: LabelTransform) -> DataFrame:
         child = self.eval(node.child)
