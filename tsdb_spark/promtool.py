@@ -548,6 +548,32 @@ def run_promql_tests(spark, path: str, tmp_dir: str | None = None) -> list[str]:
         if m is None:
             raise ValueError(f"{where}: unrecognized command: {cmd_line!r}")
         cmd, expr = m.group("cmd"), m.group("expr").strip()
+        # the newer upstream `expect` directive form (promqltest 3.x):
+        # indented `expect fail [msg:|regexp: ...]` / `expect ordered` /
+        # `expect no_warn|no_info` lines under a plain `eval` — mapped
+        # onto the classic command variants. Annotation-PRESENCE
+        # expectations (expect warn/info) need the annotation channel
+        # this engine doesn't model, so they fail loudly.
+        exp_fail_want: tuple[str, str] | None = None
+        directives = [b for b in body if b.startswith("expect ")]
+        body = [b for b in body if not b.startswith("expect ")]
+        for d in directives:
+            kind = d.split()[1] if len(d.split()) > 1 else ""
+            if kind == "fail":
+                cmd = "eval_fail"
+                rest = d[len("expect fail"):].strip()
+                if rest.startswith("msg:"):
+                    exp_fail_want = ("msg", rest[len("msg:"):].strip())
+                elif rest.startswith("regexp:"):
+                    exp_fail_want = ("regexp", rest[len("regexp:"):].strip())
+            elif kind == "ordered":
+                cmd = "eval_ordered"
+            elif kind in ("no_warn", "no_info"):
+                pass  # this engine never emits warn/info annotations
+            else:
+                raise ValueError(
+                    f"{where}: unsupported expect directive: {d!r}"
+                )
         if m.group("at") is not None:
             start = end = _duration_ms(m.group("at"))
             step = 60_000
@@ -564,21 +590,31 @@ def run_promql_tests(spark, path: str, tmp_dir: str | None = None) -> list[str]:
         except Exception as e:  # noqa: BLE001 — eval_fail asserts on this
             if cmd == "eval_fail":
                 msg = str(e)
-                for b in body:
-                    if b.startswith("expected_fail_message"):
-                        want = b.split(None, 1)[1]
-                        if want not in msg:
-                            failures.append(
-                                f"{where}: fail message {msg!r} "
-                                f"does not contain {want!r}"
-                            )
-                    elif b.startswith("expected_fail_regexp"):
-                        want = b.split(None, 1)[1]
-                        if re.search(want, msg) is None:
-                            failures.append(
-                                f"{where}: fail message {msg!r} "
-                                f"does not match /{want}/"
-                            )
+                checks = [
+                    (
+                        "msg"
+                        if b.startswith("expected_fail_message")
+                        else "regexp",
+                        b.split(None, 1)[1],
+                    )
+                    for b in body
+                    if b.startswith(
+                        ("expected_fail_message", "expected_fail_regexp")
+                    )
+                ]
+                if exp_fail_want is not None:
+                    checks.append(exp_fail_want)
+                for kind, want in checks:
+                    if kind == "msg" and want not in msg:
+                        failures.append(
+                            f"{where}: fail message {msg!r} "
+                            f"does not contain {want!r}"
+                        )
+                    elif kind == "regexp" and re.search(want, msg) is None:
+                        failures.append(
+                            f"{where}: fail message {msg!r} "
+                            f"does not match /{want}/"
+                        )
                 continue
             failures.append(f"{where}: {expr!r} raised {e!r}")
             continue
