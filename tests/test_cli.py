@@ -219,3 +219,35 @@ def test_cli_r6_subcommands(spark, tmp_path, capsys):
     """))
     assert main(["test-rules", str(tests_yml)]) == 0
     assert "SUCCESS" in capsys.readouterr().out
+
+
+def test_cli_test_promql(spark, tmp_path, capsys):
+    """`test-promql` runs upstream-format script files and reports
+    SUCCESS/FAILED with a nonzero exit on mismatch."""
+    import textwrap
+
+    good = tmp_path / "good.test"
+    good.write_text(textwrap.dedent("""\
+        load 1m
+            g 0+2x5
+
+        eval instant at 5m g
+            g 10
+
+        eval instant at 5m sum(g)
+            {} 10
+    """))
+    assert main(["test-promql", str(good)]) == 0
+    assert "SUCCESS" in capsys.readouterr().out
+
+    bad = tmp_path / "bad.test"
+    bad.write_text(textwrap.dedent("""\
+        load 1m
+            g 0+2x5
+
+        eval instant at 5m g
+            g 11
+    """))
+    assert main(["test-promql", str(bad)]) == 1
+    out = capsys.readouterr().out
+    assert "FAILED" in out and "got" in out
