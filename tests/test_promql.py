@@ -1365,3 +1365,38 @@ def test_render_roundtrip():
         rendered = P.render_expr(n1)
         n2 = P.parse_expr(rendered)
         assert n1 == n2, (s, rendered)
+
+
+def test_strip_name_adversarial_values(spark):
+    # _strip_name derives labels_str from the canonical string via an
+    # ANCHORED regex; these inputs would spoof an unanchored match —
+    # a value containing ',__name__=' text, an escaped-quote spoof, a
+    # UTF-8 label name that byte-sorts before __name__ (fallback path),
+    # and a name-only set
+    from tsdb_spark import labels as L
+
+    rows = [
+        ({"__name__": "m", "a": ",__name__=", "z": "y"}, 10_000, 1.0),
+        ({"__name__": "m", "a": 'x",__name__="spoof', "z": "y"}, 10_000, 2.0),
+        ({"_ odd": "1", "__name__": "m2"}, 10_000, 3.0),
+        ({"__name__": "m3"}, 10_000, 4.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "labels MAP<STRING,STRING>, t LONG, v DOUBLE"
+    ).withColumn("labels_str", L.labels_str_expr("labels"))
+    q = P.RangeQuery(df, 10_000, 10_000, 1_000)
+    out = q.run('abs({__name__=~"m|m2|m3"})').collect()
+    assert len(out) == 4
+    for r in out:
+        lab = dict(r["labels"])
+        assert "__name__" not in lab
+        # compare against the canonical renderer itself — the invariant
+        # is strip(labels_str) == render(strip(labels))
+        rendered = (
+            df.sparkSession.createDataFrame(
+                [(lab,)], "labels MAP<STRING,STRING>"
+            )
+            .select(L.labels_str_expr("labels").alias("s"))
+            .collect()[0]["s"]
+        )
+        assert r["labels_str"] == rendered, (r["labels_str"], rendered)

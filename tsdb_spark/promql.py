@@ -2304,24 +2304,40 @@ class RangeQuery:
         """Drop __name__ from the label set (PromQL rule for value
         transforms, range functions, arithmetic, bool comparisons).
 
-        labels_str is derived from the EXISTING canonical string with
-        two anchored regexes instead of re-rendering the map
-        (sort+escape+concat) — this runs on every range-fn/binop output
-        row, and the string already is the injective render, where the
-        __name__ pair can only appear after '{' or ',' with every
-        in-value quote escaped."""
+        labels_str is usually derived from the EXISTING canonical
+        string instead of re-rendering the map (sort+escape+concat) —
+        this runs on every range-fn/binop output row. The regex must be
+        ANCHORED at the string start: only there is quote parity known
+        (an unanchored in-the-middle match could start inside a label
+        VALUE containing ',__name__=' text). __name__ byte-sorts first
+        against every legacy label name, so the anchored form covers
+        everything but exotic UTF-8 names like '_ x' that sort before
+        it — those take the exact map re-render."""
         if "labels" not in df.columns:
             return df
-        s = F.regexp_replace(
-            F.col("labels_str"),
-            r'(?<=[{,])__name__="(?:\\.|[^"\\])*",?',
-            "",
+        stripped_map = F.map_filter(
+            F.col("labels"), lambda k, _: k != F.lit("__name__")
         )
-        s = F.regexp_replace(s, r",\}$", "}")
-        return df.withColumn(
-            "labels",
-            F.map_filter(F.col("labels"), lambda k, _: k != F.lit("__name__")),
-        ).withColumn("labels_str", s)
+        fast = F.regexp_replace(
+            F.col("labels_str"),
+            r'^\{__name__="(?:\\.|[^"\\])*",?',
+            "{",
+        )
+        s = F.when(
+            F.col("labels_str").startswith('{__name__="'), fast
+        ).otherwise(
+            F.when(
+                F.map_contains_key(F.col("labels"), "__name__"),
+                L.labels_str_expr(stripped_map),
+            ).otherwise(F.col("labels_str"))
+        )
+        # one projection: both outputs derive from the ORIGINAL columns
+        # (a second withColumn would resolve `labels` to the already-
+        # stripped map and skip the fallback)
+        others = [c for c in df.columns if c not in ("labels", "labels_str")]
+        return df.select(
+            s.alias("labels_str"), stripped_map.alias("labels"), *others
+        )
 
     def _eval_labeltx(self, node: LabelTransform) -> DataFrame:
         child = self.eval(node.child)
