@@ -645,6 +645,17 @@ def test_query_scalar_result_type(store):
     resp = query(store, "scalar(sum(m))", 600_000)
     assert resp["data"]["resultType"] == "scalar"
     assert resp["data"]["result"][1] == "30"
+    # compound scalar expressions type scalar too (checkAST recursion):
+    # `1 + time()` is BinDynScalar, `scalar(x) * 2` is BinScalar
+    resp = query(store, "1 + time()", 600_000)
+    assert resp["data"]["resultType"] == "scalar"
+    assert resp["data"]["result"] == [600.0, "601"]
+    resp = query(store, "scalar(sum(m)) * 2", 600_000)
+    assert resp["data"]["resultType"] == "scalar"
+    assert resp["data"]["result"][1] == "60"
+    resp = query(store, "scalar(sum(m)) + scalar(sum(m))", 600_000)
+    assert resp["data"]["resultType"] == "scalar"
+    assert resp["data"]["result"][1] == "60"
     # vector(5) stays a vector; range queries stay matrices
     assert query(store, "vector(5)", 600_000)["data"]["resultType"] == "vector"
     rr = query_range(store, "2 + 3", 300_000, 600_000, 300_000)

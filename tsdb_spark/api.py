@@ -90,13 +90,14 @@ def query(
     (web/api/v1 promql.Scalar rendering). Range queries keep "matrix"
     for scalars too — the upstream engine returns a Matrix with one
     metricless series there."""
-    from tsdb_spark.promql import Number, ScalarOf, TimeFn, parse_expr
+    from tsdb_spark.promql import _scalar_typed, parse_expr
 
     df = eval_range_db(db, expr, time_ms, time_ms, 1, lookback_ms)
     node = parse_expr(expr)
-    if isinstance(node, (Number, ScalarOf)) or (
-        isinstance(node, TimeFn) and node.fn == "time"
-    ):
+    # parse-time scalar typing (promql._scalar_typed, the same rule
+    # vector() uses): covers compound scalars like `1 + time()` and
+    # `scalar(x) * 2`, not just bare Number/scalar()/time()
+    if _scalar_typed(node):
         rows = df.collect()
         val = format_value(rows[0]["value"]) if rows else "NaN"
         return {

@@ -601,6 +601,17 @@ class _Parser:
             return BinScalar(op, right, left.val, scalar_left=True, cmp_bool=cmp_bool)
         if isinstance(right, Number):
             return BinScalar(op, left, right.val, cmp_bool=cmp_bool)
+        if _scalar_typed(left) and _scalar_typed(right):
+            # scalar op scalar stays scalar-typed (e.g.
+            # scalar(a) + scalar(b), time() * scalar(x)) — upstream
+            # checkAST types it scalar, so vector() accepts it and
+            # /api/v1/query renders resultType "scalar". Comparisons
+            # between scalars need the bool modifier like any pair.
+            if op in CMP_OPS and not cmp_bool:
+                raise ValueError(
+                    "comparisons between scalars must use BOOL modifier"
+                )
+            return BinDynScalar(op, left, right, cmp_bool=cmp_bool)
         if isinstance(left, ScalarOf) and not isinstance(right, ScalarOf):
             return BinDynScalar(op, right, left, scalar_left=True, cmp_bool=cmp_bool)
         if isinstance(right, ScalarOf) and not isinstance(left, ScalarOf):
@@ -1258,37 +1269,48 @@ _REGRESSION_FNS = ("deriv", "predict_linear")
 
 # window-aggregate builders: (series, T) group → centi-unit columns
 def _window_agg(fn: str, range_ms: int, param: float | None = None):
+    vc = F.col("vc")
+    fin = F.abs(vc) < _VC_FIN_LIM
+    finz = F.when(fin, vc).otherwise(F.lit(0))  # finite part, 0 elsewhere
     base = [
         F.count("*").alias("n"),
         F.min("t").alias("first_t"),
         F.max("t").alias("last_t"),
         F.min_by("vc", "t").alias("first_c"),
         F.max_by("vc", "t").alias("last_c"),
+        # per-window non-finite census: drives the IEEE branch in
+        # _window_value and keeps every exact long sum sentinel-free
+        F.sum(F.when(vc == _VC_NAN, 1).otherwise(F.lit(0))).alias("n_nan"),
+        F.sum(F.when(vc == _VC_PINF, 1).otherwise(F.lit(0))).alias("n_pinf"),
+        F.sum(F.when(vc == _VC_NINF, 1).otherwise(F.lit(0))).alias("n_ninf"),
     ]
     if fn in ("rate", "increase", "irate", "resets"):
         # counter semantics: per-pair drop facts, first-pair fact excluded
-        # when its left neighbor precedes the window
+        # when its left neighbor precedes the window. Float comparison
+        # rules: a pair with NaN on either side is never a reset
+        # (NaN < x and x < NaN are both false upstream); ±Inf pairs ARE
+        # resets per the long sentinel order. Integer drop sums stay
+        # finite-pairs-only (overflow safety); the decoded double twins
+        # carry the ±Inf corrections for the non-finite branch.
+        pvc = F.col("pvc")
+        nonan = (vc != _VC_NAN) & (pvc != _VC_NAN)
+        drop_i = pvc.isNotNull() & fin & (F.abs(pvc) < _VC_FIN_LIM) & (vc < pvc)
+        drop_f = pvc.isNotNull() & nonan & (vc < pvc)
         base += [
-            F.sum(
-                F.when((F.col("pvc").isNotNull()) & (F.col("vc") < F.col("pvc")), F.col("pvc"))
-                .otherwise(F.lit(0))
-            ).alias("drop_sum"),
-            F.sum(
-                F.when((F.col("pvc").isNotNull()) & (F.col("vc") < F.col("pvc")), 1)
-                .otherwise(F.lit(0))
-            ).alias("reset_n"),
+            F.sum(F.when(drop_i, pvc).otherwise(F.lit(0))).alias("drop_sum"),
+            F.sum(F.when(drop_f, 1).otherwise(F.lit(0))).alias("reset_n"),
             F.min_by(
-                F.when(
-                    (F.col("pvc").isNotNull()) & (F.col("vc") < F.col("pvc")), F.col("pvc")
-                ).otherwise(F.lit(0)),
-                "t",
+                F.when(drop_i, pvc).otherwise(F.lit(0)), "t"
             ).alias("first_drop"),
             F.min_by(
-                F.when(
-                    (F.col("pvc").isNotNull()) & (F.col("vc") < F.col("pvc")), 1
-                ).otherwise(F.lit(0)),
-                "t",
+                F.when(drop_f, 1).otherwise(F.lit(0)), "t"
             ).alias("first_reset"),
+            F.sum(
+                F.when(drop_f, _vc_decode(pvc)).otherwise(F.lit(0.0))
+            ).alias("drop_sum_d"),
+            F.min_by(
+                F.when(drop_f, _vc_decode(pvc)).otherwise(F.lit(0.0)), "t"
+            ).alias("first_drop_d"),
         ]
     if fn == "changes":
         base += [
@@ -1309,37 +1331,54 @@ def _window_agg(fn: str, range_ms: int, param: float | None = None):
             F.max_by("pt", "t").alias("last_pt"),
         ]
     if fn in ("sum_over_time", "avg_over_time"):
-        base.append(F.sum("vc").alias("sum_c"))
+        base.append(F.sum(finz).alias("sum_c"))
     if fn == "min_over_time":
-        base.append(F.min("vc").alias("min_c"))
+        # finite-only min (null-skipping); ±Inf/NaN resolved from the
+        # census in _window_value — NaN is skipped unless all-NaN
+        base.append(F.min(F.when(fin, vc)).alias("min_c"))
     if fn == "max_over_time":
-        base.append(F.max("vc").alias("max_c"))
+        base.append(F.max(F.when(fin, vc)).alias("max_c"))
     if fn in ("stddev_over_time", "stdvar_over_time"):
         # exact integer sums (|vc| < 3e6 and window counts < 1e6 keep
         # every product far under 2^63); the variance is ONE double
-        # expression over them — order-independent across engines
+        # expression over them — order-independent across engines.
+        # Sentinel rows excluded (any non-finite → NaN variance anyway)
         base += [
-            F.sum("vc").alias("sum_c"),
-            F.sum(F.col("vc") * F.col("vc")).alias("sumsq_c"),
+            F.sum(finz).alias("sum_c"),
+            F.sum(F.when(fin, vc * vc).otherwise(F.lit(0))).alias("sumsq_c"),
         ]
     if fn == "quantile_over_time":
         # exact percentile at rank φ(n-1) with linear interpolation over
         # integer centi-units (matches DuckDB quantile_cont and the
-        # promql/quantile.go rank rule) — deterministic
-        base.append(
+        # promql/quantile.go rank rule) — deterministic. The sorted key
+        # array (NaN remapped below -Inf, Go slices.Sort order) serves
+        # the non-finite branch's rank interpolation.
+        base += [
             F.expr(f"percentile(vc, {param if param is not None else 0.5})").alias(
                 "pct_c"
-            )
-        )
+            ),
+            F.array_sort(
+                F.collect_list(
+                    F.when(vc == _VC_NAN, F.lit(_VC_QNAN)).otherwise(vc)
+                )
+            ).alias("q_vals"),
+        ]
     if fn in ("ts_of_max_over_time", "ts_of_min_over_time"):
         # timestamp of the window's extreme sample (upstream 3.x
         # funcTsOfMaxOverTime); ties break to the LATEST timestamp,
-        # made deterministic via the (vc, t) struct ordering
-        pick = F.max_by if fn == "ts_of_max_over_time" else F.min_by
+        # made deterministic via the (vc, t) struct ordering. NaN is
+        # remapped to the always-losing end so it is skipped unless the
+        # whole window is NaN (then the tie rule picks the last NaN's t,
+        # matching the upstream loop)
+        ismax = fn == "ts_of_max_over_time"
+        vkey = F.when(
+            vc == _VC_NAN, F.lit(-(1 << 62) if ismax else (1 << 62))
+        ).otherwise(vc)
+        pick = F.max_by if ismax else F.min_by
         key = (
-            F.struct(F.col("vc"), F.col("t"))
-            if fn == "ts_of_max_over_time"
-            else F.struct(F.col("vc"), (-F.col("t")).alias("nt"))
+            F.struct(vkey.alias("k"), F.col("t"))
+            if ismax
+            else F.struct(vkey.alias("k"), (-F.col("t")).alias("nt"))
         )
         base.append(pick("t", key).alias("ts_of"))
     if fn == "mad_over_time":
@@ -1371,8 +1410,8 @@ def _window_agg(fn: str, range_ms: int, param: float | None = None):
         xd = (F.col("t") - F.col(_G)).cast("decimal(19,0)")
         base += [
             F.sum(F.col("t") - F.col(_G)).alias("sx"),
-            F.sum("vc").alias("sy"),
-            F.sum(xd * F.col("vc")).alias("sxy"),
+            F.sum(finz).alias("sy"),
+            F.sum(xd * finz).alias("sxy"),
             F.sum(xd * xd).alias("sxx"),
         ]
     return base
@@ -1382,30 +1421,74 @@ def _window_value(
     fn: str, range_ms: int, grid_t: Column, param: float | None = None
 ) -> Column:
     """Final per-(series, T) double value from the window aggregates —
-    deterministic scalar math over order-independent integer columns."""
+    deterministic scalar math over order-independent integer columns.
+
+    All-finite windows take the exact centi-unit path (bit-stable vs the
+    DuckDB oracle). Windows containing NaN/±Inf sentinels take an IEEE
+    branch reproducing promql/functions.go float semantics: sum/avg
+    propagate NaN (and +Inf with -Inf cancels to NaN); min/max skip NaN
+    unless the whole window is NaN; stddev/stdvar/mad/deriv go NaN."""
     n = F.col("n")
     first_t, last_t = F.col("first_t"), F.col("last_t")
     first_c, last_c = F.col("first_c"), F.col("last_c")
+    n_nan, n_pinf, n_ninf = F.col("n_nan"), F.col("n_pinf"), F.col("n_ninf")
+    nonfin = (n_nan + n_pinf + n_ninf) > 0
+    NAN = F.lit(float("nan"))
+    PINF = F.lit(float("inf"))
+    NINF = F.lit(float("-inf"))
+    # IEEE sum over the window's non-finite members (float + semantics)
+    ieee_sum = (
+        F.when((n_nan > 0) | ((n_pinf > 0) & (n_ninf > 0)), NAN)
+        .when(n_pinf > 0, PINF)
+        .otherwise(NINF)
+    )
     if fn == "count_over_time":
-        return n.cast("double")
+        return n.cast("double")  # counts every sample, NaN included
     if fn == "present_over_time":
         return F.lit(1.0)
     if fn == "last_over_time":
-        return last_c / 100.0
+        return _vc_decode(last_c)
     if fn == "ts_of_last_over_time":
         return last_t / 1000.0  # unix seconds, like timestamp()
     if fn in ("ts_of_max_over_time", "ts_of_min_over_time"):
         return F.col("ts_of") / 1000.0
     if fn == "sum_over_time":
-        return F.col("sum_c") / 100.0
+        return F.when(nonfin, ieee_sum).otherwise(F.col("sum_c") / 100.0)
     if fn == "avg_over_time":
-        return F.col("sum_c") / n / 100.0
+        # the incremental mean propagates like the sum: NaN → NaN,
+        # conflicting infinities → NaN, one-signed infinity dominates
+        return F.when(nonfin, ieee_sum).otherwise(F.col("sum_c") / n / 100.0)
     if fn == "min_over_time":
-        return F.col("min_c") / 100.0
+        return (
+            F.when(n_ninf > 0, NINF)
+            .when(F.col("min_c").isNotNull(), F.col("min_c") / 100.0)
+            .when(n_pinf > 0, PINF)
+            .otherwise(NAN)  # all-NaN window
+        )
     if fn == "max_over_time":
-        return F.col("max_c") / 100.0
+        return (
+            F.when(n_pinf > 0, PINF)
+            .when(F.col("max_c").isNotNull(), F.col("max_c") / 100.0)
+            .when(n_ninf > 0, NINF)
+            .otherwise(NAN)
+        )
     if fn == "quantile_over_time":
-        return F.col("pct_c") / 100.0
+        # non-finite branch: rank interpolation over the sorted key
+        # array (NaN first, Go slices.Sort order), decoded to doubles so
+        # NaN/±Inf propagate through the interpolation exactly as the
+        # upstream float math does
+        phi = param if param is not None else 0.5
+        rank = (n - 1).cast("double") * F.lit(float(phi))
+        lo = F.floor(rank).cast("int")
+        frac = rank - lo.cast("double")
+
+        def _qdec(c: Column) -> Column:
+            return F.when(c == _VC_QNAN, NAN).otherwise(_vc_decode(c))
+
+        lo_v = _qdec(F.get("q_vals", lo))
+        hi_v = _qdec(F.get("q_vals", lo + 1))
+        interp = F.when(frac == 0, lo_v).otherwise(lo_v + (hi_v - lo_v) * frac)
+        return F.when(nonfin, interp).otherwise(F.col("pct_c") / 100.0)
     if fn == "mad_over_time":
         med = F.col("med_c")
         devs = F.array_sort(
@@ -1418,7 +1501,7 @@ def _window_value(
         lo_v = F.element_at(devs, lo + 1)
         hi_v = F.element_at(devs, lo + 2)
         frac = rank - lo.cast("double")
-        return (
+        return F.when(nonfin, NAN).otherwise(
             F.when(frac == 0, lo_v).otherwise(lo_v + (hi_v - lo_v) * frac)
             / 100.0
         )
@@ -1430,7 +1513,9 @@ def _window_value(
         # recurrence as tsdb_holt_winters (queries.py), an ordered
         # F.aggregate fold over the time-sorted window
         sf, tf = param  # type: ignore[misc]
-        xs = F.transform(F.col("pts"), lambda p: p["vc"].cast("double") / 100.0)
+        # decode (not bare /100): NaN/±Inf samples enter the recurrence
+        # as IEEE doubles and propagate exactly like the upstream floats
+        xs = F.transform(F.col("pts"), lambda p: _vc_decode(p["vc"]))
         v1, v2 = F.element_at(xs, 1), F.element_at(xs, 2)
         rest = F.slice(xs, 2, F.greatest(F.size(xs) - 1, F.lit(0)))
 
@@ -1453,6 +1538,9 @@ def _window_value(
             / n.cast("double")
             / 10000.0
         )
+        # any non-finite sample → NaN (the Welford recurrence upstream
+        # degenerates to NaN via Inf−Inf / NaN arithmetic)
+        var = F.when(nonfin, NAN).otherwise(var)
         return F.sqrt(var) if fn == "stddev_over_time" else var
     if fn in _REGRESSION_FNS:
         num = (
@@ -1471,55 +1559,82 @@ def _window_value(
             mean_x = F.col("sx").cast("double") / n.cast("double")
             mean_y = F.col("sy").cast("double") / n.cast("double") / 100.0
             val = mean_y + num / den / 100.0 * (xstar - mean_x)
-        return F.when((n >= 2) & (den != 0.0), val)
+        # float least-squares over any non-finite sample is NaN upstream
+        # (Inf/NaN sums make both covariances NaN)
+        return F.when((n >= 2) & nonfin, NAN).when((n >= 2) & (den != 0.0), val)
     if fn == "resets":
         return (F.col("reset_n") - F.col("first_reset")).cast("double")
     if fn == "changes":
         return (F.col("chg_sum") - F.col("first_chg")).cast("double")
     if fn == "idelta":
+        lpvc = F.col("last_pvc")
+        pair_fin = (F.abs(last_c) < _VC_FIN_LIM) & (F.abs(lpvc) < _VC_FIN_LIM)
         return F.when(
             F.col("last_pt").isNotNull() & (F.col("last_pt") > grid_t - range_ms),
-            (last_c - F.col("last_pvc")) / 100.0,
+            F.when(pair_fin, (last_c - lpvc) / 100.0).otherwise(
+                _vc_decode(last_c) - _vc_decode(lpvc)
+            ),
         )
     if fn == "irate":
+        # the reset test (last < prev) runs on the sentinel longs with
+        # NaN pairs excluded — faithful to the float order, and every
+        # NaN case lands on a decoded-NaN result exactly like upstream
+        lpvc = F.col("last_pvc")
+        pair_fin = (F.abs(last_c) < _VC_FIN_LIM) & (F.abs(lpvc) < _VC_FIN_LIM)
+        num = F.when(
+            last_c >= lpvc,
+            F.when(pair_fin, (last_c - lpvc) / 100.0).otherwise(
+                _vc_decode(last_c) - _vc_decode(lpvc)
+            ),
+        ).otherwise(_vc_decode(last_c))
         return F.when(
             F.col("last_pt").isNotNull() & (F.col("last_pt") > grid_t - range_ms),
-            F.when(last_c >= F.col("last_pvc"), last_c - F.col("last_pvc"))
-            .otherwise(last_c)
-            / 100.0
-            / ((last_t - F.col("last_pt")) / 1000.0),
+            num / ((last_t - F.col("last_pt")) / 1000.0),
         )
     # rate / increase / delta share the extrapolation skeleton
     # (promql/functions.go extrapolatedRate): needs >= 2 samples
     counter = fn in ("rate", "increase")
+    sampled = (last_t - first_t).cast("double")
+    dstart = (first_t - (grid_t - range_ms)).cast("double")
+    dend = (grid_t - last_t).cast("double")
+    avg_dur = sampled / (n - 1).cast("double")
+
+    def _ext(delta_d: Column, first_d: Column, scale: float) -> Column:
+        """Extrapolation skeleton over a double delta/first (both in the
+        same scale; `scale` de-scales the result to units)."""
+        # counters cannot extrapolate below their projected zero crossing
+        zero_cross = sampled * (first_d / delta_d)
+        dstart2 = (
+            F.when(
+                (delta_d > 0) & (first_d >= 0) & (zero_cross < dstart), zero_cross
+            ).otherwise(dstart)
+            if counter
+            else dstart
+        )
+        factor = (
+            sampled
+            + F.when(dstart2 < avg_dur * 1.1, dstart2).otherwise(avg_dur / 2)
+            + F.when(dend < avg_dur * 1.1, dend).otherwise(avg_dur / 2)
+        ) / sampled
+        ext = delta_d * factor / scale
+        if fn == "rate":
+            ext = ext / (range_ms / 1000.0)
+        return ext
+
+    # exact branch: integer centi delta, de-scaled once at the end
     delta_c = (
         (last_c - first_c + F.col("drop_sum") - F.col("first_drop"))
         if counter
         else (last_c - first_c)
     )
-    sampled = (last_t - first_t).cast("double")
-    dstart = (first_t - (grid_t - range_ms)).cast("double")
-    dend = (grid_t - last_t).cast("double")
-    avg_dur = sampled / (n - 1).cast("double")
-    first_d = first_c.cast("double")
-    # counters cannot extrapolate below their projected zero crossing
-    zero_cross = sampled * (first_d / delta_c.cast("double"))
-    dstart2 = (
-        F.when(
-            (delta_c > 0) & (first_d >= 0) & (zero_cross < dstart), zero_cross
-        ).otherwise(dstart)
-        if counter
-        else dstart
-    )
-    factor = (
-        sampled
-        + F.when(dstart2 < avg_dur * 1.1, dstart2).otherwise(avg_dur / 2)
-        + F.when(dend < avg_dur * 1.1, dend).otherwise(avg_dur / 2)
-    ) / sampled
-    ext = delta_c.cast("double") * factor / 100.0
-    if fn == "rate":
-        ext = ext / (range_ms / 1000.0)
-    return F.when(n >= 2, ext)
+    exact = _ext(delta_c.cast("double"), first_c.cast("double"), 100.0)
+    # non-finite branch: decoded IEEE doubles (NaN first/last → NaN;
+    # ±Inf flows through delta and the drop corrections like upstream)
+    delta_d = _vc_decode(last_c) - _vc_decode(first_c)
+    if counter:
+        delta_d = delta_d + F.col("drop_sum_d") - F.col("first_drop_d")
+    ieee = _ext(delta_d, _vc_decode(first_c), 1.0)
+    return F.when(n >= 2, F.when(nonfin, ieee).otherwise(exact))
 
 
 def _arith_col(op: str, a: Column, b: Column) -> Column:
@@ -1551,11 +1666,22 @@ def _arith_col(op: str, a: Column, b: Column) -> Column:
 #: canonicalization cannot carry (NaN is a VALID, distinguishable
 #: sample value upstream — head.go amend-detection compares
 #: math.Float64bits). The instant read path decodes them back; window
-#: functions over non-finite samples are outside the exact centi-unit
-#: design and fail loudly (ANSI overflow) rather than silently skewing.
+#: functions count the sentinels per window (_window_agg n_nan/n_pinf/
+#: n_ninf), keep every exact long sum finite-only, and reproduce
+#: upstream's IEEE float semantics in _window_value's non-finite branch
+#: (promql/functions.go aggrOverTime). Ordering note: excluding NaN,
+#: the long order of sentinels is faithful to the double order
+#: (_VC_NINF < finite < _VC_PINF), so long comparisons double as float
+#: comparisons wherever NaN pairs are filtered first.
 _VC_NAN = -(1 << 61)
 _VC_PINF = 1 << 61
 _VC_NINF = -(1 << 61) - 1
+#: |vc| below this is a finite centi-value (real samples stay far under;
+#: the sentinels sit at ±2^61±1)
+_VC_FIN_LIM = 1 << 60
+#: NaN's slot in sort-order-corrected arrays (Go slices.Sort places NaN
+#: BEFORE -Inf; the raw sentinel would sort after it)
+_VC_QNAN = -(1 << 62)
 
 
 def _vc_encode(v: Column) -> Column:

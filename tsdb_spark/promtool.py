@@ -485,7 +485,9 @@ def run_promql_tests(spark, path: str, tmp_dir: str | None = None) -> list[str]:
     failures: list[str] = []
     # stores that received native-histogram samples evaluate through
     # the histograms table (eval_hist_range_db); float and histogram
-    # series don't mix within one store section
+    # series don't mix within one store section. Keyed on the store
+    # INDEX n_db — id(db) can be reused by CPython after a `clear`
+    # garbage-collects the previous DB object
     has_hist: set[int] = set()
 
     for ln, cmd_line, body in blocks:
@@ -542,7 +544,7 @@ def run_promql_tests(spark, path: str, tmp_dir: str | None = None) -> list[str]:
                         f"labels MAP<STRING,STRING>, t LONG, h {HIST_TYPE}",
                     )
                 )
-                has_hist.add(id(db))
+                has_hist.add(n_db)
             continue
         m = _EVAL_CMD_RE.match(cmd_line)
         if m is None:
@@ -584,7 +586,7 @@ def run_promql_tests(spark, path: str, tmp_dir: str | None = None) -> list[str]:
         grid = list(range(start, end + 1, step))
 
         try:
-            ev = eval_hist_range_db if id(db) in has_hist else eval_range_db
+            ev = eval_hist_range_db if n_db in has_hist else eval_range_db
             out = ev(db, expr, start, end, step)
             rows = out.collect()
         except Exception as e:  # noqa: BLE001 — eval_fail asserts on this
@@ -658,7 +660,11 @@ def run_promql_tests(spark, path: str, tmp_dir: str | None = None) -> list[str]:
                 except ValueError:
                     num = None
                 if num is not None:
-                    want.setdefault((), []).append(num)
+                    # a bare range expectation row can carry MORE values
+                    # after the first (`0 50 100`) — desc holds only the
+                    # first number, the rest still sit in vals
+                    rest = parse_series_values(vals) if vals.strip() else []
+                    want.setdefault((), []).extend([num] + rest)
                     continue
             want[_desc_key(desc)] = parse_series_values(vals)
         if start == end:
