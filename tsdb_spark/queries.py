@@ -2995,7 +2995,6 @@ GATE: tuple[str, ...] = (
     "tsdb_instant_vector",  # as-of join lookback (subsumes the buffer shape)
     "tsdb_block_stats",
     "tsdb_analyze_labels",
-    "tsdb_histogram_quantile",
     # -- PromQL evaluator + rules + serving --
     # rotation policy (r6): gate slots rotate round-over-round so every
     # family gets driver-record coverage despite the 50-slot cap.
@@ -3008,11 +3007,22 @@ GATE: tuple[str, ...] = (
     # r6 session rotation: docs_keywords (driver-green r3-r5, tf-idf
     # rollup also pinned by pytest) rotates out for the brand-new
     # group_left include-label matching path (engine.go resultMetric)
+    # r7 rotation (per the r6 verdict's explicit ask): the native-
+    # histogram layer — the largest r6 feature — gets driver-record
+    # slots. OUT: tsdb_histogram_quantile (classic buckets; driver-green
+    # r3-r6, quantile rank rule still driver-covered via the native
+    # twin), stream_dedup (driver-green r5-r6, pinned by
+    # tests/test_streaming.py), docs_fingerprints (driver-green r4-r6,
+    # pinned by tests/test_pipeline.py). IN: promql_native_hist_rate
+    # (boundary-extrapolated rate over sparse exponential buckets,
+    # map_zip_with path), store_native_hist (hist append → quantile over
+    # the store), stream_hist_ingest (streaming histogram ingestion).
     "promql_rate_grid",
     "promql_subquery",
     "promql_at_pin",
     "promql_alert_rule",
     "promql_group_left_include",
+    "promql_native_hist_rate",
     "api_federate_dedup",
     # -- store lifecycle --
     # r6 late rotation: store_readonly_select / store_overlap_report
@@ -3026,17 +3036,17 @@ GATE: tuple[str, ...] = (
     "store_size_retention",
     "store_openmetrics_backfill",
     "store_exemplars",
+    "store_native_hist",
     # -- streaming --
     "stream_ingest_restart",
     "stream_windowed_rollup",
     "stream_strict_append",
-    "stream_dedup",
+    "stream_hist_ingest",
     # -- documents pipeline --
     "docs_text_stats",
     "docs_lang_id",
     "docs_repetition",
     "docs_source_report",
-    "docs_fingerprints",
     "docs_chunk_windows",
     "docs_sample_stratified",
     "docs_decontaminate",
