@@ -1,0 +1,182 @@
+"""Remote-write wire protocol (prompb WriteRequest over snappy block
+format), both codecs implemented from the public specs — protobuf wire
+encoding and github.com/google/snappy format_description.txt."""
+
+import math
+import random
+import struct
+import threading
+import urllib.request
+
+import pytest
+
+from tsdb_spark import DB
+from tsdb_spark.sources.remotewrite import (
+    backfill_remote_write,
+    decode_write_request,
+    encode_write_request,
+    remote_write_df,
+    snappy_compress,
+    snappy_decompress,
+)
+
+WIDTH = 3_600_000
+
+
+# ------------------------------------------------------------- snappy
+
+
+def test_snappy_literal_roundtrip():
+    rng = random.Random(7)
+    for n in (0, 1, 59, 60, 61, 255, 256, 65535, 65536, 200_000):
+        data = bytes(rng.getrandbits(8) for _ in range(min(n, 4096))) * (
+            max(n // 4096, 1)
+        )
+        data = data[:n]
+        assert snappy_decompress(snappy_compress(data)) == data
+
+
+def test_snappy_copy1_overlapping_rle():
+    # "a" * 10 as: literal "a", then copy-1 (len 9, offset 1) — the
+    # overlapping back-reference must expand byte-at-a-time
+    stream = b"\x0a" + b"\x00a" + bytes([(5 << 2) | 1, 0x01])
+    assert snappy_decompress(stream) == b"a" * 10
+
+
+def test_snappy_copy2_disjoint():
+    # "abcd" + copy-2 (len 12, offset 4) -> "abcd" * 4
+    stream = b"\x10" + b"\x0cabcd" + bytes([(11 << 2) | 2]) + b"\x04\x00"
+    assert snappy_decompress(stream) == b"abcd" * 4
+
+
+def test_snappy_copy4():
+    stream = b"\x08" + b"\x0cabcd" + bytes([(3 << 2) | 3]) + b"\x04\x00\x00\x00"
+    assert snappy_decompress(stream) == b"abcdabcd"
+
+
+def test_snappy_length_mismatch_rejected():
+    with pytest.raises(ValueError):
+        snappy_decompress(b"\x05\x00a")  # claims 5, delivers 1
+    with pytest.raises(ValueError):
+        snappy_decompress(b"\x02" + bytes([(5 << 2) | 1, 0x01]))  # copy first
+
+
+# ----------------------------------------------------------- protobuf
+
+
+SERIES = [
+    (
+        {"__name__": "http_requests_total", "job": "api", "instance": "i-1"},
+        [(0, 1.0), (15_000, 2.5), (30_000, 3.25)],
+    ),
+    ({"__name__": "μ_metric", "väl": "ü"}, [(1_000, -7.75)]),
+    ({"__name__": "edge"}, [(2_000, float("inf")), (3_000, float("-inf"))]),
+]
+
+
+def test_write_request_roundtrip():
+    body = encode_write_request(SERIES)
+    got = decode_write_request(body)
+    assert len(got) == 3
+    for (labels, samples), (glabels, gsamples) in zip(SERIES, got):
+        assert glabels == labels
+        assert gsamples == list(samples)
+
+
+def test_write_request_nan_and_negative_time():
+    body = encode_write_request([({"n": "x"}, [(-60_000, float("nan"))])])
+    [(labels, samples)] = decode_write_request(body)
+    assert labels == {"n": "x"}
+    assert samples[0][0] == -60_000
+    assert math.isnan(samples[0][1])
+
+
+def test_unknown_fields_skipped():
+    # splice unknown fields into a TimeSeries: a varint (field 7), a
+    # fixed64 (field 8), and a length-delimited blob (field 3, the real
+    # exemplars slot) — the decoder must skip all by wire type
+    label = b"\x0a\x01n\x12\x01v"  # Label{name:"n", value:"v"}
+    sample = b"\x09" + struct.pack("<d", 4.5) + b"\x10\x64"  # v=4.5 t=100
+    ts = (
+        b"\x0a" + bytes([len(label)]) + label
+        + b"\x38\x2a"  # field 7 varint 42
+        + b"\x41" + b"\x00" * 8  # field 8 fixed64
+        + b"\x1a\x03abc"  # field 3 length-delimited (exemplars blob)
+        + b"\x12" + bytes([len(sample)]) + sample
+    )
+    req = b"\x0a" + bytes([len(ts)]) + ts
+    got = decode_write_request(snappy_compress(req))
+    assert got == [({"n": "v"}, [(100, 4.5)])]
+
+
+# -------------------------------------------------------- spark bridge
+
+
+def test_remote_write_append_readback(spark, tmp_path):
+    from tsdb_spark.labels import eq
+
+    db = DB.create(spark, str(tmp_path / "db"), block_width_ms=WIDTH)
+    body = encode_write_request(SERIES)
+    df = remote_write_df(spark, body)
+    db.append(df)
+    rows = (
+        db.querier(0, 10**9)
+        .select([eq("job", "api")])
+        .select("t", "v")
+        .orderBy("t")
+        .collect()
+    )
+    assert [(r["t"], r["v"]) for r in rows] == [(0, 1.0), (15_000, 2.5), (30_000, 3.25)]
+    # unicode label names survive the wire + the store roundtrip
+    got = db.querier(0, 10**9).select([eq("väl", "ü")]).select("v").collect()
+    assert [r["v"] for r in got] == [-7.75]
+
+
+def test_backfill_remote_write_distributed(spark, tmp_path):
+    d = tmp_path / "payloads"
+    d.mkdir()
+    for i in range(3):
+        series = [
+            ({"__name__": "bulk", "shard": str(i)}, [(j * 1000, float(i * 10 + j)) for j in range(5)])
+        ]
+        (d / f"p{i}.bin").write_bytes(encode_write_request(series))
+    df = backfill_remote_write(spark, str(d))
+    assert df.count() == 15
+    total = df.groupBy().sum("v").collect()[0][0]
+    assert total == sum(i * 10 + j for i in range(3) for j in range(5))
+
+
+def test_http_write_route(spark, tmp_path):
+    from tsdb_spark.api import query, serve
+
+    db = DB.create(spark, str(tmp_path / "db"), block_width_ms=WIDTH)
+    srv = serve(db, "127.0.0.1", 0)
+    port = srv.server_address[1]
+    th = threading.Thread(target=srv.serve_forever, daemon=True)
+    th.start()
+    try:
+        body = encode_write_request(
+            [({"__name__": "wired", "src": "rw"}, [(60_000, 9.5)])]
+        )
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/api/v1/write",
+            data=body,
+            headers={
+                "Content-Encoding": "snappy",
+                "Content-Type": "application/x-protobuf",
+                "X-Prometheus-Remote-Write-Version": "0.1.0",
+            },
+        )
+        with urllib.request.urlopen(req) as resp:
+            assert resp.status == 204
+        out = query(db, "wired", 60_000)
+        assert out["data"]["result"][0]["value"][1] == "9.5"
+        # malformed body → 400, not a crash
+        bad = urllib.request.Request(
+            f"http://127.0.0.1:{port}/api/v1/write", data=b"\xff\xff\xff"
+        )
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(bad)
+        assert ei.value.code == 400
+    finally:
+        srv.shutdown()

@@ -646,6 +646,22 @@ def _parse_step(s: str) -> int:
         return int(float(s) * 1000)
 
 
+def remote_write(db, raw: bytes) -> int:
+    """POST /api/v1/write (prometheus/prometheus storage/remote
+    write_handler.go; protocol spec: prometheus.io/docs/specs/remote_
+    write_spec): snappy-block-compressed prompb WriteRequest → ONE batch
+    append. The driver decodes the (small, sender-capped) body; the
+    append is the distributed work — the same split as the scrape path.
+    Returns the number of samples appended."""
+    from tsdb_spark.sources.remotewrite import remote_write_df
+
+    df = remote_write_df(db.spark, raw)
+    n = df.count()
+    if n:
+        db.append(df)
+    return n
+
+
 def admin_delete_series(db, selectors: list[str], mint: int, maxt: int) -> int:
     """POST /api/v1/admin/tsdb/delete_series (api.go deleteSeries):
     record delete intervals for every match[] selector over [start, end].
@@ -761,6 +777,16 @@ def make_handler(db, rule_groups: list[dict] | None = None, enable_admin: bool =
             # merged, query string first (upstream Request.ParseForm)
             u = urlparse(self.path)
             n = int(self.headers.get("Content-Length") or 0)
+            if u.path == "/api/v1/write":
+                # binary body (snappy + protobuf), never form-decoded
+                raw = self.rfile.read(n) if n else b""
+                try:
+                    remote_write(db, raw)
+                except Exception as e:  # noqa: BLE001 — wire errors → 400
+                    return self._reply_text(400, f"decode error: {e}\n")
+                # success: 204 No Content (write_handler.go replies with
+                # an empty 2xx; the spec requires any 2xx)
+                return self._reply_empty(204)
             body = self.rfile.read(n).decode() if n else ""
             merged = parse_qs(u.query)
             for k, vals in parse_qs(body).items():

@@ -933,6 +933,69 @@ def store_openmetrics_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "store_remote_write",
+    _with_prelude("""
+, d AS (SELECT labels_str, t, min(v) AS v FROM samples
+        WHERE t < {T0} + 7*{DAY} GROUP BY 1, 2)
+SELECT labels_str, CAST(count(*) AS BIGINT) AS n, ROUND(sum(v), 2) AS sum_v,
+       min(t) AS min_t, max(t) AS max_t
+FROM d GROUP BY labels_str"""),
+    "remote-write wire roundtrip (prometheus storage/remote + "
+    "prompb/remote.proto; both codecs pure-Python from the public specs "
+    "— sources/remotewrite.py): week-1 samples are encoded into "
+    "sender-style snappy-compressed WriteRequest payload files (the "
+    "driver plays the CLIENT, batching ~100 series per POST body like a "
+    "real sender), then the ENGINE side decodes them as one distributed "
+    "binaryFile + mapInPandas scan, appends, and reads back through the "
+    "pruned querier. Per-series count/sum/extent must equal never "
+    "having left the store — varint/double/snappy encode→decode is "
+    "byte-lossless",
+)
+def store_remote_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from tsdb_spark.sources.remotewrite import (
+        backfill_remote_write,
+        encode_write_request,
+    )
+
+    key = ("remotewrite", id(spark), sf_dir)
+    if key not in _STORES:
+        root = tempfile.mkdtemp(prefix="tsdb_q_rw_")
+        src = (
+            events_samples(spark, sf_dir)
+            .filter(F.col("t") < T0 + 7 * DAY)
+            .groupBy("labels_str", "t")
+            .agg(F.min("v").alias("v"), F.first("labels").alias("labels"))
+        )
+        by: dict[str, tuple[dict, list]] = {}
+        for r in src.select("labels_str", "labels", "t", "v").collect():
+            by.setdefault(r["labels_str"], (dict(r["labels"]), []))[1].append(
+                (r["t"], r["v"])
+            )
+        series = [(lab, sorted(samps)) for lab, samps in by.values()]
+        os.makedirs(f"{root}/payloads")
+        for i in range(0, len(series), 100):
+            with open(f"{root}/payloads/p{i:05d}.bin", "wb") as f:
+                f.write(encode_write_request(series[i : i + 100]))
+        db = DB.create(spark, f"{root}/db", block_width_ms=STORE_WIDTH_MS)
+        db.append(backfill_remote_write(spark, f"{root}/payloads"))
+        _STORES[key] = db
+    return (
+        _STORES[key]
+        .querier(T0, T0 + 31 * DAY)
+        .select([], with_labels=False)
+        .groupBy("labels_str")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.sum("v"), 2).alias("sum_v"),
+            F.min("t").alias("min_t"),
+            F.max("t").alias("max_t"),
+        )
+    )
+
+
+@register(
     "store_exemplars",
     _with_prelude("""
 , d AS (SELECT labels_str, event_type, k_bucket, t, min(v) AS v FROM samples
@@ -3017,6 +3080,11 @@ GATE: tuple[str, ...] = (
     # (boundary-extrapolated rate over sparse exponential buckets,
     # map_zip_with path), store_native_hist (hist append → quantile over
     # the store), stream_hist_ingest (streaming histogram ingestion).
+    # r7 session addition: store_size_retention (driver-green r4-r6,
+    # pinned by tests/test_db_maintenance.py) rotates out for the
+    # brand-new remote-write wire roundtrip (store_remote_write —
+    # pure-Python prompb+snappy codecs feeding the distributed
+    # backfill path).
     "promql_rate_grid",
     "promql_subquery",
     "promql_at_pin",
@@ -3033,7 +3101,7 @@ GATE: tuple[str, ...] = (
     "store_compact_vertical",
     "store_checkpoint",
     "store_first_wins_amend",
-    "store_size_retention",
+    "store_remote_write",
     "store_openmetrics_backfill",
     "store_exemplars",
     "store_native_hist",
