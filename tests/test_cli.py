@@ -251,3 +251,43 @@ def test_cli_test_promql(spark, tmp_path, capsys):
     assert main(["test-promql", str(bad)]) == 1
     out = capsys.readouterr().out
     assert "FAILED" in out and "got" in out
+
+
+def test_cli_create_blocks_from_rules(spark, tmp_path, capsys):
+    # `promtool tsdb create-blocks-from rules`: recording rules evaluate
+    # over the historical range and land in the store; layered rule 2
+    # reads rule 1's backfilled output; the alert rule is skipped
+    path = _store(spark, tmp_path)
+    rules = tmp_path / "rules.yml"
+    rules.write_text(
+        """groups:
+- name: g
+  interval: 5m
+  rules:
+  - record: m:sum
+    expr: sum(m)
+  - record: m:sum:double
+    expr: m:sum * 2
+  - alert: Never
+    expr: m:sum > 1e18
+"""
+    )
+    assert main([
+        "create-blocks-from-rules", str(rules), path,
+        "--start", "300000", "--end", "1800000",
+    ]) == 0
+    out = capsys.readouterr().out
+    import json
+    rep = json.loads(out.strip().splitlines()[-1])
+    assert rep["rules"] == 2 and rep["skipped_alerts"] == 1
+    assert rep["samples"] > 0
+    db = DB.open(spark, path)
+    from tsdb_spark.labels import eq
+    r1 = {r["t"]: r["v"] for r in db.querier(0, 10**9).select(
+        [eq("__name__", "m:sum")]).select("t", "v").collect()}
+    r2 = {r["t"]: r["v"] for r in db.querier(0, 10**9).select(
+        [eq("__name__", "m:sum:double")]).select("t", "v").collect()}
+    # grid 300000..1800000 step 300000 -> 6 eval points
+    assert len(r1) == 6 and len(r2) == 6
+    for t, v in r1.items():
+        assert r2[t] == v * 2

@@ -187,6 +187,24 @@ def main(argv: list[str] | None = None) -> int:
     p_cb.add_argument("--width", type=int, default=2 * 3600 * 1000,
                       help="block width for a NEW store (backfill.go cuts 2h)")
 
+    p_cr2 = sub.add_parser(
+        "create-blocks-from-rules",
+        help="backfill: evaluate a rules file's recording rules over a "
+        "historical range and append the results — `promtool tsdb "
+        "create-blocks-from rules` (cmd/promtool/tsdb.go + rules.go)",
+    )
+    p_cr2.add_argument("rules", help="rules YAML (model/rulefmt)")
+    p_cr2.add_argument("store", help="source store the expressions read")
+    p_cr2.add_argument("--start", type=int, required=True, help="range start (ms)")
+    p_cr2.add_argument("--end", type=int, required=True, help="range end (ms)")
+    p_cr2.add_argument("--output", default=None,
+                       help="destination store (default: the source store, "
+                       "which lets layered rules read earlier outputs)")
+    p_cr2.add_argument("--eval-interval", type=int, default=None,
+                       help="override every group's interval (ms)")
+    p_cr2.add_argument("--width", type=int, default=2 * 3600 * 1000,
+                       help="block width for a NEW output store")
+
     p_st = sub.add_parser(
         "stream",
         help="drain a parquet file-stream of (labels,t,v) into the store "
@@ -498,6 +516,17 @@ def main(argv: list[str] | None = None) -> int:
             block_width_ms=args.width, timestamps=args.timestamps,
         )
         print(f"backfilled {db.samples().count()} samples into {args.store}")
+    elif args.cmd == "create-blocks-from-rules":
+        import json as _json
+
+        from tsdb_spark.promtool import backfill_rules
+
+        rep = backfill_rules(
+            spark, args.rules, args.store, args.output,
+            args.start, args.end,
+            eval_interval_ms=args.eval_interval, block_width_ms=args.width,
+        )
+        print(_json.dumps(rep))
     elif args.cmd == "stream":
         import os as _os
 

@@ -659,6 +659,81 @@ def promql_recording_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "store_rules_backfill",
+    _with_prelude(
+        f"""
+, {_canon_cte("event_type = 'click'")},
+{_grid_cte(T0 + DAY, T0 + 15 * DAY, DAY)},
+w AS (SELECT d.labels_str, g.gt, sum(d.vc) AS s
+      FROM d JOIN g ON d.t > g.gt - {DAY} AND d.t <= g.gt GROUP BY 1, 2),
+um AS (SELECT DISTINCT labels_str, user_lbl FROM samples),
+r1 AS (SELECT um.user_lbl AS u, w.gt,
+         sum(CAST(w.s AS DOUBLE) / 100.0) AS v,
+         CAST(sum(w.s) AS BIGINT) AS sc
+       FROM w JOIN um USING (labels_str) GROUP BY 1, 2),
+rule1 AS (SELECT '{{{{__name__="bf:click:sum1d",user="' || u || '"}}}}'
+                 AS labels_str, gt AS t, v FROM r1),
+rule2 AS (SELECT '{{{{__name__="bf:click:sum1d:double",user="' || u || '"}}}}'
+                 AS labels_str, gt AS t,
+                 CAST(sc AS DOUBLE) / 100.0 * 2 AS v FROM r1)
+SELECT labels_str, t, round(v, 9) AS v FROM rule1
+UNION ALL
+SELECT labels_str, t, round(v, 9) AS v FROM rule2"""
+    ),
+    "`promtool tsdb create-blocks-from rules` (cmd/promtool/tsdb.go + "
+    "rules.go ruleImporter → promtool.backfill_rules): a rules FILE "
+    "(model/rulefmt YAML) evaluates over the historical range at the "
+    "group interval and appends into the store — rule 1 "
+    "`bf:click:sum1d = sum by (user)(sum_over_time(click[1d]))`, rule 2 "
+    "`bf:click:sum1d * 2` LAYERED on rule 1's backfilled output "
+    "(sequential group eval against the same store), and an alerting "
+    "rule in the file is skipped like upstream's importer. Rule 2's "
+    "values pass through the instant-vector centi canonicalization, so "
+    "its oracle is the exact integer sum — same discipline as "
+    "promql_recording_rule",
+)
+def store_rules_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from tsdb_spark import labels as L
+    from tsdb_spark.db import DB
+    from tsdb_spark.promtool import backfill_rules
+    from tsdb_spark.queries import _STORES, _store
+
+    key = ("rules_backfill", id(spark), sf_dir)
+    if key not in _STORES:
+        root = tempfile.mkdtemp(prefix="tsdb_q_rbf_")
+        _store(spark, sf_dir, "base").snapshot(f"{root}/db")
+        yml = f"{root}/rules.yml"
+        with open(yml, "w") as f:
+            f.write(
+                """groups:
+- name: backfill
+  interval: 1d
+  rules:
+  - record: bf:click:sum1d
+    expr: sum by (user) (sum_over_time(click[1d]))
+  - record: bf:click:sum1d:double
+    expr: bf:click:sum1d * 2
+  - alert: ClickAstronomical
+    expr: bf:click:sum1d > 1e18
+"""
+            )
+        rep = backfill_rules(
+            spark, yml, f"{root}/db", None, T0 + DAY, T0 + 15 * DAY
+        )
+        if rep["skipped_alerts"] != 1 or rep["rules"] != 2:
+            raise AssertionError(f"unexpected backfill report: {rep}")
+        _STORES[key] = DB.open(spark, f"{root}/db")
+    return (
+        _STORES[key]
+        .querier(T0, T0 + 16 * DAY)
+        .select([L.re_match("__name__", "bf:click:sum1d.*")])
+        .select("labels_str", "t", F.round("v", 9).alias("v"))
+    )
+
+
+@register(
     "promql_alert_rule",
     _with_prelude(
         f"""

@@ -84,6 +84,60 @@ def load_rule_file(path: str) -> list[dict]:
     return groups
 
 
+def backfill_rules(
+    spark,
+    rules_path: str,
+    source: str,
+    output: str | None = None,
+    start_ms: int = 0,
+    end_ms: int = 0,
+    eval_interval_ms: int | None = None,
+    block_width_ms: int = 2 * 3600 * 1000,
+) -> dict[str, int]:
+    """`promtool tsdb create-blocks-from rules` (cmd/promtool/tsdb.go +
+    cmd/promtool/rules.go ruleImporter): evaluate each group's RECORDING
+    rules over the historical range [start, end] at the group's interval
+    (overridable via eval_interval_ms, upstream's --eval-interval) against
+    the source store, appending the result series into the output store.
+
+    Default output is the source store itself — which, because a group's
+    rules record sequentially (rules.record), also lets a later rule read
+    an earlier rule's backfilled output. Upstream's separate-output-dir
+    design documents that layered case as a limitation; pointing `output`
+    at a different store reproduces that upstream behavior (later rules
+    see only the source). Alerting rules are skipped — backfill produces
+    samples, not alert state (upstream importer evaluates rule
+    expressions only). The first evaluation timestamp aligns UP to the
+    interval grid (rules/manager.go Group.EvalTimestamp).
+
+    Returns {"groups", "rules", "skipped_alerts", "samples"} counts."""
+    from tsdb_spark.db import DB
+    from tsdb_spark.rules import record
+
+    groups = load_rule_file(rules_path)
+    src = DB.open(spark, source)
+    dst = src
+    if output and os.path.abspath(output) != os.path.abspath(source):
+        dst = (
+            DB.open(spark, output)
+            if os.path.exists(os.path.join(output, "_meta.json"))
+            else DB.create(spark, output, block_width_ms=block_width_ms)
+        )
+    report = {"groups": 0, "rules": 0, "skipped_alerts": 0, "samples": 0}
+    for g in groups:
+        interval = eval_interval_ms or g["interval_ms"] or 60_000
+        t0 = ((start_ms + interval - 1) // interval) * interval
+        recs = [r for r in g["rules"] if isinstance(r, Rule)]
+        report["skipped_alerts"] += len(g["rules"]) - len(recs)
+        if not recs or t0 > end_ms:
+            continue
+        reps = record(src, recs, t0, end_ms, interval, dst=dst, report=True)
+        report["groups"] += 1
+        report["rules"] += len(recs)
+        report["samples"] += sum(r.appended for r in reps.values())
+    return report
+
+
 _METRIC_RE = re.compile(r"[a-zA-Z_:][a-zA-Z0-9_:]*$")
 
 

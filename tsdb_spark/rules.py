@@ -267,6 +267,7 @@ def record(
     step: int,
     dst=None,
     lookback_ms: int = DEFAULT_LOOKBACK_MS,
+    report: bool = False,
 ) -> dict[str, "object"]:
     """Evaluate every rule against `db` and append the results to `dst`
     (default: back into `db` itself, the upstream arrangement).
@@ -274,12 +275,13 @@ def record(
     Rules are recorded in list order, so a later rule may read an
     earlier rule's output — upstream evaluates a rule group
     sequentially for the same reason (rules/manager.go group eval).
-    Returns {rule name: AppendReport}."""
+    Returns {rule name: AppendReport}; `report=True` pays one count job
+    per rule to fill AppendReport.appended (backfill accounting)."""
     dst = dst if dst is not None else db
     reports: dict[str, object] = {}
     for rule in rules:
         frame = rule_frame(db, rule, start, end, step, lookback_ms)
-        reports[rule.name] = dst.append(frame)
+        reports[rule.name] = dst.append(frame, report=report)
     return reports
 
 
