@@ -201,3 +201,63 @@ def test_targets_payload_and_route(spark, tmp_path, upstream):
         assert body["data"]["droppedTargets"] == []
     finally:
         srv2.shutdown()
+
+
+def test_concurrent_acquisition_wall_time(spark, tmp_path):
+    """Acquisition is a thread pool over the GETs (scrape.go runs one
+    goroutine per target): a pass over N slow targets costs ~one target
+    latency, never the sum — and down targets still record up=0."""
+    import time as _time
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    DELAY = 2.0
+
+    class H(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            _time.sleep(DELAY)
+            body = b"slow_metric 1\n"
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), H)
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        dst = DB.create(spark, str(tmp_path / "c_db"), block_width_ms=WIDTH)
+        targets = [
+            Target(url=f"http://127.0.0.1:{port}/m{i}", job="slow",
+                   instance=f"s{i}", timestamps="openmetrics")
+            for i in range(4)
+        ] + [Target(url="http://127.0.0.1:1/none", job="slow", instance="down")]
+        # timing leg: a stub sink isolates acquisition from the Spark
+        # append — 5 serial GETs would hold the sockets >= 4*DELAY=3.2s;
+        # the pool holds them ~DELAY. Plan building adds ~a second.
+        class _Sink:
+            def append(self, df):
+                return None
+
+        t0 = _time.monotonic()
+        ok = scrape_pass(spark, _Sink(), targets, scrape_time_ms=T0)
+        fetch_wall = _time.monotonic() - t0
+        assert ok == 4
+        # serial sockets alone would hold >= 4*DELAY = 8s; concurrent
+        # acquisition costs ~DELAY + ~2-3s of lazy plan building
+        assert fetch_wall < 4 * DELAY
+
+        # correctness leg (untimed): real append, up-series bookkeeping
+        status: dict = {}
+        assert scrape_pass(spark, dst, targets, scrape_time_ms=T0, status=status) == 4
+        assert sum(1 for s in status.values() if s["health"] == "down") == 1
+        rows = dst.querier(0, 2 * T0).select([]).select("labels", "v").collect()
+        ups = sorted(
+            (r["labels"]["instance"], r["v"])
+            for r in rows if r["labels"]["__name__"] == "up"
+        )
+        assert ups == [("down", 0.0), ("s0", 1.0), ("s1", 1.0), ("s2", 1.0), ("s3", 1.0)]
+    finally:
+        srv.shutdown()

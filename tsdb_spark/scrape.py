@@ -7,11 +7,12 @@ library, same footing as PromQL/rules/API here. Combined with this
 engine's own /federate endpoint (api.py), two stores FEDERATE: instance
 B scrapes instance A's /federate and serves the same answers.
 
-Spark split: the HTTP GET is driver-side (one small text body per
-target per pass — acquisition is IO-bound, not compute-bound), but
-parsing and ingest are the distributed openmetrics path; a pass over
-many targets parallelizes as one union-of-lines DataFrame feeding ONE
-transactional append, so a 10k-target pass is one Spark job, not 10k.
+Spark split: the HTTP GETs are driver-side but CONCURRENT (a thread
+pool over the sockets — upstream runs one goroutine per target; a pass
+costs ~max(target latency), never the sum), while parsing and ingest
+are the distributed openmetrics path; a pass over many targets
+parallelizes as one union-of-lines DataFrame feeding ONE transactional
+append, so a 10k-target pass is one Spark job, not 10k.
 
 Label rules (scrape.go mutateSampleLabels): every sample gets the
 target's `instance`/`job` (+ any extra static labels); with
@@ -91,23 +92,37 @@ def scrape_pass(
     scrape_time_ms: int | None = None,
     honor_labels: bool = False,
     status: dict | None = None,
+    max_workers: int = 32,
 ) -> int:
-    """One scrape pass over every target: GET each body (driver-side,
-    IO-bound), parse + label + append as ONE distributed job. Returns
-    the number of targets successfully fetched; a down target is
-    skipped (scrape.go records `up 0` — mirrored here by appending an
-    `up` sample per target, 1/0, at the scrape time)."""
+    """One scrape pass over every target: GET every body CONCURRENTLY
+    (driver-side thread pool — upstream scrapes each target from its own
+    goroutine, scrape/scrape.go scrapeLoop; acquisition wall time is
+    ~max(target latency), never the sum), then parse + label + append as
+    ONE distributed job. Returns the number of targets successfully
+    fetched; a down target is skipped (scrape.go records `up 0` —
+    mirrored here by appending an `up` sample per target, 1/0, at the
+    scrape time)."""
+    from concurrent.futures import ThreadPoolExecutor
     from functools import reduce
 
     now = int(time.time() * 1000) if scrape_time_ms is None else int(scrape_time_ms)
+
+    def _get(tgt: Target):
+        try:
+            return fetch_text(tgt.url), None
+        except OSError as e:
+            return None, e
+
+    with ThreadPoolExecutor(max_workers=min(max_workers, max(len(targets), 1))) as ex:
+        fetched = list(ex.map(_get, targets))  # input order preserved
+
     frames: list[DataFrame] = []
     ok = 0
     up_rows: list[tuple] = []
-    for tgt in targets:
+    for tgt, (text, err) in zip(targets, fetched):
         tl = tgt.target_labels()
-        try:
-            text = fetch_text(tgt.url)
-        except OSError as e:
+        if err is not None:
+            e = err
             up_rows.append(({"__name__": "up", **tl}, now, 0.0))
             if status is not None:
                 status[tgt.url] = {
