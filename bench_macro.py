@@ -10,6 +10,16 @@ in the measured path), appends through the full DB.append pipeline
 (series upsert, dedup policy, range-partitioned sorted bucket write),
 and prints ONE JSON line.
 
+Memory envelope: local-mode runs driver AND all executor threads in one
+JVM (8g default heap — measured fastest on this VM class, see
+session.py). The 30M-row sorted write runs `cores` concurrent sort
+tasks at once, so the peak heap is cores × per-partition rows; the
+shuffle-partition count is raised to 4× cores for this shape so each
+task's sort buffer is ~4× smaller at identical parallelism. If the
+append still dies (the thin-provisioned-guest GCLocker/OOM mode
+SCALE.md documents), the run restarts the JVM and retries ONCE, and the
+output carries "oom_retries" so the signal is never silently clean.
+
     python bench_macro.py [--series 10000] [--scrapes 3000]
 """
 
@@ -22,6 +32,32 @@ import tempfile
 import time
 
 
+def _build_src(spark, series: int, scrapes: int, step_ms: int, t0_ms: int):
+    from pyspark.sql import functions as F
+
+    n = series * scrapes
+    return spark.range(n).select(
+        F.create_map(
+            F.lit("__name__"), F.lit("bench"),
+            F.lit("i"), (F.col("id") % series).cast("string"),
+        ).alias("labels"),
+        (F.lit(t0_ms) + (F.col("id") / series).cast("long") * step_ms).alias("t"),
+        (F.col("id") % 1000).cast("double").alias("v"),
+    )
+
+
+def _session():
+    from tsdb_spark import get_spark
+
+    spark = get_spark("bench-macro")
+    spark.sparkContext.setLogLevel("ERROR")
+    # 4 tasks' worth of shuffle partitions per core: same parallelism,
+    # ~4× smaller per-task sort buffers for the 30M-row sorted write
+    cores = spark.sparkContext.defaultParallelism
+    spark.conf.set("spark.sql.shuffle.partitions", str(max(64, cores * 4)))
+    return spark
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--series", type=int, default=10_000)
@@ -31,33 +67,42 @@ def main() -> None:
 
     from pyspark.sql import functions as F
 
-    from tsdb_spark import DB, get_spark
+    from tsdb_spark import DB
 
-    spark = get_spark("bench-macro")
-    spark.sparkContext.setLogLevel("ERROR")
+    spark = _session()
     n = args.series * args.scrapes
     t0_ms = 1_704_067_200_000
 
-    src = spark.range(n).select(
-        F.create_map(
-            F.lit("__name__"), F.lit("bench"),
-            F.lit("i"), (F.col("id") % args.series).cast("string"),
-        ).alias("labels"),
-        (F.lit(t0_ms) + (F.col("id") / args.series).cast("long") * args.step_ms).alias("t"),
-        (F.col("id") % 1000).cast("double").alias("v"),
-    )
-
     wh = tempfile.mkdtemp(prefix="tsdb_macro_")
+    oom_retries = 0
     try:
-        # warmup pass (Go testing.B analog): JIT/codegen/committer setup
-        # must not be billed to the measured append
-        warm = DB.create(spark, f"{wh}/warm", block_width_ms=2 * 3600 * 1000)
-        warm.append(src.limit(1_000_000), report=False)
+        for attempt in (0, 1):
+            try:
+                src = _build_src(spark, args.series, args.scrapes, args.step_ms, t0_ms)
+                # warmup pass (Go testing.B analog): JIT/codegen/committer
+                # setup must not be billed to the measured append
+                warm = DB.create(spark, f"{wh}/warm{attempt}",
+                                 block_width_ms=2 * 3600 * 1000)
+                warm.append(src.limit(1_000_000), report=False)
 
-        db = DB.create(spark, f"{wh}/db", block_width_ms=2 * 3600 * 1000)
-        t0 = time.time()
-        db.append(src, report=False)
-        dt = time.time() - t0
+                db = DB.create(spark, f"{wh}/db{attempt}",
+                               block_width_ms=2 * 3600 * 1000)
+                t0 = time.time()
+                db.append(src, report=False)
+                dt = time.time() - t0
+                break
+            except Exception:
+                if attempt == 1:
+                    raise
+                # degraded-VM OOM/GCLocker mode: restart the JVM, retry
+                # once, and say so in the output
+                oom_retries += 1
+                try:
+                    spark.stop()
+                except Exception:
+                    pass
+                time.sleep(5)
+                spark = _session()
 
         # read side (querier_test.go:1481 BenchmarkQueryIterator shape):
         # full-scan select through the querier (matcher + dim broadcast +
@@ -88,6 +133,7 @@ def main() -> None:
                     "seconds": round(dt, 2),
                     "read_fullscan_samples_per_sec": round(n / dt_scan),
                     "read_one_series_sec": round(dt_point, 3),
+                    "oom_retries": oom_retries,
                 }
             )
         )

@@ -63,7 +63,32 @@ def get_spark(app_name: str = "tsdb_spark", shuffle_partitions: int | None = Non
         # SPARK_DRIVER_MEMORY for workloads that need headroom (e.g.
         # many large appends in one session can exhaust 8g).
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # observed failure mode on thin-provisioned guests: allocation
+        # aborts with "Retried waiting for GCLocker too often" while
+        # parquet/zstd JNI critical sections pin the GC (JDK default
+        # retry count is 2) — raise the retry budget so a paused GC is
+        # a stall, not an OutOfMemoryError
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:+UnlockDiagnosticVMOptions -XX:GCLockerRetryAllocationCount=64",
+        )
     )
+    if master.startswith("local"):
+        # parquet writer row-group buffers are UNMANAGED heap (outside
+        # Spark's memory manager): `cores` concurrent write tasks ×
+        # 128 MB default blocks ≈ 4 GB unaccounted at 32 threads — the
+        # one-JVM local mode's OOM cliff on big sorted writes. Scale the
+        # row-group target to the heap ÷ concurrent writers (clamped to
+        # [16 MB, 128 MB]); a real cluster (one executor JVM per few
+        # cores) keeps the 128 MB scan-optimal default.
+        heap = os.environ.get("SPARK_DRIVER_MEMORY", "8g").lower()
+        mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}.get(heap[-1], 1)
+        heap_b = int(float(heap[:-1] if heap[-1] in "kmg" else heap)) * mult
+        n_cores = os.cpu_count() or 4
+        if cpus not in ("*", ""):
+            n_cores = int(cpus)
+        block = min(128 << 20, max(16 << 20, heap_b // (n_cores * 4)))
+        builder = builder.config("spark.hadoop.parquet.block.size", str(block))
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)
     return configure(builder.getOrCreate())
