@@ -32,13 +32,18 @@ import time
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-def replicate(spark, mult: int, out_dir: str) -> None:
-    """Write kx copies of events/documents/embeddings with shifted ids."""
+def replicate(spark, mult: int, out_dir: str,
+              events: bool = True, docs: bool = True, embs: bool = True) -> None:
+    """Write kx copies of events/documents/embeddings with shifted ids.
+    Table flags skip replicas no selected shape reads (a 256x events
+    table is ~150M rows of wasted write when only minhash/ann run)."""
     from pyspark.sql import functions as F
 
     reps = spark.range(mult).select(F.col("id").alias("_rep"))
 
     ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    if not events:
+        ev = ev.limit(0)
     (
         ev.crossJoin(F.broadcast(reps))
         .select(
@@ -55,7 +60,10 @@ def replicate(spark, mult: int, out_dir: str) -> None:
         .parquet(f"{out_dir}/events.parquet")
     )
 
-    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    dd = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    if not docs:
+        dd = dd.limit(0)
+    docs = dd
     (
         docs.crossJoin(F.broadcast(reps))
         .select(
@@ -74,6 +82,8 @@ def replicate(spark, mult: int, out_dir: str) -> None:
     )
 
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    if not embs:
+        emb = emb.limit(0)
     (
         emb.crossJoin(F.broadcast(reps))
         .select(
@@ -89,8 +99,14 @@ def replicate(spark, mult: int, out_dir: str) -> None:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mult", type=int, default=8)
+    ap.add_argument("--shapes", default=None,
+                    help="comma list of shape names to run (default: all); "
+                    "fullscan/matchers/compact imply ingest")
     args = ap.parse_args()
     k = args.mult
+    sel = set(args.shapes.split(",")) if args.shapes else None
+    if sel is not None and sel & {"fullscan", "matchers", "compact"}:
+        sel.add("ingest")  # they read the store ingest builds
 
     from pyspark.sql import functions as F
 
@@ -119,12 +135,21 @@ def main() -> None:
             [re_match("__name__", ".*")], with_labels=False
         ).agg(F.count("*")).collect()
 
-        replicate(spark, k, big)
+        _ev_shapes = {"ingest", "fullscan", "matchers", "compact", "promql"}
+        _doc_shapes = {"minhash", "chunking", "packing", "dup_spans", "bpe"}
+        replicate(
+            spark, k, big,
+            events=sel is None or bool(sel & _ev_shapes),
+            docs=sel is None or bool(sel & _doc_shapes),
+            embs=sel is None or "ann" in sel,
+        )
 
         def drain(df):
             df.agg(F.count("*")).collect()
 
         def shape(name, fn):
+            if sel is not None and name not in sel:
+                return
             t0 = time.time()
             fn(SF_DIR, f"{wh}/db1")
             t1 = time.time() - t0

@@ -161,3 +161,79 @@ def test_run_rule_tests_reports_failures(spark, tmp_path):
     """))
     fails = run_rule_tests(spark, str(p))
     assert len(fails) == 1 and "want" in fails[0]
+
+
+def test_run_rule_tests_range_form_and_templates(spark, tmp_path):
+    """Range-form promql_expr_test (eval_range + values notation) and
+    external_labels/external_url template expansion in alert labels
+    and annotations ({{ $labels.x }}, {{ $value }} too)."""
+    (tmp_path / "rules.yml").write_text(textwrap.dedent("""
+        groups:
+          - name: t
+            interval: 1m
+            rules:
+              - alert: Hot
+                expr: req > 15
+                labels:
+                  severity: page
+                annotations:
+                  summary: '{{ $labels.job }} at {{ $value }} in {{ $externalLabels.cluster }}'
+                  runbook: '{{ $externalURL }}/runbook'
+    """))
+    p = tmp_path / "tests.yml"
+    p.write_text(textwrap.dedent("""
+        rule_files: [rules.yml]
+        evaluation_interval: 1m
+        tests:
+          - interval: 1m
+            external_labels:
+              cluster: eu-1
+            external_url: https://prom.example
+            input_series:
+              - series: 'req{job="api"}'
+                values: '0+10x10'
+            promql_expr_test:
+              - expr: sum(req)
+                eval_range: {from: 0m, to: 4m, step: 2m}
+                exp_samples:
+                  - labels: '{}'
+                    values: '0+20x2'
+              - expr: req
+                eval_time: 2m
+                exp_samples:
+                  - labels: 'req{job="api"}'
+                    value: 20
+            alert_rule_test:
+              - eval_time: 3m
+                alertname: Hot
+                exp_alerts:
+                  - exp_labels:
+                      job: api
+                      severity: page
+                    exp_annotations:
+                      summary: 'api at 30 in eu-1'
+                      runbook: 'https://prom.example/runbook'
+    """))
+    assert run_rule_tests(spark, str(p)) == []
+
+
+def test_run_rule_tests_range_form_mismatch(spark, tmp_path):
+    (tmp_path / "rules.yml").write_text("groups: []\n")
+    p = tmp_path / "tests.yml"
+    p.write_text(textwrap.dedent("""
+        rule_files: [rules.yml]
+        evaluation_interval: 1m
+        tests:
+          - interval: 1m
+            input_series:
+              - series: 'req{job="api"}'
+                values: '0+10x10'
+            promql_expr_test:
+              - expr: sum(req)
+                eval_range: {from: 0m, to: 4m, step: 2m}
+                exp_samples:
+                  - labels: '{}'
+                    values: '0 20 41'
+    """))
+    fails = run_rule_tests(spark, str(p))
+    assert len(fails) == 1 and "want" in fails[0]

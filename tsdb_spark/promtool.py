@@ -211,9 +211,12 @@ def parse_series_values(spec: str) -> list[float | None]:
 
 def parse_series_labels(series: str) -> dict[str, str]:
     """'up{job="a"}' → {'__name__': 'up', 'job': 'a'} (equality matchers
-    only — a series DESCRIPTION, not a selector)."""
+    only — a series DESCRIPTION, not a selector). The empty set renders
+    as '{}' (an aggregate-to-nothing expectation)."""
     from tsdb_spark import labels as L
 
+    if series.strip() in ("", "{}"):
+        return {}
     out: dict[str, str] = {}
     for m in L.parse_selector(series):
         if m.type != "=":
@@ -251,6 +254,47 @@ def _labels_key(d: dict) -> tuple:
     return tuple(sorted((k, v) for k, v in d.items() if v))
 
 
+#: the documented subset of Go template actions real-world rule files
+#: use in alert labels/annotations: {{ $labels.x }}, {{ $value }},
+#: {{ $externalLabels.x }}, {{ $externalURL }} (template/template.go
+#: AlertTemplateData) — expanded by plain substitution, not a Go
+#: template engine
+_TMPL_RE = re.compile(
+    r"\{\{\s*\$(?:(labels|externalLabels)\.([A-Za-z_][A-Za-z0-9_]*)"
+    r"|(value|externalURL))\s*\}\}"
+)
+
+
+def expand_alert_template(
+    text: str,
+    labels: dict[str, str] | None = None,
+    value: float | None = None,
+    external_labels: dict[str, str] | None = None,
+    external_url: str = "",
+) -> str:
+    """Expand the template-variable subset of Go's alert templating."""
+
+    def _sub(m: re.Match) -> str:
+        kind, name, bare = m.group(1), m.group(2), m.group(3)
+        if kind == "labels":
+            return (labels or {}).get(name, "")
+        if kind == "externalLabels":
+            return (external_labels or {}).get(name, "")
+        if bare == "externalURL":
+            return external_url
+        return _fmt_go_value(value) if value is not None else ""
+
+    return _TMPL_RE.sub(_sub, text)
+
+
+def _fmt_go_value(v: float) -> str:
+    """Go %v rendering of the alert $value (strconv-style: integers
+    drop the decimal point)."""
+    if v == int(v) and abs(v) < 1e15:
+        return str(int(v))
+    return repr(v)
+
+
 def run_rule_tests(spark, path: str, tmp_dir: str | None = None) -> list[str]:
     """`promtool test rules` (cmd/promtool/unittest.go): for each test
     case, build a store from `input_series`, materialize every
@@ -258,7 +302,23 @@ def run_rule_tests(spark, path: str, tmp_dir: str | None = None) -> list[str]:
     at the group interval (rules can read rules — same layering as
     upstream's sequential group evaluation), then check
     `promql_expr_test` instant expectations and `alert_rule_test`
-    firing expectations. Returns failure strings (empty = pass)."""
+    firing expectations. Returns failure strings (empty = pass).
+
+    Beyond upstream's instant-only promql_expr_test, an entry may carry
+    `eval_range: {from, to, step}` with per-sample `values` in the
+    expanding notation — the range form:
+
+        promql_expr_test:
+          - expr: sum(m)
+            eval_range: {from: 0m, to: 10m, step: 5m}
+            exp_samples:
+              - labels: '{}'
+                values: '0+50x2'
+
+    Per-test `external_labels` / `external_url` (unittest.go testGroup)
+    feed alert template expansion: {{ $labels.x }}, {{ $value }},
+    {{ $externalLabels.x }} and {{ $externalURL }} in alert labels and
+    annotations expand before comparison."""
     import tempfile
 
     import yaml
@@ -294,11 +354,25 @@ def run_rule_tests(spark, path: str, tmp_dir: str | None = None) -> list[str]:
             if recs and horizon >= 0:
                 record(db, recs, 0, horizon, interval)
 
+        ext_labels = {
+            str(k): str(v)
+            for k, v in (test.get("external_labels") or {}).items()
+        }
+        ext_url = str(test.get("external_url") or "")
+
         for et in expr_tests:
-            t = _duration_ms(et.get("eval_time"))
             expr = et["expr"]
-            got = {}
-            out = eval_range_db(db, expr, t, t, max(interval, 1))
+            rng = et.get("eval_range")
+            if rng:  # range form (this engine's extension; see docstring)
+                t_lo = _duration_ms(rng.get("from"))
+                t_hi = _duration_ms(rng.get("to"))
+                step = max(_duration_ms(rng.get("step")) or interval, 1)
+            else:
+                t_lo = t_hi = _duration_ms(et.get("eval_time"))
+                step = max(interval, 1)
+            grid = list(range(t_lo, t_hi + 1, step))
+            got: dict[tuple, dict[int, float]] = {}
+            out = eval_range_db(db, expr, t_lo, t_hi, step)
             cols = out.columns
             for row in out.collect():
                 if "labels" in cols:
@@ -311,23 +385,37 @@ def run_rule_tests(spark, path: str, tmp_dir: str | None = None) -> list[str]:
                             if c not in ("t", "value", "labels_str")
                         }
                     )
-                got[key] = row["value"]
-            want = {}
+                got.setdefault(key, {})[int(row["t"])] = row["value"]
+            want: dict[tuple, list[float | None]] = {}
             for s in et.get("exp_samples", []) or []:
-                want[_labels_key(parse_series_labels(s["labels"]))] = float(
-                    s["value"]
-                )
+                k = _labels_key(parse_series_labels(s["labels"]))
+                if "values" in s:  # expanding notation, range form
+                    want[k] = parse_series_values(str(s["values"]))
+                else:
+                    want[k] = [float(s["value"])]
             # unittest.go compares with almostEqual, not bit equality
             import math
 
-            ok = set(got) == set(want) and all(
-                (math.isnan(got[k]) and math.isnan(want[k]))
-                or math.isclose(got[k], want[k], rel_tol=1e-6, abs_tol=1e-9)
-                for k in want
-            )
+            def _eq(a: float | None, b: float | None) -> bool:
+                if a is None or b is None:
+                    return a is None and b is None
+                return (math.isnan(a) and math.isnan(b)) or math.isclose(
+                    a, b, rel_tol=1e-6, abs_tol=1e-9
+                )
+
+            ok = set(got) == set(want)
+            if ok:
+                for k, evs in want.items():
+                    padded = list(evs) + [None] * (len(grid) - len(evs))
+                    series = got.get(k, {})
+                    ok = ok and all(
+                        _eq(series.get(tt), padded[i])
+                        for i, tt in enumerate(grid)
+                    )
             if not ok:
                 failures.append(
-                    f"test {ti}, expr {expr!r} @ {t}ms: got {got}, want {want}"
+                    f"test {ti}, expr {expr!r} @ {grid}ms: "
+                    f"got {got}, want {want}"
                 )
 
         for at in alert_tests:
@@ -342,6 +430,29 @@ def run_rule_tests(spark, path: str, tmp_dir: str | None = None) -> list[str]:
             firing: list[dict] = []
             for rule in rules:
                 frame = alerts_frame(db, rule, 0, t, interval)
+                ann_src = dict(rule.annotations)
+                needs_value = any(
+                    "$value" in s
+                    for s in list(ann_src.values()) + [v for _, v in rule.labels]
+                )
+                vals: dict[tuple, float] | None = None
+                if needs_value:
+                    # {{ $value }} is the alert EXPR's sample value —
+                    # re-evaluate it once at t keyed by the expr labels
+                    vout = eval_range_db(db, rule.expr, t, t, max(interval, 1))
+                    vc = vout.columns
+                    vals = {}
+                    for r2 in vout.collect():
+                        if "labels" in vc:
+                            k2 = dict(r2["labels"])
+                            k2.pop("__name__", None)
+                        else:
+                            k2 = {
+                                c: str(r2[c])
+                                for c in vc
+                                if c not in ("t", "value", "labels_str")
+                            }
+                        vals[_labels_key(k2)] = r2["value"]
                 for row in frame.collect():
                     lab = dict(row["labels"])
                     if (
@@ -350,10 +461,27 @@ def run_rule_tests(spark, path: str, tmp_dir: str | None = None) -> list[str]:
                     ):
                         lab.pop("alertstate", None)
                         lab.pop("__name__", None)
+                        value = None
+                        if vals is not None:
+                            statics = {k for k, _ in rule.labels}
+                            k2 = {
+                                k: v
+                                for k, v in lab.items()
+                                if k != "alertname" and k not in statics
+                            }
+                            value = vals.get(_labels_key(k2))
+
+                        def _x(s: str) -> str:
+                            return expand_alert_template(
+                                s, lab, value, ext_labels, ext_url
+                            )
+
                         firing.append(
                             {
-                                "labels": lab,
-                                "annotations": dict(rule.annotations),
+                                "labels": {k: _x(v) for k, v in lab.items()},
+                                "annotations": {
+                                    k: _x(v) for k, v in ann_src.items()
+                                },
                             }
                         )
             want_alerts = []
