@@ -13,7 +13,11 @@ import pytest
 from tsdb_spark import DB
 from tsdb_spark.sources.remotewrite import (
     backfill_remote_write,
+    decode_read_request,
+    decode_read_response,
     decode_write_request,
+    encode_read_request,
+    encode_read_response,
     encode_write_request,
     remote_write_df,
     snappy_compress,
@@ -178,5 +182,86 @@ def test_http_write_route(spark, tmp_path):
         with pytest.raises(urllib.error.HTTPError) as ei:
             urllib.request.urlopen(bad)
         assert ei.value.code == 400
+    finally:
+        srv.shutdown()
+
+
+# --------------------------------------------------------- remote read
+
+
+def test_read_request_roundtrip():
+    qs = [
+        {"start": 0, "end": 3_600_000,
+         "matchers": [("=", "__name__", "m"), ("=~", "job", "a|b"),
+                      ("!=", "x", "y"), ("!~", "z", "w.*")]},
+        {"start": -5, "end": 10, "matchers": []},
+    ]
+    got = decode_read_request(encode_read_request(qs))
+    assert got == qs
+
+
+def test_read_response_roundtrip():
+    results = [
+        [({"__name__": "m", "s": "a"}, [(0, 1.5), (60_000, 2.5)]),
+         ({"__name__": "m", "s": "b"}, [(0, -3.0)])],
+        [],
+    ]
+    got = decode_read_response(encode_read_response(results))
+    assert got == results
+
+
+def test_remote_read_api(spark, tmp_path):
+    from tsdb_spark.api import remote_read
+
+    db = DB.create(spark, str(tmp_path / "db"), block_width_ms=WIDTH)
+    rows = []
+    for s in ("a", "b"):
+        for i in range(5):
+            rows.append(({"__name__": "m", "s": s}, i * 60_000, float(i)))
+    rows.append(({"__name__": "other"}, 0, 99.0))
+    db.append(spark.createDataFrame(
+        rows, "labels MAP<STRING,STRING>, t LONG, v DOUBLE"))
+
+    req = encode_read_request([
+        {"start": 0, "end": 10**7,
+         "matchers": [("=", "__name__", "m"), ("=", "s", "a")]},
+        {"start": 60_000, "end": 120_000, "matchers": [("=~", "s", ".+")]},
+    ])
+    out = decode_read_response(remote_read(db, req))
+    assert len(out) == 2
+    [(lab, samples)] = out[0]
+    assert lab == {"__name__": "m", "s": "a"}
+    assert samples == [(i * 60_000, float(i)) for i in range(5)]
+    # second query: both series clipped to [60s, 120s]
+    assert sorted(l["s"] for l, _ in out[1]) == ["a", "b"]
+    for _, samps in out[1]:
+        assert samps == [(60_000, 1.0), (120_000, 2.0)]
+
+
+def test_http_read_route(spark, tmp_path):
+    from tsdb_spark.api import serve
+
+    db = DB.create(spark, str(tmp_path / "db"), block_width_ms=WIDTH)
+    db.append(spark.createDataFrame(
+        [({"__name__": "m"}, 0, 7.5)],
+        "labels MAP<STRING,STRING>, t LONG, v DOUBLE"))
+    srv = serve(db, "127.0.0.1", 0)
+    port = srv.server_address[1]
+    th = threading.Thread(target=srv.serve_forever, daemon=True)
+    th.start()
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/api/v1/read",
+            data=encode_read_request(
+                [{"start": 0, "end": 10, "matchers": [("=", "__name__", "m")]}]
+            ),
+            headers={"Content-Type": "application/x-protobuf",
+                     "Content-Encoding": "snappy"},
+        )
+        with urllib.request.urlopen(req) as resp:
+            assert resp.status == 200
+            assert resp.headers["Content-Encoding"] == "snappy"
+            body = resp.read()
+        assert decode_read_response(body) == [[({"__name__": "m"}, [(0, 7.5)])]]
     finally:
         srv.shutdown()

@@ -662,6 +662,43 @@ def remote_write(db, raw: bytes) -> int:
     return n
 
 
+def remote_read(db, raw: bytes) -> bytes:
+    """POST /api/v1/read (storage/remote/read_handler.go, SAMPLED
+    response type): decode the ReadRequest, run each query through the
+    pruned matcher select, and encode time-sorted TimeSeries back. The
+    STREAMED_XOR_CHUNKS variant needs the XOR chunk encoding SURVEY
+    §2.8 maps to Parquet, so this responder always answers SAMPLES —
+    the protocol default every client accepts. The collect sits in the
+    serving layer like every HTTP route; a remote-read window is
+    client-bounded the same way /api/v1/query_range is."""
+    from tsdb_spark import labels as L
+    from tsdb_spark.sources.remotewrite import (
+        decode_read_request,
+        encode_read_response,
+    )
+
+    ctor = {"=": L.eq, "!=": L.neq, "=~": L.re_match, "!~": L.re_not_match}
+    results = []
+    for q in decode_read_request(raw):
+        ms = [ctor[op](name, value) for op, name, value in q["matchers"]]
+        rows = (
+            db.querier(q["start"], q["end"])
+            .select(ms)
+            .select("labels", "t", "v")
+            .collect()
+        )
+        by: dict[tuple, tuple[dict, list]] = {}
+        for r in rows:
+            lab = dict(r["labels"])
+            key = tuple(sorted(lab.items()))
+            by.setdefault(key, (lab, []))[1].append((r["t"], r["v"]))
+        results.append(
+            [(lab, sorted(samps)) for lab, samps in
+             (by[k] for k in sorted(by))]
+        )
+    return encode_read_response(results)
+
+
 def admin_delete_series(db, selectors: list[str], mint: int, maxt: int) -> int:
     """POST /api/v1/admin/tsdb/delete_series (api.go deleteSeries):
     record delete intervals for every match[] selector over [start, end].
@@ -787,6 +824,19 @@ def make_handler(db, rule_groups: list[dict] | None = None, enable_admin: bool =
                 # success: 204 No Content (write_handler.go replies with
                 # an empty 2xx; the spec requires any 2xx)
                 return self._reply_empty(204)
+            if u.path == "/api/v1/read":
+                raw = self.rfile.read(n) if n else b""
+                try:
+                    out = remote_read(db, raw)
+                except Exception as e:  # noqa: BLE001 — wire errors → 400
+                    return self._reply_text(400, f"decode error: {e}\n")
+                self.send_response(200)
+                self.send_header("Content-Type", "application/x-protobuf")
+                self.send_header("Content-Encoding", "snappy")
+                self.send_header("Content-Length", str(len(out)))
+                self.end_headers()
+                self.wfile.write(out)
+                return None
             body = self.rfile.read(n).decode() if n else ""
             merged = parse_qs(u.query)
             for k, vals in parse_qs(body).items():

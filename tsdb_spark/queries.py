@@ -996,6 +996,63 @@ def store_remote_write(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "store_remote_read",
+    _with_prelude("""
+, d AS (SELECT labels_str, t, min(v) AS v FROM samples
+        WHERE t >= {T0} + 2*{DAY} AND t <= {T0} + 5*{DAY}
+          AND event_type = 'click' AND k_bucket = 'high'
+        GROUP BY 1, 2)
+SELECT labels_str, t, v FROM d"""),
+    "remote-read wire roundtrip (prometheus storage/remote "
+    "read_handler.go, SAMPLED response type; prompb ReadRequest/"
+    "ReadResponse over the same pure-Python codecs): a client-encoded "
+    "ReadRequest (__name__=click, k_bucket=high over days 2-5) goes "
+    "through api.remote_read — pruned matcher select → time-sorted "
+    "TimeSeries → snappy+proto — and the decoded response must equal "
+    "the plain SQL select sample-for-sample",
+)
+def store_remote_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tsdb_spark.api import remote_read
+    from tsdb_spark.sources.remotewrite import (
+        decode_read_response,
+        encode_read_request,
+    )
+
+    def _render(labels: dict) -> str:
+        # Python twin of labels.labels_str_expr (sorted keys, \\ and "
+        # escaped) so the decoded wire rows key identically to the store
+        def esc(s: str) -> str:
+            return s.replace("\\", "\\\\").replace('"', '\\"')
+
+        return (
+            "{"
+            + ",".join(f'{esc(k)}="{esc(v)}"' for k, v in sorted(labels.items()))
+            + "}"
+        )
+
+    db = _store(spark, sf_dir, "base")
+    req = encode_read_request(
+        [
+            {
+                "start": T0 + 2 * DAY,
+                "end": T0 + 5 * DAY,
+                "matchers": [
+                    ("=", "__name__", "click"),
+                    ("=", "k_bucket", "high"),
+                ],
+            }
+        ]
+    )
+    [series] = decode_read_response(remote_read(db, req))
+    rows = [
+        (_render(labels), t, v)
+        for labels, samples in series
+        for t, v in samples
+    ]
+    return spark.createDataFrame(rows, "labels_str STRING, t LONG, v DOUBLE")
+
+
+@register(
     "store_exemplars",
     _with_prelude("""
 , d AS (SELECT labels_str, event_type, k_bucket, t, min(v) AS v FROM samples

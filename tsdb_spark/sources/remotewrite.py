@@ -42,6 +42,10 @@ __all__ = [
     "snappy_decompress",
     "decode_write_request",
     "encode_write_request",
+    "decode_read_request",
+    "encode_read_request",
+    "decode_read_response",
+    "encode_read_response",
     "remote_write_df",
     "backfill_remote_write",
 ]
@@ -284,6 +288,121 @@ def encode_write_request(
         _put_field(req, 1, 2, bytes(ts))
     raw = bytes(req)
     return snappy_compress(raw) if compressed else raw
+
+
+# -------------------------------------- remote read (sampled variant)
+#
+# prompb ReadRequest/ReadResponse — the SAMPLED response type (raw
+# samples in TimeSeries messages). The STREAMED_XOR_CHUNKS variant
+# needs the XOR chunk encoding SURVEY §2.8 maps to Parquet, so this
+# engine negotiates the sampled form only (the protocol's default,
+# which every client must accept).
+
+_MATCHER_TYPES = {0: "=", 1: "!=", 2: "=~", 3: "!~"}
+_MATCHER_CODES = {v: k for k, v in _MATCHER_TYPES.items()}
+
+
+def _decode_matcher(buf: bytes) -> tuple[str, str, str]:
+    mtype, name, value = 0, "", ""
+    for field, wt, payload in _fields(buf):
+        if field == 1 and wt == 0:
+            mtype = payload
+        elif field == 2 and wt == 2:
+            name = payload.decode("utf-8")
+        elif field == 3 and wt == 2:
+            value = payload.decode("utf-8")
+    return _MATCHER_TYPES[mtype], name, value
+
+
+def _decode_query(buf: bytes) -> dict:
+    q = {"start": 0, "end": 0, "matchers": []}
+    for field, wt, payload in _fields(buf):
+        if field == 1 and wt == 0:
+            q["start"] = _int64(payload)
+        elif field == 2 and wt == 0:
+            q["end"] = _int64(payload)
+        elif field == 3 and wt == 2:
+            q["matchers"].append(_decode_matcher(payload))
+        # field 4 (hints) skipped — read-path pruning is the planner's job
+    return q
+
+
+def decode_read_request(raw: bytes, compressed: bool = True) -> list[dict]:
+    """ReadRequest → [{"start", "end", "matchers": [(op, name, value)]}]."""
+    buf = snappy_decompress(raw) if compressed else raw
+    out = []
+    for field, wt, payload in _fields(buf):
+        if field == 1 and wt == 2:
+            out.append(_decode_query(payload))
+        # field 2 (accepted_response_types, packed enum) skipped: this
+        # engine always answers SAMPLES, the type every reader accepts
+    return out
+
+
+def encode_read_request(queries: list[dict], compressed: bool = True) -> bytes:
+    """Client-side ReadRequest encoder (tests / this engine acting as a
+    remote-read client of another store)."""
+    req = bytearray()
+    for q in queries:
+        qb = bytearray()
+        _put_field(qb, 1, 0, int(q["start"]) & ((1 << 64) - 1))
+        _put_field(qb, 2, 0, int(q["end"]) & ((1 << 64) - 1))
+        for op, name, value in q["matchers"]:
+            mb = bytearray()
+            _put_field(mb, 1, 0, _MATCHER_CODES[op])
+            _put_field(mb, 2, 2, name.encode("utf-8"))
+            _put_field(mb, 3, 2, value.encode("utf-8"))
+            _put_field(qb, 3, 2, bytes(mb))
+        _put_field(req, 1, 2, bytes(qb))
+    raw = bytes(req)
+    return snappy_compress(raw) if compressed else raw
+
+
+def _encode_timeseries(out: bytearray, labels: dict, samples) -> None:
+    ts = bytearray()
+    for name in sorted(labels):
+        lb = bytearray()
+        _put_field(lb, 1, 2, name.encode("utf-8"))
+        _put_field(lb, 2, 2, labels[name].encode("utf-8"))
+        _put_field(ts, 1, 2, bytes(lb))
+    for t, v in samples:
+        sb = bytearray()
+        _put_field(sb, 1, 1, struct.pack("<d", v))
+        _put_field(sb, 2, 0, t & ((1 << 64) - 1))
+        _put_field(ts, 2, 2, bytes(sb))
+    _put_field(out, 1, 2, bytes(ts))
+
+
+def encode_read_response(
+    results: list[list[tuple[dict[str, str], list[tuple[int, float]]]]],
+    compressed: bool = True,
+) -> bytes:
+    """[[(labels, [(t, v), ...]), ...] per query] → ReadResponse bytes.
+    Samples must already be time-sorted per series (the spec's
+    requirement of responders)."""
+    resp = bytearray()
+    for series_list in results:
+        qr = bytearray()
+        for labels, samples in series_list:
+            _encode_timeseries(qr, labels, samples)
+        _put_field(resp, 1, 2, bytes(qr))
+    raw = bytes(resp)
+    return snappy_compress(raw) if compressed else raw
+
+
+def decode_read_response(
+    raw: bytes, compressed: bool = True
+) -> list[list[tuple[dict[str, str], list[tuple[int, float]]]]]:
+    buf = snappy_decompress(raw) if compressed else raw
+    out = []
+    for field, wt, payload in _fields(buf):
+        if field == 1 and wt == 2:
+            series = []
+            for f2, wt2, p2 in _fields(payload):
+                if f2 == 1 and wt2 == 2:
+                    series.append(_decode_timeseries(p2))
+            out.append(series)
+    return out
 
 
 # ------------------------------------------------------- Spark bridges
