@@ -265,3 +265,30 @@ def test_http_read_route(spark, tmp_path):
         assert decode_read_response(body) == [[({"__name__": "m"}, [(0, 7.5)])]]
     finally:
         srv.shutdown()
+
+
+def test_write_request_exemplars(spark, tmp_path):
+    """Exemplars on the wire (prompb TimeSeries field 3) land in the
+    exemplar side table; plain decode keeps its 2-tuple shape."""
+    from tsdb_spark.api import query_exemplars, remote_write
+
+    series = [(
+        {"__name__": "m", "job": "api"},
+        [(60_000, 1.5)],
+        [({"trace_id": "abc123"}, 60_000, 1.5),
+         ({"trace_id": "def456"}, 120_000, 2.25)],
+    )]
+    body = encode_write_request(series)
+    # decode without exemplars: 2-tuples, exemplars skipped by wire type
+    assert decode_write_request(body) == [({"__name__": "m", "job": "api"},
+                                           [(60_000, 1.5)])]
+    got = decode_write_request(body, with_exemplars=True)
+    assert got[0][2] == [({"trace_id": "abc123"}, 60_000, 1.5),
+                         ({"trace_id": "def456"}, 120_000, 2.25)]
+
+    db = DB.create(spark, str(tmp_path / "db"), block_width_ms=WIDTH)
+    assert remote_write(db, body) == 1
+    resp = query_exemplars(db, "m", 0, 10**7)
+    [entry] = resp["data"]
+    exs = sorted(e["labels"]["trace_id"] for e in entry["exemplars"])
+    assert exs == ["abc123", "def456"]

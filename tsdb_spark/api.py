@@ -652,14 +652,38 @@ def remote_write(db, raw: bytes) -> int:
     write_spec): snappy-block-compressed prompb WriteRequest → ONE batch
     append. The driver decodes the (small, sender-capped) body; the
     append is the distributed work — the same split as the scrape path.
-    Returns the number of samples appended."""
-    from tsdb_spark.sources.remotewrite import remote_write_df
+    Exemplars riding the request (prompb TimeSeries field 3, spec §
+    exemplars) land in the exemplar side table keyed by the series
+    labels, like scrape-time exemplars. Returns the number of samples
+    appended."""
+    from tsdb_spark.sources.remotewrite import decode_write_request
 
-    df = remote_write_df(db.spark, raw)
-    n = df.count()
-    if n:
-        db.append(df)
-    return n
+    decoded = decode_write_request(raw, with_exemplars=True)
+    rows = [
+        (labels, t, float(v))
+        for labels, samples, _ in decoded
+        for t, v in samples
+    ]
+    if rows:
+        db.append(
+            db.spark.createDataFrame(
+                rows, "labels MAP<STRING,STRING>, t LONG, v DOUBLE"
+            )
+        )
+    ex_rows = [
+        (labels, t, float(v), ex_labels)
+        for labels, _, exemplars in decoded
+        for ex_labels, t, v in exemplars
+    ]
+    if ex_rows:
+        db.append_exemplars(
+            db.spark.createDataFrame(
+                ex_rows,
+                "labels MAP<STRING,STRING>, t LONG, v DOUBLE, "
+                "exemplar MAP<STRING,STRING>",
+            )
+        )
+    return len(rows)
 
 
 def remote_read(db, raw: bytes) -> bytes:

@@ -228,29 +228,54 @@ def _decode_sample(buf: bytes) -> tuple[int, float]:
     return t, v
 
 
-def _decode_timeseries(buf: bytes) -> tuple[dict[str, str], list[tuple[int, float]]]:
+def _decode_exemplar(buf: bytes) -> tuple[dict[str, str], int, float]:
+    """Exemplar { repeated Label labels = 1; double value = 2;
+    int64 timestamp = 3; } → (exemplar_labels, t_ms, value)."""
+    labels: dict[str, str] = {}
+    t, v = 0, 0.0
+    for field, wt, payload in _fields(buf):
+        if field == 1 and wt == 2:
+            name, value = _decode_label(payload)
+            labels[name] = value
+        elif field == 2 and wt == 1:
+            v = struct.unpack("<d", payload)[0]
+        elif field == 3 and wt == 0:
+            t = _int64(payload)
+    return labels, t, v
+
+
+def _decode_timeseries(
+    buf: bytes, with_exemplars: bool = False
+):
     labels: dict[str, str] = {}
     samples: list[tuple[int, float]] = []
+    exemplars: list[tuple[dict[str, str], int, float]] = []
     for field, wt, payload in _fields(buf):
         if field == 1 and wt == 2:
             name, value = _decode_label(payload)
             labels[name] = value
         elif field == 2 and wt == 2:
             samples.append(_decode_sample(payload))
-        # field 3 (exemplars) / 4 (histograms) / 5+ skipped by wire type
+        elif field == 3 and wt == 2 and with_exemplars:
+            exemplars.append(_decode_exemplar(payload))
+        # field 4 (histograms) / 5+ skipped by wire type
+    if with_exemplars:
+        return labels, samples, exemplars
     return labels, samples
 
 
 def decode_write_request(
-    raw: bytes, compressed: bool = True
-) -> list[tuple[dict[str, str], list[tuple[int, float]]]]:
-    """Decode a remote-write body into [(labels, [(t_ms, v), ...]), ...].
+    raw: bytes, compressed: bool = True, with_exemplars: bool = False
+):
+    """Decode a remote-write body into [(labels, [(t_ms, v), ...]), ...]
+    — or, with_exemplars=True, 3-tuples whose last element is
+    [(exemplar_labels, t_ms, value), ...] (prompb TimeSeries field 3).
     `compressed=True` (the wire default) snappy-decompresses first."""
     buf = snappy_decompress(raw) if compressed else raw
     out = []
     for field, wt, payload in _fields(buf):
         if field == 1 and wt == 2:
-            out.append(_decode_timeseries(payload))
+            out.append(_decode_timeseries(payload, with_exemplars))
     return out
 
 
@@ -266,14 +291,18 @@ def _put_field(out: bytearray, field: int, wt: int, payload) -> None:
 
 
 def encode_write_request(
-    series: Iterable[tuple[dict[str, str], Iterable[tuple[int, float]]]],
+    series: Iterable[tuple],
     compressed: bool = True,
 ) -> bytes:
     """Encode [(labels, [(t_ms, v), ...]), ...] as a remote-write body
-    (the sender side — what a client POSTs to /api/v1/write). Label
-    pairs are emitted sorted by name, as the spec requires of senders."""
+    (the sender side — what a client POSTs to /api/v1/write). A series
+    tuple may carry a third element [(exemplar_labels, t_ms, value),
+    ...] emitted as prompb Exemplar messages. Label pairs are emitted
+    sorted by name, as the spec requires of senders."""
     req = bytearray()
-    for labels, samples in series:
+    for entry in series:
+        labels, samples = entry[0], entry[1]
+        exemplars = entry[2] if len(entry) > 2 else ()
         ts = bytearray()
         for name in sorted(labels):
             lb = bytearray()
@@ -285,6 +314,16 @@ def encode_write_request(
             _put_field(sb, 1, 1, struct.pack("<d", v))
             _put_field(sb, 2, 0, t & ((1 << 64) - 1))  # int64 two's complement
             _put_field(ts, 2, 2, bytes(sb))
+        for ex_labels, t, v in exemplars:
+            eb = bytearray()
+            for name in sorted(ex_labels):
+                lb = bytearray()
+                _put_field(lb, 1, 2, name.encode("utf-8"))
+                _put_field(lb, 2, 2, ex_labels[name].encode("utf-8"))
+                _put_field(eb, 1, 2, bytes(lb))
+            _put_field(eb, 2, 1, struct.pack("<d", v))
+            _put_field(eb, 3, 0, t & ((1 << 64) - 1))
+            _put_field(ts, 3, 2, bytes(eb))
         _put_field(req, 1, 2, bytes(ts))
     raw = bytes(req)
     return snappy_compress(raw) if compressed else raw
