@@ -68,10 +68,26 @@ def replicate(spark, mult: int, out_dir: str,
         docs.crossJoin(F.broadcast(reps))
         .select(
             (F.col("doc_id") + F.col("_rep") * 1_000_000).alias("doc_id"),
-            # tag makes replicas DISTINCT docs (shared shingles, so the
-            # LSH join still works against realistic near-dup density)
+            # per-replica token prefix keeps the 1x corpus's INTERNAL
+            # near-dup structure inside each replica while sharing zero
+            # shingles across replicas — so the true near-dup pair count
+            # scales k-linearly like a real k-times-larger corpus. (The
+            # old scheme appended one tail token, which made all k
+            # replicas of a doc near-dups of each other: candidate pairs
+            # grew k-squared BY TEST CONSTRUCTION and drowned the signal
+            # above 64x.)
             F.when(F.col("_rep") == 0, F.col("text"))
-            .otherwise(F.concat_ws(" ", F.col("text"), F.concat(F.lit("rep"), F.col("_rep"))))
+            .otherwise(
+                F.regexp_replace(
+                    F.col("text"),
+                    F.lit(r"(^|\s)(\S)"),
+                    F.concat(
+                        F.lit("$1r"),
+                        F.col("_rep").cast("string"),
+                        F.lit("x$2"),
+                    ),
+                )
+            )
             .alias("text"),
             "lang",
             "source",

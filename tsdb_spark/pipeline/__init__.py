@@ -37,6 +37,7 @@ from tsdb_spark.pipeline.dedup import (
     minhash_signatures,
     lsh_candidate_pairs,
     jaccard_pairs,
+    jaccard_pairs_for_docs,
     simhash_expr,
 )
 from tsdb_spark.pipeline.embed import cosine_expr, cosine_topk, ann_lsh_topk
@@ -52,6 +53,7 @@ __all__ = [
     "minhash_signatures",
     "lsh_candidate_pairs",
     "jaccard_pairs",
+    "jaccard_pairs_for_docs",
     "simhash_expr",
     "cosine_expr",
     "cosine_topk",

@@ -128,8 +128,9 @@ def minhash_signatures(
     k: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    keep_shingles: bool = True,
 ) -> DataFrame:
-    """(id, shingles, sig): MinHash signature over the shingle set.
+    """(id[, shingles], sig): MinHash signature over the shingle set.
 
     Scale shape: ONE md5 per shingle (exploded to rows, whole-stage
     codegen), then the n_hashes family derives by 30-bit-split
@@ -138,14 +139,25 @@ def minhash_signatures(
     in any BIGINT engine (the SQL oracle reproduces it with integer
     literals). The per-seed minima run as plain MIN aggregates in one
     map-side-combinable HashAggregate — never an interpreted higher-order
-    fold, never n_hashes md5 passes."""
-    # eager: the shingle frame feeds both the exploded hash aggregation
-    # and the final signature join — sibling scans of one job would each
-    # recompute the tokenize+shingle expression on a lazy persist
-    from tsdb_spark.pipeline.common import materialize
+    fold, never n_hashes md5 passes.
 
-    d = materialize(shingle_sets(docs, k=k, text_col=text_col, id_col=id_col))
-    ex = d.select("id", F.explode("shingles").alias("s")).withColumn(
+    `keep_shingles=False` is the corpus-scale form: the shingle arrays
+    are neither carried nor cached — the exploded rows stream straight
+    into the combinable aggregate, column-pruned to (id, h). The 128×
+    soak measured the corpus-wide shingle-array cache as THE disk wall
+    (hundreds of GB of serialized arrays on one box); downstream exact
+    Jaccard re-shingles only the candidate docs (jaccard_pairs_for_docs
+    — candidates are a vanishing fraction of the corpus)."""
+    sets = shingle_sets(docs, k=k, text_col=text_col, id_col=id_col)
+    if keep_shingles:
+        # eager: the shingle frame feeds both the exploded hash
+        # aggregation and the final signature join — sibling scans of
+        # one job would each recompute the tokenize+shingle expression
+        # on a lazy persist
+        from tsdb_spark.pipeline.common import materialize
+
+        sets = materialize(sets)
+    ex = sets.select("id", F.explode("shingles").alias("s")).withColumn(
         "h", hash64(F.col("s"), "mh")
     )
     h1 = F.shiftright(F.col("h"), 30)
@@ -157,7 +169,9 @@ def minhash_signatures(
         ]
     )
     sig = F.array(*[F.col(f"_m{i}") for i in range(n_hashes)])
-    return d.join(mins, "id").select("id", "shingles", sig.alias("sig"))
+    if not keep_shingles:
+        return mins.select("id", sig.alias("sig"))
+    return sets.join(mins, "id").select("id", "shingles", sig.alias("sig"))
 
 
 def lsh_candidate_pairs(
@@ -244,6 +258,30 @@ def jaccard_pairs(
         )
         .filter(F.col("jaccard_bp") >= min_jaccard_bp)
     )
+
+
+def jaccard_pairs_for_docs(
+    pairs: DataFrame,
+    docs: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_jaccard_bp: int = 6000,
+) -> DataFrame:
+    """jaccard_pairs for the corpus-scale path: re-shingle ONLY the
+    candidate documents (semi-join against the tiny pair id set) instead
+    of carrying every document's shingle array through the signature
+    frame. Same exact integer Jaccard, same threshold — candidates are
+    a vanishing fraction of a 100 TB corpus, so the re-tokenize is
+    noise next to a corpus-wide array cache."""
+    ids = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .unionByName(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    sub = docs.join(ids, id_col, "semi")
+    sh = shingle_sets(sub, k=k, text_col=text_col, id_col=id_col)
+    return jaccard_pairs(pairs, sh, min_jaccard_bp=min_jaccard_bp)
 
 
 def connected_components(

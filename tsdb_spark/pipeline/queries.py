@@ -445,14 +445,21 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         # self-join (2 scans) and the Jaccard verification (2 more) —
         # lazily persisted, the sibling scan stages all miss the empty
         # cache and the 32-way minhash expression runs 4x over the corpus
-        sigs = materialize(D.minhash_signatures(_corpus(spark, sf_dir)))
+        # keep_shingles=False: the lean (id, sig) frame — the 128x soak
+        # measured the corpus-wide shingle-array cache as THE one-box
+        # disk wall; exact Jaccard re-shingles candidates only
+        sigs = materialize(
+            D.minhash_signatures(_corpus(spark, sf_dir), keep_shingles=False)
+        )
         # max_bucket: the 100TB skew guard (drop degenerate band buckets
         # before the self-join); far above any bucket size at test scale,
         # so oracle results are unaffected
         cand = D.lsh_candidate_pairs(sigs, max_bucket=100_000)
-        _PAIRS_CACHE[key] = materialize(D.jaccard_pairs(cand, sigs))
-        # pairs are materialized: the signature/shingle frame is no
-        # longer scanned — release its executor storage
+        _PAIRS_CACHE[key] = materialize(
+            D.jaccard_pairs_for_docs(cand, _corpus(spark, sf_dir))
+        )
+        # pairs are materialized: the signature frame is no longer
+        # scanned — release its executor storage
         sigs.unpersist()
     return _PAIRS_CACHE[key]
 
@@ -1707,7 +1714,9 @@ FROM incoming i LEFT JOIN hits h ON h.new_id = i.doc_id""",
     "flag; exact-Jaccard verification only on cross candidates",
 )
 def docs_cross_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sigs = materialize(D.minhash_signatures(_corpus(spark, sf_dir)))
+    sigs = materialize(
+        D.minhash_signatures(_corpus(spark, sf_dir), keep_shingles=False)
+    )
     CUT = 100000
     # band both sides from the one signature pass, then equi-join
     # new x old (never a full self-join)
@@ -1742,7 +1751,17 @@ def docs_cross_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("new_id", "old_id")
         .distinct()
     )
-    sh = sigs.select("id", "shingles")
+    # candidate-only re-shingle (the lean-signature path): the cross
+    # candidate id set is tiny, so the semi-join + re-tokenize replaces
+    # a corpus-wide shingle-array carry
+    cand_ids = (
+        cand.select(F.col("new_id").alias("doc_id"))
+        .unionByName(cand.select(F.col("old_id").alias("doc_id")))
+        .distinct()
+    )
+    sh = D.shingle_sets(
+        _corpus(spark, sf_dir).join(cand_ids, "doc_id", "semi")
+    )
     cv = (
         cand.join(
             sh.withColumnRenamed("id", "new_id").withColumnRenamed("shingles", "sh_n"),
