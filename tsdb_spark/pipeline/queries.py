@@ -454,13 +454,17 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         # max_bucket: the 100TB skew guard (drop degenerate band buckets
         # before the self-join); far above any bucket size at test scale,
         # so oracle results are unaffected
-        cand = D.lsh_candidate_pairs(sigs, max_bucket=100_000)
+        # cand is referenced three times downstream (the candidate-id
+        # distinct + both sides of the Jaccard join) — materialize the
+        # pair-sized frame so the banded self-join runs ONCE
+        cand = materialize(D.lsh_candidate_pairs(sigs, max_bucket=100_000))
         _PAIRS_CACHE[key] = materialize(
             D.jaccard_pairs_for_docs(cand, _corpus(spark, sf_dir))
         )
-        # pairs are materialized: the signature frame is no longer
-        # scanned — release its executor storage
+        # pairs are materialized: the signature/candidate frames are no
+        # longer scanned — release their executor storage
         sigs.unpersist()
+        cand.unpersist()
     return _PAIRS_CACHE[key]
 
 
@@ -1746,7 +1750,7 @@ def docs_cross_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     new_b = banded.filter(F.col("id") >= CUT).withColumnRenamed("id", "new_id")
     old_b = banded.filter(F.col("id") < CUT).withColumnRenamed("id", "old_id")
-    cand = (
+    cand = materialize(
         new_b.join(old_b, ["band_id", "band_key"])
         .select("new_id", "old_id")
         .distinct()
