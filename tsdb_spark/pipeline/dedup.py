@@ -279,13 +279,17 @@ def jaccard_pairs_for_docs(
     frame. Same exact integer Jaccard, same threshold — candidates are
     a vanishing fraction of a 100 TB corpus, so the re-tokenize is
     noise next to a corpus-wide array cache."""
+    from tsdb_spark.pipeline.common import materialize
+
     ids = (
         pairs.select(F.col("id_a").alias(id_col))
         .unionByName(pairs.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
     sub = docs.join(ids, id_col, "semi")
-    sh = shingle_sets(sub, k=k, text_col=text_col, id_col=id_col)
+    # candidate-sized frame, consumed by BOTH sides of the pair join —
+    # materialized so the corpus semi-scan + re-tokenize runs once
+    sh = materialize(shingle_sets(sub, k=k, text_col=text_col, id_col=id_col))
     return jaccard_pairs(pairs, sh, min_jaccard_bp=min_jaccard_bp)
 
 
