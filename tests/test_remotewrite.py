@@ -292,3 +292,41 @@ def test_write_request_exemplars(spark, tmp_path):
     [entry] = resp["data"]
     exs = sorted(e["labels"]["trace_id"] for e in entry["exemplars"])
     assert exs == ["abc123", "def456"]
+
+
+def test_push_remote_write_between_stores(spark, tmp_path):
+    """The engine as remote-write SENDER: store A drains into store B
+    over a live /api/v1/write endpoint (migration/forwarding)."""
+    from tsdb_spark.api import serve
+    from tsdb_spark.labels import eq
+    from tsdb_spark.sources.remotewrite import push_remote_write
+
+    src = DB.create(spark, str(tmp_path / "a"), block_width_ms=WIDTH)
+    rows = []
+    for s in ("x", "y"):
+        for i in range(6):
+            rows.append(({"__name__": "m", "s": s}, i * 60_000, float(i * 2)))
+    src.append(spark.createDataFrame(
+        rows, "labels MAP<STRING,STRING>, t LONG, v DOUBLE"))
+
+    dst = DB.create(spark, str(tmp_path / "b"), block_width_ms=WIDTH)
+    srv = serve(dst, "127.0.0.1", 0)
+    port = srv.server_address[1]
+    th = threading.Thread(target=srv.serve_forever, daemon=True)
+    th.start()
+    try:
+        n = push_remote_write(
+            src, f"http://127.0.0.1:{port}/api/v1/write",
+            0, 10**7, batch_series=1,  # force multiple POSTs
+        )
+        assert n == 12
+        got = sorted(
+            (r["labels"]["s"], r["t"], r["v"])
+            for r in dst.querier(0, 10**7).select([eq("__name__", "m")])
+            .select("labels", "t", "v").collect()
+        )
+        want = sorted((s, i * 60_000, float(i * 2))
+                      for s in ("x", "y") for i in range(6))
+        assert got == want
+    finally:
+        srv.shutdown()

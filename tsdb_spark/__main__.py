@@ -10,6 +10,7 @@ command table: bench write / ls / analyze / dump).
     python -m tsdb_spark bench-write <store> --events DIR [--width MS]
     python -m tsdb_spark create-blocks-from <input> <store> [--timestamps U]
     python -m tsdb_spark scrape   <store> --url URL [--interval MS --passes N]
+    python -m tsdb_spark remote-write <store> --url URL --maxt MS
     python -m tsdb_spark stream   <store> --source DIR --checkpoint DIR
     python -m tsdb_spark plan     <store>
     python -m tsdb_spark compact  <store> [--width MS]
@@ -204,6 +205,19 @@ def main(argv: list[str] | None = None) -> int:
                        help="override every group's interval (ms)")
     p_cr2.add_argument("--width", type=int, default=2 * 3600 * 1000,
                        help="block width for a NEW output store")
+
+    p_rw = sub.add_parser(
+        "remote-write",
+        help="push a store's samples to another instance over the "
+        "remote-write wire protocol (prompb WriteRequest + snappy; "
+        "the engine as SENDER — migration/forwarding)",
+    )
+    p_rw.add_argument("store")
+    p_rw.add_argument("--url", required=True, help=".../api/v1/write endpoint")
+    p_rw.add_argument("--mint", type=int, default=0)
+    p_rw.add_argument("--maxt", type=int, required=True)
+    p_rw.add_argument("--selector", default=None, help="PromQL selector filter")
+    p_rw.add_argument("--batch-series", type=int, default=500)
 
     p_st = sub.add_parser(
         "stream",
@@ -527,6 +541,17 @@ def main(argv: list[str] | None = None) -> int:
             eval_interval_ms=args.eval_interval, block_width_ms=args.width,
         )
         print(_json.dumps(rep))
+    elif args.cmd == "remote-write":
+        from tsdb_spark.labels import parse_selector
+        from tsdb_spark.sources.remotewrite import push_remote_write
+
+        db = DB.open_readonly(spark, args.store)
+        ms = parse_selector(args.selector) if args.selector else None
+        n = push_remote_write(
+            db, args.url, args.mint, args.maxt,
+            matchers=ms, batch_series=args.batch_series,
+        )
+        print(f"pushed {n} samples to {args.url}")
     elif args.cmd == "stream":
         import os as _os
 

@@ -47,6 +47,7 @@ __all__ = [
     "decode_read_response",
     "encode_read_response",
     "remote_write_df",
+    "push_remote_write",
     "backfill_remote_write",
 ]
 
@@ -442,6 +443,59 @@ def decode_read_response(
                     series.append(_decode_timeseries(p2))
             out.append(series)
     return out
+
+
+def push_remote_write(
+    db,
+    url: str,
+    mint: int,
+    maxt: int,
+    matchers=None,
+    batch_series: int = 500,
+    timeout_s: float = 30.0,
+) -> int:
+    """Act as a remote-write SENDER: read [mint, maxt] (optionally
+    matcher-filtered) from a store and POST it to another instance's
+    /api/v1/write in sender-style batches. The migration/forwarding
+    story — this engine's store drains into an upstream Prometheus (or
+    another instance of this engine) over the standard wire protocol.
+    Returns the number of samples sent.
+
+    The read collects to the driver (it IS the client here, like every
+    HTTP serving path); windows larger than driver memory should be
+    pushed in multiple [mint, maxt) slices."""
+    import urllib.request
+
+    rows = (
+        db.querier(mint, maxt)
+        .select(matchers or [])
+        .select("labels", "t", "v")
+        .collect()
+    )
+    by: dict[tuple, tuple[dict, list]] = {}
+    for r in rows:
+        lab = dict(r["labels"])
+        by.setdefault(tuple(sorted(lab.items())), (lab, []))[1].append(
+            (r["t"], r["v"])
+        )
+    series = [(lab, sorted(samps)) for lab, samps in (by[k] for k in sorted(by))]
+    sent = 0
+    for i in range(0, len(series), batch_series):
+        chunk = series[i : i + batch_series]
+        req = urllib.request.Request(
+            url,
+            data=encode_write_request(chunk),
+            headers={
+                "Content-Encoding": "snappy",
+                "Content-Type": "application/x-protobuf",
+                "X-Prometheus-Remote-Write-Version": "0.1.0",
+            },
+        )
+        with urllib.request.urlopen(req, timeout=timeout_s) as resp:
+            if not 200 <= resp.status < 300:
+                raise OSError(f"remote write rejected: HTTP {resp.status}")
+        sent += sum(len(s) for _, s in chunk)
+    return sent
 
 
 # ------------------------------------------------------- Spark bridges
