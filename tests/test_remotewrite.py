@@ -330,3 +330,253 @@ def test_push_remote_write_between_stores(spark, tmp_path):
         assert got == want
     finally:
         srv.shutdown()
+
+
+# ------------------------------------------------ Remote-Write 2.0
+
+
+RW2_SERIES = [
+    {
+        "labels": {"__name__": "rw2_float", "job": "api"},
+        "samples": [(0, 1.0), (15_000, 2.5)],
+        "histograms": [],
+        "exemplars": [({"trace_id": "t-1"}, 15_000, 2.5)],
+        "metadata": {"type": "counter", "help": "a float series",
+                     "unit": "seconds"},
+    },
+    {
+        "labels": {"__name__": "rw2_hist", "le": ""},
+        "samples": [],
+        "histograms": [
+            (
+                60_000,
+                {
+                    "count": 7.0,
+                    "sum": 31.5,
+                    "zero_count": 1.0,
+                    "schema": 0,
+                    "buckets": [(0, 2.0), (1, 3.0), (4, 1.0)],
+                },
+            )
+        ],
+        "exemplars": [],
+        "metadata": {},
+    },
+]
+
+
+def test_rw2_roundtrip():
+    from tsdb_spark.sources.remotewrite import (
+        decode_write_request_v2,
+        encode_write_request_v2,
+    )
+
+    body = encode_write_request_v2(RW2_SERIES)
+    out = decode_write_request_v2(body)
+    assert len(out) == 2
+    f, h = out
+    assert f["labels"] == RW2_SERIES[0]["labels"]
+    assert f["samples"] == RW2_SERIES[0]["samples"]
+    assert f["exemplars"] == [({"trace_id": "t-1"}, 15_000, 2.5)]
+    assert f["metadata"] == RW2_SERIES[0]["metadata"]
+    assert h["labels"] == {"__name__": "rw2_hist"}  # empty-name ref dropped
+    [(t, hh)] = h["histograms"]
+    assert t == 60_000
+    assert hh["count"] == 7.0 and hh["sum"] == 31.5
+    assert hh["zero_count"] == 1.0 and hh["schema"] == 0
+    assert hh["buckets"] == [(0, 2.0), (1, 3.0), (4, 1.0)]
+
+
+def test_rw2_symbol_table_interned():
+    from tsdb_spark.sources.remotewrite import (
+        encode_write_request_v2,
+        snappy_decompress,
+    )
+
+    # two series sharing a label name+value must intern it once
+    body = snappy_decompress(
+        encode_write_request_v2(
+            [
+                {"labels": {"job": "api", "__name__": "a"}, "samples": [(0, 1.0)]},
+                {"labels": {"job": "api", "__name__": "b"}, "samples": [(0, 2.0)]},
+            ]
+        )
+    )
+    assert body.count(b"api") == 1
+    assert body.count(b"job") == 1
+
+
+def test_rw2_int_histogram_deltas_and_negative_fold():
+    """Hand-encode the INT histogram form (count_int, zigzag sint64
+    delta buckets, spans on both signs) — upstream senders emit this
+    for integer histograms; deltas expand to absolute counts and
+    negative-side buckets fold into zero_count per the engine's
+    documented positive-only subset."""
+    from tsdb_spark.sources.remotewrite import (
+        decode_write_request_v2,
+        snappy_compress,
+    )
+
+    def uv(v):
+        out = bytearray()
+        while v > 0x7F:
+            out.append((v & 0x7F) | 0x80)
+            v >>= 7
+        out.append(v)
+        return bytes(out)
+
+    def zz(v):
+        return uv((v << 1) ^ (v >> 63) if v < 0 else v << 1)
+
+    def field(num, wt, payload):
+        if wt == 0:
+            return uv((num << 3) | 0) + payload
+        if wt == 1:
+            return uv((num << 3) | 1) + payload
+        return uv((num << 3) | 2) + uv(len(payload)) + payload
+
+    # positive spans: [offset 0 len 2], [gap 2 len 1] → idx 0,1,4
+    # deltas 2, +1, -2 → counts 2, 3, 1
+    span1 = field(1, 0, zz(0)) + field(2, 0, uv(2))
+    span2 = field(1, 0, zz(2)) + field(2, 0, uv(1))
+    # negative side: one bucket of count 4 → folds into zero_count
+    nspan = field(1, 0, zz(1)) + field(2, 0, uv(1))
+    hist = (
+        field(1, 0, uv(11))                      # count_int
+        + field(3, 1, struct.pack("<d", 40.0))   # sum
+        + field(4, 0, zz(3))                     # schema (sint32)
+        + field(6, 0, uv(1))                     # zero_count_int
+        + field(8, 2, nspan)
+        + field(9, 2, zz(4))                     # packed neg deltas
+        + field(11, 2, span1)
+        + field(11, 2, span2)
+        + field(12, 2, zz(2) + zz(1) + zz(-2))   # packed pos deltas
+        + field(15, 0, uv(90_000))               # timestamp
+    )
+    ts = field(1, 2, uv(1) + uv(2)) + field(3, 2, hist)
+    req = (
+        field(4, 2, b"")                         # symbols[0] = ""
+        + field(4, 2, b"__name__")
+        + field(4, 2, b"ih")
+        + field(5, 2, ts)
+    )
+    [out] = decode_write_request_v2(snappy_compress(req))
+    assert out["labels"] == {"__name__": "ih"}
+    [(t, h)] = out["histograms"]
+    assert t == 90_000
+    assert h["count"] == 11.0 and h["sum"] == 40.0 and h["schema"] == 3
+    assert h["zero_count"] == 1.0 + 4.0
+    assert h["buckets"] == [(0, 2.0), (1, 3.0), (4, 1.0)]
+
+
+def test_rw2_validation_errors():
+    from tsdb_spark.sources.remotewrite import (
+        decode_write_request_v2,
+        snappy_compress,
+    )
+
+    with pytest.raises(ValueError):
+        # symbols[0] must be ""
+        decode_write_request_v2(
+            snappy_compress(b"\x22\x01x")  # field 4 wt 2 "x"
+        )
+    with pytest.raises((ValueError, IndexError)):
+        # odd labels_refs length
+        body = b"\x22\x00" + b"\x22\x01a" + b"\x2a\x03\x0a\x01\x01"
+        decode_write_request_v2(snappy_compress(body))
+
+
+def test_rw2_append_and_http_negotiation(spark, tmp_path):
+    """End-to-end over the live route: a v2 body (float + native
+    histogram + exemplar) POSTs with the rw2 Content-Type, lands in all
+    three tables, and a plain v1 body on the SAME endpoint still routes
+    through the 1.0 decoder (the spec's backwards-compatibility rule).
+    Decode failures answer 400; internal append failures answer 500 so
+    conforming senders retry (remote-write spec forbids retrying 4xx)."""
+    import urllib.error
+
+    from tsdb_spark.api import query, serve
+
+    db = DB.create(spark, str(tmp_path / "db"), block_width_ms=WIDTH)
+    srv = serve(db, "127.0.0.1", 0)
+    port = srv.server_address[1]
+    th = threading.Thread(target=srv.serve_forever, daemon=True)
+    th.start()
+    url = f"http://127.0.0.1:{port}/api/v1/write"
+    try:
+        from tsdb_spark.sources.remotewrite import encode_write_request_v2
+
+        req = urllib.request.Request(
+            url,
+            data=encode_write_request_v2(RW2_SERIES),
+            headers={
+                "Content-Encoding": "snappy",
+                "Content-Type": "application/x-protobuf;"
+                "proto=io.prometheus.write.v2.Request",
+                "X-Prometheus-Remote-Write-Version": "2.0.0",
+            },
+        )
+        with urllib.request.urlopen(req) as resp:
+            assert resp.status == 204
+        out = query(db, "rw2_float", 15_000)
+        assert out["data"]["result"][0]["value"][1] == "2.5"
+        hrows = db.hist_frame(0, 120_000).collect()
+        assert len(hrows) == 1
+        h = hrows[0]["h"]
+        assert h["count"] == 7.0 and h["sum"] == 31.5
+        assert [(b["idx"], b["c"]) for b in h["buckets"]] == [
+            (0, 2.0), (1, 3.0), (4, 1.0),
+        ]
+        ex = db.exemplars_frame(0, 120_000).collect()
+        assert len(ex) == 1 and dict(ex[0]["exemplar"]) == {"trace_id": "t-1"}
+
+        # v1 body, v1 content type, same endpoint
+        v1 = urllib.request.Request(
+            url,
+            data=encode_write_request(
+                [({"__name__": "still_v1"}, [(30_000, 4.0)])]
+            ),
+            headers={"Content-Type": "application/x-protobuf"},
+        )
+        with urllib.request.urlopen(v1) as resp:
+            assert resp.status == 204
+        out = query(db, "still_v1", 30_000)
+        assert out["data"]["result"][0]["value"][1] == "4"
+
+        # garbage with the v2 content type → 400 (decode error)
+        bad = urllib.request.Request(
+            url,
+            data=b"\x00\x01\x02",
+            headers={
+                "Content-Type": "application/x-protobuf;"
+                "proto=io.prometheus.write.v2.Request"
+            },
+        )
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(bad)
+        assert ei.value.code == 400
+
+        # internal append failure → 500, NOT 400
+        import tsdb_spark.api as api_mod
+
+        orig = api_mod._apply_write_body
+
+        def boom(db_, tagged):
+            raise RuntimeError("executor lost")
+
+        api_mod._apply_write_body = boom
+        try:
+            ok_body = urllib.request.Request(
+                url,
+                data=encode_write_request(
+                    [({"__name__": "x"}, [(0, 1.0)])]
+                ),
+                headers={"Content-Type": "application/x-protobuf"},
+            )
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                urllib.request.urlopen(ok_body)
+            assert ei.value.code == 500
+        finally:
+            api_mod._apply_write_body = orig
+    finally:
+        srv.shutdown()

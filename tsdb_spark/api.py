@@ -659,6 +659,40 @@ def remote_write(db, raw: bytes) -> int:
     from tsdb_spark.sources.remotewrite import decode_write_request
 
     decoded = decode_write_request(raw, with_exemplars=True)
+    return remote_write_apply(db, decoded)
+
+
+def _decode_write_body(raw: bytes, content_type: str = ""):
+    """Decode an /api/v1/write body. Any exception raised here is a
+    malformed-request error (HTTP 400). Dispatches on the proto=
+    Content-Type parameter: io.prometheus.write.v2.Request bodies go
+    through the Remote-Write 2.0 decoder, everything else (including a
+    missing header) through the 1.0 prompb.WriteRequest decoder, per
+    the rw2 spec's backwards-compatibility rule."""
+    if "io.prometheus.write.v2.request" in (content_type or "").lower():
+        from tsdb_spark.sources.remotewrite import decode_write_request_v2
+
+        return ("v2", decode_write_request_v2(raw))
+    from tsdb_spark.sources.remotewrite import decode_write_request
+
+    return ("v1", decode_write_request(raw, with_exemplars=True))
+
+
+def _apply_write_body(db, tagged) -> int:
+    """Commit a decoded /api/v1/write body; exceptions here are
+    internal errors (HTTP 500, sender retries)."""
+    version, decoded = tagged
+    if version == "v2":
+        return remote_write_apply_v2(db, decoded)
+    return remote_write_apply(db, decoded)
+
+
+def remote_write_apply(db, decoded) -> int:
+    """The commit half of remote_write: append already-decoded series.
+    Split out so the HTTP handler can distinguish malformed bodies
+    (→ 400, sender must NOT retry per the remote-write spec) from
+    internal append failures (→ 500, sender retries) — upstream
+    write_handler.go draws exactly this line."""
     rows = [
         (labels, t, float(v))
         for labels, samples, _ in decoded
@@ -684,6 +718,74 @@ def remote_write(db, raw: bytes) -> int:
             )
         )
     return len(rows)
+
+
+def remote_write_apply_v2(db, decoded) -> int:
+    """Commit a decoded Remote-Write 2.0 body (prometheus.io/docs/specs/
+    remote_write_spec_2_0; io.prometheus.write.v2.Request). This is the
+    route by which NATIVE HISTOGRAMS ride the wire into the store:
+    float samples → DB.append, histogram samples → DB.append_histograms
+    (already in the engine's nativehist shape after decode), exemplars →
+    the exemplar side table. Returns samples + histogram samples
+    appended (the spec's X-Prometheus-Remote-Write-*-Written counts)."""
+    from tsdb_spark.nativehist import HIST_TYPE
+
+    rows = [
+        (e["labels"], t, float(v))
+        for e in decoded
+        for t, v in e["samples"]
+    ]
+    if rows:
+        db.append(
+            db.spark.createDataFrame(
+                rows, "labels MAP<STRING,STRING>, t LONG, v DOUBLE"
+            )
+        )
+    hrows = [
+        (
+            e["labels"],
+            t,
+            (
+                h["count"],
+                h["sum"],
+                h["zero_count"],
+                h["schema"],
+                [(int(i), float(c)) for i, c in h["buckets"]],
+            ),
+        )
+        for e in decoded
+        for t, h in e["histograms"]
+    ]
+    if hrows:
+        db.append_histograms(
+            db.spark.createDataFrame(
+                hrows, f"labels MAP<STRING,STRING>, t LONG, h {HIST_TYPE}"
+            )
+        )
+    ex_rows = [
+        (e["labels"], t, float(v), ex_labels)
+        for e in decoded
+        for ex_labels, t, v in e["exemplars"]
+    ]
+    if ex_rows:
+        db.append_exemplars(
+            db.spark.createDataFrame(
+                ex_rows,
+                "labels MAP<STRING,STRING>, t LONG, v DOUBLE, "
+                "exemplar MAP<STRING,STRING>",
+            )
+        )
+    return len(rows) + len(hrows)
+
+
+def remote_write_v2(db, raw: bytes, content_type: str = "") -> int:
+    """POST /api/v1/write with a Remote-Write 2.0 body: decode +
+    commit in one call (the library-surface twin of remote_write)."""
+    tagged = _decode_write_body(
+        raw, content_type or "application/x-protobuf;"
+        "proto=io.prometheus.write.v2.Request"
+    )
+    return _apply_write_body(db, tagged)
 
 
 def remote_read(db, raw: bytes) -> bytes:
@@ -841,10 +943,20 @@ def make_handler(db, rule_groups: list[dict] | None = None, enable_admin: bool =
             if u.path == "/api/v1/write":
                 # binary body (snappy + protobuf), never form-decoded
                 raw = self.rfile.read(n) if n else b""
+                # The spec forbids senders from retrying 4xx, so only
+                # DECODE failures may return 400; an internal append
+                # failure (executor OOM, store lock, disk) must be 5xx
+                # so a conforming sender retries — write_handler.go
+                # makes the same 400/500 split.
+                ctype = self.headers.get("Content-Type") or ""
                 try:
-                    remote_write(db, raw)
+                    decoded = _decode_write_body(raw, ctype)
                 except Exception as e:  # noqa: BLE001 — wire errors → 400
                     return self._reply_text(400, f"decode error: {e}\n")
+                try:
+                    _apply_write_body(db, decoded)
+                except Exception as e:  # noqa: BLE001 — commit → 500
+                    return self._reply_text(500, f"internal error: {e}\n")
                 # success: 204 No Content (write_handler.go replies with
                 # an empty 2xx; the spec requires any 2xx)
                 return self._reply_empty(204)

@@ -1053,6 +1053,166 @@ def store_remote_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "store_remote_write_v2",
+    _with_prelude("""
+, d AS (SELECT labels_str, t, min(v) AS v FROM samples
+        WHERE t < {T0} + 7*{DAY} GROUP BY 1, 2),
+fagg AS (SELECT labels_str, 'float' AS kind, CAST(count(*) AS BIGINT) AS n,
+         ROUND(sum(v), 2) AS sum_v, CAST(NULL AS DOUBLE) AS hcnt,
+         CAST(NULL AS DOUBLE) AS zc, CAST(NULL AS DOUBLE) AS bsum,
+         CAST(NULL AS INT) AS midx
+         FROM d GROUP BY labels_str),
+hb AS (SELECT labels_str, t - (t % {DAY}) + {DAY} AS th, round(v * 100) AS cv
+       FROM samples WHERE event_type = 'click' AND t < {T0} + 7*{DAY}),
+hx AS (SELECT labels_str, th, CAST(count(*) AS DOUBLE) AS cnt, sum(cv) AS sv,
+         CAST(sum(CASE WHEN cv > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS pos,
+         max(CASE WHEN cv > 0 THEN
+              (CASE WHEN CAST(cv AS BIGINT) <= 1 THEN 0
+                    ELSE CAST(length(bin(CAST(cv AS BIGINT) - 1)) AS INT) END)
+             END) AS mi
+       FROM hb GROUP BY 1, 2),
+hagg AS (SELECT labels_str, 'hist' AS kind, CAST(count(*) AS BIGINT) AS n,
+         ROUND(sum(sv) / 100.0, 2) AS sum_v, sum(cnt) AS hcnt,
+         sum(cnt - pos) AS zc, sum(pos) AS bsum, max(mi) AS midx
+         FROM hx GROUP BY 1)
+SELECT * FROM fagg UNION ALL SELECT * FROM hagg"""),
+    "Remote-Write 2.0 wire roundtrip (prometheus.io/docs/specs/"
+    "remote_write_spec_2_0; io.prometheus.write.v2.Request with its "
+    "interned symbol table — sources/remotewrite.py, pure-Python from "
+    "the public specs): week-1 float samples AND daily click NATIVE "
+    "HISTOGRAMS are encoded into sender-style rw2 payload files "
+    "(float-histogram form: spans + packed double counts), then decoded "
+    "back as ONE distributed binaryFile + mapInPandas scan "
+    "(backfill_remote_write_v2) and appended — floats to the samples "
+    "table, histograms through DB.append_histograms. Read back through "
+    "the pruned querier + hist_frame, per-series count/sum and the "
+    "histogram count/zero_count/bucket-total/max-bucket-idx must equal "
+    "never having left the store — the native-histogram span+delta wire "
+    "layout is lossless through encode→decode",
+)
+def store_remote_write_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from pyspark import StorageLevel
+
+    from tsdb_spark.nativehist import build_histograms, int_bucket_idx
+    from tsdb_spark.sources.remotewrite import (
+        backfill_remote_write_v2,
+        encode_write_request_v2,
+    )
+
+    key = ("remotewrite_v2", id(spark), sf_dir)
+    if key not in _STORES:
+        root = tempfile.mkdtemp(prefix="tsdb_q_rw2_")
+        # float side: week-1 samples, deduped like the v1 entry so the
+        # store append is deterministic
+        src = (
+            events_samples(spark, sf_dir)
+            .filter(F.col("t") < T0 + 7 * DAY)
+            .groupBy("labels_str", "t")
+            .agg(F.min("v").alias("v"), F.first("labels").alias("labels"))
+        )
+        by: dict[str, dict] = {}
+        # driver-side collect is the SENDER role (bounded by the 7-day
+        # filter — same scaffolding note as store_remote_write)
+        for r in src.select("labels_str", "labels", "t", "v").collect():
+            e = by.setdefault(
+                r["labels_str"], {"labels": dict(r["labels"]), "samples": []}
+            )
+            e["samples"].append((r["t"], float(r["v"])))
+        # histogram side: the same daily click histograms the
+        # native-hist entries build, window-stamped inside week 1
+        s = (
+            events_samples(spark, sf_dir)
+            .filter(L.compile_matchers([L.eq("__name__", "click")]))
+            .filter(F.col("t") < T0 + 7 * DAY)
+            .withColumn("v", F.round(F.col("v") * 100))
+        )
+        hf = build_histograms(s, DAY, idx_expr=int_bucket_idx(F.col("v")))
+        hby: dict[str, dict] = {}
+        for r in hf.collect():
+            h = r["h"]
+            e = hby.setdefault(
+                r["labels_str"], {"labels": dict(r["labels"]), "histograms": []}
+            )
+            e["histograms"].append(
+                (
+                    r["t"],
+                    {
+                        "count": h["count"],
+                        "sum": h["sum"],
+                        "zero_count": h["zero_count"],
+                        "schema": h["schema"],
+                        "buckets": [(b["idx"], b["c"]) for b in h["buckets"]],
+                    },
+                )
+            )
+        series = [by[k] for k in sorted(by)] + [
+            {
+                "labels": v["labels"],
+                "histograms": sorted(v["histograms"], key=lambda x: x[0]),
+            }
+            for _, v in sorted(hby.items())
+        ]
+        for e in series:
+            if "samples" in e:
+                e["samples"].sort()
+        os.makedirs(f"{root}/payloads")
+        for i in range(0, len(series), 100):
+            with open(f"{root}/payloads/p{i:05d}.bin", "wb") as f:
+                f.write(encode_write_request_v2(series[i : i + 100]))
+        db = DB.create(spark, f"{root}/db", block_width_ms=STORE_WIDTH_MS)
+        uni = backfill_remote_write_v2(spark, f"{root}/payloads").persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        try:
+            db.append(uni.filter(F.col("h").isNull()).select("labels", "t", "v"))
+            db.append_histograms(
+                uni.filter(F.col("h").isNotNull()).select("labels", "t", "h")
+            )
+        finally:
+            uni.unpersist()
+        _STORES[key] = db
+    db = _STORES[key]
+    floats = (
+        db.querier(T0, T0 + 31 * DAY)
+        .select([], with_labels=False)
+        .groupBy("labels_str")
+        .agg(
+            F.lit("float").alias("kind"),
+            F.count("*").cast("long").alias("n"),
+            F.round(F.sum("v"), 2).alias("sum_v"),
+            F.lit(None).cast("double").alias("hcnt"),
+            F.lit(None).cast("double").alias("zc"),
+            F.lit(None).cast("double").alias("bsum"),
+            F.lit(None).cast("int").alias("midx"),
+        )
+        .select("labels_str", "kind", "n", "sum_v", "hcnt", "zc", "bsum", "midx")
+    )
+    hists = (
+        db.hist_frame(T0, T0 + 8 * DAY)
+        .groupBy("labels_str")
+        .agg(
+            F.lit("hist").alias("kind"),
+            F.count("*").cast("long").alias("n"),
+            F.round(F.sum("h.sum") / 100.0, 2).alias("sum_v"),
+            F.sum("h.count").alias("hcnt"),
+            F.sum("h.zero_count").alias("zc"),
+            F.sum(
+                F.aggregate(
+                    "h.buckets", F.lit(0.0), lambda a, b: a + b.getField("c")
+                )
+            ).alias("bsum"),
+            F.max(
+                F.element_at(F.col("h.buckets"), -1).getField("idx")
+            ).alias("midx"),
+        )
+        .select("labels_str", "kind", "n", "sum_v", "hcnt", "zc", "bsum", "midx")
+    )
+    return floats.unionByName(hists)
+
+
+@register(
     "store_exemplars",
     _with_prelude("""
 , d AS (SELECT labels_str, event_type, k_bucket, t, min(v) AS v FROM samples
@@ -3141,7 +3301,18 @@ GATE: tuple[str, ...] = (
     # pinned by tests/test_db_maintenance.py) rotates out for the
     # brand-new remote-write wire roundtrip (store_remote_write —
     # pure-Python prompb+snappy codecs feeding the distributed
-    # backfill path).
+    # backfill path). (r7 rotated 4 entries total — the SCALE.md r7
+    # note saying 5 was a doc error, corrected r8.)
+    # r8 rotation (per the r7 verdict's explicit ask): OUT
+    # docs_lang_id + mm_image_decode (driver-green r4-r7) and
+    # docs_source_report (driver-green r5-r7) — all three stay
+    # selfcheck-verified against their oracles every round. IN:
+    # store_remote_read (ReadRequest matchers → pruned select →
+    # time-sorted TimeSeries wire roundtrip), store_rules_backfill
+    # (promtool create-blocks-from rules historical backfill), and the
+    # brand-new store_remote_write_v2 (Remote-Write 2.0: interned
+    # symbol table + NATIVE HISTOGRAMS over the wire into
+    # append_histograms via the distributed rw2 backfill scan).
     "promql_rate_grid",
     "promql_subquery",
     "promql_at_pin",
@@ -3159,6 +3330,9 @@ GATE: tuple[str, ...] = (
     "store_checkpoint",
     "store_first_wins_amend",
     "store_remote_write",
+    "store_remote_write_v2",
+    "store_remote_read",
+    "store_rules_backfill",
     "store_openmetrics_backfill",
     "store_exemplars",
     "store_native_hist",
@@ -3169,9 +3343,7 @@ GATE: tuple[str, ...] = (
     "stream_hist_ingest",
     # -- documents pipeline --
     "docs_text_stats",
-    "docs_lang_id",
     "docs_repetition",
-    "docs_source_report",
     "docs_chunk_windows",
     "docs_sample_stratified",
     "docs_decontaminate",
@@ -3187,7 +3359,6 @@ GATE: tuple[str, ...] = (
     "emb_ann_recall",
     # -- multimodal pipeline --
     "mm_payload_features",
-    "mm_image_decode",
     "mm_audio_features",
 )
 

@@ -49,6 +49,9 @@ __all__ = [
     "remote_write_df",
     "push_remote_write",
     "backfill_remote_write",
+    "decode_write_request_v2",
+    "encode_write_request_v2",
+    "backfill_remote_write_v2",
 ]
 
 
@@ -535,3 +538,392 @@ def backfill_remote_write(spark, path: str):
             yield pd.DataFrame({"labels": labels_out, "t": t_out, "v": v_out})
 
     return files.mapInPandas(_decode, _ROW_SCHEMA)
+
+
+# ------------------------------------------- Remote-Write 2.0 (rw2)
+#
+# io.prometheus.write.v2.Request (prometheus 3.x; public spec at
+# prometheus.io/docs/specs/remote_write_spec_2_0 and
+# prompb/io/prometheus/write/v2/types.proto). One message per POST,
+# with an interned symbol table — every label name/value is a uint32
+# ref into `symbols` (symbols[0] MUST be the empty string) — carrying
+# samples, NATIVE HISTOGRAMS, exemplars, and metadata:
+#
+#   Request    { repeated string symbols = 4;
+#                repeated TimeSeries timeseries = 5; }   # 1-3 reserved
+#   TimeSeries { repeated uint32 labels_refs = 1;        # packed, even
+#                repeated Sample samples = 2;
+#                repeated Histogram histograms = 3;
+#                repeated Exemplar exemplars = 4;
+#                Metadata metadata = 5;
+#                int64 created_timestamp = 6; }
+#   Sample     { double value = 1; int64 timestamp = 2; }
+#   Exemplar   { repeated uint32 labels_refs = 1; double value = 2;
+#                int64 timestamp = 3; }
+#   Metadata   { enum Type type = 1; uint32 help_ref = 3;
+#                uint32 unit_ref = 4; }
+#   Histogram  { oneof: uint64 count_int = 1 / double count_float = 2;
+#                double sum = 3; sint32 schema = 4 (zigzag);
+#                double zero_threshold = 5;
+#                oneof: uint64 zero_count_int = 6 /
+#                       double zero_count_float = 7;
+#                repeated BucketSpan negative_spans = 8;
+#                repeated sint64 negative_deltas = 9 (packed zigzag);
+#                repeated double negative_counts = 10 (packed);
+#                repeated BucketSpan positive_spans = 11;
+#                repeated sint64 positive_deltas = 12;
+#                repeated double positive_counts = 13;
+#                ResetHint reset_hint = 14; int64 timestamp = 15; }
+#   BucketSpan { sint32 offset = 1 (zigzag); uint32 length = 2; }
+#
+# The span+delta layout exists to compress the WIRE format; decode
+# expands it to this engine's sparse sorted (idx, count) bucket array
+# (nativehist.HIST_TYPE). Mapping notes, per the engine's documented
+# histogram subset (nativehist.py module docstring):
+#  - negative-side buckets fold into zero_count — the same "samples
+#    <= 0 land in the zero bucket" rule the engine's own construction
+#    applies; zero_threshold and reset_hint are dropped on decode;
+#  - counts are DOUBLE internally, so the ENCODER always emits the
+#    float-histogram form (count_float / zero_count_float /
+#    positive_counts) — lossless for this model, and a form every
+#    conforming receiver must accept.
+
+
+def _zigzag(v: int) -> int:
+    return (v << 1) ^ (v >> 63) if v < 0 else v << 1
+
+
+def _unzigzag(u: int) -> int:
+    return (u >> 1) ^ -(u & 1)
+
+
+def _packed_uvarints(payload: bytes) -> list[int]:
+    out, i = [], 0
+    while i < len(payload):
+        v, i = _uvarint(payload, i)
+        out.append(v)
+    return out
+
+
+def _packed_doubles(payload: bytes) -> list[float]:
+    if len(payload) % 8:
+        raise ValueError("packed double payload not a multiple of 8")
+    return list(struct.unpack(f"<{len(payload) // 8}d", payload))
+
+
+def _decode_span(buf: bytes) -> tuple[int, int]:
+    off = length = 0
+    for field, wt, payload in _fields(buf):
+        if field == 1 and wt == 0:
+            off = _unzigzag(payload)
+        elif field == 2 and wt == 0:
+            length = payload
+    return off, length
+
+
+def _spans_to_buckets(spans, values, is_delta) -> list[tuple[int, float]]:
+    """Expand (offset, length) spans + per-bucket values into sparse
+    (idx, count) pairs. Span offsets are gaps: the first is the
+    starting index, later ones the gap past the previous span's end
+    (model/histogram generic.go baseBucketIterator). Int histograms
+    carry DELTAS (each bucket's count = previous + delta); float
+    histograms carry absolute counts."""
+    out: list[tuple[int, float]] = []
+    idx = 0
+    count = 0.0
+    k = 0
+    for off, length in spans:
+        idx += off
+        for _ in range(length):
+            if k >= len(values):
+                raise ValueError("histogram spans exceed bucket values")
+            count = count + values[k] if is_delta else values[k]
+            k += 1
+            out.append((idx, float(count)))
+            idx += 1
+    if k != len(values):
+        raise ValueError("histogram bucket values exceed spans")
+    return out
+
+
+def _decode_histogram_v2(buf: bytes) -> tuple[int, dict]:
+    """One wire Histogram → (t_ms, h) with h in the engine's
+    nativehist shape {count, sum, zero_count, schema, buckets}."""
+    count = zero_count = 0.0
+    hsum = 0.0
+    schema = 0
+    t = 0
+    neg_spans: list[tuple[int, int]] = []
+    pos_spans: list[tuple[int, int]] = []
+    neg_vals: list[float] = []
+    pos_vals: list[float] = []
+    neg_delta = pos_delta = False
+    for field, wt, payload in _fields(buf):
+        if field == 1 and wt == 0:
+            count = float(payload)
+        elif field == 2 and wt == 1:
+            count = struct.unpack("<d", payload)[0]
+        elif field == 3 and wt == 1:
+            hsum = struct.unpack("<d", payload)[0]
+        elif field == 4 and wt == 0:
+            schema = _unzigzag(payload)
+        elif field == 6 and wt == 0:
+            zero_count = float(payload)
+        elif field == 7 and wt == 1:
+            zero_count = struct.unpack("<d", payload)[0]
+        elif field == 8 and wt == 2:
+            neg_spans.append(_decode_span(payload))
+        elif field == 9 and wt == 2:
+            neg_vals = [_unzigzag(u) for u in _packed_uvarints(payload)]
+            neg_delta = True
+        elif field == 9 and wt == 0:  # unpacked fallback
+            neg_vals.append(_unzigzag(payload))
+            neg_delta = True
+        elif field == 10 and wt == 2:
+            neg_vals = _packed_doubles(payload)
+            neg_delta = False
+        elif field == 11 and wt == 2:
+            pos_spans.append(_decode_span(payload))
+        elif field == 12 and wt == 2:
+            pos_vals = [_unzigzag(u) for u in _packed_uvarints(payload)]
+            pos_delta = True
+        elif field == 12 and wt == 0:
+            pos_vals.append(_unzigzag(payload))
+            pos_delta = True
+        elif field == 13 and wt == 2:
+            pos_vals = _packed_doubles(payload)
+            pos_delta = False
+        elif field == 15 and wt == 0:
+            t = _int64(payload)
+        # field 5 zero_threshold / 14 reset_hint: dropped (see notes)
+    buckets = _spans_to_buckets(pos_spans, pos_vals, pos_delta)
+    neg_total = sum(c for _, c in _spans_to_buckets(neg_spans, neg_vals, neg_delta))
+    return t, {
+        "count": float(count),
+        "sum": float(hsum),
+        "zero_count": float(zero_count) + neg_total,
+        "schema": int(schema),
+        "buckets": buckets,
+    }
+
+
+def _refs_to_labels(refs: list[int], symbols: list[str]) -> dict[str, str]:
+    if len(refs) % 2:
+        raise ValueError("labels_refs must have even length")
+    out = {}
+    for i in range(0, len(refs), 2):
+        name, value = symbols[refs[i]], symbols[refs[i + 1]]
+        if name and value:  # empty value == absent label (F14 strip)
+            out[name] = value
+    return out
+
+
+_METADATA_TYPES = {
+    0: "unknown", 1: "counter", 2: "gauge", 3: "histogram",
+    4: "gaugehistogram", 5: "summary", 6: "info", 7: "stateset",
+}
+
+
+def decode_write_request_v2(raw: bytes, compressed: bool = True) -> list[dict]:
+    """Decode an io.prometheus.write.v2.Request body into
+    [{"labels", "samples", "histograms", "exemplars", "metadata"}, ...]
+    where histograms are (t_ms, nativehist-shaped dict) pairs and
+    exemplars are (exemplar_labels, t_ms, value) like the v1 decoder."""
+    buf = snappy_decompress(raw) if compressed else raw
+    symbols: list[str] = []
+    ts_bufs: list[bytes] = []
+    for field, wt, payload in _fields(buf):
+        if field == 4 and wt == 2:
+            symbols.append(payload.decode("utf-8"))
+        elif field == 5 and wt == 2:
+            ts_bufs.append(payload)
+    if symbols and symbols[0] != "":
+        raise ValueError("rw2 symbols[0] must be the empty string")
+    out = []
+    for ts in ts_bufs:
+        labels: dict[str, str] = {}
+        samples: list[tuple[int, float]] = []
+        histograms: list[tuple[int, dict]] = []
+        exemplars: list[tuple[dict[str, str], int, float]] = []
+        meta: dict = {}
+        for field, wt, payload in _fields(ts):
+            if field == 1 and wt == 2:
+                labels = _refs_to_labels(_packed_uvarints(payload), symbols)
+            elif field == 1 and wt == 0:
+                raise ValueError("rw2 labels_refs must be packed")
+            elif field == 2 and wt == 2:
+                samples.append(_decode_sample(payload))
+            elif field == 3 and wt == 2:
+                histograms.append(_decode_histogram_v2(payload))
+            elif field == 4 and wt == 2:
+                ex_refs: list[int] = []
+                ex_t, ex_v = 0, 0.0
+                for f2, wt2, p2 in _fields(payload):
+                    if f2 == 1 and wt2 == 2:
+                        ex_refs = _packed_uvarints(p2)
+                    elif f2 == 2 and wt2 == 1:
+                        ex_v = struct.unpack("<d", p2)[0]
+                    elif f2 == 3 and wt2 == 0:
+                        ex_t = _int64(p2)
+                exemplars.append((_refs_to_labels(ex_refs, symbols), ex_t, ex_v))
+            elif field == 5 and wt == 2:
+                for f2, wt2, p2 in _fields(payload):
+                    if f2 == 1 and wt2 == 0:
+                        meta["type"] = _METADATA_TYPES.get(p2, "unknown")
+                    elif f2 == 3 and wt2 == 0:
+                        meta["help"] = symbols[p2]
+                    elif f2 == 4 and wt2 == 0:
+                        meta["unit"] = symbols[p2]
+        if not labels:
+            raise ValueError("rw2 timeseries without labels")
+        out.append({
+            "labels": labels,
+            "samples": samples,
+            "histograms": histograms,
+            "exemplars": exemplars,
+            "metadata": meta,
+        })
+    return out
+
+
+def _buckets_to_spans(buckets) -> tuple[list[tuple[int, int]], list[float]]:
+    """Sparse sorted (idx, count) pairs → wire (offset, length) spans +
+    absolute per-bucket counts (float-histogram form)."""
+    spans: list[tuple[int, int]] = []
+    counts: list[float] = []
+    prev_end = 0
+    for idx, c in sorted(buckets):
+        if spans and idx == prev_end:
+            spans[-1] = (spans[-1][0], spans[-1][1] + 1)
+        else:
+            spans.append((idx - prev_end, 1))
+        counts.append(float(c))
+        prev_end = idx + 1
+    return spans, counts
+
+
+def _encode_histogram_v2(t: int, h: dict) -> bytes:
+    hb = bytearray()
+    _put_field(hb, 2, 1, struct.pack("<d", float(h["count"])))
+    _put_field(hb, 3, 1, struct.pack("<d", float(h["sum"])))
+    _put_field(hb, 4, 0, _zigzag(int(h["schema"])))
+    _put_field(hb, 7, 1, struct.pack("<d", float(h["zero_count"])))
+    spans, counts = _buckets_to_spans(h["buckets"] or [])
+    for off, length in spans:
+        sb = bytearray()
+        _put_field(sb, 1, 0, _zigzag(off))
+        _put_field(sb, 2, 0, length)
+        _put_field(hb, 11, 2, bytes(sb))
+    if counts:
+        _put_field(hb, 13, 2, struct.pack(f"<{len(counts)}d", *counts))
+    _put_field(hb, 15, 0, t & ((1 << 64) - 1))
+    return bytes(hb)
+
+
+def encode_write_request_v2(series: Iterable[dict], compressed: bool = True) -> bytes:
+    """Encode [{"labels", "samples", "histograms", "exemplars",
+    "metadata"}, ...] as an io.prometheus.write.v2.Request body. The
+    symbol table is interned across the whole request (ref 0 = "", as
+    the spec requires); label pairs are emitted sorted by name."""
+    symbols: list[str] = [""]
+    interned: dict[str, int] = {"": 0}
+
+    def _ref(s: str) -> int:
+        if s not in interned:
+            interned[s] = len(symbols)
+            symbols.append(s)
+        return interned[s]
+
+    ts_bufs: list[bytes] = []
+    for entry in series:
+        labels = entry["labels"]
+        ts = bytearray()
+        refs = bytearray()
+        for name in sorted(labels):
+            _put_uvarint(refs, _ref(name))
+            _put_uvarint(refs, _ref(labels[name]))
+        _put_field(ts, 1, 2, bytes(refs))
+        for t, v in entry.get("samples", ()):
+            sb = bytearray()
+            _put_field(sb, 1, 1, struct.pack("<d", float(v)))
+            _put_field(sb, 2, 0, t & ((1 << 64) - 1))
+            _put_field(ts, 2, 2, bytes(sb))
+        for t, h in entry.get("histograms", ()):
+            _put_field(ts, 3, 2, _encode_histogram_v2(t, h))
+        for ex_labels, t, v in entry.get("exemplars", ()):
+            eb = bytearray()
+            ex_refs = bytearray()
+            for name in sorted(ex_labels):
+                _put_uvarint(ex_refs, _ref(name))
+                _put_uvarint(ex_refs, _ref(ex_labels[name]))
+            _put_field(eb, 1, 2, bytes(ex_refs))
+            _put_field(eb, 2, 1, struct.pack("<d", float(v)))
+            _put_field(eb, 3, 0, t & ((1 << 64) - 1))
+            _put_field(ts, 4, 2, bytes(eb))
+        meta = entry.get("metadata") or {}
+        if meta:
+            mb = bytearray()
+            codes = {v: k for k, v in _METADATA_TYPES.items()}
+            _put_field(mb, 1, 0, codes.get(meta.get("type", "unknown"), 0))
+            if "help" in meta:
+                _put_field(mb, 3, 0, _ref(meta["help"]))
+            if "unit" in meta:
+                _put_field(mb, 4, 0, _ref(meta["unit"]))
+            _put_field(ts, 5, 2, bytes(mb))
+        ts_bufs.append(bytes(ts))
+    req = bytearray()
+    for s in symbols:
+        _put_field(req, 4, 2, s.encode("utf-8"))
+    for ts in ts_bufs:
+        _put_field(req, 5, 2, ts)
+    raw = bytes(req)
+    return snappy_compress(raw) if compressed else raw
+
+
+def backfill_remote_write_v2(spark, path: str):
+    """Bulk decode archived Remote-Write 2.0 payload files as ONE
+    distributed binaryFile + mapInPandas scan (the rw2 twin of
+    backfill_remote_write). Emits a unified frame
+    (labels, t, v, h) — float samples carry v with h NULL, native
+    histograms carry h with v NULL — so the caller splits once into
+    DB.append / DB.append_histograms (persist the result first if both
+    splits will be consumed, to avoid re-decoding)."""
+    import pandas as pd  # noqa: PLC0415 — executor-side import pattern
+
+    from tsdb_spark.nativehist import HIST_TYPE
+
+    files = spark.read.format("binaryFile").load(path).select("content")
+    schema = f"labels MAP<STRING,STRING>, t LONG, v DOUBLE, h {HIST_TYPE}"
+
+    def _decode(batches):
+        for pdf in batches:
+            labels_out, t_out, v_out, h_out = [], [], [], []
+            for raw in pdf["content"]:
+                for entry in decode_write_request_v2(bytes(raw)):
+                    lab = entry["labels"]
+                    for t, v in entry["samples"]:
+                        labels_out.append(lab)
+                        t_out.append(t)
+                        v_out.append(float(v))
+                        h_out.append(None)
+                    for t, h in entry["histograms"]:
+                        labels_out.append(lab)
+                        t_out.append(t)
+                        v_out.append(None)
+                        h_out.append(
+                            {
+                                "count": h["count"],
+                                "sum": h["sum"],
+                                "zero_count": h["zero_count"],
+                                "schema": h["schema"],
+                                "buckets": [
+                                    {"idx": int(i), "c": float(c)}
+                                    for i, c in h["buckets"]
+                                ],
+                            }
+                        )
+            yield pd.DataFrame(
+                {"labels": labels_out, "t": t_out, "v": v_out, "h": h_out}
+            )
+
+    return files.mapInPandas(_decode, schema)
