@@ -133,6 +133,13 @@ def main(argv: list[str] | None = None) -> int:
     )
     p_sv.add_argument("--scrape-interval", type=int, default=15_000)
     p_sv.add_argument(
+        "--relabel-file",
+        help="with --scrape-url: YAML list of upstream-style relabel "
+        "rules (model/relabel) applied to every scraped sample as "
+        "metric_relabel_configs — replace/keep/drop/labelmap/hashmod/"
+        "labeldrop/labelkeep/lowercase/uppercase/keepequal/dropequal",
+    )
+    p_sv.add_argument(
         "--enable-admin",
         action="store_true",
         help="unlock /api/v1/admin/tsdb/* (delete_series, "
@@ -448,10 +455,16 @@ def main(argv: list[str] | None = None) -> int:
         else:
             db = DB.open_readonly(spark, args.store)
         targets, scrape_status = [], {}
+        relabel_cfgs = None
         if args.scrape_url:
             from tsdb_spark.scrape import Target
 
             targets = [Target(url=u, job="scrape") for u in args.scrape_url]
+            if args.relabel_file:
+                from tsdb_spark.relabel import load_relabel_file
+
+                relabel_cfgs = load_relabel_file(args.relabel_file)
+                print(f"loaded {len(relabel_cfgs)} relabel rule(s)")
         srv = serve(db, args.host, args.port, rule_groups=groups,
                     enable_admin=args.enable_admin,
                     scrape_targets=targets, scrape_status=scrape_status)
@@ -476,7 +489,10 @@ def main(argv: list[str] | None = None) -> int:
                     try:
                         from tsdb_spark.scrape import scrape_pass
 
-                        scrape_pass(spark, db, targets, status=scrape_status)
+                        scrape_pass(
+                            spark, db, targets, status=scrape_status,
+                            relabel_configs=relabel_cfgs,
+                        )
                     except Exception as e:  # keep serving on scrape errors
                         print(f"scrape pass failed: {e}")
                     stop.wait(max(0.0, args.scrape_interval / 1000.0 - (_t.time() - t0)))

@@ -93,6 +93,7 @@ def scrape_pass(
     honor_labels: bool = False,
     status: dict | None = None,
     max_workers: int = 32,
+    relabel_configs=None,
 ) -> int:
     """One scrape pass over every target: GET every body CONCURRENTLY
     (driver-side thread pool — upstream scrapes each target from its own
@@ -101,7 +102,14 @@ def scrape_pass(
     ONE distributed job. Returns the number of targets successfully
     fetched; a down target is skipped (scrape.go records `up 0` —
     mirrored here by appending an `up` sample per target, 1/0, at the
-    scrape time)."""
+    scrape time).
+
+    `relabel_configs` (list[relabel.RelabelConfig]) applies upstream
+    `metric_relabel_configs` semantics: the rule chain rewrites/filters
+    every scraped sample AFTER target labels attach (scrape.go runs
+    metric relabeling on the final label set), as one extra projection
+    on the same distributed parse — `up` synthetics are exempt, like
+    upstream's reportSample path."""
     from concurrent.futures import ThreadPoolExecutor
     from functools import reduce
 
@@ -141,7 +149,12 @@ def scrape_pass(
         parsed = parse_openmetrics(
             spark, lines=lines, timestamps=tgt.timestamps, default_time_ms=now
         )
-        frames.append(_apply_target_labels(parsed, tl, honor_labels))
+        labeled = _apply_target_labels(parsed, tl, honor_labels)
+        if relabel_configs:
+            from tsdb_spark.relabel import apply_relabel
+
+            labeled = apply_relabel(labeled, relabel_configs)
+        frames.append(labeled)
     up = spark.createDataFrame(
         up_rows, "labels MAP<STRING,STRING>, t LONG, v DOUBLE"
     )
