@@ -237,3 +237,76 @@ def test_run_rule_tests_range_form_mismatch(spark, tmp_path):
     """))
     fails = run_rule_tests(spark, str(p))
     assert len(fails) == 1 and "want" in fails[0]
+
+
+def test_surplus_expectation_values_fail_loudly(spark, tmp_path):
+    """ADVICE r7: an expectation carrying MORE values than the eval
+    grid must fail, not pass vacuously with the surplus truncated —
+    in both the promqltest range compare and the rule-test range form."""
+    from tsdb_spark.promtool import run_promql_tests
+
+    p = tmp_path / "surplus.test"
+    p.write_text(
+        "load 1m\n"
+        "    m 0 10 20\n"
+        "\n"
+        "eval range from 0m to 2m step 1m m\n"
+        "    m 0 10 20 30 40\n"
+    )
+    fails = run_promql_tests(spark, str(p))
+    assert len(fails) == 1 and "grid has only" in fails[0]
+
+    (tmp_path / "rules.yml").write_text("groups: []\n")
+    y = tmp_path / "tests.yml"
+    y.write_text(textwrap.dedent("""
+        rule_files: [rules.yml]
+        evaluation_interval: 1m
+        tests:
+          - interval: 1m
+            input_series:
+              - series: 'req'
+                values: '0 10 20'
+            promql_expr_test:
+              - expr: sum(req)
+                eval_range: {from: 0m, to: 2m, step: 1m}
+                exp_samples:
+                  - labels: '{}'
+                    values: '0 10 20 30 40'
+    """))
+    fails = run_rule_tests(spark, str(y))
+    assert len(fails) == 1
+
+
+def test_collect_annotations_bad_bucket_le(spark, tmp_path):
+    """BadBucketLabelWarning: classic histogram_quantile over buckets
+    where a series' `le` is missing or unparseable (annotations.go
+    NewBadBucketLabelWarning)."""
+    from tsdb_spark import DB
+    from tsdb_spark.promql import collect_annotations
+
+    db = DB.create(spark, str(tmp_path / "db"), block_width_ms=3_600_000)
+    rows = [
+        ({"__name__": "reqs_bucket", "le": "0.1"}, 0, 1.0),
+        ({"__name__": "reqs_bucket", "le": "+Inf"}, 0, 2.0),
+        ({"__name__": "bad_bucket", "le": "abc"}, 0, 1.0),
+        ({"__name__": "bad_bucket", "le": "+Inf"}, 0, 2.0),
+    ]
+    db.append(
+        spark.createDataFrame(
+            rows, "labels MAP<STRING,STRING>, t LONG, v DOUBLE"
+        )
+    )
+    ok = collect_annotations(
+        db, "histogram_quantile(0.9, reqs_bucket)", 0, 0, 60_000
+    )
+    assert ok == []
+    bad = collect_annotations(
+        db, "histogram_quantile(0.9, bad_bucket)", 0, 0, 60_000
+    )
+    assert bad == [
+        (
+            "warn",
+            'bucket label "le" is missing or has a malformed value of '
+            '"abc" for metric name "bad_bucket"',
+        )
+    ]

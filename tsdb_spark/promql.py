@@ -1353,8 +1353,14 @@ def _window_agg(fn: str, range_ms: int, param: float | None = None):
         # promql/quantile.go rank rule) — deterministic. The sorted key
         # array (NaN remapped below -Inf, Go slices.Sort order) serves
         # the non-finite branch's rank interpolation.
+        # out-of-range / NaN φ never reaches percentile() (Spark raises
+        # where upstream quantile.go returns ±Inf/NaN + a warning —
+        # the result expression short-circuits in _window_result); feed
+        # a clamped placeholder so the plan stays analyzable
+        _phi = param if param is not None else 0.5
+        _safe_phi = 0.5 if _phi != _phi else min(max(_phi, 0.0), 1.0)
         base += [
-            F.expr(f"percentile(vc, {param if param is not None else 0.5})").alias(
+            F.expr(f"percentile(vc, {_safe_phi})").alias(
                 "pct_c"
             ),
             F.array_sort(
@@ -1476,8 +1482,23 @@ def _window_value(
         # non-finite branch: rank interpolation over the sorted key
         # array (NaN first, Go slices.Sort order), decoded to doubles so
         # NaN/±Inf propagate through the interpolation exactly as the
-        # upstream float math does
+        # upstream float math does. The interpolation MUST be the
+        # upstream form lo*(1-w) + hi*w (util/stats quantile.go) — the
+        # algebraically-equal lo + (hi-lo)*w diverges under IEEE
+        # non-finites: [-Inf, 5] at w=0.5 gives -Inf + Inf*0.5 = NaN
+        # there but -Inf*(0.5) + 5*0.5 = -Inf here, matching upstream;
+        # likewise equal-infinity endpoint pairs keep the infinity
+        # instead of collapsing to Inf - Inf = NaN.
         phi = param if param is not None else 0.5
+        # upstream quantile.go: φ < 0 → -Inf, φ > 1 → +Inf, NaN → NaN
+        # (each with an InvalidQuantileWarning annotation) — returned
+        # for every non-empty window, no data math involved
+        if phi != phi:
+            return NAN
+        if phi < 0:
+            return NINF
+        if phi > 1:
+            return PINF
         rank = (n - 1).cast("double") * F.lit(float(phi))
         lo = F.floor(rank).cast("int")
         frac = rank - lo.cast("double")
@@ -1487,7 +1508,9 @@ def _window_value(
 
         lo_v = _qdec(F.get("q_vals", lo))
         hi_v = _qdec(F.get("q_vals", lo + 1))
-        interp = F.when(frac == 0, lo_v).otherwise(lo_v + (hi_v - lo_v) * frac)
+        interp = F.when(frac == 0, lo_v).otherwise(
+            lo_v * (F.lit(1.0) - frac) + hi_v * frac
+        )
         return F.when(nonfin, interp).otherwise(F.col("pct_c") / 100.0)
     if fn == "mad_over_time":
         med = F.col("med_c")
@@ -1673,6 +1696,21 @@ def _arith_col(op: str, a: Column, b: Column) -> Column:
 #: the long order of sentinels is faithful to the double order
 #: (_VC_NINF < finite < _VC_PINF), so long comparisons double as float
 #: comparisons wherever NaN pairs are filtered first.
+def _agg_quantile_expr(phi) -> Column:
+    """quantile aggregation column: percentile() for φ ∈ [0, 1], the
+    upstream quantile.go out-of-range constants otherwise (Spark's
+    percentile raises at analysis time on an out-of-range φ, upstream
+    returns ±Inf/NaN plus a warning annotation)."""
+    phi = float(phi)
+    if phi != phi:
+        return F.max(F.lit(float("nan")))
+    if phi < 0:
+        return F.max(F.lit(float("-inf")))
+    if phi > 1:
+        return F.max(F.lit(float("inf")))
+    return F.expr(f"percentile(value, {phi})")
+
+
 _VC_NAN = -(1 << 61)
 _VC_PINF = 1 << 61
 _VC_NINF = -(1 << 61) - 1
@@ -3104,9 +3142,12 @@ class RangeQuery:
             "stdvar": F.var_pop("value"),
             # exact percentile with PromQL's rank = φ(n-1) linear
             # interpolation (matches DuckDB quantile_cont); group sizes
-            # are series-per-group, never sample counts
-            "quantile": F.expr(
-                f"percentile(value, {node.param if node.param is not None else 0.5})"
+            # are series-per-group, never sample counts. Out-of-range /
+            # NaN φ short-circuits to ±Inf/NaN like upstream quantile.go
+            # (with an InvalidQuantileWarning via collect_annotations) —
+            # Spark's percentile() would raise at analysis instead
+            "quantile": _agg_quantile_expr(
+                node.param if node.param is not None else 0.5
             ),
         }
         if without_map is not None:
@@ -3305,3 +3346,134 @@ def eval_hist_range_db(
     mint, maxt = scan_bounds(node, start, end, lookback_ms)
     frame = db.hist_frame(mint, maxt)
     return RangeQuery(frame, start, end, step, lookback_ms).run(node)
+
+
+# ----------------------------------------------- annotation channel
+#
+# promql/parser + util/annotations (public, prometheus 3.x): an
+# evaluation can carry warn/info ANNOTATIONS beside its result —
+# rate() over a metric whose name doesn't look like a counter,
+# quantile parameters outside [0, 1], classic histogram_quantile fed
+# buckets with malformed `le` labels. Upstream threads an annotation
+# set through the evaluator; here the conditions are detectable from
+# the parsed AST plus (for the data-dependent ones) one tiny pruned
+# existence probe, so the channel is a separate pass the caller opts
+# into (the promqltest runner's `expect warn/info` directives) —
+# the result DataFrame itself stays a pure value pipeline.
+
+_COUNTER_SUFFIXES = ("_total", "_sum", "_count", "_bucket")
+_COUNTER_FNS = {"rate", "increase", "irate"}
+
+
+def _walk_nodes(node):
+    yield node
+    for attr in ("child", "left", "right", "scalar", "sel", "arg"):
+        c = getattr(node, attr, None)
+        if c is not None and not isinstance(c, (int, float, str, list, tuple)):
+            yield from _walk_nodes(c)
+
+
+def _name_matcher_value(node) -> str | None:
+    if isinstance(node, Selector):
+        for m in node.matchers:
+            if m.name == "__name__" and m.type == "=":
+                return m.value
+    return None
+
+
+def collect_annotations(
+    db,
+    expr: str,
+    start: int,
+    end: int,
+    step: int,
+    lookback_ms: int = DEFAULT_LOOKBACK_MS,
+) -> list[tuple[str, str]]:
+    """Annotations an eval of `expr` over [start, end] would carry:
+    [(kind, message)] with kind 'warn' | 'info', messages matching
+    upstream util/annotations formats.
+
+    - info  PossibleNonCounterInfo: rate/increase/irate over a selector
+      whose __name__ doesn't end in _total/_sum/_count/_bucket AND that
+      selects at least one sample in the window (one pruned LIMIT-1
+      probe — upstream fires per present series).
+    - warn  InvalidQuantileWarning: quantile_over_time /
+      histogram_quantile / quantile aggregation with φ outside [0, 1]
+      (or NaN) — static, no data touched.
+    - warn  BadBucketLabelWarning: classic histogram_quantile over a
+      selector where some series' `le` is missing or unparseable (one
+      distinct-le probe over the pruned window)."""
+    import math as _math
+
+    node = parse_expr(expr)
+    out: list[tuple[str, str]] = []
+    seen: set[tuple[str, str]] = set()
+
+    def emit(kind: str, msg: str) -> None:
+        if (kind, msg) not in seen:
+            seen.add((kind, msg))
+            out.append((kind, msg))
+
+    def selector_nonempty(sel: Selector, reach_ms: int) -> bool:
+        frame = (
+            db.querier(start - reach_ms, end)
+            .select(list(sel.matchers), with_labels=False)
+        )
+        return frame.limit(1).count() > 0
+
+    for n in _walk_nodes(node):
+        if isinstance(n, FuncCall) and n.fn in _COUNTER_FNS:
+            name = _name_matcher_value(n.arg)
+            if (
+                name
+                and not name.endswith(_COUNTER_SUFFIXES)
+                and isinstance(n.arg, Selector)
+                and selector_nonempty(
+                    n.arg, (n.arg.range_ms or 0) + n.arg.offset_ms
+                )
+            ):
+                emit(
+                    "info",
+                    "metric might not be a counter, name does not end in "
+                    f'_total/_sum/_count/_bucket: "{name}"',
+                )
+        phi = None
+        if isinstance(n, FuncCall) and n.fn == "quantile_over_time":
+            phi = n.param
+        elif isinstance(n, HistQuantile):
+            phi = n.phi
+        elif isinstance(n, HistFn) and n.fn == "quantile":
+            phi = n.lo
+        elif isinstance(n, Aggregate) and n.op == "quantile":
+            phi = n.param if isinstance(n.param, (int, float)) else None
+        if phi is not None and (
+            _math.isnan(float(phi)) or not 0.0 <= float(phi) <= 1.0
+        ):
+            emit(
+                "warn",
+                f"quantile value should be between 0 and 1, got {float(phi):g}",
+            )
+        if isinstance(n, HistQuantile) and isinstance(n.child, Selector):
+            name = _name_matcher_value(n.child) or ""
+            les = (
+                db.querier(start - lookback_ms, end)
+                .select(list(n.child.matchers), with_labels=True)
+                .select(F.element_at("labels", F.lit("le")).alias("le"))
+                .distinct()
+                .collect()
+            )
+            for r in les:
+                le = r["le"]
+                bad = le is None
+                if not bad:
+                    try:
+                        float(le.replace("+Inf", "inf").replace("-Inf", "-inf"))
+                    except ValueError:
+                        bad = True
+                if bad:
+                    emit(
+                        "warn",
+                        'bucket label "le" is missing or has a malformed '
+                        f'value of "{le or ""}" for metric name "{name}"',
+                    )
+    return out

@@ -406,6 +406,11 @@ def run_rule_tests(spark, path: str, tmp_dir: str | None = None) -> list[str]:
             ok = set(got) == set(want)
             if ok:
                 for k, evs in want.items():
+                    if len(evs) > len(grid):
+                        # surplus expectation values beyond the eval
+                        # grid must fail, not be silently truncated
+                        ok = False
+                        break
                     padded = list(evs) + [None] * (len(grid) - len(evs))
                     series = got.get(k, {})
                     ok = ok and all(
@@ -734,11 +739,13 @@ def run_promql_tests(spark, path: str, tmp_dir: str | None = None) -> list[str]:
         cmd, expr = m.group("cmd"), m.group("expr").strip()
         # the newer upstream `expect` directive form (promqltest 3.x):
         # indented `expect fail [msg:|regexp: ...]` / `expect ordered` /
-        # `expect no_warn|no_info` lines under a plain `eval` — mapped
-        # onto the classic command variants. Annotation-PRESENCE
-        # expectations (expect warn/info) need the annotation channel
-        # this engine doesn't model, so they fail loudly.
+        # `expect [no_]warn|[no_]info [msg:|regexp: ...]` lines under a
+        # plain `eval` — fail/ordered map onto the classic command
+        # variants; warn/info assert against the annotation channel
+        # (promql.collect_annotations).
         exp_fail_want: tuple[str, str] | None = None
+        # (kind, want_present, matcher) — matcher None = any
+        ann_expects: list[tuple[str, bool, tuple[str, str] | None]] = []
         directives = [b for b in body if b.startswith("expect ")]
         body = [b for b in body if not b.startswith("expect ")]
         for d in directives:
@@ -752,8 +759,20 @@ def run_promql_tests(spark, path: str, tmp_dir: str | None = None) -> list[str]:
                     exp_fail_want = ("regexp", rest[len("regexp:"):].strip())
             elif kind == "ordered":
                 cmd = "eval_ordered"
-            elif kind in ("no_warn", "no_info"):
-                pass  # this engine never emits warn/info annotations
+            elif kind in ("warn", "info", "no_warn", "no_info"):
+                want_present = not kind.startswith("no_")
+                ann_kind = kind.removeprefix("no_")
+                rest = d.split(None, 2)[2].strip() if len(d.split(None, 2)) > 2 else ""
+                matcher: tuple[str, str] | None = None
+                if rest.startswith("msg:"):
+                    matcher = ("msg", rest[len("msg:"):].strip())
+                elif rest.startswith("regexp:"):
+                    matcher = ("regexp", rest[len("regexp:"):].strip())
+                elif rest:
+                    raise ValueError(
+                        f"{where}: unsupported expect annotation form: {d!r}"
+                    )
+                ann_expects.append((ann_kind, want_present, matcher))
             else:
                 raise ValueError(
                     f"{where}: unsupported expect directive: {d!r}"
@@ -805,6 +824,31 @@ def run_promql_tests(spark, path: str, tmp_dir: str | None = None) -> list[str]:
         if cmd == "eval_fail":
             failures.append(f"{where}: {expr!r} succeeded, expected failure")
             continue
+
+        if ann_expects:
+            from tsdb_spark.promql import collect_annotations
+
+            anns = collect_annotations(db, expr, start, end, step)
+            for ann_kind, want_present, matcher in ann_expects:
+                hits = [msg for k, msg in anns if k == ann_kind]
+                if matcher is not None:
+                    mk, mv = matcher
+                    hits = [
+                        msg
+                        for msg in hits
+                        if (mv in msg if mk == "msg" else re.search(mv, msg))
+                    ]
+                if want_present and not hits:
+                    failures.append(
+                        f"{where}: {expr!r} expected a {ann_kind} annotation"
+                        + (f" matching {matcher[1]!r}" if matcher else "")
+                        + f", got {anns!r}"
+                    )
+                elif not want_present and hits:
+                    failures.append(
+                        f"{where}: {expr!r} expected no {ann_kind} "
+                        f"annotations, got {hits!r}"
+                    )
 
         cols = out.columns
         if cmd == "eval_ordered":
@@ -865,6 +909,15 @@ def run_promql_tests(spark, path: str, tmp_dir: str | None = None) -> list[str]:
             continue
         for k, exp_vals in want.items():
             series = got.get(k, {})
+            if len(exp_vals) > len(grid):
+                # a mis-stepped expectation must fail loudly, not pass
+                # vacuously with its surplus values truncated
+                failures.append(
+                    f"{where}: {expr!r} {_fmt_key(k)}: expectation has "
+                    f"{len(exp_vals)} values but the eval grid has only "
+                    f"{len(grid)} steps"
+                )
+                continue
             padded = list(exp_vals) + [None] * (len(grid) - len(exp_vals))
             for idx, t in enumerate(grid):
                 ev = padded[idx]

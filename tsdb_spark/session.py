@@ -82,7 +82,8 @@ def get_spark(app_name: str = "tsdb_spark", shuffle_partitions: int | None = Non
         # [16 MB, 128 MB]); a real cluster (one executor JVM per few
         # cores) keeps the 128 MB scan-optimal default.
         heap = os.environ.get("SPARK_DRIVER_MEMORY", "8g").lower()
-        mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}.get(heap[-1], 1)
+        # suffixless values are MiB to Spark (byteStringAsMb), not bytes
+        mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}.get(heap[-1], 1 << 20)
         heap_b = int(float(heap[:-1] if heap[-1] in "kmg" else heap)) * mult
         n_cores = os.cpu_count() or 4
         if cpus not in ("*", ""):
