@@ -546,3 +546,49 @@ def test_duplicated_spans_hand_example(spark):
     # doc 3 is shorter than n and shares nothing
     assert out[3]["n_tokens"] == 5 and out[3]["dup_positions"] == 0
     assert out[3]["dup_span_bp"] == 0
+
+
+def test_band_index_roundtrip_and_incremental_append(spark, tmp_path):
+    """Persisted MinHash band index (bandindex.BandIndex): build over a
+    corpus, probe with copies + fresh docs, append a batch and probe
+    again — the index answers exactly like banding the corpus inline."""
+    from tsdb_spark.pipeline.bandindex import BandIndex
+
+    base = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog again and again"),
+            (1, "pack my box with five dozen liquor jugs for the long trip"),
+            (2, "completely unrelated text about spark physical query plans"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    idx = BandIndex.build(spark, base, str(tmp_path / "bidx"))
+    assert idx.meta["n_docs"] == 3 and idx.meta["max_doc_id"] == 2
+
+    incoming = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog again and again"),
+            (11, "something that matches nothing in the existing corpus at all"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    cand = {
+        (r["new_id"], r["old_id"])
+        for r in idx.probe(incoming).collect()
+    }
+    assert (10, 0) in cand  # exact copy collides in every band
+    assert all(n != 11 for n, _ in cand)  # fresh doc has no candidates
+
+    # incremental append: doc 10's bands join the index; a later copy
+    # of it must now hit doc 10 without any rebuild
+    idx.append(incoming)
+    assert idx.meta["n_docs"] == 5 and idx.meta["max_doc_id"] == 11
+    later = spark.createDataFrame(
+        [(20, "the quick brown fox jumps over the lazy dog again and again")],
+        "doc_id LONG, text STRING",
+    )
+    cand2 = {
+        (r["new_id"], r["old_id"])
+        for r in BandIndex.open(spark, str(tmp_path / "bidx")).probe(later).collect()
+    }
+    assert (20, 0) in cand2 and (20, 10) in cand2

@@ -520,3 +520,36 @@ def test_group_left_include_is_equi_join_never_nested_loop(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_band_index_probe_scan_has_band_id_partition_filter(spark, tmp_path):
+    # the persisted band index is PARTITIONED BY band_id; a probe joins
+    # the (broadcast) incoming batch's bands on the partition column
+    # first, so the index scan must carry a band_id partition filter
+    # (dynamic partition pruning) — the disk analog of only opening the
+    # band files a batch can collide in
+    from tsdb_spark.pipeline.bandindex import BandIndex
+
+    base = spark.createDataFrame(
+        [(i, f"document number {i} with some shared words {i % 3}") for i in range(20)],
+        "doc_id LONG, text STRING",
+    )
+    idx = BandIndex.build(spark, base, str(tmp_path / "bidx"))
+    probe = idx.probe(
+        spark.createDataFrame(
+            [(100, "document number 1 with some shared words 1")],
+            "doc_id LONG, text STRING",
+        )
+    )
+    probe.count()
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    pf = [
+        ln
+        for ln in plan.splitlines()
+        if "PartitionFilters" in ln and "bidx" in ln or
+           ("PartitionFilters" in ln and "band_id" in ln)
+    ]
+    assert pf and any(
+        "band_id" in ln and "dynamicpruning" in ln for ln in pf
+    ), f"index scan lost the band_id partition filter: {pf!r}"

@@ -179,6 +179,37 @@ def minhash_signatures(
     return sets.join(mins, "id").select("id", "shingles", sig.alias("sig"))
 
 
+def band_rows(
+    signatures: DataFrame,
+    n_bands: int = N_BANDS,
+    rows_per_band: int = ROWS_PER_BAND,
+) -> DataFrame:
+    """(id, band_id, band_key): each signature split into n_bands
+    hashed band keys — the shared banding step of the LSH self-join,
+    the cross-corpus probe, and the persisted band index."""
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                hash64(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.element_at("sig", b * rows_per_band + r + 1)
+                            for r in range(rows_per_band)
+                        ],
+                    ),
+                    f"band{b}",
+                ).alias("band_key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return signatures.select("id", F.explode(bands).alias("band")).select(
+        "id", "band.band_id", "band.band_key"
+    )
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     n_bands: int = N_BANDS,
@@ -199,27 +230,7 @@ def lsh_candidate_pairs(
     (a documented recall tradeoff: members of a dropped bucket can still
     pair through their other n_bands-1 bands; a true all-ways-degenerate
     group is better handled by exact dedup first)."""
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_id"),
-                hash64(
-                    F.concat_ws(
-                        ",",
-                        *[
-                            F.element_at("sig", b * rows_per_band + r + 1)
-                            for r in range(rows_per_band)
-                        ],
-                    ),
-                    f"band{b}",
-                ).alias("band_key"),
-            )
-            for b in range(n_bands)
-        ]
-    )
-    banded = signatures.select("id", F.explode(bands).alias("band")).select(
-        "id", "band.band_id", "band.band_key"
-    )
+    banded = band_rows(signatures, n_bands, rows_per_band)
     if max_bucket is not None:
         w = Window.partitionBy("band_id", "band_key")
         banded = (

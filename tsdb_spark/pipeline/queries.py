@@ -1755,9 +1755,16 @@ def docs_cross_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("new_id", "old_id")
         .distinct()
     )
-    # candidate-only re-shingle (the lean-signature path): the cross
-    # candidate id set is tiny, so the semi-join + re-tokenize replaces
-    # a corpus-wide shingle-array carry
+    return _cross_dedup_verdict(spark, sf_dir, cand, CUT)
+
+
+def _cross_dedup_verdict(
+    spark: SparkSession, sf_dir: str, cand: DataFrame, cut: int
+) -> DataFrame:
+    """Shared tail of the cross-corpus dedup entries: candidate-only
+    re-shingle (the lean-signature path — the cross candidate id set is
+    tiny, so the semi-join + re-tokenize replaces a corpus-wide
+    shingle-array carry), exact Jaccard, per-incoming-doc verdict."""
     cand_ids = (
         cand.select(F.col("new_id").alias("doc_id"))
         .unionByName(cand.select(F.col("old_id").alias("doc_id")))
@@ -1785,7 +1792,7 @@ def docs_cross_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("new_id")
         .agg(F.min("old_id").alias("matched_id"), F.max("jbp").alias("best_jaccard_bp"))
     )
-    incoming = _corpus(spark, sf_dir).select("doc_id").filter(F.col("doc_id") >= CUT)
+    incoming = _corpus(spark, sf_dir).select("doc_id").filter(F.col("doc_id") >= cut)
     out = incoming.join(hits, incoming["doc_id"] == hits["new_id"], "left")
     return out.select(
         "doc_id",
@@ -1793,6 +1800,49 @@ def docs_cross_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("best_jaccard_bp", F.lit(0)).cast("long").alias("best_jaccard_bp"),
         F.when(F.col("new_id").isNull(), F.lit(1)).otherwise(F.lit(0)).cast("long").alias("kept"),
     )
+
+
+_BAND_INDEXES: dict = {}
+
+
+@register(
+    "docs_cross_dedup_indexed",
+    None,  # oracle assigned below: identical to docs_cross_dedup
+    "cross-corpus dedup served from the PERSISTED band index "
+    "(bandindex.BandIndex): the existing corpus is sketched ONCE into a "
+    "band_id-partitioned, band_key-sorted parquet artifact; each "
+    "incoming batch sketches only itself and probes with a broadcast "
+    "(band_id, band_key) equi-join — dynamic partition pruning carries "
+    "a band_id filter into the index scan (plan-asserted, "
+    "tests/test_plans.py). Same candidate-verification tail, same "
+    "oracle as docs_cross_dedup: the index roundtrip must answer "
+    "bit-identically to banding the corpus per query",
+)
+def docs_cross_dedup_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from tsdb_spark.pipeline.bandindex import BandIndex
+
+    CUT = 100000
+    corpus = _corpus(spark, sf_dir)
+    if sf_dir not in _BAND_INDEXES:
+        root = tempfile.mkdtemp(prefix="tsdb_q_bandidx_")
+        BandIndex.build(
+            spark, corpus.filter(F.col("doc_id") < CUT), root
+        )
+        _BAND_INDEXES[sf_dir] = root
+    idx = BandIndex.open(spark, _BAND_INDEXES[sf_dir])
+    cand = materialize(
+        idx.probe(corpus.filter(F.col("doc_id") >= CUT)).select(
+            "new_id", "old_id"
+        )
+    )
+    return _cross_dedup_verdict(spark, sf_dir, cand, CUT)
+
+
+# the persisted band index must answer exactly like banding the corpus
+# per query — one oracle covers both (divergence = an index-path bug)
+_Q["docs_cross_dedup_indexed"].oracle = _Q["docs_cross_dedup"].oracle
 
 
 @register(
