@@ -64,9 +64,17 @@ def main() -> None:
     _cal()  # JIT warm-up, untimed
     calibration = min(_cal(), _cal())
 
+    # SPARK_GRAFT_BENCH_ONLY="compact,promql" runs a subset (bisection /
+    # iteration aid); unset → the full graded suite, unchanged
+    only = {
+        s for s in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",") if s
+    }
+
     def bench(name: str, fn, runs: int = RUNS) -> None:
         """Median-of-N timing. `fn` takes the 0-based run index so
         mutating entries can target a fresh copy per repetition."""
+        if only and name not in only:
+            return
         loads[name] = round(os.getloadavg()[0], 2)
         samples = []
         for i in range(runs):
@@ -94,6 +102,8 @@ def main() -> None:
             )
 
         bench("ingest", run_ingest)
+        if not os.path.isdir(f"{wh}/db0"):
+            run_ingest(0)  # untimed store build when a subset skips ingest
         db = DB.open(spark, f"{wh}/db0")
 
         # full-scan iterate (querier_test.go:1481 BenchmarkQueryIterator)
@@ -312,6 +322,8 @@ def main() -> None:
             compacted.append(c)
 
         bench("compact", run_compact)
+        if not compacted and (not only or "lvl_compact" in only):
+            run_compact(0)  # untimed base when a subset skips compact
 
         # incremental (planned) compaction: dirty one day of buckets,
         # one planning round rewrites exactly those — the 100TB
