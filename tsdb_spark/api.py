@@ -788,24 +788,17 @@ def remote_write_v2(db, raw: bytes, content_type: str = "") -> int:
     return _apply_write_body(db, tagged)
 
 
-def remote_read(db, raw: bytes) -> bytes:
-    """POST /api/v1/read (storage/remote/read_handler.go, SAMPLED
-    response type): decode the ReadRequest, run each query through the
-    pruned matcher select, and encode time-sorted TimeSeries back. The
-    STREAMED_XOR_CHUNKS variant needs the XOR chunk encoding SURVEY
-    §2.8 maps to Parquet, so this responder always answers SAMPLES —
-    the protocol default every client accepts. The collect sits in the
-    serving layer like every HTTP route; a remote-read window is
+def _read_query_results(db, queries: list[dict]):
+    """Shared SELECT stage of both remote-read responders: each
+    ReadRequest query through the pruned matcher select, collected as
+    per-query [(labels, time-sorted samples)] lists. The collect sits
+    in the serving layer like every HTTP route; a remote-read window is
     client-bounded the same way /api/v1/query_range is."""
     from tsdb_spark import labels as L
-    from tsdb_spark.sources.remotewrite import (
-        decode_read_request,
-        encode_read_response,
-    )
 
     ctor = {"=": L.eq, "!=": L.neq, "=~": L.re_match, "!~": L.re_not_match}
     results = []
-    for q in decode_read_request(raw):
+    for q in queries:
         ms = [ctor[op](name, value) for op, name, value in q["matchers"]]
         rows = (
             db.querier(q["start"], q["end"])
@@ -822,7 +815,57 @@ def remote_read(db, raw: bytes) -> bytes:
             [(lab, sorted(samps)) for lab, samps in
              (by[k] for k in sorted(by))]
         )
-    return encode_read_response(results)
+    return results
+
+
+def remote_read(db, raw: bytes) -> bytes:
+    """POST /api/v1/read (storage/remote/read_handler.go, SAMPLED
+    response type): time-sorted TimeSeries in a snappy-compressed
+    ReadResponse — the protocol default every client accepts. Clients
+    asking for STREAMED_XOR_CHUNKS negotiate via remote_read_negotiated
+    (the serve route does)."""
+    from tsdb_spark.sources.remotewrite import (
+        decode_read_request,
+        encode_read_response,
+    )
+
+    return encode_read_response(_read_query_results(db, decode_read_request(raw)))
+
+
+def remote_read_streamed(db, raw: bytes) -> bytes:
+    """POST /api/v1/read, STREAMED_XOR_CHUNKS response type
+    (storage/remote/codec.go StreamChunkedReadResponses): each series
+    as Gorilla-XOR chunk payloads in CRC32C-framed ChunkedReadResponse
+    messages (sources/xorchunks.py — the codec SURVEY §2.8 maps to
+    Parquet at rest, implemented for the wire where the format IS the
+    protocol)."""
+    from tsdb_spark.sources.remotewrite import decode_read_request
+    from tsdb_spark.sources.xorchunks import encode_chunked_read_response
+
+    return encode_chunked_read_response(
+        _read_query_results(db, decode_read_request(raw))
+    )
+
+
+def remote_read_negotiated(db, raw: bytes) -> tuple[bytes, str, str]:
+    """Dispatch on the request's accepted_response_types (read_handler.go
+    NegotiateResponseType: the FIRST listed type the server supports
+    wins; an empty list means SAMPLES). Returns (body, content_type,
+    content_encoding) for the HTTP route."""
+    from tsdb_spark.sources.remotewrite import decode_read_request_full
+    from tsdb_spark.sources.xorchunks import CONTENT_TYPE_STREAMED
+
+    queries, accepted = decode_read_request_full(raw)
+    chosen = accepted[0] if accepted else 0
+    if chosen == 1:  # STREAMED_XOR_CHUNKS
+        from tsdb_spark.sources.xorchunks import encode_chunked_read_response
+
+        body = encode_chunked_read_response(_read_query_results(db, queries))
+        return body, CONTENT_TYPE_STREAMED, ""
+    from tsdb_spark.sources.remotewrite import encode_read_response
+
+    body = encode_read_response(_read_query_results(db, queries))
+    return body, "application/x-protobuf", "snappy"
 
 
 def admin_delete_series(db, selectors: list[str], mint: int, maxt: int) -> int:
@@ -963,12 +1006,13 @@ def make_handler(db, rule_groups: list[dict] | None = None, enable_admin: bool =
             if u.path == "/api/v1/read":
                 raw = self.rfile.read(n) if n else b""
                 try:
-                    out = remote_read(db, raw)
+                    out, ctype, cenc = remote_read_negotiated(db, raw)
                 except Exception as e:  # noqa: BLE001 — wire errors → 400
                     return self._reply_text(400, f"decode error: {e}\n")
                 self.send_response(200)
-                self.send_header("Content-Type", "application/x-protobuf")
-                self.send_header("Content-Encoding", "snappy")
+                self.send_header("Content-Type", ctype)
+                if cenc:
+                    self.send_header("Content-Encoding", cenc)
                 self.send_header("Content-Length", str(len(out)))
                 self.end_headers()
                 self.wfile.write(out)

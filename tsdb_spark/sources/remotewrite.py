@@ -372,19 +372,41 @@ def _decode_query(buf: bytes) -> dict:
 
 def decode_read_request(raw: bytes, compressed: bool = True) -> list[dict]:
     """ReadRequest → [{"start", "end", "matchers": [(op, name, value)]}]."""
+    return decode_read_request_full(raw, compressed)[0]
+
+
+def decode_read_request_full(
+    raw: bytes, compressed: bool = True
+) -> tuple[list[dict], list[int]]:
+    """ReadRequest → (queries, accepted_response_types). The enum list
+    (field 2, packed: 0 = SAMPLES, 1 = STREAMED_XOR_CHUNKS) drives
+    response-type negotiation — an empty list means SAMPLES, the
+    protocol default every reader accepts."""
     buf = snappy_decompress(raw) if compressed else raw
     out = []
+    accepted: list[int] = []
     for field, wt, payload in _fields(buf):
         if field == 1 and wt == 2:
             out.append(_decode_query(payload))
-        # field 2 (accepted_response_types, packed enum) skipped: this
-        # engine always answers SAMPLES, the type every reader accepts
-    return out
+        elif field == 2 and wt == 2:  # packed enum
+            i = 0
+            while i < len(payload):
+                v, i = _uvarint(payload, i)
+                accepted.append(v)
+        elif field == 2 and wt == 0:  # unpacked fallback
+            accepted.append(payload)
+    return out, accepted
 
 
-def encode_read_request(queries: list[dict], compressed: bool = True) -> bytes:
+def encode_read_request(
+    queries: list[dict],
+    compressed: bool = True,
+    accepted: list[int] | None = None,
+) -> bytes:
     """Client-side ReadRequest encoder (tests / this engine acting as a
-    remote-read client of another store)."""
+    remote-read client of another store). `accepted` lists the
+    accepted_response_types enum values in preference order
+    (0 = SAMPLES, 1 = STREAMED_XOR_CHUNKS); omitted = SAMPLES."""
     req = bytearray()
     for q in queries:
         qb = bytearray()
@@ -397,6 +419,11 @@ def encode_read_request(queries: list[dict], compressed: bool = True) -> bytes:
             _put_field(mb, 3, 2, value.encode("utf-8"))
             _put_field(qb, 3, 2, bytes(mb))
         _put_field(req, 1, 2, bytes(qb))
+    if accepted:
+        packed = bytearray()
+        for a in accepted:
+            _put_uvarint(packed, a)
+        _put_field(req, 2, 2, bytes(packed))
     raw = bytes(req)
     return snappy_compress(raw) if compressed else raw
 
