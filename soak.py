@@ -104,7 +104,29 @@ def replicate(spark, mult: int, out_dir: str,
         emb.crossJoin(F.broadcast(reps))
         .select(
             (F.col("vec_id") + F.col("_rep") * 1_000_000).alias("vec_id"),
-            "embedding",
+            # deterministic per-(replica, vector, dim) jitter (±0.05 on
+            # components spanning ±0.58): replicas are DISTINCT vectors
+            # clustered near their originals, so a k-times corpus has k
+            # times the genuine near-neighbor structure — identical
+            # copies would make every recall measurement at kx trivial
+            # (the probe's own clones ARE the exact top-k and land in
+            # the same LSH bucket / IVF list by construction)
+            F.when(F.col("_rep") == 0, F.col("embedding"))
+            .otherwise(
+                F.transform(
+                    "embedding",
+                    lambda x, i: (
+                        x
+                        + F.pmod(
+                            F.xxhash64(F.col("vec_id"), F.col("_rep"), i),
+                            F.lit(1000),
+                        ).cast("double")
+                        / 10000.0
+                        - 0.05
+                    ).cast("float"),
+                )
+            )
+            .alias("embedding"),
             "label",
         )
         .write.mode("overwrite")
@@ -157,7 +179,7 @@ def main() -> None:
             spark, k, big,
             events=sel is None or bool(sel & _ev_shapes),
             docs=sel is None or bool(sel & _doc_shapes),
-            embs=sel is None or "ann" in sel,
+            embs=sel is None or bool(sel & {"ann", "recall"}),
         )
 
         def drain(df):
@@ -216,6 +238,78 @@ def main() -> None:
             ("docs_bpe_tokens", "bpe"),
         ):
             shape(label, lambda sf, store, q=qname: drain(QUERIES[q].spark_fn(spark, sf)))
+
+        # ANN quality at scale: the timing soaks prove the SHAPES stay
+        # linear; this proves the SKETCHES stay accurate — recall@3 of
+        # each approximate index vs brute-force exact top-3, on the
+        # same probes, at 1x and kx. A recall cliff as the corpus grows
+        # (more vectors per LSH bucket / IVF list crowding out true
+        # neighbors) shows up here before it would in production.
+        if sel is None or "recall" in sel:
+            from tsdb_spark.pipeline import embed as E
+
+            from pyspark.sql import Window as W
+
+            def _dot_topk(emb, probes, k=3):
+                # exact integer-free dot-product top-k: sq8's OWN metric
+                # (ranking by dot, not cosine), so its recall isolates
+                # quantization loss from the metric mismatch
+                c = emb.select(
+                    F.col("vec_id").alias("neighbor_id"),
+                    F.col("embedding").alias("_cv"),
+                )
+                p = probes.select(
+                    F.col("vec_id").alias("probe_id"),
+                    F.col("embedding").alias("_pv"),
+                )
+                dot = F.aggregate(
+                    F.zip_with("_pv", "_cv", lambda x, y: x.cast("double") * y),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                )
+                w = W.partitionBy("probe_id").orderBy(
+                    F.desc("dot"), "neighbor_id"
+                )
+                return (
+                    c.crossJoin(F.broadcast(p))
+                    .filter(F.col("probe_id") != F.col("neighbor_id"))
+                    .withColumn("dot", dot)
+                    .withColumn("rank", F.row_number().over(w))
+                    .filter(F.col("rank") <= k)
+                    .select("probe_id", "neighbor_id")
+                )
+
+            def recall_at(sf: str) -> dict[str, float]:
+                emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+                probes = emb.filter(F.col("vec_id") < 8)
+                exact_cos = E.cosine_topk(emb, probes, k=3).select(
+                    "probe_id", "neighbor_id"
+                )
+                exact_dot = _dot_topk(emb, probes, k=3)
+                out = {}
+                for name, truth, approx in (
+                    ("ivf", exact_cos, E.ann_ivf_topk(
+                        emb, probes, k=3, n_centroids=16, nprobe=4)),
+                    ("lsh", exact_cos, E.ann_lsh_topk(emb, probes, k=3)),
+                    ("lsh_mp", exact_cos, E.ann_lsh_topk(
+                        emb, probes, k=3, hamming_probes=1)),
+                    ("sq8", exact_dot, E.sq8_topk(emb, probes, k=3)),
+                ):
+                    j = truth.join(
+                        approx.select(
+                            "probe_id", "neighbor_id", F.lit(1).alias("hit")
+                        ),
+                        ["probe_id", "neighbor_id"],
+                        "left",
+                    )
+                    r = j.agg(
+                        F.count("*").alias("n"), F.count("hit").alias("h")
+                    ).first()
+                    out[name] = round(10000 * r["h"] / r["n"])
+                return out
+
+            results["recall_bp"] = {"r1": recall_at(SF_DIR), "rk": recall_at(big)}
+            print(f"# recall_bp: {results['recall_bp']}", file=sys.stderr)
 
         print(json.dumps({
             "metric": "soak_linearity",

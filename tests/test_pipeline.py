@@ -592,3 +592,82 @@ def test_band_index_roundtrip_and_incremental_append(spark, tmp_path):
         for r in BandIndex.open(spark, str(tmp_path / "bidx")).probe(later).collect()
     }
     assert (20, 0) in cand2 and (20, 10) in cand2
+
+
+def test_lsh_multiprobe_expands_candidates(spark):
+    """Multi-probe LSH (hamming_probes=1) visits the probe's bucket
+    plus every 1-bit-flip bucket: its result set can only gain
+    candidates vs single-bucket, and h=0 stays the original behavior."""
+    from pyspark.sql import functions as F
+
+    from tsdb_spark.pipeline import embed as E
+
+    rng_rows = [
+        (i, [((i * 37 + d * 11) % 97) / 97.0 - 0.5 for d in range(16)])
+        for i in range(200)
+    ]
+    emb = spark.createDataFrame(rng_rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    probes = emb.filter(F.col("vec_id") < 4)
+    h0 = E.ann_lsh_topk(emb, probes, k=5)
+    h1 = E.ann_lsh_topk(emb, probes, k=5, hamming_probes=1)
+    n0 = {(r["probe_id"], r["neighbor_id"]) for r in h0.collect()}
+    n1_all = {
+        (r["probe_id"], r["neighbor_id"])
+        for r in E.ann_lsh_topk(emb, probes, k=10**6, hamming_probes=1).collect()
+    }
+    # every single-bucket candidate is reachable under multi-probe
+    assert n0 <= n1_all
+    # and multi-probe recall vs exact cosine is at least single-bucket's
+    exact = {
+        (r["probe_id"], r["neighbor_id"])
+        for r in E.cosine_topk(emb, probes, k=5).collect()
+    }
+    r0 = len(exact & n0)
+    r1 = len(exact & {(r["probe_id"], r["neighbor_id"]) for r in h1.collect()})
+    assert r1 >= r0
+
+
+def test_sq8_dequantized_matches_exact_dot_on_grid_data(spark):
+    """Vectors sitting exactly on quantization cell centers reconstruct
+    losslessly, so dequantized-dot ranking must equal exact-dot ranking
+    — the invariant the raw integer-code dot violated (its per-dim
+    shift cross-terms reorder neighbors; see embed.sq8_topk)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window as W
+
+    from tsdb_spark.pipeline import embed as E
+
+    # components on the 256-cell centers of [-0.5, 0.5]
+    def cell(c):
+        return -0.5 + (c + 0.5) / 255.0  # lo + (c+.5)Δ with Δ = 1/255
+
+    rows = []
+    for i in range(40):
+        rows.append((i, [cell((i * 13 + d * 7) % 256) for d in range(8)]))
+    # pin the grid: one vector at lo, one at hi per dimension
+    rows.append((100, [cell(0)] * 8))
+    rows.append((101, [cell(255)] * 8))
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    probes = emb.filter(F.col("vec_id") < 3)
+    approx = {
+        (r["probe_id"], r["rank"]): r["neighbor_id"]
+        for r in E.sq8_topk(emb, probes, k=5).collect()
+    }
+    c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("_cv"))
+    p = probes.select(F.col("vec_id").alias("probe_id"), F.col("embedding").alias("_pv"))
+    dot = F.aggregate(
+        F.zip_with("_pv", "_cv", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    w = W.partitionBy("probe_id").orderBy(F.desc("dot"), "neighbor_id")
+    exact = {
+        (r["probe_id"], r["rank"]): r["neighbor_id"]
+        for r in (
+            c.crossJoin(F.broadcast(p))
+            .filter("probe_id != neighbor_id")
+            .withColumn("dot", dot)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 5)
+            .collect()
+        )
+    }
+    assert approx == exact

@@ -580,3 +580,53 @@ def test_rw2_append_and_http_negotiation(spark, tmp_path):
             api_mod._apply_write_body = orig
     finally:
         srv.shutdown()
+
+
+def test_push_remote_write_v2_between_stores(spark, tmp_path):
+    """Migration over the rw2 wire: store A's floats AND native
+    histograms drain into store B through a live /api/v1/write with
+    the v2 content type; B answers identically afterwards."""
+    from tsdb_spark.api import serve
+    from tsdb_spark.nativehist import HIST_TYPE
+    from tsdb_spark.sources.remotewrite import push_remote_write_v2
+
+    src = DB.create(spark, str(tmp_path / "src"), block_width_ms=WIDTH)
+    src.append(
+        spark.createDataFrame(
+            [({"__name__": "f", "i": str(k)}, t * 60_000, float(t + k))
+             for k in range(2) for t in range(5)],
+            "labels MAP<STRING,STRING>, t LONG, v DOUBLE",
+        )
+    )
+    src.append_histograms(
+        spark.createDataFrame(
+            [
+                (
+                    {"__name__": "h"},
+                    120_000,
+                    (5.0, 12.5, 1.0, 0, [(0, 2.0), (3, 2.0)]),
+                )
+            ],
+            f"labels MAP<STRING,STRING>, t LONG, h {HIST_TYPE}",
+        )
+    )
+    dst = DB.create(spark, str(tmp_path / "dst"), block_width_ms=WIDTH)
+    srv = serve(dst, "127.0.0.1", 0)
+    port = srv.server_address[1]
+    th = threading.Thread(target=srv.serve_forever, daemon=True)
+    th.start()
+    try:
+        sent = push_remote_write_v2(
+            src, f"http://127.0.0.1:{port}/api/v1/write", 0, 10 * 60_000
+        )
+        assert sent == 10 + 1
+        assert (
+            dst.querier(0, 10 * 60_000).select([]).count()
+            == src.querier(0, 10 * 60_000).select([]).count()
+        )
+        [hrow] = dst.hist_frame(0, 10 * 60_000).collect()
+        h = hrow["h"]
+        assert h["count"] == 5.0 and h["sum"] == 12.5
+        assert [(b["idx"], b["c"]) for b in h["buckets"]] == [(0, 2.0), (3, 2.0)]
+    finally:
+        srv.shutdown()

@@ -129,12 +129,22 @@ def ann_lsh_topk(
     n_planes: int = N_PLANES,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    hamming_probes: int = 0,
 ) -> DataFrame:
     """Approximate top-k: probes only compare against corpus vectors in
     their own LSH bucket. The bucket join is an equi-join (shuffle or
     broadcast by bucket code) — corpus never self-joins, probes never
     scan the full corpus. Deterministic → a SQL oracle reproduces the
-    same approximate result exactly."""
+    same approximate result exactly.
+
+    `hamming_probes` enables MULTI-PROBE LSH (Lv et al., VLDB'07): each
+    probe also visits buckets within that Hamming distance of its own
+    code — a near neighbor split off by one hyperplane lands one bit
+    away, so probing h=1 visits n_planes+1 buckets and recovers most of
+    what single-bucket LSH loses (measured in the soak recall table,
+    SCALE.md r8: 8%→75% recall@3 at h=1 on sf0.1). Cost multiplies by
+    the probed-bucket count, never touches the corpus side: the probe
+    frame explodes, the equi-join stays the same shape."""
     bucket = lsh_bucket_expr(vec_col, n_planes)
     c = embeddings.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"), bucket.alias("bucket")
@@ -142,6 +152,19 @@ def ann_lsh_topk(
     p = probes.select(
         F.col(id_col).alias("probe_id"), F.col(vec_col).alias("_pv"), bucket.alias("bucket")
     )
+    if hamming_probes > 0:
+        masks = [0] + [
+            m
+            for m in range(1, 1 << n_planes)
+            if bin(m).count("1") <= hamming_probes
+        ]
+        p = p.select(
+            "probe_id",
+            "_pv",
+            F.explode(
+                F.array(*[F.col("bucket").bitwiseXOR(F.lit(m)) for m in masks])
+            ).alias("bucket"),
+        )
     scored = (
         c.join(F.broadcast(p), "bucket")
         .filter(F.col("probe_id") != F.col("neighbor_id"))
@@ -517,10 +540,19 @@ def sq8_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k neighbors by integer dot product over 8-bit
-    scalar-quantized vectors — the memory-compression ANN path (4x
-    smaller vectors than f32, exact integer scoring so ranks are
-    deterministic and engine-agnostic).
+    """Approximate top-k neighbors over 8-bit scalar-quantized vectors
+    — the memory-compression ANN path (4x smaller vectors than f32).
+
+    Scoring DEQUANTIZES each code to its cell center (lo_i + (c+0.5)Δ_i)
+    and ranks by the double dot product of the reconstructions — the
+    FAISS ScalarQuantizer arrangement. The earlier raw integer-code dot
+    Σ c_p·c_n was measured essentially uncorrelated with the true dot
+    (recall@3 ≈ 4% on the sf0.1 corpus, SCALE.md r8): codes are shifted
+    by -lo_i/Δ_i per dimension, so the offset cross-terms (which vary
+    per NEIGHBOR via its component sum) swamp the signal. Dequantized
+    scoring isolates the only loss SQ8 should have — quantization
+    resolution (measured recall@3 ≈ 96% same corpus). Arithmetic is
+    fixed-order double math, so ranks stay engine-reproducible.
 
     Scale shape: the grid row and the probe set are broadcast; the
     corpus streams through one map stage (quantize + score) and the only
@@ -529,16 +561,29 @@ def sq8_topk(
     c = (
         embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col))
         .join(F.broadcast(grid))
-        .select("neighbor_id", sq8_codes_expr(vec_col).alias("_cc"))
+        .select("neighbor_id", sq8_codes_expr(vec_col).alias("_cc"), "_los", "_his")
     )
     p = (
         probes.select(F.col(id_col).alias("probe_id"), F.col(vec_col))
         .join(F.broadcast(grid))
         .select("probe_id", sq8_codes_expr(vec_col).alias("_pc"))
     )
+
+    def dq(code, i):
+        lo = F.element_at("_los", i + 1)
+        hi = F.element_at("_his", i + 1)
+        return F.when(
+            hi > lo,
+            lo + (code.cast("double") + 0.5) * (hi - lo) / 255,
+        ).otherwise(lo)
+
     dot = F.aggregate(
-        F.zip_with("_pc", "_cc", lambda x, y: x * y),
-        F.lit(0).cast("long"),
+        F.transform(
+            F.sequence(F.lit(0), F.size("_cc") - 1),
+            lambda i: dq(F.element_at("_pc", i + 1), i)
+            * dq(F.element_at("_cc", i + 1), i),
+        ),
+        F.lit(0.0),
         lambda acc, x: acc + x,
     )
     scored = c.join(
@@ -548,5 +593,10 @@ def sq8_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("probe_id", "neighbor_id", "rank", "dot")
+        .select(
+            "probe_id",
+            "neighbor_id",
+            "rank",
+            F.floor(F.lit(1_000_000) * F.col("dot")).cast("long").alias("dot"),
+        )
     )

@@ -48,6 +48,7 @@ __all__ = [
     "encode_read_response",
     "remote_write_df",
     "push_remote_write",
+    "push_remote_write_v2",
     "backfill_remote_write",
     "decode_write_request_v2",
     "encode_write_request_v2",
@@ -525,6 +526,84 @@ def push_remote_write(
             if not 200 <= resp.status < 300:
                 raise OSError(f"remote write rejected: HTTP {resp.status}")
         sent += sum(len(s) for _, s in chunk)
+    return sent
+
+
+def push_remote_write_v2(
+    db,
+    url: str,
+    mint: int,
+    maxt: int,
+    matchers=None,
+    batch_series: int = 500,
+    timeout_s: float = 30.0,
+) -> int:
+    """Act as a Remote-Write 2.0 SENDER: drain [mint, maxt] floats AND
+    native histograms from a store into another instance's /api/v1/write
+    with the rw2 content type — the migration path that carries the
+    sample type the 1.0 sender (push_remote_write) cannot. Returns
+    samples + histogram samples sent. Driver-side collect bounded the
+    same way as push_remote_write (slice large windows)."""
+    import urllib.request
+
+    rows = (
+        db.querier(mint, maxt)
+        .select(matchers or [])
+        .select("labels", "t", "v")
+        .collect()
+    )
+    by: dict[tuple, dict] = {}
+    for r in rows:
+        lab = dict(r["labels"])
+        e = by.setdefault(
+            tuple(sorted(lab.items())),
+            {"labels": lab, "samples": [], "histograms": []},
+        )
+        e["samples"].append((r["t"], r["v"]))
+    for r in db.hist_frame(mint, maxt, matchers).collect():
+        lab = dict(r["labels"])
+        h = r["h"]
+        e = by.setdefault(
+            tuple(sorted(lab.items())),
+            {"labels": lab, "samples": [], "histograms": []},
+        )
+        e["histograms"].append(
+            (
+                r["t"],
+                {
+                    "count": h["count"],
+                    "sum": h["sum"],
+                    "zero_count": h["zero_count"],
+                    "schema": h["schema"],
+                    "buckets": [(b["idx"], b["c"]) for b in h["buckets"]],
+                },
+            )
+        )
+    series = []
+    for k in sorted(by):
+        e = by[k]
+        e["samples"].sort()
+        e["histograms"].sort(key=lambda x: x[0])
+        series.append(e)
+    sent = 0
+    for i in range(0, len(series), batch_series):
+        chunk = series[i : i + batch_series]
+        req = urllib.request.Request(
+            url,
+            data=encode_write_request_v2(chunk),
+            headers={
+                "Content-Encoding": "snappy",
+                "Content-Type": "application/x-protobuf;"
+                "proto=io.prometheus.write.v2.Request",
+                "X-Prometheus-Remote-Write-Version": "2.0.0",
+            },
+        )
+        with urllib.request.urlopen(req, timeout=timeout_s) as resp:
+            if not 200 <= resp.status < 300:
+                raise OSError(f"remote write rejected: HTTP {resp.status}")
+        sent += sum(
+            len(e["samples"]) + len(e["histograms"]) for e in chunk
+        )
     return sent
 
 
