@@ -310,6 +310,11 @@ def main() -> None:
         # incremental ingest dedup: new batch banded against the corpus
         bench("cross_dedup", q_entry("docs_cross_dedup"))
 
+        # same verdict served from the persisted band index (r8): the
+        # old side is sketched ONCE (inside run 0's timing — the index
+        # build amortizes across every later batch, which is the point)
+        bench("cross_dedup_idx", q_entry("docs_cross_dedup_indexed"))
+
         # compaction rewrite (compact_test.go:788 BenchmarkCompaction)
         # — each repetition compacts its own hardlink snapshot of the
         # pristine store, so the number stays comparable across rounds

@@ -367,3 +367,33 @@ def test_scrape_pass_applies_metric_relabeling(spark, tmp_path):
         assert by_name["up"][0][1] == 1.0
     finally:
         srv.shutdown()
+
+
+def test_relabel_targets_drop_and_rewrite(spark):
+    """Target relabeling (SD-time relabel_configs): keep/drop decides
+    which targets are scraped at all; rewrites land on job/instance and
+    the extra label set."""
+    from tsdb_spark.relabel import relabel_targets
+    from tsdb_spark.scrape import Target
+
+    targets = [
+        Target(url="http://a:9100/metrics", job="node", instance="a:9100"),
+        Target(url="http://b:9100/metrics", job="node", instance="b:9100"),
+        Target(url="http://c:8080/metrics", job="api", instance="c:8080"),
+    ]
+    rules = [
+        RelabelConfig(action="drop", source_labels=("instance",), regex="b:.*"),
+        RelabelConfig(
+            action="replace", source_labels=("job",), regex="(.*)",
+            target_label="env", replacement="prod-$1",
+        ),
+        RelabelConfig(
+            action="replace", source_labels=("instance",),
+            regex="([^:]+):.*", target_label="instance", replacement="$1",
+        ),
+    ]
+    out = relabel_targets(spark, targets, rules)
+    assert [(t.job, t.instance, dict(t.labels)) for t in out] == [
+        ("node", "a", {"env": "prod-node"}),
+        ("api", "c", {"env": "prod-api"}),
+    ]

@@ -182,11 +182,52 @@ def apply_relabel(
     for cfg in configs:
         labels, kept = _apply_one(labels, kept, cfg)
     labels = F.map_filter(labels, lambda _, v: v != "")
+    # filter BEFORE replacing the column: kept's expression tree is
+    # rooted at the ORIGINAL label map; filtering after the withColumn
+    # would re-resolve that root against the rewritten map, so a drop
+    # rule whose source label a later rule rewrites would re-evaluate
+    # against the new value and mis-keep
     return (
-        df.withColumn(label_col, labels)
-        .filter(kept)
+        df.filter(kept)
+        .withColumn(label_col, labels)
         .filter(F.size(F.map_keys(F.col(label_col))) > 0)
     )
+
+
+def relabel_targets(spark, targets, configs: list[RelabelConfig]):
+    """TARGET relabeling (the `relabel_configs:` block upstream applies
+    at service-discovery time, scrape/target.go PopulateLabels): run the
+    same rule chain over each Target's label set — a dropped label set
+    drops the target. Reuses apply_relabel verbatim (one tiny local
+    DataFrame over the handful of targets), so target- and
+    metric-relabeling can never diverge semantically. Returns the
+    surviving targets with their rewritten extra labels; job/instance
+    rewrites land back on the Target fields."""
+    from tsdb_spark.scrape import Target
+
+    rows = [
+        (i, t.target_labels()) for i, t in enumerate(targets)
+    ]
+    if not rows:
+        return []
+    df = spark.createDataFrame(rows, "idx LONG, labels MAP<STRING,STRING>")
+    out = apply_relabel(df, configs)
+    kept = []
+    for r in out.orderBy("idx").collect():
+        t = targets[r["idx"]]
+        lab = dict(r["labels"])
+        job = lab.pop("job", t.job)
+        instance = lab.pop("instance", t.instance)
+        kept.append(
+            Target(
+                url=t.url,
+                job=job,
+                instance=instance,
+                labels=tuple(sorted(lab.items())),
+                timestamps=t.timestamps,
+            )
+        )
+    return kept
 
 
 def load_relabel_file(path: str) -> list[RelabelConfig]:
