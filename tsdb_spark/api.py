@@ -818,6 +818,55 @@ def _read_query_results(db, queries: list[dict]):
     return results
 
 
+def otlp_write(db, raw: bytes, gzipped: bool = False) -> int:
+    """POST /api/v1/otlp/v1/metrics (prometheus 3.x OTLP ingest,
+    storage/remote/otlptranslator): decode + translate the
+    ExportMetricsServiceRequest and append — gauges/sums/classic
+    histograms/summaries as float series, exponential histograms as
+    NATIVE histograms through DB.append_histograms, remaining resource
+    attributes as target_info (which promql info() joins back).
+    Returns points appended; delta-temporality points are dropped like
+    upstream rejects them."""
+    from tsdb_spark.sources.otlp import decode_otlp_metrics, translate_otlp
+
+    floats, hists, _ = translate_otlp(decode_otlp_metrics(raw, gzipped))
+    return _otlp_apply(db, (floats, hists))
+
+
+def _otlp_apply(db, decoded) -> int:
+    """Commit half of otlp_write (the HTTP route's 400/500 split)."""
+    from tsdb_spark.nativehist import HIST_TYPE
+
+    floats, hists = decoded
+    if floats:
+        db.append(
+            db.spark.createDataFrame(
+                floats, "labels MAP<STRING,STRING>, t LONG, v DOUBLE"
+            )
+        )
+    if hists:
+        hrows = [
+            (
+                lab,
+                t,
+                (
+                    h["count"],
+                    h["sum"],
+                    h["zero_count"],
+                    h["schema"],
+                    [(int(i), float(c)) for i, c in h["buckets"]],
+                ),
+            )
+            for lab, t, h in hists
+        ]
+        db.append_histograms(
+            db.spark.createDataFrame(
+                hrows, f"labels MAP<STRING,STRING>, t LONG, h {HIST_TYPE}"
+            )
+        )
+    return len(floats) + len(hists)
+
+
 def remote_read(db, raw: bytes) -> bytes:
     """POST /api/v1/read (storage/remote/read_handler.go, SAMPLED
     response type): time-sorted TimeSeries in a snappy-compressed
@@ -1003,6 +1052,32 @@ def make_handler(db, rule_groups: list[dict] | None = None, enable_admin: bool =
                 # success: 204 No Content (write_handler.go replies with
                 # an empty 2xx; the spec requires any 2xx)
                 return self._reply_empty(204)
+            if u.path == "/api/v1/otlp/v1/metrics":
+                raw = self.rfile.read(n) if n else b""
+                gz = "gzip" in (self.headers.get("Content-Encoding") or "")
+                # same 400/500 split as remote-write: decode errors are
+                # the client's, append failures are ours (retryable)
+                try:
+                    from tsdb_spark.sources.otlp import (
+                        decode_otlp_metrics,
+                        translate_otlp,
+                    )
+
+                    floats, hists, _ = translate_otlp(
+                        decode_otlp_metrics(raw, gz)
+                    )
+                except Exception as e:  # noqa: BLE001 — wire errors → 400
+                    return self._reply_text(400, f"decode error: {e}\n")
+                try:
+                    _otlp_apply(db, (floats, hists))
+                except Exception as e:  # noqa: BLE001 — commit → 500
+                    return self._reply_text(500, f"internal error: {e}\n")
+                # empty ExportMetricsServiceResponse (success, 200)
+                self.send_response(200)
+                self.send_header("Content-Type", "application/x-protobuf")
+                self.send_header("Content-Length", "0")
+                self.end_headers()
+                return None
             if u.path == "/api/v1/read":
                 raw = self.rfile.read(n) if n else b""
                 try:

@@ -1213,6 +1213,146 @@ def store_remote_write_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "store_otlp_ingest",
+    None,  # oracle assigned below — identical to store_remote_write_v2
+    "OTLP metrics ingest (prometheus 3.x /api/v1/otlp/v1/metrics; "
+    "opentelemetry-proto metrics.proto decoded by the pure-Python wire "
+    "machinery — sources/otlp.py): the same week-1 floats ride as OTLP "
+    "gauge points and the daily click NATIVE HISTOGRAMS as "
+    "exponential-histogram points (prometheus idx = otlp index + 1, "
+    "contiguous counts with gap zero-fill), archived payload files "
+    "decode as ONE distributed binaryFile + mapInPandas scan "
+    "(backfill_otlp) and append through the same split as rw2. The "
+    "readback contract is store_remote_write_v2's exactly — one oracle "
+    "covers both wire formats, so a translation bug in either shows as "
+    "a divergence",
+)
+def store_otlp_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from pyspark import StorageLevel
+
+    from tsdb_spark.nativehist import build_histograms, int_bucket_idx
+    from tsdb_spark.sources.otlp import backfill_otlp, encode_otlp_metrics
+
+    key = ("otlp", id(spark), sf_dir)
+    if key not in _STORES:
+        root = tempfile.mkdtemp(prefix="tsdb_q_otlp_")
+        src = (
+            events_samples(spark, sf_dir)
+            .filter(F.col("t") < T0 + 7 * DAY)
+            .groupBy("labels_str", "t")
+            .agg(F.min("v").alias("v"), F.first("labels").alias("labels"))
+        )
+        gauges: dict[str, dict] = {}
+        for r in src.select("labels_str", "labels", "t", "v").collect():
+            lab = dict(r["labels"])
+            name = lab.pop("__name__")
+            e = gauges.setdefault(
+                r["labels_str"],
+                {"name": name, "unit": "", "kind": "gauge", "points": []},
+            )
+            e["points"].append((lab, r["t"], float(r["v"])))
+        s = (
+            events_samples(spark, sf_dir)
+            .filter(L.compile_matchers([L.eq("__name__", "click")]))
+            .filter(F.col("t") < T0 + 7 * DAY)
+            .withColumn("v", F.round(F.col("v") * 100))
+        )
+        hf = build_histograms(s, DAY, idx_expr=int_bucket_idx(F.col("v")))
+        ehists: dict[str, dict] = {}
+        for r in hf.collect():
+            lab = dict(r["labels"])
+            name = lab.pop("__name__")
+            h = r["h"]
+            idxs = [b["idx"] for b in h["buckets"]]
+            if idxs:
+                lo, hi = min(idxs), max(idxs)
+                counts = [0] * (hi - lo + 1)
+                for b in h["buckets"]:
+                    counts[b["idx"] - lo] = int(b["c"])
+                pos = (lo - 1, counts)  # otlp index = prometheus idx - 1
+            else:
+                pos = (0, [])
+            e = ehists.setdefault(
+                r["labels_str"],
+                {"name": name, "unit": "",
+                 "kind": "exponential_histogram", "temporality": 2,
+                 "points": [], "_lab": lab},
+            )
+            e["points"].append(
+                (lab, r["t"], int(h["count"]), float(h["sum"]),
+                 h["schema"], int(h["zero_count"]), pos, (0, []))
+            )
+        metrics = [gauges[k] for k in sorted(gauges)] + [
+            {k2: v2 for k2, v2 in ehists[k].items() if k2 != "_lab"}
+            for k in sorted(ehists)
+        ]
+        for m in metrics:
+            m["points"].sort(key=lambda p: p[1])
+        os.makedirs(f"{root}/payloads")
+        for i in range(0, len(metrics), 100):
+            with open(f"{root}/payloads/p{i:05d}.bin", "wb") as f:
+                f.write(
+                    encode_otlp_metrics(
+                        [{"resource": {}, "metrics": metrics[i : i + 100]}]
+                    )
+                )
+        db = DB.create(spark, f"{root}/db", block_width_ms=STORE_WIDTH_MS)
+        uni = backfill_otlp(spark, f"{root}/payloads").persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        try:
+            db.append(uni.filter(F.col("h").isNull()).select("labels", "t", "v"))
+            db.append_histograms(
+                uni.filter(F.col("h").isNotNull()).select("labels", "t", "h")
+            )
+        finally:
+            uni.unpersist()
+        _STORES[key] = db
+    db = _STORES[key]
+    floats = (
+        db.querier(T0, T0 + 31 * DAY)
+        .select([], with_labels=False)
+        .groupBy("labels_str")
+        .agg(
+            F.lit("float").alias("kind"),
+            F.count("*").cast("long").alias("n"),
+            F.round(F.sum("v"), 2).alias("sum_v"),
+            F.lit(None).cast("double").alias("hcnt"),
+            F.lit(None).cast("double").alias("zc"),
+            F.lit(None).cast("double").alias("bsum"),
+            F.lit(None).cast("int").alias("midx"),
+        )
+        .select("labels_str", "kind", "n", "sum_v", "hcnt", "zc", "bsum", "midx")
+    )
+    hists = (
+        db.hist_frame(T0, T0 + 8 * DAY)
+        .groupBy("labels_str")
+        .agg(
+            F.lit("hist").alias("kind"),
+            F.count("*").cast("long").alias("n"),
+            F.round(F.sum("h.sum") / 100.0, 2).alias("sum_v"),
+            F.sum("h.count").alias("hcnt"),
+            F.sum("h.zero_count").alias("zc"),
+            F.sum(
+                F.aggregate(
+                    "h.buckets", F.lit(0.0), lambda a, b: a + b.getField("c")
+                )
+            ).alias("bsum"),
+            F.max(
+                F.element_at(F.col("h.buckets"), -1).getField("idx")
+            ).alias("midx"),
+        )
+        .select("labels_str", "kind", "n", "sum_v", "hcnt", "zc", "bsum", "midx")
+    )
+    return floats.unionByName(hists)
+
+
+QUERIES["store_otlp_ingest"].oracle = QUERIES["store_remote_write_v2"].oracle
+
+
+@register(
     "store_exemplars",
     _with_prelude("""
 , d AS (SELECT labels_str, event_type, k_bucket, t, min(v) AS v FROM samples
