@@ -225,6 +225,9 @@ def main(argv: list[str] | None = None) -> int:
     p_rw.add_argument("--maxt", type=int, required=True)
     p_rw.add_argument("--selector", default=None, help="PromQL selector filter")
     p_rw.add_argument("--batch-series", type=int, default=500)
+    p_rw.add_argument("--v2", action="store_true",
+                      help="send Remote-Write 2.0 bodies (interned "
+                      "symbols; carries native histograms too)")
 
     p_st = sub.add_parser(
         "stream",
@@ -559,11 +562,15 @@ def main(argv: list[str] | None = None) -> int:
         print(_json.dumps(rep))
     elif args.cmd == "remote-write":
         from tsdb_spark.labels import parse_selector
-        from tsdb_spark.sources.remotewrite import push_remote_write
+        from tsdb_spark.sources.remotewrite import (
+            push_remote_write,
+            push_remote_write_v2,
+        )
 
         db = DB.open_readonly(spark, args.store)
         ms = parse_selector(args.selector) if args.selector else None
-        n = push_remote_write(
+        sender = push_remote_write_v2 if args.v2 else push_remote_write
+        n = sender(
             db, args.url, args.mint, args.maxt,
             matchers=ms, batch_series=args.batch_series,
         )

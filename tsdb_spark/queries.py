@@ -3453,6 +3453,11 @@ GATE: tuple[str, ...] = (
     # brand-new store_remote_write_v2 (Remote-Write 2.0: interned
     # symbol table + NATIVE HISTOGRAMS over the wire into
     # append_histograms via the distributed rw2 backfill scan).
+    # r8 session addition: docs_text_stats (driver-green r5-r7, pinned
+    # by tests/test_oracle_types.py + selfcheck) rotates out for the
+    # brand-new OTLP ingest roundtrip (store_otlp_ingest — the
+    # OpenTelemetry wire format through backfill_otlp into both the
+    # samples and histograms tables, sharing the rw2 oracle).
     "promql_rate_grid",
     "promql_subquery",
     "promql_at_pin",
@@ -3471,6 +3476,7 @@ GATE: tuple[str, ...] = (
     "store_first_wins_amend",
     "store_remote_write",
     "store_remote_write_v2",
+    "store_otlp_ingest",
     "store_remote_read",
     "store_rules_backfill",
     "store_openmetrics_backfill",
@@ -3482,7 +3488,6 @@ GATE: tuple[str, ...] = (
     "stream_strict_append",
     "stream_hist_ingest",
     # -- documents pipeline --
-    "docs_text_stats",
     "docs_repetition",
     "docs_chunk_windows",
     "docs_sample_stratified",
