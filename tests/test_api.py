@@ -680,3 +680,23 @@ def test_federate_utf8_names(spark, tmp_path):
                      60_000, lookback_ms=300_000).strip().splitlines()
     assert '{"my.metric","label with space"="v1"} 1 10000' in lines
     assert 'plain{ok_name="v2"} 2 10000' in lines
+
+
+def test_health_and_ready_probes(spark, tmp_path):
+    import threading
+    import urllib.request
+
+    from tsdb_spark import DB
+    from tsdb_spark.api import serve
+
+    db = DB.create(spark, str(tmp_path / "db"), block_width_ms=3_600_000)
+    srv = serve(db, "127.0.0.1", 0)
+    port = srv.server_address[1]
+    th = threading.Thread(target=srv.serve_forever, daemon=True)
+    th.start()
+    try:
+        for path, want in (("/-/healthy", b"Healthy.\n"), ("/-/ready", b"Ready.\n")):
+            with urllib.request.urlopen(f"http://127.0.0.1:{port}{path}") as r:
+                assert r.status == 200 and r.read() == want
+    finally:
+        srv.shutdown()

@@ -140,6 +140,14 @@ def main(argv: list[str] | None = None) -> int:
         "labeldrop/labelkeep/lowercase/uppercase/keepequal/dropequal",
     )
     p_sv.add_argument(
+        "--alertmanager-url",
+        action="append",
+        default=[],
+        help="with --eval-rules: POST firing/resolved alerts to this "
+        "Alertmanager base URL (api/v2/alerts; repeatable) — the "
+        "notifier/notifier.go role",
+    )
+    p_sv.add_argument(
         "--enable-admin",
         action="store_true",
         help="unlock /api/v1/admin/tsdb/* (delete_series, "
@@ -477,7 +485,13 @@ def main(argv: list[str] | None = None) -> int:
         if args.eval_rules and groups:
             from tsdb_spark.manager import Manager
 
-            mgr = Manager(db, groups)
+            notif = None
+            if args.alertmanager_url:
+                from tsdb_spark.notifier import Notifier
+
+                notif = Notifier(args.alertmanager_url)
+                print(f"notifying {len(args.alertmanager_url)} alertmanager(s)")
+            mgr = Manager(db, groups, notifier=notif)
             threading.Thread(
                 target=mgr.loop, args=(stop,), daemon=True
             ).start()

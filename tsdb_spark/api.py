@@ -1102,6 +1102,12 @@ def make_handler(db, rule_groups: list[dict] | None = None, enable_admin: bool =
 
         def _dispatch(self, u, multi, method="GET"):
             q = {k: v[0] for k, v in multi.items()}
+            # upstream's liveness/readiness probes (web.go): plain-text
+            # 200s, no store touch — safe for load-balancer health checks
+            if u.path == "/-/healthy":
+                return self._reply_text(200, "Healthy.\n")
+            if u.path == "/-/ready":
+                return self._reply_text(200, "Ready.\n")
             try:
                 if u.path.startswith("/api/v1/admin/tsdb/"):
                     return self._admin(u, multi, q, method)

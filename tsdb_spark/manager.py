@@ -39,6 +39,10 @@ class Manager:
     db: "object"
     groups: list[dict]
     history_ms: int = 24 * 3600 * 1000
+    #: optional notifier.Notifier — after a tick evaluates alert rules,
+    #: the group's FIRING set at that tick reconciles through it
+    #: (firing → Alertmanager api/v2, disappeared → resolved)
+    notifier: "object" = None
     _last_tick: dict[str, int] = field(default_factory=dict)
 
     def due(self, now_ms: int) -> list[dict]:
@@ -70,9 +74,24 @@ class Manager:
                 record_alerts(
                     self.db, alerts, max(0, start - self.history_ms), tick, interval
                 )
+                if self.notifier is not None:
+                    self._notify(g, tick, interval)
             self._last_tick[name] = tick
             ran[name] = tick
         return ran
+
+    def _notify(self, group: dict, tick: int, interval: int) -> None:
+        """Send the group's firing alerts at `tick` through the
+        notifier (notifier.go sendAlerts: firing + newly-resolved)."""
+        from tsdb_spark.api import alerts_payload
+
+        payload = alerts_payload(self.db, [group], tick)
+        firing = [
+            {"labels": a["labels"], "annotations": a["annotations"]}
+            for a in payload["data"]["alerts"]
+            if a["state"] == "firing"
+        ]
+        self.notifier.notify(firing, tick, interval)
 
     def loop(self, stop: threading.Event, poll_s: float = 1.0) -> None:
         """Wall-clock loop for the CLI: run pending ticks until `stop`

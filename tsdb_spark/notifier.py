@@ -1,0 +1,117 @@
+"""Alertmanager notification sending (upstream notifier/notifier.go +
+the Alertmanager api/v2 JSON schema — both public): the piece that
+turns evaluated alert state into pages.
+
+`Notifier` keeps the active-alert registry (alert identity = its full
+label set) and POSTs the api/v2 payload to every configured
+Alertmanager:
+
+    [{"labels": {...}, "annotations": {...},
+      "startsAt": RFC3339, "endsAt": RFC3339, "generatorURL": ...}]
+
+Semantics per upstream:
+- a FIRING alert sends startsAt = when this notifier first saw it
+  firing and endsAt = now + 4 × the evaluation interval (the
+  ResendDelay-derived validity window — if the rule stops being
+  evaluated, the alert expires at the Alertmanager rather than firing
+  forever);
+- an alert that STOPS firing sends one RESOLVED notification
+  (endsAt = now) and leaves the registry;
+- delivery is best-effort per Alertmanager (one failing AM doesn't
+  block the others — upstream fans out the same way); failures are
+  counted, not raised.
+
+Driver-side by nature (alert sets are human-scale; the EVALUATION that
+feeds this is the distributed part)."""
+
+from __future__ import annotations
+
+import json
+import urllib.request
+from datetime import datetime, timezone
+
+__all__ = ["Notifier"]
+
+
+def _rfc3339(ms: int) -> str:
+    return (
+        datetime.fromtimestamp(ms / 1000.0, tz=timezone.utc)
+        .isoformat()
+        .replace("+00:00", "Z")
+    )
+
+
+class Notifier:
+    def __init__(
+        self,
+        urls: list[str],
+        timeout_s: float = 10.0,
+        generator_url: str = "",
+        external_labels: dict[str, str] | None = None,
+    ) -> None:
+        self.urls = [u.rstrip("/") for u in urls]
+        self.timeout_s = timeout_s
+        self.generator_url = generator_url
+        self.external_labels = dict(external_labels or {})
+        #: label-set key → first-seen-firing ms
+        self.active: dict[tuple, int] = {}
+        self.send_errors = 0
+
+    # ---------------- state machine ----------------
+
+    def notify(
+        self, firing: list[dict], now_ms: int, interval_ms: int = 60_000
+    ) -> int:
+        """Reconcile the currently-firing alert list (each item:
+        {"labels": {...}, "annotations": {...}}) against the active
+        registry and send the resulting notifications. Returns the
+        number of alert payload entries sent."""
+        batch = []
+        seen: set[tuple] = set()
+        for a in firing:
+            labels = {**self.external_labels, **a["labels"]}
+            key = tuple(sorted(labels.items()))
+            seen.add(key)
+            starts = self.active.setdefault(key, now_ms)
+            batch.append(
+                {
+                    "labels": labels,
+                    "annotations": dict(a.get("annotations", {})),
+                    "startsAt": _rfc3339(starts),
+                    # validity window: 4 evaluation intervals, like
+                    # upstream's ResendDelay-based EndsAt
+                    "endsAt": _rfc3339(now_ms + 4 * interval_ms),
+                    "generatorURL": self.generator_url,
+                }
+            )
+        for key in list(self.active):
+            if key not in seen:
+                batch.append(
+                    {
+                        "labels": dict(key),
+                        "annotations": {},
+                        "startsAt": _rfc3339(self.active.pop(key)),
+                        "endsAt": _rfc3339(now_ms),  # resolved
+                        "generatorURL": self.generator_url,
+                    }
+                )
+        if batch:
+            self._post(batch)
+        return len(batch)
+
+    # ---------------- transport ----------------
+
+    def _post(self, batch: list[dict]) -> None:
+        body = json.dumps(batch).encode()
+        for url in self.urls:
+            req = urllib.request.Request(
+                f"{url}/api/v2/alerts",
+                data=body,
+                headers={"Content-Type": "application/json"},
+            )
+            try:
+                with urllib.request.urlopen(req, timeout=self.timeout_s) as r:
+                    if not 200 <= r.status < 300:
+                        self.send_errors += 1
+            except OSError:
+                self.send_errors += 1
