@@ -174,7 +174,7 @@ def main() -> None:
         ).agg(F.count("*")).collect()
 
         _ev_shapes = {"ingest", "fullscan", "matchers", "compact", "promql"}
-        _doc_shapes = {"minhash", "chunking", "packing", "dup_spans", "bpe"}
+        _doc_shapes = {"minhash", "chunking", "packing", "dup_spans", "bpe", "cross", "cross_idx"}
         replicate(
             spark, k, big,
             events=sel is None or bool(sel & _ev_shapes),
@@ -235,6 +235,8 @@ def main() -> None:
             ("docs_pack_shards", "packing"),
             ("promql_sum_by_rate", "promql"),
             ("docs_dup_spans", "dup_spans"),
+            ("docs_cross_dedup", "cross"),
+            ("docs_cross_dedup_indexed", "cross_idx"),
             ("docs_bpe_tokens", "bpe"),
         ):
             shape(label, lambda sf, store, q=qname: drain(QUERIES[q].spark_fn(spark, sf)))

@@ -518,6 +518,10 @@ def test_rw2_append_and_http_negotiation(spark, tmp_path):
         )
         with urllib.request.urlopen(req) as resp:
             assert resp.status == 204
+            # rw2 spec: receivers MUST report written counts
+            assert resp.headers["X-Prometheus-Remote-Write-Samples-Written"] == "2"
+            assert resp.headers["X-Prometheus-Remote-Write-Histograms-Written"] == "1"
+            assert resp.headers["X-Prometheus-Remote-Write-Exemplars-Written"] == "1"
         out = query(db, "rw2_float", 15_000)
         assert out["data"]["result"][0]["value"][1] == "2.5"
         hrows = db.hist_frame(0, 120_000).collect()

@@ -678,13 +678,22 @@ def _decode_write_body(raw: bytes, content_type: str = ""):
     return ("v1", decode_write_request(raw, with_exemplars=True))
 
 
-def _apply_write_body(db, tagged) -> int:
+def _apply_write_body(db, tagged) -> dict:
     """Commit a decoded /api/v1/write body; exceptions here are
-    internal errors (HTTP 500, sender retries)."""
+    internal errors (HTTP 500, sender retries). Returns the written
+    counts the rw2 spec requires receivers to report
+    (X-Prometheus-Remote-Write-{Samples,Histograms,Exemplars}-Written)."""
     version, decoded = tagged
     if version == "v2":
-        return remote_write_apply_v2(db, decoded)
-    return remote_write_apply(db, decoded)
+        remote_write_apply_v2(db, decoded)
+        return {
+            "version": "v2",
+            "samples": sum(len(e["samples"]) for e in decoded),
+            "histograms": sum(len(e["histograms"]) for e in decoded),
+            "exemplars": sum(len(e["exemplars"]) for e in decoded),
+        }
+    n = remote_write_apply(db, decoded)
+    return {"version": "v1", "samples": n, "histograms": 0, "exemplars": 0}
 
 
 def remote_write_apply(db, decoded) -> int:
@@ -785,7 +794,8 @@ def remote_write_v2(db, raw: bytes, content_type: str = "") -> int:
         raw, content_type or "application/x-protobuf;"
         "proto=io.prometheus.write.v2.Request"
     )
-    return _apply_write_body(db, tagged)
+    written = _apply_write_body(db, tagged)
+    return written["samples"] + written["histograms"]
 
 
 def _read_query_results(db, queries: list[dict]):
@@ -1046,12 +1056,23 @@ def make_handler(db, rule_groups: list[dict] | None = None, enable_admin: bool =
                 except Exception as e:  # noqa: BLE001 — wire errors → 400
                     return self._reply_text(400, f"decode error: {e}\n")
                 try:
-                    _apply_write_body(db, decoded)
+                    written = _apply_write_body(db, decoded)
                 except Exception as e:  # noqa: BLE001 — commit → 500
                     return self._reply_text(500, f"internal error: {e}\n")
                 # success: 204 No Content (write_handler.go replies with
-                # an empty 2xx; the spec requires any 2xx)
-                return self._reply_empty(204)
+                # an empty 2xx; the spec requires any 2xx). rw2 responses
+                # MUST carry the written-counts headers (spec § Required
+                # written response headers)
+                self.send_response(204)
+                if written["version"] == "v2":
+                    for k in ("Samples", "Histograms", "Exemplars"):
+                        self.send_header(
+                            f"X-Prometheus-Remote-Write-{k}-Written",
+                            str(written[k.lower()]),
+                        )
+                self.send_header("Content-Length", "0")
+                self.end_headers()
+                return None
             if u.path == "/api/v1/otlp/v1/metrics":
                 raw = self.rfile.read(n) if n else b""
                 gz = "gzip" in (self.headers.get("Content-Encoding") or "")
