@@ -291,3 +291,43 @@ def test_cli_create_blocks_from_rules(spark, tmp_path, capsys):
     assert len(r1) == 6 and len(r2) == 6
     for t, v in r1.items():
         assert r2[t] == v * 2
+
+
+def test_cli_query_remote(spark, tmp_path, capsys):
+    """query-remote is a pure HTTP client (promtool query analog):
+    instant and range forms against a served store."""
+    import json
+    import threading
+
+    from tsdb_spark import DB
+    from tsdb_spark.api import serve
+    from tsdb_spark.__main__ import main
+
+    db = DB.create(spark, str(tmp_path / "db"), block_width_ms=3_600_000)
+    db.append(
+        spark.createDataFrame(
+            [({"__name__": "m"}, t * 60_000, float(t)) for t in range(4)],
+            "labels MAP<STRING,STRING>, t LONG, v DOUBLE",
+        )
+    )
+    srv = serve(db, "127.0.0.1", 0)
+    port = srv.server_address[1]
+    th = threading.Thread(target=srv.serve_forever, daemon=True)
+    th.start()
+    url = f"http://127.0.0.1:{port}"
+    try:
+        assert main(["query-remote", url, "m", "--time", "180"]) == 0
+        out = json.loads(capsys.readouterr().out)
+        assert out["data"]["result"][0]["value"] == [180.0, "3"]
+        assert main([
+            "query-remote", url, "sum(m)",
+            "--start", "0", "--end", "180", "--step", "1m",
+        ]) == 0
+        out = json.loads(capsys.readouterr().out)
+        assert out["data"]["result"][0]["values"] == [
+            [0.0, "0"], [60.0, "1"], [120.0, "2"], [180.0, "3"],
+        ]
+        # range form without step: usage error, not a crash
+        assert main(["query-remote", url, "m", "--start", "0", "--end", "60"]) == 2
+    finally:
+        srv.shutdown()

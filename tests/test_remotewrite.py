@@ -547,6 +547,17 @@ def test_rw2_append_and_http_negotiation(spark, tmp_path):
         out = query(db, "still_v1", 30_000)
         assert out["data"]["result"][0]["value"][1] == "4"
 
+        # an explicit proto we don't speak → 415 (rw2 spec), not 400
+        u415 = urllib.request.Request(
+            url,
+            data=b"\x00",
+            headers={"Content-Type": "application/x-protobuf;"
+                     "proto=io.prometheus.write.v3.Request"},
+        )
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(u415)
+        assert ei.value.code == 415
+
         # garbage with the v2 content type → 400 (decode error)
         bad = urllib.request.Request(
             url,

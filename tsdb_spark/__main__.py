@@ -299,6 +299,20 @@ def main(argv: list[str] | None = None) -> int:
     )
     p_tp.add_argument("files", nargs="+")
 
+    p_qr = sub.add_parser(
+        "query-remote",
+        help="query ANOTHER instance's HTTP API (promtool query "
+        "instant/range analog): GET /api/v1/query or /query_range and "
+        "print the JSON result — no SparkSession, pure client",
+    )
+    p_qr.add_argument("url", help="base URL, e.g. http://host:9090")
+    p_qr.add_argument("expr")
+    p_qr.add_argument("--time", type=float, default=None,
+                      help="instant eval time (unix seconds)")
+    p_qr.add_argument("--start", type=float, default=None)
+    p_qr.add_argument("--end", type=float, default=None)
+    p_qr.add_argument("--step", default=None, help="range step (e.g. 1m)")
+
     p_pl = sub.add_parser("plan", help="show the next compaction step without running it")
     p_pl.add_argument("store")
 
@@ -344,6 +358,32 @@ def main(argv: list[str] | None = None) -> int:
                 n = sum(len(g["rules"]) for g in load_rule_file(path))
                 print(f"SUCCESS {path}: {n} rules found")
         return 1 if bad else 0
+
+    if args.cmd == "query-remote":
+        # pure HTTP client — promtool `query instant|range <url> <expr>`
+        import json as _json
+        import urllib.parse
+        import urllib.request
+
+        base = args.url.rstrip("/")
+        if args.start is not None or args.end is not None:
+            if None in (args.start, args.end) or not args.step:
+                print("query-remote range form needs --start --end --step",
+                      file=sys.stderr)
+                return 2
+            qs = urllib.parse.urlencode({
+                "query": args.expr, "start": args.start,
+                "end": args.end, "step": args.step,
+            })
+            u = f"{base}/api/v1/query_range?{qs}"
+        else:
+            params = {"query": args.expr}
+            if args.time is not None:
+                params["time"] = args.time
+            u = f"{base}/api/v1/query?{urllib.parse.urlencode(params)}"
+        with urllib.request.urlopen(u, timeout=30) as r:
+            print(_json.dumps(_json.loads(r.read()), indent=2))
+        return 0
 
     from tsdb_spark.db import DB
     from tsdb_spark.session import get_spark

@@ -669,13 +669,22 @@ def _decode_write_body(raw: bytes, content_type: str = ""):
     through the Remote-Write 2.0 decoder, everything else (including a
     missing header) through the 1.0 prompb.WriteRequest decoder, per
     the rw2 spec's backwards-compatibility rule."""
-    if "io.prometheus.write.v2.request" in (content_type or "").lower():
+    ct = (content_type or "").lower()
+    if "io.prometheus.write.v2.request" in ct:
         from tsdb_spark.sources.remotewrite import decode_write_request_v2
 
         return ("v2", decode_write_request_v2(raw))
+    if "proto=" in ct and "prometheus.writerequest" not in ct:
+        # an explicit proto= we don't speak → 415 per the rw2 spec
+        # (the route maps UnsupportedMediaType to that status)
+        raise UnsupportedMediaType(ct)
     from tsdb_spark.sources.remotewrite import decode_write_request
 
     return ("v1", decode_write_request(raw, with_exemplars=True))
+
+
+class UnsupportedMediaType(Exception):
+    """Content negotiation failure on /api/v1/write → HTTP 415."""
 
 
 def _apply_write_body(db, tagged) -> dict:
@@ -1053,6 +1062,10 @@ def make_handler(db, rule_groups: list[dict] | None = None, enable_admin: bool =
                 ctype = self.headers.get("Content-Type") or ""
                 try:
                     decoded = _decode_write_body(raw, ctype)
+                except UnsupportedMediaType as e:
+                    return self._reply_text(
+                        415, f"unsupported content type: {e}\n"
+                    )
                 except Exception as e:  # noqa: BLE001 — wire errors → 400
                     return self._reply_text(400, f"decode error: {e}\n")
                 try:
