@@ -261,3 +261,72 @@ def test_concurrent_acquisition_wall_time(spark, tmp_path):
         assert ups == [("down", 0.0), ("s0", 1.0), ("s1", 1.0), ("s2", 1.0), ("s3", 1.0)]
     finally:
         srv.shutdown()
+
+
+def test_scrape_metadata_served(spark, tmp_path):
+    """HELP/TYPE/UNIT comments captured at scrape time surface through
+    /api/v1/metadata (the upstream scrape-cache metadata path)."""
+    import http.server
+    import json
+    import threading
+    import urllib.request
+
+    from tsdb_spark import DB
+    from tsdb_spark.api import serve
+    from tsdb_spark.scrape import Target, scrape_pass
+
+    body = (
+        "# HELP reqs_total The total number of requests.\n"
+        "# TYPE reqs_total counter\n"
+        "reqs_total 5 1000\n"
+        "# TYPE temp gauge\n"
+        "# UNIT temp celsius\n"
+        "temp 21.5 1000\n"
+    )
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            data = body.encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def log_message(self, *a):
+            pass
+
+    tsrv = http.server.HTTPServer(("127.0.0.1", 0), H)
+    tport = tsrv.server_address[1]
+    threading.Thread(target=tsrv.serve_forever, daemon=True).start()
+    db = DB.create(spark, str(tmp_path / "db"), block_width_ms=3_600_000)
+    md: dict = {}
+    try:
+        scrape_pass(
+            spark, db,
+            [Target(url=f"http://127.0.0.1:{tport}/metrics", job="t")],
+            scrape_time_ms=1_000, metadata=md,
+        )
+        assert md["reqs_total"]["type"] == "counter"
+        assert md["reqs_total"]["help"] == "The total number of requests."
+        assert md["temp"] == {"type": "gauge", "unit": "celsius"}
+
+        srv = serve(db, "127.0.0.1", 0, scrape_metadata=md)
+        port = srv.server_address[1]
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        try:
+            with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/api/v1/metadata"
+            ) as r:
+                data = json.loads(r.read())["data"]
+            assert data["reqs_total"] == [
+                {"type": "counter",
+                 "help": "The total number of requests.", "unit": ""}
+            ]
+            assert data["temp"] == [
+                {"type": "gauge", "help": "", "unit": "celsius"}
+            ]
+            assert data["up"] == []  # sample-only metric: empty list
+        finally:
+            srv.shutdown()
+    finally:
+        tsrv.shutdown()

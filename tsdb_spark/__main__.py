@@ -505,7 +505,7 @@ def main(argv: list[str] | None = None) -> int:
             db = DB.open(spark, args.store)
         else:
             db = DB.open_readonly(spark, args.store)
-        targets, scrape_status = [], {}
+        targets, scrape_status, scrape_md = [], {}, {}
         relabel_cfgs = None
         if args.scrape_url:
             from tsdb_spark.scrape import Target
@@ -518,7 +518,8 @@ def main(argv: list[str] | None = None) -> int:
                 print(f"loaded {len(relabel_cfgs)} relabel rule(s)")
         srv = serve(db, args.host, args.port, rule_groups=groups,
                     enable_admin=args.enable_admin,
-                    scrape_targets=targets, scrape_status=scrape_status)
+                    scrape_targets=targets, scrape_status=scrape_status,
+                    scrape_metadata=scrape_md)
         import threading
 
         stop = threading.Event()
@@ -549,6 +550,7 @@ def main(argv: list[str] | None = None) -> int:
                         scrape_pass(
                             spark, db, targets, status=scrape_status,
                             relabel_configs=relabel_cfgs,
+                            metadata=scrape_md,
                         )
                     except Exception as e:  # keep serving on scrape errors
                         print(f"scrape pass failed: {e}")

@@ -448,13 +448,25 @@ def format_query(expr: str) -> dict:
     return {"status": "success", "data": render_expr(parse_expr(expr))}
 
 
-def metadata(db) -> dict:
+def metadata(db, scrape_metadata: dict | None = None) -> dict:
     """GET /api/v1/metadata (api.go metricMetadata): per-metric
-    metadata. This engine ingests samples, not scrape metadata, so each
-    known metric name maps to an empty list — the shape clients expect
-    when no metadata was scraped."""
+    metadata. When the process scrapes (serve --scrape-url), the
+    HELP/TYPE/UNIT comments captured per pass (scrape.parse_metadata —
+    upstream's scrape-cache MetadataList) render here; metrics seen
+    only as samples map to an empty list, the shape clients expect when
+    no metadata was scraped."""
     names = [r[0] for r in db.label_values("__name__").collect()]
-    return {"status": "success", "data": {n: [] for n in sorted(names)}}
+    md = scrape_metadata or {}
+    out = {}
+    for n in sorted(set(names) | set(md)):
+        m = md.get(n)
+        out[n] = (
+            [{"type": m.get("type", "unknown"), "help": m.get("help", ""),
+              "unit": m.get("unit", "")}]
+            if m
+            else []
+        )
+    return {"status": "success", "data": out}
 
 
 def buildinfo() -> dict:
@@ -998,7 +1010,8 @@ def targets_payload(targets: list, status: dict | None = None) -> dict:
 
 
 def make_handler(db, rule_groups: list[dict] | None = None, enable_admin: bool = False,
-                 scrape_targets: list | None = None, scrape_status: dict | None = None):
+                 scrape_targets: list | None = None, scrape_status: dict | None = None,
+                 scrape_metadata: dict | None = None):
     """BaseHTTPRequestHandler subclass bound to one DB — the web/api/v1
     router (api.go Register): query, query_range, labels,
     label/<name>/values, series, rules, alerts, federate. The handler is
@@ -1199,7 +1212,7 @@ def make_handler(db, rule_groups: list[dict] | None = None, enable_admin: bool =
                 if u.path == "/api/v1/format_query":
                     return self._reply(200, format_query(q["query"]))
                 if u.path == "/api/v1/metadata":
-                    return self._reply(200, metadata(db))
+                    return self._reply(200, metadata(db, scrape_metadata))
                 if u.path == "/api/v1/status/buildinfo":
                     return self._reply(200, buildinfo())
                 if u.path == "/api/v1/targets":
@@ -1300,7 +1313,8 @@ def make_handler(db, rule_groups: list[dict] | None = None, enable_admin: bool =
 
 
 def serve(db, host: str = "127.0.0.1", port: int = 9090, rule_groups=None,
-          enable_admin: bool = False, scrape_targets=None, scrape_status=None):
+          enable_admin: bool = False, scrape_targets=None, scrape_status=None,
+          scrape_metadata=None):
     """Run the HTTP API (blocking). Returns the server object if you
     want to drive it yourself (tests use server.serve_forever in a
     thread)."""
@@ -1311,6 +1325,7 @@ def serve(db, host: str = "127.0.0.1", port: int = 9090, rule_groups=None,
         make_handler(
             db, rule_groups, enable_admin=enable_admin,
             scrape_targets=scrape_targets, scrape_status=scrape_status,
+            scrape_metadata=scrape_metadata,
         ),
     )
     return srv

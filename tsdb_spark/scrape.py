@@ -59,6 +59,29 @@ def fetch_text(url: str, timeout_s: float = 10.0) -> str:
         return r.read().decode()
 
 
+def parse_metadata(text: str) -> dict[str, dict[str, str]]:
+    """Extract per-metric HELP/TYPE/UNIT from an exposition body's
+    comment lines (the metadata upstream's scrape cache keeps and
+    /api/v1/metadata serves; samples themselves never carry it).
+    Driver-side string scan over one (small) scrape body."""
+    out: dict[str, dict[str, str]] = {}
+    for line in text.splitlines():
+        if not line.startswith("#"):
+            continue
+        parts = line.split(None, 3)
+        if len(parts) < 3 or parts[1] not in ("HELP", "TYPE", "UNIT"):
+            continue
+        metric = parts[2]
+        entry = out.setdefault(metric, {})
+        if parts[1] == "HELP":
+            entry["help"] = parts[3] if len(parts) > 3 else ""
+        elif parts[1] == "TYPE":
+            entry["type"] = parts[3].strip() if len(parts) > 3 else "unknown"
+        else:
+            entry["unit"] = parts[3].strip() if len(parts) > 3 else ""
+    return out
+
+
 def _apply_target_labels(
     df: DataFrame, tgt_labels: dict[str, str], honor_labels: bool
 ) -> DataFrame:
@@ -94,6 +117,7 @@ def scrape_pass(
     status: dict | None = None,
     max_workers: int = 32,
     relabel_configs=None,
+    metadata: dict | None = None,
 ) -> int:
     """One scrape pass over every target: GET every body CONCURRENTLY
     (driver-side thread pool — upstream scrapes each target from its own
@@ -139,6 +163,8 @@ def scrape_pass(
             continue
         ok += 1
         up_rows.append(({"__name__": "up", **tl}, now, 1.0))
+        if metadata is not None:
+            metadata.update(parse_metadata(text))
         if status is not None:
             status[tgt.url] = {
                 "health": "up", "lastScrapeMs": now, "lastError": "",
