@@ -239,3 +239,124 @@ def _render_selector(ms: list[Matcher]) -> str:
 @settings(max_examples=300, deadline=None)
 def test_selector_parse_render_roundtrip(ms):
     assert parse_selector(_render_selector(ms)) == ms
+
+
+# ---------------------------------------------------- wire codecs (r8)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=1 << 42),  # positive gaps
+            st.integers(min_value=0, max_value=(1 << 64) - 1),  # raw bits
+        ),
+        min_size=0,
+        max_size=150,
+    ),
+    st.integers(min_value=-(1 << 40), max_value=1 << 40),  # first t
+)
+def test_xor_chunk_roundtrip_property(gaps_bits, t0):
+    """Any time-sorted series of arbitrary float64 bit patterns (NaN
+    payloads, infinities, denormals included) roundtrips the Gorilla
+    chunk codec bit-exactly."""
+    import struct as _struct
+
+    from tsdb_spark.sources.xorchunks import decode_xor_chunk, encode_xor_chunk
+
+    t = t0
+    samples = []
+    for gap, bits in gaps_bits:
+        samples.append((t, _struct.unpack("<d", _struct.pack("<Q", bits))[0]))
+        t += gap
+    out = decode_xor_chunk(encode_xor_chunk(samples))
+    assert len(out) == len(samples)
+    for (ta, va), (tb, vb) in zip(samples, out):
+        assert ta == tb
+        assert _struct.pack("<d", va) == _struct.pack("<d", vb)
+
+
+_label_text = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), min_size=1, max_size=12
+)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.dictionaries(_label_text, _label_text, min_size=1, max_size=4),
+            st.lists(
+                st.tuples(
+                    st.integers(min_value=-(1 << 50), max_value=1 << 50),
+                    st.floats(allow_nan=False, width=64),
+                ),
+                min_size=1,
+                max_size=8,
+            ),
+        ),
+        min_size=0,
+        max_size=6,
+    )
+)
+def test_rw2_roundtrip_property(series):
+    """Random unicode label sets + samples roundtrip the Remote-Write
+    2.0 interned-symbol codec exactly (modulo the spec's empty-value
+    strip, which the generator avoids)."""
+    from tsdb_spark.sources.remotewrite import (
+        decode_write_request_v2,
+        encode_write_request_v2,
+    )
+
+    entries = [{"labels": lab, "samples": samps} for lab, samps in series]
+    out = decode_write_request_v2(encode_write_request_v2(entries))
+    assert len(out) == len(entries)
+    for e, o in zip(entries, out):
+        assert o["labels"] == e["labels"]
+        assert o["samples"] == [(t, float(v)) for t, v in e["samples"]]
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.integers(min_value=-4, max_value=8),  # schema
+    st.lists(
+        st.tuples(
+            st.integers(min_value=-200, max_value=200),
+            st.floats(min_value=0.001, max_value=1e6, allow_nan=False),
+        ),
+        min_size=0,
+        max_size=20,
+        unique_by=lambda p: p[0],
+    ),
+    st.floats(min_value=0, max_value=1e9, allow_nan=False),
+    st.floats(allow_nan=False, width=64),
+    st.floats(min_value=0, max_value=1e9, allow_nan=False),
+)
+def test_rw2_native_histogram_roundtrip_property(schema, buckets, count, hsum, zero):
+    """Sparse native-histogram bucket sets roundtrip the float-form
+    span/count encoding exactly — spans rebuilt from arbitrary gap
+    structure, counts bit-exact."""
+    from tsdb_spark.sources.remotewrite import (
+        decode_write_request_v2,
+        encode_write_request_v2,
+    )
+
+    h = {
+        "count": count,
+        "sum": hsum,
+        "zero_count": zero,
+        "schema": schema,
+        "buckets": sorted(buckets),
+    }
+    body = encode_write_request_v2(
+        [{"labels": {"__name__": "h"}, "histograms": [(1234, h)]}]
+    )
+    [out] = decode_write_request_v2(body)
+    [(t, got)] = out["histograms"]
+    assert t == 1234
+    assert got["schema"] == schema
+    assert got["buckets"] == sorted(buckets)
+    import struct as _struct
+
+    for k in ("count", "sum", "zero_count"):
+        assert _struct.pack("<d", got[k]) == _struct.pack("<d", h[k])
