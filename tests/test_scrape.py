@@ -330,3 +330,84 @@ def test_scrape_metadata_served(spark, tmp_path):
             srv.shutdown()
     finally:
         tsrv.shutdown()
+
+
+def test_scrape_configs_yaml_end_to_end(spark, tmp_path):
+    """An upstream-style scrape_configs block: two jobs with their own
+    cadence/labels, SD-time relabel_configs dropping one target, and
+    metric_relabel_configs rewriting at scrape time."""
+    import http.server
+    import threading
+
+    from tsdb_spark import DB
+    from tsdb_spark.scrape import load_scrape_config, scrape_config_pass
+
+    def _server(body):
+        class H(http.server.BaseHTTPRequestHandler):
+            def do_GET(self):
+                data = body.encode()
+                self.send_response(200)
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+
+            def log_message(self, *a):
+                pass
+
+        srv = http.server.HTTPServer(("127.0.0.1", 0), H)
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        return srv
+
+    s1 = _server('m{path="/a"} 1 1000\n')
+    s2 = _server("other 9 1000\n")
+    try:
+        p1, p2 = s1.server_address[1], s2.server_address[1]
+        cfg = tmp_path / "prometheus.yml"
+        cfg.write_text(f"""
+scrape_configs:
+  - job_name: api
+    scrape_interval: 30s
+    static_configs:
+      - targets: ["http://127.0.0.1:{p1}/metrics"]
+        labels: {{env: prod}}
+      - targets: ["http://127.0.0.1:9/metrics"]
+        labels: {{env: dead}}
+    relabel_configs:
+      - action: drop
+        source_labels: [env]
+        regex: dead
+    metric_relabel_configs:
+      - action: replace
+        source_labels: [path]
+        regex: /(.*)
+        target_label: route
+        replacement: $1
+      - action: labeldrop
+        regex: path
+  - job_name: aux
+    static_configs:
+      - targets: ["http://127.0.0.1:{p2}/metrics"]
+""")
+        jobs = load_scrape_config(spark, str(cfg))
+        assert [j.name for j in jobs] == ["api", "aux"]
+        assert jobs[0].interval_ms == 30_000 and jobs[1].interval_ms == 15_000
+        # SD-time drop removed the dead target
+        assert len(jobs[0].targets) == 1
+        assert dict(jobs[0].targets[0].labels) == {"env": "prod"}
+
+        db = DB.create(spark, str(tmp_path / "db"), block_width_ms=3_600_000)
+        ok = scrape_config_pass(spark, db, jobs, scrape_time_ms=1_000)
+        assert ok == 2
+        rows = db.querier(0, 10_000).select([]).select("labels", "v").collect()
+        by = {}
+        for r in rows:
+            by.setdefault(dict(r["labels"])["__name__"], []).append(dict(r["labels"]))
+        [m] = by["m"]
+        assert m["route"] == "a" and "path" not in m
+        assert m["env"] == "prod" and m["job"] == "api"
+        [o] = by["other"]
+        assert o["job"] == "aux"
+        assert sorted(d["job"] for d in by["up"]) == ["api", "aux"]
+    finally:
+        s1.shutdown()
+        s2.shutdown()

@@ -257,8 +257,14 @@ def main(argv: list[str] | None = None) -> int:
         "another instance's /federate URL to federate two stores",
     )
     p_sc.add_argument("store")
-    p_sc.add_argument("--url", action="append", required=True,
+    p_sc.add_argument("--url", action="append", default=[],
                       help="target URL (repeatable)")
+    p_sc.add_argument("--config",
+                      help="upstream-style scrape_configs YAML "
+                      "(prometheus.yml surface: job_name, "
+                      "scrape_interval, static_configs labels, "
+                      "relabel_configs, metric_relabel_configs) — "
+                      "alternative to --url")
     p_sc.add_argument("--job", default="scrape")
     p_sc.add_argument("--interval", type=int, default=15_000, help="ms between passes")
     p_sc.add_argument("--passes", type=int, default=1,
@@ -655,11 +661,32 @@ def main(argv: list[str] | None = None) -> int:
 
         from tsdb_spark.scrape import Target, scrape_loop
 
+        if not args.url and not args.config:
+            print("scrape needs --url or --config", file=sys.stderr)
+            return 2
         db = (
             DB.open(spark, args.store)
             if _os.path.exists(f"{args.store}/_meta.json")
             else DB.create(spark, args.store)
         )
+        if args.config:
+            from tsdb_spark.scrape import load_scrape_config, scrape_config_pass
+
+            jobs = load_scrape_config(spark, args.config)
+            n_t = sum(len(j.targets) for j in jobs)
+            done = 0
+            while args.passes == 0 or done < args.passes:
+                t0 = time.time()
+                scrape_config_pass(spark, db, jobs)
+                done += 1
+                if args.passes != 0 and done >= args.passes:
+                    break
+                wait = args.interval / 1000.0 - (time.time() - t0)
+                if wait > 0:
+                    time.sleep(wait)
+            print(f"scraped {n_t} target(s) over {len(jobs)} job(s); "
+                  f"store now holds {db.samples().count()} samples")
+            return 0
         targets = [
             Target(url=u, job=args.job, timestamps=args.timestamps)
             for u in args.url

@@ -210,3 +210,102 @@ def scrape_loop(
         sleep = interval_ms / 1000.0 - (time.time() - t0)
         if sleep > 0:
             time.sleep(sleep)
+
+
+# ------------------------------------------------- scrape_configs YAML
+
+
+@dataclass
+class ScrapeJob:
+    """One resolved scrape_configs entry: targets already through
+    SD-time relabeling, with the job's cadence and metric rule chain."""
+
+    name: str
+    targets: list[Target]
+    interval_ms: int = 15_000
+    honor_labels: bool = False
+    metric_relabel: list = field(default_factory=list)
+
+
+def load_scrape_config(spark, path: str) -> list[ScrapeJob]:
+    """Parse an upstream-style `scrape_configs:` YAML block
+    (prometheus.yml's config surface — job_name, scrape_interval,
+    honor_labels, static_configs with per-group labels,
+    relabel_configs applied at load like SD-time target relabeling,
+    metric_relabel_configs carried for scrape time). A bare
+    "host:port" target becomes http://host:port/metrics
+    (__scheme__/__metrics_path__ defaults); full URLs pass through."""
+    import yaml
+
+    from tsdb_spark.promql import parse_duration
+    from tsdb_spark.relabel import RelabelConfig, relabel_targets
+
+    with open(path) as f:
+        raw = yaml.safe_load(f) or {}
+    jobs: list[ScrapeJob] = []
+    for sc in raw.get("scrape_configs", []):
+        name = sc.get("job_name", "scrape")
+        interval = sc.get("scrape_interval", "15s")
+        interval_ms = (
+            parse_duration(interval) if isinstance(interval, str) else int(interval)
+        )
+        targets: list[Target] = []
+        for group in sc.get("static_configs", []):
+            extra = tuple(sorted((group.get("labels") or {}).items()))
+            for t in group.get("targets", []):
+                url = t if "://" in t else f"http://{t}/metrics"
+                instance = t if "://" not in t else t
+                targets.append(
+                    Target(url=url, job=name, instance=instance, labels=extra)
+                )
+
+        def _rules(key: str) -> list:
+            out = []
+            for r in sc.get(key, []) or []:
+                kw = dict(r)
+                if "source_labels" in kw:
+                    kw["source_labels"] = tuple(kw["source_labels"])
+                out.append(RelabelConfig(**kw))
+            return out
+
+        target_rules = _rules("relabel_configs")
+        if target_rules:
+            targets = relabel_targets(spark, targets, target_rules)
+        jobs.append(
+            ScrapeJob(
+                name=name,
+                targets=targets,
+                interval_ms=interval_ms,
+                honor_labels=bool(sc.get("honor_labels", False)),
+                metric_relabel=_rules("metric_relabel_configs"),
+            )
+        )
+    return jobs
+
+
+def scrape_config_pass(
+    spark: SparkSession,
+    db,
+    jobs: list[ScrapeJob],
+    scrape_time_ms: int | None = None,
+    status: dict | None = None,
+    metadata: dict | None = None,
+) -> int:
+    """One pass over every job of a loaded scrape config (each job has
+    its own honor_labels / metric rule chain, so each runs its own
+    scrape_pass — still one distributed append per job)."""
+    ok = 0
+    for job in jobs:
+        if not job.targets:
+            continue
+        ok += scrape_pass(
+            spark,
+            db,
+            job.targets,
+            scrape_time_ms=scrape_time_ms,
+            honor_labels=job.honor_labels,
+            status=status,
+            relabel_configs=job.metric_relabel or None,
+            metadata=metadata,
+        )
+    return ok
