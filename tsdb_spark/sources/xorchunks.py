@@ -303,9 +303,13 @@ def decode_xor_chunk(data: bytes) -> list[tuple[int, float]]:
 
 
 def _signed(bits: int, n: int) -> int:
-    """Sign-reconstruct an n-bit two's-complement field the way
-    xor.go's iterator does (strictly-greater comparison: the value
-    1<<(n-1) itself stays positive — the buckets are asymmetric)."""
+    """Sign-reconstruct an n-bit field the way xor.go's iterator does:
+    the bucketed sizes (14/17/20) use a STRICTLY-greater comparison —
+    the value 1<<(n-1) itself stays positive, the buckets are
+    asymmetric — while the 64-bit escape is plain `int64(bits)`
+    two's complement."""
+    if n == 64:
+        return bits - (1 << 64) if bits >= (1 << 63) else bits
     if bits > (1 << (n - 1)):
         bits -= 1 << n
     return bits
