@@ -645,3 +645,37 @@ def test_push_remote_write_v2_between_stores(spark, tmp_path):
         assert [(b["idx"], b["c"]) for b in h["buckets"]] == [(0, 2.0), (3, 2.0)]
     finally:
         srv.shutdown()
+
+
+def test_write_buffer_micro_batches(spark, tmp_path):
+    """Opt-in WriteBuffer: many small POSTs enqueue and commit as a
+    handful of appends (one per flush window), not one per request —
+    the serving-rate lever; close() drains everything."""
+    from tsdb_spark.api import WriteBuffer, serve
+
+    db = DB.create(spark, str(tmp_path / "db"), block_width_ms=WIDTH)
+    buf = WriteBuffer(db, flush_ms=60_000)  # manual flushes only
+    srv = serve(db, "127.0.0.1", 0, write_buffer=buf)
+    port = srv.server_address[1]
+    th = threading.Thread(target=srv.serve_forever, daemon=True)
+    th.start()
+    try:
+        for i in range(8):
+            body = encode_write_request(
+                [({"__name__": "burst", "i": str(i)}, [(i * 1000, float(i))])]
+            )
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/api/v1/write",
+                data=body,
+                headers={"Content-Type": "application/x-protobuf"},
+            )
+            with urllib.request.urlopen(req) as resp:
+                assert resp.status == 204
+        # nothing committed yet: 2xx means ACCEPTED in buffered mode
+        assert db.querier(0, 10**9).select([]).count() == 0
+        assert buf.flush() == 8  # ONE append for all eight requests
+        assert db.querier(0, 10**9).select([]).count() == 8
+        assert buf.flushes == 1
+        buf.close()
+    finally:
+        srv.shutdown()

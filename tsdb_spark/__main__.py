@@ -148,6 +148,15 @@ def main(argv: list[str] | None = None) -> int:
         "notifier/notifier.go role",
     )
     p_sv.add_argument(
+        "--write-buffer-ms",
+        type=int,
+        default=0,
+        help="micro-batch /api/v1/write and OTLP ingestion: enqueue "
+        "decoded rows and commit ONE append per window (trade: 2xx "
+        "means accepted, not yet committed); 0 = synchronous commits "
+        "(the default, 2xx = committed); opens the store WRITABLE",
+    )
+    p_sv.add_argument(
         "--enable-admin",
         action="store_true",
         help="unlock /api/v1/admin/tsdb/* (delete_series, "
@@ -504,7 +513,7 @@ def main(argv: list[str] | None = None) -> int:
 
         writable = args.enable_admin or args.scrape_url or (
             args.eval_rules and groups
-        )
+        ) or args.write_buffer_ms > 0
         if writable and not _os.path.exists(f"{args.store}/_meta.json"):
             db = DB.create(spark, args.store)  # fresh scrape-into store
         elif writable:
@@ -522,10 +531,16 @@ def main(argv: list[str] | None = None) -> int:
 
                 relabel_cfgs = load_relabel_file(args.relabel_file)
                 print(f"loaded {len(relabel_cfgs)} relabel rule(s)")
+        wbuf = None
+        if args.write_buffer_ms > 0:
+            from tsdb_spark.api import WriteBuffer
+
+            wbuf = WriteBuffer(db, flush_ms=args.write_buffer_ms)
+            print(f"write buffering: one append per {args.write_buffer_ms}ms")
         srv = serve(db, args.host, args.port, rule_groups=groups,
                     enable_admin=args.enable_admin,
                     scrape_targets=targets, scrape_status=scrape_status,
-                    scrape_metadata=scrape_md)
+                    scrape_metadata=scrape_md, write_buffer=wbuf)
         import threading
 
         stop = threading.Event()

@@ -717,6 +717,147 @@ def _apply_write_body(db, tagged) -> dict:
     return {"version": "v1", "samples": n, "histograms": 0, "exemplars": 0}
 
 
+class WriteBuffer:
+    """Micro-batching ingest front for high-rate senders: each
+    /api/v1/write (or OTLP) POST currently commits as its own Spark
+    append — correct, but one driver job per request caps the request
+    rate. With a WriteBuffer the handler ENQUEUES decoded rows (cheap,
+    lock-held microseconds) and a background thread flushes the
+    accumulated batch as ONE append per table every `flush_ms` (or at
+    `max_rows`), so a thousand senders cost appends-per-window, not
+    appends-per-POST — the same batching a scrape pass already does
+    across targets.
+
+    Durability trade, stated plainly: with buffering on, a 2xx means
+    ACCEPTED (queued), not yet committed — a process crash inside the
+    window loses the queued batch. That is the posture of any receiver
+    that acks after an in-memory stage; the default serving path stays
+    synchronous (buffer=None) where 2xx means committed. Opt in via
+    `serve(..., write_buffer=WriteBuffer(db))` / `serve
+    --write-buffer-ms`."""
+
+    def __init__(self, db, flush_ms: int = 250, max_rows: int = 200_000):
+        import threading as _threading
+
+        self.db = db
+        self.flush_ms = flush_ms
+        self.max_rows = max_rows
+        self._rows: list = []
+        self._hists: list = []
+        self._exemplars: list = []
+        self._lock = _threading.Lock()
+        self._stop = _threading.Event()
+        self._thread = _threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+        self.flushes = 0
+
+    def add(self, rows=(), hists=(), exemplars=()) -> None:
+        with self._lock:
+            self._rows.extend(rows)
+            self._hists.extend(hists)
+            self._exemplars.extend(exemplars)
+            n = len(self._rows) + len(self._hists)
+        if n >= self.max_rows:
+            self.flush()
+
+    def flush(self) -> int:
+        """Commit everything queued as one append per table."""
+        from tsdb_spark.nativehist import HIST_TYPE
+
+        with self._lock:
+            rows, self._rows = self._rows, []
+            hists, self._hists = self._hists, []
+            exemplars, self._exemplars = self._exemplars, []
+        n = len(rows) + len(hists)
+        if rows:
+            self.db.append(
+                self.db.spark.createDataFrame(
+                    rows, "labels MAP<STRING,STRING>, t LONG, v DOUBLE"
+                )
+            )
+        if hists:
+            self.db.append_histograms(
+                self.db.spark.createDataFrame(
+                    hists, f"labels MAP<STRING,STRING>, t LONG, h {HIST_TYPE}"
+                )
+            )
+        if exemplars:
+            self.db.append_exemplars(
+                self.db.spark.createDataFrame(
+                    exemplars,
+                    "labels MAP<STRING,STRING>, t LONG, v DOUBLE, "
+                    "exemplar MAP<STRING,STRING>",
+                )
+            )
+        if n:
+            self.flushes += 1
+        return n
+
+    def _loop(self) -> None:
+        while not self._stop.wait(self.flush_ms / 1000.0):
+            try:
+                self.flush()
+            except Exception:  # noqa: BLE001 — keep draining; next flush retries
+                pass
+
+    def close(self) -> None:
+        """Stop the flusher and drain what's left (serve shutdown)."""
+        self._stop.set()
+        self._thread.join(timeout=5)
+        self.flush()
+
+
+def _enqueue_write_body(buf: WriteBuffer, tagged) -> dict:
+    """WriteBuffer twin of _apply_write_body: decoded rows enqueue
+    instead of committing inline."""
+    version, decoded = tagged
+    if version == "v2":
+        from tsdb_spark.nativehist import HIST_TYPE  # noqa: F401 — schema parity
+
+        rows = [
+            (e["labels"], t, float(v))
+            for e in decoded
+            for t, v in e["samples"]
+        ]
+        hists = [
+            (
+                e["labels"],
+                t,
+                (
+                    h["count"], h["sum"], h["zero_count"], h["schema"],
+                    [(int(i), float(c)) for i, c in h["buckets"]],
+                ),
+            )
+            for e in decoded
+            for t, h in e["histograms"]
+        ]
+        exemplars = [
+            (e["labels"], t, float(v), ex_labels)
+            for e in decoded
+            for ex_labels, t, v in e["exemplars"]
+        ]
+        buf.add(rows, hists, exemplars)
+        return {
+            "version": "v2",
+            "samples": len(rows),
+            "histograms": len(hists),
+            "exemplars": len(exemplars),
+        }
+    rows = [
+        (labels, t, float(v))
+        for labels, samples, _ in decoded
+        for t, v in samples
+    ]
+    exemplars = [
+        (labels, t, float(v), ex_labels)
+        for labels, _, exs in decoded
+        for ex_labels, t, v in exs
+    ]
+    buf.add(rows, (), exemplars)
+    return {"version": "v1", "samples": len(rows), "histograms": 0,
+            "exemplars": len(exemplars)}
+
+
 def remote_write_apply(db, decoded) -> int:
     """The commit half of remote_write: append already-decoded series.
     Split out so the HTTP handler can distinguish malformed bodies
@@ -1011,7 +1152,8 @@ def targets_payload(targets: list, status: dict | None = None) -> dict:
 
 def make_handler(db, rule_groups: list[dict] | None = None, enable_admin: bool = False,
                  scrape_targets: list | None = None, scrape_status: dict | None = None,
-                 scrape_metadata: dict | None = None):
+                 scrape_metadata: dict | None = None,
+                 write_buffer: "WriteBuffer | None" = None):
     """BaseHTTPRequestHandler subclass bound to one DB — the web/api/v1
     router (api.go Register): query, query_range, labels,
     label/<name>/values, series, rules, alerts, federate. The handler is
@@ -1082,7 +1224,10 @@ def make_handler(db, rule_groups: list[dict] | None = None, enable_admin: bool =
                 except Exception as e:  # noqa: BLE001 — wire errors → 400
                     return self._reply_text(400, f"decode error: {e}\n")
                 try:
-                    written = _apply_write_body(db, decoded)
+                    if write_buffer is not None:
+                        written = _enqueue_write_body(write_buffer, decoded)
+                    else:
+                        written = _apply_write_body(db, decoded)
                 except Exception as e:  # noqa: BLE001 — commit → 500
                     return self._reply_text(500, f"internal error: {e}\n")
                 # success: 204 No Content (write_handler.go replies with
@@ -1116,7 +1261,21 @@ def make_handler(db, rule_groups: list[dict] | None = None, enable_admin: bool =
                 except Exception as e:  # noqa: BLE001 — wire errors → 400
                     return self._reply_text(400, f"decode error: {e}\n")
                 try:
-                    _otlp_apply(db, (floats, hists))
+                    if write_buffer is not None:
+                        write_buffer.add(
+                            floats,
+                            [
+                                (
+                                    lab, t,
+                                    (h["count"], h["sum"], h["zero_count"],
+                                     h["schema"],
+                                     [(int(i), float(c)) for i, c in h["buckets"]]),
+                                )
+                                for lab, t, h in hists
+                            ],
+                        )
+                    else:
+                        _otlp_apply(db, (floats, hists))
                 except Exception as e:  # noqa: BLE001 — commit → 500
                     return self._reply_text(500, f"internal error: {e}\n")
                 # empty ExportMetricsServiceResponse (success, 200)
@@ -1314,7 +1473,7 @@ def make_handler(db, rule_groups: list[dict] | None = None, enable_admin: bool =
 
 def serve(db, host: str = "127.0.0.1", port: int = 9090, rule_groups=None,
           enable_admin: bool = False, scrape_targets=None, scrape_status=None,
-          scrape_metadata=None):
+          scrape_metadata=None, write_buffer=None):
     """Run the HTTP API (blocking). Returns the server object if you
     want to drive it yourself (tests use server.serve_forever in a
     thread)."""
@@ -1325,7 +1484,7 @@ def serve(db, host: str = "127.0.0.1", port: int = 9090, rule_groups=None,
         make_handler(
             db, rule_groups, enable_admin=enable_admin,
             scrape_targets=scrape_targets, scrape_status=scrape_status,
-            scrape_metadata=scrape_metadata,
+            scrape_metadata=scrape_metadata, write_buffer=write_buffer,
         ),
     )
     return srv
