@@ -2276,8 +2276,20 @@ class RangeQuery:
 
     def _eval_binset(self, node: BinSet) -> DataFrame:
         left, right = self.eval(node.left), self.eval(node.right)
-        if "labels" not in left.columns or "labels" not in right.columns:
-            raise ValueError("set operators need label-carrying operands")
+
+        def _ensure_labels(df: DataFrame) -> DataFrame:
+            # a no-label operand (vector(n), time()-derived) is ONE
+            # series with the empty label set — `x or vector(0)` is the
+            # canonical default-to-zero idiom (engine.go treats the
+            # Vector() result the same way)
+            if "labels" in df.columns:
+                return df
+            return df.withColumn(
+                "labels",
+                F.create_map().cast("map<string,string>"),
+            ).withColumn("labels_str", F.lit("{}"))
+
+        left, right = _ensure_labels(left), _ensure_labels(right)
         mk = self._match_map(node.on, node.ignoring)
         sig = lambda: L.labels_str_expr(mk(F.col("labels")))  # noqa: E731
         cols = ["labels_str", "labels", _G, "value"]
