@@ -14,13 +14,16 @@ Message schema (prompb/remote.proto + prompb/types.proto, v1):
 
     WriteRequest { repeated TimeSeries timeseries = 1; }
     TimeSeries   { repeated Label labels = 1;
-                   repeated Sample samples = 2; }   # 3 exemplars,
-                                                    # 4 histograms: skipped
+                   repeated Sample samples = 2;
+                   repeated Exemplar exemplars = 3; }  # 4 histograms:
+                                                       # v2's job below
     Label        { string name = 1; string value = 2; }
     Sample       { double value = 1; int64 timestamp = 2; }
 
 Unknown fields are skipped by wire type, so payloads from newer senders
-(metadata, exemplars, created-timestamps) decode cleanly.
+(metadata, created-timestamps) decode cleanly. Native histograms ride
+the REMOTE-WRITE 2.0 message (io.prometheus.write.v2.Request — the
+second half of this module), which /api/v1/write content-negotiates.
 
 Scale shape: a single POST body is small (senders cap batches around
 ~500-5000 samples), so the driver decodes it and the APPEND is the
