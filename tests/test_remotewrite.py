@@ -679,3 +679,23 @@ def test_write_buffer_micro_batches(spark, tmp_path):
         buf.close()
     finally:
         srv.shutdown()
+
+
+def test_write_buffer_requeues_on_flush_failure(spark, tmp_path):
+    """A failed flush must RE-QUEUE the popped batch (transient store
+    failure costs a retry, never the data)."""
+    from tsdb_spark.api import WriteBuffer
+
+    db = DB.create(spark, str(tmp_path / "db"), block_width_ms=WIDTH)
+    buf = WriteBuffer(db, flush_ms=60_000)
+    try:
+        buf.add([({"__name__": "x"}, 0, 1.0), ({"__name__": "x"}, 1000, 2.0)])
+        orig = db.append
+        db.append = lambda *a, **k: (_ for _ in ()).throw(RuntimeError("down"))
+        with pytest.raises(RuntimeError):
+            buf.flush()
+        db.append = orig
+        assert buf.flush() == 2
+        assert db.querier(0, 10**9).select([]).count() == 2
+    finally:
+        buf.close()

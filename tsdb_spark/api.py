@@ -761,7 +761,10 @@ class WriteBuffer:
             self.flush()
 
     def flush(self) -> int:
-        """Commit everything queued as one append per table."""
+        """Commit everything queued as one append per table. On an
+        append failure the unflushed remainder re-queues (prepended, so
+        ordering holds) and the error propagates — a transient store
+        failure costs a retry at the next window, never the batch."""
         from tsdb_spark.nativehist import HIST_TYPE
 
         with self._lock:
@@ -769,26 +772,37 @@ class WriteBuffer:
             hists, self._hists = self._hists, []
             exemplars, self._exemplars = self._exemplars, []
         n = len(rows) + len(hists)
-        if rows:
-            self.db.append(
-                self.db.spark.createDataFrame(
-                    rows, "labels MAP<STRING,STRING>, t LONG, v DOUBLE"
+        try:
+            if rows:
+                self.db.append(
+                    self.db.spark.createDataFrame(
+                        rows, "labels MAP<STRING,STRING>, t LONG, v DOUBLE"
+                    )
                 )
-            )
-        if hists:
-            self.db.append_histograms(
-                self.db.spark.createDataFrame(
-                    hists, f"labels MAP<STRING,STRING>, t LONG, h {HIST_TYPE}"
+                rows = []
+            if hists:
+                self.db.append_histograms(
+                    self.db.spark.createDataFrame(
+                        hists,
+                        f"labels MAP<STRING,STRING>, t LONG, h {HIST_TYPE}",
+                    )
                 )
-            )
-        if exemplars:
-            self.db.append_exemplars(
-                self.db.spark.createDataFrame(
-                    exemplars,
-                    "labels MAP<STRING,STRING>, t LONG, v DOUBLE, "
-                    "exemplar MAP<STRING,STRING>",
+                hists = []
+            if exemplars:
+                self.db.append_exemplars(
+                    self.db.spark.createDataFrame(
+                        exemplars,
+                        "labels MAP<STRING,STRING>, t LONG, v DOUBLE, "
+                        "exemplar MAP<STRING,STRING>",
+                    )
                 )
-            )
+                exemplars = []
+        except Exception:
+            with self._lock:
+                self._rows = rows + self._rows
+                self._hists = hists + self._hists
+                self._exemplars = exemplars + self._exemplars
+            raise
         if n:
             self.flushes += 1
         return n
