@@ -210,3 +210,38 @@ def test_backfill_otlp_distributed(spark, tmp_path):
     assert rows.count() == 12
     total = rows.groupBy().sum("v").collect()[0][0]
     assert total == sum(i * 10 + j for i in range(3) for j in range(4))
+
+
+def test_otlp_route_through_write_buffer(spark, tmp_path):
+    """OTLP ingestion honors the opt-in WriteBuffer: the POST enqueues
+    (2xx = accepted), the flush commits floats AND native histograms."""
+    from tsdb_spark.api import WriteBuffer, serve
+
+    db = DB.create(spark, str(tmp_path / "db"), block_width_ms=WIDTH)
+    buf = WriteBuffer(db, flush_ms=60_000)
+    srv = serve(db, "127.0.0.1", 0, write_buffer=buf)
+    port = srv.server_address[1]
+    th = threading.Thread(target=srv.serve_forever, daemon=True)
+    th.start()
+    try:
+        metrics = [
+            {"name": "g", "unit": "", "kind": "gauge",
+             "points": [({}, 1_000, 5.0)]},
+            {"name": "eh", "unit": "", "kind": "exponential_histogram",
+             "temporality": 2,
+             "points": [({}, 1_000, 3, 6.0, 0, 0, (0, [3]), (0, []))]},
+        ]
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/api/v1/otlp/v1/metrics",
+            data=encode_otlp_metrics([{"resource": {}, "metrics": metrics}]),
+            headers={"Content-Type": "application/x-protobuf"},
+        )
+        with urllib.request.urlopen(req) as resp:
+            assert resp.status == 200
+        assert db.querier(0, 10**9).select([]).count() == 0  # queued
+        assert buf.flush() == 2
+        assert db.querier(0, 10**9).select([]).count() == 1
+        assert db.hist_frame(0, 10**9).count() == 1
+        buf.close()
+    finally:
+        srv.shutdown()
