@@ -699,3 +699,46 @@ def test_write_buffer_requeues_on_flush_failure(spark, tmp_path):
         assert db.querier(0, 10**9).select([]).count() == 2
     finally:
         buf.close()
+
+
+def test_write_buffer_concurrent_flushes_serialize(spark, tmp_path):
+    """Overlapping flush() calls (timer thread + a max_rows trigger in a
+    handler thread) must SERIALIZE: DB.append read-modify-writes
+    meta['next_ingest_seq'] without its own lock, so two concurrent
+    flushes would commit with the same ingest_seq and clobber the bump.
+    With the flush lock, every append observes a distinct seq."""
+    import time
+
+    from tsdb_spark.api import WriteBuffer
+
+    db = DB.create(spark, str(tmp_path / "db"), block_width_ms=WIDTH)
+    buf = WriteBuffer(db, flush_ms=60_000)  # manual flushes only
+    seqs = []
+    orig = db.append
+
+    def slow_append(df, **k):
+        # record the seq each commit will consume; the sleep widens the
+        # window so unlocked flushes would reliably collide here
+        seqs.append(db.meta["next_ingest_seq"])
+        time.sleep(0.15)
+        return orig(df, **k)
+
+    db.append = slow_append
+    try:
+
+        def worker(i):
+            buf.add([({"__name__": "c", "i": str(i)}, i * 1000, float(i))])
+            buf.flush()
+
+        threads = [
+            threading.Thread(target=worker, args=(i,)) for i in range(4)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        buf.close()
+    finally:
+        db.append = orig
+    assert len(seqs) == len(set(seqs)), f"duplicate ingest_seq: {seqs}"
+    assert db.querier(0, 10**9).select([]).count() == 4

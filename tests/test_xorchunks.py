@@ -190,3 +190,36 @@ def test_remote_read_negotiation(spark, tmp_path):
         assert len(sampled) == 3 and len(sampled[0][1]) == 130
     finally:
         srv.shutdown()
+
+
+def test_negotiation_skips_unsupported_types(spark, tmp_path):
+    """NegotiateResponseType semantics (read_handler.go): the first
+    SUPPORTED type in accepted_response_types wins — [future, 1] must
+    yield the streamed body the client listed, not a SAMPLES fallback;
+    an all-unsupported list is an error (HTTP 400 at the route), not a
+    silent SAMPLES downgrade."""
+    import pytest
+
+    from tsdb_spark import DB
+    from tsdb_spark.api import remote_read_negotiated
+    from tsdb_spark.sources.remotewrite import encode_read_request
+
+    db = DB.create(spark, str(tmp_path / "db"), block_width_ms=WIDTH)
+    db.append(
+        spark.createDataFrame(
+            [({"__name__": "m"}, 0, 1.0)],
+            "labels MAP<STRING,STRING>, t LONG, v DOUBLE",
+        )
+    )
+    q = {"start": 0, "end": 60_000, "matchers": [("=", "__name__", "m")]}
+
+    _, ctype, _ = remote_read_negotiated(
+        db, encode_read_request([q], accepted=[7, 1])
+    )
+    assert ctype == CONTENT_TYPE_STREAMED
+    _, ctype, cenc = remote_read_negotiated(
+        db, encode_read_request([q], accepted=[7, 0])
+    )
+    assert ctype == "application/x-protobuf" and cenc == "snappy"
+    with pytest.raises(ValueError, match="response types"):
+        remote_read_negotiated(db, encode_read_request([q], accepted=[7, 9]))

@@ -746,6 +746,13 @@ class WriteBuffer:
         self._hists: list = []
         self._exemplars: list = []
         self._lock = _threading.Lock()
+        # Serializes entire flush bodies (queue swap + appends). DB.append
+        # read-modify-writes meta['next_ingest_seq'] (db.py) without a lock
+        # of its own, so two overlapping flushes — the timer thread in
+        # _loop plus a handler thread hitting max_rows in add() — would
+        # commit with the SAME ingest_seq and clobber the meta bump,
+        # corrupting later-wins/first-wins conflict resolution.
+        self._flush_lock = _threading.Lock()
         self._stop = _threading.Event()
         self._thread = _threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
@@ -764,9 +771,17 @@ class WriteBuffer:
         """Commit everything queued as one append per table. On an
         append failure the unflushed remainder re-queues (prepended, so
         ordering holds) and the error propagates — a transient store
-        failure costs a retry at the next window, never the batch."""
+        failure costs a retry at the next window, never the batch.
+
+        Flushes are serialized under _flush_lock: concurrent callers
+        (timer thread vs a max_rows trigger in add) queue here rather
+        than racing DB.append's unlocked next_ingest_seq bump."""
         from tsdb_spark.nativehist import HIST_TYPE
 
+        with self._flush_lock:
+            return self._flush_locked(HIST_TYPE)
+
+    def _flush_locked(self, HIST_TYPE) -> int:
         with self._lock:
             rows, self._rows = self._rows, []
             hists, self._hists = self._hists, []
@@ -1084,14 +1099,26 @@ def remote_read_streamed(db, raw: bytes) -> bytes:
 
 def remote_read_negotiated(db, raw: bytes) -> tuple[bytes, str, str]:
     """Dispatch on the request's accepted_response_types (read_handler.go
-    NegotiateResponseType: the FIRST listed type the server supports
-    wins; an empty list means SAMPLES). Returns (body, content_type,
-    content_encoding) for the HTTP route."""
+    NegotiateResponseType: the FIRST listed type the server SUPPORTS
+    wins — a client sending [future_type, STREAMED_XOR_CHUNKS] gets the
+    streamed body it listed, not a SAMPLES fallback it never asked for;
+    an empty list means SAMPLES; an all-unsupported list is an error,
+    not a silent SAMPLES downgrade). Returns (body, content_type,
+    content_encoding) for the HTTP route; raises ValueError for the
+    route to map to HTTP 400."""
     from tsdb_spark.sources.remotewrite import decode_read_request_full
     from tsdb_spark.sources.xorchunks import CONTENT_TYPE_STREAMED
 
     queries, accepted = decode_read_request_full(raw)
-    chosen = accepted[0] if accepted else 0
+    chosen = 0
+    if accepted:
+        supported = [t for t in accepted if t in (0, 1)]
+        if not supported:
+            raise ValueError(
+                f"server does not support any of the requested response "
+                f"types {accepted}"
+            )
+        chosen = supported[0]
     if chosen == 1:  # STREAMED_XOR_CHUNKS
         from tsdb_spark.sources.xorchunks import encode_chunked_read_response
 
