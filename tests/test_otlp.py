@@ -79,10 +79,12 @@ def test_explicit_histogram_to_classic_buckets():
     assert hists == []
     rows = {(r[0]["__name__"], r[0].get("le")): r[2] for r in floats
             if r[0]["__name__"] != "target_info"}
-    # cumulative le counts: 4, 4+3, 4+3+2, +Inf = total count
+    # cumulative le counts: 4, 4+3, 4+3+2, +Inf = total count;
+    # integral bounds render Go-style ('1', not '1.0') so series
+    # identity matches Prometheus-scraped equivalents
     assert rows[("rt_bucket", "0.1")] == 4.0
     assert rows[("rt_bucket", "0.5")] == 7.0
-    assert rows[("rt_bucket", "1.0")] == 9.0
+    assert rows[("rt_bucket", "1")] == 9.0
     assert rows[("rt_bucket", "+Inf")] == 10.0
     assert rows[("rt_sum", None)] == 12.5
     assert rows[("rt_count", None)] == 10.0
@@ -138,6 +140,61 @@ def test_summary_translation():
     assert rows[("gc", "0.99")] == 0.1
     assert rows[("gc_sum", None)] == 12.0
     assert rows[("gc_count", None)] == 100.0
+
+
+def test_integral_le_and_quantile_render_go_style():
+    """OTLP-translated le/quantile labels match Go's FormatFloat(-1):
+    '10'/'1', never '10.0'/'1.0' — otherwise OTLP-ingested series get
+    different label values than Prometheus-ingested equivalents,
+    breaking cross-system series identity and federation joins
+    (otlptranslator helpers.go; api.format_value is the engine's own
+    rendering)."""
+    metrics = [
+        {"name": "szb", "unit": "", "kind": "histogram", "temporality": 2,
+         "points": [({}, 5_000, 6, 9.0, [3, 2, 1], [1.0, 10.0])]},
+        {"name": "q", "unit": "", "kind": "summary",
+         "points": [({}, 3_000, 10, 5.0, [(1.0, 0.2)])]},
+    ]
+    floats, _, _ = translate_otlp(
+        decode_otlp_metrics(encode_otlp_metrics(_req(metrics)))
+    )
+    les = {r[0]["le"] for r in floats if "le" in r[0]}
+    assert les == {"1", "10", "+Inf"}
+    quants = {r[0]["quantile"] for r in floats if "quantile" in r[0]}
+    assert quants == {"1"}
+
+
+def test_no_recorded_value_points_dropped():
+    """DataPointFlags FLAG_NO_RECORDED_VALUE (bit 0) marks a gap, not a
+    value: the point must NOT ingest as a fabricated 0.0 sample (the
+    upstream translator emits a staleness NaN; this engine treats
+    staleness as a gap) and counts into the dropped tally."""
+    from tsdb_spark.sources.remotewrite import _put_field
+
+    def num_point(t_ms, v, flags=0):
+        pt = bytearray()
+        _put_field(pt, 3, 1, struct.pack("<Q", t_ms * 1_000_000))
+        _put_field(pt, 4, 1, struct.pack("<d", v))
+        if flags:
+            _put_field(pt, 8, 0, flags)
+        return bytes(pt)
+
+    gauge = bytearray()
+    _put_field(gauge, 1, 2, num_point(1_000, 5.0))
+    _put_field(gauge, 1, 2, num_point(2_000, 0.0, flags=1))
+    metric = bytearray()
+    _put_field(metric, 1, 2, b"g")
+    _put_field(metric, 5, 2, bytes(gauge))
+    sm = bytearray()
+    _put_field(sm, 2, 2, bytes(metric))
+    rm = bytearray()
+    _put_field(rm, 2, 2, bytes(sm))
+    req = bytearray()
+    _put_field(req, 1, 2, bytes(rm))
+
+    floats, hists, dropped = translate_otlp(decode_otlp_metrics(bytes(req)))
+    assert [(r[1], r[2]) for r in floats] == [(1_000, 5.0)]
+    assert hists == [] and dropped == 1
 
 
 def test_http_otlp_route_and_info_join(spark, tmp_path):

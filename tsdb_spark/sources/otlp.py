@@ -147,10 +147,20 @@ def _unzigzag(u: int) -> int:
     return (u >> 1) ^ -(u & 1)
 
 
+#: DataPointFlags bit 0 (FLAG_NO_RECORDED_VALUE): the SDK recorded a
+#: gap, not a value. The upstream translator turns these into staleness
+#: NaN markers; this engine has no stale-NaN encoding (staleness is a
+#: gap — promtool.py), so flagged points are DROPPED and counted into
+#: translate_otlp's dropped tally rather than ingested as fabricated
+#: 0.0 samples.
+_FLAG_NO_RECORDED_VALUE = 1
+
+
 def _number_point(buf: bytes):
     attrs: list[bytes] = []
     t = 0
     v = 0.0
+    flags = 0
     for field, wt, payload in _fields(buf):
         if field == 7 and wt == 2:
             attrs.append(payload)
@@ -160,6 +170,10 @@ def _number_point(buf: bytes):
             v = struct.unpack("<d", payload)[0]
         elif field == 6 and wt == 1:
             v = float(struct.unpack("<q", payload)[0])
+        elif field == 8 and wt == 0:
+            flags = payload
+    if flags & _FLAG_NO_RECORDED_VALUE:
+        return None
     return _attributes(attrs), t // 1_000_000, v
 
 
@@ -169,6 +183,7 @@ def _hist_point(buf: bytes):
     hsum = None
     bucket_counts: list[int] = []
     bounds: list[float] = []
+    flags = 0
     for field, wt, payload in _fields(buf):
         if field == 9 and wt == 2:
             attrs.append(payload)
@@ -186,6 +201,10 @@ def _hist_point(buf: bytes):
             bounds = _packed_doubles(payload)
         elif field == 7 and wt == 1:
             bounds.append(struct.unpack("<d", payload)[0])
+        elif field == 10 and wt == 0:
+            flags = payload
+    if flags & _FLAG_NO_RECORDED_VALUE:
+        return None
     return _attributes(attrs), t // 1_000_000, count, hsum, bucket_counts, bounds
 
 
@@ -209,6 +228,7 @@ def _exp_hist_point(buf: bytes):
     scale = 0
     pos = (0, [])
     neg = (0, [])
+    flags = 0
     for field, wt, payload in _fields(buf):
         if field == 1 and wt == 2:
             attrs.append(payload)
@@ -226,6 +246,10 @@ def _exp_hist_point(buf: bytes):
             pos = _exp_buckets(payload)
         elif field == 9 and wt == 2:
             neg = _exp_buckets(payload)
+        elif field == 10 and wt == 0:
+            flags = payload
+    if flags & _FLAG_NO_RECORDED_VALUE:
+        return None
     return _attributes(attrs), t // 1_000_000, count, hsum, scale, zero_count, pos, neg
 
 
@@ -234,6 +258,7 @@ def _summary_point(buf: bytes):
     t = count = 0
     hsum = 0.0
     qv: list[tuple[float, float]] = []
+    flags = 0
     for field, wt, payload in _fields(buf):
         if field == 7 and wt == 2:
             attrs.append(payload)
@@ -243,6 +268,8 @@ def _summary_point(buf: bytes):
             count = _fixed64(payload)
         elif field == 5 and wt == 1:
             hsum = struct.unpack("<d", payload)[0]
+        elif field == 8 and wt == 0:
+            flags = payload
         elif field == 6 and wt == 2:
             q = v = 0.0
             for f2, wt2, p2 in _fields(payload):
@@ -251,10 +278,21 @@ def _summary_point(buf: bytes):
                 elif f2 == 2 and wt2 == 1:
                     v = struct.unpack("<d", p2)[0]
             qv.append((q, v))
+    if flags & _FLAG_NO_RECORDED_VALUE:
+        return None
     return _attributes(attrs), t // 1_000_000, count, hsum, qv
 
 
 _CUMULATIVE = 2  # AggregationTemporality enum
+
+
+def _take(m: dict, pt) -> None:
+    """Collect a decoded point; a None (FLAG_NO_RECORDED_VALUE) counts
+    into the metric's no_recorded tally instead of the point list."""
+    if pt is None:
+        m["no_recorded"] += 1
+    else:
+        m["points"].append(pt)
 
 
 def decode_otlp_metrics(raw: bytes, gzipped: bool = False) -> list[dict]:
@@ -282,7 +320,7 @@ def decode_otlp_metrics(raw: bytes, gzipped: bool = False) -> list[dict]:
                         continue
                     m = {"name": "", "unit": "", "kind": None,
                          "monotonic": False, "temporality": _CUMULATIVE,
-                         "points": []}
+                         "points": [], "no_recorded": 0}
                     for f4, wt4, p4 in _fields(p3):
                         if f4 == 1 and wt4 == 2:
                             m["name"] = p4.decode("utf-8")
@@ -292,12 +330,12 @@ def decode_otlp_metrics(raw: bytes, gzipped: bool = False) -> list[dict]:
                             m["kind"] = "gauge"
                             for f5, wt5, p5 in _fields(p4):
                                 if f5 == 1 and wt5 == 2:
-                                    m["points"].append(_number_point(p5))
+                                    _take(m, _number_point(p5))
                         elif f4 == 7 and wt4 == 2:  # Sum
                             m["kind"] = "sum"
                             for f5, wt5, p5 in _fields(p4):
                                 if f5 == 1 and wt5 == 2:
-                                    m["points"].append(_number_point(p5))
+                                    _take(m, _number_point(p5))
                                 elif f5 == 2 and wt5 == 0:
                                     m["temporality"] = p5
                                 elif f5 == 3 and wt5 == 0:
@@ -306,21 +344,21 @@ def decode_otlp_metrics(raw: bytes, gzipped: bool = False) -> list[dict]:
                             m["kind"] = "histogram"
                             for f5, wt5, p5 in _fields(p4):
                                 if f5 == 1 and wt5 == 2:
-                                    m["points"].append(_hist_point(p5))
+                                    _take(m, _hist_point(p5))
                                 elif f5 == 2 and wt5 == 0:
                                     m["temporality"] = p5
                         elif f4 == 10 and wt4 == 2:  # ExponentialHistogram
                             m["kind"] = "exponential_histogram"
                             for f5, wt5, p5 in _fields(p4):
                                 if f5 == 1 and wt5 == 2:
-                                    m["points"].append(_exp_hist_point(p5))
+                                    _take(m, _exp_hist_point(p5))
                                 elif f5 == 2 and wt5 == 0:
                                     m["temporality"] = p5
                         elif f4 == 11 and wt4 == 2:  # Summary
                             m["kind"] = "summary"
                             for f5, wt5, p5 in _fields(p4):
                                 if f5 == 1 and wt5 == 2:
-                                    m["points"].append(_summary_point(p5))
+                                    _take(m, _summary_point(p5))
                     if m["kind"]:
                         metrics.append(m)
         resources.append({"resource": res_attrs, "metrics": metrics})
@@ -328,6 +366,19 @@ def decode_otlp_metrics(raw: bytes, gzipped: bool = False) -> list[dict]:
 
 
 # ---------------------------------------------------------- translate
+
+
+def _fmt_bound(b: float) -> str:
+    """le / quantile label rendering, matching Go's
+    strconv.FormatFloat(b, 'f', -1, 64) as the upstream translator and
+    this engine's other le renderings (api.format_value) do: integral
+    floats drop the '.0' ('10', not '10.0') so OTLP-translated series
+    share identity with Prometheus-scraped equivalents in federation
+    joins; otherwise Python repr == Go's shortest round-trip."""
+    b = float(b)
+    if b == int(b) and abs(b) < 1e15:
+        return str(int(b))
+    return repr(b)
 
 
 def _downscale(buckets: list[tuple[int, float]], times: int):
@@ -367,6 +418,9 @@ def translate_otlp(
             base["instance"] = inst
         max_t = 0
         for m in res["metrics"]:
+            # no-recorded-value points were dropped at decode (gaps,
+            # not values); surface them in the dropped tally
+            dropped += m.get("no_recorded", 0)
             counter = m["kind"] == "sum" and m["monotonic"]
             if m["kind"] in ("sum", "histogram", "exponential_histogram") and \
                     m["temporality"] != _CUMULATIVE:
@@ -385,7 +439,7 @@ def translate_otlp(
                     for i, b in enumerate(bounds):
                         cum += bucket_counts[i] if i < len(bucket_counts) else 0
                         floats.append((
-                            {**lab, "__name__": f"{name}_bucket", "le": repr(float(b))},
+                            {**lab, "__name__": f"{name}_bucket", "le": _fmt_bound(b)},
                             t, float(cum),
                         ))
                     floats.append((
@@ -429,7 +483,7 @@ def translate_otlp(
                     for q, v in qv:
                         floats.append((
                             {**lab, "__name__": name,
-                             "quantile": repr(float(q))},
+                             "quantile": _fmt_bound(q)},
                             t, float(v),
                         ))
                     floats.append(({**lab, "__name__": f"{name}_sum"}, t, float(hsum)))
