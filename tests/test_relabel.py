@@ -397,3 +397,48 @@ def test_relabel_targets_drop_and_rewrite(spark):
         ("node", "a", {"env": "prod-node"}),
         ("api", "c", {"env": "prod-api"}),
     ]
+
+
+def test_tmpl_re2_expand_parity():
+    """RE2 Expand template semantics survive the Java rewrite
+    (relabel.go uses regexp.ExpandString): out-of-range and undeclared
+    group references expand to '' (Java regexp_replace would THROW at
+    runtime on a config that is valid under Prometheus), `$$` and
+    dangling `$` are literal, backslashes are not Java escapes."""
+    from tsdb_spark.relabel import _tmpl
+
+    assert _tmpl("$1-${2}", "(a)(b)") == "$1-$2"
+    assert _tmpl("$2", "(a)") == ""            # out-of-range → ''
+    assert _tmpl("x${3}y", "(a)") == "xy"
+    assert _tmpl("$$1", "(a)") == "\\$1"       # $$ → literal $
+    assert _tmpl("a$", "(a)") == "a\\$"        # dangling $ → literal
+    assert _tmpl("${foo}", "(?P<foo>a)") == "${foo}"
+    assert _tmpl("$foo", "(?P<foo>a)") == "${foo}"
+    assert _tmpl("$bar", "(a)") == ""          # undeclared name → ''
+    assert _tmpl("$1x", "(a)") == ""           # name '1x', not $1+x
+    assert _tmpl("a\\b", "(a)") == "a\\\\b"    # literal backslash
+    # pattern Python can't parse → references pass through unvalidated
+    assert _tmpl("$1 ${nm}", "(?<nm>a)") == "$1 ${nm}"
+
+
+def test_replace_with_out_of_range_group_is_empty(spark):
+    """End-to-end: replacement '$2' against a one-group regex deletes
+    the target label (empty expansion ⇒ '' ⇒ delete) instead of
+    throwing inside Spark's regexp_replace."""
+    df = spark.createDataFrame(
+        [({"__name__": "m", "path": "/x"},)], "labels MAP<STRING,STRING>"
+    )
+    rules = [
+        RelabelConfig(
+            action="replace", source_labels=("path",), regex="(/.*)",
+            target_label="extra", replacement="$2",
+        ),
+        RelabelConfig(
+            action="replace", source_labels=("path",), regex="(/.*)",
+            target_label="kept", replacement="p=$1 lit=$$",
+        ),
+    ]
+    [row] = apply_relabel(df, rules).collect()
+    lab = dict(row["labels"])
+    assert "extra" not in lab
+    assert lab["kept"] == "p=/x lit=$"

@@ -33,6 +33,7 @@ identically — see tests/test_relabel.py for the parity fixture.
 
 from __future__ import annotations
 
+import re as _re
 from dataclasses import dataclass, field
 
 from pyspark.sql import Column, DataFrame
@@ -78,13 +79,83 @@ def _anchored(regex: str) -> str:
     return f"^(?:{regex})$"
 
 
-def _tmpl(s: str) -> str:
-    """Upstream's RE2 `$1`/`${1}` expansion syntax → Java replacement
-    syntax: `${N}` (numeric braces, RE2-legal, Java-illegal) becomes
-    `$N`; `$$` becomes a literal `$`."""
-    import re
+_NAME_RUN = _re.compile(r"[0-9A-Za-z_]+")
 
-    return re.sub(r"\$\{(\d+)\}", r"$\1", s.replace("$$", "\\$"))
+
+def _tmpl(s: str, pattern: str) -> str:
+    """Upstream's RE2 Expand template syntax → Java replacement syntax,
+    with RE2's forgiving semantics preserved (Go regexp.ExpandString):
+
+    - `$N` / `${N}` referencing a group the pattern HAS → Java `$N`;
+      referencing a group it LACKS expands to the empty string (Java
+      regexp_replace would throw IndexOutOfBounds at runtime, failing
+      configs that are valid under Prometheus);
+    - `$name` / `${name}` for a declared named group → Java `${name}`;
+      an undeclared name expands to '' like RE2;
+    - `$$`, or a `$` that starts no valid reference, → literal `$`
+      (Java-escaped as `\\$`);
+    - literal backslashes escape to `\\\\` (Java replacement treats
+      `\\` as an escape character where RE2 templates do not).
+
+    Reference name runs follow Go's extract(): the longest run of
+    [0-9A-Za-z_]; `$1x` names the group "1x", which no pattern declares
+    (names can't start with a digit), so it expands to '' — not Java's
+    "$1 then literal x"."""
+    try:
+        compiled = _re.compile(pattern)
+        ngroups, names = compiled.groups, set(compiled.groupindex)
+    except _re.error:
+        # Python couldn't parse what Java will run (syntax gap, e.g.
+        # Java-only constructs): skip validation, pass references through
+        ngroups, names = None, None
+
+    def _num(n: int) -> str:
+        if ngroups is not None and n > ngroups:
+            return ""
+        return f"${n}"
+
+    def _named(name: str) -> str:
+        if names is not None and name not in names:
+            return ""
+        return f"${{{name}}}"
+
+    out: list[str] = []
+    i = 0
+    while i < len(s):
+        c = s[i]
+        if c == "\\":
+            out.append("\\\\")
+            i += 1
+            continue
+        if c != "$":
+            out.append(c)
+            i += 1
+            continue
+        rest = s[i + 1:]
+        if rest.startswith("$"):
+            out.append("\\$")
+            i += 2
+            continue
+        if rest.startswith("{"):
+            end = rest.find("}")
+            name = rest[1:end] if end > 0 else ""
+            if end > 0 and _NAME_RUN.fullmatch(name):
+                out.append(_num(int(name)) if name.isdigit() else _named(name))
+                i += 1 + end + 1
+                continue
+            # malformed ${...}: Go leaves the `$` literal
+            out.append("\\$")
+            i += 1
+            continue
+        m = _NAME_RUN.match(rest)
+        if not m:
+            out.append("\\$")  # `$` at end / before non-name char
+            i += 1
+            continue
+        name = m.group(0)
+        out.append(_num(int(name)) if name.isdigit() else _named(name))
+        i += 1 + m.end()
+    return "".join(out)
 
 
 def _joined(labels: Column, cfg: RelabelConfig) -> Column:
@@ -123,8 +194,8 @@ def _apply_one(labels: Column, keep: Column, cfg: RelabelConfig):
         eq = val == cur
         return labels, keep & (eq if cfg.action == "keepequal" else ~eq)
     if cfg.action == "replace":
-        res = F.regexp_replace(val, rx, _tmpl(cfg.replacement))
-        tgt = F.regexp_replace(val, rx, _tmpl(cfg.target_label))
+        res = F.regexp_replace(val, rx, _tmpl(cfg.replacement, cfg.regex))
+        tgt = F.regexp_replace(val, rx, _tmpl(cfg.target_label, cfg.regex))
         new = F.when(
             matched,
             F.when(res == "", F.map_filter(labels, lambda k, _: k != tgt))
@@ -151,7 +222,7 @@ def _apply_one(labels: Column, keep: Column, cfg: RelabelConfig):
     if cfg.action == "labelmap":
         mapped = F.transform_keys(
             F.map_filter(labels, lambda k, _: k.rlike(rx)),
-            lambda k, _: F.regexp_replace(k, rx, _tmpl(cfg.replacement)),
+            lambda k, _: F.regexp_replace(k, rx, _tmpl(cfg.replacement, cfg.regex)),
         )
         new_keys = F.map_keys(mapped)
         return (
