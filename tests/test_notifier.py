@@ -65,6 +65,10 @@ def test_firing_resolved_lifecycle():
         [a3] = am.batches[2]
         assert a3["endsAt"] == "1970-01-01T00:03:00Z"
         assert a3["startsAt"] == "1970-01-01T00:01:00Z"
+        # RESOLVED carries the alert's annotations like upstream
+        # (notifier.go keeps the full alert; Alertmanager templates
+        # them into the resolved page)
+        assert a3["annotations"] == {"summary": "too high"}
         assert n.active == {}
 
         # tick 4: nothing active, nothing sent
@@ -127,6 +131,7 @@ def test_manager_ticks_notify(spark, tmp_path):
         resolved = am.batches[-1]
         assert len(resolved) == 1
         assert resolved[0]["endsAt"] == "1970-01-01T00:09:00Z"
+        assert resolved[0]["annotations"] == {"summary": "m is high"}
         assert notif.active == {}
     finally:
         am.stop()

@@ -53,8 +53,12 @@ class Notifier:
         self.timeout_s = timeout_s
         self.generator_url = generator_url
         self.external_labels = dict(external_labels or {})
-        #: label-set key → first-seen-firing ms
-        self.active: dict[tuple, int] = {}
+        #: label-set key → {"starts": first-seen-firing ms,
+        #: "annotations": last-seen annotations} — annotations ride
+        #: along so the RESOLVED notification carries them too
+        #: (upstream keeps the whole alert in memory and sends its
+        #: annotations on resolve, notifier.go Alert)
+        self.active: dict[tuple, dict] = {}
         self.send_errors = 0
 
     # ---------------- state machine ----------------
@@ -72,12 +76,16 @@ class Notifier:
             labels = {**self.external_labels, **a["labels"]}
             key = tuple(sorted(labels.items()))
             seen.add(key)
-            starts = self.active.setdefault(key, now_ms)
+            annotations = dict(a.get("annotations", {}))
+            entry = self.active.setdefault(
+                key, {"starts": now_ms, "annotations": annotations}
+            )
+            entry["annotations"] = annotations  # keep last-seen fresh
             batch.append(
                 {
                     "labels": labels,
-                    "annotations": dict(a.get("annotations", {})),
-                    "startsAt": _rfc3339(starts),
+                    "annotations": annotations,
+                    "startsAt": _rfc3339(entry["starts"]),
                     # validity window: 4 evaluation intervals, like
                     # upstream's ResendDelay-based EndsAt
                     "endsAt": _rfc3339(now_ms + 4 * interval_ms),
@@ -86,11 +94,15 @@ class Notifier:
             )
         for key in list(self.active):
             if key not in seen:
+                entry = self.active.pop(key)
                 batch.append(
                     {
                         "labels": dict(key),
-                        "annotations": {},
-                        "startsAt": _rfc3339(self.active.pop(key)),
+                        # upstream sends the alert's annotations on
+                        # resolve too (the Alertmanager templates them
+                        # into the resolved page)
+                        "annotations": dict(entry["annotations"]),
+                        "startsAt": _rfc3339(entry["starts"]),
                         "endsAt": _rfc3339(now_ms),  # resolved
                         "generatorURL": self.generator_url,
                     }
