@@ -102,11 +102,16 @@ def test_http_server_endpoints(store):
         )
         assert code == 200 and body["data"] == [{"__name__": "m", "s": "b"}]
 
-        # bad request: missing params → 400 with errorType
+        # absent `time` defaults to the server's current time
+        # (api.go parseTimeParam default) — a valid, empty-at-now query
+        code, body = get("/api/v1/query?query=m")
+        assert code == 200 and body["status"] == "success"
+
+        # bad request: malformed params → 400 with errorType
         import urllib.error
 
         try:
-            get("/api/v1/query?query=m")
+            get("/api/v1/query?query=m&time=notatime")
             raise AssertionError("expected HTTP 400")
         except urllib.error.HTTPError as e:
             assert e.code == 400

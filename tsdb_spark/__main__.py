@@ -111,6 +111,14 @@ def main(argv: list[str] | None = None) -> int:
     p_sv.add_argument("--host", default="127.0.0.1")
     p_sv.add_argument("--port", type=int, default=9090)
     p_sv.add_argument(
+        "--config",
+        help="full prometheus.yml: global (scrape_interval, "
+        "evaluation_interval, external_labels), scrape_configs (static "
+        "+ file_sd), rule_files, alerting.alertmanagers, remote_write — "
+        "drives scrape + rules + notifier + remote-write forwarding "
+        "with no other flags; opens the store WRITABLE",
+    )
+    p_sv.add_argument(
         "--rules",
         help="rule file (YAML, model/rulefmt) served at /api/v1/rules "
         "and evaluated by /api/v1/alerts",
@@ -504,14 +512,25 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "serve":
         from tsdb_spark.api import serve
 
-        groups = None
+        cfg = None
+        if args.config:
+            from tsdb_spark.config import load_config
+
+            cfg = load_config(spark, args.config)
+            print(
+                f"config: {len(cfg.scrape_jobs)} scrape job(s), "
+                f"{len(cfg.rule_groups)} rule group(s), "
+                f"{len(cfg.alertmanager_urls)} alertmanager(s), "
+                f"{len(cfg.remote_writes)} remote_write endpoint(s)"
+            )
+        groups = cfg.rule_groups if cfg else None
         if args.rules:
             from tsdb_spark.promtool import load_rule_file
 
-            groups = load_rule_file(args.rules)
+            groups = (groups or []) + load_rule_file(args.rules)
         import os as _os
 
-        writable = args.enable_admin or args.scrape_url or (
+        writable = args.enable_admin or args.scrape_url or cfg is not None or (
             args.eval_rules and groups
         ) or args.write_buffer_ms > 0
         if writable and not _os.path.exists(f"{args.store}/_meta.json"):
@@ -540,24 +559,52 @@ def main(argv: list[str] | None = None) -> int:
         srv = serve(db, args.host, args.port, rule_groups=groups,
                     enable_admin=args.enable_admin,
                     scrape_targets=targets, scrape_status=scrape_status,
-                    scrape_metadata=scrape_md, write_buffer=wbuf)
+                    scrape_metadata=scrape_md, write_buffer=wbuf,
+                    external_labels=cfg.external_labels if cfg else None)
         import threading
 
         stop = threading.Event()
-        if args.eval_rules and groups:
+        am_urls = list(args.alertmanager_url) + (
+            cfg.alertmanager_urls if cfg else []
+        )
+        if groups and (args.eval_rules or cfg is not None):
             from tsdb_spark.manager import Manager
 
             notif = None
-            if args.alertmanager_url:
+            if am_urls:
                 from tsdb_spark.notifier import Notifier
 
-                notif = Notifier(args.alertmanager_url)
-                print(f"notifying {len(args.alertmanager_url)} alertmanager(s)")
+                notif = Notifier(
+                    am_urls,
+                    external_labels=cfg.external_labels if cfg else None,
+                )
+                print(f"notifying {len(am_urls)} alertmanager(s)")
             mgr = Manager(db, groups, notifier=notif)
             threading.Thread(
                 target=mgr.loop, args=(stop,), daemon=True
             ).start()
             print(f"evaluating {sum(len(g['rules']) for g in groups)} rule(s)")
+        if cfg and cfg.scrape_jobs:
+            from tsdb_spark.config import scrape_scheduler_loop
+
+            threading.Thread(
+                target=scrape_scheduler_loop,
+                args=(spark, db, cfg.scrape_jobs, stop),
+                kwargs={"status": scrape_status, "metadata": scrape_md},
+                daemon=True,
+            ).start()
+            n_t = sum(len(j.targets) for j in cfg.scrape_jobs)
+            print(f"scraping {len(cfg.scrape_jobs)} config job(s) "
+                  f"({n_t} static target(s) + file SD)")
+        if cfg and cfg.remote_writes:
+            from tsdb_spark.config import RemoteWriteForwarder
+
+            fwd = RemoteWriteForwarder(db, cfg.remote_writes)
+            threading.Thread(
+                target=fwd.loop, args=(stop,), daemon=True
+            ).start()
+            print(f"forwarding to {len(cfg.remote_writes)} "
+                  "remote_write endpoint(s)")
         if args.scrape_url:
 
             def _scrape():

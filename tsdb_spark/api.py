@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import math
 import re
+import time as _time
 
 from tsdb_spark.promql import DEFAULT_LOOKBACK_MS, eval_range_db
 
@@ -1184,6 +1185,30 @@ def targets_payload(targets: list, status: dict | None = None) -> dict:
                 "lastError": st.get("lastError", ""),
             }
         )
+    # targets known only to the scrape loop's status (file-SD /
+    # config-driven jobs resolve dynamically, so there is no static
+    # Target list to walk): synthesize their entries from the status
+    # record — this is how a target added by a file edit shows up here
+    # on the next pass, and a removed one disappears (status pruning)
+    seen = {t.url for t in targets or []}
+    for url, st in status.items():
+        if url in seen:
+            continue
+        active.append(
+            {
+                "discoveredLabels": {
+                    "__address__": url, "job": st.get("job", ""),
+                },
+                "labels": dict(st.get("labels", {})),
+                "scrapePool": st.get("job", ""),
+                "scrapeUrl": url,
+                "health": st.get("health", "unknown"),
+                "lastScrape": (
+                    st["lastScrapeMs"] / 1000.0 if "lastScrapeMs" in st else None
+                ),
+                "lastError": st.get("lastError", ""),
+            }
+        )
     active.sort(key=lambda a: a["scrapeUrl"])
     return {
         "status": "success",
@@ -1194,7 +1219,8 @@ def targets_payload(targets: list, status: dict | None = None) -> dict:
 def make_handler(db, rule_groups: list[dict] | None = None, enable_admin: bool = False,
                  scrape_targets: list | None = None, scrape_status: dict | None = None,
                  scrape_metadata: dict | None = None,
-                 write_buffer: "WriteBuffer | None" = None):
+                 write_buffer: "WriteBuffer | None" = None,
+                 external_labels: dict | None = None):
     """BaseHTTPRequestHandler subclass bound to one DB — the web/api/v1
     router (api.go Register): query, query_range, labels,
     label/<name>/values, series, rules, alerts, federate. The handler is
@@ -1360,9 +1386,12 @@ def make_handler(db, rule_groups: list[dict] | None = None, enable_admin: bool =
                     return self._admin(u, multi, q, method)
                 limit = int(q.get("limit", "0") or 0)
                 if u.path == "/api/v1/query":
-                    t = _parse_time(q["time"]) if "time" in q else None
-                    if t is None:
-                        raise ValueError("missing `time` parameter")
+                    # absent `time` defaults to the server's current
+                    # time (api.go parseTimeParam(..., api.now()))
+                    t = (
+                        _parse_time(q["time"]) if "time" in q
+                        else int(_time.time() * 1000)
+                    )
                     return self._reply(
                         200, _limit_query(query(db, q["query"], t), limit)
                     )
@@ -1387,9 +1416,10 @@ def make_handler(db, rule_groups: list[dict] | None = None, enable_admin: bool =
                 if u.path == "/api/v1/status/tsdb":
                     return self._reply(200, status_tsdb(db))
                 if u.path == "/api/v1/query_histogram":
-                    t = _parse_time(q["time"]) if "time" in q else None
-                    if t is None:
-                        raise ValueError("missing `time` parameter")
+                    t = (
+                        _parse_time(q["time"]) if "time" in q
+                        else int(_time.time() * 1000)
+                    )
                     sel = multi.get("match[]", [q.get("query")])[0]
                     if sel is None:
                         raise ValueError("missing `match[]`/`query` selector")
@@ -1437,10 +1467,17 @@ def make_handler(db, rule_groups: list[dict] | None = None, enable_admin: bool =
                     sels = multi.get("match[]", [])
                     if not sels:
                         raise ValueError("missing `match[]` parameter")
-                    t = _parse_time(q["time"]) if "time" in q else None
-                    if t is None:
-                        raise ValueError("missing `time` parameter")
-                    return self._reply_text(200, federate(db, sels, t))
+                    # upstream /federate has no time param at all — it
+                    # always exports "now"; an explicit time remains
+                    # accepted for reproducible scrapes/tests
+                    t = (
+                        _parse_time(q["time"]) if "time" in q
+                        else int(_time.time() * 1000)
+                    )
+                    return self._reply_text(
+                        200,
+                        federate(db, sels, t, external_labels=external_labels),
+                    )
                 if u.path.startswith("/api/v1/label/") and u.path.endswith(
                     "/values"
                 ):
@@ -1514,7 +1551,7 @@ def make_handler(db, rule_groups: list[dict] | None = None, enable_admin: bool =
 
 def serve(db, host: str = "127.0.0.1", port: int = 9090, rule_groups=None,
           enable_admin: bool = False, scrape_targets=None, scrape_status=None,
-          scrape_metadata=None, write_buffer=None):
+          scrape_metadata=None, write_buffer=None, external_labels=None):
     """Run the HTTP API (blocking). Returns the server object if you
     want to drive it yourself (tests use server.serve_forever in a
     thread)."""
@@ -1526,6 +1563,7 @@ def serve(db, host: str = "127.0.0.1", port: int = 9090, rule_groups=None,
             db, rule_groups, enable_admin=enable_admin,
             scrape_targets=scrape_targets, scrape_status=scrape_status,
             scrape_metadata=scrape_metadata, write_buffer=write_buffer,
+            external_labels=external_labels,
         ),
     )
     return srv
@@ -1592,7 +1630,9 @@ def _render_label_name(k: str) -> str:
     return f'"{_escape_label_value(k)}"'
 
 
-def federate(db, selectors: list[str], time_ms: int, lookback_ms: int = DEFAULT_LOOKBACK_MS) -> str:
+def federate(db, selectors: list[str], time_ms: int,
+             lookback_ms: int = DEFAULT_LOOKBACK_MS,
+             external_labels: dict | None = None) -> str:
     """GET /federate — the instant vector for each match[] selector in
     the Prometheus exposition text format (web/federate.go):
 
@@ -1600,10 +1640,16 @@ def federate(db, selectors: list[str], time_ms: int, lookback_ms: int = DEFAULT_
 
     so another Prometheus (or this engine) can scrape this store. The
     timestamp is the selected SAMPLE's own timestamp (upstream federation
-    re-exposes the stored sample, not the evaluation instant)."""
+    re-exposes the stored sample, not the evaluation instant).
+    `external_labels` (the global: block) attach to every exported
+    series where the series doesn't already carry the name — federate.go
+    adds them the same way, so downstream scrapes see which instance the
+    data came from. Applied at render: the distributed plan
+    (federate_frame) stays label-pure."""
+    ext = dict(external_labels or {})
     lines: list[str] = []
     for row in federate_frame(db, selectors, time_ms, lookback_ms).collect():
-        labels = dict(row["labels"])
+        labels = {**ext, **dict(row["labels"])}
         name = labels.pop("__name__", "")
         pair_list = [
             f'{_render_label_name(k)}="{_escape_label_value(v)}"'

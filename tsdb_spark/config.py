@@ -1,0 +1,348 @@
+"""The full prometheus.yml configuration surface (config/config.go) —
+the one file a real deployment writes, wiring all five top-level
+blocks into this engine's single-process mode:
+
+    global:           scrape_interval / evaluation_interval /
+                      external_labels
+    scrape_configs:   scrape.scrape_jobs_from (static + file SD,
+                      relabeling)
+    rule_files:       globs, relative to the config file, loaded via
+                      promtool.load_rule_file; groups without their own
+                      interval inherit evaluation_interval
+    alerting:         alertmanagers static_configs → notifier URLs
+    remote_write:     forwarding endpoints (v1 WriteRequest or rw2 by
+                      protobuf_message), drained by RemoteWriteForwarder
+
+`serve --config prometheus.yml` uses load_config + the two loops here
+(scrape_scheduler_loop, RemoteWriteForwarder) so no other flags are
+needed; external_labels flow into /federate (api.federate) and into
+outgoing alert notifications (notifier.Notifier), like upstream.
+
+Scale notes: config parsing and scheduling are driver-side by nature
+(human-scale objects); every data movement they trigger — scrape
+appends, rule evaluations, forwarded batches — runs through the same
+distributed operators the CLI commands use. The forwarder tails the
+store by `ingest_seq` (the engine's WAL-position analog), so forwarded
+data is everything APPENDED since the last push — including backfills
+into old time ranges, which a time-watermark tail would silently skip.
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+import time
+from dataclasses import dataclass, field
+
+from tsdb_spark.scrape import ScrapeJob, scrape_jobs_from
+
+__all__ = [
+    "PrometheusConfig",
+    "RemoteWriteConfig",
+    "load_config",
+    "scrape_scheduler_loop",
+    "RemoteWriteForwarder",
+]
+
+#: upstream config defaults (config.go DefaultGlobalConfig)
+DEFAULT_SCRAPE_INTERVAL_MS = 60_000
+DEFAULT_EVAL_INTERVAL_MS = 60_000
+
+RW2_MESSAGE = "io.prometheus.write.v2.Request"
+
+
+@dataclass(frozen=True)
+class RemoteWriteConfig:
+    """One `remote_write:` entry (the subset this engine forwards):
+    url + protobuf_message selecting the wire version (config.go
+    RemoteWriteConfig; "prometheus.WriteRequest" = v1, the default —
+    "io.prometheus.write.v2.Request" = rw2 with native histograms)."""
+
+    url: str
+    protobuf_message: str = "prometheus.WriteRequest"
+
+    @property
+    def v2(self) -> bool:
+        return self.protobuf_message == RW2_MESSAGE
+
+
+@dataclass
+class PrometheusConfig:
+    scrape_interval_ms: int = DEFAULT_SCRAPE_INTERVAL_MS
+    evaluation_interval_ms: int = DEFAULT_EVAL_INTERVAL_MS
+    external_labels: dict[str, str] = field(default_factory=dict)
+    scrape_jobs: list[ScrapeJob] = field(default_factory=list)
+    rule_files: list[str] = field(default_factory=list)
+    rule_groups: list[dict] = field(default_factory=list)
+    alertmanager_urls: list[str] = field(default_factory=list)
+    remote_writes: list[RemoteWriteConfig] = field(default_factory=list)
+
+
+def _duration_ms(v, default_ms: int) -> int:
+    from tsdb_spark.promql import parse_duration
+
+    if v is None:
+        return default_ms
+    return parse_duration(v) if isinstance(v, str) else int(v)
+
+
+def load_config(spark, path: str) -> PrometheusConfig:
+    """Parse a full prometheus.yml. Relative rule_files globs and
+    file-SD patterns resolve against the config file's directory
+    (config.go JoinDir)."""
+    import glob as _glob
+
+    import yaml
+
+    from tsdb_spark.promtool import load_rule_file
+
+    with open(path) as f:
+        raw = yaml.safe_load(f) or {}
+    base = os.path.dirname(os.path.abspath(path))
+
+    g = raw.get("global", {}) or {}
+    scrape_ms = _duration_ms(
+        g.get("scrape_interval"), DEFAULT_SCRAPE_INTERVAL_MS
+    )
+    eval_ms = _duration_ms(
+        g.get("evaluation_interval"), DEFAULT_EVAL_INTERVAL_MS
+    )
+    external = {
+        str(k): str(v) for k, v in (g.get("external_labels") or {}).items()
+    }
+
+    jobs = scrape_jobs_from(
+        spark, raw, default_interval_ms=scrape_ms, base_dir=base
+    )
+
+    rule_files: list[str] = []
+    for pat in raw.get("rule_files", []) or []:
+        full = pat if os.path.isabs(pat) else os.path.join(base, pat)
+        rule_files.extend(sorted(_glob.glob(full)))
+    groups: list[dict] = []
+    for rf in rule_files:
+        groups.extend(load_rule_file(rf, default_interval_ms=eval_ms))
+
+    am_urls: list[str] = []
+    alerting = raw.get("alerting", {}) or {}
+    for am in alerting.get("alertmanagers", []) or []:
+        scheme = am.get("scheme", "http")
+        prefix = (am.get("path_prefix", "") or "").rstrip("/")
+        for grp in am.get("static_configs", []) or []:
+            for t in grp.get("targets", []) or []:
+                base_url = t if "://" in t else f"{scheme}://{t}"
+                am_urls.append(f"{base_url}{prefix}")
+
+    remote_writes = [
+        RemoteWriteConfig(
+            url=rw["url"],
+            protobuf_message=rw.get(
+                "protobuf_message", "prometheus.WriteRequest"
+            ),
+        )
+        for rw in raw.get("remote_write", []) or []
+    ]
+
+    return PrometheusConfig(
+        scrape_interval_ms=scrape_ms,
+        evaluation_interval_ms=eval_ms,
+        external_labels=external,
+        scrape_jobs=jobs,
+        rule_files=rule_files,
+        rule_groups=groups,
+        alertmanager_urls=am_urls,
+        remote_writes=remote_writes,
+    )
+
+
+def scrape_scheduler_loop(
+    spark,
+    db,
+    jobs: list[ScrapeJob],
+    stop: threading.Event,
+    status: dict | None = None,
+    metadata: dict | None = None,
+    poll_s: float = 0.5,
+) -> None:
+    """Per-job interval scheduler (the scrape manager's role): each job
+    scrapes on ITS cadence — a 5s job doesn't wait for a 1m job's tick.
+    Poll granularity bounds tick latency only, like manager.Manager."""
+    from tsdb_spark.scrape import scrape_pass
+
+    last_run: dict[str, float] = {}
+    prev_urls: dict[str, set] = {}
+    while not stop.is_set():
+        now = time.time()
+        for job in jobs:
+            if now - last_run.get(job.name, -1e18) < job.interval_ms / 1000.0:
+                continue
+            last_run[job.name] = now
+            try:
+                targets = job.resolve_targets(spark, int(now * 1000))
+                urls = {t.url for t in targets}
+                if status is not None:
+                    # a target this job discovered before but no longer
+                    # does (file-SD removal) leaves /api/v1/targets
+                    for gone in prev_urls.get(job.name, set()) - urls:
+                        status.pop(gone, None)
+                prev_urls[job.name] = urls
+                if targets:
+                    scrape_pass(
+                        spark, db, targets,
+                        honor_labels=job.honor_labels,
+                        status=status,
+                        relabel_configs=job.metric_relabel or None,
+                        metadata=metadata,
+                    )
+            except Exception as e:  # noqa: BLE001 — keep serving
+                print(f"scrape pass failed for job {job.name}: {e}")
+        stop.wait(poll_s)
+
+
+class RemoteWriteForwarder:
+    """Drain everything newly appended to a store into `remote_write:`
+    endpoints — the queueManager/WAL-watcher role (storage/remote).
+    Tails by `ingest_seq`: each pass reads samples with ingest_seq
+    above the per-URL watermark (so restarts of the LOOP never re-send,
+    and a backfill into old time ranges still forwards), joins labels,
+    and POSTs v1 or rw2 bodies per the endpoint's protobuf_message.
+
+    The read is one pruned scan + join per pass; the collect is the
+    HTTP client boundary, bounded by what arrived since the last pass
+    (steady-state: one flush window of data)."""
+
+    def __init__(self, db, configs: list[RemoteWriteConfig],
+                 batch_series: int = 500, timeout_s: float = 30.0) -> None:
+        self.db = db
+        self.configs = list(configs)
+        self.batch_series = batch_series
+        self.timeout_s = timeout_s
+        # start at the store's current head: a fresh forwarder ships
+        # new data, not history (upstream starts at the WAL tail too;
+        # history moves via the explicit `remote-write` CLI)
+        head = int(db.meta.get("next_ingest_seq", 1)) - 1
+        self.watermarks: dict[str, int] = {c.url: head for c in self.configs}
+        self.sent: dict[str, int] = {c.url: 0 for c in self.configs}
+        self.errors = 0
+
+    def _float_rows_since(self, seq: int):
+        from pyspark.sql import functions as F
+
+        smp = self.db.samples().filter(F.col("ingest_seq") > seq)
+        ser = self.db.series().select("series_id", "labels")
+        return smp.join(ser, "series_id").select("labels", "t", "v").collect()
+
+    def _hist_rows_since(self, seq: int):
+        """Native-histogram rows appended after `seq` (rw2 endpoints
+        carry them; v1 cannot). Reads the histogram table directly —
+        hist_frame serves reads by time, this tail needs ingest_seq."""
+        from pyspark.sql import functions as F
+
+        from tsdb_spark.nativehist import HIST_TYPE
+
+        ddl = (
+            f"series_id LONG, t LONG, h {HIST_TYPE}, "
+            "ingest_seq LONG, t_bucket LONG"
+        )
+        h = self.db._read_or_empty(self.db._hist_path, ddl).filter(
+            F.col("ingest_seq") > seq
+        )
+        ser = self.db.series().select("series_id", "labels")
+        return h.join(ser, "series_id").select("labels", "t", "h").collect()
+
+    def run_once(self) -> int:
+        """One forwarding pass over every endpoint. Returns sample +
+        histogram entries sent (summed over endpoints)."""
+        from tsdb_spark.sources.remotewrite import (
+            _post_series_batches,
+            _post_series_batches_v2,
+        )
+
+        head = int(self.db.meta.get("next_ingest_seq", 1)) - 1
+        total = 0
+        # one read per distinct (watermark, table) — steady state: one
+        # read shared by every endpoint
+        fcache: dict[int, list] = {}
+        hcache: dict[int, list] = {}
+        for cfg in self.configs:
+            mark = self.watermarks[cfg.url]
+            if head <= mark:
+                continue
+            if mark not in fcache:
+                fcache[mark] = self._float_rows_since(mark)
+            rows = fcache[mark]
+            if cfg.v2 and mark not in hcache:
+                hcache[mark] = self._hist_rows_since(mark)
+            hrows = hcache.get(mark, [])
+            if not rows and not (cfg.v2 and hrows):
+                self.watermarks[cfg.url] = head
+                continue
+            try:
+                if cfg.v2:
+                    by: dict[tuple, dict] = {}
+                    for r in rows:
+                        lab = dict(r["labels"])
+                        e = by.setdefault(
+                            tuple(sorted(lab.items())),
+                            {"labels": lab, "samples": [], "histograms": []},
+                        )
+                        e["samples"].append((r["t"], r["v"]))
+                    for r in hrows:
+                        lab = dict(r["labels"])
+                        h = r["h"]
+                        e = by.setdefault(
+                            tuple(sorted(lab.items())),
+                            {"labels": lab, "samples": [], "histograms": []},
+                        )
+                        e["histograms"].append((
+                            r["t"],
+                            {
+                                "count": h["count"], "sum": h["sum"],
+                                "zero_count": h["zero_count"],
+                                "schema": h["schema"],
+                                "buckets": [
+                                    (b["idx"], b["c"]) for b in h["buckets"]
+                                ],
+                                "custom_values": (
+                                    list(h["custom_values"])
+                                    if h["custom_values"] is not None
+                                    else None
+                                ),
+                            },
+                        ))
+                    series2 = []
+                    for k in sorted(by):
+                        e = by[k]
+                        e["samples"].sort()
+                        e["histograms"].sort(key=lambda x: x[0])
+                        series2.append(e)
+                    n = _post_series_batches_v2(
+                        cfg.url, series2, self.batch_series, self.timeout_s
+                    )
+                else:
+                    by1: dict[tuple, list] = {}
+                    for r in rows:
+                        by1.setdefault(
+                            tuple(sorted(dict(r["labels"]).items())), []
+                        ).append((r["t"], r["v"]))
+                    series1 = [
+                        (dict(k), sorted(v)) for k, v in sorted(by1.items())
+                    ]
+                    n = _post_series_batches(
+                        cfg.url, series1, self.batch_series, self.timeout_s
+                    )
+            except OSError:
+                self.errors += 1  # endpoint down: retry same mark next pass
+                continue
+            self.watermarks[cfg.url] = head
+            self.sent[cfg.url] += n
+            total += n
+        return total
+
+    def loop(self, stop: threading.Event, interval_s: float = 5.0) -> None:
+        while not stop.is_set():
+            try:
+                self.run_once()
+            except Exception:  # noqa: BLE001 — keep forwarding
+                self.errors += 1
+            stop.wait(interval_s)

@@ -159,6 +159,7 @@ def scrape_pass(
             if status is not None:
                 status[tgt.url] = {
                     "health": "down", "lastScrapeMs": now, "lastError": str(e),
+                    "job": tgt.job, "labels": tl,
                 }
             continue
         ok += 1
@@ -168,6 +169,7 @@ def scrape_pass(
         if status is not None:
             status[tgt.url] = {
                 "health": "up", "lastScrapeMs": now, "lastError": "",
+                "job": tgt.job, "labels": tl,
             }
         lines = spark.createDataFrame(
             [(ln,) for ln in text.splitlines()] or [("",)], "line string"
@@ -216,71 +218,207 @@ def scrape_loop(
 
 
 @dataclass
+class FileSD:
+    """One `file_sd_configs` entry (discovery/file/file.go): target
+    groups live in JSON/YAML files the operator edits (or another
+    system writes); the scraper re-reads them so targets come and go
+    WITHOUT a restart. Re-read triggers: `refresh_interval` elapsed
+    (upstream's timer, default 5m) or any file's mtime changed
+    (upstream's fsnotify analog — a stat per pass, so an edit lands in
+    the NEXT scrape pass)."""
+
+    files: tuple[str, ...]
+    refresh_ms: int = 300_000
+    # runtime cache (not config)
+    _groups: list = field(default_factory=list, compare=False)
+    _mtimes: dict = field(default_factory=dict, compare=False)
+    _last_read_ms: int = field(default=-1, compare=False)
+
+    def _paths(self) -> list[str]:
+        import glob as _glob
+
+        out: list[str] = []
+        for pat in self.files:
+            out.extend(sorted(_glob.glob(pat)))
+        return out
+
+    def groups(self, now_ms: int) -> list[dict]:
+        """Current target groups ({"targets": [...], "labels": {...}}),
+        re-reading files when stale. Unreadable/unparseable files keep
+        the previous groups (upstream keeps serving the last good
+        read)."""
+        import os as _os
+
+        import yaml
+
+        paths = self._paths()
+        mtimes = {}
+        for p in paths:
+            try:
+                mtimes[p] = _os.stat(p).st_mtime_ns
+            except OSError:
+                pass
+        fresh = (
+            self._last_read_ms >= 0
+            and now_ms - self._last_read_ms < self.refresh_ms
+            and mtimes == self._mtimes
+        )
+        if fresh:
+            return self._groups
+        groups: list[dict] = []
+        ok = True
+        for p in paths:
+            try:
+                with open(p) as f:
+                    doc = yaml.safe_load(f)  # JSON is a YAML subset
+            except (OSError, yaml.YAMLError):
+                ok = False
+                continue
+            for g in doc or []:
+                groups.append({
+                    "targets": list(g.get("targets", [])),
+                    "labels": dict(g.get("labels") or {}),
+                })
+        if ok or not self._groups:
+            self._groups = groups
+        self._mtimes = mtimes
+        self._last_read_ms = now_ms
+        return self._groups
+
+
+def _static_targets(groups: list[dict], job: str) -> list[Target]:
+    """static_configs-shaped groups → Targets. A bare "host:port"
+    target becomes http://host:port/metrics (__scheme__/
+    __metrics_path__ defaults); full URLs pass through."""
+    targets: list[Target] = []
+    for group in groups:
+        extra = tuple(sorted((group.get("labels") or {}).items()))
+        for t in group.get("targets", []):
+            url = t if "://" in t else f"http://{t}/metrics"
+            targets.append(Target(url=url, job=job, instance=t, labels=extra))
+    return targets
+
+
+@dataclass
 class ScrapeJob:
-    """One resolved scrape_configs entry: targets already through
-    SD-time relabeling, with the job's cadence and metric rule chain."""
+    """One resolved scrape_configs entry: static targets already
+    through SD-time relabeling, file-SD sources resolved per pass
+    (resolve_targets), with the job's cadence and metric rule chain."""
 
     name: str
     targets: list[Target]
     interval_ms: int = 15_000
     honor_labels: bool = False
     metric_relabel: list = field(default_factory=list)
+    #: SD-time relabel_configs, kept so dynamically-discovered targets
+    #: go through the same chain the statics did at load
+    target_relabel: list = field(default_factory=list)
+    file_sd: list[FileSD] = field(default_factory=list)
+
+    def resolve_targets(self, spark, now_ms: int | None = None) -> list[Target]:
+        """The job's CURRENT target list: pre-relabeled statics plus
+        file-SD targets (re-read when stale, relabeled now)."""
+        if not self.file_sd:
+            return self.targets
+        if now_ms is None:
+            now_ms = int(time.time() * 1000)
+        groups: list[dict] = []
+        for sd in self.file_sd:
+            groups.extend(sd.groups(now_ms))
+        dyn = _static_targets(groups, self.name)
+        if dyn and self.target_relabel:
+            from tsdb_spark.relabel import relabel_targets
+
+            dyn = relabel_targets(spark, dyn, self.target_relabel)
+        return self.targets + dyn
 
 
-def load_scrape_config(spark, path: str) -> list[ScrapeJob]:
-    """Parse an upstream-style `scrape_configs:` YAML block
-    (prometheus.yml's config surface — job_name, scrape_interval,
-    honor_labels, static_configs with per-group labels,
-    relabel_configs applied at load like SD-time target relabeling,
-    metric_relabel_configs carried for scrape time). A bare
-    "host:port" target becomes http://host:port/metrics
-    (__scheme__/__metrics_path__ defaults); full URLs pass through."""
-    import yaml
+def _relabel_rules(sc: dict, key: str) -> list:
+    from tsdb_spark.relabel import RelabelConfig
 
+    out = []
+    for r in sc.get(key, []) or []:
+        kw = dict(r)
+        if "source_labels" in kw:
+            kw["source_labels"] = tuple(kw["source_labels"])
+        out.append(RelabelConfig(**kw))
+    return out
+
+
+def _duration_ms(v, default_ms: int) -> int:
     from tsdb_spark.promql import parse_duration
-    from tsdb_spark.relabel import RelabelConfig, relabel_targets
 
-    with open(path) as f:
-        raw = yaml.safe_load(f) or {}
+    if v is None:
+        return default_ms
+    return parse_duration(v) if isinstance(v, str) else int(v)
+
+
+def scrape_jobs_from(
+    spark, raw: dict, default_interval_ms: int = 15_000,
+    base_dir: str = ".",
+) -> list[ScrapeJob]:
+    """`scrape_configs:` blocks of an already-parsed prometheus.yml →
+    ScrapeJobs (job_name, scrape_interval falling back to the global
+    default, honor_labels, static_configs with per-group labels,
+    file_sd_configs with refresh, relabel_configs applied to statics at
+    load and to file-SD targets at resolve time,
+    metric_relabel_configs carried for scrape time). Relative file-SD
+    patterns resolve against the config file's directory, like
+    upstream."""
+    import os as _os
+
+    from tsdb_spark.relabel import relabel_targets
+
     jobs: list[ScrapeJob] = []
     for sc in raw.get("scrape_configs", []):
         name = sc.get("job_name", "scrape")
-        interval = sc.get("scrape_interval", "15s")
-        interval_ms = (
-            parse_duration(interval) if isinstance(interval, str) else int(interval)
+        interval_ms = _duration_ms(
+            sc.get("scrape_interval"), default_interval_ms
         )
-        targets: list[Target] = []
-        for group in sc.get("static_configs", []):
-            extra = tuple(sorted((group.get("labels") or {}).items()))
-            for t in group.get("targets", []):
-                url = t if "://" in t else f"http://{t}/metrics"
-                instance = t if "://" not in t else t
-                targets.append(
-                    Target(url=url, job=name, instance=instance, labels=extra)
-                )
-
-        def _rules(key: str) -> list:
-            out = []
-            for r in sc.get(key, []) or []:
-                kw = dict(r)
-                if "source_labels" in kw:
-                    kw["source_labels"] = tuple(kw["source_labels"])
-                out.append(RelabelConfig(**kw))
-            return out
-
-        target_rules = _rules("relabel_configs")
-        if target_rules:
+        targets = _static_targets(sc.get("static_configs", []), name)
+        target_rules = _relabel_rules(sc, "relabel_configs")
+        if targets and target_rules:
             targets = relabel_targets(spark, targets, target_rules)
+        file_sd = [
+            FileSD(
+                files=tuple(
+                    f if _os.path.isabs(f) else _os.path.join(base_dir, f)
+                    for f in fsd.get("files", [])
+                ),
+                refresh_ms=_duration_ms(
+                    fsd.get("refresh_interval"), 300_000
+                ),
+            )
+            for fsd in sc.get("file_sd_configs", []) or []
+        ]
         jobs.append(
             ScrapeJob(
                 name=name,
                 targets=targets,
                 interval_ms=interval_ms,
                 honor_labels=bool(sc.get("honor_labels", False)),
-                metric_relabel=_rules("metric_relabel_configs"),
+                metric_relabel=_relabel_rules(sc, "metric_relabel_configs"),
+                target_relabel=target_rules,
+                file_sd=file_sd,
             )
         )
     return jobs
+
+
+def load_scrape_config(spark, path: str) -> list[ScrapeJob]:
+    """Parse an upstream-style `scrape_configs:` YAML file. (The FULL
+    prometheus.yml surface — global/rule_files/alerting/remote_write —
+    is config.load_config; this entry point keeps the scrape-only
+    contract.)"""
+    import os as _os
+
+    import yaml
+
+    with open(path) as f:
+        raw = yaml.safe_load(f) or {}
+    return scrape_jobs_from(
+        spark, raw, base_dir=_os.path.dirname(_os.path.abspath(path))
+    )
 
 
 def scrape_config_pass(
@@ -293,19 +431,29 @@ def scrape_config_pass(
 ) -> int:
     """One pass over every job of a loaded scrape config (each job has
     its own honor_labels / metric rule chain, so each runs its own
-    scrape_pass — still one distributed append per job)."""
+    scrape_pass — still one distributed append per job). File-SD jobs
+    re-resolve their target lists first, so /api/v1/targets (`status`)
+    reflects targets added/removed by a file edit: stale entries for
+    URLs no longer discovered are pruned."""
     ok = 0
+    current_urls: set[str] = set()
     for job in jobs:
-        if not job.targets:
+        targets = job.resolve_targets(spark, scrape_time_ms)
+        current_urls.update(t.url for t in targets)
+        if not targets:
             continue
         ok += scrape_pass(
             spark,
             db,
-            job.targets,
+            targets,
             scrape_time_ms=scrape_time_ms,
             honor_labels=job.honor_labels,
             status=status,
             relabel_configs=job.metric_relabel or None,
             metadata=metadata,
         )
+    if status is not None:
+        for url in list(status):
+            if url not in current_urls:
+                del status[url]
     return ok

@@ -498,8 +498,6 @@ def push_remote_write(
     The read collects to the driver (it IS the client here, like every
     HTTP serving path); windows larger than driver memory should be
     pushed in multiple [mint, maxt) slices."""
-    import urllib.request
-
     rows = (
         db.querier(mint, maxt)
         .select(matchers or [])
@@ -513,6 +511,17 @@ def push_remote_write(
             (r["t"], r["v"])
         )
     series = [(lab, sorted(samps)) for lab, samps in (by[k] for k in sorted(by))]
+    return _post_series_batches(url, series, batch_series, timeout_s)
+
+
+def _post_series_batches(
+    url: str, series: list, batch_series: int, timeout_s: float
+) -> int:
+    """POST v1 WriteRequest bodies in sender-style batches. `series` is
+    [(labels_dict, [(t, v), ...])]. Returns samples sent; raises OSError
+    on a non-2xx (the caller's retry unit is the whole pass)."""
+    import urllib.request
+
     sent = 0
     for i in range(0, len(series), batch_series):
         chunk = series[i : i + batch_series]
@@ -547,8 +556,6 @@ def push_remote_write_v2(
     sample type the 1.0 sender (push_remote_write) cannot. Returns
     samples + histogram samples sent. Driver-side collect bounded the
     same way as push_remote_write (slice large windows)."""
-    import urllib.request
-
     rows = (
         db.querier(mint, maxt)
         .select(matchers or [])
@@ -579,6 +586,10 @@ def push_remote_write_v2(
                     "zero_count": h["zero_count"],
                     "schema": h["schema"],
                     "buckets": [(b["idx"], b["c"]) for b in h["buckets"]],
+                    "custom_values": (
+                        list(h["custom_values"])
+                        if h["custom_values"] is not None else None
+                    ),
                 },
             )
         )
@@ -588,6 +599,17 @@ def push_remote_write_v2(
         e["samples"].sort()
         e["histograms"].sort(key=lambda x: x[0])
         series.append(e)
+    return _post_series_batches_v2(url, series, batch_series, timeout_s)
+
+
+def _post_series_batches_v2(
+    url: str, series: list, batch_series: int, timeout_s: float
+) -> int:
+    """POST rw2 bodies in sender-style batches. `series` is
+    [{"labels", "samples", "histograms"}]. Returns sample + histogram
+    entries sent; raises OSError on a non-2xx."""
+    import urllib.request
+
     sent = 0
     for i in range(0, len(series), batch_series):
         chunk = series[i : i + batch_series]
@@ -767,6 +789,7 @@ def _decode_histogram_v2(buf: bytes) -> tuple[int, dict]:
     neg_vals: list[float] = []
     pos_vals: list[float] = []
     neg_delta = pos_delta = False
+    custom_values: list[float] = []
     for field, wt, payload in _fields(buf):
         if field == 1 and wt == 0:
             count = float(payload)
@@ -804,6 +827,10 @@ def _decode_histogram_v2(buf: bytes) -> tuple[int, dict]:
             pos_delta = False
         elif field == 15 and wt == 0:
             t = _int64(payload)
+        elif field == 16 and wt == 2:
+            custom_values = _packed_doubles(payload)
+        elif field == 16 and wt == 1:  # unpacked fallback
+            custom_values.append(struct.unpack("<d", payload)[0])
         # field 5 zero_threshold / 14 reset_hint: dropped (see notes)
     buckets = _spans_to_buckets(pos_spans, pos_vals, pos_delta)
     neg_total = sum(c for _, c in _spans_to_buckets(neg_spans, neg_vals, neg_delta))
@@ -813,6 +840,7 @@ def _decode_histogram_v2(buf: bytes) -> tuple[int, dict]:
         "zero_count": float(zero_count) + neg_total,
         "schema": int(schema),
         "buckets": buckets,
+        "custom_values": custom_values or None,
     }
 
 
@@ -926,6 +954,10 @@ def _encode_histogram_v2(t: int, h: dict) -> bytes:
     if counts:
         _put_field(hb, 13, 2, struct.pack(f"<{len(counts)}d", *counts))
     _put_field(hb, 15, 0, t & ((1 << 64) - 1))
+    cv = h.get("custom_values")
+    if cv:
+        # NHCB custom bounds (schema -53), repeated double field 16
+        _put_field(hb, 16, 2, struct.pack(f"<{len(cv)}d", *[float(b) for b in cv]))
     return bytes(hb)
 
 
@@ -1029,6 +1061,7 @@ def backfill_remote_write_v2(spark, path: str):
                                     {"idx": int(i), "c": float(c)}
                                     for i, c in h["buckets"]
                                 ],
+                                "custom_values": h.get("custom_values"),
                             }
                         )
             yield pd.DataFrame(
