@@ -378,3 +378,86 @@ def test_cross_append_later_ingest_wins(spark, tmp_path, hist_frame):
     back = db.hist_frame(0, 100_000).collect()
     assert len(back) == 2  # one histogram per series, no duplicates
     assert all(r["h"]["count"] == 77.0 for r in back)
+
+
+# ---------------- NHCB: custom-bucket histograms (schema -53) --------
+
+
+def test_build_custom_histograms_and_quantile(spark):
+    """build_custom_histograms buckets by classic le bounds
+    (upper-inclusive, overflow at len(bounds)); hist_quantile over
+    schema -53 reproduces classic bucketQuantile: interpolation from 0
+    in the first bucket, last finite bound for the +Inf bucket."""
+    from tsdb_spark.nativehist import build_custom_histograms, hist_quantile
+
+    vals = [0.05, 0.1, 0.3, 0.5, 0.9, 1.0, 2.5, 7.0]
+    rows = [({"__name__": "rt"}, 1_000 + i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        rows, "labels MAP<STRING,STRING>, t LONG, v DOUBLE"
+    ).withColumn("labels_str", L.labels_str_expr("labels"))
+    out = build_custom_histograms(df, STEP, [0.1, 0.5, 1.0])
+    [row] = out.collect()
+    h = row["h"]
+    assert h["schema"] == -53
+    assert list(h["custom_values"]) == [0.1, 0.5, 1.0]
+    # 0.05,0.1 <= 0.1 -> idx0; 0.3,0.5 -> idx1; 0.9,1.0 -> idx2;
+    # 2.5,7.0 -> overflow idx3
+    assert [(b["idx"], b["c"]) for b in h["buckets"]] == [
+        (0, 2.0), (1, 2.0), (2, 2.0), (3, 2.0)
+    ]
+    assert h["count"] == 8.0 and h["zero_count"] == 0.0
+
+    hq = out.select(
+        hist_quantile(0.5, F.col("h")).alias("q50"),
+        hist_quantile(0.25, F.col("h")).alias("q25"),
+        hist_quantile(0.125, F.col("h")).alias("q125"),
+        hist_quantile(1.0, F.col("h")).alias("q100"),
+    ).collect()[0]
+    # rank 4 of 8: cum 2 -> bucket (0.1,0.5]: 0.1 + 0.4*(4-2)/2 = 0.5
+    assert math.isclose(hq["q50"], 0.5)
+    # rank 2: exactly closes bucket 0 -> upper bound 0.1 (from 0)
+    assert math.isclose(hq["q25"], 0.1)
+    # rank 1: first bucket interpolates from 0 -> 0.05
+    assert math.isclose(hq["q125"], 0.05)
+    # rank 8 lands in the +Inf overflow bucket -> last finite bound
+    assert math.isclose(hq["q100"], 1.0)
+
+
+def test_nhcb_store_roundtrip_and_legacy_shim(spark, tmp_path):
+    """NHCB bounds survive the store (append_histograms → hist_frame),
+    and a pre-NHCB 5-field struct producer is normalized to the 6-field
+    HIST_TYPE at append (custom_values NULL)."""
+    from tsdb_spark import DB
+    from tsdb_spark.nativehist import build_custom_histograms
+
+    db = DB.create(spark, str(tmp_path / "db"), block_width_ms=60_000)
+    rows = [({"__name__": "rt"}, 1_000 + i, float(v))
+            for i, v in enumerate([1, 5, 20])]
+    df = spark.createDataFrame(
+        rows, "labels MAP<STRING,STRING>, t LONG, v DOUBLE"
+    ).withColumn("labels_str", L.labels_str_expr("labels"))
+    db.append_histograms(
+        build_custom_histograms(df, STEP, [2.0, 10.0]).select(
+            "labels", "t", "h"
+        )
+    )
+    # legacy producer: Column struct WITHOUT custom_values
+    legacy = spark.createDataFrame(
+        [({"__name__": "old"}, 9_000)], "labels MAP<STRING,STRING>, t LONG"
+    ).select(
+        "labels", "t",
+        F.struct(
+            F.lit(3.0).alias("count"), F.lit(6.0).alias("sum"),
+            F.lit(0.0).alias("zero_count"), F.lit(0).alias("schema"),
+            F.expr(
+                "array(named_struct('idx', 1, 'c', 3.0d))"
+            ).alias("buckets"),
+        ).alias("h"),
+    )
+    db.append_histograms(legacy)
+    back = {r["labels"]["__name__"]: r["h"]
+            for r in db.hist_frame(0, 100_000).collect()}
+    assert list(back["rt"]["custom_values"]) == [2.0, 10.0]
+    assert back["rt"]["schema"] == -53
+    assert back["old"]["custom_values"] is None
+    assert back["old"]["count"] == 3.0

@@ -707,8 +707,21 @@ class DB:
         self._check_writable()
         seq = self.meta["next_ingest_seq"]
         width = self.block_width_ms
+        h_col = F.col("h")
+        h_fields = rows.schema["h"].dataType.fieldNames()
+        if "custom_values" not in h_fields:
+            # normalize pre-NHCB producers (5-field structs) to the
+            # 6-field HIST_TYPE so the stored table is uniform
+            h_col = F.struct(
+                h_col.getField("count").alias("count"),
+                h_col.getField("sum").alias("sum"),
+                h_col.getField("zero_count").alias("zero_count"),
+                h_col.getField("schema").alias("schema"),
+                h_col.getField("buckets").alias("buckets"),
+                F.lit(None).cast("array<double>").alias("custom_values"),
+            )
         rows = rows.select(
-            "labels", F.col("t").cast("long").alias("t"), "h"
+            "labels", F.col("t").cast("long").alias("t"), h_col.alias("h")
         ).withColumn("series_id", L.series_id_expr("labels"))
         rows = rows.persist(StorageLevel.MEMORY_AND_DISK)
         try:

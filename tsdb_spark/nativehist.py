@@ -20,6 +20,16 @@ documented as the supported subset:
   the columnar analog of upstream's span+delta layout, which exists to
   compress the WIRE format; Parquet already delta/dict-encodes arrays.
 
+NHCB — custom-bucket native histograms (prometheus 3.x schema -53,
+model/histogram CustomBucketsSchema): `custom_values` carries the
+sorted upper bounds of a CLASSIC histogram converted to the native
+representation (the convert_classic_histograms_to_nhcb scrape flag /
+rw2 interop). Bucket `idx` is 0-based into custom_values — bucket i
+covers (custom_values[i-1], custom_values[i]] with the first bucket
+open below, and idx == len(custom_values) is the +Inf overflow bucket
+(upstream stores no +Inf bound). zero bucket unused (zero_count 0).
+For exponential histograms custom_values is NULL.
+
 Everything below is pure Column algebra (no UDFs): construction is two
 map-side-combinable groupBys; the quantile is one `aggregate` fold over
 the (short) bucket array inside whole-stage codegen.
@@ -32,8 +42,18 @@ from pyspark.sql import functions as F
 
 HIST_TYPE = (
     "STRUCT<count: DOUBLE, sum: DOUBLE, zero_count: DOUBLE, "
-    "schema: INT, buckets: ARRAY<STRUCT<idx: INT, c: DOUBLE>>>"
+    "schema: INT, buckets: ARRAY<STRUCT<idx: INT, c: DOUBLE>>, "
+    "custom_values: ARRAY<DOUBLE>>"
 )
+
+#: model/histogram CustomBucketsSchema — the sentinel schema marking a
+#: custom-bucket (NHCB) histogram
+CUSTOM_BUCKETS_SCHEMA = -53
+
+def no_custom_values() -> Column:
+    """The custom_values expression producers append for exponential
+    histograms (NULL — only NHCB carries bounds)."""
+    return F.lit(None).cast("array<double>")
 
 
 def bucket_idx(v: Column, schema: int = 0) -> Column:
@@ -165,6 +185,71 @@ def build_histograms(
                 F.col("_zero").alias("zero_count"),
                 F.lit(schema).alias("schema"),
                 F.col("_buckets").alias("buckets"),
+                no_custom_values().alias("custom_values"),
+            ).cast(HIST_TYPE).alias("h"),
+        )
+    )
+
+
+def custom_bucket_idx(v: Column, bounds: list[float]) -> Column:
+    """NHCB bucket index of a value over classic `le` upper bounds:
+    the number of bounds strictly below v — v <= bounds[0] → 0,
+    v > bounds[-1] → len(bounds) (the +Inf overflow bucket). Upper-
+    inclusive like classic le buckets."""
+    arr = F.array(*[F.lit(float(b)) for b in bounds])
+    return F.size(F.filter(arr, lambda b: b < v)).cast("int")
+
+
+def build_custom_histograms(
+    samples: DataFrame, width_ms: int, bounds: list[float]
+) -> DataFrame:
+    """Aggregate raw float samples into NHCB histograms (schema -53)
+    over explicit classic bounds — the engine-side analog of upstream's
+    classic→NHCB conversion. Same two-groupBy shape as
+    build_histograms; every value (zero/negative included) lands in a
+    custom bucket, so the zero bucket stays 0 like upstream NHCB."""
+    bounds = sorted(float(b) for b in bounds)
+    per_bucket = (
+        samples.withColumn(
+            "_th",
+            (F.col("t") - F.pmod(F.col("t"), F.lit(width_ms)) + width_ms).cast(
+                "long"
+            ),
+        )
+        .withColumn("_idx", custom_bucket_idx(F.col("v"), bounds))
+        .groupBy("labels_str", "_th", "_idx")
+        .agg(
+            F.first("labels").alias("labels"),
+            F.count("*").cast("double").alias("_c"),
+            F.sum("v").alias("_s"),
+        )
+    )
+    cv = F.array(*[F.lit(b) for b in bounds])
+    return (
+        per_bucket.groupBy("labels_str", "_th")
+        .agg(
+            F.first("labels").alias("labels"),
+            F.sum("_c").alias("_count"),
+            F.sum("_s").alias("_sum"),
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("_idx").alias("idx"), F.col("_c").alias("c")
+                    )
+                )
+            ).alias("_buckets"),
+        )
+        .select(
+            "labels_str",
+            "labels",
+            F.col("_th").alias("t"),
+            F.struct(
+                F.col("_count").alias("count"),
+                F.col("_sum").alias("sum"),
+                F.lit(0.0).alias("zero_count"),
+                F.lit(CUSTOM_BUCKETS_SCHEMA).alias("schema"),
+                F.col("_buckets").alias("buckets"),
+                cv.alias("custom_values"),
             ).cast(HIST_TYPE).alias("h"),
         )
     )
@@ -192,7 +277,13 @@ def hist_quantile(phi: float, h: Column) -> Column:
     bucket's bounds. phi < 0 → -Inf, phi > 1 → +Inf (upstream edge
     rules); rank inside the zero bucket → 0 (zero_threshold == 0 in
     this engine's subset). One `aggregate` fold over the sorted sparse
-    bucket array — short, data-independent, codegen'd."""
+    bucket array — short, data-independent, codegen'd.
+
+    NHCB (schema -53): bucket bounds come from `custom_values` instead
+    of the exponential mapping, with the classic bucketQuantile rules
+    (promql/quantile.go): rank in the +Inf overflow bucket returns the
+    last finite bound; rank in the first bucket interpolates from 0
+    (unless its upper bound is <= 0, which returns the bound)."""
     if phi < 0:
         return F.lit(float("-inf"))
     if phi > 1:
@@ -200,11 +291,26 @@ def hist_quantile(phi: float, h: Column) -> Column:
     count = h.getField("count")
     zero = h.getField("zero_count")
     sch = h.getField("schema")
+    cv = h.getField("custom_values")
+    is_custom = sch == F.lit(CUSTOM_BUCKETS_SCHEMA)
     rank = F.lit(float(phi)) * count
     two_pow_schema = F.pow(F.lit(2.0), sch.cast("double"))
 
     def upper(idx):
-        return F.pow(F.lit(2.0), idx.cast("double") / two_pow_schema)
+        exp = F.pow(F.lit(2.0), idx.cast("double") / two_pow_schema)
+        return F.when(
+            is_custom,
+            F.when(idx < F.size(cv), F.element_at(cv, idx + 1)).otherwise(
+                F.lit(float("inf"))
+            ),
+        ).otherwise(exp)
+
+    def lower(idx):
+        exp = F.pow(F.lit(2.0), (idx - 1).cast("double") / two_pow_schema)
+        return F.when(
+            is_custom,
+            F.when(idx <= 0, F.lit(0.0)).otherwise(F.element_at(cv, idx)),
+        ).otherwise(exp)
 
     init = F.struct(
         zero.alias("cum"),
@@ -213,9 +319,21 @@ def hist_quantile(phi: float, h: Column) -> Column:
 
     def step(acc, b):
         cum2 = acc.getField("cum") + b.getField("c")
-        lo = upper(b.getField("idx") - 1)
-        hi = upper(b.getField("idx"))
+        idx = b.getField("idx")
+        lo = lower(idx)
+        hi = upper(idx)
         interp = lo + (hi - lo) * (rank - acc.getField("cum")) / b.getField("c")
+        # NHCB edge rules (classic bucketQuantile): the +Inf overflow
+        # bucket answers the last finite bound; a first bucket whose
+        # upper bound is <= 0 answers the bound itself
+        interp = (
+            F.when(
+                is_custom & (idx >= F.size(cv)),
+                F.element_at(cv, F.size(cv)),
+            )
+            .when(is_custom & (idx == 0) & (hi <= 0), hi)
+            .otherwise(interp)
+        )
         return F.when(acc.getField("q").isNotNull(), acc).otherwise(
             F.struct(
                 cum2.alias("cum"),
@@ -286,6 +404,8 @@ def hist_sub(last: Column, first: Column, factor) -> Column:
         ).alias("zero_count"),
         last.getField("schema").alias("schema"),
         buckets.alias("buckets"),
+        # custom bounds are series-constant; the difference keeps them
+        last.getField("custom_values").alias("custom_values"),
     )
 
 

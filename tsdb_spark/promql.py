@@ -2830,6 +2830,10 @@ class RangeQuery:
             F.sum("h.sum").alias("_sum"),
             F.sum("h.zero_count").alias("_zero"),
             F.first("h.schema").alias("_schema"),
+            # NHCB: custom bounds are required-identical across summed
+            # histograms upstream (mismatch is an error); the engine's
+            # subset carries the group's first bounds
+            F.first("h.custom_values").alias("_cv"),
         )
         ex = flat.select(*by, F.col(_G), F.explode("h.buckets").alias("_b"))
         bk = (
@@ -2854,6 +2858,7 @@ class RangeQuery:
             F.col("_zero").alias("zero_count"),
             F.col("_schema").alias("schema"),
             F.coalesce(F.col("_buckets"), empty_b).alias("buckets"),
+            F.col("_cv").alias("custom_values"),
         )
         kv = [x for k in by for x in (F.lit(k), _colref(k).cast("string"))]
         m = (
@@ -3467,10 +3472,20 @@ def collect_annotations(
             )
         if isinstance(n, HistQuantile) and isinstance(n.child, Selector):
             name = _name_matcher_value(n.child) or ""
+            # the probe window is the selector's OWN pruned window —
+            # offset shifts it like the evaluator's read does; `le` is
+            # a series property, so dedup by series (labels_str) before
+            # projecting the label value out of the map
+            off = n.child.offset_ms
             les = (
-                db.querier(start - lookback_ms, end)
+                db.querier(start - lookback_ms - off, end - off)
                 .select(list(n.child.matchers), with_labels=True)
-                .select(F.element_at("labels", F.lit("le")).alias("le"))
+                .select(
+                    "labels_str",
+                    F.element_at("labels", F.lit("le")).alias("le"),
+                )
+                .dropDuplicates(["labels_str"])
+                .select("le")
                 .distinct()
                 .collect()
             )

@@ -950,6 +950,83 @@ _QQ["store_native_hist"].oracle = _QQ["promql_native_hist"].oracle
 
 
 @register(
+    "store_nhcb_quantile",
+    _with_prelude(
+        f"""
+, c AS (SELECT labels_str, t, v FROM samples WHERE event_type = 'click'),
+hb AS (SELECT labels_str, t - (t % {DAY}) + {DAY} AS th,
+         CASE WHEN v <= 40 THEN 0 WHEN v <= 80 THEN 1
+              WHEN v <= 120 THEN 2 ELSE 3 END AS idx
+       FROM c),
+bk AS (SELECT labels_str, th, idx, CAST(count(*) AS DOUBLE) AS cnt
+       FROM hb GROUP BY 1, 2, 3),
+h AS (SELECT labels_str, th, sum(cnt) AS hcount FROM bk GROUP BY 1, 2),
+cm AS (SELECT labels_str, th, idx, cnt,
+         sum(cnt) OVER (PARTITION BY labels_str, th ORDER BY idx
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cumc
+       FROM bk),
+j AS (SELECT cm.*, h.hcount, p.phi, p.phi * h.hcount AS rnk
+      FROM cm JOIN h USING (labels_str, th)
+      CROSS JOIN (SELECT 0.5 AS phi UNION ALL SELECT 0.9) p),
+pk AS (SELECT labels_str, th, phi, min(idx) AS pidx
+       FROM j WHERE cumc >= rnk GROUP BY 1, 2, 3),
+iq AS (SELECT j.labels_str, j.th, j.phi,
+         CASE WHEN j.idx = 3 THEN 120.0
+              ELSE (CASE j.idx WHEN 0 THEN 0.0 WHEN 1 THEN 40.0
+                               WHEN 2 THEN 80.0 END)
+                   + ((CASE j.idx WHEN 0 THEN 40.0 WHEN 1 THEN 80.0
+                                  WHEN 2 THEN 120.0 END)
+                      - (CASE j.idx WHEN 0 THEN 0.0 WHEN 1 THEN 40.0
+                                    WHEN 2 THEN 80.0 END))
+                     * (j.rnk - (j.cumc - j.cnt)) / j.cnt
+         END AS qi
+       FROM j JOIN pk ON pk.labels_str = j.labels_str AND pk.th = j.th
+                     AND pk.phi = j.phi AND j.idx = pk.pidx),
+qv AS (SELECT iq.labels_str, iq.th,
+         max(CASE WHEN iq.phi = 0.5 THEN iq.qi END) AS q50,
+         max(CASE WHEN iq.phi = 0.9 THEN iq.qi END) AS q90
+       FROM iq GROUP BY 1, 2),
+um AS (SELECT DISTINCT labels_str, user_lbl, k_bucket FROM samples)
+SELECT '{{{{' || CASE WHEN k_bucket = 'high' THEN 'k_bucket="high",' ELSE '' END
+       || 'user="' || user_lbl || '"}}}}' AS labels_str,
+       th AS t, round(q50, 9) AS q50, round(q90, 9) AS q90,
+       h.hcount AS cnt
+FROM qv JOIN h USING (labels_str, th) JOIN um USING (labels_str)
+WHERE th BETWEEN {T0 + DAY} AND {T0 + 15 * DAY}"""
+    ),
+    "NHCB custom-bucket native histograms (prometheus 3.x schema -53, "
+    "model/histogram CustomBucketsSchema) THROUGH THE STORE: daily "
+    "histograms of raw click values over classic le bounds "
+    "[40, 80, 120] (nativehist.build_custom_histograms — upper-"
+    "inclusive buckets, +Inf overflow at idx len(bounds), bounds "
+    "persisted in the h struct's custom_values), appended via "
+    "DB.append_histograms and read back through the pruned hist_frame "
+    "path; histogram_quantile(0.5/0.9) then interpolates on the CUSTOM "
+    "grid per classic bucketQuantile (promql/quantile.go): first "
+    "bucket from 0, overflow answers the last finite bound. The oracle "
+    "replays the same bucketing + interpolation in SQL",
+)
+def store_nhcb_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tsdb_spark.promql import RangeQuery
+    from tsdb_spark.queries import _store
+
+    db = _store(spark, sf_dir, "nhcb")
+    frame = db.hist_frame(T0, T0 + 16 * DAY)
+    q = RangeQuery(frame, T0 + DAY, T0 + 15 * DAY, DAY, lookback_ms=DAY)
+    a = q.run("histogram_quantile(0.5, click)").select(
+        "labels_str", "t", F.round("value", 9).alias("q50")
+    )
+    b = q.run("histogram_quantile(0.9, click)").select(
+        "labels_str", "t", F.round("value", 9).alias("q90")
+    )
+    c = q.run("histogram_count(click)").select(
+        "labels_str", "t", F.col("value").alias("cnt")
+    )
+    return a.join(b, ["labels_str", "t"]).join(c, ["labels_str", "t"])
+
+
+@register(
     "promql_native_hist_fraction",
     _with_prelude(
         f"""

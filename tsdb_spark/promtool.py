@@ -41,11 +41,13 @@ def _duration_ms(v) -> int:
 # ------------------------------------------------------------ rule files
 
 
-def load_rule_file(path: str) -> list[dict]:
+def load_rule_file(path: str, default_interval_ms: int = 60_000) -> list[dict]:
     """Parse an upstream rules YAML (model/rulefmt RuleGroups) into the
     engine's group dicts: {"name", "file", "interval_ms", "rules":
     [Rule | AlertRule]} — the shape api.rules_payload / alerts_payload
-    serve."""
+    serve. Groups without their own `interval:` inherit
+    `default_interval_ms` (the config's global evaluation_interval,
+    like upstream's Group defaulting)."""
     import yaml
 
     with open(path) as f:
@@ -77,7 +79,8 @@ def load_rule_file(path: str) -> list[dict]:
             {
                 "name": g.get("name", ""),
                 "file": path,
-                "interval_ms": _duration_ms(g.get("interval")) or 60_000,
+                "interval_ms": _duration_ms(g.get("interval"))
+                or default_interval_ms,
                 "rules": rules,
             }
         )
@@ -609,19 +612,25 @@ def _parse_hist_literal(tok: str) -> tuple[dict, int]:
     """'{{schema:0 sum:12 count:4 buckets:[1 2 1]}}x5' → (h struct dict,
     repeat count). Supported fields (the engine's positive-bucket
     subset, nativehist.py): schema, sum, count, z_bucket (zero_count),
-    offset (index of the first bucket), buckets:[...]."""
+    offset (index of the first bucket), buckets:[...], and NHCB
+    custom_values:[...] (schema -53 — promqltest's
+    `{{schema:-53 custom_values:[...] buckets:[...]}}` form, where
+    buckets index the custom bounds 0-based)."""
     m = re.fullmatch(r"\{\{([^}]*)\}\}(?:x(\d+))?", tok)
     if m is None:
         raise ValueError(f"bad histogram literal: {tok!r}")
     # like the float expanding notation, xN emits N+1 samples
     body, rep = m.group(1), int(m.group(2) or 0) + 1
-    h = {"count": 0.0, "sum": 0.0, "zero_count": 0.0, "schema": 0}
+    h = {"count": 0.0, "sum": 0.0, "zero_count": 0.0, "schema": 0,
+         "custom_values": None}
     buckets: list[float] = []
     offset = 0
     for fm in re.finditer(r"(\w+):(\[[^\]]*\]|\S+)", body):
         key, val = fm.group(1), fm.group(2)
         if key == "buckets":
             buckets = [float(x) for x in val[1:-1].split()]
+        elif key == "custom_values":
+            h["custom_values"] = [float(x) for x in val[1:-1].split()]
         elif key == "schema":
             h["schema"] = int(val)
         elif key == "offset":
@@ -637,6 +646,8 @@ def _parse_hist_literal(tok: str) -> tuple[dict, int]:
     h["buckets"] = [
         (offset + k, c) for k, c in enumerate(buckets) if c != 0.0
     ]
+    if h["custom_values"] is not None and h["schema"] != -53:
+        raise ValueError(f"custom_values requires schema:-53 in {tok!r}")
     return h, rep
 
 
@@ -707,6 +718,7 @@ def run_promql_tests(spark, path: str, tmp_dir: str | None = None) -> list[str]:
                                         h["zero_count"],
                                         h["schema"],
                                         h["buckets"],
+                                        h.get("custom_values"),
                                     ),
                                 )
                             )

@@ -651,6 +651,7 @@ def backfill_otlp(spark, path: str):
                                 {"idx": int(i), "c": float(c)}
                                 for i, c in h["buckets"]
                             ],
+                            "custom_values": None,
                         }
                     )
             yield pd.DataFrame(

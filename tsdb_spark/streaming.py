@@ -357,6 +357,7 @@ def hist_ingest_stream(
                     F.col("_zero").alias("zero_count"),
                     F.lit(0).alias("schema"),
                     F.col("_buckets").alias("buckets"),
+                    F.lit(None).cast("array<double>").alias("custom_values"),
                 ).alias("h"),
             )
         )
