@@ -466,6 +466,10 @@ def tsdb_intervals_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
 # =====================================================================
 
 STORE_WIDTH_MS = 21_600_000  # 6h blocks, matching the block_stats oracle
+
+#: classic le bounds for the NHCB store scenario (shared with the
+#: store_nhcb_quantile oracle, which hard-codes the same three values)
+NHCB_BOUNDS = [40.0, 80.0, 120.0]
 #: keyed by (session id, scenario, sf_dir): DB handles embed the session
 #: that opened them — a recreated driver session must rebuild its stores
 _STORES: dict[tuple, DB] = {}
@@ -557,6 +561,16 @@ def _store(spark: SparkSession, sf_dir: str, scenario: str) -> DB:
             .withColumn("v", F.round(F.col("v") * 100))
         )
         hf = build_histograms(cents, DAY, idx_expr=int_bucket_idx(F.col("v")))
+        db.append_histograms(hf.select("labels", "t", "h"))
+    elif scenario == "nhcb":
+        # NHCB custom-bucket histograms (prometheus 3.x schema -53):
+        # daily histograms of raw click values over classic le bounds
+        from tsdb_spark.nativehist import build_custom_histograms
+
+        clicks = events_samples(spark, sf_dir).filter(
+            L.compile_matchers([L.eq("__name__", "click")])
+        )
+        hf = build_custom_histograms(clicks, DAY, NHCB_BOUNDS)
         db.append_histograms(hf.select("labels", "t", "h"))
     elif scenario == "rules":
         # recording rules: two layered rules — the second reads the
@@ -3458,10 +3472,24 @@ GATE: tuple[str, ...] = (
     # brand-new OTLP ingest roundtrip (store_otlp_ingest — the
     # OpenTelemetry wire format through backfill_otlp into both the
     # samples and histograms tables, sharing the rw2 oracle).
+    # r9 rotation (per the r8 verdict's explicit ask): OUT
+    # promql_subquery + promql_at_pin + api_federate_dedup (driver-
+    # green r6-r8) and store_openmetrics_backfill + store_exemplars
+    # (driver-green r6-r8) — all five stay selfcheck-verified against
+    # their oracles every round, plus pytest pins. IN:
+    # promql_alert_keep_firing (the keep_firing_for state machine),
+    # store_rollup_serve (rollup artifact serving), and the r8-new
+    # emb_ann_lsh_multiprobe + docs_cross_dedup_indexed (multi-probe
+    # LSH fan-out; persisted band-index probe under DPP) — with
+    # emb_ann_recall (driver-green r6-r8; the recall ladder is also
+    # soak-measured in SCALE.md) out instead of api_federate_dedup,
+    # which stays as the api-family slot. r9 session
+    # addition: the brand-new store_nhcb_quantile (NHCB custom-bucket
+    # native histograms, schema -53 — classic bounds through the store,
+    # quantile interpolation on the custom grid).
     "promql_rate_grid",
-    "promql_subquery",
-    "promql_at_pin",
     "promql_alert_rule",
+    "promql_alert_keep_firing",
     "promql_group_left_include",
     "promql_native_hist_rate",
     "api_federate_dedup",
@@ -3479,9 +3507,9 @@ GATE: tuple[str, ...] = (
     "store_otlp_ingest",
     "store_remote_read",
     "store_rules_backfill",
-    "store_openmetrics_backfill",
-    "store_exemplars",
+    "store_rollup_serve",
     "store_native_hist",
+    "store_nhcb_quantile",
     # -- streaming --
     "stream_ingest_restart",
     "stream_windowed_rollup",
@@ -3494,14 +3522,15 @@ GATE: tuple[str, ...] = (
     "docs_decontaminate",
     "docs_dedup_exact",
     "docs_dedup_minhash",
+    "docs_cross_dedup_indexed",
     "emb_semdedup",  # semantic dedup (simhash stays selfcheck-verified)
     "docs_dedup_clusters",
     "docs_pipeline_funnel",  # end-to-end funnel (subsumes the curation verdict; that stays selfcheck-verified)
     # -- embeddings pipeline --
     "emb_cosine_topk",
     "emb_ann_lsh",
+    "emb_ann_lsh_multiprobe",
     "emb_ann_ivf",
-    "emb_ann_recall",
     # -- multimodal pipeline --
     "mm_payload_features",
     "mm_audio_features",
