@@ -553,3 +553,45 @@ def test_band_index_probe_scan_has_band_id_partition_filter(spark, tmp_path):
     assert pf and any(
         "band_id" in ln and "dynamicpruning" in ln for ln in pf
     ), f"index scan lost the band_id partition filter: {pf!r}"
+
+
+def test_band_index_probe_large_batch_falls_back_to_shuffle_join(
+    spark, tmp_path
+):
+    # a batch whose band-row count exceeds the broadcast ceiling must
+    # NOT broadcast (an unconditional F.broadcast would blow the driver
+    # on a big ingest): the probe falls back to a shuffle equi-join on
+    # the same (band_id, band_key) keys — still never a nested loop.
+    # DPP is absent here by design: Spark prunes via broadcast reuse
+    # only, and an over-ceiling batch populates every band anyway.
+    from tsdb_spark.pipeline.bandindex import BandIndex
+
+    base = spark.createDataFrame(
+        [(i, f"document number {i} with some shared words {i % 3}")
+         for i in range(20)],
+        "doc_id LONG, text STRING",
+    )
+    idx = BandIndex.build(spark, base, str(tmp_path / "bidx2"))
+    batch = spark.createDataFrame(
+        [(100 + i, f"document number {i} with some shared words {i % 3}")
+         for i in range(4)],
+        "doc_id LONG, text STRING",
+    )
+    probe = idx.probe(batch, broadcast_row_limit=1)  # force the fallback
+    rows = probe.collect()
+    assert rows, "shuffle-path probe must still find candidates"
+    # the guarantee is that the broadcast is no longer FORCED: the
+    # logical plan carries no broadcast hint, so Catalyst/AQE sizes the
+    # join from statistics (this test's 4-doc batch still broadcasts by
+    # choice — at real over-ceiling scale it will not)
+    logical = probe._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in logical and "UnresolvedHint" not in logical
+    hinted = idx.probe(batch)._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" in hinted  # the small-batch path still hints
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # both plans answer identically
+    assert sorted(map(tuple, rows)) == sorted(
+        map(tuple, idx.probe(batch).collect())
+    )

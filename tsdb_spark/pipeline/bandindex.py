@@ -118,20 +118,41 @@ class BandIndex:
             sigs, self.meta["n_bands"], self.meta["rows_per_band"]
         ).withColumnRenamed("id", "doc_id")
 
+    #: batch band-row ceiling for the broadcast probe plan: above this
+    #: the batch side is too big to ship to every executor (row ≈ 16 B
+    #: payload + struct overhead; 4M rows ≈ low hundreds of MB
+    #: materialized) and the probe falls back to a shuffle equi-join
+    BROADCAST_ROW_LIMIT = 4_000_000
+
     def probe(
         self,
         new_corpus: DataFrame,
         text_col: str = "text",
         id_col: str = "doc_id",
         max_bucket: int | None = None,
+        broadcast_row_limit: int | None = None,
     ) -> DataFrame:
         """Candidate pairs (new_id, old_id) of an incoming batch
-        against the indexed corpus: sketch ONLY the batch, broadcast
-        its (band-count-bounded) band rows, and equi-join on
-        (band_id, band_key) — the partition column leads the join so
-        dynamic partition pruning pushes a band_id filter into the
-        index scan. `max_bucket` drops degenerate index buckets before
-        the join (the same skew guard as lsh_candidate_pairs)."""
+        against the indexed corpus: sketch ONLY the batch and equi-join
+        its band rows on (band_id, band_key) — the partition column
+        leads the join so dynamic partition pruning pushes a band_id
+        filter into the index scan. Batches whose band-row count
+        (docs × n_bands, counted before sketching) fits
+        `broadcast_row_limit` broadcast; larger ingests fall back to a
+        plain shuffle equi-join on the same keys (both plans asserted
+        in tests/test_plans.py). DPP is a broadcast-path optimization
+        by design: Spark only reuses a broadcast for pruning
+        (reuseBroadcastOnly), and a batch big enough to overflow the
+        broadcast ceiling populates every band anyway, so there is
+        nothing left to prune — the shuffle plan reads each band
+        partition exactly once. `max_bucket` drops degenerate index
+        buckets before the join (the same skew guard as
+        lsh_candidate_pairs)."""
+        limit = (
+            self.BROADCAST_ROW_LIMIT
+            if broadcast_row_limit is None
+            else broadcast_row_limit
+        )
         new_b = self._new_bands(new_corpus, text_col, id_col)
         old_b = self.bands()
         if max_bucket is not None:
@@ -143,9 +164,12 @@ class BandIndex:
                 .filter(F.col("_c") <= max_bucket)
                 .drop("_c")
             )
+        batch_band_rows = new_corpus.count() * self.meta["n_bands"]
+        left = new_b.withColumnRenamed("doc_id", "new_id")
+        if batch_band_rows <= limit:
+            left = F.broadcast(left)
         return (
-            F.broadcast(new_b.withColumnRenamed("doc_id", "new_id"))
-            .join(
+            left.join(
                 old_b.withColumnRenamed("doc_id", "old_id"),
                 ["band_id", "band_key"],
             )
