@@ -165,6 +165,13 @@ def main(argv: list[str] | None = None) -> int:
         "(the default, 2xx = committed); opens the store WRITABLE",
     )
     p_sv.add_argument(
+        "--write-buffer-spill",
+        help="with --write-buffer-ms: fsync queued batches to this "
+        "JSONL spill file before the 2xx (durable acks — the WAL "
+        "analog for the push path); on start, surviving batches "
+        "replay exactly once (content-hash dedup)",
+    )
+    p_sv.add_argument(
         "--enable-admin",
         action="store_true",
         help="unlock /api/v1/admin/tsdb/* (delete_series, "
@@ -554,8 +561,13 @@ def main(argv: list[str] | None = None) -> int:
         if args.write_buffer_ms > 0:
             from tsdb_spark.api import WriteBuffer
 
-            wbuf = WriteBuffer(db, flush_ms=args.write_buffer_ms)
-            print(f"write buffering: one append per {args.write_buffer_ms}ms")
+            wbuf = WriteBuffer(db, flush_ms=args.write_buffer_ms,
+                               spill_path=args.write_buffer_spill)
+            mode = "durable (spill)" if args.write_buffer_spill else "in-memory"
+            if wbuf.replayed:
+                print(f"write buffer replayed {wbuf.replayed} spilled entries")
+            print(f"write buffering ({mode}): one append per "
+                  f"{args.write_buffer_ms}ms")
         srv = serve(db, args.host, args.port, rule_groups=groups,
                     enable_admin=args.enable_admin,
                     scrape_targets=targets, scrape_status=scrape_status,

@@ -735,9 +735,20 @@ class WriteBuffer:
     that acks after an in-memory stage; the default serving path stays
     synchronous (buffer=None) where 2xx means committed. Opt in via
     `serve(..., write_buffer=WriteBuffer(db))` / `serve
-    --write-buffer-ms`."""
+    --write-buffer-ms`.
 
-    def __init__(self, db, flush_ms: int = 250, max_rows: int = 200_000):
+    `spill_path` upgrades the posture to DURABLE acks — the S8 WAL
+    analog for the push path: every add() fsyncs the batch to a JSONL
+    spill file before the handler 2xxes, flush() atomically rotates the
+    spill alongside the queue swap and deletes the rotated segment only
+    after the commit succeeds, and a restart replays whatever segments
+    survive (dedup by line content hash, so a batch journaled twice —
+    e.g. re-queued after a failed flush — ingests once; a crash BETWEEN
+    commit and segment delete re-appends samples the store's identical-
+    sample handling already accepts as no-ops)."""
+
+    def __init__(self, db, flush_ms: int = 250, max_rows: int = 200_000,
+                 spill_path: str | None = None):
         import threading as _threading
 
         self.db = db
@@ -754,16 +765,108 @@ class WriteBuffer:
         # commit with the SAME ingest_seq and clobber the meta bump,
         # corrupting later-wins/first-wins conflict resolution.
         self._flush_lock = _threading.Lock()
+        self.spill_path = spill_path
+        self._spill_f = None
+        self.replayed = 0
+        if spill_path:
+            self._replay_spill()
         self._stop = _threading.Event()
         self._thread = _threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
         self.flushes = 0
 
+    # ---------------- durability (spill journal) ----------------
+
+    def _open_spill(self):
+        if self._spill_f is None:
+            self._spill_f = open(self.spill_path, "ab")
+
+    def _journal_locked(self, rows, hists, exemplars) -> None:
+        """One JSONL record per accepted batch, fsynced before the ack.
+        Caller holds self._lock."""
+        import json as _json
+        import os as _os
+
+        self._open_spill()
+        rec = _json.dumps(
+            {"rows": [list(r) for r in rows],
+             "hists": [[h[0], h[1], list(h[2])] for h in hists],
+             "exemplars": [list(e) for e in exemplars]},
+            separators=(",", ":"),
+        )
+        self._spill_f.write(rec.encode() + b"\n")
+        self._spill_f.flush()
+        _os.fsync(self._spill_f.fileno())
+
+    @staticmethod
+    def _decode_spill_line(line: bytes):
+        import json as _json
+
+        rec = _json.loads(line)
+        rows = [(r[0], int(r[1]), float(r[2])) for r in rec["rows"]]
+        hists = [
+            (
+                h[0], int(h[1]),
+                (
+                    float(h[2][0]), float(h[2][1]), float(h[2][2]),
+                    int(h[2][3]),
+                    [(int(i), float(c)) for i, c in h[2][4]],
+                    list(h[2][5]) if len(h[2]) > 5 and h[2][5] is not None
+                    else None,
+                ),
+            )
+            for h in rec["hists"]
+        ]
+        exemplars = [
+            (e[0], int(e[1]), float(e[2]), e[3]) for e in rec["exemplars"]
+        ]
+        return rows, hists, exemplars
+
+    def _replay_spill(self) -> None:
+        """Recover 2xx-acked-but-uncommitted batches from a previous
+        process: the live spill plus any .flushing segment a crash left
+        mid-flush. Lines dedup by content hash (a re-queued batch is
+        journaled twice; it must ingest once). Recovered batches load
+        the queue and re-journal into a fresh spill — they stay durable
+        until their own flush commits."""
+        import hashlib as _hashlib
+        import os as _os
+
+        seen: set[bytes] = set()
+        recovered: list[bytes] = []
+        for path in (f"{self.spill_path}.flushing", self.spill_path):
+            if not _os.path.exists(path):
+                continue
+            with open(path, "rb") as f:
+                for line in f:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    digest = _hashlib.md5(line).digest()
+                    if digest in seen:
+                        continue
+                    seen.add(digest)
+                    recovered.append(line)
+            _os.remove(path)
+        for line in recovered:
+            try:
+                rows, hists, exemplars = self._decode_spill_line(line)
+            except (ValueError, KeyError, IndexError, TypeError):
+                continue  # torn tail line from a crash mid-write
+            self._rows.extend(rows)
+            self._hists.extend(hists)
+            self._exemplars.extend(exemplars)
+            self._journal_locked(rows, hists, exemplars)
+            self.replayed += len(rows) + len(hists) + len(exemplars)
+
     def add(self, rows=(), hists=(), exemplars=()) -> None:
+        rows, hists, exemplars = list(rows), list(hists), list(exemplars)
         with self._lock:
             self._rows.extend(rows)
             self._hists.extend(hists)
             self._exemplars.extend(exemplars)
+            if self.spill_path:
+                self._journal_locked(rows, hists, exemplars)
             n = len(self._rows) + len(self._hists)
         if n >= self.max_rows:
             self.flush()
@@ -783,10 +886,22 @@ class WriteBuffer:
             return self._flush_locked(HIST_TYPE)
 
     def _flush_locked(self, HIST_TYPE) -> int:
+        import os as _os
+
+        flushing_seg = None
         with self._lock:
             rows, self._rows = self._rows, []
             hists, self._hists = self._hists, []
             exemplars, self._exemplars = self._exemplars, []
+            if self.spill_path and _os.path.exists(self.spill_path):
+                # rotate the journal with the queue swap: the popped
+                # batch's segment survives until its commit lands;
+                # adds during the flush journal into a fresh spill
+                if self._spill_f is not None:
+                    self._spill_f.close()
+                    self._spill_f = None
+                flushing_seg = f"{self.spill_path}.flushing"
+                _os.replace(self.spill_path, flushing_seg)
         n = len(rows) + len(hists)
         try:
             if rows:
@@ -818,7 +933,16 @@ class WriteBuffer:
                 self._rows = rows + self._rows
                 self._hists = hists + self._hists
                 self._exemplars = exemplars + self._exemplars
+                if self.spill_path:
+                    # the re-queued remainder goes back into the LIVE
+                    # journal (its old segment is consumed below) —
+                    # replay dedups by content if both survive a crash
+                    self._journal_locked(rows, hists, exemplars)
+                    if flushing_seg and _os.path.exists(flushing_seg):
+                        _os.remove(flushing_seg)
             raise
+        if flushing_seg and _os.path.exists(flushing_seg):
+            _os.remove(flushing_seg)
         if n:
             self.flushes += 1
         return n
@@ -835,6 +959,9 @@ class WriteBuffer:
         self._stop.set()
         self._thread.join(timeout=5)
         self.flush()
+        if self._spill_f is not None:
+            self._spill_f.close()
+            self._spill_f = None
 
 
 def _enqueue_write_body(buf: WriteBuffer, tagged) -> dict:
@@ -856,6 +983,7 @@ def _enqueue_write_body(buf: WriteBuffer, tagged) -> dict:
                 (
                     h["count"], h["sum"], h["zero_count"], h["schema"],
                     [(int(i), float(c)) for i, c in h["buckets"]],
+                    h.get("custom_values"),
                 ),
             )
             for e in decoded
@@ -952,6 +1080,7 @@ def remote_write_apply_v2(db, decoded) -> int:
                 h["zero_count"],
                 h["schema"],
                 [(int(i), float(c)) for i, c in h["buckets"]],
+                h.get("custom_values"),
             ),
         )
         for e in decoded
@@ -1057,6 +1186,7 @@ def _otlp_apply(db, decoded) -> int:
                     h["zero_count"],
                     h["schema"],
                     [(int(i), float(c)) for i, c in h["buckets"]],
+                    h.get("custom_values"),
                 ),
             )
             for lab, t, h in hists
@@ -1336,7 +1466,8 @@ def make_handler(db, rule_groups: list[dict] | None = None, enable_admin: bool =
                                     lab, t,
                                     (h["count"], h["sum"], h["zero_count"],
                                      h["schema"],
-                                     [(int(i), float(c)) for i, c in h["buckets"]]),
+                                     [(int(i), float(c)) for i, c in h["buckets"]],
+                                     h.get("custom_values")),
                                 )
                                 for lab, t, h in hists
                             ],
