@@ -295,6 +295,8 @@ def main() -> None:
                     ("lsh", exact_cos, E.ann_lsh_topk(emb, probes, k=3)),
                     ("lsh_mp", exact_cos, E.ann_lsh_topk(
                         emb, probes, k=3, hamming_probes=1)),
+                    ("lsh_mp2", exact_cos, E.ann_lsh_topk(
+                        emb, probes, k=3, hamming_probes=2)),
                     ("sq8", exact_dot, E.sq8_topk(emb, probes, k=3)),
                 ):
                     j = truth.join(

@@ -142,9 +142,17 @@ def ann_lsh_topk(
     code — a near neighbor split off by one hyperplane lands one bit
     away, so probing h=1 visits n_planes+1 buckets and recovers most of
     what single-bucket LSH loses (measured in the soak recall table,
-    SCALE.md r8: 8%→75% recall@3 at h=1 on sf0.1). Cost multiplies by
-    the probed-bucket count, never touches the corpus side: the probe
-    frame explodes, the equi-join stays the same shape."""
+    SCALE.md r8: 8%→33% recall@3 at h=1 on sf0.1, ≥96% at soak scale).
+    Cost multiplies by the probed-bucket count, never touches the
+    corpus side: the probe frame explodes, the equi-join stays the
+    same shape.
+
+    Picking h (SCALE.md r9 ladder): h=1 is 7 buckets/probe; h=2 is 22
+    (3.1× the candidates) for 33%→42% at 1× and 96%→100% at 8× —
+    poor marginal economics. Default recommendation: IVF-Flat
+    (ann_ivf_topk, 100% across the ladder) when quality matters;
+    h=1 as the cheap-LSH compromise; h=2 only when an LSH-only
+    pipeline needs the last recall points and can pay ~3× candidates."""
     bucket = lsh_bucket_expr(vec_col, n_planes)
     c = embeddings.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"), bucket.alias("bucket")
