@@ -461,3 +461,101 @@ def test_nhcb_store_roundtrip_and_legacy_shim(spark, tmp_path):
     assert back["rt"]["schema"] == -53
     assert back["old"]["custom_values"] is None
     assert back["old"]["count"] == 3.0
+
+
+def test_classic_to_nhcb_conversion_matches_classic_quantile(spark):
+    """classic_to_nhcb (the convert_classic_histograms_to_nhcb analog):
+    classic `X_bucket{le=...}`/`X_sum` series convert to NHCB samples
+    whose count/sum/bounds reproduce the classic data, and
+    histogram_quantile over the converted NHCB answers exactly what
+    classic bucketQuantile answers on the same buckets (both
+    interpolate linearly on the same grid)."""
+    from tsdb_spark.nativehist import (
+        classic_to_nhcb,
+        hist_count,
+        hist_quantile,
+        hist_sum,
+    )
+
+    rows = []
+    for inst, (c1, c2, c3, cinf, s) in (
+        ("a", (10.0, 30.0, 50.0, 100.0, 60.0)),
+        ("b", (0.0, 4.0, 4.0, 5.0, 7.5)),
+    ):
+        for le, cum in (("0.1", c1), ("0.5", c2), ("1", c3), ("+Inf", cinf)):
+            rows.append((
+                {"__name__": "rt_bucket", "le": le, "inst": inst}, 1_000, cum
+            ))
+        rows.append(({"__name__": "rt_sum", "inst": inst}, 1_000, s))
+        rows.append(({"__name__": "rt_count", "inst": inst}, 1_000, cinf))
+    frame = spark.createDataFrame(
+        rows, "labels MAP<STRING,STRING>, t LONG, v DOUBLE"
+    )
+    out = classic_to_nhcb(frame)
+    got = {r["labels"]["inst"]: r for r in out.collect()}
+    assert set(got) == {"a", "b"}
+    ha = got["a"]["h"]
+    assert ha["schema"] == -53
+    assert list(ha["custom_values"]) == [0.1, 0.5, 1.0]
+    assert ha["count"] == 100.0 and ha["sum"] == 60.0
+    # non-cumulative: 10, 20, 20, overflow 50
+    assert [(b["idx"], b["c"]) for b in ha["buckets"]] == [
+        (0, 10.0), (1, 20.0), (2, 20.0), (3, 50.0)
+    ]
+    assert got["a"]["labels"]["__name__"] == "rt"
+    assert "le" not in got["a"]["labels"]
+    hb = got["b"]["h"]
+    # zero-count buckets dropped from the sparse array
+    assert [(b["idx"], b["c"]) for b in hb["buckets"]] == [
+        (1, 4.0), (3, 1.0)
+    ]
+
+    # quantile equivalence with the classic block's hand answers
+    # (tests/promqltest/histograms.test): q50=1, q20=0.3, q90=1
+    q = out.filter(F.col("labels")["inst"] == "a").select(
+        hist_quantile(0.5, F.col("h")).alias("q50"),
+        hist_quantile(0.2, F.col("h")).alias("q20"),
+        hist_quantile(0.9, F.col("h")).alias("q90"),
+        hist_count(F.col("h")).alias("cnt"),
+        hist_sum(F.col("h")).alias("sm"),
+    ).collect()[0]
+    assert math.isclose(q["q50"], 1.0)
+    assert math.isclose(q["q20"], 0.3)
+    assert math.isclose(q["q90"], 1.0)
+    assert q["cnt"] == 100.0 and q["sm"] == 60.0
+
+
+def test_nhcb_fraction_and_stdvar_on_custom_bounds(spark):
+    """histogram_fraction / histogram_stdvar over NHCB use the CUSTOM
+    bounds: fraction interpolates overlap on the classic grid (the
+    unbounded overflow bucket counts only under full containment);
+    stdvar places bucket mass at custom midpoints, the overflow at its
+    lower bound."""
+    from tsdb_spark.nativehist import (
+        build_custom_histograms,
+        hist_fraction,
+        hist_stdvar,
+    )
+
+    vals = [1.0, 2.0, 3.0, 4.0, 20.0]
+    rows = [({"__name__": "m"}, 1_000 + i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        rows, "labels MAP<STRING,STRING>, t LONG, v DOUBLE"
+    ).withColumn("labels_str", L.labels_str_expr("labels"))
+    out = build_custom_histograms(df, STEP, [2.0, 4.0])
+    r = out.select(
+        hist_fraction(0.0, 2.0, F.col("h")).alias("f_low"),
+        hist_fraction(2.0, 4.0, F.col("h")).alias("f_mid"),
+        hist_fraction(0.0, float("inf"), F.col("h")).alias("f_all"),
+        hist_fraction(0.0, 100.0, F.col("h")).alias("f_fin"),
+        hist_stdvar(F.col("h")).alias("sv"),
+    ).collect()[0]
+    # buckets: (<=2]=2, (2,4]=2, overflow=1 of 5 total
+    assert math.isclose(r["f_low"], 2 / 5)
+    assert math.isclose(r["f_mid"], 2 / 5)
+    assert math.isclose(r["f_all"], 1.0)
+    # finite hi cannot cover the unbounded overflow bucket
+    assert math.isclose(r["f_fin"], 4 / 5)
+    # midpoints 1, 3; overflow at its lower bound 4; mean = 30/5 = 6
+    expect = (2 * (1 - 6) ** 2 + 2 * (3 - 6) ** 2 + 1 * (4 - 6) ** 2) / 5
+    assert math.isclose(r["sv"], expect)

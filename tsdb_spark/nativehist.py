@@ -255,6 +255,121 @@ def build_custom_histograms(
     )
 
 
+def classic_to_nhcb(frame: DataFrame) -> DataFrame:
+    """Convert CLASSIC histogram series to NHCB samples — the
+    `convert_classic_histograms_to_nhcb` scrape-flag analog
+    (scrape/scrape.go + model/histogram NHCB): input is a float frame
+    (labels, t, v) carrying `X_bucket{le=...}` cumulative series and
+    optionally `X_sum`; output is one (labels_str, labels, t, h) NHCB
+    row per (X, base labels, t) with custom_values = the sorted finite
+    le bounds, buckets = the NON-cumulative per-bucket counts (overflow
+    idx len(bounds) for the +Inf remainder), count from the +Inf
+    cumulative, sum from X_sum where present (0 otherwise, like a
+    sum-less classic scrape).
+
+    Pure Column algebra: a name/le projection, one groupBy per
+    (series, t) collecting (le, cum) pairs, and an index-walk transform
+    that differences adjacent cumulative counts — no UDFs, map-side
+    combinable, the same shape at 10^2 or 10^9 series."""
+    from tsdb_spark import labels as L
+
+    name = F.element_at("labels", F.lit("__name__"))
+    base = F.regexp_replace(name, "_bucket$", "")
+    stripped = F.map_filter(
+        F.col("labels"),
+        lambda k, _: (k != F.lit("le")) & (k != F.lit("__name__")),
+    )
+    le_s = F.element_at("labels", F.lit("le"))
+    le_v = (
+        F.when(le_s == "+Inf", F.lit(float("inf")))
+        .otherwise(le_s.cast("double"))
+    )
+    b = (
+        frame.filter(name.endswith("_bucket") & le_s.isNotNull())
+        .select(
+            base.alias("_m"), stripped.alias("_lab"), "t",
+            le_v.alias("_le"), F.col("v").alias("_cum"),
+        )
+        .filter(F.col("_le").isNotNull())
+        .groupBy(L.labels_str_expr("_lab").alias("_k"), "_m", "t")
+        .agg(
+            F.first("_lab").alias("_lab"),
+            F.array_sort(
+                F.collect_list(F.struct(F.col("_le"), F.col("_cum")))
+            ).alias("_pairs"),
+        )
+    )
+    inf = F.lit(float("inf"))
+    pairs = F.col("_pairs")
+    finite = F.filter(pairs, lambda p: p.getField("_le") != inf)
+    total = F.coalesce(
+        F.element_at(pairs, F.size(pairs)).getField("_cum"), F.lit(0.0)
+    )
+    idxs = F.sequence(F.lit(0), F.size(finite) - 1)
+    noncum = F.transform(
+        idxs,
+        lambda i: F.struct(
+            i.cast("int").alias("idx"),
+            (
+                F.element_at(finite, i + 1).getField("_cum")
+                - F.when(
+                    i > 0, F.element_at(finite, i).getField("_cum")
+                ).otherwise(0.0)
+            ).alias("c"),
+        ),
+    )
+    overflow = total - F.coalesce(
+        F.element_at(finite, F.size(finite)).getField("_cum"), F.lit(0.0)
+    )
+    buckets = F.filter(
+        F.concat(
+            noncum,
+            F.array(
+                F.struct(
+                    F.size(finite).cast("int").alias("idx"),
+                    overflow.alias("c"),
+                )
+            ),
+        ),
+        lambda s: s.getField("c") != 0.0,
+    )
+    cv = F.transform(finite, lambda p: p.getField("_le"))
+    sums = (
+        frame.filter(name.endswith("_sum"))
+        .select(
+            F.regexp_replace(name, "_sum$", "").alias("_m"),
+            F.map_filter(
+                F.col("labels"), lambda k, _: k != F.lit("__name__")
+            ).alias("_slab"),
+            "t",
+            F.col("v").alias("_sum"),
+        )
+        .select(
+            L.labels_str_expr("_slab").alias("_k"), "_m", "t", "_sum"
+        )
+    )
+    out_labels = F.map_concat(
+        F.col("_lab"), F.create_map(F.lit("__name__"), F.col("_m"))
+    )
+    return (
+        b.join(sums, ["_k", "_m", "t"], "left")
+        .select(
+            out_labels.alias("labels"),
+            "t",
+            F.struct(
+                total.alias("count"),
+                F.coalesce(F.col("_sum"), F.lit(0.0)).alias("sum"),
+                F.lit(0.0).alias("zero_count"),
+                F.lit(CUSTOM_BUCKETS_SCHEMA).alias("schema"),
+                buckets.alias("buckets"),
+                cv.alias("custom_values"),
+            ).cast(HIST_TYPE).alias("h"),
+        )
+        .withColumn("labels_str", L.labels_str_expr("labels"))
+        .select("labels_str", "labels", "t", "h")
+    )
+
+
 def hist_count(h: Column) -> Column:
     """histogram_count(v) — promql/functions.go funcHistogramCount."""
     return h.getField("count")
@@ -409,23 +524,53 @@ def hist_sub(last: Column, first: Column, factor) -> Column:
     )
 
 
+def _bounds_exprs(h: Column):
+    """(lower(idx), upper(idx)) Column factories covering BOTH bucket
+    geometries: exponential (base^(idx-1), base^idx] and, when schema
+    is -53, NHCB custom bounds (cv[idx-1], cv[idx]] with the first
+    bucket open from 0 and the overflow bucket's upper at +Inf."""
+    sch = h.getField("schema")
+    cv = h.getField("custom_values")
+    is_custom = sch == F.lit(CUSTOM_BUCKETS_SCHEMA)
+    two_pow_schema = F.pow(F.lit(2.0), sch.cast("double"))
+
+    def upper(idx):
+        exp = F.pow(F.lit(2.0), idx.cast("double") / two_pow_schema)
+        return F.when(
+            is_custom,
+            F.when(idx < F.size(cv), F.element_at(cv, idx + 1)).otherwise(
+                F.lit(float("inf"))
+            ),
+        ).otherwise(exp)
+
+    def lower(idx):
+        exp = F.pow(F.lit(2.0), (idx - 1).cast("double") / two_pow_schema)
+        return F.when(
+            is_custom,
+            F.when(idx <= 0, F.lit(0.0)).otherwise(F.element_at(cv, idx)),
+        ).otherwise(exp)
+
+    return lower, upper
+
+
 def hist_stdvar(h: Column) -> Column:
     """histogram_stdvar(v) — promql/functions.go funcHistogramStdDev/
     StdVar: the estimated variance of the observations, each bucket's
     mass placed at its ARITHMETIC bucket midpoint (upstream uses the
     geometric mean for wide buckets post-3.0-beta; the stable released
     rule is (lower+upper)/2, used here), the zero bucket at 0. One
-    aggregate fold: Σ c·(mid − mean)² / count with mean = sum/count."""
+    aggregate fold: Σ c·(mid − mean)² / count with mean = sum/count.
+    NHCB (schema -53): midpoints come from the custom bounds; the
+    infinite-upper overflow bucket sits at its lower bound (the
+    upstream rule for unbounded buckets)."""
     count = h.getField("count")
     mean = h.getField("sum") / count
-    sch = h.getField("schema")
-    two_pow_schema = F.pow(F.lit(2.0), sch.cast("double"))
-
-    def upper(idx):
-        return F.pow(F.lit(2.0), idx.cast("double") / two_pow_schema)
+    lower, upper = _bounds_exprs(h)
 
     def step(acc, b):
-        mid = (upper(b.getField("idx") - 1) + upper(b.getField("idx"))) / 2.0
+        lo = lower(b.getField("idx"))
+        hi = upper(b.getField("idx"))
+        mid = F.when(hi == F.lit(float("inf")), lo).otherwise((lo + hi) / 2.0)
         return acc + b.getField("c") * (mid - mean) * (mid - mean)
 
     dev = F.aggregate(h.getField("buckets"), F.lit(0.0), step)
@@ -443,23 +588,29 @@ def hist_fraction(lo: float, hi: float, h: Column) -> Column:
     observations in [lo, hi] (promql/quantile.go histogramFraction),
     positive-bucket subset: per bucket, the linearly-interpolated
     overlap of [lo, hi] with the bucket's bounds, plus the zero bucket
-    when lo <= 0."""
+    when lo <= 0. NHCB (schema -53): bounds come from custom_values;
+    the infinite-width overflow bucket counts fully when [lo, hi]
+    contains it (hi = +Inf and lo at-or-below its lower bound) and
+    contributes nothing to a finite query range — interpolating a
+    finite slice of an unbounded bucket has no defined density."""
     count = h.getField("count")
     zero = h.getField("zero_count")
-    sch = h.getField("schema")
-    two_pow_schema = F.pow(F.lit(2.0), sch.cast("double"))
-
-    def upper(idx):
-        return F.pow(F.lit(2.0), idx.cast("double") / two_pow_schema)
+    lower, upper = _bounds_exprs(h)
 
     lo_c, hi_c = F.lit(float(lo)), F.lit(float(hi))
+    inf = F.lit(float("inf"))
 
     def step(acc, b):
-        bl = upper(b.getField("idx") - 1)
+        bl = lower(b.getField("idx"))
         bh = upper(b.getField("idx"))
         ov_lo = F.greatest(bl, lo_c)
         ov_hi = F.least(bh, hi_c)
-        frac = F.greatest(F.lit(0.0), (ov_hi - ov_lo) / (bh - bl))
+        frac = F.when(
+            bh == inf,
+            F.when((hi_c == inf) & (lo_c <= bl), F.lit(1.0)).otherwise(0.0),
+        ).otherwise(
+            F.greatest(F.lit(0.0), (ov_hi - ov_lo) / (bh - bl))
+        )
         return acc + b.getField("c") * F.least(F.lit(1.0), frac)
 
     inside = F.aggregate(h.getField("buckets"), F.lit(0.0), step)

@@ -1027,6 +1027,82 @@ def store_nhcb_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "promql_classic_nhcb_convert",
+    None,  # oracle assigned below — identical to store_nhcb_quantile
+    "classic→NHCB conversion (the convert_classic_histograms_to_nhcb "
+    "scrape-flag analog, scrape/scrape.go + model/histogram): classic "
+    "cumulative `click_bucket{le=40/80/120/+Inf}` float series are "
+    "synthesized from the click samples (one groupBy + explode — the "
+    "exposition a classic scrape would deliver), converted to NHCB "
+    "samples by nativehist.classic_to_nhcb (bounds → custom_values, "
+    "cumulative→non-cumulative buckets, +Inf remainder → overflow "
+    "bucket, _sum joined in), and quantiled on the custom grid. MUST "
+    "answer exactly what store_nhcb_quantile answers from "
+    "build_custom_histograms through the store — same data, same "
+    "bounds, same interpolation — so it shares that oracle verbatim",
+)
+def promql_classic_nhcb_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tsdb_spark import labels as L
+    from tsdb_spark.nativehist import classic_to_nhcb
+    from tsdb_spark.promql import RangeQuery
+    from tsdb_spark.queries import NHCB_BOUNDS
+
+    s = events_samples(spark, sf_dir).filter(
+        L.compile_matchers([L.eq("__name__", "click")])
+    )
+    th = (F.col("t") - F.pmod(F.col("t"), F.lit(DAY)) + DAY).alias("th")
+    agg = s.groupBy("labels_str", th).agg(
+        F.first("labels").alias("labels"),
+        F.count("*").cast("double").alias("n"),
+        *[
+            F.count_if(F.col("v") <= F.lit(b)).cast("double").alias(f"c{i}")
+            for i, b in enumerate(NHCB_BOUNDS)
+        ],
+    )
+    base = F.map_filter(
+        F.col("labels"), lambda k, _: k != F.lit("__name__")
+    )
+    le_structs = [
+        F.struct(
+            F.lit(str(int(b)) if float(b) == int(b) else repr(float(b)))
+            .alias("le"),
+            F.col(f"c{i}").alias("cum"),
+        )
+        for i, b in enumerate(NHCB_BOUNDS)
+    ] + [F.struct(F.lit("+Inf").alias("le"), F.col("n").alias("cum"))]
+    buckets = agg.select(
+        base.alias("_b"), F.col("th").alias("t"),
+        F.explode(F.array(*le_structs)).alias("e"),
+    ).select(
+        F.map_concat(
+            F.col("_b"),
+            F.create_map(
+                F.lit("__name__"), F.lit("click_bucket"),
+                F.lit("le"), F.col("e.le"),
+            ),
+        ).alias("labels"),
+        "t",
+        F.col("e.cum").alias("v"),
+    )
+    classic = buckets
+    nh = classic_to_nhcb(classic)
+    q = RangeQuery(nh, T0 + DAY, T0 + 15 * DAY, DAY, lookback_ms=DAY)
+    a = q.run("histogram_quantile(0.5, click)").select(
+        "labels_str", "t", F.round("value", 9).alias("q50")
+    )
+    b = q.run("histogram_quantile(0.9, click)").select(
+        "labels_str", "t", F.round("value", 9).alias("q90")
+    )
+    c = q.run("histogram_count(click)").select(
+        "labels_str", "t", F.col("value").alias("cnt")
+    )
+    return a.join(b, ["labels_str", "t"]).join(c, ["labels_str", "t"])
+
+
+_QQ["promql_classic_nhcb_convert"].oracle = _QQ["store_nhcb_quantile"].oracle
+
+
+@register(
     "promql_native_hist_fraction",
     _with_prelude(
         f"""
