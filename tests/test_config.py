@@ -421,3 +421,76 @@ def test_forwarder_tails_by_ingest_seq(spark, tmp_path):
         assert names == {"new", "new2"}
     finally:
         rx.stop()
+
+
+def test_forwarder_external_labels_and_write_relabel(spark, tmp_path):
+    """Outgoing remote-write samples carry the global external_labels
+    (where the series lacks the name — storage/remote does this before
+    write relabeling), and a per-endpoint write_relabel_configs chain
+    filters/rewrites what ships (queueManager semantics)."""
+    from tsdb_spark.config import RemoteWriteForwarder
+    from tsdb_spark.relabel import RelabelConfig
+    from tsdb_spark.sources.remotewrite import decode_write_request
+
+    db = DB.create(spark, str(tmp_path / "db"), block_width_ms=WIDTH)
+    rx = _CapturingReceiver()
+    try:
+        fwd = RemoteWriteForwarder(
+            db,
+            [RemoteWriteConfig(
+                url=f"{rx.url}/api/v1/write",
+                write_relabel=(
+                    RelabelConfig(action="drop",
+                                  source_labels=("__name__",),
+                                  regex="noise.*"),
+                    RelabelConfig(action="replace",
+                                  source_labels=("cluster",),
+                                  regex="(.*)", target_label="region",
+                                  replacement="region-$1"),
+                ),
+            )],
+            external_labels={"cluster": "east", "env": "prod"},
+        )
+        db.append(spark.createDataFrame(
+            [({"__name__": "keep", "env": "own"}, 1_000, 1.0),
+             ({"__name__": "noise_total"}, 1_000, 2.0)],
+            "labels MAP<STRING,STRING>, t LONG, v DOUBLE",
+        ))
+        assert fwd.run_once() == 1  # the noise series relabel-dropped
+        got = {}
+        for _p, body in rx.posts:
+            for labels, samples in decode_write_request(body):
+                got[labels["__name__"]] = labels
+        assert set(got) == {"keep"}
+        lab = got["keep"]
+        assert lab["cluster"] == "east"      # external label attached
+        assert lab["env"] == "own"           # series' own value wins
+        assert lab["region"] == "region-east"  # relabel saw externals
+    finally:
+        rx.stop()
+
+
+def test_scrape_config_scheme_path_params(spark, tmp_path):
+    """scrape_configs scheme / metrics_path / params assemble the
+    target URL for bare host:port entries (scrape/target.go)."""
+    import yaml  # noqa: F401 — config file below
+
+    cfg = tmp_path / "p.yml"
+    cfg.write_text(
+        "scrape_configs:\n"
+        "- job_name: fed\n"
+        "  scheme: https\n"
+        "  metrics_path: /federate\n"
+        "  params:\n"
+        "    'match[]': ['up', 'job:.*']\n"
+        "  static_configs:\n"
+        "  - targets: ['peer:9090']\n"
+    )
+    from tsdb_spark.scrape import load_scrape_config
+
+    [job] = load_scrape_config(spark, str(cfg))
+    [t] = job.targets
+    assert t.url == (
+        "https://peer:9090/federate?match%5B%5D=up&match%5B%5D=job%3A.%2A"
+    )
+    assert t.instance == "peer:9090"

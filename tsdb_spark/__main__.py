@@ -611,7 +611,10 @@ def main(argv: list[str] | None = None) -> int:
         if cfg and cfg.remote_writes:
             from tsdb_spark.config import RemoteWriteForwarder
 
-            fwd = RemoteWriteForwarder(db, cfg.remote_writes)
+            fwd = RemoteWriteForwarder(
+                db, cfg.remote_writes,
+                external_labels=cfg.external_labels,
+            )
             threading.Thread(
                 target=fwd.loop, args=(stop,), daemon=True
             ).start()

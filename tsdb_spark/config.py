@@ -56,10 +56,13 @@ class RemoteWriteConfig:
     """One `remote_write:` entry (the subset this engine forwards):
     url + protobuf_message selecting the wire version (config.go
     RemoteWriteConfig; "prometheus.WriteRequest" = v1, the default —
-    "io.prometheus.write.v2.Request" = rw2 with native histograms)."""
+    "io.prometheus.write.v2.Request" = rw2 with native histograms) +
+    write_relabel_configs applied to outgoing float samples (after
+    external_labels attach, like upstream's queueManager)."""
 
     url: str
     protobuf_message: str = "prometheus.WriteRequest"
+    write_relabel: tuple = ()
 
     @property
     def v2(self) -> bool:
@@ -133,12 +136,15 @@ def load_config(spark, path: str) -> PrometheusConfig:
                 base_url = t if "://" in t else f"{scheme}://{t}"
                 am_urls.append(f"{base_url}{prefix}")
 
+    from tsdb_spark.scrape import _relabel_rules
+
     remote_writes = [
         RemoteWriteConfig(
             url=rw["url"],
             protobuf_message=rw.get(
                 "protobuf_message", "prometheus.WriteRequest"
             ),
+            write_relabel=tuple(_relabel_rules(rw, "write_relabel_configs")),
         )
         for rw in raw.get("remote_write", []) or []
     ]
@@ -212,11 +218,16 @@ class RemoteWriteForwarder:
     (steady-state: one flush window of data)."""
 
     def __init__(self, db, configs: list[RemoteWriteConfig],
-                 batch_series: int = 500, timeout_s: float = 30.0) -> None:
+                 batch_series: int = 500, timeout_s: float = 30.0,
+                 external_labels: dict[str, str] | None = None) -> None:
         self.db = db
         self.configs = list(configs)
         self.batch_series = batch_series
         self.timeout_s = timeout_s
+        #: global external_labels attach to every outgoing series where
+        #: the series doesn't already carry the name (storage/remote
+        #: does the same before write relabeling)
+        self.external_labels = dict(external_labels or {})
         # start at the store's current head: a fresh forwarder ships
         # new data, not history (upstream starts at the WAL tail too;
         # history moves via the explicit `remote-write` CLI)
@@ -225,12 +236,39 @@ class RemoteWriteForwarder:
         self.sent: dict[str, int] = {c.url: 0 for c in self.configs}
         self.errors = 0
 
-    def _float_rows_since(self, seq: int):
+    def _attach_external(self, df):
+        """external_labels where the series lacks the name — one map
+        projection, applied BEFORE write relabeling like upstream."""
+        from pyspark.sql import functions as F
+
+        if not self.external_labels:
+            return df
+        ext = F.create_map(*[
+            F.lit(x)
+            for kv in sorted(self.external_labels.items())
+            for x in kv
+        ])
+        merged = F.map_concat(
+            F.map_filter(
+                ext, lambda k, _: ~F.map_contains_key(F.col("labels"), k)
+            ),
+            F.col("labels"),
+        )
+        return df.withColumn("labels", merged)
+
+    def _float_rows_since(self, seq: int, write_relabel=()):
         from pyspark.sql import functions as F
 
         smp = self.db.samples().filter(F.col("ingest_seq") > seq)
         ser = self.db.series().select("series_id", "labels")
-        return smp.join(ser, "series_id").select("labels", "t", "v").collect()
+        df = self._attach_external(
+            smp.join(ser, "series_id").select("labels", "t", "v")
+        )
+        if write_relabel:
+            from tsdb_spark.relabel import apply_relabel
+
+            df = apply_relabel(df, list(write_relabel))
+        return df.select("labels", "t", "v").collect()
 
     def _hist_rows_since(self, seq: int):
         """Native-histogram rows appended after `seq` (rw2 endpoints
@@ -248,7 +286,9 @@ class RemoteWriteForwarder:
             F.col("ingest_seq") > seq
         )
         ser = self.db.series().select("series_id", "labels")
-        return h.join(ser, "series_id").select("labels", "t", "h").collect()
+        return self._attach_external(
+            h.join(ser, "series_id").select("labels", "t", "h")
+        ).collect()
 
     def run_once(self) -> int:
         """One forwarding pass over every endpoint. Returns sample +
@@ -268,9 +308,15 @@ class RemoteWriteForwarder:
             mark = self.watermarks[cfg.url]
             if head <= mark:
                 continue
-            if mark not in fcache:
-                fcache[mark] = self._float_rows_since(mark)
-            rows = fcache[mark]
+            if cfg.write_relabel:
+                # relabeled endpoints read their own (rules differ per
+                # endpoint; the rule chain is a projection on the same
+                # pruned scan)
+                rows = self._float_rows_since(mark, cfg.write_relabel)
+            else:
+                if mark not in fcache:
+                    fcache[mark] = self._float_rows_since(mark)
+                rows = fcache[mark]
             if cfg.v2 and mark not in hcache:
                 hcache[mark] = self._hist_rows_since(mark)
             hrows = hcache.get(mark, [])

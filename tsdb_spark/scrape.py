@@ -286,15 +286,30 @@ class FileSD:
         return self._groups
 
 
-def _static_targets(groups: list[dict], job: str) -> list[Target]:
+def _static_targets(
+    groups: list[dict],
+    job: str,
+    scheme: str = "http",
+    metrics_path: str = "/metrics",
+    params: dict | None = None,
+) -> list[Target]:
     """static_configs-shaped groups → Targets. A bare "host:port"
-    target becomes http://host:port/metrics (__scheme__/
-    __metrics_path__ defaults); full URLs pass through."""
+    target becomes {scheme}://host:port{metrics_path}[?params]
+    (the job's __scheme__/__metrics_path__/__param_* defaults,
+    scrape/target.go URL assembly); full URLs pass through."""
+    qs = ""
+    if params:
+        from urllib.parse import urlencode
+
+        qs = "?" + urlencode(
+            [(k, v) for k, vs in sorted(params.items())
+             for v in (vs if isinstance(vs, list) else [vs])]
+        )
     targets: list[Target] = []
     for group in groups:
         extra = tuple(sorted((group.get("labels") or {}).items()))
         for t in group.get("targets", []):
-            url = t if "://" in t else f"http://{t}/metrics"
+            url = t if "://" in t else f"{scheme}://{t}{metrics_path}{qs}"
             targets.append(Target(url=url, job=job, instance=t, labels=extra))
     return targets
 
@@ -314,6 +329,11 @@ class ScrapeJob:
     #: go through the same chain the statics did at load
     target_relabel: list = field(default_factory=list)
     file_sd: list[FileSD] = field(default_factory=list)
+    #: URL assembly defaults for bare host:port targets (scrape config
+    #: scheme / metrics_path / params — scrape/target.go)
+    scheme: str = "http"
+    metrics_path: str = "/metrics"
+    params: dict = field(default_factory=dict)
 
     def resolve_targets(self, spark, now_ms: int | None = None) -> list[Target]:
         """The job's CURRENT target list: pre-relabeled statics plus
@@ -325,7 +345,11 @@ class ScrapeJob:
         groups: list[dict] = []
         for sd in self.file_sd:
             groups.extend(sd.groups(now_ms))
-        dyn = _static_targets(groups, self.name)
+        dyn = _static_targets(
+            groups, self.name,
+            scheme=self.scheme, metrics_path=self.metrics_path,
+            params=self.params,
+        )
         if dyn and self.target_relabel:
             from tsdb_spark.relabel import relabel_targets
 
@@ -375,7 +399,13 @@ def scrape_jobs_from(
         interval_ms = _duration_ms(
             sc.get("scrape_interval"), default_interval_ms
         )
-        targets = _static_targets(sc.get("static_configs", []), name)
+        scheme = sc.get("scheme", "http")
+        metrics_path = sc.get("metrics_path", "/metrics")
+        params = dict(sc.get("params") or {})
+        targets = _static_targets(
+            sc.get("static_configs", []), name,
+            scheme=scheme, metrics_path=metrics_path, params=params,
+        )
         target_rules = _relabel_rules(sc, "relabel_configs")
         if targets and target_rules:
             targets = relabel_targets(spark, targets, target_rules)
@@ -400,6 +430,9 @@ def scrape_jobs_from(
                 metric_relabel=_relabel_rules(sc, "metric_relabel_configs"),
                 target_relabel=target_rules,
                 file_sd=file_sd,
+                scheme=scheme,
+                metrics_path=metrics_path,
+                params=params,
             )
         )
     return jobs
