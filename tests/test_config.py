@@ -494,3 +494,130 @@ def test_scrape_config_scheme_path_params(spark, tmp_path):
         "https://peer:9090/federate?match%5B%5D=up&match%5B%5D=job%3A.%2A"
     )
     assert t.instance == "peer:9090"
+
+
+def test_reload_and_status_config(spark, tmp_path):
+    """/api/v1/status/config serves the loaded prometheus.yml verbatim;
+    POST /-/reload re-reads the file and the running loops pick up the
+    change in place (external_labels here — visible on /federate) —
+    web.go's lifecycle surface."""
+    import tsdb_spark.api as api_mod
+    from tsdb_spark.__main__ import main
+
+    metrics = _MetricsEndpoint("# TYPE temp gauge\ntemp 4.0\n")
+    cfg = tmp_path / "prometheus.yml"
+
+    def write_cfg(cluster):
+        cfg.write_text(
+            "global:\n"
+            "  scrape_interval: 2s\n"
+            f"  external_labels: {{cluster: {cluster}}}\n"
+            "scrape_configs:\n"
+            "- job_name: one\n"
+            "  static_configs:\n"
+            f"  - targets: ['{metrics.addr}']\n"
+        )
+
+    write_cfg("east")
+    real_serve = api_mod.serve
+    finished = threading.Event()
+    state: dict = {}
+
+    def patched_serve(db, host, port, **kw):
+        srv = real_serve(db, host, port, **kw)
+        state["port"] = srv.server_address[1]
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+
+        class _B:
+            def serve_forever(self_inner):
+                finished.wait()
+                raise KeyboardInterrupt
+
+            def shutdown(self_inner):
+                srv.shutdown()
+
+        return _B()
+
+    api_mod.serve = patched_serve
+    t = threading.Thread(
+        target=main,
+        args=(["serve", str(tmp_path / "db"), "--config", str(cfg),
+               "--port", "0"],),
+        daemon=True,
+    )
+    t.start()
+    try:
+        deadline = time.time() + 120
+        while "port" not in state and time.time() < deadline:
+            time.sleep(0.2)
+        port = state["port"]
+
+        def get(path):
+            with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}{path}", timeout=10
+            ) as r:
+                return r.read().decode()
+
+        shown = json.loads(get("/api/v1/status/config"))["data"]["yaml"]
+        assert "cluster: east" in shown
+
+        def wait_for(pred, what, budget_s=90):
+            end = time.time() + budget_s
+            while time.time() < end:
+                try:
+                    if pred():
+                        return
+                except Exception:
+                    pass
+                time.sleep(0.5)
+            raise AssertionError(f"timed out waiting for {what}")
+
+        wait_for(
+            lambda: 'cluster="east"' in get("/federate?match[]=temp"),
+            "east external label on /federate",
+        )
+
+        write_cfg("west")
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/-/reload", data=b"", method="POST"
+        )
+        with urllib.request.urlopen(req, timeout=30) as r:
+            assert r.status == 200
+        shown = json.loads(get("/api/v1/status/config"))["data"]["yaml"]
+        assert "cluster: west" in shown
+        wait_for(
+            lambda: 'cluster="west"' in get("/federate?match[]=temp"),
+            "west external label after reload",
+        )
+    finally:
+        finished.set()
+        api_mod.serve = real_serve
+        t.join(timeout=30)
+        metrics.stop()
+
+
+def test_reload_403_without_config(spark, tmp_path):
+    """A serve without --config has no lifecycle surface: /-/reload is
+    403 (upstream's 'Lifecycle API is not enabled')."""
+    from tsdb_spark.api import serve
+
+    db = DB.create(spark, str(tmp_path / "db"), block_width_ms=WIDTH)
+    srv = serve(db, "127.0.0.1", 0)
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/-/reload", data=b"", method="POST"
+        )
+        try:
+            urllib.request.urlopen(req, timeout=10)
+            raise AssertionError("expected 403")
+        except urllib.error.HTTPError as e:
+            assert e.code == 403
+        # and status/config serves an empty yaml, not an error
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/api/v1/status/config", timeout=10
+        ) as r:
+            assert json.loads(r.read())["data"]["yaml"] == ""
+    finally:
+        srv.shutdown()

@@ -135,3 +135,43 @@ def test_manager_ticks_notify(spark, tmp_path):
         assert notif.active == {}
     finally:
         am.stop()
+
+
+def test_alert_relabel_configs(spark):
+    """alerting.alert_relabel_configs (notifier.go relabelAlerts): the
+    chain runs over outgoing alerts AFTER external_labels attach — a
+    dropped label set silences the alert entirely (no RESOLVED later,
+    it was never active), and rewrites land on the wire."""
+    from tsdb_spark.relabel import RelabelConfig
+
+    am = _CapturingAM()
+    try:
+        n = Notifier(
+            [am.url],
+            external_labels={"cluster": "east"},
+            alert_relabel=[
+                RelabelConfig(action="drop", source_labels=("alertname",),
+                              regex="Noisy.*"),
+                RelabelConfig(action="replace", source_labels=("cluster",),
+                              regex="(.*)", target_label="site",
+                              replacement="site-$1"),
+            ],
+            spark=spark,
+        )
+        sent = n.notify(
+            [{"labels": {"alertname": "Hot"}, "annotations": {}},
+             {"labels": {"alertname": "NoisyDisk"}, "annotations": {}}],
+            60_000,
+        )
+        assert sent == 1
+        [batch] = am.batches
+        [a] = batch
+        assert a["labels"]["alertname"] == "Hot"
+        assert a["labels"]["site"] == "site-east"  # relabel saw externals
+        # the dropped alert never entered the registry — nothing to
+        # resolve at the next tick
+        assert len(n.active) == 1
+        n.notify([], 120_000)
+        assert len(am.batches[-1]) == 1  # one RESOLVED, for Hot only
+    finally:
+        am.stop()

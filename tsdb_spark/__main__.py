@@ -568,36 +568,86 @@ def main(argv: list[str] | None = None) -> int:
                 print(f"write buffer replayed {wbuf.replayed} spilled entries")
             print(f"write buffering ({mode}): one append per "
                   f"{args.write_buffer_ms}ms")
+        groups = list(groups) if groups else ([] if cfg else groups)
+        notif = None
+        fwd = None
+        config_state = None
+        if cfg is not None:
+            # the lifecycle surface (/-/reload + /api/v1/status/config):
+            # shared state lives in objects the loops read each tick, so
+            # an in-place swap IS the reload — no thread restarts
+            config_state = {"yaml": cfg.raw_yaml}
+
+            def _reload(cfg=cfg, config_state=config_state):
+                new_cfg = load_config(spark, args.config)
+                cfg.scrape_jobs[:] = new_cfg.scrape_jobs
+                extra = []
+                if args.rules:
+                    from tsdb_spark.promtool import load_rule_file as _lrf
+
+                    extra = _lrf(args.rules)
+                groups[:] = list(new_cfg.rule_groups) + extra
+                cfg.external_labels.clear()
+                cfg.external_labels.update(new_cfg.external_labels)
+                if notif is not None:
+                    notif.urls = [
+                        u.rstrip("/")
+                        for u in list(args.alertmanager_url)
+                        + new_cfg.alertmanager_urls
+                    ]
+                    notif.external_labels = dict(new_cfg.external_labels)
+                    notif.alert_relabel = list(new_cfg.alert_relabel)
+                if fwd is not None:
+                    head = int(db.meta.get("next_ingest_seq", 1)) - 1
+                    for c in new_cfg.remote_writes:
+                        self_marks = fwd.watermarks
+                        if c.url not in self_marks:
+                            self_marks[c.url] = head
+                            fwd.sent.setdefault(c.url, 0)
+                    fwd.configs[:] = new_cfg.remote_writes
+                config_state["yaml"] = new_cfg.raw_yaml
+                print("configuration reloaded")
+
+            config_state["reload"] = _reload
         srv = serve(db, args.host, args.port, rule_groups=groups,
                     enable_admin=args.enable_admin,
                     scrape_targets=targets, scrape_status=scrape_status,
                     scrape_metadata=scrape_md, write_buffer=wbuf,
-                    external_labels=cfg.external_labels if cfg else None)
+                    external_labels=cfg.external_labels if cfg else None,
+                    config_state=config_state)
         import threading
 
         stop = threading.Event()
         am_urls = list(args.alertmanager_url) + (
             cfg.alertmanager_urls if cfg else []
         )
-        if groups and (args.eval_rules or cfg is not None):
+        if cfg is not None or (groups and args.eval_rules):
             from tsdb_spark.manager import Manager
 
-            notif = None
-            if am_urls:
+            if am_urls or cfg is not None:
                 from tsdb_spark.notifier import Notifier
 
                 notif = Notifier(
                     am_urls,
                     external_labels=cfg.external_labels if cfg else None,
+                    alert_relabel=cfg.alert_relabel if cfg else None,
+                    spark=spark,
                 )
-                print(f"notifying {len(am_urls)} alertmanager(s)")
-            mgr = Manager(db, groups, notifier=notif)
+                if am_urls:
+                    print(f"notifying {len(am_urls)} alertmanager(s)")
+            mgr = Manager(db, groups if groups is not None else [],
+                          notifier=notif)
             threading.Thread(
                 target=mgr.loop, args=(stop,), daemon=True
             ).start()
-            print(f"evaluating {sum(len(g['rules']) for g in groups)} rule(s)")
-        if cfg and cfg.scrape_jobs:
-            from tsdb_spark.config import scrape_scheduler_loop
+            if groups:
+                print(f"evaluating "
+                      f"{sum(len(g['rules']) for g in groups)} rule(s)")
+        if cfg is not None:
+            from tsdb_spark.config import (
+                RemoteWriteForwarder,
+                scrape_scheduler_loop,
+            )
 
             threading.Thread(
                 target=scrape_scheduler_loop,
@@ -608,9 +658,6 @@ def main(argv: list[str] | None = None) -> int:
             n_t = sum(len(j.targets) for j in cfg.scrape_jobs)
             print(f"scraping {len(cfg.scrape_jobs)} config job(s) "
                   f"({n_t} static target(s) + file SD)")
-        if cfg and cfg.remote_writes:
-            from tsdb_spark.config import RemoteWriteForwarder
-
             fwd = RemoteWriteForwarder(
                 db, cfg.remote_writes,
                 external_labels=cfg.external_labels,
@@ -618,8 +665,9 @@ def main(argv: list[str] | None = None) -> int:
             threading.Thread(
                 target=fwd.loop, args=(stop,), daemon=True
             ).start()
-            print(f"forwarding to {len(cfg.remote_writes)} "
-                  "remote_write endpoint(s)")
+            if cfg.remote_writes:
+                print(f"forwarding to {len(cfg.remote_writes)} "
+                      "remote_write endpoint(s)")
         if args.scrape_url:
 
             def _scrape():

@@ -1350,7 +1350,8 @@ def make_handler(db, rule_groups: list[dict] | None = None, enable_admin: bool =
                  scrape_targets: list | None = None, scrape_status: dict | None = None,
                  scrape_metadata: dict | None = None,
                  write_buffer: "WriteBuffer | None" = None,
-                 external_labels: dict | None = None):
+                 external_labels: dict | None = None,
+                 config_state: dict | None = None):
     """BaseHTTPRequestHandler subclass bound to one DB — the web/api/v1
     router (api.go Register): query, query_range, labels,
     label/<name>/values, series, rules, alerts, federate. The handler is
@@ -1482,6 +1483,22 @@ def make_handler(db, rule_groups: list[dict] | None = None, enable_admin: bool =
                 self.send_header("Content-Length", "0")
                 self.end_headers()
                 return None
+            if u.path == "/-/reload":
+                # web.go reload handler: 403 unless the lifecycle API
+                # is wired (a serve without --config has nothing to
+                # reload); 200 on success, 500 with the error otherwise
+                reload_fn = (config_state or {}).get("reload")
+                if reload_fn is None:
+                    return self._reply_text(
+                        403, "Lifecycle API is not enabled.\n"
+                    )
+                try:
+                    reload_fn()
+                except Exception as e:  # noqa: BLE001 — config error → 500
+                    return self._reply_text(
+                        500, f"failed to reload config: {e}\n"
+                    )
+                return self._reply_text(200, "")
             if u.path == "/api/v1/read":
                 raw = self.rfile.read(n) if n else b""
                 try:
@@ -1574,6 +1591,14 @@ def make_handler(db, rule_groups: list[dict] | None = None, enable_admin: bool =
                     return self._reply(200, format_query(q["query"]))
                 if u.path == "/api/v1/metadata":
                     return self._reply(200, metadata(db, scrape_metadata))
+                if u.path == "/api/v1/status/config":
+                    # api.go serveConfig: the loaded file, verbatim
+                    return self._reply(200, {
+                        "status": "success",
+                        "data": {
+                            "yaml": (config_state or {}).get("yaml", "")
+                        },
+                    })
                 if u.path == "/api/v1/status/buildinfo":
                     return self._reply(200, buildinfo())
                 if u.path == "/api/v1/targets":
@@ -1682,7 +1707,8 @@ def make_handler(db, rule_groups: list[dict] | None = None, enable_admin: bool =
 
 def serve(db, host: str = "127.0.0.1", port: int = 9090, rule_groups=None,
           enable_admin: bool = False, scrape_targets=None, scrape_status=None,
-          scrape_metadata=None, write_buffer=None, external_labels=None):
+          scrape_metadata=None, write_buffer=None, external_labels=None,
+          config_state=None):
     """Run the HTTP API (blocking). Returns the server object if you
     want to drive it yourself (tests use server.serve_forever in a
     thread)."""
@@ -1694,7 +1720,7 @@ def serve(db, host: str = "127.0.0.1", port: int = 9090, rule_groups=None,
             db, rule_groups, enable_admin=enable_admin,
             scrape_targets=scrape_targets, scrape_status=scrape_status,
             scrape_metadata=scrape_metadata, write_buffer=write_buffer,
-            external_labels=external_labels,
+            external_labels=external_labels, config_state=config_state,
         ),
     )
     return srv

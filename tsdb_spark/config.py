@@ -78,7 +78,13 @@ class PrometheusConfig:
     rule_files: list[str] = field(default_factory=list)
     rule_groups: list[dict] = field(default_factory=list)
     alertmanager_urls: list[str] = field(default_factory=list)
+    #: alerting.alert_relabel_configs — applied to every outgoing alert
+    #: AFTER external_labels attach (notifier.go relabelAlerts)
+    alert_relabel: list = field(default_factory=list)
     remote_writes: list[RemoteWriteConfig] = field(default_factory=list)
+    #: the raw file text, served verbatim at /api/v1/status/config
+    raw_yaml: str = ""
+    path: str = ""
 
 
 def _duration_ms(v, default_ms: int) -> int:
@@ -100,7 +106,8 @@ def load_config(spark, path: str) -> PrometheusConfig:
     from tsdb_spark.promtool import load_rule_file
 
     with open(path) as f:
-        raw = yaml.safe_load(f) or {}
+        raw_text = f.read()
+    raw = yaml.safe_load(raw_text) or {}
     base = os.path.dirname(os.path.abspath(path))
 
     g = raw.get("global", {}) or {}
@@ -126,8 +133,11 @@ def load_config(spark, path: str) -> PrometheusConfig:
     for rf in rule_files:
         groups.extend(load_rule_file(rf, default_interval_ms=eval_ms))
 
+    from tsdb_spark.scrape import _relabel_rules
+
     am_urls: list[str] = []
     alerting = raw.get("alerting", {}) or {}
+    alert_relabel = _relabel_rules(alerting, "alert_relabel_configs")
     for am in alerting.get("alertmanagers", []) or []:
         scheme = am.get("scheme", "http")
         prefix = (am.get("path_prefix", "") or "").rstrip("/")
@@ -135,8 +145,6 @@ def load_config(spark, path: str) -> PrometheusConfig:
             for t in grp.get("targets", []) or []:
                 base_url = t if "://" in t else f"{scheme}://{t}"
                 am_urls.append(f"{base_url}{prefix}")
-
-    from tsdb_spark.scrape import _relabel_rules
 
     remote_writes = [
         RemoteWriteConfig(
@@ -157,7 +165,10 @@ def load_config(spark, path: str) -> PrometheusConfig:
         rule_files=rule_files,
         rule_groups=groups,
         alertmanager_urls=am_urls,
+        alert_relabel=alert_relabel,
         remote_writes=remote_writes,
+        raw_yaml=raw_text,
+        path=os.path.abspath(path),
     )
 
 
@@ -199,6 +210,7 @@ def scrape_scheduler_loop(
                         status=status,
                         relabel_configs=job.metric_relabel or None,
                         metadata=metadata,
+                        timeout_s=job.timeout_s,
                     )
             except Exception as e:  # noqa: BLE001 — keep serving
                 print(f"scrape pass failed for job {job.name}: {e}")

@@ -48,11 +48,19 @@ class Notifier:
         timeout_s: float = 10.0,
         generator_url: str = "",
         external_labels: dict[str, str] | None = None,
+        alert_relabel: list | None = None,
+        spark=None,
     ) -> None:
         self.urls = [u.rstrip("/") for u in urls]
         self.timeout_s = timeout_s
         self.generator_url = generator_url
         self.external_labels = dict(external_labels or {})
+        #: alerting.alert_relabel_configs (notifier.go relabelAlerts):
+        #: applied AFTER external_labels attach; a dropped label set
+        #: silences the alert. Needs `spark` (the rule chain runs on
+        #: the same Column engine as metric relabeling).
+        self.alert_relabel = list(alert_relabel or [])
+        self.spark = spark
         #: label-set key → {"starts": first-seen-firing ms,
         #: "annotations": last-seen annotations} — annotations ride
         #: along so the RESOLVED notification carries them too
@@ -72,8 +80,20 @@ class Notifier:
         number of alert payload entries sent."""
         batch = []
         seen: set[tuple] = set()
-        for a in firing:
-            labels = {**self.external_labels, **a["labels"]}
+        labelsets = [
+            {**self.external_labels, **a["labels"]} for a in firing
+        ]
+        if self.alert_relabel and labelsets:
+            from tsdb_spark.relabel import relabel_labelsets
+
+            relabeled = relabel_labelsets(
+                self.spark, labelsets, self.alert_relabel
+            )
+            firing = [
+                a for a, lab in zip(firing, relabeled) if lab is not None
+            ]
+            labelsets = [lab for lab in relabeled if lab is not None]
+        for a, labels in zip(firing, labelsets):
             key = tuple(sorted(labels.items()))
             seen.add(key)
             annotations = dict(a.get("annotations", {}))

@@ -301,6 +301,24 @@ def relabel_targets(spark, targets, configs: list[RelabelConfig]):
     return kept
 
 
+def relabel_labelsets(
+    spark, labelsets: list[dict], configs: list[RelabelConfig]
+) -> list[dict | None]:
+    """Run the rule chain over arbitrary label-set dicts (the
+    `alert_relabel_configs:` consumer — notifier.go relabelAlerts):
+    returns one entry per input, None where the chain dropped the set.
+    Same apply_relabel engine as metric/target relabeling, one tiny
+    local DataFrame — alert batches are human-scale."""
+    if not labelsets:
+        return []
+    df = spark.createDataFrame(
+        list(enumerate(labelsets)), "idx LONG, labels MAP<STRING,STRING>"
+    )
+    out = {r["idx"]: dict(r["labels"])
+           for r in apply_relabel(df, configs).collect()}
+    return [out.get(i) for i in range(len(labelsets))]
+
+
 def load_relabel_file(path: str) -> list[RelabelConfig]:
     """Load a YAML (or JSON) list of upstream-style relabel rule
     mappings — the exact `relabel_configs:` block syntax."""

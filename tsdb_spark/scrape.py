@@ -118,6 +118,7 @@ def scrape_pass(
     max_workers: int = 32,
     relabel_configs=None,
     metadata: dict | None = None,
+    timeout_s: float = 10.0,
 ) -> int:
     """One scrape pass over every target: GET every body CONCURRENTLY
     (driver-side thread pool — upstream scrapes each target from its own
@@ -141,7 +142,7 @@ def scrape_pass(
 
     def _get(tgt: Target):
         try:
-            return fetch_text(tgt.url), None
+            return fetch_text(tgt.url, timeout_s=timeout_s), None
         except OSError as e:
             return None, e
 
@@ -334,6 +335,8 @@ class ScrapeJob:
     scheme: str = "http"
     metrics_path: str = "/metrics"
     params: dict = field(default_factory=dict)
+    #: per-target GET deadline (scrape_timeout; upstream default 10s)
+    timeout_s: float = 10.0
 
     def resolve_targets(self, spark, now_ms: int | None = None) -> list[Target]:
         """The job's CURRENT target list: pre-relabeled statics plus
@@ -402,6 +405,7 @@ def scrape_jobs_from(
         scheme = sc.get("scheme", "http")
         metrics_path = sc.get("metrics_path", "/metrics")
         params = dict(sc.get("params") or {})
+        timeout_s = _duration_ms(sc.get("scrape_timeout"), 10_000) / 1000.0
         targets = _static_targets(
             sc.get("static_configs", []), name,
             scheme=scheme, metrics_path=metrics_path, params=params,
@@ -433,6 +437,7 @@ def scrape_jobs_from(
                 scheme=scheme,
                 metrics_path=metrics_path,
                 params=params,
+                timeout_s=timeout_s,
             )
         )
     return jobs
@@ -484,6 +489,7 @@ def scrape_config_pass(
             status=status,
             relabel_configs=job.metric_relabel or None,
             metadata=metadata,
+            timeout_s=job.timeout_s,
         )
     if status is not None:
         for url in list(status):
