@@ -595,3 +595,36 @@ def test_band_index_probe_large_batch_falls_back_to_shuffle_join(
     assert sorted(map(tuple, rows)) == sorted(
         map(tuple, idx.probe(batch).collect())
     )
+
+
+def test_forwarder_tail_read_pushes_ingest_seq_filter(spark, tmp_path):
+    # the remote-write forwarder tails the store by ingest_seq; that
+    # predicate must reach the parquet scan (PushedFilters) so row
+    # groups written by already-forwarded appends skip on min/max
+    # stats — appends are write-time clustered, so the steady-state
+    # tail read touches only the newest files' row groups
+    from tsdb_spark import DB
+    from tsdb_spark.config import RemoteWriteConfig, RemoteWriteForwarder
+
+    db = DB.create(spark, str(tmp_path / "db"), block_width_ms=3_600_000)
+    db.append(spark.createDataFrame(
+        [({"__name__": "m"}, 1_000, 1.0)],
+        "labels MAP<STRING,STRING>, t LONG, v DOUBLE",
+    ))
+    fwd = RemoteWriteForwarder(
+        db, [RemoteWriteConfig(url="http://unused/api/v1/write")]
+    )
+    from pyspark.sql import functions as F
+
+    smp = db.samples().filter(F.col("ingest_seq") > 0)
+    ser = db.series().select("series_id", "labels")
+    df = fwd._attach_external(
+        smp.join(ser, "series_id").select("labels", "t", "v")
+    )
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any(
+        "ingest_seq" in ln and ("GreaterThan" in ln or ">" in ln)
+        for ln in pushed
+    ), f"ingest_seq tail predicate not pushed: {pushed!r}"
