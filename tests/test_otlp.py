@@ -302,3 +302,51 @@ def test_otlp_route_through_write_buffer(spark, tmp_path):
         buf.close()
     finally:
         srv.shutdown()
+
+
+def test_histograms_as_nhcb_translation(spark, tmp_path):
+    """otlp.convert_histograms_to_nhcb: explicit-bounds histograms
+    ingest as NHCB native samples — OTLP's non-cumulative bucket_counts
+    map 1:1 onto NHCB buckets (trailing entry = the +Inf overflow),
+    bounds become custom_values, and histogram_quantile over the
+    ingested sample answers exactly what classic bucketQuantile answers
+    on the classic translation of the same point."""
+    from pyspark.sql import functions as F
+
+    from tsdb_spark.nativehist import hist_quantile
+
+    metrics = [
+        {"name": "rt", "unit": "", "kind": "histogram", "temporality": 2,
+         "points": [({}, 5_000, 10, 12.5, [4, 3, 2, 1], [0.1, 0.5, 1.0])]},
+    ]
+    body = encode_otlp_metrics(_req(metrics))
+    floats, hists, _ = translate_otlp(
+        decode_otlp_metrics(body), histograms_as_nhcb=True
+    )
+    # no classic series; one NHCB sample
+    assert not any("_bucket" in r[0]["__name__"] for r in floats)
+    [(lab, t, h)] = hists
+    assert lab["__name__"] == "rt" and t == 5_000
+    assert h["schema"] == -53
+    assert h["custom_values"] == [0.1, 0.5, 1.0]
+    assert h["buckets"] == [(0, 4.0), (1, 3.0), (2, 2.0), (3, 1.0)]
+    assert h["count"] == 10.0 and h["sum"] == 12.5
+
+    # through the store: quantiles match the classic cumulative walk
+    # (cum 4,7,9; rank 5 -> (0.1,0.5]: 0.1+0.4*(5-4)/3)
+    from tsdb_spark import DB
+    from tsdb_spark.api import otlp_write
+
+    db = DB.create(spark, str(tmp_path / "db"), block_width_ms=WIDTH)
+    assert otlp_write(db, body, histograms_as_nhcb=True) > 0
+    [row] = db.hist_frame(0, 10**9).collect()
+    q = spark.createDataFrame([(row["h"],)], "h " +
+                              "STRUCT<count: DOUBLE, sum: DOUBLE, "
+                              "zero_count: DOUBLE, schema: INT, buckets: "
+                              "ARRAY<STRUCT<idx: INT, c: DOUBLE>>, "
+                              "custom_values: ARRAY<DOUBLE>>").select(
+        hist_quantile(0.5, F.col("h")).alias("q50"),
+        hist_quantile(1.0, F.col("h")).alias("q100"),
+    ).collect()[0]
+    assert abs(q["q50"] - (0.1 + 0.4 * (5 - 4) / 3)) < 1e-12
+    assert q["q100"] == 1.0  # rank in +Inf overflow -> last finite bound

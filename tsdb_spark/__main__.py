@@ -614,7 +614,8 @@ def main(argv: list[str] | None = None) -> int:
                     scrape_targets=targets, scrape_status=scrape_status,
                     scrape_metadata=scrape_md, write_buffer=wbuf,
                     external_labels=cfg.external_labels if cfg else None,
-                    config_state=config_state)
+                    config_state=config_state,
+                    otlp_nhcb=cfg.otlp_nhcb if cfg else False)
         import threading
 
         stop = threading.Event()

@@ -153,9 +153,22 @@ def query_histogram(
         buckets = [
             [3, "0", "0", format_value(h["zero_count"])]
         ] if h["zero_count"] else []
-        base = 2.0 ** (2.0 ** -h["schema"])
+        cv = list(h["custom_values"] or [])
+        if h["schema"] == -53 and cv:
+            # NHCB bounds come from custom_values (0-based idx; the
+            # overflow bucket's upper is +Inf; first bucket from 0)
+            def bounds(i):
+                lo = 0.0 if i == 0 else cv[i - 1]
+                hi = cv[i] if i < len(cv) else float("inf")
+                return lo, hi
+        else:
+            base = 2.0 ** (2.0 ** -h["schema"])
+
+            def bounds(i):
+                return base ** (i - 1), base ** i
+
         for b in h["buckets"]:
-            lo, hi = base ** (b["idx"] - 1), base ** b["idx"]
+            lo, hi = bounds(b["idx"])
             buckets.append(
                 [0, format_value(lo), format_value(hi), format_value(b["c"])]
             )
@@ -1149,7 +1162,8 @@ def _read_query_results(db, queries: list[dict]):
     return results
 
 
-def otlp_write(db, raw: bytes, gzipped: bool = False) -> int:
+def otlp_write(db, raw: bytes, gzipped: bool = False,
+               histograms_as_nhcb: bool = False) -> int:
     """POST /api/v1/otlp/v1/metrics (prometheus 3.x OTLP ingest,
     storage/remote/otlptranslator): decode + translate the
     ExportMetricsServiceRequest and append — gauges/sums/classic
@@ -1160,7 +1174,10 @@ def otlp_write(db, raw: bytes, gzipped: bool = False) -> int:
     upstream rejects them."""
     from tsdb_spark.sources.otlp import decode_otlp_metrics, translate_otlp
 
-    floats, hists, _ = translate_otlp(decode_otlp_metrics(raw, gzipped))
+    floats, hists, _ = translate_otlp(
+        decode_otlp_metrics(raw, gzipped),
+        histograms_as_nhcb=histograms_as_nhcb,
+    )
     return _otlp_apply(db, (floats, hists))
 
 
@@ -1351,7 +1368,8 @@ def make_handler(db, rule_groups: list[dict] | None = None, enable_admin: bool =
                  scrape_metadata: dict | None = None,
                  write_buffer: "WriteBuffer | None" = None,
                  external_labels: dict | None = None,
-                 config_state: dict | None = None):
+                 config_state: dict | None = None,
+                 otlp_nhcb: bool = False):
     """BaseHTTPRequestHandler subclass bound to one DB — the web/api/v1
     router (api.go Register): query, query_range, labels,
     label/<name>/values, series, rules, alerts, federate. The handler is
@@ -1454,7 +1472,8 @@ def make_handler(db, rule_groups: list[dict] | None = None, enable_admin: bool =
                     )
 
                     floats, hists, _ = translate_otlp(
-                        decode_otlp_metrics(raw, gz)
+                        decode_otlp_metrics(raw, gz),
+                        histograms_as_nhcb=otlp_nhcb,
                     )
                 except Exception as e:  # noqa: BLE001 — wire errors → 400
                     return self._reply_text(400, f"decode error: {e}\n")
@@ -1708,7 +1727,7 @@ def make_handler(db, rule_groups: list[dict] | None = None, enable_admin: bool =
 def serve(db, host: str = "127.0.0.1", port: int = 9090, rule_groups=None,
           enable_admin: bool = False, scrape_targets=None, scrape_status=None,
           scrape_metadata=None, write_buffer=None, external_labels=None,
-          config_state=None):
+          config_state=None, otlp_nhcb=False):
     """Run the HTTP API (blocking). Returns the server object if you
     want to drive it yourself (tests use server.serve_forever in a
     thread)."""
@@ -1721,6 +1740,7 @@ def serve(db, host: str = "127.0.0.1", port: int = 9090, rule_groups=None,
             scrape_targets=scrape_targets, scrape_status=scrape_status,
             scrape_metadata=scrape_metadata, write_buffer=write_buffer,
             external_labels=external_labels, config_state=config_state,
+            otlp_nhcb=otlp_nhcb,
         ),
     )
     return srv

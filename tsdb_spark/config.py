@@ -82,6 +82,10 @@ class PrometheusConfig:
     #: AFTER external_labels attach (notifier.go relabelAlerts)
     alert_relabel: list = field(default_factory=list)
     remote_writes: list[RemoteWriteConfig] = field(default_factory=list)
+    #: otlp.convert_histograms_to_nhcb — explicit-bounds OTLP
+    #: histograms ingest as NHCB native samples instead of classic
+    #: _bucket series
+    otlp_nhcb: bool = False
     #: the raw file text, served verbatim at /api/v1/status/config
     raw_yaml: str = ""
     path: str = ""
@@ -157,6 +161,10 @@ def load_config(spark, path: str) -> PrometheusConfig:
         for rw in raw.get("remote_write", []) or []
     ]
 
+    otlp_nhcb = bool(
+        (raw.get("otlp") or {}).get("convert_histograms_to_nhcb", False)
+    )
+
     return PrometheusConfig(
         scrape_interval_ms=scrape_ms,
         evaluation_interval_ms=eval_ms,
@@ -166,6 +174,7 @@ def load_config(spark, path: str) -> PrometheusConfig:
         rule_groups=groups,
         alertmanager_urls=am_urls,
         alert_relabel=alert_relabel,
+        otlp_nhcb=otlp_nhcb,
         remote_writes=remote_writes,
         raw_yaml=raw_text,
         path=os.path.abspath(path),

@@ -395,12 +395,20 @@ def _downscale(buckets: list[tuple[int, float]], times: int):
 
 
 def translate_otlp(
-    resources: list[dict], add_metric_suffixes: bool = True
+    resources: list[dict], add_metric_suffixes: bool = True,
+    histograms_as_nhcb: bool = False,
 ) -> tuple[list, list, int]:
     """Decoded resources → (float_rows, hist_rows, dropped_points).
     float_rows: (labels, t_ms, v); hist_rows: (labels, t_ms, h) with h
     in the nativehist dict shape. Delta-temporality points count into
-    `dropped_points` (upstream rejects delta)."""
+    `dropped_points` (upstream rejects delta).
+
+    `histograms_as_nhcb` (the otlp.convert_histograms_to_nhcb config
+    option, prometheus 3.x): explicit-bounds histograms become NHCB
+    native samples (schema -53, bounds → custom_values, OTLP's
+    already-non-cumulative bucket_counts → sparse buckets with the
+    trailing entry as the +Inf overflow) instead of classic
+    _bucket/_sum/_count series."""
     floats: list[tuple] = []
     hists: list[tuple] = []
     dropped = 0
@@ -431,6 +439,26 @@ def translate_otlp(
                 for attrs, t, v in m["points"]:
                     lab = {**attrs, **base, "__name__": name}
                     floats.append((lab, t, float(v)))
+                    max_t = max(max_t, t)
+            elif m["kind"] == "histogram" and histograms_as_nhcb:
+                for attrs, t, count, hsum, bucket_counts, bounds in m["points"]:
+                    buckets = [
+                        (i, float(c))
+                        for i, c in enumerate(bucket_counts)
+                        if c and i <= len(bounds)
+                    ]
+                    hists.append((
+                        {**attrs, **base, "__name__": name},
+                        t,
+                        {
+                            "count": float(count),
+                            "sum": float(hsum if hsum is not None else 0.0),
+                            "zero_count": 0.0,
+                            "schema": -53,
+                            "buckets": buckets,
+                            "custom_values": [float(b) for b in bounds],
+                        },
+                    ))
                     max_t = max(max_t, t)
             elif m["kind"] == "histogram":
                 for attrs, t, count, hsum, bucket_counts, bounds in m["points"]:
@@ -613,7 +641,7 @@ def encode_otlp_metrics(resources: list[dict], gzipped: bool = False) -> bytes:
 # ------------------------------------------------------- Spark bridge
 
 
-def backfill_otlp(spark, path: str):
+def backfill_otlp(spark, path: str, histograms_as_nhcb: bool = False):
     """Bulk decode archived OTLP payload files as ONE distributed
     binaryFile + mapInPandas scan, emitting the unified (labels, t, v,
     h) frame backfill_remote_write_v2 uses — floats carry v, native
@@ -630,7 +658,8 @@ def backfill_otlp(spark, path: str):
             labels_out, t_out, v_out, h_out = [], [], [], []
             for raw in pdf["content"]:
                 floats, hists, _ = translate_otlp(
-                    decode_otlp_metrics(bytes(raw))
+                    decode_otlp_metrics(bytes(raw)),
+                    histograms_as_nhcb=histograms_as_nhcb,
                 )
                 for lab, t, v in floats:
                     labels_out.append(lab)
@@ -651,7 +680,7 @@ def backfill_otlp(spark, path: str):
                                 {"idx": int(i), "c": float(c)}
                                 for i, c in h["buckets"]
                             ],
-                            "custom_values": None,
+                            "custom_values": h.get("custom_values"),
                         }
                     )
             yield pd.DataFrame(
