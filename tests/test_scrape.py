@@ -411,3 +411,71 @@ scrape_configs:
     finally:
         s1.shutdown()
         s2.shutdown()
+
+
+def test_scrape_convert_classic_histograms_to_nhcb(spark, tmp_path):
+    """scrape_config `convert_classic_histograms_to_nhcb` (prometheus
+    3.x): scraped classic histogram families land as NHCB samples in
+    the histograms table — the classic _bucket/_sum/_count series are
+    consumed, other metrics (and `up`) stay float samples."""
+    from pyspark.sql import functions as F
+
+    from tsdb_spark import DB
+    from tsdb_spark.nativehist import hist_quantile
+    from tsdb_spark.scrape import Target, scrape_pass
+
+    text = (
+        "# TYPE rt histogram\n"
+        'rt_bucket{le="0.1"} 4\n'
+        'rt_bucket{le="0.5"} 7\n'
+        'rt_bucket{le="1"} 9\n'
+        'rt_bucket{le="+Inf"} 10\n'
+        "rt_sum 12.5\n"
+        "rt_count 10\n"
+        "temp 21.5\n"
+    )
+    import http.server
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            data = text.encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def log_message(self, *a):
+            pass
+
+    httpd = http.server.HTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{httpd.server_address[1]}/metrics"
+    try:
+        db = DB.create(spark, str(tmp_path / "db"), block_width_ms=WIDTH)
+        ok = scrape_pass(
+            spark, db,
+            [Target(url=url, job="j", instance="i")],
+            scrape_time_ms=60_000,
+            convert_nhcb=True,
+        )
+        assert ok == 1
+        floats = {
+            r["labels"]["__name__"]
+            for r in db.querier(0, 10**9).select([]).collect()
+        }
+        assert floats == {"temp", "up"}  # classic family consumed
+        [row] = db.hist_frame(0, 10**9).collect()
+        h = row["h"]
+        assert row["labels"]["__name__"] == "rt"
+        assert row["labels"]["job"] == "j"  # target labels attached
+        assert h["schema"] == -53
+        assert list(h["custom_values"]) == [0.1, 0.5, 1.0]
+        assert h["count"] == 10.0 and h["sum"] == 12.5
+        # quantile answers the classic block's hand answer (rank 5 ->
+        # (0.1,0.5]: 0.1 + 0.4*(5-4)/3)
+        [q] = db.hist_frame(0, 10**9).select(
+            hist_quantile(0.5, F.col("h")).alias("q")
+        ).collect()
+        assert abs(q["q"] - (0.1 + 0.4 / 3)) < 1e-12
+    finally:
+        httpd.shutdown()

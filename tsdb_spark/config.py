@@ -220,6 +220,7 @@ def scrape_scheduler_loop(
                         relabel_configs=job.metric_relabel or None,
                         metadata=metadata,
                         timeout_s=job.timeout_s,
+                        convert_nhcb=job.convert_nhcb,
                     )
             except Exception as e:  # noqa: BLE001 — keep serving
                 print(f"scrape pass failed for job {job.name}: {e}")

@@ -119,6 +119,7 @@ def scrape_pass(
     relabel_configs=None,
     metadata: dict | None = None,
     timeout_s: float = 10.0,
+    convert_nhcb: bool = False,
 ) -> int:
     """One scrape pass over every target: GET every body CONCURRENTLY
     (driver-side thread pool — upstream scrapes each target from its own
@@ -134,7 +135,13 @@ def scrape_pass(
     every scraped sample AFTER target labels attach (scrape.go runs
     metric relabeling on the final label set), as one extra projection
     on the same distributed parse — `up` synthetics are exempt, like
-    upstream's reportSample path."""
+    upstream's reportSample path.
+
+    `convert_nhcb` is the scrape_config `convert_classic_histograms_to
+    _nhcb` option (prometheus 3.x): scraped classic histogram families
+    (X_bucket{le=}/X_sum/X_count) land as NHCB native samples in the
+    histograms table instead of float series — the classic series are
+    consumed by the conversion, everything else appends as floats."""
     from concurrent.futures import ThreadPoolExecutor
     from functools import reduce
 
@@ -188,7 +195,45 @@ def scrape_pass(
         up_rows, "labels MAP<STRING,STRING>, t LONG, v DOUBLE"
     )
     batch = reduce(DataFrame.unionByName, frames, up)
-    db.append(batch)
+    if convert_nhcb:
+        from tsdb_spark.nativehist import classic_to_nhcb
+
+        name = F.element_at("labels", F.lit("__name__"))
+        le = F.element_at("labels", F.lit("le"))
+        # classic families = base names that have _bucket{le=} series
+        # in THIS pass; their _bucket/_sum/_count rows are consumed by
+        # the conversion, every other row stays a float sample
+        bases = (
+            batch.filter(name.endswith("_bucket") & le.isNotNull())
+            .select(
+                F.regexp_replace(name, "_bucket$", "").alias("_base")
+            )
+            .distinct()
+        )
+        suffixed = batch.select(
+            "labels", "t", "v",
+            F.regexp_replace(
+                name, "_(bucket|sum|count)$", ""
+            ).alias("_maybe"),
+            name.rlike("_(bucket|sum|count)$").alias("_sfx"),
+        )
+        joined = suffixed.join(
+            F.broadcast(bases),
+            (F.col("_maybe") == F.col("_base")) & F.col("_sfx"),
+            "left",
+        )
+        classic = joined.filter(F.col("_base").isNotNull()).select(
+            "labels", "t", "v"
+        )
+        rest = joined.filter(F.col("_base").isNull()).select(
+            "labels", "t", "v"
+        )
+        hists = classic_to_nhcb(classic)
+        if hists.take(1):
+            db.append_histograms(hists.select("labels", "t", "h"))
+        db.append(rest)
+    else:
+        db.append(batch)
     return ok
 
 
@@ -337,6 +382,8 @@ class ScrapeJob:
     params: dict = field(default_factory=dict)
     #: per-target GET deadline (scrape_timeout; upstream default 10s)
     timeout_s: float = 10.0
+    #: convert_classic_histograms_to_nhcb (prometheus 3.x)
+    convert_nhcb: bool = False
 
     def resolve_targets(self, spark, now_ms: int | None = None) -> list[Target]:
         """The job's CURRENT target list: pre-relabeled statics plus
@@ -406,6 +453,9 @@ def scrape_jobs_from(
         metrics_path = sc.get("metrics_path", "/metrics")
         params = dict(sc.get("params") or {})
         timeout_s = _duration_ms(sc.get("scrape_timeout"), 10_000) / 1000.0
+        convert_nhcb = bool(
+            sc.get("convert_classic_histograms_to_nhcb", False)
+        )
         targets = _static_targets(
             sc.get("static_configs", []), name,
             scheme=scheme, metrics_path=metrics_path, params=params,
@@ -438,6 +488,7 @@ def scrape_jobs_from(
                 metrics_path=metrics_path,
                 params=params,
                 timeout_s=timeout_s,
+                convert_nhcb=convert_nhcb,
             )
         )
     return jobs
@@ -490,6 +541,7 @@ def scrape_config_pass(
             relabel_configs=job.metric_relabel or None,
             metadata=metadata,
             timeout_s=job.timeout_s,
+            convert_nhcb=job.convert_nhcb,
         )
     if status is not None:
         for url in list(status):
