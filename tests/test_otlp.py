@@ -350,3 +350,46 @@ def test_histograms_as_nhcb_translation(spark, tmp_path):
     ).collect()[0]
     assert abs(q["q50"] - (0.1 + 0.4 * (5 - 4) / 3)) < 1e-12
     assert q["q100"] == 1.0  # rank in +Inf overflow -> last finite bound
+
+
+def test_otlp_exemplars_roundtrip_and_ingest(spark, tmp_path):
+    """OTLP exemplars (metrics.proto Exemplar on number and histogram
+    points): trace_id/span_id render as hex labels plus filtered
+    attributes (otlptranslator), survive the encode/decode roundtrip,
+    and land in the exemplars side table — served by
+    /api/v1/query_exemplars like remote-write v1 exemplars."""
+    from tsdb_spark.api import otlp_write, query_exemplars
+
+    ex = [({"trace_id": "0af7651916cd43dd8448eb211c80319c",
+            "span_id": "b7ad6b7169203331", "qos": "gold"}, 1_000, 7.2)]
+    metrics = [
+        {"name": "req", "unit": "", "kind": "sum", "monotonic": True,
+         "temporality": 2, "points": [({"code": "200"}, 1_000, 42.0, ex)]},
+        {"name": "rt", "unit": "", "kind": "histogram", "temporality": 2,
+         "points": [({}, 5_000, 10, 12.5, [4, 3, 2, 1], [0.1, 0.5, 1.0],
+                     [({"trace_id": "00" * 16}, 4_000, 0.42)])]},
+    ]
+    body = encode_otlp_metrics(_req(metrics))
+
+    # decode preserves the exemplar payloads
+    res = decode_otlp_metrics(body)
+    pts = {m["name"]: m["points"] for r in res for m in r["metrics"]}
+    assert pts["req"][0][3] == ex
+    assert pts["rt"][0][6] == [({"trace_id": "00" * 16}, 4_000, 0.42)]
+
+    # translate collects exemplar rows keyed by the translated series
+    out: list = []
+    translate_otlp(res, exemplars_out=out)
+    by = {r[0]["__name__"]: r for r in out}
+    lab, t, v, elab = by["req_total"]
+    assert (t, v) == (1_000, 7.2)
+    assert elab["trace_id"].startswith("0af76519") and elab["qos"] == "gold"
+    assert by["rt_bucket"][3]["trace_id"] == "00" * 16
+
+    # through the store: query_exemplars serves them
+    db = DB.create(spark, str(tmp_path / "db"), block_width_ms=WIDTH)
+    otlp_write(db, body)
+    got = query_exemplars(db, "req_total", 0, 10**9)["data"]
+    [series] = got
+    assert series["exemplars"][0]["labels"]["trace_id"].startswith("0af76519")
+    assert series["exemplars"][0]["value"] == "7.2"

@@ -1174,15 +1174,19 @@ def otlp_write(db, raw: bytes, gzipped: bool = False,
     upstream rejects them."""
     from tsdb_spark.sources.otlp import decode_otlp_metrics, translate_otlp
 
+    exemplars: list = []
     floats, hists, _ = translate_otlp(
         decode_otlp_metrics(raw, gzipped),
         histograms_as_nhcb=histograms_as_nhcb,
+        exemplars_out=exemplars,
     )
-    return _otlp_apply(db, (floats, hists))
+    return _otlp_apply(db, (floats, hists), exemplars)
 
 
-def _otlp_apply(db, decoded) -> int:
-    """Commit half of otlp_write (the HTTP route's 400/500 split)."""
+def _otlp_apply(db, decoded, exemplars=()) -> int:
+    """Commit half of otlp_write (the HTTP route's 400/500 split).
+    OTLP exemplars (trace_id/span_id + filtered attributes) land in
+    the exemplars side table like remote-write v1 exemplars do."""
     from tsdb_spark.nativehist import HIST_TYPE
 
     floats, hists = decoded
@@ -1211,6 +1215,14 @@ def _otlp_apply(db, decoded) -> int:
         db.append_histograms(
             db.spark.createDataFrame(
                 hrows, f"labels MAP<STRING,STRING>, t LONG, h {HIST_TYPE}"
+            )
+        )
+    if exemplars:
+        db.append_exemplars(
+            db.spark.createDataFrame(
+                list(exemplars),
+                "labels MAP<STRING,STRING>, t LONG, v DOUBLE, "
+                "exemplar MAP<STRING,STRING>",
             )
         )
     return len(floats) + len(hists)
@@ -1471,9 +1483,11 @@ def make_handler(db, rule_groups: list[dict] | None = None, enable_admin: bool =
                         translate_otlp,
                     )
 
+                    otlp_exemplars: list = []
                     floats, hists, _ = translate_otlp(
                         decode_otlp_metrics(raw, gz),
                         histograms_as_nhcb=otlp_nhcb,
+                        exemplars_out=otlp_exemplars,
                     )
                 except Exception as e:  # noqa: BLE001 — wire errors → 400
                     return self._reply_text(400, f"decode error: {e}\n")
@@ -1491,9 +1505,10 @@ def make_handler(db, rule_groups: list[dict] | None = None, enable_admin: bool =
                                 )
                                 for lab, t, h in hists
                             ],
+                            exemplars=otlp_exemplars,
                         )
                     else:
-                        _otlp_apply(db, (floats, hists))
+                        _otlp_apply(db, (floats, hists), otlp_exemplars)
                 except Exception as e:  # noqa: BLE001 — commit → 500
                     return self._reply_text(500, f"internal error: {e}\n")
                 # empty ExportMetricsServiceResponse (success, 200)

@@ -156,11 +156,40 @@ def _unzigzag(u: int) -> int:
 _FLAG_NO_RECORDED_VALUE = 1
 
 
+def _exemplar(buf: bytes):
+    """metrics.proto Exemplar: filtered_attributes=7, time=2,
+    as_double=3 / as_int=6 (oneof), span_id=4, trace_id=5."""
+    attrs: list[bytes] = []
+    t = 0
+    v = 0.0
+    span = trace = b""
+    for field, wt, payload in _fields(buf):
+        if field == 7 and wt == 2:
+            attrs.append(payload)
+        elif field == 2 and wt == 1:
+            t = _fixed64(payload)
+        elif field == 3 and wt == 1:
+            v = struct.unpack("<d", payload)[0]
+        elif field == 6 and wt == 1:
+            v = float(struct.unpack("<q", payload)[0])
+        elif field == 4 and wt == 2:
+            span = payload
+        elif field == 5 and wt == 2:
+            trace = payload
+    lab = _attributes(attrs)
+    if trace:
+        lab["trace_id"] = trace.hex()
+    if span:
+        lab["span_id"] = span.hex()
+    return lab, t // 1_000_000, v
+
+
 def _number_point(buf: bytes):
     attrs: list[bytes] = []
     t = 0
     v = 0.0
     flags = 0
+    exemplars: list = []
     for field, wt, payload in _fields(buf):
         if field == 7 and wt == 2:
             attrs.append(payload)
@@ -170,11 +199,13 @@ def _number_point(buf: bytes):
             v = struct.unpack("<d", payload)[0]
         elif field == 6 and wt == 1:
             v = float(struct.unpack("<q", payload)[0])
+        elif field == 5 and wt == 2:
+            exemplars.append(_exemplar(payload))
         elif field == 8 and wt == 0:
             flags = payload
     if flags & _FLAG_NO_RECORDED_VALUE:
         return None
-    return _attributes(attrs), t // 1_000_000, v
+    return _attributes(attrs), t // 1_000_000, v, exemplars
 
 
 def _hist_point(buf: bytes):
@@ -184,6 +215,7 @@ def _hist_point(buf: bytes):
     bucket_counts: list[int] = []
     bounds: list[float] = []
     flags = 0
+    exemplars: list = []
     for field, wt, payload in _fields(buf):
         if field == 9 and wt == 2:
             attrs.append(payload)
@@ -201,11 +233,14 @@ def _hist_point(buf: bytes):
             bounds = _packed_doubles(payload)
         elif field == 7 and wt == 1:
             bounds.append(struct.unpack("<d", payload)[0])
+        elif field == 8 and wt == 2:
+            exemplars.append(_exemplar(payload))
         elif field == 10 and wt == 0:
             flags = payload
     if flags & _FLAG_NO_RECORDED_VALUE:
         return None
-    return _attributes(attrs), t // 1_000_000, count, hsum, bucket_counts, bounds
+    return (_attributes(attrs), t // 1_000_000, count, hsum, bucket_counts,
+            bounds, exemplars)
 
 
 def _exp_buckets(buf: bytes) -> tuple[int, list[int]]:
@@ -397,6 +432,7 @@ def _downscale(buckets: list[tuple[int, float]], times: int):
 def translate_otlp(
     resources: list[dict], add_metric_suffixes: bool = True,
     histograms_as_nhcb: bool = False,
+    exemplars_out: list | None = None,
 ) -> tuple[list, list, int]:
     """Decoded resources → (float_rows, hist_rows, dropped_points).
     float_rows: (labels, t_ms, v); hist_rows: (labels, t_ms, h) with h
@@ -408,7 +444,12 @@ def translate_otlp(
     native samples (schema -53, bounds → custom_values, OTLP's
     already-non-cumulative bucket_counts → sparse buckets with the
     trailing entry as the +Inf overflow) instead of classic
-    _bucket/_sum/_count series."""
+    _bucket/_sum/_count series.
+
+    `exemplars_out` (a caller-supplied list) collects OTLP exemplars as
+    (series_labels, t_ms, v, exemplar_labels) rows — trace_id/span_id
+    hex plus filtered attributes, the otlptranslator convention — ready
+    for DB.append_exemplars; None drops them (the pre-r9 behavior)."""
     floats: list[tuple] = []
     hists: list[tuple] = []
     dropped = 0
@@ -436,12 +477,20 @@ def translate_otlp(
                 continue
             name = _metric_name(m["name"], m["unit"], counter, add_metric_suffixes)
             if m["kind"] in ("gauge", "sum"):
-                for attrs, t, v in m["points"]:
+                for attrs, t, v, *rest in m["points"]:
                     lab = {**attrs, **base, "__name__": name}
                     floats.append((lab, t, float(v)))
+                    if exemplars_out is not None and rest and rest[0]:
+                        for elab, et, ev in rest[0]:
+                            exemplars_out.append((lab, et, float(ev), elab))
                     max_t = max(max_t, t)
             elif m["kind"] == "histogram" and histograms_as_nhcb:
-                for attrs, t, count, hsum, bucket_counts, bounds in m["points"]:
+                for attrs, t, count, hsum, bucket_counts, bounds, *rest \
+                        in m["points"]:
+                    if exemplars_out is not None and rest and rest[0]:
+                        xlab = {**attrs, **base, "__name__": name}
+                        for elab, et, ev in rest[0]:
+                            exemplars_out.append((xlab, et, float(ev), elab))
                     buckets = [
                         (i, float(c))
                         for i, c in enumerate(bucket_counts)
@@ -461,8 +510,17 @@ def translate_otlp(
                     ))
                     max_t = max(max_t, t)
             elif m["kind"] == "histogram":
-                for attrs, t, count, hsum, bucket_counts, bounds in m["points"]:
+                for attrs, t, count, hsum, bucket_counts, bounds, *rest \
+                        in m["points"]:
                     lab = {**attrs, **base}
+                    if exemplars_out is not None and rest and rest[0]:
+                        # upstream attaches classic-histogram exemplars
+                        # to the _bucket series; the engine's exemplar
+                        # table keys by series labels — use the family
+                        # base name (joins back via query_exemplars)
+                        xlab = {**lab, "__name__": f"{name}_bucket"}
+                        for elab, et, ev in rest[0]:
+                            exemplars_out.append((xlab, et, float(ev), elab))
                     cum = 0
                     for i, b in enumerate(bounds):
                         cum += bucket_counts[i] if i < len(bucket_counts) else 0
@@ -532,6 +590,22 @@ def translate_otlp(
 # the subset the decoder reads.
 
 
+def _encode_exemplar(lab: dict, t_ms: int, v: float) -> bytes:
+    """(labels, t_ms, v) → wire Exemplar; trace_id/span_id keys become
+    the bytes fields, everything else filtered attributes."""
+    eb = bytearray()
+    for k, val in lab.items():
+        if k == "trace_id":
+            _put_field(eb, 5, 2, bytes.fromhex(val))
+        elif k == "span_id":
+            _put_field(eb, 4, 2, bytes.fromhex(val))
+        else:
+            _put_field(eb, 7, 2, _kv(k, val))
+    _put_field(eb, 2, 1, struct.pack("<Q", t_ms * 1_000_000))
+    _put_field(eb, 3, 1, struct.pack("<d", float(v)))
+    return bytes(eb)
+
+
 def _kv(key: str, val: str) -> bytes:
     av = bytearray()
     _put_field(av, 1, 2, val.encode("utf-8"))
@@ -560,12 +634,14 @@ def encode_otlp_metrics(resources: list[dict], gzipped: bool = False) -> bytes:
             kind = m["kind"]
             body = bytearray()
             if kind in ("gauge", "sum"):
-                for attrs, t, v in m["points"]:
+                for attrs, t, v, *rest in m["points"]:
                     pt = bytearray()
                     for k2, v2 in attrs.items():
                         _put_field(pt, 7, 2, _kv(k2, v2))
                     _put_field(pt, 3, 1, struct.pack("<Q", t * 1_000_000))
                     _put_field(pt, 4, 1, struct.pack("<d", float(v)))
+                    for ex in (rest[0] if rest else []):
+                        _put_field(pt, 5, 2, _encode_exemplar(*ex))
                     _put_field(body, 1, 2, bytes(pt))
                 if kind == "sum":
                     _put_field(body, 2, 0, m.get("temporality", _CUMULATIVE))
@@ -573,7 +649,8 @@ def encode_otlp_metrics(resources: list[dict], gzipped: bool = False) -> bytes:
                         _put_field(body, 3, 0, 1)
                 _put_field(mb, 5 if kind == "gauge" else 7, 2, bytes(body))
             elif kind == "histogram":
-                for attrs, t, count, hsum, bucket_counts, bounds in m["points"]:
+                for attrs, t, count, hsum, bucket_counts, bounds, *rest \
+                        in m["points"]:
                     pt = bytearray()
                     for k2, v2 in attrs.items():
                         _put_field(pt, 9, 2, _kv(k2, v2))
@@ -588,6 +665,8 @@ def encode_otlp_metrics(resources: list[dict], gzipped: bool = False) -> bytes:
                     _put_field(
                         pt, 7, 2, struct.pack(f"<{len(bounds)}d", *bounds)
                     )
+                    for ex in (rest[0] if rest else []):
+                        _put_field(pt, 8, 2, _encode_exemplar(*ex))
                     _put_field(body, 1, 2, bytes(pt))
                 _put_field(body, 2, 0, m.get("temporality", _CUMULATIVE))
                 _put_field(mb, 9, 2, bytes(body))
