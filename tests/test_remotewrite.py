@@ -843,3 +843,41 @@ def test_write_buffer_spill_mid_flush_segment_and_dedup(spark, tmp_path):
     assert db.querier(0, 10**9).select([]).count() == 1
     assert not os.path.exists(f"{spill}.flushing")
     buf2.close()
+
+
+def test_rw2_metadata_feeds_api_metadata(spark, tmp_path):
+    """rw2 TimeSeries metadata (type/help/unit) SHOULD be used by
+    receivers (spec § metadata): a v2 POST populates the same
+    /api/v1/metadata surface scraped HELP/TYPE comments do."""
+    import json
+
+    from tsdb_spark.api import serve
+    from tsdb_spark.sources.remotewrite import encode_write_request_v2
+
+    db = DB.create(spark, str(tmp_path / "db"), block_width_ms=WIDTH)
+    md: dict = {}
+    srv = serve(db, "127.0.0.1", 0, scrape_metadata=md)
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/api/v1/write",
+            data=encode_write_request_v2(RW2_SERIES),
+            headers={
+                "Content-Encoding": "snappy",
+                "Content-Type": "application/x-protobuf;"
+                "proto=io.prometheus.write.v2.Request",
+                "X-Prometheus-Remote-Write-Version": "2.0.0",
+            },
+        )
+        with urllib.request.urlopen(req) as resp:
+            assert resp.status == 204
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/api/v1/metadata", timeout=10
+        ) as r:
+            data = json.loads(r.read())["data"]
+        [entry] = data["rw2_float"]
+        assert entry == {"type": "counter", "help": "a float series",
+                         "unit": "seconds"}
+    finally:
+        srv.shutdown()

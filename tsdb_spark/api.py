@@ -1451,6 +1451,19 @@ def make_handler(db, rule_groups: list[dict] | None = None, enable_admin: bool =
                     )
                 except Exception as e:  # noqa: BLE001 — wire errors → 400
                     return self._reply_text(400, f"decode error: {e}\n")
+                if decoded[0] == "v2" and scrape_metadata is not None:
+                    # rw2 TimeSeries carry metadata (type/help/unit);
+                    # the spec says receivers SHOULD use it — it feeds
+                    # /api/v1/metadata exactly like scraped HELP/TYPE
+                    for e in decoded[1]:
+                        name = e["labels"].get("__name__")
+                        md = {
+                            k: v
+                            for k, v in (e.get("metadata") or {}).items()
+                            if v and v != "unknown"
+                        }
+                        if name and md:
+                            scrape_metadata.setdefault(name, {}).update(md)
                 try:
                     if write_buffer is not None:
                         written = _enqueue_write_body(write_buffer, decoded)
