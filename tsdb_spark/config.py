@@ -199,7 +199,9 @@ def scrape_scheduler_loop(
     prev_urls: dict[str, set] = {}
     while not stop.is_set():
         now = time.time()
-        for job in jobs:
+        # snapshot: /-/reload swaps the list in place from the HTTP
+        # thread; iterating a moving list could skip/duplicate a job
+        for job in list(jobs):
             if now - last_run.get(job.name, -1e18) < job.interval_ms / 1000.0:
                 continue
             last_run[job.name] = now
