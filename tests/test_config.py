@@ -470,6 +470,114 @@ def test_forwarder_external_labels_and_write_relabel(spark, tmp_path):
         rx.stop()
 
 
+def test_forwarder_rw2_relabels_hists_forwards_exemplars_metadata(
+    spark, tmp_path
+):
+    """write_relabel_configs apply to EVERY outgoing series on an rw2
+    endpoint — a drop rule suppresses the matched series' float AND
+    native-histogram AND exemplar rows (upstream relabels all outgoing
+    series) — and the pass forwards exemplars (TimeSeries field 4) and
+    the scrape-cache metadata (field 5) the rw2 codec carries."""
+    from tsdb_spark.config import RemoteWriteForwarder
+    from tsdb_spark.nativehist import HIST_TYPE
+    from tsdb_spark.relabel import RelabelConfig
+    from tsdb_spark.sources.remotewrite import decode_write_request_v2
+
+    db = DB.create(spark, str(tmp_path / "db"), block_width_ms=WIDTH)
+    rx = _CapturingReceiver()
+    try:
+        fwd = RemoteWriteForwarder(
+            db,
+            [RemoteWriteConfig(
+                url=f"{rx.url}/api/v1/write",
+                protobuf_message="io.prometheus.write.v2.Request",
+                write_relabel=(
+                    RelabelConfig(action="drop",
+                                  source_labels=("__name__",),
+                                  regex="secret_.*"),
+                ),
+            )],
+            metadata={"keep_hist": {
+                "type": "histogram", "help": "kept", "unit": "seconds",
+            }},
+        )
+        hist = (4.0, 10.0, 1.0, 0, [(1, 2.0), (2, 2.0)], None)
+        db.append_histograms(spark.createDataFrame(
+            [({"__name__": "keep_hist"}, 1_000, hist),
+             ({"__name__": "secret_hist"}, 1_000, hist)],
+            f"labels MAP<STRING,STRING>, t LONG, h {HIST_TYPE}",
+        ))
+        db.append(spark.createDataFrame(
+            [({"__name__": "keep_f"}, 1_000, 1.0),
+             ({"__name__": "secret_f"}, 1_000, 2.0)],
+            "labels MAP<STRING,STRING>, t LONG, v DOUBLE",
+        ))
+        db.append_exemplars(spark.createDataFrame(
+            [({"__name__": "keep_f"}, 1_000, 1.0, {"trace_id": "abc"}),
+             ({"__name__": "secret_f"}, 1_000, 2.0, {"trace_id": "xyz"})],
+            "labels MAP<STRING,STRING>, t LONG, v DOUBLE, "
+            "exemplar MAP<STRING,STRING>",
+        ))
+        fwd.run_once()
+        got = {}
+        for _p, body in rx.posts:
+            for e in decode_write_request_v2(body):
+                got.setdefault(e["labels"]["__name__"], e)
+        # the drop rule suppressed secret_* floats, histograms AND
+        # exemplars; nothing secret reached the wire
+        assert set(got) == {"keep_hist", "keep_f"}
+        assert got["keep_hist"]["histograms"]
+        assert got["keep_hist"]["histograms"][0][1]["count"] == 4.0
+        assert got["keep_f"]["exemplars"] == [
+            ({"trace_id": "abc"}, 1_000, 1.0)
+        ]
+        assert got["keep_hist"]["metadata"] == {
+            "type": "histogram", "help": "kept", "unit": "seconds",
+        }
+        assert fwd.run_once() == 0  # watermark advanced for all tables
+    finally:
+        rx.stop()
+
+
+def test_forwarder_bounds_tail_at_pass_head(spark, tmp_path):
+    """The pass reads ingest_seq <= the head it will advance the
+    watermark to — an append landing DURING the pass ships on the NEXT
+    pass only, never twice (a duplicate-rejecting receiver would stall
+    the watermark on a re-send)."""
+    from tsdb_spark.config import RemoteWriteForwarder
+    from tsdb_spark.sources.remotewrite import decode_write_request
+
+    db = DB.create(spark, str(tmp_path / "db"), block_width_ms=WIDTH)
+    rx = _CapturingReceiver()
+    try:
+        fwd = RemoteWriteForwarder(
+            db, [RemoteWriteConfig(url=f"{rx.url}/api/v1/write")]
+        )
+        db.append(spark.createDataFrame(
+            [({"__name__": "a"}, 1_000, 1.0)],
+            "labels MAP<STRING,STRING>, t LONG, v DOUBLE",
+        ))
+        head = int(db.meta["next_ingest_seq"]) - 1
+        # an append racing the pass: seq > head at the time the pass
+        # snapshotted — the bounded read must exclude it
+        db.append(spark.createDataFrame(
+            [({"__name__": "b"}, 2_000, 2.0)],
+            "labels MAP<STRING,STRING>, t LONG, v DOUBLE",
+        ))
+        rows = fwd._float_rows_since(0, head)
+        assert {r["labels"]["__name__"] for r in rows} == {"a"}
+        # full passes ship each sample exactly once across the race
+        assert fwd.run_once() == 2
+        assert fwd.run_once() == 0
+        sent = []
+        for _p, body in rx.posts:
+            for labels, samples in decode_write_request(body):
+                sent += [(labels["__name__"], t, v) for t, v in samples]
+        assert sorted(sent) == [("a", 1_000, 1.0), ("b", 2_000, 2.0)]
+    finally:
+        rx.stop()
+
+
 def test_scrape_config_scheme_path_params(spark, tmp_path):
     """scrape_configs scheme / metrics_path / params assemble the
     target URL for bare host:port entries (scrape/target.go)."""
@@ -507,11 +615,12 @@ def test_reload_and_status_config(spark, tmp_path):
     metrics = _MetricsEndpoint("# TYPE temp gauge\ntemp 4.0\n")
     cfg = tmp_path / "prometheus.yml"
 
-    def write_cfg(cluster):
+    def write_cfg(cluster, nhcb=False):
         cfg.write_text(
             "global:\n"
             "  scrape_interval: 2s\n"
             f"  external_labels: {{cluster: {cluster}}}\n"
+            f"otlp: {{convert_histograms_to_nhcb: {str(nhcb).lower()}}}\n"
             "scrape_configs:\n"
             "- job_name: one\n"
             "  static_configs:\n"
@@ -577,7 +686,33 @@ def test_reload_and_status_config(spark, tmp_path):
             "east external label on /federate",
         )
 
-        write_cfg("west")
+        # OTLP explicit-bounds histogram BEFORE the otlp block flips:
+        # classic translation (rt1_bucket series appear)
+        from tsdb_spark.sources.otlp import encode_otlp_metrics
+
+        def post_otlp(name):
+            body = encode_otlp_metrics([{
+                "resource": {"service_name": "svc"},
+                "metrics": [{
+                    "name": name, "unit": "", "kind": "histogram",
+                    "temporality": 2,
+                    "points": [({}, 5_000, 10, 12.5, [4, 3, 2, 1],
+                                [0.1, 0.5, 1.0])],
+                }],
+            }])
+            rq = urllib.request.Request(
+                f"http://127.0.0.1:{port}/api/v1/otlp/v1/metrics",
+                data=body, method="POST",
+                headers={"Content-Type": "application/x-protobuf"},
+            )
+            with urllib.request.urlopen(rq, timeout=30) as r:
+                assert 200 <= r.status < 300
+
+        post_otlp("rt1")
+        names = json.loads(get("/api/v1/label/__name__/values"))["data"]
+        assert "rt1_bucket" in names  # classic while the flag is off
+
+        write_cfg("west", nhcb=True)
         req = urllib.request.Request(
             f"http://127.0.0.1:{port}/-/reload", data=b"", method="POST"
         )
@@ -589,6 +724,12 @@ def test_reload_and_status_config(spark, tmp_path):
             lambda: 'cluster="west"' in get("/federate?match[]=temp"),
             "west external label after reload",
         )
+
+        # the SAME process now ingests OTLP histograms as NHCB
+        # natives — no _bucket series, no restart
+        post_otlp("rt2")
+        names = json.loads(get("/api/v1/label/__name__/values"))["data"]
+        assert "rt2" in names and "rt2_bucket" not in names
     finally:
         finished.set()
         api_mod.serve = real_serve

@@ -614,9 +614,7 @@ def test_forwarder_tail_read_pushes_ingest_seq_filter(spark, tmp_path):
     fwd = RemoteWriteForwarder(
         db, [RemoteWriteConfig(url="http://unused/api/v1/write")]
     )
-    from pyspark.sql import functions as F
-
-    smp = db.samples().filter(F.col("ingest_seq") > 0)
+    smp = fwd._tail(db.samples(), 0, 10)
     ser = db.series().select("series_id", "labels")
     df = fwd._attach_external(
         smp.join(ser, "series_id").select("labels", "t", "v")
@@ -624,7 +622,13 @@ def test_forwarder_tail_read_pushes_ingest_seq_filter(spark, tmp_path):
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    # BOTH bounds push: > mark (skip forwarded row groups) and <= head
+    # (pin the sent set to the watermark advance)
     assert any(
         "ingest_seq" in ln and ("GreaterThan" in ln or ">" in ln)
         for ln in pushed
     ), f"ingest_seq tail predicate not pushed: {pushed!r}"
+    assert any(
+        "ingest_seq" in ln and ("LessThanOrEqual" in ln or "<=" in ln)
+        for ln in pushed
+    ), f"ingest_seq head bound not pushed: {pushed!r}"

@@ -845,6 +845,49 @@ def test_write_buffer_spill_mid_flush_segment_and_dedup(spark, tmp_path):
     buf2.close()
 
 
+def test_write_buffer_spill_recovery_is_itself_durable(spark, tmp_path):
+    """A crash DURING replay loses nothing: recovered lines are
+    rewritten to an fsynced segment BEFORE the original segments are
+    removed (at every instant either the originals or the rebuilt
+    segment exist), and a .recovered segment left by a crash
+    mid-recovery replays on the next start."""
+    import os
+
+    from tsdb_spark.api import WriteBuffer
+
+    db = DB.create(spark, str(tmp_path / "db"), block_width_ms=WIDTH)
+    spill = str(tmp_path / "wal.jsonl")
+    buf = WriteBuffer(db, flush_ms=3_600_000, spill_path=spill)
+    buf.add(rows=[({"__name__": "r"}, 1_000, 1.0),
+                  ({"__name__": "r"}, 2_000, 2.0)])
+    buf._stop.set()
+
+    # crash #1: recovery runs, process dies again before ANY flush —
+    # the acked batch must still be on disk (the old code deleted the
+    # segments before re-journaling, leaving a loss window here)
+    buf2 = WriteBuffer(db, flush_ms=3_600_000, spill_path=spill)
+    assert buf2.replayed == 2
+    buf2._stop.set()
+    assert os.path.getsize(spill) > 0
+
+    # crash #2: mid-recovery, after the originals were consumed but
+    # before the rebuilt segment was renamed live — only .recovered
+    # exists; the next start must scan it
+    os.replace(spill, f"{spill}.recovered")
+    buf3 = WriteBuffer(db, flush_ms=3_600_000, spill_path=spill)
+    assert buf3.replayed == 2
+    assert not os.path.exists(f"{spill}.recovered")
+    assert buf3.flush() == 2
+    assert db.querier(0, 10**9).select([]).count() == 2  # exactly once
+    buf3._stop.set()
+
+    # committed: nothing replays, nothing ingests twice
+    buf4 = WriteBuffer(db, flush_ms=3_600_000, spill_path=spill)
+    assert buf4.replayed == 0 and buf4.flush() == 0
+    assert db.querier(0, 10**9).select([]).count() == 2
+    buf4.close()
+
+
 def test_rw2_metadata_feeds_api_metadata(spark, tmp_path):
     """rw2 TimeSeries metadata (type/help/unit) SHOULD be used by
     receivers (spec § metadata): a v2 POST populates the same

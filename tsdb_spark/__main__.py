@@ -576,7 +576,8 @@ def main(argv: list[str] | None = None) -> int:
             # the lifecycle surface (/-/reload + /api/v1/status/config):
             # shared state lives in objects the loops read each tick, so
             # an in-place swap IS the reload — no thread restarts
-            config_state = {"yaml": cfg.raw_yaml}
+            config_state = {"yaml": cfg.raw_yaml,
+                            "otlp_nhcb": cfg.otlp_nhcb}
 
             def _reload(cfg=cfg, config_state=config_state):
                 new_cfg = load_config(spark, args.config)
@@ -606,6 +607,9 @@ def main(argv: list[str] | None = None) -> int:
                             fwd.sent.setdefault(c.url, 0)
                     fwd.configs[:] = new_cfg.remote_writes
                 config_state["yaml"] = new_cfg.raw_yaml
+                # serve-constructed captures that must follow a reload:
+                # the OTLP NHCB flag is read per-request via config_state
+                config_state["otlp_nhcb"] = new_cfg.otlp_nhcb
                 print("configuration reloaded")
 
             config_state["reload"] = _reload
@@ -662,6 +666,7 @@ def main(argv: list[str] | None = None) -> int:
             fwd = RemoteWriteForwarder(
                 db, cfg.remote_writes,
                 external_labels=cfg.external_labels,
+                metadata=scrape_md,
             )
             threading.Thread(
                 target=fwd.loop, args=(stop,), daemon=True

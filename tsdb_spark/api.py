@@ -837,17 +837,27 @@ class WriteBuffer:
 
     def _replay_spill(self) -> None:
         """Recover 2xx-acked-but-uncommitted batches from a previous
-        process: the live spill plus any .flushing segment a crash left
-        mid-flush. Lines dedup by content hash (a re-queued batch is
-        journaled twice; it must ingest once). Recovered batches load
-        the queue and re-journal into a fresh spill — they stay durable
-        until their own flush commits."""
+        process: the live spill, any .flushing segment a crash left
+        mid-flush, and any .recovered segment a crash left mid-REPLAY.
+        Lines dedup by content hash (a re-queued batch is journaled
+        twice; it must ingest once).
+
+        Durability across a crash DURING recovery: the decoded lines
+        are first rewritten to a fresh fsynced segment (atomic tmp +
+        rename), and the original segments are removed only AFTER that
+        segment is on disk — at every instant either the originals or
+        the rebuilt segment (or both, deduped by content) exist, so an
+        acked batch is never lost to a crash inside this method."""
         import hashlib as _hashlib
         import os as _os
 
+        recovered_seg = f"{self.spill_path}.recovered"
+        sources = [
+            f"{self.spill_path}.flushing", self.spill_path, recovered_seg,
+        ]
         seen: set[bytes] = set()
         recovered: list[bytes] = []
-        for path in (f"{self.spill_path}.flushing", self.spill_path):
+        for path in sources:
             if not _os.path.exists(path):
                 continue
             with open(path, "rb") as f:
@@ -860,16 +870,35 @@ class WriteBuffer:
                         continue
                     seen.add(digest)
                     recovered.append(line)
-            _os.remove(path)
+        decoded: list[tuple] = []
+        good: list[bytes] = []
         for line in recovered:
             try:
-                rows, hists, exemplars = self._decode_spill_line(line)
+                decoded.append(self._decode_spill_line(line))
             except (ValueError, KeyError, IndexError, TypeError):
                 continue  # torn tail line from a crash mid-write
+            good.append(line)
+        if good:
+            tmp = f"{recovered_seg}.tmp"
+            with open(tmp, "wb") as nf:
+                nf.write(b"\n".join(good) + b"\n")
+                nf.flush()
+                _os.fsync(nf.fileno())
+            _os.replace(tmp, recovered_seg)
+        for path in sources[:2]:
+            if _os.path.exists(path):
+                _os.remove(path)
+        if good:
+            # the rebuilt segment becomes the live spill; adds append
+            # to it, so the recovered batches stay durable until their
+            # own flush commits
+            _os.replace(recovered_seg, self.spill_path)
+        elif _os.path.exists(recovered_seg):
+            _os.remove(recovered_seg)
+        for rows, hists, exemplars in decoded:
             self._rows.extend(rows)
             self._hists.extend(hists)
             self._exemplars.extend(exemplars)
-            self._journal_locked(rows, hists, exemplars)
             self.replayed += len(rows) + len(hists) + len(exemplars)
 
     def add(self, rows=(), hists=(), exemplars=()) -> None:
@@ -1350,7 +1379,9 @@ def targets_payload(targets: list, status: dict | None = None) -> dict:
     # record — this is how a target added by a file edit shows up here
     # on the next pass, and a removed one disappears (status pruning)
     seen = {t.url for t in targets or []}
-    for url, st in status.items():
+    # snapshot: the scrape scheduler thread adds/prunes entries in the
+    # same dict concurrently (scrape_config_pass uses the same pattern)
+    for url, st in list(status.items()):
         if url in seen:
             continue
         active.append(
@@ -1497,9 +1528,15 @@ def make_handler(db, rule_groups: list[dict] | None = None, enable_admin: bool =
                     )
 
                     otlp_exemplars: list = []
+                    # read through config_state so a /-/reload flipping
+                    # otlp.convert_histograms_to_nhcb takes effect
+                    # without a restart (the constructor arg is only
+                    # the pre-reload default)
                     floats, hists, _ = translate_otlp(
                         decode_otlp_metrics(raw, gz),
-                        histograms_as_nhcb=otlp_nhcb,
+                        histograms_as_nhcb=(config_state or {}).get(
+                            "otlp_nhcb", otlp_nhcb
+                        ),
                         exemplars_out=otlp_exemplars,
                     )
                 except Exception as e:  # noqa: BLE001 — wire errors → 400

@@ -56,9 +56,10 @@ class RemoteWriteConfig:
     """One `remote_write:` entry (the subset this engine forwards):
     url + protobuf_message selecting the wire version (config.go
     RemoteWriteConfig; "prometheus.WriteRequest" = v1, the default —
-    "io.prometheus.write.v2.Request" = rw2 with native histograms) +
-    write_relabel_configs applied to outgoing float samples (after
-    external_labels attach, like upstream's queueManager)."""
+    "io.prometheus.write.v2.Request" = rw2 with native histograms,
+    exemplars and metadata) + write_relabel_configs applied to EVERY
+    outgoing series — floats, histograms, exemplars — after
+    external_labels attach, like upstream's queueManager."""
 
     url: str
     protobuf_message: str = "prometheus.WriteRequest"
@@ -243,11 +244,16 @@ class RemoteWriteForwarder:
 
     def __init__(self, db, configs: list[RemoteWriteConfig],
                  batch_series: int = 500, timeout_s: float = 30.0,
-                 external_labels: dict[str, str] | None = None) -> None:
+                 external_labels: dict[str, str] | None = None,
+                 metadata: dict | None = None) -> None:
         self.db = db
         self.configs = list(configs)
         self.batch_series = batch_series
         self.timeout_s = timeout_s
+        #: the scrape-cache metadata registry (metric → type/help/unit);
+        #: rw2 endpoints attach it per outgoing series like upstream's
+        #: queueManager metadata watcher (storage/remote/metadata_watcher)
+        self.metadata = metadata if metadata is not None else {}
         #: global external_labels attach to every outgoing series where
         #: the series doesn't already carry the name (storage/remote
         #: does the same before write relabeling)
@@ -280,39 +286,67 @@ class RemoteWriteForwarder:
         )
         return df.withColumn("labels", merged)
 
-    def _float_rows_since(self, seq: int, write_relabel=()):
+    def _tail(self, df, seq: int, head: int):
+        """ingest_seq ∈ (seq, head]: the upper bound pins the sent set
+        to the watermark advance — without it, rows appended by the
+        scrape/rule threads DURING the pass would ship now AND again on
+        the next pass (a duplicate-rejecting receiver would then stall
+        the watermark on the re-send)."""
         from pyspark.sql import functions as F
 
-        smp = self.db.samples().filter(F.col("ingest_seq") > seq)
-        ser = self.db.series().select("series_id", "labels")
-        df = self._attach_external(
-            smp.join(ser, "series_id").select("labels", "t", "v")
+        return df.filter(
+            (F.col("ingest_seq") > seq) & (F.col("ingest_seq") <= head)
         )
+
+    def _with_labels(self, df, cols, write_relabel=()):
+        """series join + external_labels + the endpoint's
+        write_relabel_configs — the shared outgoing-series pipeline,
+        applied identically to floats, histograms, and exemplars
+        (upstream relabels EVERY outgoing series; a drop rule must
+        drop the series' histogram and exemplar rows too)."""
+        ser = self.db.series().select("series_id", "labels")
+        df = self._attach_external(df.join(ser, "series_id").select(*cols))
         if write_relabel:
             from tsdb_spark.relabel import apply_relabel
 
             df = apply_relabel(df, list(write_relabel))
-        return df.select("labels", "t", "v").collect()
+        return df.select(*cols).collect()
 
-    def _hist_rows_since(self, seq: int):
+    def _float_rows_since(self, seq: int, head: int, write_relabel=()):
+        smp = self._tail(self.db.samples(), seq, head)
+        return self._with_labels(smp, ["labels", "t", "v"], write_relabel)
+
+    def _hist_rows_since(self, seq: int, head: int, write_relabel=()):
         """Native-histogram rows appended after `seq` (rw2 endpoints
         carry them; v1 cannot). Reads the histogram table directly —
         hist_frame serves reads by time, this tail needs ingest_seq."""
-        from pyspark.sql import functions as F
-
         from tsdb_spark.nativehist import HIST_TYPE
 
         ddl = (
             f"series_id LONG, t LONG, h {HIST_TYPE}, "
             "ingest_seq LONG, t_bucket LONG"
         )
-        h = self.db._read_or_empty(self.db._hist_path, ddl).filter(
-            F.col("ingest_seq") > seq
+        h = self._tail(
+            self.db._read_or_empty(self.db._hist_path, ddl), seq, head
         )
-        ser = self.db.series().select("series_id", "labels")
-        return self._attach_external(
-            h.join(ser, "series_id").select("labels", "t", "h")
-        ).collect()
+        return self._with_labels(h, ["labels", "t", "h"], write_relabel)
+
+    def _exemplar_rows_since(self, seq: int, head: int, write_relabel=()):
+        """Exemplar rows appended after `seq` — rw2 TimeSeries field 4
+        (upstream's queueManager sends exemplars when enabled). Write
+        relabeling applies to the SERIES labels; the exemplar's own
+        labels (trace_id …) ride through untouched."""
+        ddl = (
+            "series_id LONG, t LONG, v DOUBLE, "
+            "exemplar MAP<STRING,STRING>, _ex_str STRING, "
+            "ingest_seq LONG, t_bucket LONG"
+        )
+        ex = self._tail(
+            self.db._read_or_empty(self.db._exemplar_path, ddl), seq, head
+        )
+        return self._with_labels(
+            ex, ["labels", "t", "v", "exemplar"], write_relabel
+        )
 
     def run_once(self) -> int:
         """One forwarding pass over every endpoint. Returns sample +
@@ -324,46 +358,58 @@ class RemoteWriteForwarder:
 
         head = int(self.db.meta.get("next_ingest_seq", 1)) - 1
         total = 0
-        # one read per distinct (watermark, table) — steady state: one
-        # read shared by every endpoint
-        fcache: dict[int, list] = {}
-        hcache: dict[int, list] = {}
+        # one read per distinct (watermark, relabel-chain, table) —
+        # steady state with unrelabeled endpoints: one read shared by
+        # every endpoint. The relabel chain is part of the key so a
+        # drop/rename rule never leaks another endpoint's cached rows
+        # (histograms and exemplars included, like the float path).
+        fcache: dict[tuple, list] = {}
+        hcache: dict[tuple, list] = {}
+        ecache: dict[tuple, list] = {}
         for cfg in self.configs:
             mark = self.watermarks[cfg.url]
             if head <= mark:
                 continue
-            if cfg.write_relabel:
-                # relabeled endpoints read their own (rules differ per
-                # endpoint; the rule chain is a projection on the same
-                # pruned scan)
-                rows = self._float_rows_since(mark, cfg.write_relabel)
-            else:
-                if mark not in fcache:
-                    fcache[mark] = self._float_rows_since(mark)
-                rows = fcache[mark]
-            if cfg.v2 and mark not in hcache:
-                hcache[mark] = self._hist_rows_since(mark)
-            hrows = hcache.get(mark, [])
-            if not rows and not (cfg.v2 and hrows):
+            key = (mark, cfg.write_relabel)
+            if key not in fcache:
+                fcache[key] = self._float_rows_since(
+                    mark, head, cfg.write_relabel
+                )
+            rows = fcache[key]
+            if cfg.v2 and key not in hcache:
+                hcache[key] = self._hist_rows_since(
+                    mark, head, cfg.write_relabel
+                )
+                ecache[key] = self._exemplar_rows_since(
+                    mark, head, cfg.write_relabel
+                )
+            hrows = hcache.get(key, [])
+            erows = ecache.get(key, [])
+            if not rows and not (cfg.v2 and (hrows or erows)):
                 self.watermarks[cfg.url] = head
                 continue
             try:
                 if cfg.v2:
+                    def _entry(by, lab):
+                        return by.setdefault(
+                            tuple(sorted(lab.items())),
+                            {"labels": lab, "samples": [],
+                             "histograms": [], "exemplars": []},
+                        )
+
                     by: dict[tuple, dict] = {}
                     for r in rows:
-                        lab = dict(r["labels"])
-                        e = by.setdefault(
-                            tuple(sorted(lab.items())),
-                            {"labels": lab, "samples": [], "histograms": []},
-                        )
+                        e = _entry(by, dict(r["labels"]))
                         e["samples"].append((r["t"], r["v"]))
+                    for r in erows:
+                        e = _entry(by, dict(r["labels"]))
+                        e["exemplars"].append(
+                            (dict(r["exemplar"]), r["t"], r["v"])
+                        )
                     for r in hrows:
                         lab = dict(r["labels"])
                         h = r["h"]
-                        e = by.setdefault(
-                            tuple(sorted(lab.items())),
-                            {"labels": lab, "samples": [], "histograms": []},
-                        )
+                        e = _entry(by, lab)
                         e["histograms"].append((
                             r["t"],
                             {
@@ -385,6 +431,18 @@ class RemoteWriteForwarder:
                         e = by[k]
                         e["samples"].sort()
                         e["histograms"].sort(key=lambda x: x[0])
+                        e["exemplars"].sort(key=lambda x: x[1])
+                        md = self.metadata.get(
+                            e["labels"].get("__name__", "")
+                        )
+                        if md:
+                            # rw2 TimeSeries field 5: the scrape-cache
+                            # entry for the series' metric family
+                            e["metadata"] = {
+                                k2: md[k2]
+                                for k2 in ("type", "help", "unit")
+                                if k2 in md
+                            }
                         series2.append(e)
                     n = _post_series_batches_v2(
                         cfg.url, series2, self.batch_series, self.timeout_s
