@@ -604,6 +604,137 @@ def test_scrape_config_scheme_path_params(spark, tmp_path):
     assert t.instance == "peer:9090"
 
 
+def test_http_client_config_parsing_and_headers(tmp_path):
+    """httpauth.HTTPClientConfig — upstream config.go HTTPClientConfig
+    semantics: basic_auth and authorization are mutually exclusive,
+    authorization defaults to Bearer, *_file secrets are re-read per
+    request (rotation applies without reload)."""
+    import base64
+
+    import pytest
+
+    from tsdb_spark.httpauth import HTTPClientConfig, http_client_config_from
+
+    hc = http_client_config_from(
+        {"basic_auth": {"username": "u", "password": "p"}}
+    )
+    want = base64.b64encode(b"u:p").decode()
+    assert hc.headers() == {"Authorization": f"Basic {want}"}
+
+    hc = http_client_config_from({"authorization": {"credentials": "tok"}})
+    assert hc.headers() == {"Authorization": "Bearer tok"}
+    hc = http_client_config_from(
+        {"authorization": {"type": "ApiKey", "credentials": "k"}}
+    )
+    assert hc.headers() == {"Authorization": "ApiKey k"}
+
+    with pytest.raises(ValueError):
+        HTTPClientConfig(basic_username="u", auth_credentials="t")
+
+    # secret files re-read at call time, relative to the config dir
+    sec = tmp_path / "pw.txt"
+    sec.write_text("first\n")
+    hc = http_client_config_from(
+        {"basic_auth": {"username": "u", "password_file": "pw.txt"}},
+        base_dir=str(tmp_path),
+    )
+    first = base64.b64encode(b"u:first").decode()
+    assert hc.headers() == {"Authorization": f"Basic {first}"}
+    sec.write_text("rotated\n")
+    rotated = base64.b64encode(b"u:rotated").decode()
+    assert hc.headers() == {"Authorization": f"Basic {rotated}"}
+
+    assert http_client_config_from({}) is None
+    assert http_client_config_from({"job_name": "x"}) is None
+
+
+def test_http_auth_on_scrape_notifier_and_remote_write(spark, tmp_path):
+    """The three outbound HTTP paths honor the config's auth blocks —
+    scrape GETs (scrape_configs.basic_auth), Alertmanager POSTs
+    (alertmanagers.authorization), and remote-write POSTs
+    (remote_write.basic_auth) — parsed from one prometheus.yml
+    (config.go HTTPClientConfig, used by scrape/scrape.go and
+    notifier.go)."""
+    import base64
+
+    from tsdb_spark.config import RemoteWriteForwarder, load_config
+    from tsdb_spark.notifier import Notifier
+    from tsdb_spark.scrape import scrape_pass
+
+    captured: dict[str, str | None] = {}
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            captured["scrape"] = self.headers.get("Authorization")
+            body = b"# TYPE temp gauge\ntemp 4.0\n"
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_POST(self):
+            key = "am" if self.path.startswith("/api/v2") else "rw"
+            captured[key] = self.headers.get("Authorization")
+            n = int(self.headers.get("Content-Length") or 0)
+            self.rfile.read(n)
+            self.send_response(204)
+            self.send_header("Content-Length", "0")
+            self.end_headers()
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), H)
+    addr = f"127.0.0.1:{srv.server_address[1]}"
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+
+    (tmp_path / "pw.txt").write_text("s3cret\n")
+    cfg_file = tmp_path / "prometheus.yml"
+    cfg_file.write_text(
+        "scrape_configs:\n"
+        "- job_name: secured\n"
+        "  basic_auth: {username: scraper, password_file: pw.txt}\n"
+        "  static_configs:\n"
+        f"  - targets: ['{addr}']\n"
+        "alerting:\n"
+        "  alertmanagers:\n"
+        "  - authorization: {credentials: am-tok}\n"
+        "    static_configs:\n"
+        f"    - targets: ['{addr}']\n"
+        "remote_write:\n"
+        f"- url: http://{addr}/api/v1/write\n"
+        "  basic_auth: {username: writer, password: wpw}\n"
+    )
+    db = DB.create(spark, str(tmp_path / "db"), block_width_ms=WIDTH)
+    try:
+        cfg = load_config(spark, str(cfg_file))
+
+        [job] = cfg.scrape_jobs
+        assert scrape_pass(
+            spark, db, job.targets, http_config=job.http_config
+        ) == 1
+        basic = base64.b64encode(b"scraper:s3cret").decode()
+        assert captured["scrape"] == f"Basic {basic}"
+
+        notif = Notifier(
+            cfg.alertmanager_urls, http_configs=cfg.alertmanager_http
+        )
+        notif.notify([{"labels": {"alertname": "x"}}], 1_000)
+        assert notif.send_errors == 0
+        assert captured["am"] == "Bearer am-tok"
+
+        fwd = RemoteWriteForwarder(db, cfg.remote_writes)
+        db.append(spark.createDataFrame(
+            [({"__name__": "m"}, 1_000, 1.0)],
+            "labels MAP<STRING,STRING>, t LONG, v DOUBLE",
+        ))
+        assert fwd.run_once() >= 1
+        wbasic = base64.b64encode(b"writer:wpw").decode()
+        assert captured["rw"] == f"Basic {wbasic}"
+    finally:
+        srv.shutdown()
+
+
 def test_reload_and_status_config(spark, tmp_path):
     """/api/v1/status/config serves the loaded prometheus.yml verbatim;
     POST /-/reload re-reads the file and the running loops pick up the

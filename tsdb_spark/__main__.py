@@ -598,6 +598,7 @@ def main(argv: list[str] | None = None) -> int:
                     ]
                     notif.external_labels = dict(new_cfg.external_labels)
                     notif.alert_relabel = list(new_cfg.alert_relabel)
+                    notif.http_configs = dict(new_cfg.alertmanager_http)
                 if fwd is not None:
                     head = int(db.meta.get("next_ingest_seq", 1)) - 1
                     for c in new_cfg.remote_writes:
@@ -637,6 +638,7 @@ def main(argv: list[str] | None = None) -> int:
                     external_labels=cfg.external_labels if cfg else None,
                     alert_relabel=cfg.alert_relabel if cfg else None,
                     spark=spark,
+                    http_configs=cfg.alertmanager_http if cfg else None,
                 )
                 if am_urls:
                     print(f"notifying {len(am_urls)} alertmanager(s)")

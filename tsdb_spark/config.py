@@ -64,6 +64,9 @@ class RemoteWriteConfig:
     url: str
     protobuf_message: str = "prometheus.WriteRequest"
     write_relabel: tuple = ()
+    #: httpauth.HTTPClientConfig for the POSTs (basic_auth /
+    #: authorization / tls_config on the remote_write block)
+    http_config: object = None
 
     @property
     def v2(self) -> bool:
@@ -82,6 +85,9 @@ class PrometheusConfig:
     #: alerting.alert_relabel_configs — applied to every outgoing alert
     #: AFTER external_labels attach (notifier.go relabelAlerts)
     alert_relabel: list = field(default_factory=list)
+    #: per-Alertmanager-URL httpauth.HTTPClientConfig (alertmanagers
+    #: blocks may each carry their own basic_auth / authorization)
+    alertmanager_http: dict = field(default_factory=dict)
     remote_writes: list[RemoteWriteConfig] = field(default_factory=list)
     #: otlp.convert_histograms_to_nhcb — explicit-bounds OTLP
     #: histograms ingest as NHCB native samples instead of classic
@@ -140,16 +146,23 @@ def load_config(spark, path: str) -> PrometheusConfig:
 
     from tsdb_spark.scrape import _relabel_rules
 
+    from tsdb_spark.httpauth import http_client_config_from
+
     am_urls: list[str] = []
+    am_http: dict = {}
     alerting = raw.get("alerting", {}) or {}
     alert_relabel = _relabel_rules(alerting, "alert_relabel_configs")
     for am in alerting.get("alertmanagers", []) or []:
         scheme = am.get("scheme", "http")
         prefix = (am.get("path_prefix", "") or "").rstrip("/")
+        hc = http_client_config_from(am, base_dir=base)
         for grp in am.get("static_configs", []) or []:
             for t in grp.get("targets", []) or []:
                 base_url = t if "://" in t else f"{scheme}://{t}"
-                am_urls.append(f"{base_url}{prefix}")
+                full = f"{base_url}{prefix}"
+                am_urls.append(full)
+                if hc is not None:
+                    am_http[full.rstrip("/")] = hc
 
     remote_writes = [
         RemoteWriteConfig(
@@ -158,6 +171,7 @@ def load_config(spark, path: str) -> PrometheusConfig:
                 "protobuf_message", "prometheus.WriteRequest"
             ),
             write_relabel=tuple(_relabel_rules(rw, "write_relabel_configs")),
+            http_config=http_client_config_from(rw, base_dir=base),
         )
         for rw in raw.get("remote_write", []) or []
     ]
@@ -175,6 +189,7 @@ def load_config(spark, path: str) -> PrometheusConfig:
         rule_groups=groups,
         alertmanager_urls=am_urls,
         alert_relabel=alert_relabel,
+        alertmanager_http=am_http,
         otlp_nhcb=otlp_nhcb,
         remote_writes=remote_writes,
         raw_yaml=raw_text,
@@ -224,6 +239,7 @@ def scrape_scheduler_loop(
                         metadata=metadata,
                         timeout_s=job.timeout_s,
                         convert_nhcb=job.convert_nhcb,
+                        http_config=job.http_config,
                     )
             except Exception as e:  # noqa: BLE001 — keep serving
                 print(f"scrape pass failed for job {job.name}: {e}")
@@ -445,7 +461,8 @@ class RemoteWriteForwarder:
                             }
                         series2.append(e)
                     n = _post_series_batches_v2(
-                        cfg.url, series2, self.batch_series, self.timeout_s
+                        cfg.url, series2, self.batch_series,
+                        self.timeout_s, http_config=cfg.http_config,
                     )
                 else:
                     by1: dict[tuple, list] = {}
@@ -457,7 +474,8 @@ class RemoteWriteForwarder:
                         (dict(k), sorted(v)) for k, v in sorted(by1.items())
                     ]
                     n = _post_series_batches(
-                        cfg.url, series1, self.batch_series, self.timeout_s
+                        cfg.url, series1, self.batch_series,
+                        self.timeout_s, http_config=cfg.http_config,
                     )
             except OSError:
                 self.errors += 1  # endpoint down: retry same mark next pass

@@ -50,8 +50,13 @@ class Notifier:
         external_labels: dict[str, str] | None = None,
         alert_relabel: list | None = None,
         spark=None,
+        http_configs: dict | None = None,
     ) -> None:
         self.urls = [u.rstrip("/") for u in urls]
+        #: per-Alertmanager-URL httpauth.HTTPClientConfig (the
+        #: alertmanagers block's basic_auth / authorization /
+        #: tls_config — notifier.go builds one HTTP client per AM set)
+        self.http_configs = dict(http_configs or {})
         self.timeout_s = timeout_s
         self.generator_url = generator_url
         self.external_labels = dict(external_labels or {})
@@ -136,13 +141,18 @@ class Notifier:
     def _post(self, batch: list[dict]) -> None:
         body = json.dumps(batch).encode()
         for url in self.urls:
+            hc = self.http_configs.get(url)
             req = urllib.request.Request(
                 f"{url}/api/v2/alerts",
                 data=body,
-                headers={"Content-Type": "application/json"},
+                headers={"Content-Type": "application/json",
+                         **(hc.headers() if hc else {})},
             )
             try:
-                with urllib.request.urlopen(req, timeout=self.timeout_s) as r:
+                with urllib.request.urlopen(
+                    req, timeout=self.timeout_s,
+                    context=hc.ssl_context() if hc else None,
+                ) as r:
                     if not 200 <= r.status < 300:
                         self.send_errors += 1
             except OSError:

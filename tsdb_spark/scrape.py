@@ -51,11 +51,19 @@ class Target:
         return out
 
 
-def fetch_text(url: str, timeout_s: float = 10.0) -> str:
-    """Driver-side GET of one target's exposition body."""
+def fetch_text(url: str, timeout_s: float = 10.0, http_config=None) -> str:
+    """Driver-side GET of one target's exposition body. `http_config`
+    (httpauth.HTTPClientConfig) attaches basic_auth / authorization
+    headers and the tls_config SSL context — most production targets
+    are secured, and upstream's scrape client honors the same block
+    (config.go HTTPClientConfig)."""
     import urllib.request
 
-    with urllib.request.urlopen(url, timeout=timeout_s) as r:
+    req = urllib.request.Request(
+        url, headers=http_config.headers() if http_config else {}
+    )
+    ctx = http_config.ssl_context() if http_config else None
+    with urllib.request.urlopen(req, timeout=timeout_s, context=ctx) as r:
         return r.read().decode()
 
 
@@ -120,6 +128,7 @@ def scrape_pass(
     metadata: dict | None = None,
     timeout_s: float = 10.0,
     convert_nhcb: bool = False,
+    http_config=None,
 ) -> int:
     """One scrape pass over every target: GET every body CONCURRENTLY
     (driver-side thread pool — upstream scrapes each target from its own
@@ -149,7 +158,9 @@ def scrape_pass(
 
     def _get(tgt: Target):
         try:
-            return fetch_text(tgt.url, timeout_s=timeout_s), None
+            return fetch_text(
+                tgt.url, timeout_s=timeout_s, http_config=http_config
+            ), None
         except OSError as e:
             return None, e
 
@@ -384,6 +395,9 @@ class ScrapeJob:
     timeout_s: float = 10.0
     #: convert_classic_histograms_to_nhcb (prometheus 3.x)
     convert_nhcb: bool = False
+    #: basic_auth / authorization / tls_config for the scrape GETs
+    #: (httpauth.HTTPClientConfig; None = unauthenticated)
+    http_config: object = None
 
     def resolve_targets(self, spark, now_ms: int | None = None) -> list[Target]:
         """The job's CURRENT target list: pre-relabeled statics plus
@@ -456,6 +470,9 @@ def scrape_jobs_from(
         convert_nhcb = bool(
             sc.get("convert_classic_histograms_to_nhcb", False)
         )
+        from tsdb_spark.httpauth import http_client_config_from
+
+        http_config = http_client_config_from(sc, base_dir=base_dir)
         targets = _static_targets(
             sc.get("static_configs", []), name,
             scheme=scheme, metrics_path=metrics_path, params=params,
@@ -489,6 +506,7 @@ def scrape_jobs_from(
                 params=params,
                 timeout_s=timeout_s,
                 convert_nhcb=convert_nhcb,
+                http_config=http_config,
             )
         )
     return jobs
@@ -542,6 +560,7 @@ def scrape_config_pass(
             metadata=metadata,
             timeout_s=job.timeout_s,
             convert_nhcb=job.convert_nhcb,
+            http_config=job.http_config,
         )
     if status is not None:
         for url in list(status):

@@ -515,11 +515,14 @@ def push_remote_write(
 
 
 def _post_series_batches(
-    url: str, series: list, batch_series: int, timeout_s: float
+    url: str, series: list, batch_series: int, timeout_s: float,
+    http_config=None,
 ) -> int:
     """POST v1 WriteRequest bodies in sender-style batches. `series` is
     [(labels_dict, [(t, v), ...])]. Returns samples sent; raises OSError
-    on a non-2xx (the caller's retry unit is the whole pass)."""
+    on a non-2xx (the caller's retry unit is the whole pass).
+    `http_config` (httpauth.HTTPClientConfig) attaches the endpoint's
+    basic_auth / authorization headers + tls_config context."""
     import urllib.request
 
     sent = 0
@@ -532,9 +535,13 @@ def _post_series_batches(
                 "Content-Encoding": "snappy",
                 "Content-Type": "application/x-protobuf",
                 "X-Prometheus-Remote-Write-Version": "0.1.0",
+                **(http_config.headers() if http_config else {}),
             },
         )
-        with urllib.request.urlopen(req, timeout=timeout_s) as resp:
+        with urllib.request.urlopen(
+            req, timeout=timeout_s,
+            context=http_config.ssl_context() if http_config else None,
+        ) as resp:
             if not 200 <= resp.status < 300:
                 raise OSError(f"remote write rejected: HTTP {resp.status}")
         sent += sum(len(s) for _, s in chunk)
@@ -603,11 +610,13 @@ def push_remote_write_v2(
 
 
 def _post_series_batches_v2(
-    url: str, series: list, batch_series: int, timeout_s: float
+    url: str, series: list, batch_series: int, timeout_s: float,
+    http_config=None,
 ) -> int:
     """POST rw2 bodies in sender-style batches. `series` is
     [{"labels", "samples", "histograms"}]. Returns sample + histogram
-    entries sent; raises OSError on a non-2xx."""
+    entries sent; raises OSError on a non-2xx. `http_config` as in
+    _post_series_batches."""
     import urllib.request
 
     sent = 0
@@ -621,9 +630,13 @@ def _post_series_batches_v2(
                 "Content-Type": "application/x-protobuf;"
                 "proto=io.prometheus.write.v2.Request",
                 "X-Prometheus-Remote-Write-Version": "2.0.0",
+                **(http_config.headers() if http_config else {}),
             },
         )
-        with urllib.request.urlopen(req, timeout=timeout_s) as resp:
+        with urllib.request.urlopen(
+            req, timeout=timeout_s,
+            context=http_config.ssl_context() if http_config else None,
+        ) as resp:
             if not 200 <= resp.status < 300:
                 raise OSError(f"remote write rejected: HTTP {resp.status}")
         sent += sum(
