@@ -604,6 +604,109 @@ def test_scrape_config_scheme_path_params(spark, tmp_path):
     assert t.instance == "peer:9090"
 
 
+def test_http_sd_targets_add_remove_and_relabel(spark, tmp_path):
+    """http_sd_configs (discovery/http): the target list GETs from a
+    URL on refresh_interval cadence in the upstream JSON target-group
+    format; an add/remove in the served list lands on the next pass
+    (visible on /api/v1/targets via the scheduler's status pruning);
+    discovered targets run the job's SD-time relabel chain like file
+    SD; a failed GET keeps the last good list."""
+    from tsdb_spark.api import targets_payload
+    from tsdb_spark.config import scrape_scheduler_loop
+    from tsdb_spark.scrape import scrape_jobs_from
+
+    metrics = _MetricsEndpoint("# TYPE temp gauge\ntemp 1.0\n")
+    metrics2 = _MetricsEndpoint("# TYPE temp gauge\ntemp 2.0\n")
+
+    state = {"groups": [{"targets": [metrics.addr],
+                         "labels": {"team": "a"}}],
+             "fail": False}
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            if state["fail"]:
+                self.send_response(500)
+                self.send_header("Content-Length", "0")
+                self.end_headers()
+                return
+            body = json.dumps(state["groups"]).encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    sd_srv = http.server.HTTPServer(("127.0.0.1", 0), H)
+    sd_url = f"http://127.0.0.1:{sd_srv.server_address[1]}/sd"
+    threading.Thread(target=sd_srv.serve_forever, daemon=True).start()
+
+    raw = {"scrape_configs": [{
+        "job_name": "hsd",
+        "scrape_interval": "1s",
+        "http_sd_configs": [{"url": sd_url, "refresh_interval": "1ms"}],
+        "relabel_configs": [{
+            "action": "replace", "source_labels": ["team"],
+            "target_label": "squad", "replacement": "squad-$1",
+        }],
+    }]}
+    [job] = scrape_jobs_from(spark, raw)
+    assert job.http_sd and job.http_sd[0].refresh_ms == 1
+    db = DB.create(spark, str(tmp_path / "db"), block_width_ms=WIDTH)
+    status: dict = {}
+    stop = threading.Event()
+    t = threading.Thread(
+        target=scrape_scheduler_loop,
+        args=(spark, db, [job], stop),
+        kwargs={"status": status, "poll_s": 0.1},
+        daemon=True,
+    )
+    t.start()
+    try:
+        def wait_for(pred, what, budget_s=90):
+            end = time.time() + budget_s
+            while time.time() < end:
+                if pred():
+                    return
+                time.sleep(0.2)
+            raise AssertionError(f"timed out waiting for {what}")
+
+        wait_for(lambda: metrics.addr in {
+            u.split("://")[-1].split("/")[0] for u in status
+        }, "initial http-SD target scraped")
+        # SD-time relabel chain ran on the discovered target
+        [st] = list(status.values())
+        assert st["labels"].get("squad") == "squad-a"
+
+        # add a target in the served list → next pass picks it up
+        state["groups"] = [
+            {"targets": [metrics.addr], "labels": {"team": "a"}},
+            {"targets": [metrics2.addr], "labels": {"team": "b"}},
+        ]
+        wait_for(lambda: len(status) == 2, "http-SD target addition")
+        payload = targets_payload(None, status)
+        assert len(payload["data"]["activeTargets"]) == 2
+
+        # a failing SD endpoint keeps the last good list
+        state["fail"] = True
+        time.sleep(1.5)
+        assert len(status) == 2
+
+        # removal lands once the endpoint recovers
+        state["fail"] = False
+        state["groups"] = [
+            {"targets": [metrics2.addr], "labels": {"team": "b"}},
+        ]
+        wait_for(lambda: len(status) == 1, "http-SD target removal")
+    finally:
+        stop.set()
+        t.join(timeout=30)
+        sd_srv.shutdown()
+        metrics.stop()
+        metrics2.stop()
+
+
 def test_http_client_config_parsing_and_headers(tmp_path):
     """httpauth.HTTPClientConfig — upstream config.go HTTPClientConfig
     semantics: basic_auth and authorization are mutually exclusive,

@@ -343,6 +343,49 @@ class FileSD:
         return self._groups
 
 
+@dataclass
+class HTTPSD:
+    """One `http_sd_configs` entry (discovery/http/http.go): GET the
+    upstream JSON target-group list [{"targets": [...], "labels":
+    {...}}] from a URL every `refresh_interval` (upstream default 60s).
+    A failed or unparseable GET keeps the last good groups, like file
+    SD. The GET carries the block's own HTTPClientConfig auth
+    (discovery/http embeds one per config)."""
+
+    url: str
+    refresh_ms: int = 60_000
+    timeout_s: float = 10.0
+    http_config: object = None
+    # runtime cache (not config)
+    _groups: list = field(default_factory=list, compare=False)
+    _last_read_ms: int = field(default=-1, compare=False)
+
+    def groups(self, now_ms: int) -> list[dict]:
+        import json as _json
+
+        if (
+            self._last_read_ms >= 0
+            and now_ms - self._last_read_ms < self.refresh_ms
+        ):
+            return self._groups
+        try:
+            doc = _json.loads(fetch_text(
+                self.url, timeout_s=self.timeout_s,
+                http_config=self.http_config,
+            ))
+            self._groups = [
+                {
+                    "targets": list(g.get("targets", [])),
+                    "labels": dict(g.get("labels") or {}),
+                }
+                for g in doc or []
+            ]
+        except (OSError, ValueError, AttributeError, TypeError):
+            pass  # keep serving the last good response
+        self._last_read_ms = now_ms
+        return self._groups
+
+
 def _static_targets(
     groups: list[dict],
     job: str,
@@ -386,6 +429,8 @@ class ScrapeJob:
     #: go through the same chain the statics did at load
     target_relabel: list = field(default_factory=list)
     file_sd: list[FileSD] = field(default_factory=list)
+    #: http_sd_configs sources, resolved per pass like file SD
+    http_sd: list[HTTPSD] = field(default_factory=list)
     #: URL assembly defaults for bare host:port targets (scrape config
     #: scheme / metrics_path / params — scrape/target.go)
     scheme: str = "http"
@@ -402,12 +447,12 @@ class ScrapeJob:
     def resolve_targets(self, spark, now_ms: int | None = None) -> list[Target]:
         """The job's CURRENT target list: pre-relabeled statics plus
         file-SD targets (re-read when stale, relabeled now)."""
-        if not self.file_sd:
+        if not self.file_sd and not self.http_sd:
             return self.targets
         if now_ms is None:
             now_ms = int(time.time() * 1000)
         groups: list[dict] = []
-        for sd in self.file_sd:
+        for sd in self.file_sd + self.http_sd:
             groups.extend(sd.groups(now_ms))
         dyn = _static_targets(
             groups, self.name,
@@ -492,6 +537,16 @@ def scrape_jobs_from(
             )
             for fsd in sc.get("file_sd_configs", []) or []
         ]
+        http_sd = [
+            HTTPSD(
+                url=hsd["url"],
+                refresh_ms=_duration_ms(
+                    hsd.get("refresh_interval"), 60_000
+                ),
+                http_config=http_client_config_from(hsd, base_dir=base_dir),
+            )
+            for hsd in sc.get("http_sd_configs", []) or []
+        ]
         jobs.append(
             ScrapeJob(
                 name=name,
@@ -501,6 +556,7 @@ def scrape_jobs_from(
                 metric_relabel=_relabel_rules(sc, "metric_relabel_configs"),
                 target_relabel=target_rules,
                 file_sd=file_sd,
+                http_sd=http_sd,
                 scheme=scheme,
                 metrics_path=metrics_path,
                 params=params,
