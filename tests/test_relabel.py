@@ -442,3 +442,107 @@ def test_replace_with_out_of_range_group_is_empty(spark):
     lab = dict(row["labels"])
     assert "extra" not in lab
     assert lab["kept"] == "p=/x lit=$"
+
+
+def test_process_labels_parity_with_column_engine(spark):
+    """The pure-Python interpreter (process_labels — the alert-batch
+    path) and the Column engine (apply_relabel — the scrape hot path)
+    are the SAME semantics: every action, template expansion quirks,
+    chaining, empty-strip, and set-drop, over a grid of label sets.
+    This parity pin is what lets the notifier evaluate
+    alert_relabel_configs without launching a Spark job per tick."""
+    from tsdb_spark.relabel import process_labels
+
+    chains = [
+        [RelabelConfig(action="replace", source_labels=("a", "b"),
+                       regex="(.*);(.*)", target_label="ab",
+                       replacement="$1-$2")],
+        [RelabelConfig(action="replace", source_labels=("a",),
+                       regex="f(o+)", target_label="t_$1",
+                       replacement="${1}x$9")],  # dynamic tgt, $9 -> ''
+        [RelabelConfig(action="replace", source_labels=("a",),
+                       regex="nomatch.*", target_label="t",
+                       replacement="v")],
+        [RelabelConfig(action="replace", source_labels=("a",),
+                       regex="(.*)", target_label="a",
+                       replacement="")],  # empty result deletes
+        [RelabelConfig(action="keep", source_labels=("__name__",),
+                       regex="m|k.*")],
+        [RelabelConfig(action="drop", source_labels=("__name__", "a"),
+                       regex="m;foo")],
+        [RelabelConfig(action="keepequal", source_labels=("a",),
+                       target_label="b")],
+        [RelabelConfig(action="dropequal", source_labels=("a",),
+                       target_label="b")],
+        [RelabelConfig(action="lowercase", source_labels=("mixed",),
+                       target_label="lc"),
+         RelabelConfig(action="uppercase", source_labels=("mixed",),
+                       target_label="uc")],
+        [RelabelConfig(action="hashmod", source_labels=("a",),
+                       modulus=7, target_label="shard"),
+         RelabelConfig(action="keep", source_labels=("shard",),
+                       regex="[0-3]")],
+        [RelabelConfig(action="labelmap", regex="__meta_(.+)",
+                       replacement="$1")],
+        [RelabelConfig(action="labeldrop", regex="__meta_.*")],
+        [RelabelConfig(action="labelkeep", regex="__name__|a")],
+        # chaining with the __tmp scratch convention
+        [RelabelConfig(action="replace", source_labels=("a",),
+                       regex="(.*)", target_label="__tmp",
+                       replacement="$1!"),
+         RelabelConfig(action="replace", source_labels=("__tmp",),
+                       regex="(.*)", target_label="out",
+                       replacement="<$1>"),
+         RelabelConfig(action="labeldrop", regex="__tmp")],
+    ]
+    labelsets = [
+        {"__name__": "m", "a": "foo", "b": "bar", "mixed": "AbC",
+         "__meta_dc": "east"},
+        {"__name__": "keep_me", "a": "foo", "b": "foo", "mixed": "x"},
+        {"__name__": "m", "a": "fooo", "mixed": "Y",
+         "__meta_rack": "r1", "__meta_dc": "west"},
+        {"a": ""},  # empty-valued label strips; set may empty -> drop
+        {"__name__": "m"},
+    ]
+    for chain in chains:
+        df = spark.createDataFrame(
+            list(enumerate(labelsets)), "idx LONG, labels MAP<STRING,STRING>"
+        )
+        col = {r["idx"]: dict(r["labels"])
+               for r in apply_relabel(df, chain).collect()}
+        for i, lab in enumerate(labelsets):
+            want = col.get(i)
+            got = process_labels(lab, chain)
+            assert got == want, (
+                f"parity break: chain={chain!r} labels={lab!r} "
+                f"column={want!r} python={got!r}"
+            )
+
+
+def test_notifier_alert_relabel_without_spark():
+    """Alert relabeling is driver-side pure Python: a Notifier with
+    alert_relabel_configs works with NO SparkSession at all — notify()
+    ticks launch zero Spark jobs."""
+    from tsdb_spark.notifier import Notifier
+    from tsdb_spark.relabel import RelabelConfig
+
+    n = Notifier(
+        [],  # no AMs: state machine only
+        external_labels={"cluster": "east"},
+        alert_relabel=[
+            RelabelConfig(action="drop", source_labels=("alertname",),
+                          regex="Noisy.*"),
+            RelabelConfig(action="replace", source_labels=("cluster",),
+                          regex="(.*)", target_label="site",
+                          replacement="site-$1"),
+        ],
+        spark=None,
+    )
+    sent = n.notify(
+        [{"labels": {"alertname": "Hot"}, "annotations": {}},
+         {"labels": {"alertname": "NoisyDisk"}, "annotations": {}}],
+        60_000,
+    )
+    assert sent == 1
+    [key] = n.active
+    assert dict(key)["site"] == "site-east"

@@ -39,7 +39,8 @@ from dataclasses import dataclass, field
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["RelabelConfig", "apply_relabel", "load_relabel_file"]
+__all__ = ["RelabelConfig", "apply_relabel", "process_labels",
+           "load_relabel_file"]
 
 _ACTIONS = {
     "replace", "keep", "drop", "keepequal", "dropequal", "lowercase",
@@ -301,22 +302,130 @@ def relabel_targets(spark, targets, configs: list[RelabelConfig]):
     return kept
 
 
+def _expand(template: str, m: "_re.Match") -> str:
+    """Go regexp.ExpandString over a Python match — the same reference
+    rules _tmpl translates for Java: $N/$name/${...}, missing groups
+    expand to '', $$ is a literal $, name runs are the longest
+    [0-9A-Za-z_] run (so `$1x` names group \"1x\" → '')."""
+    gi = m.re.groupindex
+    n = m.re.groups
+
+    def _num(k: int) -> str:
+        return (m.group(k) or "") if k <= n else ""
+
+    def _named(name: str) -> str:
+        return (m.group(name) or "") if name in gi else ""
+
+    out: list[str] = []
+    i = 0
+    while i < len(template):
+        c = template[i]
+        if c != "$":
+            out.append(c)
+            i += 1
+            continue
+        rest = template[i + 1:]
+        if rest.startswith("$"):
+            out.append("$")
+            i += 2
+            continue
+        if rest.startswith("{"):
+            end = rest.find("}")
+            name = rest[1:end] if end > 0 else ""
+            if end > 0 and _NAME_RUN.fullmatch(name):
+                out.append(_num(int(name)) if name.isdigit()
+                           else _named(name))
+                i += 1 + end + 1
+                continue
+            out.append("$")
+            i += 1
+            continue
+        mm = _NAME_RUN.match(rest)
+        if not mm:
+            out.append("$")
+            i += 1
+            continue
+        name = mm.group(0)
+        out.append(_num(int(name)) if name.isdigit() else _named(name))
+        i += 1 + mm.end()
+    return "".join(out)
+
+
+def process_labels(
+    labels: dict, configs: list[RelabelConfig]
+) -> dict | None:
+    """relabel.Process as a pure-Python interpreter over ONE label-set
+    dict: same RelabelConfig structs and same semantics as the Column
+    engine (parity-pinned by tests/test_relabel.py), for driver-side
+    human-scale consumers — alert batches — where launching a Spark
+    job per notifier tick would be pure latency. Returns the rewritten
+    dict, or None where the chain dropped the set."""
+    import hashlib as _hashlib
+
+    lab = dict(labels)
+    for cfg in configs:
+        rx = _re.compile(_anchored(cfg.regex))
+        val = cfg.separator.join(
+            lab.get(sl, "") for sl in cfg.source_labels
+        )
+        m = rx.search(val)
+        if cfg.action == "keep":
+            if m is None:
+                return None
+        elif cfg.action == "drop":
+            if m is not None:
+                return None
+        elif cfg.action in ("keepequal", "dropequal"):
+            eq = val == lab.get(cfg.target_label, "")
+            if (cfg.action == "keepequal") != eq:
+                return None
+        elif cfg.action == "replace":
+            if m is not None:
+                res = _expand(cfg.replacement, m)
+                tgt = _expand(cfg.target_label, m)
+                if res == "":
+                    lab.pop(tgt, None)
+                else:
+                    lab[tgt] = res
+        elif cfg.action in ("lowercase", "uppercase"):
+            lab[cfg.target_label] = (
+                val.lower() if cfg.action == "lowercase" else val.upper()
+            )
+        elif cfg.action == "hashmod":
+            # relabel.go: last 8 bytes of md5, big-endian, % modulus
+            h = int.from_bytes(
+                _hashlib.md5(val.encode()).digest()[-8:], "big"
+            )
+            lab[cfg.target_label] = str(h % cfg.modulus)
+        elif cfg.action == "labelmap":
+            mapped = {}
+            for k, v in lab.items():
+                km = rx.search(k)
+                if km is not None:
+                    mapped[_expand(cfg.replacement, km)] = v
+            lab = {k: v for k, v in lab.items() if k not in mapped}
+            lab.update(mapped)
+        elif cfg.action == "labeldrop":
+            lab = {k: v for k, v in lab.items() if rx.search(k) is None}
+        else:  # labelkeep
+            lab = {k: v for k, v in lab.items()
+                   if rx.search(k) is not None}
+    lab = {k: v for k, v in lab.items() if v != ""}
+    return lab or None
+
+
 def relabel_labelsets(
     spark, labelsets: list[dict], configs: list[RelabelConfig]
 ) -> list[dict | None]:
     """Run the rule chain over arbitrary label-set dicts (the
     `alert_relabel_configs:` consumer — notifier.go relabelAlerts):
     returns one entry per input, None where the chain dropped the set.
-    Same apply_relabel engine as metric/target relabeling, one tiny
-    local DataFrame — alert batches are human-scale."""
-    if not labelsets:
-        return []
-    df = spark.createDataFrame(
-        list(enumerate(labelsets)), "idx LONG, labels MAP<STRING,STRING>"
-    )
-    out = {r["idx"]: dict(r["labels"])
-           for r in apply_relabel(df, configs).collect()}
-    return [out.get(i) for i in range(len(labelsets))]
+    Evaluates with the pure-Python process_labels interpreter — alert
+    batches are human-scale, and a Spark job per notifier tick is pure
+    latency; semantic parity with the Column engine is pinned by
+    tests/test_relabel.py. `spark` is kept for signature compatibility
+    and unused."""
+    return [process_labels(lab, configs) for lab in labelsets]
 
 
 def load_relabel_file(path: str) -> list[RelabelConfig]:
