@@ -597,6 +597,42 @@ def test_band_index_probe_large_batch_falls_back_to_shuffle_join(
     )
 
 
+def test_band_index_probe_counts_batch_lineage_once(spark, tmp_path):
+    # the plan-choice count must not run the batch's upstream lineage
+    # a second time: with batch_rows passed the probe never counts (no
+    # cache, no extra job); without it the incoming corpus is persisted
+    # BEFORE the count so the join reuses the materialized batch — and
+    # the cache sits on the corpus, not the sketched band frame, so
+    # dynamic partition pruning still inserts (asserted in the DPP
+    # test above, which runs the counting path)
+    from tsdb_spark.pipeline.bandindex import BandIndex
+
+    base = spark.createDataFrame(
+        [(i, f"document number {i} with some shared words {i % 3}")
+         for i in range(20)],
+        "doc_id LONG, text STRING",
+    )
+    idx = BandIndex.build(spark, base, str(tmp_path / "bidx3"))
+    batch = spark.createDataFrame(
+        [(100, "document number 1 with some shared words 1")],
+        "doc_id LONG, text STRING",
+    )
+    sized = idx.probe(batch, batch_rows=1)
+    # cache substitution happens at optimization (withCachedData), so
+    # the optimized plan is where the persist is (in)visible
+    assert "InMemoryRelation" not in (
+        sized._jdf.queryExecution().optimizedPlan().toString()
+    )
+    counted = idx.probe(batch)
+    assert "InMemoryRelation" in (
+        counted._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert sorted(map(tuple, sized.collect())) == sorted(
+        map(tuple, counted.collect())
+    )
+    batch.unpersist()
+
+
 def test_forwarder_tail_read_pushes_ingest_seq_filter(spark, tmp_path):
     # the remote-write forwarder tails the store by ingest_seq; that
     # predicate must reach the parquet scan (PushedFilters) so row

@@ -131,6 +131,7 @@ class BandIndex:
         id_col: str = "doc_id",
         max_bucket: int | None = None,
         broadcast_row_limit: int | None = None,
+        batch_rows: int | None = None,
     ) -> DataFrame:
         """Candidate pairs (new_id, old_id) of an incoming batch
         against the indexed corpus: sketch ONLY the batch and equi-join
@@ -140,7 +141,15 @@ class BandIndex:
         (docs × n_bands, counted before sketching) fits
         `broadcast_row_limit` broadcast; larger ingests fall back to a
         plain shuffle equi-join on the same keys (both plans asserted
-        in tests/test_plans.py). DPP is a broadcast-path optimization
+        in tests/test_plans.py). Callers that already know the batch
+        size pass `batch_rows` and the plan choice costs nothing; when
+        it must be counted, the incoming corpus is persisted first so
+        the count and the join share one materialization of the
+        batch's upstream lineage (an expensive incoming pipeline would
+        otherwise run twice; persisting the CORPUS rather than the
+        sketched band frame keeps the broadcast side a plain plan, so
+        dynamic partition pruning still inserts — DPP will not build
+        its pruning subquery over an InMemoryRelation build side). DPP is a broadcast-path optimization
         by design: Spark only reuses a broadcast for pruning
         (reuseBroadcastOnly), and a batch big enough to overflow the
         broadcast ceiling populates every band anyway, so there is
@@ -153,6 +162,12 @@ class BandIndex:
             if broadcast_row_limit is None
             else broadcast_row_limit
         )
+        if batch_rows is None:
+            from pyspark.storagelevel import StorageLevel
+
+            new_corpus = new_corpus.persist(StorageLevel.MEMORY_AND_DISK)
+            batch_rows = new_corpus.count()
+        batch_band_rows = batch_rows * self.meta["n_bands"]
         new_b = self._new_bands(new_corpus, text_col, id_col)
         old_b = self.bands()
         if max_bucket is not None:
@@ -164,7 +179,6 @@ class BandIndex:
                 .filter(F.col("_c") <= max_bucket)
                 .drop("_c")
             )
-        batch_band_rows = new_corpus.count() * self.meta["n_bands"]
         left = new_b.withColumnRenamed("doc_id", "new_id")
         if batch_band_rows <= limit:
             left = F.broadcast(left)
