@@ -616,3 +616,110 @@ def hist_fraction(lo: float, hi: float, h: Column) -> Column:
     inside = F.aggregate(h.getField("buckets"), F.lit(0.0), step)
     inside = inside + F.when((lo_c <= 0) & (hi_c >= 0), zero).otherwise(0.0)
     return F.when(count > 0, inside / count).otherwise(F.lit(float("nan")))
+
+
+def _bucket_map(h: Column, shift: Column) -> Column:
+    """buckets → MAP<idx', count> with an exponential downscale applied:
+    idx' = ceil(idx / 2^shift) merges 2^shift neighboring buckets into
+    the coarser grid (histogram.go ReduceResolution's index rule);
+    shift 0 is the identity. NHCB indices are positional and never
+    rescaled — callers guarantee shift 0 for schema -53."""
+
+    def nidx(i: Column) -> Column:
+        return F.ceil(
+            i.cast("double") / F.pow(F.lit(2.0), shift.cast("double"))
+        ).cast("int")
+
+    return F.aggregate(
+        h.getField("buckets"),
+        F.create_map().cast("map<int,double>"),
+        lambda acc, b: F.map_concat(
+            F.map_filter(acc, lambda k, _: k != nidx(b.getField("idx"))),
+            F.create_map(
+                nidx(b.getField("idx")),
+                F.coalesce(
+                    F.element_at(acc, nidx(b.getField("idx"))), F.lit(0.0)
+                )
+                + b.getField("c"),
+            ),
+        ),
+    )
+
+
+def hist_binop(a: Column, b: Column, op: str) -> Column:
+    """h + h / h − h component-wise (promql/engine.go histogram-valued
+    VectorBinop; histogram.go Add/Sub): mismatched exponential schemas
+    downscale BOTH sides to the coarser (lesser) schema before the
+    bucket-wise union merge — the same resolution rule rate/sum apply
+    at decode (ReduceResolution) — and count/sum/zero_count add or
+    subtract directly. Zero-count result buckets drop, keeping the
+    sparse representation canonical. Callers drop incompatible pairs
+    (mixed NHCB/exponential, differing custom bounds) BEFORE this
+    expression — upstream skips those samples with a warning
+    annotation. All codegen-side: maps + zips, no UDFs."""
+    if op not in ("+", "-"):
+        raise ValueError(f"histogram {op} histogram is not defined")
+    sign = F.lit(1.0 if op == "+" else -1.0)
+    target = F.least(a.getField("schema"), b.getField("schema"))
+    merged = F.map_zip_with(
+        _bucket_map(a, a.getField("schema") - target),
+        _bucket_map(b, b.getField("schema") - target),
+        lambda _, ca, cb: F.coalesce(ca, F.lit(0.0))
+        + sign * F.coalesce(cb, F.lit(0.0)),
+    )
+    buckets = F.array_sort(
+        F.filter(
+            F.transform(
+                F.map_entries(merged),
+                lambda e: F.struct(
+                    e.getField("key").alias("idx"),
+                    e.getField("value").alias("c"),
+                ),
+            ),
+            lambda x: x.getField("c") != 0.0,
+        )
+    )
+    return F.struct(
+        (a.getField("count") + sign * b.getField("count")).alias("count"),
+        (a.getField("sum") + sign * b.getField("sum")).alias("sum"),
+        (
+            a.getField("zero_count") + sign * b.getField("zero_count")
+        ).alias("zero_count"),
+        target.alias("schema"),
+        buckets.alias("buckets"),
+        a.getField("custom_values").alias("custom_values"),
+    )
+
+
+def hist_compatible(a: Column, b: Column) -> Column:
+    """True where two histogram samples may combine: both NHCB with
+    identical custom bounds, or both exponential. Upstream's
+    histogram.Add errors on custom-bucket mismatch and the engine
+    skips the sample pair — this predicate is that skip as a filter."""
+    nhcb_a = a.getField("schema") == F.lit(-53)
+    nhcb_b = b.getField("schema") == F.lit(-53)
+    same_cv = (
+        a.getField("custom_values").eqNullSafe(b.getField("custom_values"))
+    )
+    return (~nhcb_a & ~nhcb_b) | (nhcb_a & nhcb_b & same_cv)
+
+
+def hist_scale(h: Column, factor) -> Column:
+    """h * scalar (and h / scalar as multiplication by the inverse) —
+    engine.go VectorBinop's histogram-scalar arithmetic: every
+    component scales; schema and custom bounds are untouched."""
+    fac = F.lit(float(factor)) if not isinstance(factor, Column) else factor
+    return F.struct(
+        (h.getField("count") * fac).alias("count"),
+        (h.getField("sum") * fac).alias("sum"),
+        (h.getField("zero_count") * fac).alias("zero_count"),
+        h.getField("schema").alias("schema"),
+        F.transform(
+            h.getField("buckets"),
+            lambda b: F.struct(
+                b.getField("idx").alias("idx"),
+                (b.getField("c") * fac).alias("c"),
+            ),
+        ).alias("buckets"),
+        h.getField("custom_values").alias("custom_values"),
+    )

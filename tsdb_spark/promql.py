@@ -2630,6 +2630,17 @@ class RangeQuery:
                 f"{node.fn} needs a native-histogram frame (h column); "
                 "build one with nativehist.build_histograms"
             )
+        if self._contains_hist_binop(node.child):
+            # histogram-valued binary arithmetic in the child —
+            # h+h / h-h / h*scalar / h/scalar (engine.go VectorBinop
+            # histogram samples, prometheus 3.x)
+            agg = self._eval_hist_vector(node.child)
+            out = agg.withColumn(
+                "value", self._hist_value(node)(F.col("h"))
+            ).drop("h")
+            return self._strip_name(out).select(
+                "labels_str", "labels", _G, "value"
+            )
         rate_fn = None
         sel = node.child
         agg_node = None
@@ -2670,6 +2681,169 @@ class RangeQuery:
             if agg_node is not None:
                 child = replace(agg_node, child=child)
             return self._pinned(sel.at_ms, replace(node, child=child))
+        agg = self._hist_leaf(
+            FuncCall(rate_fn, sel) if rate_fn is not None else sel
+        )
+        if agg_node is not None:
+            agg = self._hist_group_sum(agg, list(agg_node.by or []))
+        out = agg.withColumn(
+            "value", self._hist_value(node)(F.col("h"))
+        ).drop("h")
+        return self._strip_name(out).select(
+            "labels_str", "labels", _G, "value"
+        )
+
+    @staticmethod
+    def _hist_value(node: HistFn):
+        """The histogram→float transform for one HistFn node."""
+        from tsdb_spark import nativehist as NH
+
+        return {
+            "histogram_count": NH.hist_count,
+            "histogram_sum": NH.hist_sum,
+            "histogram_avg": NH.hist_avg,
+            "histogram_stddev": NH.hist_stddev,
+            "histogram_stdvar": NH.hist_stdvar,
+            "quantile": lambda h: NH.hist_quantile(node.lo, h),
+            "histogram_fraction": lambda h: NH.hist_fraction(
+                node.lo, node.hi, h
+            ),
+        }[node.fn]
+
+    @classmethod
+    def _contains_hist_binop(cls, node) -> bool:
+        """True when the (histogram-shaped) expression tree contains a
+        BinVector/BinScalar node — routed through _eval_hist_vector."""
+        if isinstance(node, (BinVector, BinScalar)):
+            return True
+        if isinstance(node, Aggregate):
+            return cls._contains_hist_binop(node.child)
+        if isinstance(node, FuncCall):
+            return cls._contains_hist_binop(node.arg)
+        return False
+
+    def _eval_hist_vector(self, node) -> DataFrame:
+        """Evaluate a native-histogram-VALUED vector expression to an
+        h-frame (labels_str, labels, _pq_t, h) — the histogram side of
+        engine.go's VectorBinop (prometheus 3.x histogram arithmetic):
+
+          selector               instant lookback (latest h per step)
+          rate/increase/delta    boundary hist_sub, like _eval_histfn
+          sum by (...)           component-wise group sum
+          h + h / h - h          one-to-one vector matching on the
+                                 binop signature; mismatched
+                                 exponential schemas downscale to the
+                                 coarser side; incompatible pairs
+                                 (mixed NHCB/exponential, differing
+                                 custom bounds) drop, as upstream
+                                 skips them with a warning annotation
+          h * scalar, scalar * h, h / scalar
+                                 component-wise scale
+
+        Everything composes: (rate(a[5m]) + rate(b[5m])) * 3 is one
+        plan — two rate aggs, one signature equi-join, a projection."""
+        from tsdb_spark import nativehist as NH
+
+        if isinstance(node, BinScalar):
+            if node.op == "*":
+                fac = float(node.scalar)
+            elif node.op == "/" and not node.scalar_left:
+                fac = 1.0 / float(node.scalar)
+            else:
+                raise ValueError(
+                    f"histogram {node.op} scalar is not defined "
+                    "(only h*s, s*h, h/s — engine.go VectorBinop)"
+                )
+            child = self._eval_hist_vector(node.child)
+            return self._strip_name(
+                child.withColumn("h", NH.hist_scale(F.col("h"), fac))
+            )
+        if isinstance(node, BinVector):
+            if node.op not in ("+", "-"):
+                raise ValueError(
+                    f"histogram {node.op} histogram is not defined "
+                    "(only + and - — engine.go VectorBinop)"
+                )
+            if node.group_side is not None:
+                raise ValueError(
+                    "group_left/group_right with histogram operands "
+                    "is not supported"
+                )
+            mk = self._match_map(node.on, node.ignoring)
+            l = self._eval_hist_vector(node.left).select(
+                L.labels_str_expr(mk(F.col("labels"))).alias("_mk"),
+                mk(F.col("labels")).alias("_mlab"),
+                F.col(_G),
+                F.col("h").alias("_hl"),
+            )
+            r = self._eval_hist_vector(node.right).select(
+                L.labels_str_expr(mk(F.col("labels"))).alias("_mk"),
+                F.col(_G),
+                F.col("h").alias("_hr"),
+            )
+            l = _unique_guard(
+                l, ["_mk", _G], "_hl",
+                "multiple matches for labels: many-to-one matching "
+                "must be explicit (group_left/group_right)",
+            )
+            r = _unique_guard(
+                r, ["_mk", _G], "_hr",
+                "found duplicate series for the match group on the "
+                "right hand-side of the operation",
+            )
+            j = l.join(r, ["_mk", _G]).filter(
+                NH.hist_compatible(F.col("_hl"), F.col("_hr"))
+            )
+            # arithmetic takes the SIGNATURE as the result label set
+            # (the one-to-one rule the float path applies)
+            return j.select(
+                F.col("_mk").alias("labels_str"),
+                F.col("_mlab").alias("labels"),
+                F.col(_G),
+                NH.hist_binop(F.col("_hl"), F.col("_hr"), node.op).alias(
+                    "h"
+                ),
+            )
+        if isinstance(node, Aggregate) and node.op == "sum":
+            if node.without is not None:
+                raise ValueError(
+                    "native histogram sum supports by() grouping only"
+                )
+            return self._hist_group_sum(
+                self._eval_hist_vector(node.child), list(node.by or [])
+            )
+        # leaves: instant selector or rate/increase/delta over one —
+        # reuse the HistFn machinery via a count-transform-free pass by
+        # evaluating through the existing selector/rate body
+        return self._hist_leaf(node)
+
+    def _hist_leaf(self, node) -> DataFrame:
+        """Selector / rate-over-selector → h-frame: the leaf acquisition
+        shared with _eval_histfn's classic path (one bounded grid
+        fan-out + one combinable groupBy)."""
+        from tsdb_spark import nativehist as NH
+
+        rate_fn = None
+        sel = node
+        if (
+            isinstance(sel, FuncCall)
+            and sel.fn in ("rate", "increase", "delta")
+            and isinstance(sel.arg, Selector)
+        ):
+            rate_fn, sel = sel.fn, sel.arg
+        if not isinstance(sel, Selector) or (
+            (sel.range_ms is not None) != (rate_fn is not None)
+        ):
+            raise ValueError(
+                "histogram arithmetic operands must be instant "
+                "selectors, rate/increase/delta over a matrix "
+                "selector, sum by (...) of those, or further "
+                "histogram arithmetic"
+            )
+        if sel.at_ms is not None:
+            raise ValueError(
+                "@ inside histogram arithmetic is not supported"
+            )
         reach = sel.range_ms if rate_fn is not None else self.lookback_ms
         off = sel.offset_ms
         base = (
@@ -2712,14 +2886,18 @@ class RangeQuery:
                 F.col("_t2") > F.col("_t1"),
                 (F.col("_t2") - F.col("_t1")).cast("double"),
             )
-            dstart = (F.col("_t1") - (F.col(_G) - F.lit(reach))).cast("double")
+            dstart = (F.col("_t1") - (F.col(_G) - F.lit(reach))).cast(
+                "double"
+            )
             dend = (F.col(_G) - F.col("_t2")).cast("double")
             avg_dur = sampled / F.when(
                 F.col("_n") >= 2, (F.col("_n") - 1).cast("double")
             )
             ext = (
                 sampled
-                + F.when(dstart < avg_dur * 1.1, dstart).otherwise(avg_dur / 2)
+                + F.when(dstart < avg_dur * 1.1, dstart).otherwise(
+                    avg_dur / 2
+                )
                 + F.when(dend < avg_dur * 1.1, dend).otherwise(avg_dur / 2)
             ) / sampled
             if rate_fn == "rate":
@@ -2732,23 +2910,7 @@ class RangeQuery:
                 F.first("labels").alias("labels"),
                 F.max_by("h", "t").alias("h"),
             )
-        if agg_node is not None:
-            agg = self._hist_group_sum(agg, list(agg_node.by or []))
-        val = {
-            "histogram_count": NH.hist_count,
-            "histogram_sum": NH.hist_sum,
-            "histogram_avg": NH.hist_avg,
-            "histogram_stddev": NH.hist_stddev,
-            "histogram_stdvar": NH.hist_stdvar,
-            "quantile": lambda h: NH.hist_quantile(node.lo, h),
-            "histogram_fraction": lambda h: NH.hist_fraction(
-                node.lo, node.hi, h
-            ),
-        }[node.fn](F.col("h"))
-        out = agg.withColumn("value", val).drop("h")
-        return self._strip_name(out).select(
-            "labels_str", "labels", _G, "value"
-        )
+        return agg.select("labels_str", "labels", _G, "h")
 
     #: info()'s identifying labels (promql/info.go defaultIdentifyingLabels)
     INFO_IDENT = ("instance", "job")
@@ -2888,6 +3050,12 @@ class RangeQuery:
             ):
                 return isinstance(n.arg, Selector)
             if isinstance(n, Aggregate) and n.op == "sum":
+                return native(n.child)
+            # histogram arithmetic: h±h with both sides native,
+            # h*scalar / h/scalar with a native child
+            if isinstance(n, BinVector) and n.op in ("+", "-"):
+                return native(n.left) and native(n.right)
+            if isinstance(n, BinScalar) and n.op in ("*", "/"):
                 return native(n.child)
             return False
 

@@ -950,6 +950,89 @@ _QQ["store_native_hist"].oracle = _QQ["promql_native_hist"].oracle
 
 
 @register(
+    "promql_native_hist_binop",
+    _with_prelude(
+        f"""
+, c AS (SELECT labels_str, t, round(v * 100) AS cv FROM samples
+        WHERE event_type = 'click'),
+hb AS (SELECT labels_str, t - (t % {DAY}) + {DAY} AS th, cv,
+         CASE WHEN cv > 0 THEN (CASE WHEN CAST(cv AS BIGINT) <= 1 THEN 0
+              ELSE CAST(length(bin(CAST(cv AS BIGINT) - 1)) AS INT) END)
+         END AS idx
+       FROM c),
+bk AS (SELECT labels_str, th, idx, CAST(count(*) AS DOUBLE) AS cnt,
+         sum(cv) AS sv
+       FROM hb GROUP BY 1, 2, 3),
+h AS (SELECT labels_str, th, sum(cnt) AS hcount, sum(sv) AS hsum,
+        sum(CASE WHEN idx IS NULL THEN cnt ELSE 0.0 END) AS zero
+      FROM bk GROUP BY 1, 2),
+cm AS (SELECT labels_str, th, idx, cnt,
+        sum(cnt) OVER (PARTITION BY labels_str, th ORDER BY idx
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumc
+       FROM bk WHERE idx IS NOT NULL),
+-- h+h doubles every component; rank = 0.9 * 2N walks cum 2c, which
+-- interpolates exactly where the single histogram does
+j AS (SELECT cm.*, h.hcount, h.zero, 0.9 * h.hcount AS rnk
+      FROM cm JOIN h USING (labels_str, th)),
+pk AS (SELECT labels_str, th, min(idx) AS pidx
+       FROM j WHERE zero + cumc >= rnk GROUP BY 1, 2),
+iq AS (SELECT j.labels_str, j.th,
+         pow(2.0, j.idx - 1) + (pow(2.0, j.idx) - pow(2.0, j.idx - 1))
+           * (j.rnk - (j.zero + j.cumc - j.cnt)) / j.cnt AS qi
+       FROM j JOIN pk ON pk.labels_str = j.labels_str AND pk.th = j.th
+                     AND j.idx = pk.pidx),
+qv AS (SELECT h.labels_str, h.th,
+         CASE WHEN h.zero > 0 AND 0.9 * h.hcount <= h.zero THEN 0.0
+              ELSE iq.qi END AS q90b,
+         2.0 * h.hcount AS cnt2, (h.hsum * 1.5) / 100.0 AS smx
+       FROM h LEFT JOIN iq ON iq.labels_str = h.labels_str
+                          AND iq.th = h.th),
+um AS (SELECT DISTINCT labels_str, user_lbl, k_bucket FROM samples)
+SELECT '{{{{' || CASE WHEN k_bucket = 'high' THEN 'k_bucket="high",' ELSE '' END
+       || 'user="' || user_lbl || '"}}}}' AS labels_str,
+       th AS t, round(q90b, 9) AS q90b, cnt2, round(smx, 9) AS smx
+FROM qv JOIN um USING (labels_str)
+WHERE th BETWEEN {T0 + DAY} AND {T0 + 15 * DAY}"""
+    ),
+    "native-histogram BINARY OPERATORS (prometheus 3.x engine.go "
+    "histogram-valued VectorBinop — beyond the reference, which has no "
+    "histogram samples at all): `click + click` matched one-to-one on "
+    "the binop signature combines bucket-wise (nativehist.hist_binop: "
+    "map_zip_with union merge with mismatched-schema downscale, all "
+    "codegen), `(click * 3) / 2` scales components (hist_scale). "
+    "histogram_quantile(0.9, h+h) must equal the single-histogram "
+    "quantile (rank and buckets double together) while count doubles "
+    "and the scaled sum is exactly 1.5x — three independent algebraic "
+    "invariants the oracle pins. Plan: two combinable groupBys per "
+    "side + ONE signature equi-join, no UDFs",
+)
+def promql_native_hist_binop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tsdb_spark import labels as L
+    from tsdb_spark.nativehist import build_histograms, int_bucket_idx
+    from tsdb_spark.promql import RangeQuery
+
+    s = (
+        events_samples(spark, sf_dir)
+        .filter(L.compile_matchers([L.eq("__name__", "click")]))
+        .withColumn("v", F.round(F.col("v") * 100))
+    )
+    hf = build_histograms(s, DAY, idx_expr=int_bucket_idx(F.col("v")))
+    q = RangeQuery(hf, T0 + DAY, T0 + 15 * DAY, DAY, lookback_ms=DAY)
+    a = q.run("histogram_quantile(0.9, click + click)").select(
+        "labels_str", "t", F.round("value", 9).alias("q90b")
+    )
+    b = q.run("histogram_count(click + click)").select(
+        "labels_str", "t", F.col("value").alias("cnt2")
+    )
+    c = q.run("histogram_sum((click * 3) / 2)").select(
+        "labels_str",
+        "t",
+        F.round(F.col("value") / 100.0, 9).alias("smx"),
+    )
+    return a.join(b, ["labels_str", "t"]).join(c, ["labels_str", "t"])
+
+
+@register(
     "store_nhcb_quantile",
     _with_prelude(
         f"""

@@ -3428,7 +3428,7 @@ GATE: tuple[str, ...] = (
     "tsdb_tombstone_delete",
     "tsdb_instant_vector",  # as-of join lookback (subsumes the buffer shape)
     "tsdb_block_stats",
-    "tsdb_analyze_labels",
+    "tsdb_rate_extrapolated",
     # -- PromQL evaluator + rules + serving --
     # rotation policy (r6): gate slots rotate round-over-round so every
     # family gets driver-record coverage despite the 50-slot cap.
@@ -3487,11 +3487,21 @@ GATE: tuple[str, ...] = (
     # addition: the brand-new store_nhcb_quantile (NHCB custom-bucket
     # native histograms, schema -53 — classic bounds through the store,
     # quantile interpolation on the custom grid).
-    "promql_rate_grid",
+    # r10 rotation (per the r9 verdict's explicit ask): OUT
+    # tsdb_analyze_labels, promql_rate_grid, promql_group_left_include,
+    # store_remote_write (the v1 wire; its rw2 twin stays gated), and
+    # emb_ann_lsh (driver-green r7-r9, all five; every one stays
+    # selfcheck-verified against its oracle each round, plus pytest
+    # pins). IN: tsdb_rate_extrapolated, promql_classic_nhcb_convert
+    # (shares the NHCB oracle — scrape- and query-level conversion must
+    # agree under the driver too), store_federated, emb_ivf_persisted,
+    # and the r10-new promql_native_hist_binop (h+h/h-h/h*s histogram
+    # arithmetic with schema downscale — engine.go VectorBinop).
     "promql_alert_rule",
     "promql_alert_keep_firing",
-    "promql_group_left_include",
+    "promql_classic_nhcb_convert",
     "promql_native_hist_rate",
+    "promql_native_hist_binop",
     "api_federate_dedup",
     # -- store lifecycle --
     # r6 late rotation: store_readonly_select / store_overlap_report
@@ -3502,7 +3512,7 @@ GATE: tuple[str, ...] = (
     "store_compact_vertical",
     "store_checkpoint",
     "store_first_wins_amend",
-    "store_remote_write",
+    "store_federated",
     "store_remote_write_v2",
     "store_otlp_ingest",
     "store_remote_read",
@@ -3528,7 +3538,7 @@ GATE: tuple[str, ...] = (
     "docs_pipeline_funnel",  # end-to-end funnel (subsumes the curation verdict; that stays selfcheck-verified)
     # -- embeddings pipeline --
     "emb_cosine_topk",
-    "emb_ann_lsh",
+    "emb_ivf_persisted",
     "emb_ann_lsh_multiprobe",
     "emb_ann_ivf",
     # -- multimodal pipeline --
