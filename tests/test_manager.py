@@ -97,3 +97,36 @@ def test_reticks_are_idempotent(spark, tmp_path):
     mgr2.run_pending(6 * MIN)
     n2 = db.querier(0, 10**9).select([L.eq("__name__", "ALERTS")]).count()
     assert n1 == n2
+
+
+def test_steady_state_ticks_evaluate_incrementally(spark, tmp_path):
+    """After the first tick's history backfill, each tick evaluates
+    only [last+interval - (for+keep_firing), tick] and APPENDS only the
+    new grid points — the serve-mode soak (SCALE.md r10) showed the
+    pre-r10 full-history re-evaluation dominating tick latency and the
+    store append lock. State across the window edge must stay correct:
+    an alert firing before the tick keeps firing through it."""
+    db = _mkstore(spark, tmp_path)
+    mgr = Manager(db, _groups())
+    mgr.run_pending(9 * MIN)
+
+    def alerts_rows():
+        return [
+            (r["labels"]["alertstate"], r["t"] // MIN)
+            for r in db.querier(0, 10**9)
+            .select([L.eq("__name__", "ALERTS"),
+                     L.eq("alertname", "HighReq")])
+            .collect()
+        ]
+
+    before = alerts_rows()
+    assert ("firing", 9) in before
+    # steady-state tick: one new grid point, state machine window
+    # reaches back across the edge (activity 5m.. + for=2m ⇒ firing)
+    mgr.run_pending(10 * MIN)
+    after = alerts_rows()
+    assert ("firing", 10) in after
+    # no duplicate re-appends of already-committed points: exactly one
+    # new row landed
+    assert len(after) == len(before) + 1
+    assert sorted(after) == sorted(before + [("firing", 10)])

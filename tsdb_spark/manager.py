@@ -71,9 +71,32 @@ class Manager:
             if recs:
                 record(self.db, recs, start, tick, interval)
             if alerts:
-                record_alerts(
-                    self.db, alerts, max(0, start - self.history_ms), tick, interval
-                )
+                if last is None:
+                    # first tick: back-fill the alert state history so
+                    # /api/v1/alerts and ALERTS selects have a past
+                    record_alerts(
+                        self.db, alerts,
+                        max(0, start - self.history_ms), tick, interval,
+                    )
+                else:
+                    # steady state: the for/keep_firing state machine
+                    # at `start` reaches back exactly for+keep_firing,
+                    # so the grid EVALUATES from start - reach but only
+                    # the new ticks APPEND — re-running the full
+                    # history_ms every tick (the pre-r10 behavior) made
+                    # a 2s-interval group re-evaluate a 24h grid per
+                    # tick, the dominant latency AND append-lock holder
+                    # in the serve-mode soak (SCALE.md r10)
+                    reach = max(
+                        (r.for_ms + r.keep_firing_ms for r in alerts),
+                        default=0,
+                    )
+                    reach = -(-reach // interval) * interval  # grid-align
+                    record_alerts(
+                        self.db, alerts,
+                        max(0, start - min(self.history_ms, reach)),
+                        tick, interval, append_from=start,
+                    )
                 if self.notifier is not None:
                     self._notify(g, tick, interval)
             self._last_tick[name] = tick

@@ -293,13 +293,23 @@ def record_alerts(
     step: int,
     dst=None,
     lookback_ms: int = DEFAULT_LOOKBACK_MS,
+    append_from: int | None = None,
 ) -> dict[str, "object"]:
     """Evaluate every alert rule and append its ALERTS series to `dst`
     (default: back into `db`, where it is selectable like any series —
-    the upstream arrangement for alert state history)."""
+    the upstream arrangement for alert state history).
+
+    `append_from` keeps only grid points >= it in the APPENDED frame:
+    the state machine needs for+keep_firing of grid history BEFORE the
+    first new tick to compute its state correctly, but those earlier
+    points were already committed by previous ticks — re-appending
+    them every tick would bloat the store with duplicate rows (the
+    Manager's steady-state incremental evaluation)."""
     dst = dst if dst is not None else db
     reports: dict[str, object] = {}
     for rule in rules:
         frame = alerts_frame(db, rule, start, end, step, lookback_ms)
+        if append_from is not None:
+            frame = frame.filter(F.col("t") >= append_from)
         reports[rule.name] = dst.append(frame)
     return reports
