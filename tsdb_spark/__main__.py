@@ -600,7 +600,7 @@ def main(argv: list[str] | None = None) -> int:
                     notif.alert_relabel = list(new_cfg.alert_relabel)
                     notif.http_configs = dict(new_cfg.alertmanager_http)
                 if fwd is not None:
-                    head = int(db.meta.get("next_ingest_seq", 1)) - 1
+                    head = db.durable_head()
                     for c in new_cfg.remote_writes:
                         self_marks = fwd.watermarks
                         if c.url not in self_marks:

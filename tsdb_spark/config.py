@@ -276,8 +276,11 @@ class RemoteWriteForwarder:
         self.external_labels = dict(external_labels or {})
         # start at the store's current head: a fresh forwarder ships
         # new data, not history (upstream starts at the WAL tail too;
-        # history moves via the explicit `remote-write` CLI)
-        head = int(db.meta.get("next_ingest_seq", 1)) - 1
+        # history moves via the explicit `remote-write` CLI).
+        # durable_head, not next_ingest_seq: with staged appends a
+        # reserved-but-unpublished batch below next_ingest_seq-1 will
+        # publish later, and a watermark past it would skip it forever
+        head = db.durable_head()
         self.watermarks: dict[str, int] = {c.url: head for c in self.configs}
         self.sent: dict[str, int] = {c.url: 0 for c in self.configs}
         self.errors = 0
@@ -372,7 +375,10 @@ class RemoteWriteForwarder:
             _post_series_batches_v2,
         )
 
-        head = int(self.db.meta.get("next_ingest_seq", 1)) - 1
+        # bound every pass at the PUBLISHED head: seqs reserved by
+        # in-flight staged appends stay above the watermark until they
+        # land, so a concurrent appender never loses samples to the tail
+        head = self.db.durable_head()
         total = 0
         # one read per distinct (watermark, relabel-chain, table) —
         # steady state with unrelabeled endpoints: one read shared by

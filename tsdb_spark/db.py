@@ -35,7 +35,7 @@ import uuid
 from dataclasses import dataclass, field
 
 from pyspark import StorageLevel
-from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tsdb_spark import compaction
@@ -72,7 +72,14 @@ def _locked(fn):
     other's commit (found live: the serve process's scrape thread and
     rule-manager thread appending together). The reference's head is
     single-writer for the same reason (db.go's mtx around Appender
-    commit); an RLock keeps nested mutators (record → append) safe."""
+    commit); an RLock keeps nested mutators (record → append) safe.
+
+    The APPEND paths no longer use this decorator: they follow the
+    staged two-phase protocol (reserve/stage/publish — see the staged
+    append commit section) so the heavy Spark job runs unlocked and
+    only the rename-and-meta publish takes the mutex. Maintenance
+    mutators (compact/vacuum/delete/retention) stay fully locked: they
+    rewrite live dirs in place and are rare."""
     import functools
 
     @functools.wraps(fn)
@@ -93,6 +100,11 @@ class DB:
         repr=False,
         compare=False,
     )
+    # ingest_seq values reserved by in-flight staged appends (reserved
+    # under the mutex, removed at publish/abort). durable_head() stops
+    # short of the lowest in-flight seq so tailing consumers never
+    # advance past a batch that has not landed yet.
+    _inflight: set = field(default_factory=set, repr=False, compare=False)
 
     # ---------------- lifecycle ----------------
 
@@ -133,7 +145,7 @@ class DB:
         refused — the safe handle for operating on a store another
         process owns (the reference uses it for CLI dump/ls against a
         running server's data dir)."""
-        db = cls.open(spark, path)
+        db = cls.open(spark, path, _gc_staging=False)
         db._read_only = True
         return db
 
@@ -144,7 +156,7 @@ class DB:
             )
 
     @classmethod
-    def open(cls, spark: SparkSession, path: str) -> "DB":
+    def open(cls, spark: SparkSession, path: str, _gc_staging: bool = True) -> "DB":
         configure(spark)
         with open(os.path.join(path, "_meta.json")) as f:
             meta = json.load(f)
@@ -165,7 +177,126 @@ class DB:
                 )
             meta["version"] = 2
             db._write_meta()
+        if _gc_staging:
+            # abandon staged-but-unpublished appends a crashed writer
+            # left behind: their seq range was reserved (and burned —
+            # gaps in ingest_seq are meaningless to readers), but none
+            # of their files ever reached a live table dir, so dropping
+            # the staging tree is exactly the failed-job rollback.
+            # open_readonly skips this: a read-only handle may attach to
+            # a store another LIVE process is appending to.
+            db._gc_stale_staging()
         return db
+
+    # ------------- staged append commit (two-phase, short lock) -------------
+    #
+    # The store mutex exists to keep two Spark write jobs out of the
+    # same table directory (they would share the Hadoop committer's
+    # `_temporary/0` staging dir and corrupt each other's commit) and to
+    # serialize meta updates. Holding it across the WHOLE append job
+    # serializes every mutator behind multi-second Spark jobs — the r9
+    # serve-mode soak measured 110s of a 190s run spent WAITING on this
+    # lock. The reference holds its head lock for in-memory appends, not
+    # disk I/O (head.go Appender.Commit); the Spark-side analog:
+    #
+    #   1. RESERVE (lock, ms): take the next ingest_seq range, persist
+    #      the bump so a crash can never re-issue it.
+    #   2. STAGE (no lock, the Spark job): write the batch into a
+    #      private per-append staging directory — no shared committer
+    #      state, so any number of appends stage concurrently.
+    #   3. PUBLISH (lock, ms): rename the staged part files into the
+    #      live partition dirs and apply the meta updates (overlap
+    #      tracking, dirty sets, publish counter) in one short section.
+    #
+    # On a single node the rename is os.replace; on a real cluster the
+    # same protocol runs over the FileSystem API (HDFS rename is a
+    # metadata op) or a table format's metadata commit — the invariant
+    # is only that publish is cheap and serialized while stage is the
+    # parallel heavy lifting. Failed stages abort: the reserved seq
+    # stays a hole (readers order by seq, holes are meaningless) and
+    # the staging dir is dropped.
+
+    @property
+    def _staging_root(self) -> str:
+        return os.path.join(self.path, "_staging")
+
+    def _new_staging_dir(self) -> str:
+        d = os.path.join(self._staging_root, uuid.uuid4().hex)
+        os.makedirs(d, exist_ok=True)
+        return d
+
+    def _gc_stale_staging(self) -> None:
+        import shutil
+
+        if os.path.isdir(self._staging_root):
+            shutil.rmtree(self._staging_root, ignore_errors=True)
+
+    def _reserve_seq(self, k: int = 1) -> int:
+        """Reserve the next k ingest_seq values (durably — the bump is
+        written before any data exists, so a crash mid-stage burns the
+        range instead of letting a later append reuse it under
+        different data)."""
+        with self._mutex:
+            seq = int(self.meta["next_ingest_seq"])
+            self.meta["next_ingest_seq"] = seq + k
+            self._inflight.update(range(seq, seq + k))
+            self._write_meta()
+            return seq
+
+    def _abort_seq(self, seq: int, k: int = 1) -> None:
+        with self._mutex:
+            self._inflight.difference_update(range(seq, seq + k))
+
+    def durable_head(self) -> int:
+        """Highest ingest_seq S such that every append with seq <= S is
+        either published (visible in the live tables) or permanently
+        abandoned. Tailing consumers (RemoteWriteForwarder) bound their
+        scan here: with concurrent staged appends, seq N+1 can publish
+        before seq N, and a tail that advanced its watermark past an
+        in-flight N would skip that batch forever once it lands."""
+        with self._mutex:
+            if self._inflight:
+                return min(self._inflight) - 1
+            return int(self.meta["next_ingest_seq"]) - 1
+
+    def _publish_staged(self, stage_dir: str, dest_path: str) -> set:
+        """Move a staged `partitionBy(t_bucket)` write into the live
+        table; returns the set of bucket los touched. Caller holds the
+        mutex. Part-file names carry the writing job's UUID, so moves
+        never collide with live files."""
+        import shutil
+
+        buckets: set = set()
+        if not os.path.isdir(stage_dir):
+            return buckets
+        for d in os.listdir(stage_dir):
+            if not d.startswith("t_bucket="):
+                continue
+            src = os.path.join(stage_dir, d)
+            moved = False
+            dst = os.path.join(dest_path, d)
+            os.makedirs(dst, exist_ok=True)
+            for fn in os.listdir(src):
+                if fn.startswith(("_", ".")):
+                    continue
+                os.replace(os.path.join(src, fn), os.path.join(dst, fn))
+                moved = True
+            if moved:
+                buckets.add(int(d.split("=")[1]))
+        shutil.rmtree(stage_dir, ignore_errors=True)
+        return buckets
+
+    def _drop_staging(self, *dirs: str) -> None:
+        import shutil
+
+        for d in dirs:
+            shutil.rmtree(d, ignore_errors=True)
+
+    def _bump_publish_locked(self) -> None:
+        """Mark published data visible: version-keyed readers (series
+        cache, rollup freshness, postings) re-resolve. Caller holds the
+        mutex and is responsible for _write_meta()."""
+        self.meta["publish_count"] = self.meta.get("publish_count", 0) + 1
 
     def _write_meta(self) -> None:
         tmp = os.path.join(self.path, f"_meta.json.tmp.{uuid.uuid4().hex}")
@@ -311,7 +442,6 @@ class DB:
 
     # ---------------- ingest (S7/J12/T2 as batch rules) ----------------
 
-    @_locked
     def append(
         self,
         rows: DataFrame,
@@ -334,8 +464,15 @@ class DB:
            optional strict out-of-order check vs stored per-series max t
         4. append to t_bucket partitions, sorted (series_id, t) in-file
 
-        Commit is atomic per Spark's job commit protocol; a failed job
-        leaves the store unchanged (Rollback analog).
+        Commits are STAGED (see the staged-append-commit section above):
+        the Spark job writes into a private staging dir with no lock
+        held, and the store mutex is taken only to reserve the ingest
+        seq and to rename the finished part files into the live
+        partitions — concurrent appenders (scrape threads, rule ticks,
+        the write buffer) overlap their heavy phases instead of
+        serializing behind each other's jobs. A failed job aborts: the
+        staging dir is dropped and the reserved seq stays a harmless
+        hole (Rollback analog).
 
         Scale notes: the samples side shuffles only bare (series_id, t, v)
         triples — label maps ride the (small) series-dim path. `report=True`
@@ -374,8 +511,11 @@ class DB:
         if order_col is not None and seq_col is not None:
             raise ValueError("order_col and seq_col are mutually exclusive")
         rep = AppendReport(new_series=-1, appended=-1)
-        seq = self.meta["next_ingest_seq"]
         width = self.block_width_ms
+        seq: int | None = None
+        seq_reserve = 1
+        stage: str | None = None
+        published = False
 
         rows = rows.select(
             F.col("labels"),
@@ -507,36 +647,36 @@ class DB:
                     clean = clean.cache()
                     rep.out_of_order_rejected = before - clean.count()
 
+            # floored bucketing via pure int64 math (t - pmod floors for
+            # negative t too; `div` truncates toward zero — a t=-1 sample
+            # must land in bucket -width, not 0). One rule everywhere:
+            # matches bucket_of / compact / pruning. Derived BEFORE the
+            # seq reservation so the replay lineage job runs unlocked.
+            out = clean.withColumn(
+                "t_bucket", F.col("t") - F.pmod(F.col("t"), F.lit(width))
+            )
+            if report:
+                rep.appended = out.count()
+            lineage: list = []
+            if seq_col is not None:
+                # ONE metadata-sized pre-write job returns the touched
+                # (bucket, logical-seq) lineage: how many seq values this
+                # replay must reserve, and the group count that sizes the
+                # range shuffle below.
+                lineage = out.select("t_bucket", "_seq").distinct().collect()
+                if lineage:
+                    seq_reserve = max(r["_seq"] for r in lineage) + 1
+            # RESERVE (lock, ms): the seq range is durable before any
+            # data carries it — a crash mid-stage burns it, never reuses.
+            seq = self._reserve_seq(seq_reserve)
             seq_expr = (
                 (F.lit(seq) + F.col("_seq")).cast("long")
                 if seq_col is not None
                 else F.lit(seq).cast("long")
             )
-            out = (
-                clean.withColumn("ingest_seq", seq_expr)
-                # floored bucketing via pure int64 math (t - pmod floors for
-                # negative t too; `div` truncates toward zero — a t=-1 sample
-                # must land in bucket -width, not 0). One rule everywhere:
-                # matches bucket_of / compact / pruning.
-                .withColumn("t_bucket", F.col("t") - F.pmod(F.col("t"), F.lit(width)))
-                .select("series_id", "t", "v", "ingest_seq", "t_bucket")
+            out = out.withColumn("ingest_seq", seq_expr).select(
+                "series_id", "t", "v", "ingest_seq", "t_bucket"
             )
-            existing_buckets = {int(d.split("=")[1]) for d in self._bucket_dirs()}
-            if report:
-                rep.appended = out.count()
-            seq_advance = 1
-            if seq_col is not None:
-                # ONE metadata-sized pre-write job returns the touched
-                # (bucket, seq) lineage: the touched-bucket set for overlap
-                # tracking, the highest replayed seq (how far to advance
-                # next_ingest_seq), and the group count that sizes the
-                # range shuffle below.
-                lineage = (
-                    out.select("t_bucket", "ingest_seq").distinct().collect()
-                )
-                batch_buckets = {r["t_bucket"] for r in lineage}
-                if lineage:
-                    seq_advance = max(r["ingest_seq"] for r in lineage) - seq + 1
             # range partition: respects t_bucket grouping while splitting
             # hot buckets across tasks by series range → bounded task/file
             # sizes at 100TB; in-file (series_id, t) order gives Parquet
@@ -546,21 +686,6 @@ class DB:
             # implicit count and merge logical batches into shared files)
             # so each replayed batch keeps its own file(s) inside its
             # bucket, mirroring k separate appends.
-            need_overlap = not strict_order and bool(existing_buckets)
-            need_ts_clean = bool(self.meta.get("ts_clean_buckets"))
-            # materialized rollups track which buckets each append dirties
-            # so refresh_rollup can rewrite ONLY those artifact partitions
-            need_rollup_dirty = bool(self.meta.get("rollup_dirty"))
-            obs: Observation | None = None
-            if seq_col is None and (need_overlap or need_ts_clean or need_rollup_dirty):
-                # which buckets does THIS batch touch? Collected as an
-                # OBSERVED metric of the write job itself (accumulator-
-                # sized: distinct buckets ∝ time range / width) — never a
-                # second scan of the batch, never a comparison of dir
-                # listings (a dir set intersected with its own superset
-                # is always "everything").
-                obs = Observation("batch_buckets")
-                out = out.observe(obs, F.collect_set("t_bucket").alias("bkts"))
             if seq_col is not None:
                 parted = out.repartitionByRange(
                     max(1, len(lineage)), "t_bucket", "ingest_seq", "series_id"
@@ -568,6 +693,9 @@ class DB:
             else:
                 parted = out.repartitionByRange("t_bucket", "series_id")
 
+            # STAGE (no lock): the Spark job lands in a private staging
+            # dir — concurrent appends never share committer state.
+            stage = self._new_staging_dir()
             (
                 # hot appends write lz4_raw (the standardized LZ4_RAW,
                 # not legacy lz4hadoop): cheapest-CPU codec at parity
@@ -580,46 +708,61 @@ class DB:
                 .write.mode("append")
                 .option("compression", "lz4_raw")
                 .partitionBy("t_bucket")
-                .parquet(self._samples_path)
+                .parquet(stage)
             )
-            if obs is not None:
-                batch_buckets = set(obs.get["bkts"])
-            if need_overlap:
-                # which touched buckets already held data? Only those need
-                # read-time vertical dedup (per-range overlap tracking,
-                # OverlappingBlocks analog db.go:977-1042).
-                # Overlap is checked by RANGE, not dir name: a base-width
-                # batch bucket landing inside a level-promoted coarse
-                # bucket creates a new dir but still time-overlaps it —
-                # both sides must dedup at read until compacted.
-                widths = self.bucket_widths
-                newly_overlapping: set[int] = set()
-                for b in batch_buckets:
-                    if b in existing_buckets:
-                        newly_overlapping.add(b)
-                    for lo, w in widths.items():
-                        if lo != b and lo < b + width and b < lo + w:
-                            newly_overlapping.update((b, lo))
-                if newly_overlapping:
-                    self.meta["overlapping_buckets"] = sorted(
-                        set(self.overlapping_buckets) | newly_overlapping
+
+            # PUBLISH (lock, ms): renames + meta updates only. The
+            # staged partition dirs ARE the touched-bucket set — no
+            # observation or second batch scan needed.
+            with self._mutex:
+                existing_buckets = {
+                    int(d.split("=")[1]) for d in self._bucket_dirs()
+                }
+                batch_buckets = self._publish_staged(stage, self._samples_path)
+                stage = None
+                if not strict_order and existing_buckets:
+                    # which touched buckets already held data? Only those
+                    # need read-time vertical dedup (per-range overlap
+                    # tracking, OverlappingBlocks analog db.go:977-1042).
+                    # Overlap is checked by RANGE, not dir name: a
+                    # base-width batch bucket landing inside a level-
+                    # promoted coarse bucket creates a new dir but still
+                    # time-overlaps it — both sides must dedup at read
+                    # until compacted. `existing` is listed at PUBLISH
+                    # time, so a concurrent append that landed first
+                    # counts as existing data.
+                    widths = self.bucket_widths
+                    newly_overlapping: set[int] = set()
+                    for b in batch_buckets:
+                        if b in existing_buckets:
+                            newly_overlapping.add(b)
+                        for lo, w in widths.items():
+                            if lo != b and lo < b + width and b < lo + w:
+                                newly_overlapping.update((b, lo))
+                    if newly_overlapping:
+                        self.meta["overlapping_buckets"] = sorted(
+                            set(self.overlapping_buckets) | newly_overlapping
+                        )
+                if self.meta.get("ts_clean_buckets"):
+                    # new data in a tombstone-clean bucket: no longer known
+                    # clean — a re-touched bucket must be re-checked by the
+                    # planner. Applies on EVERY append path (strict-order
+                    # appends touch buckets too).
+                    self.meta["ts_clean_buckets"] = sorted(
+                        set(self.meta["ts_clean_buckets"]) - batch_buckets
                     )
-            if need_ts_clean:
-                # new data in a tombstone-clean bucket: no longer known
-                # clean — a re-touched bucket must be re-checked by the
-                # planner. Applies on EVERY append path (strict-order
-                # appends touch buckets too).
-                self.meta["ts_clean_buckets"] = sorted(
-                    set(self.meta["ts_clean_buckets"]) - batch_buckets
-                )
-            if need_rollup_dirty:
-                # accumulate per-width dirty buckets for incremental
-                # artifact refresh; only widths whose basis was set by
-                # materialize_rollup track (an untracked width falls
-                # back to a full rebuild in refresh_rollup)
-                dirty = self.meta["rollup_dirty"]
-                for wkey in dirty:
-                    dirty[wkey] = sorted(set(dirty[wkey]) | batch_buckets)
+                if self.meta.get("rollup_dirty"):
+                    # accumulate per-width dirty buckets for incremental
+                    # artifact refresh; only widths whose basis was set by
+                    # materialize_rollup track (an untracked width falls
+                    # back to a full rebuild in refresh_rollup)
+                    dirty = self.meta["rollup_dirty"]
+                    for wkey in dirty:
+                        dirty[wkey] = sorted(set(dirty[wkey]) | batch_buckets)
+                self._inflight.difference_update(range(seq, seq + seq_reserve))
+                self._bump_publish_locked()
+                self._write_meta()
+            published = True
 
             # series upsert (J12) last: a failed samples job must not leave
             # phantom dim entries (commit-ordering note in the docstring).
@@ -627,8 +770,11 @@ class DB:
             rep.new_series = self._upsert_series(rows, report)
         finally:
             rows.unpersist()
-        self.meta["next_ingest_seq"] = seq + seq_advance
-        self._write_meta()
+            if not published:
+                if seq is not None:
+                    self._abort_seq(seq, seq_reserve)
+                if stage is not None:
+                    self._drop_staging(stage)
         if warm_index:
             # refresh + materialize the persisted dim NOW, the way the
             # reference maintains head postings during append
@@ -644,38 +790,65 @@ class DB:
         """getOrCreate dim upsert (J12, head.go:1371-1415): dedup the
         batch's (series_id, labels), anti-join against the dim, write
         the new entries. Returns the new-series count when `report`,
-        else -1 (no counting job)."""
-        existing = self.series().select("series_id")
-        if self.series_count() <= getattr(
-            self, "broadcast_series_limit", 5_000_000
-        ):
-            # dim-scale guard (see select): past the limit the
-            # anti-join shuffles batch-candidates vs dim ids — both
-            # id-only relations — instead of shipping the dim around
-            existing = F.broadcast(existing)
-        stripped = L.strip_empty_labels("labels")
-        new_series = (
-            rows.select("series_id", "labels")
-            .dropDuplicates(["series_id"])
-            .join(existing, "series_id", "left_anti")
-            # strip + canonical render happen HERE, on dim-scale rows
-            # (post-dedup, post-anti-join) — never per sample
-            .select(
-                "series_id",
-                stripped.alias("labels"),
-                L.labels_str_expr(stripped).alias("labels_str"),
+        else -1 on the no-op path (no counting job beyond the probe).
+
+        Two-phase like the samples path, cheaper: one UNLOCKED probe job
+        decides whether the dim changes at all — the steady state (every
+        series already known) never takes the store mutex and never
+        writes (the dim file count stops growing per append). Only a
+        batch that actually carries new series locks, re-derives the
+        candidate set against the then-current dim (a concurrent append
+        may have published some of the same series between the probe and
+        the lock — the double-check keeps the dim duplicate-free), and
+        writes. The dim write runs UNDER the mutex: it is dim-scale
+        (small and rare), and holding the lock is what guarantees two
+        writers never share the series dir's committer staging."""
+
+        def _candidates() -> DataFrame:
+            existing = self.series().select("series_id")
+            if self.series_count() <= getattr(
+                self, "broadcast_series_limit", 5_000_000
+            ):
+                # dim-scale guard (see select): past the limit the
+                # anti-join shuffles batch-candidates vs dim ids — both
+                # id-only relations — instead of shipping the dim around
+                existing = F.broadcast(existing)
+            stripped = L.strip_empty_labels("labels")
+            return (
+                rows.select("series_id", "labels")
+                .dropDuplicates(["series_id"])
+                .join(existing, "series_id", "left_anti")
+                # strip + canonical render happen HERE, on dim-scale rows
+                # (post-dedup, post-anti-join) — never per sample
+                .select(
+                    "series_id",
+                    stripped.alias("labels"),
+                    L.labels_str_expr(stripped).alias("labels_str"),
+                )
             )
-        )
-        n = -1
-        if report:
-            new_series = new_series.cache()
-            n = new_series.count()
-        (
-            # repartition, not coalesce: coalesce(1) would collapse the
-            # dedup+anti-join into one task; this keeps the compute
-            # parallel and only the (small) result lands on one writer
-            new_series.repartition(1).write.mode("append").parquet(self._series_path)
-        )
+
+        # fresh dim: every series is new by definition — skip the probe
+        # so a bulk initial load pays exactly one dedup+anti-join job
+        # (the locked write), not two.
+        if self.series_count() > 0 and _candidates().isEmpty():
+            return 0 if report else -1
+        with self._mutex:
+            new_series = _candidates()  # fresh dim under the lock
+            n = -1
+            if report:
+                new_series = new_series.cache()
+                n = new_series.count()
+            (
+                # repartition, not coalesce: coalesce(1) would collapse the
+                # dedup+anti-join into one task; this keeps the compute
+                # parallel and only the (small) result lands on one writer
+                new_series.repartition(1)
+                .write.mode("append")
+                .parquet(self._series_path)
+            )
+            # the dim changed: version-keyed readers must re-resolve
+            self._bump_publish_locked()
+            self._write_meta()
         return n
 
     # -------- native histograms (batch path; nativehist.py model) -----
@@ -684,7 +857,6 @@ class DB:
     def _hist_path(self) -> str:
         return os.path.join(self.path, "histograms")
 
-    @_locked
     def append_histograms(self, rows: DataFrame) -> None:
         """Batch ingest of native-histogram samples rows(labels MAP,
         t LONG, h STRUCT<nativehist.HIST_TYPE>) into the store's
@@ -703,9 +875,9 @@ class DB:
         deletes mask at read (hist_frame) and clean_tombstones rewrites
         this table alongside samples. Compaction leaves it untouched by
         design — side buckets stay base-width (cross-append duplicates
-        resolve at read), so there is nothing to merge."""
+        resolve at read), so there is nothing to merge. Commits follow
+        the float path's staged protocol (reserve/stage/publish)."""
         self._check_writable()
-        seq = self.meta["next_ingest_seq"]
         width = self.block_width_ms
         h_col = F.col("h")
         h_fields = rows.schema["h"].dataType.fieldNames()
@@ -724,6 +896,9 @@ class DB:
             "labels", F.col("t").cast("long").alias("t"), h_col.alias("h")
         ).withColumn("series_id", L.series_id_expr("labels"))
         rows = rows.persist(StorageLevel.MEMORY_AND_DISK)
+        seq: int | None = None
+        stage: str | None = None
+        published = False
         try:
             clean = (
                 rows.select("series_id", "t", "h")
@@ -738,6 +913,7 @@ class DB:
                     ).alias("h")
                 )
             )
+            seq = self._reserve_seq()
             out = (
                 clean.withColumn("ingest_seq", F.lit(seq).cast("long"))
                 .withColumn(
@@ -746,19 +922,30 @@ class DB:
                 )
                 .select("series_id", "t", "h", "ingest_seq", "t_bucket")
             )
+            stage = self._new_staging_dir()
             (
                 out.repartitionByRange("t_bucket", "series_id")
                 .sortWithinPartitions("t_bucket", "series_id", "t")
                 .write.mode("append")
                 .option("compression", "lz4_raw")
                 .partitionBy("t_bucket")
-                .parquet(self._hist_path)
+                .parquet(stage)
             )
+            with self._mutex:
+                self._publish_staged(stage, self._hist_path)
+                stage = None
+                self._inflight.discard(seq)
+                self._bump_publish_locked()
+                self._write_meta()
+            published = True
             self._upsert_series(rows)
         finally:
             rows.unpersist()
-        self.meta["next_ingest_seq"] = seq + 1
-        self._write_meta()
+            if not published:
+                if seq is not None:
+                    self._abort_seq(seq)
+                if stage is not None:
+                    self._drop_staging(stage)
 
     def hist_frame(
         self, mint: int, maxt: int, matchers: list | None = None
@@ -820,7 +1007,6 @@ class DB:
     def _exemplar_path(self) -> str:
         return os.path.join(self.path, "exemplars")
 
-    @_locked
     def append_exemplars(self, rows: DataFrame) -> None:
         """Batch ingest of exemplars rows(labels MAP series labels,
         t LONG, v DOUBLE, exemplar MAP<STRING,STRING> — e.g.
@@ -835,9 +1021,9 @@ class DB:
         exemplar equal to the last seen one) maps to an exact-dup
         groupBy on (series, t, v, rendered exemplar labels); its
         out-of-order rejection doesn't apply — the table is sorted at
-        rest, so arrival order is immaterial."""
+        rest, so arrival order is immaterial. Commits follow the float
+        path's staged protocol (reserve/stage/publish)."""
         self._check_writable()
-        seq = self.meta["next_ingest_seq"]
         width = self.block_width_ms
         rows = rows.select(
             "labels",
@@ -846,6 +1032,9 @@ class DB:
             "exemplar",
         ).withColumn("series_id", L.series_id_expr("labels"))
         rows = rows.persist(StorageLevel.MEMORY_AND_DISK)
+        seq: int | None = None
+        stage: str | None = None
+        published = False
         try:
             clean = (
                 rows.select(
@@ -858,6 +1047,7 @@ class DB:
                 .groupBy("series_id", "t", "v", "_ex_str")
                 .agg(F.first("exemplar").alias("exemplar"))
             )
+            seq = self._reserve_seq()
             out = (
                 clean.withColumn("ingest_seq", F.lit(seq).cast("long"))
                 .withColumn(
@@ -869,19 +1059,30 @@ class DB:
                     "ingest_seq", "t_bucket",
                 )
             )
+            stage = self._new_staging_dir()
             (
                 out.repartitionByRange("t_bucket", "series_id")
                 .sortWithinPartitions("t_bucket", "series_id", "t")
                 .write.mode("append")
                 .option("compression", "lz4_raw")
                 .partitionBy("t_bucket")
-                .parquet(self._exemplar_path)
+                .parquet(stage)
             )
+            with self._mutex:
+                self._publish_staged(stage, self._exemplar_path)
+                stage = None
+                self._inflight.discard(seq)
+                self._bump_publish_locked()
+                self._write_meta()
+            published = True
             self._upsert_series(rows)
         finally:
             rows.unpersist()
-        self.meta["next_ingest_seq"] = seq + 1
-        self._write_meta()
+            if not published:
+                if seq is not None:
+                    self._abort_seq(seq)
+                if stage is not None:
+                    self._drop_staging(stage)
 
     def exemplars_frame(
         self, mint: int, maxt: int, matchers: list | None = None
@@ -1431,7 +1632,9 @@ class DB:
             # the dim changed: invalidate version-keyed readers (the
             # series cache) and mark the postings index stale
             self._bump_data_seq()
-            if self.meta.pop("postings_ingest_seq", None) is not None:
+            stale = self.meta.pop("postings_ingest_seq", None)
+            stale = self.meta.pop("postings_version", None) or stale
+            if stale is not None:
                 self._write_meta()
         return total - n_kept
 
@@ -1584,7 +1787,7 @@ class DB:
             .parquet(tmp)
         )
         self._swap_dir(tmp, self._postings_path)
-        self.meta["postings_ingest_seq"] = self.meta["next_ingest_seq"]
+        self.meta["postings_version"] = self._data_version()
         self._write_meta()
 
     def postings(self) -> DataFrame:
@@ -1592,9 +1795,9 @@ class DB:
         else derived from the series dim (one explode, no shuffle)."""
         from tsdb_spark.operators.postings import build_postings
 
-        if self.meta.get("postings_ingest_seq") == self.meta[
-            "next_ingest_seq"
-        ] and os.path.isdir(self._postings_path):
+        if self.meta.get(
+            "postings_version"
+        ) == self._data_version() and os.path.isdir(self._postings_path):
             return self.spark.read.schema(
                 "value STRING, series_id LONG, name STRING"
             ).parquet(self._postings_path).select("name", "value", "series_id")
@@ -1610,7 +1813,17 @@ class DB:
         return os.path.join(self._rollups_path, f"w={width_ms}")
 
     def _data_version(self) -> list:
-        return [self.meta["next_ingest_seq"], self.meta.get("data_seq", 0)]
+        # three counters: seq RESERVATION (bumped before a staged append
+        # lands — conservative invalidation), semantic data changes
+        # (delete/retention), and PUBLISH (bumped when staged files
+        # become visible). Without the third, a reader that cached at a
+        # post-reserve version would stay "fresh" after the publish and
+        # never see the new data.
+        return [
+            self.meta["next_ingest_seq"],
+            self.meta.get("data_seq", 0),
+            self.meta.get("publish_count", 0),
+        ]
 
     def _bump_data_seq(self) -> None:
         """Mark a semantic data change that is invisible to the ingest

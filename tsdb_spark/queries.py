@@ -728,7 +728,7 @@ WHERE event_type = 'click' AND k_bucket = 'high' AND user_lbl != '3'
 )
 def store_select_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     db = _store(spark, sf_dir, "base")
-    if db.meta.get("postings_ingest_seq") != db.meta["next_ingest_seq"]:
+    if db.meta.get("postings_version") != db._data_version():
         db.materialize_postings()
     return (
         db.querier(T0, T_MID)
