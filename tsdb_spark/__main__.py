@@ -557,6 +557,20 @@ def main(argv: list[str] | None = None) -> int:
 
                 relabel_cfgs = load_relabel_file(args.relabel_file)
                 print(f"loaded {len(relabel_cfgs)} relabel rule(s)")
+        # the query surface reads through remote_read endpoints when the
+        # config carries any (upstream's fanout storage); appending
+        # loops (scrape, forwarder, write buffer) keep the raw local
+        # handle — remote read is a QUERY-path layer only
+        query_db = db
+        if cfg is not None:
+            from tsdb_spark.remoteread import ReadThroughDB, clients_from
+
+            query_db = ReadThroughDB(db, clients_from(cfg.remote_reads))
+            if cfg.remote_reads:
+                print(
+                    f"reading through {len(cfg.remote_reads)} "
+                    "remote_read endpoint(s)"
+                )
         wbuf = None
         if args.write_buffer_ms > 0:
             from tsdb_spark.api import WriteBuffer
@@ -607,6 +621,10 @@ def main(argv: list[str] | None = None) -> int:
                             self_marks[c.url] = head
                             fwd.sent.setdefault(c.url, 0)
                     fwd.configs[:] = new_cfg.remote_writes
+                if query_db is not db:
+                    from tsdb_spark.remoteread import clients_from as _cf
+
+                    query_db.clients[:] = _cf(new_cfg.remote_reads)
                 config_state["yaml"] = new_cfg.raw_yaml
                 # serve-constructed captures that must follow a reload:
                 # the OTLP NHCB flag is read per-request via config_state
@@ -614,7 +632,7 @@ def main(argv: list[str] | None = None) -> int:
                 print("configuration reloaded")
 
             config_state["reload"] = _reload
-        srv = serve(db, args.host, args.port, rule_groups=groups,
+        srv = serve(query_db, args.host, args.port, rule_groups=groups,
                     enable_admin=args.enable_admin,
                     scrape_targets=targets, scrape_status=scrape_status,
                     scrape_metadata=scrape_md, write_buffer=wbuf,
@@ -642,7 +660,7 @@ def main(argv: list[str] | None = None) -> int:
                 )
                 if am_urls:
                     print(f"notifying {len(am_urls)} alertmanager(s)")
-            mgr = Manager(db, groups if groups is not None else [],
+            mgr = Manager(query_db, groups if groups is not None else [],
                           notifier=notif)
             threading.Thread(
                 target=mgr.loop, args=(stop,), daemon=True

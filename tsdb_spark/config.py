@@ -89,6 +89,9 @@ class PrometheusConfig:
     #: blocks may each carry their own basic_auth / authorization)
     alertmanager_http: dict = field(default_factory=dict)
     remote_writes: list[RemoteWriteConfig] = field(default_factory=list)
+    #: remote_read: endpoints — queries fan out to these and merge
+    #: local-wins (remoteread.ReadThroughDB; config.go RemoteReadConfig)
+    remote_reads: list = field(default_factory=list)
     #: otlp.convert_histograms_to_nhcb — explicit-bounds OTLP
     #: histograms ingest as NHCB native samples instead of classic
     #: _bucket series
@@ -176,6 +179,26 @@ def load_config(spark, path: str) -> PrometheusConfig:
         for rw in raw.get("remote_write", []) or []
     ]
 
+    from tsdb_spark.remoteread import RemoteReadConfig
+
+    remote_reads = [
+        RemoteReadConfig(
+            url=rr["url"],
+            name=str(rr.get("name", "")),
+            required_matchers=tuple(
+                sorted(
+                    (str(k), str(v))
+                    for k, v in (rr.get("required_matchers") or {}).items()
+                )
+            ),
+            read_recent=bool(rr.get("read_recent", False)),
+            remote_timeout_s=_duration_ms(rr.get("remote_timeout"), 60_000)
+            / 1000.0,
+            http_config=http_client_config_from(rr, base_dir=base),
+        )
+        for rr in raw.get("remote_read", []) or []
+    ]
+
     otlp_nhcb = bool(
         (raw.get("otlp") or {}).get("convert_histograms_to_nhcb", False)
     )
@@ -192,6 +215,7 @@ def load_config(spark, path: str) -> PrometheusConfig:
         alertmanager_http=am_http,
         otlp_nhcb=otlp_nhcb,
         remote_writes=remote_writes,
+        remote_reads=remote_reads,
         raw_yaml=raw_text,
         path=os.path.abspath(path),
     )
