@@ -671,3 +671,40 @@ def test_sq8_dequantized_matches_exact_dot_on_grid_data(spark):
         )
     }
     assert approx == exact
+
+
+def test_bm25_topk_matches_hand_model(spark):
+    """Tiny corpus scored by hand with the rational idf:
+    idf = (N - df + 0.5)/(df + 0.5);
+    score = Σ idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))."""
+    from tsdb_spark.pipeline.text import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (0, "join join window scan"),   # tf(join)=2 tf(window)=1 dl=4
+            (1, "window window window"),    # tf(window)=3        dl=3
+            (2, "scan table row"),          # no hit              dl=3
+        ],
+        "doc_id LONG, text STRING",
+    )
+    out = bm25_topk(docs, ["join", "window"], top_k=10).collect()
+    # doc 2 matches no term -> filtered out
+    assert [r.doc_id for r in out] != [0, 1, 2]
+    got = {r.doc_id: r.score for r in out}
+    assert set(got) == {0, 1}
+
+    k1, b = 1.2, 0.75
+    N, avgdl = 3, (4 + 3 + 3) / 3
+    def s(tf, df, dl):
+        if tf == 0:
+            return 0.0
+        idf = (N - df + 0.5) / (df + 0.5)
+        return (idf * (tf * (k1 + 1.0))) / (
+            tf + k1 * (1.0 - b + b * (dl / avgdl))
+        )
+    exp0 = s(2, 1, 4) + s(1, 2, 4)
+    exp1 = s(0, 1, 3) + s(3, 2, 3)
+    assert got[0] == pytest.approx(exp0, rel=1e-12)
+    assert got[1] == pytest.approx(exp1, rel=1e-12)
+    # ranking: doc 0 carries the rarer term
+    assert out[0].doc_id == (0 if exp0 > exp1 else 1)

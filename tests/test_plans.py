@@ -668,3 +668,22 @@ def test_forwarder_tail_read_pushes_ingest_seq_filter(spark, tmp_path):
         "ingest_seq" in ln and ("LessThanOrEqual" in ln or "<=" in ln)
         for ln in pushed
     ), f"ingest_seq head bound not pushed: {pushed!r}"
+
+
+def test_bm25_single_scan_no_corpus_shuffle(spark):
+    """BM25's plan must be: one corpus scan -> map-only tf columns ->
+    single-row aggregate broadcast back -> TakeOrderedAndProject. The
+    only exchanges are the scalar aggregate's partial->final and the
+    broadcast — the corpus rows themselves never hash-shuffle."""
+    from tsdb_spark.pipeline.text import bm25_topk
+
+    docs = spark.createDataFrame(
+        [(i, f"join window scan row {i}") for i in range(50)],
+        "doc_id LONG, text STRING",
+    )
+    plan = _executed(bm25_topk(docs, ["join", "window"]))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # no hash repartitioning of the corpus: the only shuffle is the
+    # single-partition gather feeding the global aggregate
+    assert "hashpartitioning" not in plan

@@ -2156,3 +2156,55 @@ FROM t LEFT JOIN cnt USING (doc_id)""",
 )
 def docs_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.duplicated_spans(_corpus(spark, sf_dir), n=_SPAN_N)
+
+
+_BM25_TERMS = ("window", "join", "hash")
+
+
+def _bm25_sql(terms=_BM25_TERMS, k1="1.2", b="0.75", top_k=20) -> str:
+    """DuckDB rendering of text.bm25_topk, parenthesized token-for-token
+    with the Spark expressions so every IEEE +,-,*,/ folds in the same
+    order (the rational idf keeps ln() out of the comparison)."""
+    tf_cols = ", ".join(
+        f"CAST(len(list_filter(toks, x -> x = '{t}')) AS BIGINT) AS tf_{i}"
+        for i, t in enumerate(terms)
+    )
+    df_cols = ", ".join(
+        f"CAST(sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_{i}"
+        for i in range(len(terms))
+    )
+    avgdl = "(CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))"
+    denom = f"({k1} * (1.0 - {b} + {b} * (CAST(dl AS DOUBLE) / {avgdl})))"
+    score = " + ".join(
+        f"((((CAST(n_docs AS DOUBLE) - CAST(df_{i} AS DOUBLE) + 0.5)"
+        f" / (CAST(df_{i} AS DOUBLE) + 0.5))"
+        f" * (CAST(tf_{i} AS DOUBLE) * ({k1} + 1.0)))"
+        f" / (CAST(tf_{i} AS DOUBLE) + {denom}))"
+        for i in range(len(terms))
+    )
+    hit = " OR ".join(f"tf_{i} > 0" for i in range(len(terms)))
+    return f"""
+WITH t AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
+d AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, {tf_cols} FROM t),
+s AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl, {df_cols} FROM d)
+SELECT doc_id, dl, {score} AS score
+FROM d CROSS JOIN s
+WHERE {hit}
+ORDER BY score DESC, doc_id
+LIMIT {top_k}"""
+
+
+@register(
+    "docs_bm25_search",
+    _bm25_sql(),
+    "BM25 retrieval (rational-idf variant for bit-exact cross-engine "
+    "scores): the corpus-slicing / contamination-lookup primitive — "
+    "one map-only tf pass (query terms are a literal handful, so no "
+    "explode and no per-term shuffle), a single-row df/Σdl aggregate "
+    "broadcast back, a fixed-order float fold for the score, top-k as "
+    "TakeOrderedAndProject; the corpus is scanned once, never shuffled",
+)
+def docs_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.bm25_topk(
+        load_table(spark, sf_dir, "documents"), list(_BM25_TERMS)
+    )

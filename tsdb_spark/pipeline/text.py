@@ -624,3 +624,85 @@ def bpe_apply(
             F.sum("nt").cast("long").alias("n_bpe_tokens"),
         )
     )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 retrieval: the top_k documents for a bag-of-terms query —
+    the corpus-slicing / contamination-lookup primitive of a training-
+    data pipeline (find the documents a benchmark query would surface).
+
+    Uses the RATIONAL idf (N - df + 0.5)/(df + 0.5), i.e. Robertson-
+    Sparck-Jones without the log: every arithmetic step is IEEE
+    +,-,*,/ so a SQL oracle reproduces the scores bit-for-bit (ln()
+    may differ in the last ulp across engines). Monotone in the
+    standard idf, so per-term ranking is identical; multi-term totals
+    weight rare terms more steeply than log-idf BM25 — a documented,
+    deterministic variant.
+
+    Scale shape: ONE map-only pass computes per-doc term frequencies
+    (query terms are a literal handful, so tf columns are fixed-width —
+    no explode, no per-term shuffle); a single-row global aggregate
+    (df per term, Σdl, N) broadcasts back via crossJoin; the score is
+    a fixed-order fold over the term columns (deterministic float
+    addition, unlike a groupBy SUM); top_k lands as one
+    TakeOrderedAndProject. The corpus is scanned once and never
+    shuffled.
+    """
+    toks = tokens_expr(text_col)
+    base = docs.select(F.col(id_col), toks.alias("_toks")).withColumn(
+        "dl", F.size("_toks").cast("long")
+    )
+    def _eq(term):
+        # one-arg closure: a 2-arg lambda would select F.filter's
+        # (element, index) form and compare tokens to positions
+        return lambda x: x == F.lit(term)
+
+    tfs = base.select(
+        id_col,
+        "dl",
+        *[
+            F.size(F.filter("_toks", _eq(t))).cast("long").alias(f"tf_{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    stats = tfs.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("sum_dl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(len(terms))
+        ],
+    )
+    scored = tfs.crossJoin(F.broadcast(stats))
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")
+    # k1 * (1.0 - b + b * (dl / avgdl)) — parenthesized identically in
+    # the SQL oracle so both engines fold the same IEEE operation order
+    denom_norm = F.lit(k1) * (
+        F.lit(1.0) - F.lit(b) + F.lit(b) * (F.col("dl").cast("double") / avgdl)
+    )
+    score = None
+    hit = None
+    for i in range(len(terms)):
+        tf = F.col(f"tf_{i}").cast("double")
+        df = F.col(f"df_{i}").cast("double")
+        idf = (F.col("n_docs").cast("double") - df + F.lit(0.5)) / (
+            df + F.lit(0.5)
+        )
+        s = (idf * (tf * F.lit(k1 + 1.0))) / (tf + denom_norm)
+        score = s if score is None else score + s
+        h = F.col(f"tf_{i}") > 0
+        hit = h if hit is None else hit | h
+    return (
+        scored.filter(hit)
+        .select(id_col, "dl", score.alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(top_k)
+    )
