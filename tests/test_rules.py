@@ -211,3 +211,24 @@ def test_keep_firing_zero_unchanged(spark, tmp_path):
     }
     assert got == {0: "pending", step: "pending", 2 * step: "firing",
                    4 * step: "pending"}
+
+
+def test_record_alerts_batches_rules_into_one_append(store):
+    from tsdb_spark.rules import AlertRule, record_alerts
+
+    rules = [
+        AlertRule(name="HighA", expr="sum(m) > 0"),
+        AlertRule(name="HighB", expr="sum(m) > 1"),
+    ]
+    seq = store.meta["next_ingest_seq"]
+    record_alerts(store, rules, 600_000, 1_200_000, 300_000)
+    # one commit for the whole group, not one per rule
+    assert store.meta["next_ingest_seq"] == seq + 1
+    names = {
+        r.labels["alertname"]
+        for r in store.querier(0, 10**13)
+        .select([])
+        .filter("labels['__name__'] = 'ALERTS'")
+        .collect()
+    }
+    assert names == {"HighA", "HighB"}

@@ -304,12 +304,27 @@ def record_alerts(
     first new tick to compute its state correctly, but those earlier
     points were already committed by previous ticks — re-appending
     them every tick would bloat the store with duplicate rows (the
-    Manager's steady-state incremental evaluation)."""
+    Manager's steady-state incremental evaluation).
+
+    All rules land in ONE append: alert frames share a schema, every
+    rule's ALERTS series is distinct (alertname label), and alert
+    rules don't chain off each other's same-tick output — unlike
+    recording rules, which stay sequential in `record` for the
+    chained-rule pattern. Upstream commits per rule too, but its
+    appends are in-memory head inserts; here each commit is a Spark
+    job, so a 50-alert group must cost one commit per tick, not 50.
+    Returns the shared AppendReport under every rule name."""
     dst = dst if dst is not None else db
-    reports: dict[str, object] = {}
+    frames = []
     for rule in rules:
         frame = alerts_frame(db, rule, start, end, step, lookback_ms)
         if append_from is not None:
             frame = frame.filter(F.col("t") >= append_from)
-        reports[rule.name] = dst.append(frame)
-    return reports
+        frames.append(frame)
+    if not frames:
+        return {}
+    u = frames[0]
+    for f in frames[1:]:
+        u = u.unionByName(f)
+    rep = dst.append(u)
+    return {rule.name: rep for rule in rules}
