@@ -204,3 +204,59 @@ def test_client_sends_auth_header(spark, tmp_path):
     assert client.read(0, 1_000, [eq("__name__", "m")]) == []
     assert seen["auth"] == "Bearer sek"
     srv.shutdown()
+
+
+def test_native_histograms_ride_remote_read(spark, tmp_path, remote):
+    """Histograms ride the SAMPLED response (prompb TimeSeries field 4)
+    and fan into hist_frame local-wins."""
+    from tsdb_spark.nativehist import HIST_TYPE
+
+    rdb, url = remote
+    h = (10.0, 55.0, 1.0, 0, [(0, 4.0), (2, 5.0)], None)
+    rdb.append_histograms(
+        spark.createDataFrame(
+            [({"__name__": "lat"}, 5_000, h)],
+            f"labels MAP<STRING,STRING>, t LONG, h {HIST_TYPE}",
+        )
+    )
+    db = _local(spark, tmp_path)
+    ft = ReadThroughDB(db, clients_from([RemoteReadConfig(url=url,
+                                                          read_recent=True)]))
+    rows = ft.hist_frame(0, 30_000).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.t == 5_000 and r.h["count"] == 10.0 and r.h["sum"] == 55.0
+    assert [(b["idx"], b["c"]) for b in r.h["buckets"]] == [(0, 4.0), (2, 5.0)]
+    # local histogram at the same (series, t) wins
+    h2 = (99.0, 99.0, 0.0, 0, [(0, 99.0)], None)
+    db.append_histograms(
+        spark.createDataFrame(
+            [({"__name__": "lat"}, 5_000, h2)],
+            f"labels MAP<STRING,STRING>, t LONG, h {HIST_TYPE}",
+        )
+    )
+    rows = ft.hist_frame(0, 30_000).collect()
+    assert len(rows) == 1 and rows[0].h["count"] == 99.0
+
+
+def test_v1_remote_write_carries_histograms(spark, tmp_path):
+    """prompb TimeSeries field 4 on the v1 WRITE wire (upstream sends
+    native histograms over v1 since 2.40): encode → /api/v1/write
+    receive → hist_frame."""
+    from tsdb_spark.api import remote_write
+    from tsdb_spark.sources.remotewrite import encode_write_request
+
+    db = DB.create(spark, str(tmp_path / "w"), block_width_ms=WIDTH)
+    h = {"count": 7.0, "sum": 12.5, "zero_count": 1.0, "schema": 3,
+         "buckets": [(0, 2.0), (1, 5.0)], "custom_values": None}
+    body = encode_write_request(
+        [({"__name__": "lat"}, [(1_000, 0.5)], (), [(2_000, h)])]
+    )
+    n = remote_write(db, body)
+    assert n == 2  # one float + one histogram sample
+    rows = db.hist_frame(0, 10_000).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.t == 2_000 and r.h["count"] == 7.0 and r.h["schema"] == 3
+    assert [(b["idx"], b["c"]) for b in r.h["buckets"]] == [(0, 2.0), (1, 5.0)]
+    assert db.querier(0, 10_000).select([]).count() == 1

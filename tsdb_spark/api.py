@@ -684,7 +684,9 @@ def remote_write(db, raw: bytes) -> int:
     appended."""
     from tsdb_spark.sources.remotewrite import decode_write_request
 
-    decoded = decode_write_request(raw, with_exemplars=True)
+    decoded = decode_write_request(
+        raw, with_exemplars=True, with_histograms=True
+    )
     return remote_write_apply(db, decoded)
 
 
@@ -706,7 +708,10 @@ def _decode_write_body(raw: bytes, content_type: str = ""):
         raise UnsupportedMediaType(ct)
     from tsdb_spark.sources.remotewrite import decode_write_request
 
-    return ("v1", decode_write_request(raw, with_exemplars=True))
+    return (
+        "v1",
+        decode_write_request(raw, with_exemplars=True, with_histograms=True),
+    )
 
 
 class UnsupportedMediaType(Exception):
@@ -727,8 +732,10 @@ def _apply_write_body(db, tagged) -> dict:
             "histograms": sum(len(e["histograms"]) for e in decoded),
             "exemplars": sum(len(e["exemplars"]) for e in decoded),
         }
-    n = remote_write_apply(db, decoded)
-    return {"version": "v1", "samples": n, "histograms": 0, "exemplars": 0}
+    n_h = sum(len(e[3]) if len(e) > 3 else 0 for e in decoded)
+    n = remote_write_apply(db, decoded) - n_h
+    return {"version": "v1", "samples": n, "histograms": n_h,
+            "exemplars": sum(len(e[2]) for e in decoded)}
 
 
 class WriteBuffer:
@@ -1044,17 +1051,30 @@ def _enqueue_write_body(buf: WriteBuffer, tagged) -> dict:
             "exemplars": len(exemplars),
         }
     rows = [
-        (labels, t, float(v))
-        for labels, samples, _ in decoded
-        for t, v in samples
+        (e[0], t, float(v))
+        for e in decoded
+        for t, v in e[1]
+    ]
+    hists = [
+        (
+            e[0],
+            t,
+            (
+                h["count"], h["sum"], h["zero_count"], h["schema"],
+                [(int(i), float(c)) for i, c in h["buckets"]],
+                h.get("custom_values"),
+            ),
+        )
+        for e in decoded
+        for t, h in (e[3] if len(e) > 3 else ())
     ]
     exemplars = [
-        (labels, t, float(v), ex_labels)
-        for labels, _, exs in decoded
-        for ex_labels, t, v in exs
+        (e[0], t, float(v), ex_labels)
+        for e in decoded
+        for ex_labels, t, v in e[2]
     ]
-    buf.add(rows, (), exemplars)
-    return {"version": "v1", "samples": len(rows), "histograms": 0,
+    buf.add(rows, hists, exemplars)
+    return {"version": "v1", "samples": len(rows), "histograms": len(hists),
             "exemplars": len(exemplars)}
 
 
@@ -1065,9 +1085,9 @@ def remote_write_apply(db, decoded) -> int:
     internal append failures (→ 500, sender retries) — upstream
     write_handler.go draws exactly this line."""
     rows = [
-        (labels, t, float(v))
-        for labels, samples, _ in decoded
-        for t, v in samples
+        (e[0], t, float(v))
+        for e in decoded
+        for t, v in e[1]
     ]
     if rows:
         db.append(
@@ -1075,10 +1095,34 @@ def remote_write_apply(db, decoded) -> int:
                 rows, "labels MAP<STRING,STRING>, t LONG, v DOUBLE"
             )
         )
+    # native histograms on the v1 wire (prompb TimeSeries field 4,
+    # carried by upstream senders since 2.40) — entries are 4-tuples
+    # when the decoder ran with_histograms
+    h_rows = [
+        (
+            e[0],
+            t,
+            (
+                h["count"], h["sum"], h["zero_count"], h["schema"],
+                [(int(i), float(c)) for i, c in h["buckets"]],
+                h.get("custom_values"),
+            ),
+        )
+        for e in decoded
+        for t, h in (e[3] if len(e) > 3 else ())
+    ]
+    if h_rows:
+        from tsdb_spark.nativehist import HIST_TYPE
+
+        db.append_histograms(
+            db.spark.createDataFrame(
+                h_rows, f"labels MAP<STRING,STRING>, t LONG, h {HIST_TYPE}"
+            )
+        )
     ex_rows = [
-        (labels, t, float(v), ex_labels)
-        for labels, _, exemplars in decoded
-        for ex_labels, t, v in exemplars
+        (e[0], t, float(v), ex_labels)
+        for e in decoded
+        for ex_labels, t, v in e[2]
     ]
     if ex_rows:
         db.append_exemplars(
@@ -1088,7 +1132,7 @@ def remote_write_apply(db, decoded) -> int:
                 "exemplar MAP<STRING,STRING>",
             )
         )
-    return len(rows)
+    return len(rows) + len(h_rows)
 
 
 def remote_write_apply_v2(db, decoded) -> int:
@@ -1161,7 +1205,7 @@ def remote_write_v2(db, raw: bytes, content_type: str = "") -> int:
     return written["samples"] + written["histograms"]
 
 
-def _read_query_results(db, queries: list[dict]):
+def _read_query_results(db, queries: list[dict], with_hists: bool = False):
     """Shared SELECT stage of both remote-read responders: each
     ReadRequest query through the pruned matcher select, collected as
     per-query [(labels, time-sorted samples)] lists. The collect sits
@@ -1179,14 +1223,46 @@ def _read_query_results(db, queries: list[dict]):
             .select("labels", "t", "v")
             .collect()
         )
-        by: dict[tuple, tuple[dict, list]] = {}
+        by: dict[tuple, list] = {}
         for r in rows:
             lab = dict(r["labels"])
             key = tuple(sorted(lab.items()))
-            by.setdefault(key, (lab, []))[1].append((r["t"], r["v"]))
+            by.setdefault(key, [lab, [], []])[1].append((r["t"], r["v"]))
+        if with_hists:
+            # native histograms ride the SAMPLED response as prompb
+            # TimeSeries field 4 (codec.go ToQueryResult does the same);
+            # the streamed XOR variant stays float-only — its chunk
+            # format IS the float codec
+            for r in db.hist_frame(q["start"], q["end"], ms).collect():
+                lab = dict(r["labels"])
+                h = r["h"]
+                key = tuple(sorted(lab.items()))
+                by.setdefault(key, [lab, [], []])[2].append(
+                    (
+                        r["t"],
+                        {
+                            "count": h["count"], "sum": h["sum"],
+                            "zero_count": h["zero_count"],
+                            "schema": h["schema"],
+                            "buckets": [
+                                (b["idx"], b["c"]) for b in h["buckets"]
+                            ],
+                            "custom_values": (
+                                list(h["custom_values"])
+                                if h["custom_values"] is not None else None
+                            ),
+                        },
+                    )
+                )
         results.append(
-            [(lab, sorted(samps)) for lab, samps in
-             (by[k] for k in sorted(by))]
+            [
+                (
+                    (e[0], sorted(e[1]), sorted(e[2], key=lambda x: x[0]))
+                    if with_hists
+                    else (e[0], sorted(e[1]))
+                )
+                for e in (by[k] for k in sorted(by))
+            ]
         )
     return results
 
@@ -1268,7 +1344,9 @@ def remote_read(db, raw: bytes) -> bytes:
         encode_read_response,
     )
 
-    return encode_read_response(_read_query_results(db, decode_read_request(raw)))
+    return encode_read_response(
+        _read_query_results(db, decode_read_request(raw), with_hists=True)
+    )
 
 
 def remote_read_streamed(db, raw: bytes) -> bytes:
@@ -1315,7 +1393,9 @@ def remote_read_negotiated(db, raw: bytes) -> tuple[bytes, str, str]:
         return body, CONTENT_TYPE_STREAMED, ""
     from tsdb_spark.sources.remotewrite import encode_read_response
 
-    body = encode_read_response(_read_query_results(db, queries))
+    body = encode_read_response(
+        _read_query_results(db, queries, with_hists=True)
+    )
     return body, "application/x-protobuf", "snappy"
 
 

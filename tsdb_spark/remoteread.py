@@ -117,6 +117,48 @@ class RemoteReadClient:
         results = decode_read_response(raw)
         return results[0] if results else []
 
+    def read_full(self, mint: int, maxt: int, matchers: list) -> list:
+        """read() + native histograms: [(labels, samples, histograms)]
+        decoded from prompb TimeSeries field 4 (the server includes
+        them in SAMPLED responses, codec.go ToQueryResult parity)."""
+        from tsdb_spark.sources.remotewrite import (
+            decode_read_response_full,
+            encode_read_request,
+        )
+
+        wire = [(m.type, m.name, m.value) for m in matchers or []]
+        if not wire:
+            wire = [("=~", "__name__", ".*")]
+        body = encode_read_request(
+            [{"start": mint, "end": maxt, "matchers": wire}]
+        )
+        hc = self.cfg.http_config
+        req = urllib.request.Request(
+            self.cfg.url,
+            data=body,
+            headers={
+                "Content-Type": "application/x-protobuf",
+                "Content-Encoding": "snappy",
+                "Accept-Encoding": "snappy",
+                "X-Prometheus-Remote-Read-Version": "0.1.0",
+                **(hc.headers() if hc else {}),
+            },
+            method="POST",
+        )
+        self.reads += 1
+        try:
+            with urllib.request.urlopen(
+                req,
+                timeout=self.cfg.remote_timeout_s,
+                context=hc.ssl_context() if hc else None,
+            ) as resp:
+                raw = resp.read()
+        except Exception:
+            self.errors += 1
+            raise
+        results = decode_read_response_full(raw)
+        return results[0] if results else []
+
 
 @dataclass
 class ReadThroughDB:
@@ -151,6 +193,57 @@ class ReadThroughDB:
         if start is None:
             return mint, maxt
         return mint, min(maxt, start - 1)
+
+    def hist_frame(self, mint: int, maxt: int, matchers: list | None = None):
+        """Native-histogram fan-in: the local hist_frame ∪ remote
+        histogram series from the SAMPLED remote-read response, merged
+        local-wins like the float path (histograms ride prompb
+        TimeSeries field 4 since upstream 2.40)."""
+        from tsdb_spark.nativehist import HIST_TYPE
+
+        local = self.local.hist_frame(mint, maxt, matchers)
+        rows = []
+        for c in self.clients:
+            if not c.wants(matchers or []):
+                continue
+            lo, hi = self._remote_window(c.cfg, mint, maxt)
+            if lo > hi:
+                continue
+            for entry in c.read_full(lo, hi, matchers or []):
+                lbls, hists = entry[0], entry[2] if len(entry) > 2 else ()
+                rows.extend(
+                    (
+                        lbls,
+                        t,
+                        (
+                            h["count"], h["sum"], h["zero_count"],
+                            h["schema"],
+                            [(int(i), float(cnt)) for i, cnt in h["buckets"]],
+                            h.get("custom_values"),
+                        ),
+                    )
+                    for t, h in hists
+                )
+        if not rows:
+            return local
+        spark = self.local.spark
+        remote = spark.createDataFrame(
+            rows, f"labels MAP<STRING,STRING>, t LONG, h {HIST_TYPE}"
+        )
+        stripped = L.strip_empty_labels("labels")
+        remote = remote.select(
+            L.labels_str_expr(stripped).alias("labels_str"),
+            stripped.alias("labels"),
+            F.col("t"),
+            F.col("h"),
+        )
+        u = local.withColumn("_src", F.lit(1)).unionByName(
+            remote.withColumn("_src", F.lit(0))
+        )
+        return dedup_vertical(
+            u, precedence_col="_src", value_col="h",
+            key_cols=("labels_str", "t"),
+        ).drop("_src").select("labels_str", "labels", "t", "h")
 
 
 @dataclass

@@ -253,11 +253,16 @@ def _decode_exemplar(buf: bytes) -> tuple[dict[str, str], int, float]:
 
 
 def _decode_timeseries(
-    buf: bytes, with_exemplars: bool = False
+    buf: bytes, with_exemplars: bool = False, with_histograms: bool = False
 ):
+    """(labels, samples[, exemplars][, histograms]) — the optional
+    elements appear in that order when their flag is set. Histograms
+    are prompb TimeSeries field 4 (prompb.Histogram — the V1 field
+    numbering, distinct from writev2's)."""
     labels: dict[str, str] = {}
     samples: list[tuple[int, float]] = []
     exemplars: list[tuple[dict[str, str], int, float]] = []
+    hists: list[tuple[int, dict]] = []
     for field, wt, payload in _fields(buf):
         if field == 1 and wt == 2:
             name, value = _decode_label(payload)
@@ -266,24 +271,33 @@ def _decode_timeseries(
             samples.append(_decode_sample(payload))
         elif field == 3 and wt == 2 and with_exemplars:
             exemplars.append(_decode_exemplar(payload))
-        # field 4 (histograms) / 5+ skipped by wire type
+        elif field == 4 and wt == 2 and with_histograms:
+            hists.append(_decode_histogram_v1(payload))
+        # unknown fields skipped by wire type
+    out = [labels, samples]
     if with_exemplars:
-        return labels, samples, exemplars
-    return labels, samples
+        out.append(exemplars)
+    if with_histograms:
+        out.append(hists)
+    return tuple(out) if len(out) > 2 else (labels, samples)
 
 
 def decode_write_request(
-    raw: bytes, compressed: bool = True, with_exemplars: bool = False
+    raw: bytes, compressed: bool = True, with_exemplars: bool = False,
+    with_histograms: bool = False,
 ):
     """Decode a remote-write body into [(labels, [(t_ms, v), ...]), ...]
-    — or, with_exemplars=True, 3-tuples whose last element is
-    [(exemplar_labels, t_ms, value), ...] (prompb TimeSeries field 3).
+    — with_exemplars adds [(exemplar_labels, t_ms, value), ...] (prompb
+    TimeSeries field 3), with_histograms adds [(t_ms, hist dict), ...]
+    (field 4, prompb.Histogram v1 numbering), in that order.
     `compressed=True` (the wire default) snappy-decompresses first."""
     buf = snappy_decompress(raw) if compressed else raw
     out = []
     for field, wt, payload in _fields(buf):
         if field == 1 and wt == 2:
-            out.append(_decode_timeseries(payload, with_exemplars))
+            out.append(
+                _decode_timeseries(payload, with_exemplars, with_histograms)
+            )
     return out
 
 
@@ -332,6 +346,10 @@ def encode_write_request(
             _put_field(eb, 2, 1, struct.pack("<d", v))
             _put_field(eb, 3, 0, t & ((1 << 64) - 1))
             _put_field(ts, 3, 2, bytes(eb))
+        # optional 4th element: [(t, h), ...] native histograms (prompb
+        # TimeSeries field 4 — v1 remote write carries them since 2.40)
+        for t, h in (entry[3] if len(entry) > 3 else ()):
+            _put_field(ts, 4, 2, _encode_histogram_v1(t, h))
         _put_field(req, 1, 2, bytes(ts))
     raw = bytes(req)
     return snappy_compress(raw) if compressed else raw
@@ -432,7 +450,7 @@ def encode_read_request(
     return snappy_compress(raw) if compressed else raw
 
 
-def _encode_timeseries(out: bytearray, labels: dict, samples) -> None:
+def _encode_timeseries(out: bytearray, labels: dict, samples, hists=()) -> None:
     ts = bytearray()
     for name in sorted(labels):
         lb = bytearray()
@@ -444,6 +462,8 @@ def _encode_timeseries(out: bytearray, labels: dict, samples) -> None:
         _put_field(sb, 1, 1, struct.pack("<d", v))
         _put_field(sb, 2, 0, t & ((1 << 64) - 1))
         _put_field(ts, 2, 2, bytes(sb))
+    for t, h in hists:
+        _put_field(ts, 4, 2, _encode_histogram_v1(t, h))
     _put_field(out, 1, 2, bytes(ts))
 
 
@@ -457,8 +477,11 @@ def encode_read_response(
     resp = bytearray()
     for series_list in results:
         qr = bytearray()
-        for labels, samples in series_list:
-            _encode_timeseries(qr, labels, samples)
+        for entry in series_list:
+            _encode_timeseries(
+                qr, entry[0], entry[1],
+                entry[2] if len(entry) > 2 else (),
+            )
         _put_field(resp, 1, 2, bytes(qr))
     raw = bytes(resp)
     return snappy_compress(raw) if compressed else raw
@@ -475,6 +498,27 @@ def decode_read_response(
             for f2, wt2, p2 in _fields(payload):
                 if f2 == 1 and wt2 == 2:
                     series.append(_decode_timeseries(p2))
+            out.append(series)
+    return out
+
+
+def decode_read_response_full(
+    raw: bytes, compressed: bool = True
+) -> list[list[tuple]]:
+    """decode_read_response + native histograms: per-query lists of
+    (labels, samples, histograms) where histograms are
+    (t_ms, nativehist-shaped dict) pairs decoded from prompb.Histogram
+    (the v1 field numbering)."""
+    buf = snappy_decompress(raw) if compressed else raw
+    out = []
+    for field, wt, payload in _fields(buf):
+        if field == 1 and wt == 2:
+            series = []
+            for f2, wt2, p2 in _fields(payload):
+                if f2 == 1 and wt2 == 2:
+                    series.append(
+                        _decode_timeseries(p2, with_histograms=True)
+                    )
             out.append(series)
     return out
 
@@ -855,6 +899,99 @@ def _decode_histogram_v2(buf: bytes) -> tuple[int, dict]:
         "buckets": buckets,
         "custom_values": custom_values or None,
     }
+
+
+def _decode_histogram_v1(buf: bytes) -> tuple[int, dict]:
+    """One prompb.Histogram (the V1 field numbering: count 1/2,
+    zero_count 3/4, sum 5, schema 6, spans/values 8-13, timestamp 15,
+    custom_values 16 — writev2 renumbered the scalar fields) →
+    (t_ms, h) in the engine's nativehist shape. Shares the span/delta
+    expansion with the rw2 decoder; zero_threshold (7) and reset_hint
+    (14) drop like the rw2 path."""
+    count = zero_count = 0.0
+    hsum = 0.0
+    schema = 0
+    t = 0
+    neg_spans: list[tuple[int, int]] = []
+    pos_spans: list[tuple[int, int]] = []
+    neg_vals: list[float] = []
+    pos_vals: list[float] = []
+    neg_delta = pos_delta = False
+    custom_values: list[float] = []
+    for field, wt, payload in _fields(buf):
+        if field == 1 and wt == 0:
+            count = float(payload)
+        elif field == 2 and wt == 1:
+            count = struct.unpack("<d", payload)[0]
+        elif field == 3 and wt == 0:
+            zero_count = float(payload)
+        elif field == 4 and wt == 1:
+            zero_count = struct.unpack("<d", payload)[0]
+        elif field == 5 and wt == 1:
+            hsum = struct.unpack("<d", payload)[0]
+        elif field == 6 and wt == 0:
+            schema = _unzigzag(payload)
+        elif field == 8 and wt == 2:
+            neg_spans.append(_decode_span(payload))
+        elif field == 9 and wt == 2:
+            neg_vals = [_unzigzag(u) for u in _packed_uvarints(payload)]
+            neg_delta = True
+        elif field == 9 and wt == 0:  # unpacked fallback
+            neg_vals.append(_unzigzag(payload))
+            neg_delta = True
+        elif field == 10 and wt == 2:
+            neg_vals = _packed_doubles(payload)
+            neg_delta = False
+        elif field == 11 and wt == 2:
+            pos_spans.append(_decode_span(payload))
+        elif field == 12 and wt == 2:
+            pos_vals = [_unzigzag(u) for u in _packed_uvarints(payload)]
+            pos_delta = True
+        elif field == 12 and wt == 0:
+            pos_vals.append(_unzigzag(payload))
+            pos_delta = True
+        elif field == 13 and wt == 2:
+            pos_vals = _packed_doubles(payload)
+            pos_delta = False
+        elif field == 15 and wt == 0:
+            t = _int64(payload)
+        elif field == 16 and wt == 2:
+            custom_values = _packed_doubles(payload)
+        elif field == 16 and wt == 1:  # unpacked fallback
+            custom_values.append(struct.unpack("<d", payload)[0])
+    buckets = _spans_to_buckets(pos_spans, pos_vals, pos_delta)
+    neg_total = sum(c for _, c in _spans_to_buckets(neg_spans, neg_vals, neg_delta))
+    return t, {
+        "count": float(count),
+        "sum": float(hsum),
+        "zero_count": float(zero_count) + neg_total,
+        "schema": int(schema),
+        "buckets": buckets,
+        "custom_values": custom_values or None,
+    }
+
+
+def _encode_histogram_v1(t: int, h: dict) -> bytes:
+    """nativehist-shaped h → prompb.Histogram bytes (v1 numbering;
+    float counts, like the rw2 encoder)."""
+    hb = bytearray()
+    _put_field(hb, 2, 1, struct.pack("<d", float(h["count"])))
+    _put_field(hb, 4, 1, struct.pack("<d", float(h["zero_count"])))
+    _put_field(hb, 5, 1, struct.pack("<d", float(h["sum"])))
+    _put_field(hb, 6, 0, _zigzag(int(h["schema"])))
+    spans, counts = _buckets_to_spans(h["buckets"] or [])
+    for off, length in spans:
+        sb = bytearray()
+        _put_field(sb, 1, 0, _zigzag(off))
+        _put_field(sb, 2, 0, length)
+        _put_field(hb, 11, 2, bytes(sb))
+    if counts:
+        _put_field(hb, 13, 2, struct.pack(f"<{len(counts)}d", *counts))
+    _put_field(hb, 15, 0, t & ((1 << 64) - 1))
+    cv = h.get("custom_values")
+    if cv:
+        _put_field(hb, 16, 2, struct.pack(f"<{len(cv)}d", *[float(b) for b in cv]))
+    return bytes(hb)
 
 
 def _refs_to_labels(refs: list[int], symbols: list[str]) -> dict[str, str]:
