@@ -996,3 +996,61 @@ def test_reload_403_without_config(spark, tmp_path):
             assert json.loads(r.read())["data"]["yaml"] == ""
     finally:
         srv.shutdown()
+
+
+def test_check_config_valid_and_invalid(tmp_path):
+    """`promtool check config` parity: offline lint of prometheus.yml +
+    referenced rule files, no SparkSession."""
+    from tsdb_spark.config import check_config
+
+    rules = tmp_path / "rules.yml"
+    rules.write_text(
+        "groups:\n- name: g\n  rules:\n  - record: a:sum\n    expr: sum(a)\n"
+    )
+    good = tmp_path / "good.yml"
+    good.write_text(
+        "global:\n  scrape_interval: 15s\n"
+        "rule_files: [rules.yml]\n"
+        "scrape_configs:\n"
+        "- job_name: a\n  static_configs: [{targets: ['h:1']}]\n"
+        "remote_write:\n- url: http://x/api/v1/write\n"
+        "remote_read:\n- url: http://x/api/v1/read\n  remote_timeout: 10s\n"
+    )
+    assert check_config(str(good)) == []
+
+    bad = tmp_path / "bad.yml"
+    bad.write_text(
+        "glooobal: {}\n"
+        "global:\n  scrape_interval: fifteen\n"
+        "rule_files: [missing-*.yml]\n"
+        "scrape_configs:\n"
+        "- static_configs: [{targets: ['h:1']}]\n"
+        "- job_name: dup\n- job_name: dup\n"
+        "remote_write:\n- protobuf_message: bogus.Message\n"
+        "remote_read:\n- url: http://x\n  remote_timeout: soon\n"
+    )
+    errs = check_config(str(bad))
+    text = "\n".join(errs)
+    assert "unknown top-level field 'glooobal'" in text
+    assert "bad duration 'fifteen'" in text
+    assert "matches no files" in text
+    assert "job_name is required" in text
+    assert "duplicate job_name 'dup'" in text
+    assert "url is required" in text
+    assert "unknown protobuf_message" in text
+    assert "bad duration 'soon'" in text
+
+    # a rule file with a broken expression surfaces through the config
+    rules.write_text(
+        "groups:\n- name: g\n  rules:\n  - record: a:sum\n    expr: sum((\n"
+    )
+    assert any("rules.yml" in e for e in check_config(str(good)))
+
+    # CLI: exit 0 / 1
+    from tsdb_spark.__main__ import main
+
+    rules.write_text(
+        "groups:\n- name: g\n  rules:\n  - record: a:sum\n    expr: sum(a)\n"
+    )
+    assert main(["check-config", str(good)]) == 0
+    assert main(["check-config", str(bad)]) == 1

@@ -17,6 +17,7 @@ command table: bench write / ls / analyze / dump).
     python -m tsdb_spark rollup   <store> [--width MS | --serve-step MS]
     python -m tsdb_spark vacuum   <store>
     python -m tsdb_spark serve    <store> [--host H] [--port P] [--rules F]
+    python -m tsdb_spark check-config <prometheus.yml>...
     python -m tsdb_spark check-rules <rules.yml>...
     python -m tsdb_spark test-rules  <tests.yml>...
     python -m tsdb_spark test-promql <file.test>...
@@ -306,6 +307,14 @@ def main(argv: list[str] | None = None) -> int:
     p_em.add_argument("--start", type=int, default=-(2**62), help="ms")
     p_em.add_argument("--end", type=int, default=2**62, help="ms")
 
+    p_cc = sub.add_parser(
+        "check-config",
+        help="validate a prometheus.yml + its rule files (promtool "
+        "check config): blocks, durations, job names, relabel rules, "
+        "SD patterns, endpoints",
+    )
+    p_cc.add_argument("files", nargs="+")
+
     p_cr = sub.add_parser(
         "check-rules",
         help="validate rule files (promtool check rules): YAML shape, "
@@ -368,6 +377,22 @@ def main(argv: list[str] | None = None) -> int:
     p_ro.add_argument("--maxt", type=int, default=2**62)
 
     args = ap.parse_args(argv)
+
+    if args.cmd == "check-config":
+        # static validation — no SparkSession needed (promtool parity)
+        from tsdb_spark.config import check_config
+
+        bad = 0
+        for path in args.files:
+            errs = check_config(path)
+            if errs:
+                bad += 1
+                print(f"FAILED {path}:")
+                for e in errs:
+                    print(f"  {e}")
+            else:
+                print(f"SUCCESS {path}")
+        return 1 if bad else 0
 
     if args.cmd == "check-rules":
         # static validation — no SparkSession needed (promtool parity:

@@ -522,3 +522,128 @@ class RemoteWriteForwarder:
             except Exception:  # noqa: BLE001 — keep forwarding
                 self.errors += 1
             stop.wait(interval_s)
+
+
+def check_config(path: str) -> list[str]:
+    """`promtool check config` (cmd/promtool/main.go CheckConfig): static
+    validation of a prometheus.yml and every rule file it references —
+    an offline lint, no SparkSession and no store. Returns
+    human-readable problem strings ([] = valid).
+
+    Checks mirrored from upstream: the file parses as a mapping; only
+    known top-level blocks; global durations parse; every scrape job
+    has a unique job_name; relabel rule lists compile; file-SD patterns
+    that match nothing are reported (upstream logs the same warning);
+    alertmanager/remote_write/remote_read entries carry their required
+    fields; each referenced rule file passes `check rules`."""
+    import glob as _glob2
+
+    import yaml
+
+    from tsdb_spark.promtool import check_rules
+    from tsdb_spark.scrape import _relabel_rules
+
+    errs: list[str] = []
+    try:
+        with open(path) as f:
+            raw = yaml.safe_load(f.read())
+    except FileNotFoundError:
+        return [f"{path}: no such file"]
+    except yaml.YAMLError as e:
+        return [f"{path}: YAML parse error: {e}"]
+    if raw is None:
+        raw = {}
+    if not isinstance(raw, dict):
+        return [f"{path}: config is not a mapping"]
+    base = os.path.dirname(os.path.abspath(path))
+
+    known = {
+        "global", "scrape_configs", "rule_files", "alerting",
+        "remote_write", "remote_read", "otlp", "storage", "tracing",
+    }
+    for k in raw:
+        if k not in known:
+            errs.append(f"unknown top-level field {k!r}")
+
+    g = raw.get("global") or {}
+    for fld in ("scrape_interval", "evaluation_interval", "scrape_timeout"):
+        if fld in g:
+            try:
+                _duration_ms(g[fld], 0)
+            except Exception:
+                errs.append(f"global.{fld}: bad duration {g[fld]!r}")
+
+    seen_jobs: set[str] = set()
+    for i, job in enumerate(raw.get("scrape_configs") or []):
+        where = f"scrape_configs[{i}]"
+        name = job.get("job_name")
+        if not name:
+            errs.append(f"{where}: job_name is required")
+        elif name in seen_jobs:
+            errs.append(f"{where}: duplicate job_name {name!r}")
+        else:
+            seen_jobs.add(name)
+        for fld in ("scrape_interval", "scrape_timeout"):
+            if fld in job:
+                try:
+                    _duration_ms(job[fld], 0)
+                except Exception:
+                    errs.append(f"{where}.{fld}: bad duration {job[fld]!r}")
+        for section in ("relabel_configs", "metric_relabel_configs"):
+            try:
+                _relabel_rules(job, section)
+            except Exception as e:
+                errs.append(f"{where}.{section}: {e}")
+        for sd in job.get("file_sd_configs") or []:
+            for pat in sd.get("files") or []:
+                full = pat if os.path.isabs(pat) else os.path.join(base, pat)
+                if not _glob2.glob(full):
+                    errs.append(
+                        f"{where}: file_sd pattern {pat!r} matches no files"
+                    )
+        for grp in job.get("static_configs") or []:
+            if not isinstance(grp.get("targets", []), list):
+                errs.append(f"{where}: static_configs targets must be a list")
+
+    alerting = raw.get("alerting") or {}
+    try:
+        _relabel_rules(alerting, "alert_relabel_configs")
+    except Exception as e:
+        errs.append(f"alerting.alert_relabel_configs: {e}")
+
+    for i, rw in enumerate(raw.get("remote_write") or []):
+        if not rw.get("url"):
+            errs.append(f"remote_write[{i}]: url is required")
+        pm = rw.get("protobuf_message", "prometheus.WriteRequest")
+        if pm not in ("prometheus.WriteRequest", RW2_MESSAGE):
+            errs.append(
+                f"remote_write[{i}]: unknown protobuf_message {pm!r}"
+            )
+        try:
+            _relabel_rules(rw, "write_relabel_configs")
+        except Exception as e:
+            errs.append(f"remote_write[{i}].write_relabel_configs: {e}")
+
+    for i, rr in enumerate(raw.get("remote_read") or []):
+        if not rr.get("url"):
+            errs.append(f"remote_read[{i}]: url is required")
+        if "remote_timeout" in rr:
+            try:
+                _duration_ms(rr["remote_timeout"], 0)
+            except Exception:
+                errs.append(
+                    f"remote_read[{i}].remote_timeout: bad duration "
+                    f"{rr['remote_timeout']!r}"
+                )
+
+    n_rules = 0
+    for pat in raw.get("rule_files") or []:
+        full = pat if os.path.isabs(pat) else os.path.join(base, pat)
+        matched = sorted(_glob2.glob(full))
+        if not matched:
+            errs.append(f"rule_files pattern {pat!r} matches no files")
+        for rf in matched:
+            sub_errs = check_rules(rf)
+            errs.extend(f"{rf}: {e}" for e in sub_errs)
+            n_rules += 1
+    return errs
