@@ -1054,3 +1054,74 @@ def test_check_config_valid_and_invalid(tmp_path):
     )
     assert main(["check-config", str(good)]) == 0
     assert main(["check-config", str(bad)]) == 1
+
+
+def test_dns_sd_resolves_names_to_targets(spark, monkeypatch):
+    """dns_sd_configs (discovery/dns, A/AAAA subset): names resolve via
+    the system resolver to one target per address; a failing name keeps
+    its last good answer while the others refresh."""
+    import socket
+
+    from tsdb_spark.scrape import DNSSD, ScrapeJob
+
+    answers = {
+        "app.example": ["10.0.0.1", "10.0.0.2"],
+        "db.example": ["10.0.1.9"],
+    }
+
+    def fake_getaddrinfo(name, port, family=0, type=0, **kw):
+        if name not in answers:
+            raise OSError(f"NXDOMAIN {name}")
+        return [
+            (family, type, 6, "", (a, 0)) for a in answers[name]
+        ]
+
+    monkeypatch.setattr(socket, "getaddrinfo", fake_getaddrinfo)
+    sd = DNSSD(names=["app.example", "db.example"], port=9100,
+               refresh_ms=30_000)
+    job = ScrapeJob(name="dns", targets=[], dns_sd=[sd])
+    got = {t.url for t in job.resolve_targets(spark, now_ms=0)}
+    assert got == {
+        "http://10.0.0.1:9100/metrics",
+        "http://10.0.0.2:9100/metrics",
+        "http://10.0.1.9:9100/metrics",
+    }
+    # __meta_dns_name rides into the target labels for relabel rules
+    metas = {
+        dict(t.labels).get("__meta_dns_name")
+        for t in job.resolve_targets(spark, now_ms=0)
+    }
+    assert metas == {"app.example", "db.example"}
+
+    # one name starts failing past the refresh window: its last good
+    # answer survives, the other name picks up its new address
+    del answers["app.example"]
+    answers["db.example"] = ["10.0.1.10"]
+    got = {t.url for t in job.resolve_targets(spark, now_ms=60_000)}
+    assert got == {
+        "http://10.0.0.1:9100/metrics",
+        "http://10.0.0.2:9100/metrics",
+        "http://10.0.1.10:9100/metrics",
+    }
+
+
+def test_dns_sd_parses_from_config(spark, tmp_path):
+    from tsdb_spark.config import load_config
+
+    p = tmp_path / "prometheus.yml"
+    p.write_text(
+        "scrape_configs:\n"
+        "- job_name: dns\n"
+        "  dns_sd_configs:\n"
+        "  - names: [app.example]\n"
+        "    type: A\n"
+        "    port: 9100\n"
+        "    refresh_interval: 45s\n"
+    )
+    cfg = load_config(spark, str(p))
+    (job,) = cfg.scrape_jobs
+    (sd,) = job.dns_sd
+    assert sd.names == ["app.example"]
+    assert sd.port == 9100
+    assert sd.record_type == "A"
+    assert sd.refresh_ms == 45_000

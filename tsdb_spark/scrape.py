@@ -386,6 +386,66 @@ class HTTPSD:
         return self._groups
 
 
+@dataclass
+class DNSSD:
+    """One `dns_sd_configs` entry (discovery/dns/dns.go) — the A/AAAA
+    subset, resolved with the system resolver (stdlib getaddrinfo)
+    every `refresh_interval` (upstream default 30s): one target per
+    returned address at the configured `port`, carrying
+    __meta_dns_name so relabel rules can route on the queried name
+    (upstream sets the same meta label). SRV/MX/NS record types need a
+    raw DNS client the stdlib doesn't provide; a name that fails to
+    resolve keeps its last good answer, like file/http SD."""
+
+    names: list
+    port: int = 0
+    record_type: str = "A"
+    refresh_ms: int = 30_000
+    # runtime cache (not config)
+    _groups: list = field(default_factory=list, compare=False)
+    _last_read_ms: int = field(default=-1, compare=False)
+
+    def groups(self, now_ms: int) -> list[dict]:
+        import socket as _socket
+
+        if (
+            self._last_read_ms >= 0
+            and now_ms - self._last_read_ms < self.refresh_ms
+        ):
+            return self._groups
+        fam = (
+            _socket.AF_INET6 if self.record_type.upper() == "AAAA"
+            else _socket.AF_INET
+        )
+        # last-good is kept PER NAME: one dead name must not drop the
+        # other names' targets (upstream keeps the failing name's
+        # previous target group too)
+        prev = {g["labels"].get("__meta_dns_name"): g for g in self._groups}
+        groups: list[dict] = []
+        for name in self.names:
+            try:
+                infos = _socket.getaddrinfo(
+                    name, None, family=fam, type=_socket.SOCK_STREAM
+                )
+                addrs = sorted({i[4][0] for i in infos})
+                groups.append({
+                    "targets": [
+                        (
+                            f"[{a}]:{self.port}" if ":" in a
+                            else f"{a}:{self.port}"
+                        )
+                        for a in addrs
+                    ],
+                    "labels": {"__meta_dns_name": name},
+                })
+            except OSError:
+                if name in prev:
+                    groups.append(prev[name])
+        self._groups = groups
+        self._last_read_ms = now_ms
+        return self._groups
+
+
 def _static_targets(
     groups: list[dict],
     job: str,
@@ -431,6 +491,8 @@ class ScrapeJob:
     file_sd: list[FileSD] = field(default_factory=list)
     #: http_sd_configs sources, resolved per pass like file SD
     http_sd: list[HTTPSD] = field(default_factory=list)
+    #: dns_sd_configs sources (A/AAAA), resolved per pass like file SD
+    dns_sd: list[DNSSD] = field(default_factory=list)
     #: URL assembly defaults for bare host:port targets (scrape config
     #: scheme / metrics_path / params — scrape/target.go)
     scheme: str = "http"
@@ -447,12 +509,12 @@ class ScrapeJob:
     def resolve_targets(self, spark, now_ms: int | None = None) -> list[Target]:
         """The job's CURRENT target list: pre-relabeled statics plus
         file-SD targets (re-read when stale, relabeled now)."""
-        if not self.file_sd and not self.http_sd:
+        if not self.file_sd and not self.http_sd and not self.dns_sd:
             return self.targets
         if now_ms is None:
             now_ms = int(time.time() * 1000)
         groups: list[dict] = []
-        for sd in self.file_sd + self.http_sd:
+        for sd in self.file_sd + self.http_sd + self.dns_sd:
             groups.extend(sd.groups(now_ms))
         dyn = _static_targets(
             groups, self.name,
@@ -547,6 +609,17 @@ def scrape_jobs_from(
             )
             for hsd in sc.get("http_sd_configs", []) or []
         ]
+        dns_sd = [
+            DNSSD(
+                names=list(dsd.get("names") or []),
+                port=int(dsd.get("port", 0)),
+                record_type=str(dsd.get("type", "A")),
+                refresh_ms=_duration_ms(
+                    dsd.get("refresh_interval"), 30_000
+                ),
+            )
+            for dsd in sc.get("dns_sd_configs", []) or []
+        ]
         jobs.append(
             ScrapeJob(
                 name=name,
@@ -557,6 +630,7 @@ def scrape_jobs_from(
                 target_relabel=target_rules,
                 file_sd=file_sd,
                 http_sd=http_sd,
+                dns_sd=dns_sd,
                 scheme=scheme,
                 metrics_path=metrics_path,
                 params=params,
