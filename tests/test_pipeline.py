@@ -708,3 +708,29 @@ def test_bm25_topk_matches_hand_model(spark):
     assert got[1] == pytest.approx(exp1, rel=1e-12)
     # ranking: doc 0 carries the rarer term
     assert out[0].doc_id == (0 if exp0 > exp1 else 1)
+
+
+def test_gopher_quality_hand_example(spark):
+    """Line- and symbol-based Gopher rules on a crafted doc (the
+    synthetic corpus has no newlines/bullets, so the oracle alone
+    can't exercise them)."""
+    from tsdb_spark.pipeline.text import gopher_quality
+
+    good = " ".join(
+        ["the", "be", "to", "of", "and"] + ["word"] * 60
+    )  # 65 words, mean len ~3.6, no symbols, plenty of stopwords
+    bad = "\n".join(
+        ["- bullet one", "- bullet two", "* bullet three", "tail ..."]
+    )  # 3/4 bullet lines, 1/4 ellipsis lines, only 9 words
+    docs = spark.createDataFrame(
+        [(0, good), (1, bad)], "doc_id LONG, text STRING"
+    )
+    rows = {r.doc_id: r for r in gopher_quality(docs).collect()}
+    g, b = rows[0], rows[1]
+    assert g.n_words == 65 and g.keep
+    assert g.symbol_word_bp == 0 and g.bullet_line_bp == 0
+    assert g.gopher_stopwords == 5
+    assert b.n_words == 11 and not b.keep  # "-"/"*" markers are tokens
+    assert b.bullet_line_bp == 7500   # 3 of 4 lines
+    assert b.ellipsis_line_bp == 2500  # 1 of 4 lines
+    assert b.symbol_word_bp == 909    # "..." is 1 of 11 words

@@ -2208,3 +2208,52 @@ def docs_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.bm25_topk(
         load_table(spark, sf_dir, "documents"), list(_BM25_TERMS)
     )
+
+
+_GOPHER_SQL = """
+WITH t AS (SELECT doc_id, text, {toks} AS toks,
+             list_filter(regexp_split_to_array(text, '\\n'),
+                         l -> trim(l) <> '') AS lines
+           FROM documents),
+d AS (SELECT doc_id,
+  CAST(len(toks) AS BIGINT) AS n_words,
+  greatest(len(toks), 1) AS nw,
+  greatest(len(lines), 1) AS nl,
+  coalesce(list_sum(list_transform(toks, x -> length(x))), 0) AS tot,
+  len(list_filter(toks, x -> x = '#' OR contains(x, '...'))) AS sym,
+  len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]'))) AS alpha,
+  len(list_filter(lines, l -> starts_with(trim(l), '-')
+      OR starts_with(trim(l), '*') OR starts_with(trim(l), '•'))) AS bul,
+  len(list_filter(lines, l -> ends_with(trim(l), '...')
+      OR ends_with(trim(l), '…'))) AS ell,
+  len(list_filter(['the','be','to','of','and','that','have','with'],
+      w -> list_contains(toks, w))) AS stops
+ FROM t)
+SELECT doc_id, n_words,
+  (10000 * tot) // nw AS mean_word_len_bp,
+  (10000 * sym) // nw AS symbol_word_bp,
+  (10000 * bul) // nl AS bullet_line_bp,
+  (10000 * ell) // nl AS ellipsis_line_bp,
+  (10000 * alpha) // nw AS alpha_word_bp,
+  CAST(stops AS BIGINT) AS gopher_stopwords,
+  (n_words BETWEEN 50 AND 100000)
+    AND ((10000 * tot) // nw BETWEEN 30000 AND 100000)
+    AND ((10000 * sym) // nw <= 1000)
+    AND ((10000 * bul) // nl <= 1000)
+    AND ((10000 * ell) // nl <= 3000)
+    AND ((10000 * alpha) // nw >= 8000)
+    AND stops >= 2 AS keep
+FROM d""".strip().format(toks=SQL_TOKS)
+
+
+@register(
+    "docs_gopher_quality",
+    _GOPHER_SQL,
+    "Gopher/MassiveWeb rule-based quality gate (Rae et al. 2021 A1.1): "
+    "word-count and mean-word-length bounds, symbol-word / bullet-line "
+    "/ ellipsis-line / alpha-word ratios, required-stopword floor — the "
+    "second standard heuristic filter next to the C4-style one; all "
+    "integer basis points, one map-only pass, no shuffle",
+)
+def docs_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.gopher_quality(load_table(spark, sf_dir, "documents"))

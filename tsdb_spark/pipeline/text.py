@@ -706,3 +706,86 @@ def bm25_topk(
         .orderBy(F.col("score").desc(), F.col(id_col))
         .limit(top_k)
     )
+
+
+#: the Gopher repetition-free quality rules' required stop words
+#: (Rae et al. 2021, appendix A1.1 "MassiveWeb quality filtering")
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher/MassiveWeb document-quality rules (Rae et al. 2021,
+    appendix A1.1) — the second standard rule-based gate next to the
+    C4-style one in text_stats, widely reused by MassiveText-descended
+    corpora: word count in [50, 100k], mean word length in [3, 10],
+    ≤10% symbol words (# or ...), ≤10% bullet lines, ≤30% ellipsis
+    lines, ≥80% words with an alphabetic character, and ≥2 of the 8
+    required stop words present.
+
+    All signals are integer basis points (floor semantics shared with
+    the DuckDB oracle), one map-only pass, no shuffle. Returns
+    (id, n_words, mean_word_len_bp, symbol_word_bp, bullet_line_bp,
+    ellipsis_line_bp, alpha_word_bp, gopher_stopwords, keep)."""
+    d = docs.withColumn("_toks", tokens_expr(text_col)).withColumn(
+        "_lines",
+        F.filter(
+            F.split(F.col(text_col), "\n"),
+            lambda ln: F.trim(ln) != F.lit(""),
+        ),
+    )
+    n_words = F.greatest(F.size("_toks"), F.lit(1))
+    n_lines = F.greatest(F.size("_lines"), F.lit(1))
+    total_tok_len = F.aggregate(
+        "_toks", F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    symbol_words = F.size(
+        F.filter(
+            "_toks", lambda t: (t == F.lit("#")) | t.contains("...")
+        )
+    )
+    alpha_words = F.size(F.filter("_toks", lambda t: t.rlike("[a-zA-Z]")))
+    bullet_lines = F.size(
+        F.filter(
+            "_lines",
+            lambda ln: F.trim(ln).startswith("-")
+            | F.trim(ln).startswith("*")
+            | F.trim(ln).startswith("•"),
+        )
+    )
+    ellipsis_lines = F.size(
+        F.filter(
+            "_lines",
+            lambda ln: F.trim(ln).endswith("...")
+            | F.trim(ln).endswith("…"),
+        )
+    )
+    stop_hits = F.size(
+        F.filter(
+            F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]),
+            lambda w: F.array_contains("_toks", w),
+        )
+    )
+    out = d.select(
+        F.col(id_col),
+        F.size("_toks").cast("long").alias("n_words"),
+        _bp(total_tok_len, n_words).alias("mean_word_len_bp"),
+        _bp(symbol_words, n_words).alias("symbol_word_bp"),
+        _bp(bullet_lines, n_lines).alias("bullet_line_bp"),
+        _bp(ellipsis_lines, n_lines).alias("ellipsis_line_bp"),
+        _bp(alpha_words, n_words).alias("alpha_word_bp"),
+        stop_hits.cast("long").alias("gopher_stopwords"),
+    )
+    return out.withColumn(
+        "keep",
+        (F.col("n_words") >= 50)
+        & (F.col("n_words") <= 100_000)
+        & (F.col("mean_word_len_bp") >= 30_000)
+        & (F.col("mean_word_len_bp") <= 100_000)
+        & (F.col("symbol_word_bp") <= 1_000)
+        & (F.col("bullet_line_bp") <= 1_000)
+        & (F.col("ellipsis_line_bp") <= 3_000)
+        & (F.col("alpha_word_bp") >= 8_000)
+        & (F.col("gopher_stopwords") >= 2),
+    )
