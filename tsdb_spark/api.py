@@ -778,12 +778,11 @@ class WriteBuffer:
         self._hists: list = []
         self._exemplars: list = []
         self._lock = _threading.Lock()
-        # Serializes entire flush bodies (queue swap + appends). DB.append
-        # read-modify-writes meta['next_ingest_seq'] (db.py) without a lock
-        # of its own, so two overlapping flushes — the timer thread in
-        # _loop plus a handler thread hitting max_rows in add() — would
-        # commit with the SAME ingest_seq and clobber the meta bump,
-        # corrupting later-wins/first-wins conflict resolution.
+        # Serializes entire flush bodies (queue swap + appends). The
+        # store's staged commits make concurrent DB.append calls safe on
+        # their own, but a flush is a multi-append TRANSACTION (samples,
+        # histograms, exemplars + the spill rotation) whose re-queue-on-
+        # failure path assumes one flush owns the queue at a time.
         self._flush_lock = _threading.Lock()
         self.spill_path = spill_path
         self._spill_f = None
