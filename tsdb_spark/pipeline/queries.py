@@ -2230,7 +2230,7 @@ d AS (SELECT doc_id,
       w -> list_contains(toks, w))) AS stops
  FROM t)
 SELECT doc_id, n_words,
-  (10000 * tot) // nw AS mean_word_len_bp,
+  CAST((10000 * tot) // nw AS BIGINT) AS mean_word_len_bp,
   (10000 * sym) // nw AS symbol_word_bp,
   (10000 * bul) // nl AS bullet_line_bp,
   (10000 * ell) // nl AS ellipsis_line_bp,
