@@ -1255,6 +1255,7 @@ def _with_lag(df: DataFrame) -> DataFrame:
     return df.select(
         "labels_str",
         "labels",
+        *(["_ent"] if "_ent" in df.columns else []),
         "t",
         "vc",
         F.lag("vc").over(w).alias("pvc"),
@@ -2318,14 +2319,38 @@ class RangeQuery:
         # unchanged downstream window (T-R, T] reads the
         # (T-offset-R, T-offset] real-time window — the PromQL modifier
         # as a pure time translation.
+        #
+        # Plan shape (r10): ONE exchange for the whole window chain.
+        # The explicit repartition on labels_str alone satisfies the
+        # clustered distribution of this groupBy, of _with_lag's window,
+        # AND of the post-fan-out grid groupBy (hash on a subset of the
+        # grouping keys clusters every group), so none of them add an
+        # exchange of their own — previously each did (3 exchanges per
+        # window fn). Skew note: a partition holds whole series; a
+        # series' sample count in the query range is bounded by
+        # range/scrape-interval, not by corpus size, so series-grained
+        # partitioning stays balanced at 100TB series cardinalities.
+        #
+        # `_ent` (key-sorted entry array) rides as an extra GROUPING key
+        # instead of a first(labels) aggregate: map-typed aggregation
+        # buffers force SortAggregate (every exploded cell would be
+        # sorted); array-typed grouping keys hash fine, so the chain
+        # runs as HashAggregate. labels_str↔_ent are bijective renders
+        # of the same stripped label set, so the groups are unchanged.
         lo = self.start - reach + 1 - offset_ms
         return (
             self.frame.filter(L.compile_matchers(matchers))
             .filter((F.col("t") >= lo) & (F.col("t") <= self.end - offset_ms))
-            .groupBy("labels_str", (F.col("t") + offset_ms).alias("t"))
-            .agg(
-                F.first("labels").alias("labels"),
-                F.min(_vc_encode(F.col("v"))).alias("vc"),
+            .withColumn("_ent", F.array_sort(F.map_entries("labels")))
+            .repartition("labels_str")
+            .groupBy("labels_str", "_ent", (F.col("t") + offset_ms).alias("t"))
+            .agg(F.min(_vc_encode(F.col("v"))).alias("vc"))
+            .select(
+                "labels_str",
+                F.map_from_entries("_ent").alias("labels"),
+                "_ent",
+                "t",
+                "vc",
             )
         )
 
@@ -2340,22 +2365,33 @@ class RangeQuery:
             self.step,
             reach,
         )
-        return cells.groupBy("labels_str", _G).agg(
-            F.first("labels").alias("labels"),
-            _vc_decode(F.max_by("vc", "t")).alias("value"),
+        return (
+            cells.groupBy("labels_str", "_ent", _G)
+            .agg(_vc_decode(F.max_by("vc", "t")).alias("value"))
+            .select(
+                "labels_str",
+                F.map_from_entries("_ent").alias("labels"),
+                F.col(_G),
+                "value",
+            )
         )
 
     def _windowed(self, base: DataFrame, fn: str, rng: int, param) -> DataFrame:
         """Shared window-function tail: optional per-series lag, grid
-        fan-out, ONE combinable groupBy, final scalar value."""
+        fan-out, ONE combinable groupBy, final scalar value.
+
+        `labels` rides the grouping keys as the `_ent` entry array (see
+        _base) so the groupBy stays a HashAggregate; the map is
+        re-projected afterwards."""
         if fn in _LAG_FNS:
             base = _with_lag(base)
         cells = _grid_explode(base, self.start, self.end, self.step, rng)
-        agg = cells.groupBy("labels_str", _G).agg(
-            F.first("labels").alias("labels"),
+        agg = cells.groupBy("labels_str", "_ent", _G).agg(
             *_window_agg(fn, rng, param),
         )
-        out = agg.withColumn("value", _window_value(fn, rng, F.col(_G), param))
+        out = agg.withColumn(
+            "labels", F.map_from_entries("_ent")
+        ).withColumn("value", _window_value(fn, rng, F.col(_G), param))
         return out.filter(F.col("value").isNotNull()).select(
             "labels_str", "labels", _G, "value"
         )
@@ -2417,6 +2453,7 @@ class RangeQuery:
         return df.select(
             "labels_str",
             "labels",
+            F.array_sort(F.map_entries("labels")).alias("_ent"),
             (F.col(_G) + sq.offset_ms).alias("t"),
             _vc_encode(F.col("value")).alias("vc"),
         )
@@ -2563,12 +2600,16 @@ class RangeQuery:
                 self.step,
                 self.lookback_ms,
             )
-            out = cells.groupBy("labels_str", _G).agg(
-                F.first("labels").alias("labels"),
+            out = cells.groupBy("labels_str", "_ent", _G).agg(
                 (F.max("t") / 1000.0).alias("value"),
             )
             return self._strip_name(
-                out.select("labels_str", "labels", _G, "value")
+                out.select(
+                    "labels_str",
+                    F.map_from_entries("_ent").alias("labels"),
+                    F.col(_G),
+                    "value",
+                )
             )
         child = self._strip_name(self.eval(node.child))
         v = F.col("value")
