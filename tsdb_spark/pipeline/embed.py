@@ -53,6 +53,19 @@ def dot_expr(a: Column, b: Column) -> Column:
     )
 
 
+def norm_expr(col: Column | str) -> Column:
+    """Euclidean norm with the exact fold order of cosine_expr's
+    denominators — precompute it ONCE per vector on frames that join
+    pairwise, then divide dot by the two cached norms: the quotient is
+    bit-identical to cosine_expr (same dot fold, same norm folds, same
+    single `dot / (na * nb)` division) while the per-pair work drops
+    from three interpreted array folds to one (guide §4: the folds are
+    CodegenFallback, ~µs per element — at c² pairs per cluster they are
+    the wall, and 2/3 of that work is re-deriving per-VECTOR norms)."""
+    c = _as_double(col)
+    return F.sqrt(F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
 def cosine_expr(a: Column | str, b: Column | str) -> Column:
     a, b = _as_double(a), _as_double(b)
     na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
@@ -74,12 +87,24 @@ def cosine_topk(
     the per-probe top-k (a partial_sort-combinable window). Ties break
     on neighbor id for determinism."""
     p = probes.select(
-        F.col(id_col).alias("probe_id"), F.col(vec_col).alias("_pv")
+        F.col(id_col).alias("probe_id"),
+        F.col(vec_col).alias("_pv"),
+        norm_expr(vec_col).alias("_pn"),
     )
-    c = embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        norm_expr(vec_col).alias("_cn"),
+    )
+    # norms precomputed per side (below the join, once per row) — the
+    # per-pair cost is ONE dot fold; value bit-identical to cosine_expr
     scored = (
         c.join(F.broadcast(p), F.col("probe_id") != F.col("neighbor_id"))
-        .withColumn("cos", cosine_expr("_pv", "_cv"))
+        .withColumn(
+            "cos",
+            dot_expr(_as_double("_pv"), _as_double("_cv"))
+            / (F.col("_pn") * F.col("_cn")),
+        )
     )
     w = Window.partitionBy("probe_id").orderBy(F.desc("cos"), "neighbor_id")
     return (
@@ -220,7 +245,7 @@ def kmeans_centroids(
     base = embeddings.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("v"))
     q = base.withColumn(
         "qv", F.transform("v", lambda x: F.floor(x * KMEANS_SCALE).cast("long"))
-    )
+    ).withColumn("_nv", norm_expr("v"))  # corpus-side norm ONCE per vector
     cent = q.filter(F.col("id") < n_centroids).select(
         F.col("id").alias("centroid_id"), F.col("qv").alias("cq")
     )
@@ -229,9 +254,11 @@ def kmeans_centroids(
     )
 
     def merge(acc, c):
-        cos = cosine_expr(
-            F.col("v"), F.transform(c["cq"], lambda x: x / KMEANS_SCALE)
-        )
+        # dot / (nv * nc): the exact float sequence of
+        # cosine_expr(v, dequantized centroid), with both norms cached —
+        # the assignment fold pays one dot per (vector, centroid)
+        # instead of one dot + two norms + a dequantize transform
+        cos = dot_expr(F.col("v"), c["cv"]) / (F.col("_nv") * c["nc"])
         better = acc["cid"].isNull() | (cos > acc["cos"])
         return F.struct(
             F.when(better, cos).otherwise(acc["cos"]).alias("cos"),
@@ -239,8 +266,14 @@ def kmeans_centroids(
         )
 
     for _ in range(iters):
-        packed = cent.agg(
-            F.array_sort(F.collect_list(F.struct("centroid_id", "cq"))).alias("cs")
+        centd = cent.select(
+            "centroid_id",
+            F.transform("cq", lambda x: x / KMEANS_SCALE).alias("cv"),
+        ).withColumn("nc", norm_expr("cv"))
+        packed = centd.agg(
+            F.array_sort(
+                F.collect_list(F.struct("centroid_id", "cv", "nc"))
+            ).alias("cs")
         )
         assigned = q.crossJoin(F.broadcast(packed)).select(
             "qv", F.aggregate("cs", init, merge)["cid"].alias("centroid_id")
@@ -293,10 +326,20 @@ def ivf_assign(
     cent = centroids if centroids is not None else _default_centroids(
         embeddings, n_centroids, id_col, vec_col
     )
+    # norms below the join: once per corpus row / per centroid, not per
+    # (row, centroid) pair; cos is bit-identical to cosine_expr
     scored = (
-        embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-        .crossJoin(F.broadcast(cent))
-        .withColumn("cos", cosine_expr("vec", "_cent"))
+        embeddings.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("vec"),
+            norm_expr(vec_col).alias("_nv"),
+        )
+        .crossJoin(F.broadcast(cent.withColumn("_nc", norm_expr("_cent"))))
+        .withColumn(
+            "cos",
+            dot_expr(_as_double("vec"), _as_double("_cent"))
+            / (F.col("_nv") * F.col("_nc")),
+        )
     )
     w = Window.partitionBy("id").orderBy(F.desc("cos"), "centroid_id")
     return (
@@ -346,19 +389,34 @@ def search_ivf_lists(
     relation — shared by the build-and-query op above and the persisted
     `IvfIndex` (vecindex.py), so an index on disk answers with exactly
     the plan (and bits) of the in-memory build."""
-    p = probes.select(F.col(id_col).alias("probe_id"), F.col(vec_col).alias("_pv"))
+    p = probes.select(
+        F.col(id_col).alias("probe_id"),
+        F.col(vec_col).alias("_pv"),
+        norm_expr(vec_col).alias("_pn"),
+    )
     pw = Window.partitionBy("probe_id").orderBy(F.desc("pcos"), "centroid_id")
     probe_lists = (
-        p.crossJoin(F.broadcast(cent))
-        .withColumn("pcos", cosine_expr("_pv", "_cent"))
+        p.crossJoin(F.broadcast(cent.withColumn("_nc", norm_expr("_cent"))))
+        .withColumn(
+            "pcos",
+            dot_expr(_as_double("_pv"), _as_double("_cent"))
+            / (F.col("_pn") * F.col("_nc")),
+        )
         .withColumn("_r", F.row_number().over(pw))
         .filter(F.col("_r") <= nprobe)
-        .select("probe_id", "_pv", "centroid_id")
+        .select("probe_id", "_pv", "_pn", "centroid_id")
     )
+    # list-side norm once per corpus row (below the probe join) — the
+    # scan stage then pays one dot fold per scored candidate
     scored = (
-        lists.join(F.broadcast(probe_lists), "centroid_id")
+        lists.withColumn("_ln", norm_expr("vec"))
+        .join(F.broadcast(probe_lists), "centroid_id")
         .filter(F.col("probe_id") != F.col("id"))
-        .withColumn("cos", cosine_expr("_pv", "vec"))
+        .withColumn(
+            "cos",
+            dot_expr(_as_double("_pv"), _as_double("vec"))
+            / (F.col("_pn") * F.col("_ln")),
+        )
     )
     w = Window.partitionBy("probe_id").orderBy(F.desc("cos"), "id")
     return (
@@ -399,7 +457,12 @@ def cosine_near_dup_pairs(
     # n_planes projection folds must not run twice over the corpus
     d = materialize(
         embeddings.select(
-            F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), bucket.alias("bucket")
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("vec"),
+            bucket.alias("bucket"),
+            # norm cached in the materialized frame: each vector's norm
+            # fold runs once, not once per bucket-mate pair
+            norm_expr(vec_col).alias("_n"),
         )
     )
     if max_bucket is not None:
@@ -409,14 +472,26 @@ def cosine_near_dup_pairs(
             .filter(F.col("_c") <= max_bucket)
             .drop("_c")
         )
-    a = d.select(F.col("id").alias("id_a"), F.col("vec").alias("_va"), "bucket")
-    b = d.select(F.col("id").alias("id_b"), F.col("vec").alias("_vb"), "bucket")
+    a = d.select(
+        F.col("id").alias("id_a"), F.col("vec").alias("_va"), "bucket",
+        F.col("_n").alias("_na"),
+    )
+    b = d.select(
+        F.col("id").alias("id_b"), F.col("vec").alias("_vb"), "bucket",
+        F.col("_n").alias("_nb"),
+    )
     return (
         a.join(b, "bucket")
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn(
             "cos_bp",
-            F.floor(F.lit(100000) * cosine_expr("_va", "_vb")).cast("long"),
+            F.floor(
+                F.lit(100000)
+                * (
+                    dot_expr(_as_double("_va"), _as_double("_vb"))
+                    / (F.col("_na") * F.col("_nb"))
+                )
+            ).cast("long"),
         )
         .filter(F.col("cos_bp") >= min_cos_bp)
         # one bucket code per vector (not banded) → a pair appears at

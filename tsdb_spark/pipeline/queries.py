@@ -1668,25 +1668,59 @@ def emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     corp = _emb_dup_corpus(spark, sf_dir)
     cent = E.kmeans_centroids(corp, n_centroids=8, iters=2)
     asg = E.ivf_assign(corp, centroids=cent)  # (id, vec, centroid_id)
+    # cent_cos carries two extra per-VECTOR facts for the pairwise pass:
+    # the cached norm (the pair check then pays one dot fold, not
+    # dot + 2 norms — bit-identical quotient, see embed.norm_expr) and
+    # the angle to the centroid, which drives a fold-free NECESSARY
+    # prefilter on pairs: by the angular triangle inequality
+    # θ(a,b) >= |θ(a,c) − θ(b,c)|, so cos(a,b) >= 0.99 requires
+    # |θa − θb| <= acos(0.99) — checked with slack (acos(0.9895), three
+    # orders of magnitude above double/acos rounding), and every
+    # surviving pair still passes the ORIGINAL exact floor test, so the
+    # output is unchanged while the interpreted cosine fold runs only on
+    # the near-band candidates instead of every same-cluster pair.
+    _cc = E.dot_expr(F.col("vec").cast("array<double>"), F.col("_cent")) / (
+        F.col("_n") * F.col("_nc")
+    )
     scored = materialize(
-        asg.join(F.broadcast(cent), "centroid_id").select(
+        asg.withColumn("_n", E.norm_expr("vec"))
+        .join(
+            F.broadcast(cent.withColumn("_nc", E.norm_expr("_cent"))),
+            "centroid_id",
+        )
+        .withColumn("_cc", _cc)
+        .select(
             "id",
             "vec",
             "centroid_id",
-            F.floor(100000 * E.cosine_expr("vec", "_cent"))
-            .cast("long")
-            .alias("cent_cos_bp"),
+            F.floor(100000 * F.col("_cc")).cast("long").alias("cent_cos_bp"),
+            "_n",
+            F.acos(
+                F.greatest(F.lit(-1.0), F.least(F.lit(1.0), F.col("_cc")))
+            ).alias("_th"),
         )
     )
+    _theta_band = 0.14489148067820806  # math.acos(0.9895)
     a, b = scored.alias("a"), scored.alias("b")
     pairs = (
         a.join(
             b,
             (F.col("a.centroid_id") == F.col("b.centroid_id"))
-            & (F.col("a.id") < F.col("b.id")),
+            & (F.col("a.id") < F.col("b.id"))
+            & (F.abs(F.col("a._th") - F.col("b._th")) <= F.lit(_theta_band)),
         )
         .filter(
-            F.floor(100000 * E.cosine_expr(F.col("a.vec"), F.col("b.vec"))) >= 99000
+            F.floor(
+                100000
+                * (
+                    E.dot_expr(
+                        F.col("a.vec").cast("array<double>"),
+                        F.col("b.vec").cast("array<double>"),
+                    )
+                    / (F.col("a._n") * F.col("b._n"))
+                )
+            )
+            >= 99000
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
     )
