@@ -67,25 +67,49 @@ def postings_for_matchers(
     """PostingsForMatchers (querier.go:326-396) as DataFrame set algebra.
 
     Classification by Matches(""):
-    - matcher rejects missing labels → its postings *intersect* (semi-join,
-      the Intersect/leapfrog analog index/postings.go:297-368);
+    - matcher rejects missing labels → its postings *intersect*
+      (the Intersect/leapfrog analog index/postings.go:297-368);
     - matcher accepts missing labels (l="", l!="x", l=~".*") → series that
       fail it are exactly those *with* the label matching the inverse →
-      *subtract* (anti-join, the Without analog index/postings.go:505-589).
+      *subtract* (the Without analog index/postings.go:505-589).
     - no positive matcher → start from all postings (querier.go:365-373).
+
+    Plan shape (r10): the intersect/subtract chain is ONE map-side-
+    combinable aggregate over the unioned per-matcher posting lists,
+    not a k-deep semi/anti join ladder. Each matcher contributes at
+    most one row per series (the postings relation is exploded from a
+    MAP — one row per (series, name)), so membership is exact counting:
+    a series survives iff it appears in every positive list
+    (sum(flag) = #positives) and in no subtract list (no flag-0 row).
+    One shuffle on series_id replaces k−1 sort-merge joins — fewer
+    stages, no per-join sorts, and no join-side skew at 1e8-series
+    cardinalities; the k filtered scans of the postings relation fuse
+    into one union stage.
 
     Returns a 1-column (series_id) DataFrame.
     """
-    ids: DataFrame | None = None
+    pos: list[DataFrame] = []
     subtract: list[DataFrame] = []
     for m in matchers:
         if m.matches_empty():
             subtract.append(_postings_ids(postings, m, invert=True))
         else:
-            p = _postings_ids(postings, m)
-            ids = p if ids is None else ids.join(p, "series_id", "left_semi")
-    if ids is None:
+            pos.append(_postings_ids(postings, m))
+    if not pos:
         ids = all_series.select("series_id")
-    for s in subtract:
-        ids = ids.join(s, "series_id", "left_anti")
-    return ids
+        for s in subtract:
+            ids = ids.join(s, "series_id", "left_anti")
+        return ids
+    if len(pos) == 1 and not subtract:
+        return pos[0]
+    parts = [p.select("series_id", F.lit(1).alias("_p")) for p in pos]
+    parts += [s.select("series_id", F.lit(0).alias("_p")) for s in subtract]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    agg = u.groupBy("series_id").agg(
+        F.sum("_p").alias("_np"), F.count(F.lit(1)).alias("_n")
+    )
+    return agg.filter(
+        (F.col("_np") == len(pos)) & (F.col("_n") == F.col("_np"))
+    ).select("series_id")
