@@ -3309,9 +3309,14 @@ def tsdb_instant_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tsdb_spark.operators.asof import asof_join
 
     HOUR6 = 6 * 3_600_000
+    # one exchange for the dedup agg AND the labels_str distinct that
+    # derives the grid: hash partitioning on labels_str alone satisfies
+    # both downstream clustered distributions (and the two consumers of
+    # `d` share the repartition exchange via reuse)
     d = (
         events_samples(spark, sf_dir)
         .filter((F.col("t") >= T0) & (F.col("t") < T0 + 7 * DAY))
+        .repartition("labels_str")
         .groupBy("labels_str", "t")
         .agg(F.min("v").alias("v"))
     )
