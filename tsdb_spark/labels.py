@@ -261,6 +261,23 @@ def labels_str_expr(labels_col: str | Column = "labels") -> Column:
     return F.concat(F.lit("{"), F.array_join(rendered, ","), F.lit("}"))
 
 
+def labels_str_from_entries(entries_col: str | Column) -> Column:
+    """labels_str_expr over an ALREADY key-sorted entry array — the same
+    canonical render without re-deriving/re-sorting the entries. Used
+    where a plan carries the sorted entries as its grouping key (the
+    PromQL window chain) and renders the string only on output rows."""
+    entries = (
+        F.col(entries_col) if isinstance(entries_col, str) else entries_col
+    )
+    rendered = F.transform(
+        entries,
+        lambda e: F.concat(
+            _escaped(e.getField("key")), F.lit('="'), _escaped(e.getField("value")), F.lit('"')
+        ),
+    )
+    return F.concat(F.lit("{"), F.array_join(rendered, ","), F.lit("}"))
+
+
 def series_entries_expr(labels_col: str | Column = "labels") -> Column:
     """Canonical identity basis: key-sorted (key, value) entry array with
     empty-valued labels dropped (head.go:832-833). One array pass — no

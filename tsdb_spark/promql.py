@@ -1251,13 +1251,10 @@ def _with_lag(df: DataFrame) -> DataFrame:
     adjacent-pair fact is derived once, not once per covering window."""
     from pyspark.sql import Window
 
-    w = Window.partitionBy("labels_str").orderBy("t")
+    key = "_ent" if "_ent" in df.columns else "labels_str"
+    w = Window.partitionBy(key).orderBy("t")
     return df.select(
-        "labels_str",
-        "labels",
-        *(["_ent"] if "_ent" in df.columns else []),
-        "t",
-        "vc",
+        *df.columns,
         F.lag("vc").over(w).alias("pvc"),
         F.lag("t").over(w).alias("pt"),
     )
@@ -2320,38 +2317,37 @@ class RangeQuery:
         # (T-offset-R, T-offset] real-time window — the PromQL modifier
         # as a pure time translation.
         #
-        # Plan shape (r10): ONE exchange for the whole window chain.
-        # The explicit repartition on labels_str alone satisfies the
-        # clustered distribution of this groupBy, of _with_lag's window,
-        # AND of the post-fan-out grid groupBy (hash on a subset of the
-        # grouping keys clusters every group), so none of them add an
-        # exchange of their own — previously each did (3 exchanges per
-        # window fn). Skew note: a partition holds whole series; a
-        # series' sample count in the query range is bounded by
-        # range/scrape-interval, not by corpus size, so series-grained
+        # Plan shape (r10): ONE exchange for the whole window chain, and
+        # that exchange carries ONLY (_ent, t, v). The series key is the
+        # key-sorted entry array `_ent` — not labels_str, not the labels
+        # map — so (a) the per-sample labels_str render (~320ns/row, the
+        # decode CPU hog) is column-pruned out of the scan entirely and
+        # re-rendered only on OUTPUT rows (series × grid points), and
+        # (b) the shuffle moves one copy of the label data per row
+        # instead of three (labels_str + map + entries). The explicit
+        # repartition on _ent satisfies the clustered distribution of
+        # this groupBy, of _with_lag's window, AND of the post-fan-out
+        # grid groupBy (hash on a subset of the grouping keys clusters
+        # every group), so none of them add an exchange of their own —
+        # previously each did (3 exchanges per window fn). A map-typed
+        # first(labels) aggregate would force SortAggregate (sorting
+        # every exploded cell); the array grouping key keeps the whole
+        # chain HashAggregate. Skew note: a partition holds whole
+        # series; a series' sample count in the query range is bounded
+        # by range/scrape-interval, not corpus size, so series-grained
         # partitioning stays balanced at 100TB series cardinalities.
-        #
-        # `_ent` (key-sorted entry array) rides as an extra GROUPING key
-        # instead of a first(labels) aggregate: map-typed aggregation
-        # buffers force SortAggregate (every exploded cell would be
-        # sorted); array-typed grouping keys hash fine, so the chain
-        # runs as HashAggregate. labels_str↔_ent are bijective renders
-        # of the same stripped label set, so the groups are unchanged.
         lo = self.start - reach + 1 - offset_ms
         return (
             self.frame.filter(L.compile_matchers(matchers))
             .filter((F.col("t") >= lo) & (F.col("t") <= self.end - offset_ms))
-            .withColumn("_ent", F.array_sort(F.map_entries("labels")))
-            .repartition("labels_str")
-            .groupBy("labels_str", "_ent", (F.col("t") + offset_ms).alias("t"))
-            .agg(F.min(_vc_encode(F.col("v"))).alias("vc"))
             .select(
-                "labels_str",
-                F.map_from_entries("_ent").alias("labels"),
-                "_ent",
-                "t",
-                "vc",
+                F.array_sort(F.map_entries("labels")).alias("_ent"),
+                (F.col("t") + offset_ms).alias("t"),
+                F.col("v"),
             )
+            .repartition("_ent")
+            .groupBy("_ent", "t")
+            .agg(F.min(_vc_encode(F.col("v"))).alias("vc"))
         )
 
     def _eval_instant(self, node: Selector) -> DataFrame:
@@ -2366,10 +2362,10 @@ class RangeQuery:
             reach,
         )
         return (
-            cells.groupBy("labels_str", "_ent", _G)
+            cells.groupBy("_ent", _G)
             .agg(_vc_decode(F.max_by("vc", "t")).alias("value"))
             .select(
-                "labels_str",
+                L.labels_str_from_entries(F.col("_ent")).alias("labels_str"),
                 F.map_from_entries("_ent").alias("labels"),
                 F.col(_G),
                 "value",
@@ -2386,12 +2382,16 @@ class RangeQuery:
         if fn in _LAG_FNS:
             base = _with_lag(base)
         cells = _grid_explode(base, self.start, self.end, self.step, rng)
-        agg = cells.groupBy("labels_str", "_ent", _G).agg(
+        agg = cells.groupBy("_ent", _G).agg(
             *_window_agg(fn, rng, param),
         )
-        out = agg.withColumn(
-            "labels", F.map_from_entries("_ent")
-        ).withColumn("value", _window_value(fn, rng, F.col(_G), param))
+        out = (
+            agg.withColumn(
+                "labels_str", L.labels_str_from_entries(F.col("_ent"))
+            )
+            .withColumn("labels", F.map_from_entries("_ent"))
+            .withColumn("value", _window_value(fn, rng, F.col(_G), param))
+        )
         return out.filter(F.col("value").isNotNull()).select(
             "labels_str", "labels", _G, "value"
         )
@@ -2451,8 +2451,6 @@ class RangeQuery:
                 "value",
             )
         return df.select(
-            "labels_str",
-            "labels",
             F.array_sort(F.map_entries("labels")).alias("_ent"),
             (F.col(_G) + sq.offset_ms).alias("t"),
             _vc_encode(F.col("value")).alias("vc"),
@@ -2600,12 +2598,12 @@ class RangeQuery:
                 self.step,
                 self.lookback_ms,
             )
-            out = cells.groupBy("labels_str", "_ent", _G).agg(
+            out = cells.groupBy("_ent", _G).agg(
                 (F.max("t") / 1000.0).alias("value"),
             )
             return self._strip_name(
                 out.select(
-                    "labels_str",
+                    L.labels_str_from_entries(F.col("_ent")).alias("labels_str"),
                     F.map_from_entries("_ent").alias("labels"),
                     F.col(_G),
                     "value",
