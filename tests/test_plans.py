@@ -687,3 +687,47 @@ def test_bm25_single_scan_no_corpus_shuffle(spark):
     # no hash repartitioning of the corpus: the only shuffle is the
     # single-partition gather feeding the global aggregate
     assert "hashpartitioning" not in plan
+
+
+def test_window_binop_same_selector_fuses_to_one_chain(spark):
+    """`sum_over_time(m[R]) / count_over_time(m[R])` (name-pinned
+    selector, default matching) must evaluate as ONE window chain whose
+    groupBy carries both sides' aggregates — no signature join, no
+    second scan — and must produce exactly the rows of the general
+    join path (r10 _fused_window_binop)."""
+    from tsdb_spark import labels as L
+    from tsdb_spark.promql import RangeQuery, parse_expr
+
+    rows = [
+        ({"__name__": "m", "i": str(i % 5)}, 1_000 * (i + 1), float(i % 7))
+        for i in range(60)
+    ]
+    frame = spark.createDataFrame(
+        rows, "labels MAP<STRING,STRING>, t LONG, v DOUBLE"
+    ).withColumn("labels_str", L.labels_str_expr("labels"))
+    q = RangeQuery(frame, 20_000, 60_000, 10_000, lookback_ms=10_000)
+    node = parse_expr("sum_over_time(m[15s]) / count_over_time(m[15s])")
+
+    fused = q.eval(node)
+    assert fused is not None
+    plan = _executed(fused)
+    for join in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"):
+        assert join not in plan, f"fused window binop still joins: {join}"
+
+    # row parity with the general signature-join path
+    general = q._eval_binvec_frames(node, q.eval(node.left), q.eval(node.right))
+    key = lambda r: (r["labels_str"], r["_pq_t"])  # noqa: E731
+    f_rows = sorted(
+        [(r["labels_str"], r["_pq_t"], r["value"]) for r in fused.collect()]
+    )
+    g_rows = sorted(
+        [(r["labels_str"], r["_pq_t"], r["value"]) for r in general.collect()]
+    )
+    assert f_rows == g_rows
+
+    # a regex-name selector must keep the general path (collision safety)
+    rx = parse_expr(
+        'sum_over_time({__name__=~"m"}[15s])'
+        ' / count_over_time({__name__=~"m"}[15s])'
+    )
+    assert q._fused_window_binop(rx) is None

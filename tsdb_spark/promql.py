@@ -2045,8 +2045,173 @@ class RangeQuery:
         )
 
     def _eval_binvec(self, node: BinVector) -> DataFrame:
+        fused = self._fused_window_binop(node)
+        if fused is not None:
+            return fused
         left, right = self.eval(node.left), self.eval(node.right)
         return self._eval_binvec_frames(node, left, right)
+
+    def _fused_window_binop(self, node: BinVector) -> DataFrame | None:
+        """Fast path (r10): a binop between two window functions over the
+        IDENTICAL matrix selector — `sum_over_time(m[R]) /
+        count_over_time(m[R])`, `rate(m[R]) > increase(m[R])`, ... —
+        evaluates as ONE window chain whose groupBy computes both sides'
+        aggregates, instead of two full chains joined on the match
+        signature. Same rows out: both operands come from the same
+        (series, T) groups, both drop __name__ (last_over_time is
+        excluded), and default one-to-one matching on the name-stripped
+        label set is then row-identity — the join is provably 1:1 where
+        it is defined, and the duplicate-signature error the join's
+        unique-guard raises (two metric names collapsing onto one
+        stripped set) is preserved by the same guard here. Per side the
+        unfused plan paid a scan + repartition + dedup groupBy +
+        (optional lag window) + grid groupBy, then two more exchanges
+        for the signature join; the fused plan pays ONE of each and no
+        join. Returns None (fall through to the general path) unless
+        the exact preconditions hold."""
+        l, r = node.left, node.right
+        if (
+            node.on is not None
+            or node.ignoring is not None
+            or node.group_side is not None
+        ):
+            return None
+        agg = self._fused_window_agg([l, r])
+        if agg is None:
+            return None
+        rng = l.arg.range_ms
+        stripped = F.filter(
+            F.col("_ent"), lambda e: e.getField("key") != F.lit("__name__")
+        )
+        out = (
+            agg.select(
+                stripped.alias("_s"),
+                F.col(_G),
+                _window_value(l.fn, rng, F.col(_G), l.param).alias("_lv"),
+                _window_value(r.fn, rng, F.col(_G), r.param).alias("_rv"),
+            )
+            # each unfused side dropped its null windows before the join
+            .filter(F.col("_lv").isNotNull() & F.col("_rv").isNotNull())
+            .select(
+                L.labels_str_from_entries(F.col("_s")).alias("labels_str"),
+                F.map_from_entries("_s").alias("labels"),
+                F.col(_G),
+                "_lv",
+                "_rv",
+            )
+        )
+        out = _unique_guard(
+            out,
+            ["labels_str", _G],
+            "_lv",
+            "multiple matches for labels: many-to-one matching "
+            "must be explicit (group_left/group_right)",
+        )
+        a, b = F.col("_lv"), F.col("_rv")
+        if node.op in CMP_OPS:
+            cond = _cmp_col(node.op, a, b)
+            if node.cmp_bool:
+                return out.withColumn(
+                    "value", F.when(cond, 1.0).otherwise(0.0)
+                ).drop("_lv", "_rv")
+            return out.filter(cond).withColumn("value", a).drop("_lv", "_rv")
+        return out.withColumn("value", _arith_col(node.op, a, b)).drop(
+            "_lv", "_rv"
+        )
+
+    def _fused_window_agg(self, nodes: list) -> DataFrame | None:
+        """Shared fusion core: ONE window chain whose groupBy computes
+        the union of the nodes' aggregate lists, grouped by (_ent, _G).
+        None unless every node is a window FuncCall over the IDENTICAL
+        name-pinned matrix selector.
+
+        Preconditions, and why each makes fusion exact:
+        - all nodes drop __name__ (last_over_time excluded), so every
+          fused output row carries the same stripped label set each
+          separate evaluation would;
+        - the selectors are `==`-equal (same matchers/range/offset, no
+          @-pin), so each separate chain would group the exact same
+          (series, T) cells;
+        - the selector PINS __name__ with `=`: all matched series share
+          one metric name, two distinct series can never collapse onto
+          one stripped label set, so per-(labels_str, T) uniqueness —
+          and with it the join path's duplicate-signature behavior — is
+          structurally guaranteed rather than re-checked;
+        - _window_agg aliases are formula-stable across fns (a shared
+          base block plus per-family extras), so union-by-alias dedupes
+          the overlap; the aliases that can carry DIFFERENT formulas
+          per node (pct_c with two φ values, ts_of for max vs min) are
+          detected by rendered-expression mismatch → not fusable."""
+
+        def alias_of(c) -> str:
+            return str(c).rsplit(" AS ", 1)[-1].rstrip("'>`")
+
+        if not nodes or not all(
+            isinstance(n, FuncCall)
+            and isinstance(n.arg, Selector)
+            and n.fn != "last_over_time"
+            for n in nodes
+        ):
+            return None
+        sel = nodes[0].arg
+        if sel.at_ms is not None or any(n.arg != sel for n in nodes[1:]):
+            return None
+        if not any(
+            m.name == "__name__" and m.type == "=" for m in sel.matchers
+        ):
+            return None
+        rng = sel.range_ms
+        aggs: list = []
+        by_alias: dict[str, str] = {}
+        for n in nodes:
+            for c in _window_agg(n.fn, rng, n.param):
+                a2, s2 = alias_of(c), str(c)
+                if a2 not in by_alias:
+                    aggs.append(c)
+                    by_alias[a2] = s2
+                elif by_alias[a2] != s2:
+                    return None
+        base = self._base(sel.matchers, rng, sel.offset_ms)
+        if any(n.fn in _LAG_FNS for n in nodes):
+            base = _with_lag(base)
+        cells = _grid_explode(base, self.start, self.end, self.step, rng)
+        return cells.groupBy("_ent", _G).agg(*aggs)
+
+    def eval_windows(self, *named: tuple[str, str]) -> DataFrame:
+        """Evaluate N window functions over the SAME name-pinned matrix
+        selector as ONE fused chain: one scan, one exchange, one
+        groupBy carrying the union of the N aggregate lists. Output
+        (labels_str, labels, t, <name_i>...). Rows where ANY value is
+        null are dropped — exactly the set an inner join on
+        (labels_str, t) of the N separate evaluations keeps. Raises
+        when the expressions are not fusable (this is a curated entry
+        point, not a planner fallback)."""
+        names = [nm for nm, _ in named]
+        nodes = [parse_expr(e) for _, e in named]
+        agg = self._fused_window_agg(nodes)
+        if agg is None:
+            raise ValueError(
+                "eval_windows needs window fns over one identical "
+                f"name-pinned matrix selector, got {[e for _, e in named]}"
+            )
+        rng = nodes[0].arg.range_ms
+        stripped = F.filter(
+            F.col("_ent"), lambda e: e.getField("key") != F.lit("__name__")
+        )
+        vals = [
+            _window_value(n.fn, rng, F.col(_G), n.param).alias(nm)
+            for nm, n in zip(names, nodes)
+        ]
+        out = agg.select(stripped.alias("_s"), F.col(_G), *vals)
+        keep = F.lit(True)
+        for nm in names:
+            keep = keep & F.col(nm).isNotNull()
+        return out.filter(keep).select(
+            L.labels_str_from_entries(F.col("_s")).alias("labels_str"),
+            F.map_from_entries("_s").alias("labels"),
+            F.col(_G).alias("t"),
+            *names,
+        )
 
     def _eval_binvec_frames(
         self, node: BinVector, left: DataFrame, right: DataFrame

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from tsdb_spark.promql import eval_range
+from tsdb_spark.promql import RangeQuery, eval_range
 from tsdb_spark.queries import DAY, T0, _with_prelude, register
 from tsdb_spark.sources.events import events_samples
 
@@ -218,16 +218,15 @@ SELECT {_NONAME} AS labels_str, t, changes, resets FROM a""",
     "fact (whose pair partner precedes the window). Exact integers",
 )
 def promql_changes_resets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # both window fns over the identical selector: ONE fused chain
+    # (r10 eval_windows) instead of two chains + a signature join —
+    # same rows, proven by the unchanged oracle
     frame = events_samples(spark, sf_dir)
-    ch = eval_range(frame, "changes(click[3d])", T0 + 7 * DAY, T0 + 21 * DAY, DAY)
-    rs = eval_range(frame, "resets(click[3d])", T0 + 7 * DAY, T0 + 21 * DAY, DAY)
-    return (
-        ch.select("labels_str", "t", F.col("value").alias("changes"))
-        .join(
-            rs.select("labels_str", "t", F.col("value").alias("resets")),
-            ["labels_str", "t"],
-        )
-    )
+    q = RangeQuery(frame, T0 + 7 * DAY, T0 + 21 * DAY, DAY)
+    return q.eval_windows(
+        ("changes", "changes(click[3d])"),
+        ("resets", "resets(click[3d])"),
+    ).select("labels_str", "t", "changes", "resets")
 
 
 @register(
@@ -308,15 +307,20 @@ FROM s WHERE den != 0.0"""
     "regression sums are just four more combinable aggregates",
 )
 def promql_deriv_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # deriv and predict_linear share the exact regression aggregates:
+    # ONE fused chain (r10 eval_windows) computes both values, where
+    # two chains + a join each re-derived the same sums
     frame = events_samples(spark, sf_dir)
-    args = (T0 + 2 * DAY, T0 + 16 * DAY, DAY)
-    dv = eval_range(frame, "deriv(click[2d])", *args)
-    pl = eval_range(frame, "predict_linear(click[2d], 86400)", *args)
-    return dv.select(
-        "labels_str", "t", F.round("value", 9).alias("deriv")
-    ).join(
-        pl.select("labels_str", "t", F.round("value", 9).alias("predicted")),
-        ["labels_str", "t"],
+    q = RangeQuery(frame, T0 + 2 * DAY, T0 + 16 * DAY, DAY)
+    out = q.eval_windows(
+        ("deriv", "deriv(click[2d])"),
+        ("predicted", "predict_linear(click[2d], 86400)"),
+    )
+    return out.select(
+        "labels_str",
+        "t",
+        F.round("deriv", 9).alias("deriv"),
+        F.round("predicted", 9).alias("predicted"),
     )
 
 
@@ -348,21 +352,21 @@ FROM a"""
     "rounded to 9 decimals to absorb last-bit interpolation ordering",
 )
 def promql_stat_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # three window fns over the identical selector: ONE fused chain
+    # (r10 eval_windows) instead of three chains + two signature joins
     frame = events_samples(spark, sf_dir)
-    args = (T0 + 2 * DAY, T0 + 16 * DAY, DAY)
-    sv = eval_range(frame, "stdvar_over_time(view[2d])", *args)
-    sd = eval_range(frame, "stddev_over_time(view[2d])", *args)
-    qt = eval_range(frame, "quantile_over_time(0.9, view[2d])", *args)
-    return (
-        sv.select("labels_str", "t", F.round("value", 9).alias("stdvar"))
-        .join(
-            sd.select("labels_str", "t", F.round("value", 9).alias("stddev")),
-            ["labels_str", "t"],
-        )
-        .join(
-            qt.select("labels_str", "t", F.round("value", 9).alias("p90")),
-            ["labels_str", "t"],
-        )
+    q = RangeQuery(frame, T0 + 2 * DAY, T0 + 16 * DAY, DAY)
+    out = q.eval_windows(
+        ("stdvar", "stdvar_over_time(view[2d])"),
+        ("stddev", "stddev_over_time(view[2d])"),
+        ("p90", "quantile_over_time(0.9, view[2d])"),
+    )
+    return out.select(
+        "labels_str",
+        "t",
+        F.round("stdvar", 9).alias("stdvar"),
+        F.round("stddev", 9).alias("stddev"),
+        F.round("p90", 9).alias("p90"),
     )
 
 
