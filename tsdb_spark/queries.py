@@ -3502,10 +3502,24 @@ GATE: tuple[str, ...] = (
     # agree under the driver too), store_federated, emb_ivf_persisted,
     # and the r10-new promql_native_hist_binop (h+h/h-h/h*s histogram
     # arithmetic with schema downscale — engine.go VectorBinop).
-    "promql_alert_rule",
-    "promql_alert_keep_firing",
+    # r11 rotation (per the r10 verdict's explicit ask, item 3): the
+    # r10 fused-window evaluation path (_fused_window_binop /
+    # eval_windows, promql.py) was the riskiest rewrite of that round
+    # and none of its entries was driver-gated. IN: promql_topk_ratio
+    # (fused same-selector binop under topk), promql_stat_windows
+    # (3-fn eval_windows chain: stdvar/stddev/quantile), and
+    # promql_changes_resets (changes+resets fused pair). OUT (all
+    # driver-green 2+ consecutive rounds, all staying selfcheck- and
+    # pytest-verified): promql_alert_rule (green r6-r10, state machine
+    # pinned by tests/test_rules.py), promql_alert_keep_firing (green
+    # r9-r10, same suite), promql_native_hist_rate (green r7-r10,
+    # pinned by tests/test_nativehist.py; the native-hist family keeps
+    # driver coverage via promql_native_hist_binop + store_native_hist
+    # + store_nhcb_quantile + stream_hist_ingest).
+    "promql_topk_ratio",
+    "promql_stat_windows",
+    "promql_changes_resets",
     "promql_classic_nhcb_convert",
-    "promql_native_hist_rate",
     "promql_native_hist_binop",
     "api_federate_dedup",
     # -- store lifecycle --
