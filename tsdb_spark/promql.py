@@ -1235,12 +1235,21 @@ def _grid_explode(
     k_lo = F.greatest(F.lit(0).cast("long"), _fdiv(F.col("t") - start + step - 1, step))
     k_hi = F.least(F.lit(kmax).cast("long"), _fdiv(F.col("t") + reach - 1 - start, step))
     # a sample whose reach touches no grid point yields k_lo > k_hi —
-    # guard with NULL (explode drops it); a bare sequence would count DOWN
-    seq = F.when(k_lo <= k_hi, F.sequence(k_lo, k_hi))
+    # guard with NULL (explode drops it); a bare sequence would count DOWN.
+    # k_lo/k_hi are projected once (each is referenced twice by the
+    # guard+sequence, and the Generate operator re-evaluates its input
+    # expression per row — attribute references keep the bound math one
+    # evaluation per SAMPLE and the Generate node small, r11 plan-size
+    # pass)
+    seq = F.when(
+        F.col("_klo") <= F.col("_khi"),
+        F.sequence(F.col("_klo"), F.col("_khi")),
+    )
     return (
-        df.withColumn("_k", F.explode(seq))
+        df.select("*", k_lo.alias("_klo"), k_hi.alias("_khi"))
+        .withColumn("_k", F.explode(seq))
         .withColumn(_G, (F.lit(start) + F.col("_k") * step).cast("long"))
-        .drop("_k")
+        .drop("_k", "_klo", "_khi")
     )
 
 
@@ -1421,17 +1430,86 @@ def _window_agg(fn: str, range_ms: int, param: float | None = None):
     return base
 
 
-def _window_value(
+def _window_defined(
     fn: str, range_ms: int, grid_t: Column, param: float | None = None
-) -> Column:
+) -> Column | None:
+    """Cheap predicate provably equivalent to
+    `value IS NOT NULL` over the window-aggregate columns; None means
+    the value is never null (no filter needed).
+
+    Replacing the generic `value IS NOT NULL` filter with this matters
+    for plan size (VERDICT r10 #8): predicate pushdown substitutes a
+    filter condition through the value projection, so filtering on the
+    value column re-inlines the full (multi-KB, for rate) value tree
+    into the Filter node. Filtering on the equivalent aggregate-column
+    predicate BEFORE the value projection keeps the Filter node tiny
+    and lets the staged value projection (_window_stages) keep the rest
+    of the plan proportional to the formula, not the inlined tree.
+
+    Proof sketch per family (each case mirrors _window_stages):
+    - rate/increase/delta: value = when(n>=2, <non-null>): both the
+      exact and IEEE extrapolation branches are arithmetic over
+      non-null inputs; n>=2 on (series,t)-deduped rows means 2 distinct
+      t so sampled>0, and the only internal division that can null out
+      (zero_cross with delta=0 under Spark's null-on-zero-divide) is
+      guarded by a when() whose null/false condition falls through to
+      dstart.
+    - holt (double exponential smoothing): when(n>=2, fold) — the fold
+      over decoded doubles is non-null (NaN/±Inf are values, not null).
+    - deriv/predict_linear: null unless (n>=2) AND (non-finite census
+      OR den != 0) — den re-stated here on the raw sums (small).
+    - irate/idelta: null iff the window has no adjacent pair ending
+      inside it: last_pt null or <= T - range.
+    - everything else (count/present/last/ts_of*/sum/avg/min/max/
+      quantile/mad/stddev/stdvar/changes/resets): value expressions
+      exhaust their branches with non-null results over non-empty
+      groups → never null → None."""
+    n = F.col("n")
+    if fn in ("rate", "increase", "delta") or fn in _HOLT_FNS:
+        return n >= 2
+    if fn in _REGRESSION_FNS:
+        nonfin = (F.col("n_nan") + F.col("n_pinf") + F.col("n_ninf")) > 0
+        den = (
+            n.cast("decimal(38,0)") * F.col("sxx")
+            - F.col("sx").cast("decimal(38,0)") * F.col("sx")
+        ).cast("double")
+        return (n >= 2) & (nonfin | (den != 0.0))
+    if fn in ("irate", "idelta"):
+        return F.col("last_pt").isNotNull() & (
+            F.col("last_pt") > grid_t - range_ms
+        )
+    return None
+
+
+def _window_stages(
+    fn: str,
+    range_ms: int,
+    grid_t: Column,
+    param: float | None = None,
+    tag: str = "_wv",
+) -> tuple:
     """Final per-(series, T) double value from the window aggregates —
     deterministic scalar math over order-independent integer columns.
+
+    Returns (levels, value): `levels` is a list of {name: Column}
+    projection stages (each may reference earlier levels' names, all
+    prefixed with `tag`) and `value` the final expression over them.
+    Projecting the shared subexpressions as real columns keeps every
+    repeated subtree a single attribute reference: the analyzed/
+    optimized plan — and with it Catalyst analysis time, the measured
+    fixed cost under every promql entry (VERDICT r10 #8) — stays
+    proportional to the formula, not to the inlined tree. Catalyst's
+    CollapseProject will not re-inline a non-cheap alias referenced
+    more than once, so the factoring survives optimization. The float
+    op ORDER inside every expression is unchanged from the pre-r11
+    inline form — results stay bit-identical.
 
     All-finite windows take the exact centi-unit path (bit-stable vs the
     DuckDB oracle). Windows containing NaN/±Inf sentinels take an IEEE
     branch reproducing promql/functions.go float semantics: sum/avg
     propagate NaN (and +Inf with -Inf cancels to NaN); min/max skip NaN
     unless the whole window is NaN; stddev/stdvar/mad/deriv go NaN."""
+    T = lambda s: f"{tag}{s}"  # noqa: E731
     n = F.col("n")
     first_t, last_t = F.col("first_t"), F.col("last_t")
     first_c, last_c = F.col("first_c"), F.col("last_c")
@@ -1447,30 +1525,30 @@ def _window_value(
         .otherwise(NINF)
     )
     if fn == "count_over_time":
-        return n.cast("double")  # counts every sample, NaN included
+        return [], n.cast("double")  # counts every sample, NaN included
     if fn == "present_over_time":
-        return F.lit(1.0)
+        return [], F.lit(1.0)
     if fn == "last_over_time":
-        return _vc_decode(last_c)
+        return [], _vc_decode(last_c)
     if fn == "ts_of_last_over_time":
-        return last_t / 1000.0  # unix seconds, like timestamp()
+        return [], last_t / 1000.0  # unix seconds, like timestamp()
     if fn in ("ts_of_max_over_time", "ts_of_min_over_time"):
-        return F.col("ts_of") / 1000.0
+        return [], F.col("ts_of") / 1000.0
     if fn == "sum_over_time":
-        return F.when(nonfin, ieee_sum).otherwise(F.col("sum_c") / 100.0)
+        return [], F.when(nonfin, ieee_sum).otherwise(F.col("sum_c") / 100.0)
     if fn == "avg_over_time":
         # the incremental mean propagates like the sum: NaN → NaN,
         # conflicting infinities → NaN, one-signed infinity dominates
-        return F.when(nonfin, ieee_sum).otherwise(F.col("sum_c") / n / 100.0)
+        return [], F.when(nonfin, ieee_sum).otherwise(F.col("sum_c") / n / 100.0)
     if fn == "min_over_time":
-        return (
+        return [], (
             F.when(n_ninf > 0, NINF)
             .when(F.col("min_c").isNotNull(), F.col("min_c") / 100.0)
             .when(n_pinf > 0, PINF)
             .otherwise(NAN)  # all-NaN window
         )
     if fn == "max_over_time":
-        return (
+        return [], (
             F.when(n_pinf > 0, PINF)
             .when(F.col("max_c").isNotNull(), F.col("max_c") / 100.0)
             .when(n_ninf > 0, NINF)
@@ -1492,37 +1570,58 @@ def _window_value(
         # (each with an InvalidQuantileWarning annotation) — returned
         # for every non-empty window, no data math involved
         if phi != phi:
-            return NAN
+            return [], NAN
         if phi < 0:
-            return NINF
+            return [], NINF
         if phi > 1:
-            return PINF
-        rank = (n - 1).cast("double") * F.lit(float(phi))
-        lo = F.floor(rank).cast("int")
-        frac = rank - lo.cast("double")
-
+            return [], PINF
         def _qdec(c: Column) -> Column:
             return F.when(c == _VC_QNAN, NAN).otherwise(_vc_decode(c))
 
-        lo_v = _qdec(F.get("q_vals", lo))
-        hi_v = _qdec(F.get("q_vals", lo + 1))
+        levels = [
+            {T("qr"): (n - 1).cast("double") * F.lit(float(phi))},
+            {T("qlo"): F.floor(F.col(T("qr"))).cast("int")},
+            {
+                T("qfr"): F.col(T("qr")) - F.col(T("qlo")).cast("double"),
+                T("qlv"): _qdec(F.get("q_vals", F.col(T("qlo")))),
+                T("qhv"): _qdec(F.get("q_vals", F.col(T("qlo")) + 1)),
+            },
+        ]
+        frac, lo_v, hi_v = F.col(T("qfr")), F.col(T("qlv")), F.col(T("qhv"))
         interp = F.when(frac == 0, lo_v).otherwise(
             lo_v * (F.lit(1.0) - frac) + hi_v * frac
         )
-        return F.when(nonfin, interp).otherwise(F.col("pct_c") / 100.0)
+        return levels, F.when(nonfin, interp).otherwise(F.col("pct_c") / 100.0)
     if fn == "mad_over_time":
         med = F.col("med_c")
-        devs = F.array_sort(
-            F.transform(F.col("vals_c"), lambda c: F.abs(c.cast("double") - med))
-        )
         # percentile(·, 0.5) rank rule on the deviation array:
         # rank = (n−1)/2, linear interpolation between neighbors
-        rank = (n - 1).cast("double") / 2.0
-        lo = F.floor(rank).cast("int")
-        lo_v = F.element_at(devs, lo + 1)
-        hi_v = F.element_at(devs, lo + 2)
-        frac = rank - lo.cast("double")
-        return F.when(nonfin, NAN).otherwise(
+        levels = [
+            {
+                T("mdv"): F.array_sort(
+                    F.transform(
+                        F.col("vals_c"),
+                        lambda c: F.abs(c.cast("double") - med),
+                    )
+                ),
+                T("mr"): (n - 1).cast("double") / 2.0,
+            },
+            {T("mlo"): F.floor(F.col(T("mr"))).cast("int")},
+            {
+                T("mfr"): F.col(T("mr")) - F.col(T("mlo")).cast("double"),
+                T("mlv"): F.element_at(F.col(T("mdv")), F.col(T("mlo")) + 1),
+                # guarded: the inline form only reached lo+2 under
+                # frac != 0 (CASE short-circuit); as an eager projected
+                # column the single-sample window (lo+2 == n+1) must
+                # stay un-evaluated or element_at throws OOB
+                T("mhv"): F.when(
+                    F.col(T("mr")) != F.col(T("mlo")).cast("double"),
+                    F.element_at(F.col(T("mdv")), F.col(T("mlo")) + 2),
+                ),
+            },
+        ]
+        frac, lo_v, hi_v = F.col(T("mfr")), F.col(T("mlv")), F.col(T("mhv"))
+        return levels, F.when(nonfin, NAN).otherwise(
             F.when(frac == 0, lo_v).otherwise(lo_v + (hi_v - lo_v) * frac)
             / 100.0
         )
@@ -1548,7 +1647,7 @@ def _window_value(
             )
 
         sb = F.aggregate(rest, F.array(v1, v2 - v1), _hw_step)
-        return F.when(n >= 2, F.element_at(sb, 1))
+        return [], F.when(n >= 2, F.element_at(sb, 1))
     if fn in ("stddev_over_time", "stdvar_over_time"):
         # population variance over centi-units: (n·Σc² − (Σc)²) / n / n,
         # then /1e4 to de-scale — written in the exact op order the
@@ -1562,16 +1661,21 @@ def _window_value(
         # any non-finite sample → NaN (the Welford recurrence upstream
         # degenerates to NaN via Inf−Inf / NaN arithmetic)
         var = F.when(nonfin, NAN).otherwise(var)
-        return F.sqrt(var) if fn == "stddev_over_time" else var
+        return [], (F.sqrt(var) if fn == "stddev_over_time" else var)
     if fn in _REGRESSION_FNS:
-        num = (
-            n.cast("decimal(38,0)") * F.col("sxy")
-            - F.col("sx").cast("decimal(38,0)") * F.col("sy")
-        ).cast("double")
-        den = (
-            n.cast("decimal(38,0)") * F.col("sxx")
-            - F.col("sx").cast("decimal(38,0)") * F.col("sx")
-        ).cast("double")
+        levels = [
+            {
+                T("rnum"): (
+                    n.cast("decimal(38,0)") * F.col("sxy")
+                    - F.col("sx").cast("decimal(38,0)") * F.col("sy")
+                ).cast("double"),
+                T("rden"): (
+                    n.cast("decimal(38,0)") * F.col("sxx")
+                    - F.col("sx").cast("decimal(38,0)") * F.col("sx")
+                ).cast("double"),
+            }
+        ]
+        num, den = F.col(T("rnum")), F.col(T("rden"))
         if fn == "deriv":
             # slope in units/second = centi/ms · 1000 / 100
             val = num / den * 1000.0 / 100.0
@@ -1582,18 +1686,23 @@ def _window_value(
             val = mean_y + num / den / 100.0 * (xstar - mean_x)
         # float least-squares over any non-finite sample is NaN upstream
         # (Inf/NaN sums make both covariances NaN)
-        return F.when((n >= 2) & nonfin, NAN).when((n >= 2) & (den != 0.0), val)
+        return levels, F.when((n >= 2) & nonfin, NAN).when(
+            (n >= 2) & (den != 0.0), val
+        )
     if fn == "resets":
-        return (F.col("reset_n") - F.col("first_reset")).cast("double")
+        return [], (F.col("reset_n") - F.col("first_reset")).cast("double")
     if fn == "changes":
-        return (F.col("chg_sum") - F.col("first_chg")).cast("double")
+        return [], (F.col("chg_sum") - F.col("first_chg")).cast("double")
     if fn == "idelta":
         lpvc = F.col("last_pvc")
         pair_fin = (F.abs(last_c) < _VC_FIN_LIM) & (F.abs(lpvc) < _VC_FIN_LIM)
-        return F.when(
+        levels = [
+            {T("ld"): _vc_decode(last_c), T("pd"): _vc_decode(lpvc)}
+        ]
+        return levels, F.when(
             F.col("last_pt").isNotNull() & (F.col("last_pt") > grid_t - range_ms),
             F.when(pair_fin, (last_c - lpvc) / 100.0).otherwise(
-                _vc_decode(last_c) - _vc_decode(lpvc)
+                F.col(T("ld")) - F.col(T("pd"))
             ),
         )
     if fn == "irate":
@@ -1602,60 +1711,135 @@ def _window_value(
         # NaN case lands on a decoded-NaN result exactly like upstream
         lpvc = F.col("last_pvc")
         pair_fin = (F.abs(last_c) < _VC_FIN_LIM) & (F.abs(lpvc) < _VC_FIN_LIM)
+        levels = [
+            {T("ld"): _vc_decode(last_c), T("pd"): _vc_decode(lpvc)}
+        ]
         num = F.when(
             last_c >= lpvc,
             F.when(pair_fin, (last_c - lpvc) / 100.0).otherwise(
-                _vc_decode(last_c) - _vc_decode(lpvc)
+                F.col(T("ld")) - F.col(T("pd"))
             ),
-        ).otherwise(_vc_decode(last_c))
-        return F.when(
+        ).otherwise(F.col(T("ld")))
+        return levels, F.when(
             F.col("last_pt").isNotNull() & (F.col("last_pt") > grid_t - range_ms),
             num / ((last_t - F.col("last_pt")) / 1000.0),
         )
     # rate / increase / delta share the extrapolation skeleton
-    # (promql/functions.go extrapolatedRate): needs >= 2 samples
+    # (promql/functions.go extrapolatedRate): needs >= 2 samples.
+    # Both the exact (centi-integer delta, suffix E) and IEEE (decoded
+    # double delta, suffix I) branches are staged level by level; every
+    # expression keeps the pre-r11 inline float op order.
     counter = fn in ("rate", "increase")
-    sampled = (last_t - first_t).cast("double")
-    dstart = (first_t - (grid_t - range_ms)).cast("double")
-    dend = (grid_t - last_t).cast("double")
-    avg_dur = sampled / (n - 1).cast("double")
-
-    def _ext(delta_d: Column, first_d: Column, scale: float) -> Column:
-        """Extrapolation skeleton over a double delta/first (both in the
-        same scale; `scale` de-scales the result to units)."""
-        # counters cannot extrapolate below their projected zero crossing
-        zero_cross = sampled * (first_d / delta_d)
-        dstart2 = (
-            F.when(
-                (delta_d > 0) & (first_d >= 0) & (zero_cross < dstart), zero_cross
-            ).otherwise(dstart)
-            if counter
-            else dstart
-        )
-        factor = (
-            sampled
-            + F.when(dstart2 < avg_dur * 1.1, dstart2).otherwise(avg_dur / 2)
-            + F.when(dend < avg_dur * 1.1, dend).otherwise(avg_dur / 2)
-        ) / sampled
-        ext = delta_d * factor / scale
-        if fn == "rate":
-            ext = ext / (range_ms / 1000.0)
-        return ext
-
-    # exact branch: integer centi delta, de-scaled once at the end
+    # exact branch: integer centi delta, de-scaled once at the end;
+    # non-finite branch: decoded IEEE doubles (NaN first/last → NaN;
+    # ±Inf flows through delta and the drop corrections like upstream)
     delta_c = (
         (last_c - first_c + F.col("drop_sum") - F.col("first_drop"))
         if counter
         else (last_c - first_c)
     )
-    exact = _ext(delta_c.cast("double"), first_c.cast("double"), 100.0)
-    # non-finite branch: decoded IEEE doubles (NaN first/last → NaN;
-    # ±Inf flows through delta and the drop corrections like upstream)
     delta_d = _vc_decode(last_c) - _vc_decode(first_c)
     if counter:
         delta_d = delta_d + F.col("drop_sum_d") - F.col("first_drop_d")
-    ieee = _ext(delta_d, _vc_decode(first_c), 1.0)
-    return F.when(n >= 2, F.when(nonfin, ieee).otherwise(exact))
+    levels = [
+        {
+            T("s"): (last_t - first_t).cast("double"),
+            T("ds"): (first_t - (grid_t - range_ms)).cast("double"),
+            T("dn"): (grid_t - last_t).cast("double"),
+            T("dE"): delta_c.cast("double"),
+            T("fE"): first_c.cast("double"),
+            T("dI"): delta_d,
+            T("fI"): _vc_decode(first_c),
+        },
+        # ad guarded on n>=2: the inline form only evaluated avg_dur
+        # under when(n>=2, ...) CASE short-circuit; as eager columns
+        # (reachable with n=1 rows via the fused-set path) ANSI mode
+        # would throw DIVIDE_BY_ZERO on s/(n-1). Null propagates to a
+        # null factor and a null value — exactly the inline result.
+        {
+            T("ad"): F.when(
+                n >= 2, F.col(T("s")) / (n - 1).cast("double")
+            )
+        },
+    ]
+    sampled, dstart, dend = F.col(T("s")), F.col(T("ds")), F.col(T("dn"))
+    avg_dur = F.col(T("ad"))
+    if counter:
+        # counters cannot extrapolate below their projected zero crossing
+        # zero_cross guarded on delta>0: the inline form evaluated it
+        # behind the short-circuiting (delta>0) conjunct; eager + ANSI
+        # would throw on flat windows (delta == 0). delta>0 is exactly
+        # the branch that consumes it, so null changes nothing.
+        levels[1].update(
+            {
+                T("zE"): F.when(
+                    F.col(T("dE")) > 0,
+                    sampled * (F.col(T("fE")) / F.col(T("dE"))),
+                ),
+                T("zI"): F.when(
+                    F.col(T("dI")) > 0,
+                    sampled * (F.col(T("fI")) / F.col(T("dI"))),
+                ),
+            }
+        )
+        levels.append(
+            {
+                T("d2" + sfx): F.when(
+                    (F.col(T("d" + sfx)) > 0)
+                    & (F.col(T("f" + sfx)) >= 0)
+                    & (F.col(T("z" + sfx)) < dstart),
+                    F.col(T("z" + sfx)),
+                ).otherwise(dstart)
+                for sfx in ("E", "I")
+            }
+        )
+    levels.append(
+        {
+            T("fc" + sfx): (
+                sampled
+                + F.when(d2 < avg_dur * 1.1, d2).otherwise(avg_dur / 2)
+                + F.when(dend < avg_dur * 1.1, dend).otherwise(avg_dur / 2)
+            )
+            / sampled
+            for sfx, d2 in (
+                ("E", F.col(T("d2E")) if counter else dstart),
+                ("I", F.col(T("d2I")) if counter else dstart),
+            )
+        }
+    )
+
+    def _ext(sfx: str, scale: float) -> Column:
+        ext = F.col(T("d" + sfx)) * F.col(T("fc" + sfx)) / scale
+        if fn == "rate":
+            ext = ext / (range_ms / 1000.0)
+        return ext
+
+    exact, ieee = _ext("E", 100.0), _ext("I", 1.0)
+    return levels, F.when(n >= 2, F.when(nonfin, ieee).otherwise(exact))
+
+
+def _attach_window_values(df: DataFrame, specs) -> DataFrame:
+    """Project staged window values onto an aggregated window frame.
+
+    specs: iterable of (alias, fn, range_ms, grid_t, param). Applies
+    the union of every spec's intermediate levels (names are prefixed
+    per alias, so several values ride one frame — the fused paths),
+    then one final projection computing all values, then drops the
+    intermediates. See _window_stages for why the staging exists."""
+    merged: list[dict] = []
+    finals = []
+    for alias, fn, rng, gt, param in specs:
+        levels, val = _window_stages(fn, rng, gt, param, tag=f"_wv{alias}")
+        for i, lvl in enumerate(levels):
+            if i >= len(merged):
+                merged.append({})
+            merged[i].update(lvl)
+        finals.append(val.alias(alias))
+    for lvl in merged:
+        df = df.select("*", *[c.alias(nm) for nm, c in lvl.items()])
+    df = df.select("*", *finals)
+    drop = [nm for lvl in merged for nm in lvl]
+    return df.drop(*drop) if drop else df
 
 
 def _arith_col(op: str, a: Column, b: Column) -> Column:
@@ -2083,18 +2267,24 @@ class RangeQuery:
         stripped = F.filter(
             F.col("_ent"), lambda e: e.getField("key") != F.lit("__name__")
         )
+        # each unfused side dropped its null windows before the join —
+        # the AND of the two cheap defined predicates is that same row
+        # set (see _window_defined)
+        for node_ in (l, r):
+            d = _window_defined(node_.fn, rng, F.col(_G), node_.param)
+            if d is not None:
+                agg = agg.filter(d)
         out = (
-            agg.select(
-                stripped.alias("_s"),
-                F.col(_G),
-                _window_value(l.fn, rng, F.col(_G), l.param).alias("_lv"),
-                _window_value(r.fn, rng, F.col(_G), r.param).alias("_rv"),
+            _attach_window_values(
+                agg,
+                [
+                    ("_lv", l.fn, rng, F.col(_G), l.param),
+                    ("_rv", r.fn, rng, F.col(_G), r.param),
+                ],
             )
-            # each unfused side dropped its null windows before the join
-            .filter(F.col("_lv").isNotNull() & F.col("_rv").isNotNull())
             .select(
-                L.labels_str_from_entries(F.col("_s")).alias("labels_str"),
-                F.map_from_entries("_s").alias("labels"),
+                L.labels_str_from_entries(stripped).alias("labels_str"),
+                F.map_from_entries(stripped).alias("labels"),
                 F.col(_G),
                 "_lv",
                 "_rv",
@@ -2198,17 +2388,23 @@ class RangeQuery:
         stripped = F.filter(
             F.col("_ent"), lambda e: e.getField("key") != F.lit("__name__")
         )
-        vals = [
-            _window_value(n.fn, rng, F.col(_G), n.param).alias(nm)
-            for nm, n in zip(names, nodes)
-        ]
-        out = agg.select(stripped.alias("_s"), F.col(_G), *vals)
-        keep = F.lit(True)
-        for nm in names:
-            keep = keep & F.col(nm).isNotNull()
-        return out.filter(keep).select(
-            L.labels_str_from_entries(F.col("_s")).alias("labels_str"),
-            F.map_from_entries("_s").alias("labels"),
+        # rows where ANY value is null are dropped — the AND of the
+        # cheap defined predicates (see _window_defined), applied
+        # before the value projection to keep the Filter node small
+        for n_ in nodes:
+            d = _window_defined(n_.fn, rng, F.col(_G), n_.param)
+            if d is not None:
+                agg = agg.filter(d)
+        out = _attach_window_values(
+            agg,
+            [
+                (nm, n_.fn, rng, F.col(_G), n_.param)
+                for nm, n_ in zip(names, nodes)
+            ],
+        )
+        return out.select(
+            L.labels_str_from_entries(stripped).alias("labels_str"),
+            F.map_from_entries(stripped).alias("labels"),
             F.col(_G).alias("t"),
             *names,
         )
@@ -2437,7 +2633,196 @@ class RangeQuery:
             "_lv", "_rv"
         )
 
+    def _fused_set_windows(self, node: BinSet) -> DataFrame | None:
+        """Fast path (r11, VERDICT r10 #9): a set op between
+        (optionally comparison-filtered) window functions over
+        selectors that differ ONLY in their =-pinned __name__ value —
+        promql_cmp_unless's `sum_over_time(click[2d]) > 60 unless on
+        (user) (max_over_time(view[2d]) > 200)` — evaluates as ONE
+        window chain over the union of both metrics' series, instead
+        of one full chain per metric plus a distinct + semi/anti join.
+        The set-op match becomes an existence flag computed by a
+        window function over (signature, T) partitions of the already-
+        aggregated frame (series × grid points — tiny next to the
+        sample scan). Removed outright (guide §2.4): the second scan,
+        the second repartition exchange, the second dedup+grid groupBy
+        pair, and the join's two exchanges + distinct.
+
+        Exactness:
+        - set ops match on signature SETS and allow many-to-many
+          (engine.go VectorAnd/VectorUnless/VectorOr) — the flag is
+          that same set-membership test; no uniqueness guard is
+          involved on either path;
+        - both sides' window fns drop __name__ (last_over_time is
+          excluded) and the comparison filter keeps elements untouched
+          (bool modifier excluded), so each side's row set and label
+          sets are exactly what its separate evaluation yields;
+        - every series carries exactly one __name__ value, so each
+          aggregated row belongs to one side (both when the names are
+          equal — which is also what two separate evaluations of the
+          identical selector would produce);
+        - rows are pre-filtered by each side's cheap defined-predicate
+          + comparison, i.e. exactly the rows present in the unfused
+          side vectors, so the flag ranges over the same element set.
+        """
+        if node.op not in ("and", "unless", "or"):
+            return None
+        if node.on is not None and "__name__" in node.on:
+            return None  # stripped sides carry no name to match on
+
+        def unwrap(side):
+            if (
+                isinstance(side, BinScalar)
+                and side.op in CMP_OPS
+                and not side.cmp_bool
+            ):
+                return side.child, side
+            return side, None
+
+        lnode, lcmp = unwrap(node.left)
+        rnode, rcmp = unwrap(node.right)
+        for fc in (lnode, rnode):
+            if not (
+                isinstance(fc, FuncCall)
+                and isinstance(fc.arg, Selector)
+                and fc.fn != "last_over_time"
+            ):
+                return None
+        sl, sr = lnode.arg, rnode.arg
+        if sl.at_ms is not None or sr.at_ms is not None:
+            return None
+        if sl.range_ms != sr.range_ms or sl.offset_ms != sr.offset_ms:
+            return None
+
+        def split_name(sel):
+            names = [
+                m for m in sel.matchers if m.name == "__name__"
+            ]
+            if len(names) != 1 or names[0].type != "=":
+                return None, None
+            return names[0].value, [
+                m for m in sel.matchers if m.name != "__name__"
+            ]
+
+        nl, others_l = split_name(sl)
+        nr, others_r = split_name(sr)
+        if nl is None or nr is None or others_l != others_r:
+            return None
+        rng = sl.range_ms
+        # union of the two fns' aggregate lists, alias-deduped with the
+        # same different-formula collision check as _fused_window_agg
+        aggs: list = []
+        by_alias: dict[str, str] = {}
+        for fc in (lnode, rnode):
+            for c in _window_agg(fc.fn, rng, fc.param):
+                a2 = str(c).rsplit(" AS ", 1)[-1].rstrip("'>`")
+                s2 = str(c)
+                if a2 not in by_alias:
+                    aggs.append(c)
+                    by_alias[a2] = s2
+                elif by_alias[a2] != s2:
+                    return None
+
+        try:
+            if nl == nr:
+                name_ms = [L.Matcher("=", "__name__", nl)]
+            else:
+                name_ms = [
+                    L.Matcher(
+                        "=~", "__name__", f"{re.escape(nl)}|{re.escape(nr)}"
+                    )
+                ]
+        except ValueError:
+            return None  # escaped name outside the checked regex subset
+        base = self._base(others_l + name_ms, rng, sl.offset_ms)
+        if lnode.fn in _LAG_FNS or rnode.fn in _LAG_FNS:
+            base = _with_lag(base)
+        cells = _grid_explode(base, self.start, self.end, self.step, rng)
+        agg = cells.groupBy("_ent", _G).agg(*aggs)
+
+        def side_ok(name, fc):
+            ok = F.array_contains(
+                F.col("_ent"),
+                F.struct(
+                    F.lit("__name__").alias("key"), F.lit(name).alias("value")
+                ),
+            )
+            d = _window_defined(fc.fn, rng, F.col(_G), fc.param)
+            if d is not None:
+                ok = ok & d
+            return ok
+
+        def cmp_cond(cmp_, vcol):
+            if cmp_ is None:
+                return None
+            v, s = F.col(vcol), F.lit(cmp_.scalar)
+            a, b = (s, v) if cmp_.scalar_left else (v, s)
+            return _cmp_col(cmp_.op, a, b)
+
+        l_pre = side_ok(nl, lnode)
+        r_pre = side_ok(nr, rnode)
+        agg = agg.filter(l_pre | r_pre)
+        out = _attach_window_values(
+            agg,
+            [
+                ("_lv", lnode.fn, rng, F.col(_G), lnode.param),
+                ("_rv", rnode.fn, rng, F.col(_G), rnode.param),
+            ],
+        )
+        l_ok, r_ok = l_pre, r_pre
+        lc, rc = cmp_cond(lcmp, "_lv"), cmp_cond(rcmp, "_rv")
+        if lc is not None:
+            l_ok = l_ok & lc
+        if rc is not None:
+            r_ok = r_ok & rc
+        out = out.select(
+            "*", l_ok.alias("_lok"), r_ok.alias("_rok")
+        ).filter(F.col("_lok") | F.col("_rok"))
+
+        from pyspark.sql import Window as _W
+
+        if node.on is not None:
+            onl = F.array(*[F.lit(k) for k in node.on])
+            key = F.filter(
+                F.col("_ent"),
+                lambda e: F.array_contains(onl, e.getField("key")),
+            )
+        else:
+            dropl = F.array(
+                F.lit("__name__"),
+                *[F.lit(k) for k in (node.ignoring or [])],
+            )
+            key = F.filter(
+                F.col("_ent"),
+                lambda e: ~F.array_contains(dropl, e.getField("key")),
+            )
+        out = out.withColumn("_sig", key)
+        w = _W.partitionBy("_sig", _G)
+        if node.op == "or":
+            flag = F.max(F.when(F.col("_lok"), 1).otherwise(0)).over(w)
+            out = out.withColumn("_flag", flag)
+            keep = F.col("_lok") | (F.col("_rok") & (F.col("_flag") == 0))
+            value = F.when(F.col("_lok"), F.col("_lv")).otherwise(F.col("_rv"))
+        else:
+            flag = F.max(F.when(F.col("_rok"), 1).otherwise(0)).over(w)
+            out = out.withColumn("_flag", flag)
+            want = 1 if node.op == "and" else 0
+            keep = F.col("_lok") & (F.col("_flag") == want)
+            value = F.col("_lv")
+        stripped = F.filter(
+            F.col("_ent"), lambda e: e.getField("key") != F.lit("__name__")
+        )
+        return out.filter(keep).select(
+            L.labels_str_from_entries(stripped).alias("labels_str"),
+            F.map_from_entries(stripped).alias("labels"),
+            F.col(_G),
+            value.alias("value"),
+        )
+
     def _eval_binset(self, node: BinSet) -> DataFrame:
+        fused = self._fused_set_windows(node)
+        if fused is not None:
+            return fused
         left, right = self.eval(node.left), self.eval(node.right)
 
         def _ensure_labels(df: DataFrame) -> DataFrame:
@@ -2550,15 +2935,21 @@ class RangeQuery:
         agg = cells.groupBy("_ent", _G).agg(
             *_window_agg(fn, rng, param),
         )
-        out = (
-            agg.withColumn(
-                "labels_str", L.labels_str_from_entries(F.col("_ent"))
-            )
-            .withColumn("labels", F.map_from_entries("_ent"))
-            .withColumn("value", _window_value(fn, rng, F.col(_G), param))
+        # empty-value rows are dropped via the fn's cheap defined
+        # predicate BEFORE the value projection — filtering on the
+        # value column would push the full value tree into the Filter
+        # node (see _window_defined)
+        defined = _window_defined(fn, rng, F.col(_G), param)
+        if defined is not None:
+            agg = agg.filter(defined)
+        out = _attach_window_values(
+            agg, [("value", fn, rng, F.col(_G), param)]
         )
-        return out.filter(F.col("value").isNotNull()).select(
-            "labels_str", "labels", _G, "value"
+        return out.select(
+            L.labels_str_from_entries(F.col("_ent")).alias("labels_str"),
+            F.map_from_entries("_ent").alias("labels"),
+            F.col(_G),
+            "value",
         )
 
     def _eval_func(self, node: FuncCall) -> DataFrame:
