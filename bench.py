@@ -122,17 +122,33 @@ def main() -> None:
             )
         ))
 
-        # matcher matrix (querier_test.go:2110 BenchmarkQueries shapes)
+        # matcher matrix (querier_test.go:2110 BenchmarkQueries shapes).
+        # r11 (VERDICT r10 #5, guide §2.6): the five selects are
+        # independent sub-second jobs — submitted from a thread pool so
+        # each job's tasks back-fill the executor threads freed by the
+        # previous job's tail instead of serializing five scheduler
+        # round-trips. Each select's plan and result are unchanged; the
+        # entry still times the completion of all five. Serial-vs-
+        # concurrent A/B numbers are recorded in OPTIMIZATION_r11.md.
+        from concurrent.futures import ThreadPoolExecutor
+
+        matcher_sets = (
+            [eq("__name__", "click")],
+            [eq("__name__", "click"), eq("k_bucket", "high")],
+            [eq("__name__", "click"), eq("k_bucket", "high"), neq("user", "3")],
+            [re_match("__name__", "c.*k")],
+            [re_match("__name__", "c.*k"), re_match("user", "1.*")],
+        )
+
         def run_matchers(i):
             q = db.querier(T0, T0 + 31 * DAY)
-            for ms in (
-                [eq("__name__", "click")],
-                [eq("__name__", "click"), eq("k_bucket", "high")],
-                [eq("__name__", "click"), eq("k_bucket", "high"), neq("user", "3")],
-                [re_match("__name__", "c.*k")],
-                [re_match("__name__", "c.*k"), re_match("user", "1.*")],
-            ):
-                drain(q.select(ms, with_labels=False))
+            with ThreadPoolExecutor(max_workers=len(matcher_sets)) as pool:
+                list(
+                    pool.map(
+                        lambda ms: drain(q.select(ms, with_labels=False)),
+                        matcher_sets,
+                    )
+                )
 
         bench("matchers", run_matchers)
 
@@ -251,14 +267,26 @@ def main() -> None:
         bench("ann", q_entry("emb_ann_lsh"))
 
         # corpus-selection pass: stratified sample + keyword extraction +
-        # decontamination (map-only / bounded-shuffle pipeline ops)
+        # decontamination (map-only / bounded-shuffle pipeline ops).
+        # r11 (VERDICT r10 #7, guide §2.6): the three queries are
+        # independent — concurrent submission like the matcher matrix;
+        # per-query plans and results unchanged.
         def run_selection(i):
-            for qname in (
+            names = (
                 "docs_sample_stratified",
                 "docs_keywords",
                 "docs_decontaminate",
-            ):
-                QUERIES[qname].spark_fn(spark, SF_DIR).agg(F.count("*")).collect()
+            )
+            with ThreadPoolExecutor(max_workers=len(names)) as pool:
+                list(
+                    pool.map(
+                        lambda qn: QUERIES[qn]
+                        .spark_fn(spark, SF_DIR)
+                        .agg(F.count("*"))
+                        .collect(),
+                        names,
+                    )
+                )
 
         bench("selection", run_selection)
 
