@@ -90,6 +90,7 @@ def expected_for(oracle, matchers, mint, maxt):
     return out
 
 
+@pytest.mark.slow
 def test_db_e2e_random_ranges(db, dataset):
     _, oracle = dataset
     max_t = max(t for sams in oracle.values() for t, _ in sams)

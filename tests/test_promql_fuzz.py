@@ -109,6 +109,7 @@ def fuzz_frame(spark):
     suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
 )
 @given(expr=_vector(2))
+@pytest.mark.slow
 def test_fuzz_eval_contract(spark, fuzz_frame, expr):
     node = P.parse_expr(expr)  # must parse
     q = P.RangeQuery(fuzz_frame, START, END, STEP, lookback_ms=LOOKBACK)

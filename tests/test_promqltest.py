@@ -25,7 +25,42 @@ def test_corpus_nonempty():
     assert len(_FILES) >= 9
 
 
-@pytest.mark.parametrize("path", _FILES, ids=[os.path.basename(p) for p in _FILES])
+# corpus files above ~20s each (measured r11, /tmp/pytest_durations.txt)
+# run in the opt-in slow lane; every promql feature keeps default-lane
+# coverage via the remaining corpus files + tests/test_promql.py
+_SLOW_FILES = {
+    "nonfinite_windows.test",
+    "native_hist_binops.test",
+    "rate.test",
+    "binops.test",
+    "over_time.test",
+    "nan_inf.test",
+    "functions.test",
+    "aggregations.test",
+    "group_modifiers.test",
+    "operators_algebra.test",
+    "functions_math.test",
+    "nhcb.test",
+    "regressions.test",
+    "offset_range_fns.test",
+    "native_histograms.test",
+    "aggregators_algebra.test",
+}
+
+
+@pytest.mark.parametrize(
+    "path",
+    [
+        pytest.param(
+            p,
+            marks=[pytest.mark.slow]
+            if os.path.basename(p) in _SLOW_FILES
+            else [],
+        )
+        for p in _FILES
+    ],
+    ids=[os.path.basename(p) for p in _FILES],
+)
 def test_promqltest_file(spark, tmp_path, path):
     failures = run_promql_tests(spark, path, tmp_dir=str(tmp_path))
     assert failures == []
