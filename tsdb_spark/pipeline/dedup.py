@@ -346,8 +346,18 @@ def connected_components(
 
     State is only the dup-graph nodes (docs that appear in some pair),
     never the corpus; each round localCheckpoints the label frame so the
-    plan doesn't grow with the iteration count, and the only value that
+    plan doesn't grow with the iteration count (a label frame is
+    consumed TWICE per round and `stepped` twice again — un-truncated,
+    the logical plan nests ~4x per round and Catalyst's plan
+    canonicalization goes exponential), and the only value that
     reaches the driver is the 0/1 converged flag.
+
+    r11: the init fuses the ROUND-0 PROPAGATE into the seed — label =
+    min(id, 1-hop neighbor min), one combinable aggregate over the same
+    frame the old identity-init's distinct() scanned. Labels are
+    monotone non-increasing, so a closer seed can only reduce the round
+    count (one full round of 2-join+checkpoint+count job latency on
+    graphs whose 1-hop min already is the component min).
     """
     e = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
     sym = (
@@ -356,9 +366,9 @@ def connected_components(
         .localCheckpoint()
     )
     labels = (
-        sym.select(F.col("u").alias("id"))
-        .distinct()
-        .withColumn("label", F.col("id"))
+        sym.groupBy("u")
+        .agg(F.min("v").alias("_nb"))
+        .select(F.col("u").alias("id"), F.least("u", "_nb").alias("label"))
         .localCheckpoint()
     )
     for _ in range(max_rounds):
