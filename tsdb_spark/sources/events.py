@@ -21,6 +21,8 @@ label-less series).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -44,20 +46,65 @@ _CANON: dict[str, dict[str, str]] = {
 }
 
 
+# Per-process memo of UNMATERIALIZED source DataFrames (r11): building
+# one costs ~0.5s of file listing + schema read + cast analysis and
+# every query entry pays it per construction (the bench re-builds each
+# query 3x). A DataFrame is an immutable plan, so reusing the object is
+# pure metadata reuse — no data, no results are cached (the plan still
+# scans parquet on every action). Keyed by (session, path, file
+# fingerprint): a rewritten file (mtime/size change) or a new session
+# misses and re-lists, so tests writing their own tables stay correct.
+_TABLE_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _file_fingerprint(path: str):
+    try:
+        st = os.stat(path)
+        if os.path.isdir(path):
+            parts = []
+            for e in sorted(os.listdir(path)):
+                if e.startswith(("_", ".")):
+                    continue
+                s = os.stat(os.path.join(path, e))
+                parts.append((e, s.st_mtime_ns, s.st_size))
+            return (st.st_mtime_ns, tuple(parts))
+        return (st.st_mtime_ns, st.st_size)
+    except OSError:
+        return None
+
+
+def _table_memo(spark: SparkSession, path: str, tag: str, build):
+    fp = _file_fingerprint(path)
+    if fp is None:
+        return build()
+    key = (spark.sparkContext.applicationId, path, tag, fp)
+    df = _TABLE_CACHE.get(key)
+    if df is None:
+        if len(_TABLE_CACHE) > 64:
+            _TABLE_CACHE.clear()
+        df = build()
+        _TABLE_CACHE[key] = df
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     configure(spark)
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    canon = _CANON.get(name)
-    if canon:
-        dtypes = dict(df.dtypes)
-        if any(c in dtypes and dtypes[c] != t for c, t in canon.items()):
-            df = df.select(*[
-                F.col(c).cast(canon[c]).alias(c)
-                if c in canon and dtypes[c] != canon[c]
-                else F.col(c)
-                for c in df.columns
-            ])
-    return df
+
+    def build() -> DataFrame:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        canon = _CANON.get(name)
+        if canon:
+            dtypes = dict(df.dtypes)
+            if any(c in dtypes and dtypes[c] != t for c, t in canon.items()):
+                df = df.select(*[
+                    F.col(c).cast(canon[c]).alias(c)
+                    if c in canon and dtypes[c] != canon[c]
+                    else F.col(c)
+                    for c in df.columns
+                ])
+        return df
+
+    return _table_memo(spark, f"{sf_dir}/{name}.parquet", "load", build)
 
 
 def event_labels(ev: DataFrame | None = None) -> F.Column:
@@ -135,18 +182,27 @@ def event_time_ms(ev: DataFrame) -> F.Column:
 
 
 def events_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events → (labels, labels_str, series_id, t, v, ingest_seq=1)."""
-    ev = load_table(spark, sf_dir, "events")
-    out = ev.select(
-        event_labels(ev).alias("labels"),
-        event_time_ms(ev).alias("t"),
-        F.col("value").cast("double").alias("v"),
-    )
-    out = out.withColumn("labels_str", L.labels_str_expr("labels"))
-    return (
-        out.withColumn("series_id", L.series_id_expr("labels"))
-        .withColumn("ingest_seq", F.lit(1).cast("long"))
-    )
+    """events → (labels, labels_str, series_id, t, v, ingest_seq=1).
+
+    Memoized like load_table (same fingerprint key): the label-map /
+    time-normalization projection costs ~0.5s of expression building +
+    analysis per construction and is a pure function of the source
+    file."""
+
+    def build() -> DataFrame:
+        ev = load_table(spark, sf_dir, "events")
+        out = ev.select(
+            event_labels(ev).alias("labels"),
+            event_time_ms(ev).alias("t"),
+            F.col("value").cast("double").alias("v"),
+        )
+        out = out.withColumn("labels_str", L.labels_str_expr("labels"))
+        return (
+            out.withColumn("series_id", L.series_id_expr("labels"))
+            .withColumn("ingest_seq", F.lit(1).cast("long"))
+        )
+
+    return _table_memo(spark, f"{sf_dir}/events.parquet", "samples", build)
 
 
 def events_series(spark: SparkSession, sf_dir: str) -> DataFrame:
