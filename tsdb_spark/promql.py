@@ -2740,13 +2740,16 @@ class RangeQuery:
         cells = _grid_explode(base, self.start, self.end, self.step, rng)
         agg = cells.groupBy("_ent", _G).agg(*aggs)
 
-        def side_ok(name, fc):
-            ok = F.array_contains(
+        def is_side(name):
+            return F.array_contains(
                 F.col("_ent"),
                 F.struct(
                     F.lit("__name__").alias("key"), F.lit(name).alias("value")
                 ),
             )
+
+        def side_ok(name, fc):
+            ok = is_side(name)
             d = _window_defined(fc.fn, rng, F.col(_G), fc.param)
             if d is not None:
                 ok = ok & d
@@ -2759,9 +2762,18 @@ class RangeQuery:
             a, b = (s, v) if cmp_.scalar_left else (v, s)
             return _cmp_col(cmp_.op, a, b)
 
+        # pre-drop rows whose own side's window value is undefined —
+        # in CONJUNCT form (¬side ∨ defined) and only for sides that
+        # HAVE a defined predicate: a disjunctive (side ∧ d) ∨ (side ∧
+        # d) form splits under pushdown and plants a per-row
+        # side-membership test at the scan that every row passes by
+        # construction (the __name__ IN matcher already pinned it)
+        for name, fc in ((nl, lnode), (nr, rnode)):
+            d = _window_defined(fc.fn, rng, F.col(_G), fc.param)
+            if d is not None:
+                agg = agg.filter(~is_side(name) | d)
         l_pre = side_ok(nl, lnode)
         r_pre = side_ok(nr, rnode)
-        agg = agg.filter(l_pre | r_pre)
         out = _attach_window_values(
             agg,
             [
