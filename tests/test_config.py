@@ -10,6 +10,8 @@ import threading
 import time
 import urllib.request
 
+import pytest
+
 from tsdb_spark import DB
 from tsdb_spark.config import (
     PrometheusConfig,
@@ -209,6 +211,7 @@ def test_file_sd_bad_file_keeps_last_good(spark, tmp_path):
     assert fsd.groups(3_000) == [{"targets": ["b:2"], "labels": {}}]
 
 
+@pytest.mark.slow  # wall-clock scrape/serve soak (r11 lane split)
 def test_serve_config_end_to_end(spark, tmp_path):
     """`serve --config prometheus.yml` drives the single-process mode
     with NO other flags: file-SD scrape → store → rules → notifier +
@@ -385,6 +388,7 @@ def test_serve_config_end_to_end(spark, tmp_path):
         rw.stop()
 
 
+@pytest.mark.slow  # wall-clock scrape/serve soak (r11 lane split)
 def test_forwarder_tails_by_ingest_seq(spark, tmp_path):
     """RemoteWriteForwarder ships exactly what was appended after it
     started — by ingest_seq, so a backfill into OLD time ranges still
@@ -751,6 +755,7 @@ def test_http_client_config_parsing_and_headers(tmp_path):
     assert http_client_config_from({"job_name": "x"}) is None
 
 
+@pytest.mark.slow  # wall-clock scrape/serve soak (r11 lane split)
 def test_http_auth_on_scrape_notifier_and_remote_write(spark, tmp_path):
     """The three outbound HTTP paths honor the config's auth blocks —
     scrape GETs (scrape_configs.basic_auth), Alertmanager POSTs
@@ -838,6 +843,7 @@ def test_http_auth_on_scrape_notifier_and_remote_write(spark, tmp_path):
         srv.shutdown()
 
 
+@pytest.mark.slow  # wall-clock scrape/serve soak (r11 lane split)
 def test_reload_and_status_config(spark, tmp_path):
     """/api/v1/status/config serves the loaded prometheus.yml verbatim;
     POST /-/reload re-reads the file and the running loops pick up the

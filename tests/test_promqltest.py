@@ -45,6 +45,10 @@ _SLOW_FILES = {
     "offset_range_fns.test",
     "native_histograms.test",
     "aggregators_algebra.test",
+    "annotations.test",
+    "utf8_names.test",
+    "subquery_at.test",
+    "selectors.test",
 }
 
 

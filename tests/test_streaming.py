@@ -138,6 +138,7 @@ def test_exact_dedup_stream_survives_restart(spark, tmp_path):
     assert spark.read.parquet(out).count() == 4  # no duplicate rows either
 
 
+@pytest.mark.slow  # maintenance-cadence soak (r11 lane split)
 def test_stream_vacuum_every(spark, tmp_path):
     src = str(tmp_path / "src")
     ckpt = str(tmp_path / "ckpt")
