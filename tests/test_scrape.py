@@ -241,12 +241,17 @@ def test_concurrent_acquisition_wall_time(spark, tmp_path):
             def append(self, df):
                 return None
 
+        # warm pass (untimed): first-use plan building / JIT cost is
+        # load-sensitive (measured ~1s idle, ~9s on a degraded box —
+        # enough to breach the serial bound and flake); the timed pass
+        # below then measures acquisition, not session warm-up
+        assert scrape_pass(spark, _Sink(), targets, scrape_time_ms=T0) == 4
         t0 = _time.monotonic()
         ok = scrape_pass(spark, _Sink(), targets, scrape_time_ms=T0)
         fetch_wall = _time.monotonic() - t0
         assert ok == 4
         # serial sockets alone would hold >= 4*DELAY = 8s; concurrent
-        # acquisition costs ~DELAY + ~2-3s of lazy plan building
+        # acquisition costs ~DELAY + warm plan building
         assert fetch_wall < 4 * DELAY
 
         # correctness leg (untimed): real append, up-series bookkeeping
